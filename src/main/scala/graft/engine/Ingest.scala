@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans + projection/rename/coercion (SURVEY §2 rows A1-A4, B1-B4).
+  *
+  * All coercion is null-on-error (`try_cast`) so the engine behaves the
+  * same under ANSI SQL mode — mirroring pandas `errors='coerce'`
+  * (ref: PRACTICA3.py:193, generador.py:41-43).
+  */
+object Ingest {
+
+  /** A1 — CSV scan with explicit schema + timestamp parse
+    * (ref: PRACTICA3.py:183). Explicit schema => no inference pass over
+    * the data (one read, not two — matters at 100 TB).
+    */
+  def readVentasCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.ventas)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** A3 — columnar (parquet) scan of a named test table. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** A4 — CSV sink; arrays stay native when sinking parquet (preferred),
+    * CSV-compat keeps the reference's bracketed stringified form
+    * (ref: PRACTICA3.py:208-209).
+    */
+  def writeCsvCompat(df: DataFrame, path: String): Unit = {
+    val out = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType.typeName match {
+        case "array" => d.withColumn(f.name, to_json(col(f.name)))
+        case _       => d
+      }
+    }
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** B1 — column rename (ref: PRACTICA3.py:186-190). */
+  val ventasRenames: Map[String, String] = Map(
+    "StockCode" -> "Product_ID",
+    "Country"   -> "Store_ID",
+    "Quantity"  -> "Units_Sold")
+
+  /** B1/B2 — rename, tolerant of absent columns (pandas
+    * `rename(errors='ignore')`, ref: generador.py:34-38).
+    * `withColumnsRenamed` is already a no-op for absent names.
+    */
+  def rename(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** B3 — numeric coercion null-on-error then fill 0
+    * (ref: PRACTICA3.py:193). ANSI-safe via try_cast.
+    */
+  def coerceNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val coerced = cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, expr(s"try_cast(`$c` as double)"))
+    }
+    coerced.na.fill(0.0, cols)
+  }
+
+  /** B4 — scalar fillna + string cast (ref: generador.py:46). */
+  def fillStr(dfCol: org.apache.spark.sql.Column, default: String) =
+    coalesce(dfCol.cast("string"), lit(default))
+
+  /** B6 — add a column iff absent (ref: generador.py:75-77). */
+  def withColumnIfAbsent(df: DataFrame, name: String,
+      default: org.apache.spark.sql.Column): DataFrame =
+    if (df.columns.contains(name)) df else df.withColumn(name, default)
+}

@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time resampling (SURVEY §2 rows E2/E3) — the keystone operator.
+  *
+  * pandas `resample("W-SUN").sum().fillna(0)` (ref: PRACTICA3.py:91-94)
+  * buckets rows into calendar weeks labeled by the ending Sunday and
+  * materializes EMPTY weeks between each group's min and max as explicit
+  * zero rows. Those zero weeks then count toward the ≥12-week gate, the
+  * population std-dev and the moving average — so densification is a
+  * semantic requirement, not cosmetics.
+  *
+  * Scale design: the densify step is built from ONE aggregation per
+  * grain (no self-join). After the (keys, week) partial-agg we collapse
+  * to one row per key carrying a week→units map, then explode a
+  * `sequence(min, max, 7 days)`; week counts are bounded by the calendar
+  * (52/yr), not by data volume, so the map/array stays small even at
+  * 100 TB input. Both aggregations hash-partition on the group keys and
+  * benefit from map-side partial aggregation.
+  *
+  * Spark's `window(ts, "7 days")` is epoch(Thursday)-anchored and
+  * closed-left — NOT the W-SUN labeling. The exact mapping is
+  * `next_day(date_sub(to_date(ts), 1), 'Sun')`: the first Sunday on or
+  * after the timestamp's date (including an intraday Sunday).
+  */
+object Resample {
+
+  /** Week-ending-Sunday label for a timestamp/date column (E2 bucket). */
+  def weekEndingSunday(ts: Column): Column =
+    next_day(date_sub(to_date(ts), 1), "Sun")
+
+  /** E2 step 1 — bucket into W-SUN weeks and sum (sparse: only weeks
+    * with data).
+    */
+  def weeklySparse(df: DataFrame, keys: Seq[String], ts: String,
+      value: String): DataFrame =
+    df.groupBy((keys.map(col) :+ weekEndingSunday(col(ts)).as("week")): _*)
+      .agg(sum(col(value)).as("units"))
+
+  /** E2 step 2 — densify: explicit 0 rows for every missing week between
+    * each group's min and max week. One extra keys-grain aggregation, no
+    * join.
+    */
+  def densify(sparse: DataFrame, keys: Seq[String]): DataFrame = {
+    val byKey = sparse
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min($("week")).as("w0"),
+        max($("week")).as("w1"),
+        map_from_entries(collect_list(struct($("week"), $("units"))))
+          .as("wk_map"))
+    byKey
+      .select((keys.map(col) :+
+        explode(sequence($("w0"), $("w1"), expr("interval 7 days")))
+          .as("week") :+ $("wk_map")): _*)
+      .withColumn("units",
+        coalesce(element_at($("wk_map"), $("week")), lit(0.0)))
+      .drop("wk_map")
+  }
+
+  /** E2 — full weekly resample with gap-fill (sparse + densify). */
+  def weeklyDense(df: DataFrame, keys: Seq[String], ts: String,
+      value: String): DataFrame =
+    densify(weeklySparse(df, keys, ts, value), keys)
+
+  /** E3 — daily resample (ref: limpieza_de_datos.py:23). */
+  def daily(df: DataFrame, keys: Seq[String], ts: String,
+      value: String): DataFrame =
+    df.groupBy((keys.map(col) :+
+        to_date(date_trunc("DAY", col(ts))).as("day")): _*)
+      .agg(sum(col(value)).as("units"))
+
+  private def $(n: String): Column = col(n)
+}

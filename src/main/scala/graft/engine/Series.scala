@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group gates, winsorize, train/test split, lags
+  * (SURVEY §2 rows C4, D8/D10, E4, E5).
+  */
+object Series {
+
+  /** C4 — HAVING-style series eligibility gates
+    * (ref: PRACTICA3.py:96-100): keep groups with ≥ minWeeks weekly bins
+    * (densified zeros count!) and ≥ minTotalSales total units. Input is
+    * the densified weekly frame. Implemented with a window so the rows
+    * survive (the kernel consumes them), without a second shuffle — the
+    * window partitions on the same keys as the resample aggregation.
+    */
+  def eligible(weekly: DataFrame, keys: Seq[String],
+      cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    weekly
+      .withColumn("__weeks", count(lit(1)).over(w))
+      .withColumn("__total", sum(col("units")).over(w))
+      .filter(col("__weeks") >= cfg.minWeeks &&
+        col("__total") >= cfg.minTotalSales)
+      .drop("__weeks", "__total")
+  }
+
+  /** C4 relational form — group-level gate as a plain HAVING aggregate
+    * (one row per eligible group).
+    */
+  def eligibleGroups(weekly: DataFrame, keys: Seq[String],
+      cfg: PipelineConfig = PipelineConfig()): DataFrame =
+    weekly.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("weeks"), sum(col("units")).as("total"))
+      .filter(col("weeks") >= cfg.minWeeks &&
+        col("total") >= cfg.minTotalSales)
+
+  /** D8+D10 — winsorize to the [q01, q99] quantiles of the POSITIVE
+    * values, applied to the WHOLE series (ref: PRACTICA3.py:103-107).
+    * Semantic trap preserved: gap-filled zero weeks are raised to q01
+    * when the group has > 5 positive weeks. Quantiles are exact with
+    * linear interpolation (pandas default == Spark `percentile`).
+    */
+  def winsorize(weekly: DataFrame, keys: Seq[String],
+      value: String = "units"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val pos = when(col(value) > 0, col(value))
+    weekly
+      .withColumn("__npos", count(pos).over(w))
+      .withColumn("__q01", percentile(pos, lit(0.01)).over(w))
+      .withColumn("__q99", percentile(pos, lit(0.99)).over(w))
+      .withColumn(value,
+        when(col("__npos") > 5,
+          least(greatest(col(value), col("__q01")), col("__q99")))
+          .otherwise(col(value)))
+      .drop("__npos", "__q01", "__q99")
+  }
+
+  /** E5 — positional train/test split on the time-ordered series
+    * (ref: PRACTICA3.py:110-111): last `horizon` rows are test.
+    * Adds `rn_desc` (1 = latest week) and `is_test`.
+    */
+  def markSplit(weekly: DataFrame, keys: Seq[String], ts: String,
+      horizon: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).desc)
+    weekly
+      .withColumn("rn_desc", row_number().over(w))
+      .withColumn("is_test", col("rn_desc") <= horizon)
+  }
+
+  /** E4 — lag features + dropna (ref: limpieza_de_datos.py:27-29). */
+  def withLags(df: DataFrame, keys: Seq[String], ts: String,
+      value: String, lags: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
+    val withL = lags.foldLeft(df) { (d, k) =>
+      d.withColumn(s"lag_$k", lag(col(value), k).over(w))
+    }
+    withL.na.drop(lags.map(k => s"lag_$k"))
+  }
+
+  /** D11 — last element of the time-ordered group (the reference's
+    * "current stock" proxy, ref: PRACTICA3.py:75).
+    */
+  def lastByTime(value: String, ts: String): Column =
+    max_by(col(value), col(ts))
+
+  /** D12 — mean of the last k rows, full mean when shorter
+    * (ref: PRACTICA3.py:144).
+    */
+  def tailMean(df: DataFrame, keys: Seq[String], ts: String,
+      value: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(avg(when(col("__rn") <= k, col(value))).as(s"tail${k}_mean"))
+  }
+}
