@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 compare.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <outDir>/<name> parquet dump written by graft.Verify, runs the
+matching oracle_sql.json entry in DuckDB over <sfDir>'s tables, and
+compares: row count, column names/dtypes, and values (exact after
+canonical row sort; floats compared exactly first, then with 1e-9 rel
+tolerance reported separately)."""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+con = duckdb.connect()
+for f in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+
+def _cell_eq(x, y):
+    import numpy as np
+    if isinstance(x, (list, np.ndarray)) or isinstance(y, (list, np.ndarray)):
+        x = list(x) if x is not None else None
+        y = list(y) if y is not None else None
+        if x is None or y is None:
+            return x == y
+        return len(x) == len(y) and all(_cell_eq(i, j) for i, j in zip(x, y))
+    if x is None or y is None:
+        return (x is None) == (y is None)
+    if isinstance(x, float) and isinstance(y, float):
+        import math
+        return x == y or (math.isnan(x) and math.isnan(y)) or abs(x - y) <= 1e-9 * max(abs(x), abs(y))
+    return x == y
+
+
+def canon(df):
+    import datetime
+    import pandas as pd
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c])
+    keys = [c for c in df.columns if df[c].dtype != object]
+    if keys:
+        df = df.sort_values(by=keys, ignore_index=True)
+    return df
+
+fails = []
+for name, sql in sorted(oracles.items()):
+    if only and name not in only:
+        continue
+    pdir = f"{out}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark dump"); fails.append(name); continue
+    try:
+        spark_df = pq.read_table(pdir).to_pandas()
+    except Exception as e:
+        print(f"FAIL {name}: read spark dump: {e}"); fails.append(name); continue
+    try:
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}"); fails.append(name); continue
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        print(f"FAIL {name}: columns spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        fails.append(name); continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        fails.append(name); continue
+    a, b = canon(spark_df), canon(duck_df)
+    # normalize list/array cells and timestamps to comparable forms
+    import numpy as np
+    bad_cols = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype == object or bv.dtype == object:
+                eq = all(_cell_eq(x, y) for x, y in zip(av, bv))
+            elif str(av.dtype).startswith("datetime") or str(bv.dtype).startswith("datetime"):
+                eq = (av.astype("datetime64[us]").values == bv.astype("datetime64[us]").values).all()
+            elif av.dtype.kind == "f":
+                eq = ((av.values == bv.values) | (np.isnan(av.values) & np.isnan(bv.values))).all()
+                if not eq:
+                    close = np.allclose(av.values, bv.values, rtol=1e-9, atol=1e-12, equal_nan=True)
+                    if close:
+                        mx = np.nanmax(np.abs(av.values - bv.values))
+                        print(f"  ~ {name}.{c}: not exact but close (max abs diff {mx:.3e})")
+                    eq = close
+            else:
+                eq = (av.values == bv.values).all()
+        except Exception as e:
+            eq = False
+            print(f"  ! {name}.{c}: compare error {e}")
+        if not eq:
+            bad_cols.append(c)
+    if bad_cols:
+        print(f"FAIL {name}: value mismatch in {bad_cols}")
+        for c in bad_cols[:2]:
+            av, bv = a[c], b[c]
+            for i in range(len(av)):
+                try:
+                    same = _cell_eq(av.iloc[i], bv.iloc[i])
+                except Exception:
+                    same = False
+                if not same:
+                    print(f"    row {i}: spark={av.iloc[i]!r} duck={bv.iloc[i]!r}")
+                    break
+        fails.append(name)
+    else:
+        print(f"ok   {name} ({len(a)} rows)")
+
+print(f"\n{len(oracles) - len(fails)}/{len(oracles) if not only else len(only)} ok; failures: {fails}")
+sys.exit(1 if fails else 0)

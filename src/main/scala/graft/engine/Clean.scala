@@ -22,9 +22,11 @@ object Clean {
 
   /** B7 — round + integer cast, floored at 0
     * (ref: generador.py:83-84; scalar form PRACTICA3.py:78-80).
+    * numpy/pandas round to even on .5 ties (banker's), so `bround`,
+    * NOT Spark's HALF_UP `round` (SURVEY F3).
     */
   def roundToInt(c: Column): Column =
-    round(greatest(c, lit(0.0))).cast("int")
+    bround(greatest(c, lit(0.0))).cast("int")
 
   /** B8 — struct-producing row function + star-expand: compute one
     * struct column, then expand its fields — never a positional concat

@@ -26,6 +26,23 @@ object Ingest {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** A3 variant for sources with TIMESTAMP(NANOS) parquet columns
+    * (Spark has no nanosecond TimestampType; without the legacy conf
+    * the scan throws PARQUET_TYPE_ILLEGAL). Reads nanos as long and
+    * converts to microsecond timestamps. Integer `div` — a double
+    * division would lose precision above 2^53 ns.
+    */
+  def tableNanos(spark: SparkSession, sfDir: String, name: String,
+      nanosCols: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosCols.foldLeft(raw) { (d, c) =>
+      if (d.schema(c).dataType.typeName == "long")
+        d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
+      else d
+    }
+  }
+
   /** A4 — CSV sink; arrays stay native when sinking parquet (preferred),
     * CSV-compat keeps the reference's bracketed stringified form
     * (ref: PRACTICA3.py:208-209).
@@ -33,7 +50,10 @@ object Ingest {
   def writeCsvCompat(df: DataFrame, path: String): Unit = {
     val out = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType.typeName match {
-        case "array" => d.withColumn(f.name, to_json(col(f.name)))
+        // pandas to_csv of a Python list prints "[1.0, 2.0]" (", "
+        // separator, ref: PRACTICA3.py:169,209); to_json emits no space
+        case "array" => d.withColumn(f.name,
+          regexp_replace(to_json(col(f.name)), ",", ", "))
         case _       => d
       }
     }

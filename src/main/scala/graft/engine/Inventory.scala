@@ -37,9 +37,12 @@ object Inventory {
   def orderQty(rop: Column, lastTrainUnits: Column): Column =
     greatest(lit(0.0), rop - lastTrainUnits)
 
-  /** H5 — final integer clamp (ref: PRACTICA3.py:77-81). */
+  /** H5 — final integer clamp (ref: PRACTICA3.py:77-81). Python round()
+    * is half-even (banker's) → `bround`, matching the kernel's
+    * `math.rint` below.
+    */
   def intClamp(c: Column): Column =
-    round(greatest(c, lit(0.0))).cast("int")
+    bround(greatest(c, lit(0.0))).cast("int")
 
   // ---- kernel (plain Scala) forms, ref: PRACTICA3.py:68-81 ----
 

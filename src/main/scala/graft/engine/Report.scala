@@ -33,9 +33,10 @@ object Report {
     val withRmse = Ingest.withColumnIfAbsent(parsed, "RMSE", lit(0.0))
     val cleaned = withRmse
       .na.drop(Seq("Forecast_Total", "MAPE", "Qty_to_Order"))
+    // pandas .round(0) is half-even → bround (SURVEY F3)
     Seq("Safety_Stock", "Reorder_Point", "Qty_to_Order", "Forecast_Total")
       .foldLeft(cleaned)((d, c) =>
-        d.withColumn(c, round(col(c)).cast("int")))
+        d.withColumn(c, bround(col(c)).cast("int")))
   }
 
   /** Global header aggregates (ref: generador.py:180-183): row count,

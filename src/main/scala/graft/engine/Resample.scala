@@ -36,7 +36,9 @@ object Resample {
     */
   def weeklySparse(df: DataFrame, keys: Seq[String], ts: String,
       value: String): DataFrame =
-    df.groupBy((keys.map(col) :+ weekEndingSunday(col(ts)).as("week")): _*)
+    df.filter(col(ts).isNotNull) // pandas resample drops NaT rows; a null
+      // week key would also crash map_from_entries in densify
+      .groupBy((keys.map(col) :+ weekEndingSunday(col(ts)).as("week")): _*)
       .agg(sum(col(value)).as("units"))
 
   /** E2 step 2 — densify: explicit 0 rows for every missing week between
@@ -64,6 +66,22 @@ object Resample {
   def weeklyDense(df: DataFrame, keys: Seq[String], ts: String,
       value: String): DataFrame =
     densify(weeklySparse(df, keys, ts, value), keys)
+
+  /** E6 — materialized week-date labels for the forecast horizon:
+    * `horizon` consecutive W-SUN dates after each group's last observed
+    * week (ref: PRACTICA3.py:150-169 keeps the horizon implicit as
+    * array position; this makes the dates explicit for consumers).
+    */
+  def futureWeeks(weekly: DataFrame, keys: Seq[String],
+      horizon: Int): DataFrame =
+    weekly
+      .groupBy(keys.map(col): _*)
+      .agg(max($("week")).as("__wmax"))
+      .select((keys.map(col) :+
+        explode(sequence(
+          date_add($("__wmax"), 7),
+          date_add($("__wmax"), 7 * horizon),
+          expr("interval 7 days"))).as("future_week")): _*)
 
   /** E3 — daily resample (ref: limpieza_de_datos.py:23). */
   def daily(df: DataFrame, keys: Seq[String], ts: String,

@@ -42,7 +42,8 @@ object Kernel {
     * (pandas `resample("W-SUN").sum().fillna(0)`, ref: PRACTICA3.py:94).
     * Entries must already be W-SUN labeled and sorted.
     */
-  def densify(entries: Seq[SeriesEntry]): Array[Double] = {
+  def densify(entries0: Seq[SeriesEntry]): Array[Double] = {
+    val entries = entries0.filter(_.week != null) // pandas NaT-drop
     if (entries.isEmpty) return Array.empty
     val first = entries.head.week.toLocalDate
     val last = entries.last.week.toLocalDate
@@ -79,8 +80,9 @@ object Kernel {
 
     // models (J1-J3); each may drop out, MA always present
     val preds = Seq.newBuilder[Array[Double]]
-    if (cfg.useTrendSeasonal && train.length >= cfg.minWeeks)
-      Models.trendSeasonal(train, cfg.horizonWeeks).foreach(preds += _)
+    if (cfg.useTrendSeasonal)
+      Models.trendSeasonal(train, cfg.horizonWeeks,
+        minTrain = cfg.minWeeks).foreach(preds += _)
     if (cfg.useHoltWinters)
       Models.holtWinters(train, cfg.horizonWeeks).foreach(preds += _)
     preds += Models.movingAverage(train, cfg.horizonWeeks)

@@ -30,8 +30,11 @@ object Models {
   def holtWinters(train: Array[Double], horizon: Int): Option[Array[Double]] = {
     if (train.length < 8) return None
     val y = train.map(v => math.log1p(math.max(0.0, v)))
-    val seasonal = y.length >= 52
+    // statsmodels raises with < 2 full seasonal cycles (the reference's
+    // try/except then drops HW from the ensemble); with one cycle our
+    // trend init would divide an empty second-period slice. Require two.
     val period = 52
+    val seasonal = y.length >= 2 * period
 
     def fit(alpha: Double, beta: Double, gamma: Double)
         : (Double, Array[Double], Double, Double) = {
@@ -93,9 +96,9 @@ object Models {
     * tolerates it.
     */
   def trendSeasonal(train: Array[Double], horizon: Int,
-      fourierOrder: Int = 3): Option[Array[Double]] = {
+      fourierOrder: Int = 3, minTrain: Int = 12): Option[Array[Double]] = {
     val n = train.length
-    if (n < 12) return None
+    if (n < minTrain) return None
     val y = train.map(v => math.log1p(math.max(0.0, v)))
     val periodWeeks = 365.25 / 7.0 // yearly seasonality on weekly grid
     val k = math.min(fourierOrder, math.max(1, n / 8))

@@ -1,0 +1,513 @@
+package graft.queries
+
+import graft.engine._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the SURVEY §2 core operators (A/B/C/D/E/
+  * F/G rows), each paired with an exactly-reproducible DuckDB oracle.
+  *
+  * Reproducibility rules used throughout:
+  *   - every query ORDER BYs a unique key on both sides;
+  *   - double aggregates whose value depends on summation order are
+  *     either computed over integral values (exact in IEEE double) or
+  *     rounded to 6 dp on both sides;
+  *   - money sums go through decimal(18,2) on both sides (exact);
+  *   - integer-ish outputs are cast to bigint on both sides (Spark
+  *     row_number is int, DuckDB's is bigint).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A: scans ----
+    "a1_scan_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- B: projection / rename / coercion ----
+    "b1_rename" -> ((s, d) => {
+      Ingest.rename(t(s, d, "lineitem"), Map(
+        "l_partkey" -> "product_id", "l_returnflag" -> "store_id",
+        "l_quantity" -> "units_sold", "l_missing_col" -> "nope"))
+        .select("l_orderkey", "l_linenumber", "product_id", "store_id",
+          "units_sold")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "b3_coerce_fill" -> ((s, d) => {
+      Ingest.coerceNumeric(
+        Ingest.tableNanos(s, d, "events", Seq("ts")).select("event_id", "props", "value"),
+        Seq("props", "value"))
+        .orderBy("event_id")
+    }),
+    "b4_b5_b6_derived" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .withColumn("status_str", Ingest.fillStr(
+          when(col("o_orderstatus") === "O", lit(null))
+            .otherwise(col("o_orderstatus")), "[]"))
+        .withColumn("need_reorder",
+          Clean.needReorder(col("o_totalprice") - 150000))
+      Ingest.withColumnIfAbsent(base, "rmse", lit(0.0))
+        .orderBy("o_orderkey")
+    }),
+    "b7_round_int" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Clean.roundToInt(col("l_extendedprice") / 100.0)
+            .cast("long").as("price_int"),
+          Inventory.intClamp(col("l_quantity") / 2.0)
+            .cast("long").as("qty_int"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- C: filters ----
+    "c1_filter_nonneg" -> ((s, d) => {
+      Clean.nonNegative(
+        Ingest.tableNanos(s, d, "events", Seq("ts"))
+          .select(col("event_id"), (col("value") - 2.5).as("value_c")),
+        "value_c")
+        .orderBy("event_id")
+    }),
+    "c2_eq_filter" -> ((s, d) => {
+      Ingest.tableNanos(s, d, "events", Seq("ts"))
+        .filter(col("event_type") === "click" && col("user_id") === 7)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "c3_dropna_subset" -> ((s, d) => {
+      Clean.dropNa(
+        t(s, d, "documents").select(col("doc_id"),
+          when(col("lang") === "en", lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang_nn")),
+        Seq("lang_nn"))
+        .orderBy("doc_id")
+    }),
+    "c4_having_gates" -> ((s, d) => {
+      val weekly = Resample.weeklyDense(t(s, d, "lineitem"),
+        Seq("l_partkey"), "l_shipdate", "l_quantity")
+      Series.eligibleGroups(weekly, Seq("l_partkey"),
+        PipelineConfig(minWeeks = 250, minTotalSales = 800))
+        .withColumn("weeks", col("weeks").cast("long"))
+        .orderBy("l_partkey")
+    }),
+    "c5_masked_mape" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          when(col("l_linenumber") === 7, lit(0.0))
+            .otherwise(col("l_quantity")).as("y"),
+          (col("l_quantity") * (lit(1.0) - col("l_discount"))).as("yhat"))
+      li.groupBy("l_returnflag")
+        .agg(round(Metrics.safeMapeRows(col("y"), col("yhat")), 6)
+          .as("mape"))
+        .orderBy("l_returnflag")
+    }),
+    "c6_empty_guard" -> ((s, d) => {
+      val df = t(s, d, "lineitem").filter(col("l_quantity") < 0)
+      s.range(1).select(lit(df.isEmpty).as("is_empty"))
+    }),
+
+    // ---- D: grouping / aggregation ----
+    "d1_multikey_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "d5_stddev_pop" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(round(stddev_pop(col("l_quantity")), 6).as("std_qty"))
+        .orderBy("l_suppkey")
+    }),
+    "d7_count_if" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count_if(col("o_totalprice") > 100000).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+    "d8_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.99)), 6).as("p99"),
+          round(percentile(col("l_quantity"), lit(0.01)), 6).as("p01"))
+        .orderBy("l_returnflag")
+    }),
+    "d9_row_median" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(array_sort(array(col("l_quantity"),
+            col("l_extendedprice") / 1000.0,
+            col("l_discount") * 100.0)), 2).as("med"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "d10_clip" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          least(greatest(col("l_quantity"), lit(5.0)), lit(45.0))
+            .as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "d11_last_by_time" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc)
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_quantity").as("last_qty"),
+          col("l_shipdate").as("last_ship"))
+        .orderBy("l_suppkey")
+    }),
+    "d12_tail_mean" -> ((s, d) => {
+      val weekly = Resample.weeklySparse(t(s, d, "lineitem"),
+        Seq("l_suppkey"), "l_shipdate", "l_quantity")
+      Series.tailMean(weekly, Seq("l_suppkey"), "week", "units", 4)
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- E: time series ----
+    "e2_weekly_dense" -> ((s, d) => {
+      Resample.weeklyDense(t(s, d, "lineitem"), Seq("l_suppkey"),
+        "l_shipdate", "l_quantity")
+        .orderBy("l_suppkey", "week")
+    }),
+    "e3_daily" -> ((s, d) => {
+      Resample.daily(Ingest.tableNanos(s, d, "events", Seq("ts")), Seq("event_type"), "ts", "value")
+        .withColumn("units", round(col("units"), 6))
+        .orderBy("event_type", "day")
+    }),
+    "e4_lags" -> ((s, d) => {
+      val daily = Resample.daily(Ingest.tableNanos(s, d, "events", Seq("ts")), Seq("event_type"),
+        "ts", "value")
+        .withColumn("units", round(col("units"), 6))
+      Series.withLags(daily, Seq("event_type"), "day", "units", Seq(1, 7))
+        .orderBy("event_type", "day")
+    }),
+    "e5_split_mark" -> ((s, d) => {
+      val weekly = Resample.weeklyDense(t(s, d, "lineitem"),
+        Seq("l_suppkey"), "l_shipdate", "l_quantity")
+      Series.markSplit(weekly, Seq("l_suppkey"), "week", 4)
+        .withColumn("rn_desc", col("rn_desc").cast("long"))
+        .orderBy("l_suppkey", "week")
+    }),
+    "e6_future_weeks" -> ((s, d) => {
+      val weekly = Resample.weeklySparse(t(s, d, "lineitem"),
+        Seq("l_suppkey"), "l_shipdate", "l_quantity")
+      Resample.futureWeeks(weekly, Seq("l_suppkey"), 4)
+        .orderBy("l_suppkey", "future_week")
+    }),
+
+    // ---- F: scalar functions ----
+    "f1_f2_math" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(log1p(col("l_quantity")), 6).as("log1p_qty"),
+          round(expm1(col("l_discount")), 6).as("expm1_disc"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          round(pow(col("l_discount"), 2.0), 6).as("disc_sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "f3_bround_ties" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          bround(col("l_quantity") + 0.5).as("bround_tie"),
+          bround(col("l_extendedprice") / 7.0, 2).as("bround_2dp"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "f5_case_bands" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_discount") * 1000.0).as("mape"))
+      val (band, color) = Report.mapeBand(col("mape"))
+      df.withColumn("quality_band", band)
+        .withColumn("quality_color", color)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "f6_format_string" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          format_string("SKU %s-%d: qty %d", col("l_returnflag"),
+            col("l_suppkey"), col("l_quantity").cast("long"))
+            .as("label"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "f7_ts_format" -> ((s, d) => {
+      Ingest.tableNanos(s, d, "events", Seq("ts"))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .withColumn("ts_rt",
+          to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("event_id")
+    }),
+
+    // ---- G: metrics ----
+    "g2_smape" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          when(col("l_linenumber") === 7, lit(0.0))
+            .otherwise(col("l_quantity")).as("y"),
+          (col("l_quantity") * (lit(1.0) - col("l_discount"))).as("yhat"))
+      li.groupBy("l_returnflag")
+        .agg(round(Metrics.smapeRows(col("y"), col("yhat")), 6)
+          .as("smape"))
+        .orderBy("l_returnflag")
+    }),
+    "g3_g4_rmse_mae" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").as("y"),
+          (col("l_quantity") * (lit(1.0) - col("l_discount"))).as("yhat"))
+      li.groupBy("l_returnflag")
+        .agg(round(Metrics.rmseRows(col("y"), col("yhat")), 6).as("rmse"),
+          round(Metrics.maeRows(col("y"), col("yhat")), 6).as("mae"))
+        .orderBy("l_returnflag")
+    }),
+    "g5_align_join" -> ((s, d) => {
+      val actual = Resample.daily(t(s, d, "lineitem"), Seq(),
+        "l_shipdate", "l_quantity")
+        .withColumnRenamed("units", "y")
+      val fcast = Resample.daily(t(s, d, "orders"), Seq(),
+        "o_orderdate", "o_totalprice")
+        .select(col("day"), (col("units") / 10000.0).as("yhat"))
+      actual.join(fcast, "day")
+        .agg(round(Metrics.maeRows(col("y"), col("yhat")), 6).as("mae"),
+          round(Metrics.rmseRows(col("y"), col("yhat")), 6).as("rmse"))
+    }))
+
+  /** DuckDB-equivalent SQL per query above. The W-SUN week label
+    * `next_day(date_sub(to_date(ts),1),'Sun')` maps to
+    * `CAST(ts AS DATE) + to_days(CAST((7 - isodow(CAST(ts AS DATE))) % 7 AS INT))`.
+    */
+  private val wsun =
+    "CAST(l_shipdate AS DATE) + to_days(CAST((7 - isodow(CAST(l_shipdate AS DATE))) % 7 AS INT))"
+
+  private def weeklyCte(key: String): String =
+    s"SELECT $key, $wsun AS week, sum(l_quantity) AS units FROM lineitem GROUP BY 1, 2"
+
+  private def denseCte(key: String): String =
+    s"""wk AS (${weeklyCte(key)}),
+       |bounds AS (SELECT $key, min(week) AS w0, max(week) AS w1 FROM wk GROUP BY 1),
+       |grid AS (SELECT $key,
+       |           CAST(unnest(generate_series(w0, w1, INTERVAL 7 DAY)) AS DATE) AS week
+       |         FROM bounds),
+       |dense AS (SELECT g.$key, g.week, coalesce(wk.units, 0.0) AS units
+       |          FROM grid g LEFT JOIN wk USING ($key, week))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "a1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "b1_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey AS product_id,
+        |  l_returnflag AS store_id, l_quantity AS units_sold
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "b3_coerce_fill" ->
+      """SELECT event_id,
+        |  coalesce(TRY_CAST(props AS DOUBLE), 0.0) AS props,
+        |  coalesce(TRY_CAST(value AS DOUBLE), 0.0) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "b4_b5_b6_derived" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  coalesce(CAST(CASE WHEN o_orderstatus = 'O' THEN NULL
+        |                     ELSE o_orderstatus END AS VARCHAR), '[]')
+        |    AS status_str,
+        |  (o_totalprice - 150000) > 0 AS need_reorder,
+        |  0.0 AS rmse
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "b7_round_int" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round_even(greatest(l_extendedprice / 100.0, 0.0), 0) AS BIGINT) AS price_int,
+        |  CAST(round_even(greatest(l_quantity / 2.0, 0.0), 0) AS BIGINT) AS qty_int
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c1_filter_nonneg" ->
+      """SELECT event_id, value - 2.5 AS value_c FROM events
+        |WHERE (value - 2.5) >= 0 ORDER BY event_id""".stripMargin,
+    "c2_eq_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'click' AND user_id = 7
+        |ORDER BY event_id""".stripMargin,
+    "c3_dropna_subset" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang_nn
+        |FROM documents WHERE lang != 'en' ORDER BY doc_id""".stripMargin,
+    "c4_having_gates" ->
+      s"""WITH ${denseCte("l_partkey")}
+         |SELECT l_partkey, count(*) AS weeks, sum(units) AS total
+         |FROM dense GROUP BY 1
+         |HAVING count(*) >= 250 AND sum(units) >= 800
+         |ORDER BY l_partkey""".stripMargin,
+    "c5_masked_mape" ->
+      """SELECT l_returnflag,
+        |  round(coalesce(
+        |    avg(CASE WHEN y != 0 THEN abs((y - yhat) / y) END) * 100,
+        |    avg(abs(y - yhat))), 6) AS mape
+        |FROM (SELECT l_returnflag,
+        |        CASE WHEN l_linenumber = 7 THEN 0.0 ELSE l_quantity END AS y,
+        |        l_quantity * (1.0 - l_discount) AS yhat
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c6_empty_guard" ->
+      "SELECT (count(*) = 0) AS is_empty FROM lineitem WHERE l_quantity < 0",
+    "d1_multikey_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d5_stddev_pop" ->
+      """SELECT l_suppkey, round(stddev_pop(l_quantity), 6) AS std_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d7_count_if" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d8_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+        |  round(quantile_cont(l_quantity, 0.01), 6) AS p01
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d9_row_median" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  list_sort([l_quantity, l_extendedprice / 1000.0,
+        |             l_discount * 100.0])[2] AS med
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "d10_clip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  least(greatest(l_quantity, 5.0), 45.0) AS clipped
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "d11_last_by_time" ->
+      """SELECT l_suppkey, l_quantity AS last_qty, l_shipdate AS last_ship
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |        ORDER BY l_shipdate DESC, l_orderkey DESC,
+        |                 l_linenumber DESC) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+    "d12_tail_mean" ->
+      s"""WITH wk AS (${weeklyCte("l_suppkey")})
+         |SELECT l_suppkey,
+         |  avg(units) FILTER (WHERE rn <= 4) AS tail4_mean
+         |FROM (SELECT l_suppkey, units, row_number() OVER
+         |        (PARTITION BY l_suppkey ORDER BY week DESC) AS rn
+         |      FROM wk)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e2_weekly_dense" ->
+      s"""WITH ${denseCte("l_suppkey")}
+         |SELECT l_suppkey, week, units FROM dense
+         |ORDER BY l_suppkey, week""".stripMargin,
+    "e3_daily" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  round(sum(value), 6) AS units
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e4_lags" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 6) AS units
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, day, units,
+        |    lag(units, 1) OVER w AS lag_1,
+        |    lag(units, 7) OVER w AS lag_7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT * FROM lagged
+        |WHERE lag_1 IS NOT NULL AND lag_7 IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
+    "e5_split_mark" ->
+      s"""WITH ${denseCte("l_suppkey")}
+         |SELECT l_suppkey, week, units,
+         |  row_number() OVER (PARTITION BY l_suppkey ORDER BY week DESC)
+         |    AS rn_desc,
+         |  (row_number() OVER (PARTITION BY l_suppkey ORDER BY week DESC))
+         |    <= 4 AS is_test
+         |FROM dense ORDER BY l_suppkey, week""".stripMargin,
+    "e6_future_weeks" ->
+      s"""WITH wk AS (${weeklyCte("l_suppkey")}),
+         |mx AS (SELECT l_suppkey, max(week) AS wmax FROM wk GROUP BY 1)
+         |SELECT l_suppkey,
+         |  CAST(unnest(generate_series(wmax + to_days(7),
+         |    wmax + to_days(28), INTERVAL 7 DAY)) AS DATE) AS future_week
+         |FROM mx
+         |ORDER BY l_suppkey, future_week""".stripMargin,
+    "f1_f2_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(ln(1.0 + l_quantity), 6) AS log1p_qty,
+        |  round(exp(l_discount) - 1.0, 6) AS expm1_disc,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  abs(l_quantity - 25) AS abs_dev,
+        |  round(pow(l_discount, 2.0), 6) AS disc_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f3_bround_ties" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round_even(l_quantity + 0.5, 0) AS bround_tie,
+        |  round_even(l_extendedprice / 7.0, 2) AS bround_2dp
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f5_case_bands" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_discount * 1000.0 AS mape,
+        |  CASE WHEN l_discount * 1000.0 < 10.0 THEN 'alta precisión'
+        |       WHEN l_discount * 1000.0 < 50.0 THEN 'aceptable'
+        |       ELSE 'baja precisión' END AS quality_band,
+        |  CASE WHEN l_discount * 1000.0 < 10.0 THEN 'green'
+        |       WHEN l_discount * 1000.0 < 50.0 THEN 'orange'
+        |       ELSE 'red' END AS quality_color
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f6_format_string" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  printf('SKU %s-%d: qty %d', l_returnflag, l_suppkey,
+        |    CAST(l_quantity AS BIGINT)) AS label
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f7_ts_format" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |    '%Y-%m-%d %H:%M:%S') AS ts_rt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "g2_smape" ->
+      """SELECT l_returnflag,
+        |  round(coalesce(
+        |    avg(CASE WHEN abs(y) + abs(yhat) != 0
+        |             THEN abs(yhat - y) * 2 / (abs(y) + abs(yhat)) END) * 100,
+        |    avg(abs(y - yhat))), 6) AS smape
+        |FROM (SELECT l_returnflag,
+        |        CASE WHEN l_linenumber = 7 THEN 0.0 ELSE l_quantity END AS y,
+        |        l_quantity * (1.0 - l_discount) AS yhat
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g3_g4_rmse_mae" ->
+      """SELECT l_returnflag,
+        |  round(sqrt(avg(pow(y - yhat, 2))), 6) AS rmse,
+        |  round(avg(abs(y - yhat)), 6) AS mae
+        |FROM (SELECT l_returnflag, l_quantity AS y,
+        |        l_quantity * (1.0 - l_discount) AS yhat
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g5_align_join" ->
+      """WITH actual AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+        |    sum(l_quantity) AS y
+        |  FROM lineitem GROUP BY 1),
+        |fcast AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    sum(o_totalprice) / 10000.0 AS yhat
+        |  FROM orders GROUP BY 1)
+        |SELECT round(avg(abs(y - yhat)), 6) AS mae,
+        |  round(sqrt(avg(pow(y - yhat, 2))), 6) AS rmse
+        |FROM actual JOIN fcast USING (day)""".stripMargin)
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.engine._
+import graft.engine.forecast.Kernel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed end-to-end pipeline queries (SURVEY §7.3 minimum slice, the
+  * typed forecast kernel, and the §3.2 notebook flow) — all oracled.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Sales frame with the flagship pipeline's column contract:
+    * (sku, store, ts, units). sku = l_suppkey, store = l_returnflag —
+    * ~300 series at ~120-360 weeks each, the reference's grain shape.
+    */
+  private def sales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("string").as("sku"),
+        col("l_returnflag").as("store"),
+        col("l_shipdate").as("ts"),
+        col("l_quantity").as("units"))
+
+  /** §7.3 minimum end-to-end slice, fully relational (J3-only model so
+    * every step is SQL-expressible): clean → E2 → C4 → winsorize → E5 →
+    * MA forecast → G1 MAPE → H1-H5 inventory.
+    */
+  def e2eSlice(s: SparkSession, dir: String,
+      cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val keys = Seq("sku", "store")
+    val cleaned = Clean.nonNegative(sales(s, dir), "units")
+    val weekly = Resample.weeklyDense(cleaned, keys, "ts", "units")
+    val gated = Series.eligible(weekly, keys, cfg)
+    val wins = Series.winsorize(gated, keys)
+    val split = Series.markSplit(wins, keys, "week", cfg.horizonWeeks)
+
+    // per-series aggregates: ordered train/test arrays + train stats
+    val perSeries = split
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sort_array(collect_list(when(!col("is_test"),
+          struct(col("week"), col("units"))))).as("train_wk"),
+        sort_array(collect_list(when(col("is_test"),
+          struct(col("week"), col("units"))))).as("test_wk"))
+      .select(col("sku"), col("store"),
+        expr("transform(train_wk, x -> x.units)").as("train"),
+        expr("transform(test_wk, x -> x.units)").as("test"))
+
+    val withFc = perSeries
+      // J3 moving average: mean of last 4 train weeks (full mean when
+      // shorter), repeated over the horizon (ref: PRACTICA3.py:143-147)
+      .withColumn("ma", round(expr(
+        """aggregate(slice(train, greatest(size(train) - 3, 1),
+          |          least(size(train), 4)), 0D, (a, x) -> a + x)
+          |/ least(size(train), 4)""".stripMargin), 6))
+      .withColumn("forecast",
+        expr(s"array_repeat(greatest(ma, 0D), ${cfg.horizonWeeks})"))
+
+    val stats = withFc
+      .withColumn("train_mean", expr(
+        "aggregate(train, 0D, (a, x) -> a + x) / size(train)"))
+      .withColumn("train_std", round(sqrt(greatest(expr(
+        """aggregate(train, 0D, (a, x) -> a + x * x) / size(train)
+          |- pow(aggregate(train, 0D, (a, x) -> a + x) / size(train), 2)
+          |""".stripMargin), lit(0.0))), 6))
+      .withColumn("last_units", expr("element_at(train, -1)"))
+      .withColumn("mape",
+        round(Metrics.safeMapeArr(col("test"), col("forecast")), 3))
+
+    val z = cfg.serviceLevelZ
+    val lt = cfg.leadTimeWeeks
+    val sqlt = math.sqrt(lt)
+    stats
+      .withColumn("ss", when(expr("size(train)") > 1,
+        round(lit(z) * col("train_std") * lit(sqlt), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("dlt", round(col("ma") * lit(lt), 6))
+      .withColumn("rop", Inventory.reorderPoint(col("dlt"), col("ss")))
+      .withColumn("qty",
+        Inventory.orderQty(col("rop"), col("last_units")))
+      .select(col("sku"), col("store"), col("mape"), col("forecast"),
+        col("test"),
+        Inventory.intClamp(col("ss")).cast("long").as("safety_stock"),
+        Inventory.intClamp(col("rop")).cast("long").as("reorder_point"),
+        Inventory.intClamp(col("qty")).cast("long").as("qty_to_order"))
+      .orderBy("sku", "store")
+  }
+
+  /** The typed kernel (J3-only config ⇒ deterministic, same semantics
+    * as e2eSlice) — exercises Kernel.run end to end.
+    */
+  def kernelMa(s: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig(useTrendSeasonal = false,
+      useHoltWinters = false)
+    Kernel.run(Clean.nonNegative(sales(s, dir), "units"), cfg)
+      .drop("runtime_sec")
+      .withColumn("forecast",
+        expr("transform(forecast, x -> round(x, 6))"))
+      .withColumn("mape", round(col("mape"), 3))
+      .withColumn("safety_stock", col("safety_stock").cast("long"))
+      .withColumn("reorder_point", col("reorder_point").cast("long"))
+      .withColumn("qty_to_order", col("qty_to_order").cast("long"))
+      .orderBy("sku", "store")
+  }
+
+  /** §3.2 notebook flow (limpieza_de_datos.py): filter one series →
+    * daily resample → lags → dropna → split → constant forecast →
+    * G5 align join → G4/G3 metrics. One output row.
+    */
+  def notebookFlow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Ingest.tableNanos(s, dir, "events", Seq("ts"))
+      .filter(col("event_type") === "click" && col("user_id") < 50)
+    val daily = Resample.daily(ev, Seq(), "ts", "value")
+      .withColumn("units", round(col("units"), 6))
+    val lagged = Series.withLags(daily, Seq(), "day", "units", Seq(1, 7))
+    val split = Series.markSplit(lagged, Seq(), "day", 7)
+    val train = split.filter(!col("is_test"))
+    val test = split.filter(col("is_test")).select("day", "units")
+    // constant forecast = train mean (stand-in for the notebook's
+    // Prophet fit, which is excluded from oracles per SURVEY §5.3)
+    val fc = train.agg(round(avg(col("units")), 6).as("yhat"))
+    val joined = test.crossJoin(fc) // G5 degenerate: constant yhat
+    joined.agg(
+      round(Metrics.maeRows(col("units"), col("yhat")), 6).as("mae"),
+      round(Metrics.rmseRows(col("units"), col("yhat")), 6).as("rmse"),
+      count(lit(1)).as("n_test"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_slice" -> ((s, d) => e2eSlice(s, d)),
+    "kernel_ma" -> ((s, d) => kernelMa(s, d)),
+    "notebook_flow" -> ((s, d) => notebookFlow(s, d)))
+
+  /** Shared oracle SQL for the e2e semantics (both the relational form
+    * and the typed kernel must match it).
+    */
+  private val wsun =
+    "CAST(l_shipdate AS DATE) + to_days(CAST((7 - isodow(CAST(l_shipdate AS DATE))) % 7 AS INT))"
+
+  /** @param mapeRound "round" for the relational slice (Spark `round` =
+    *   half-away); "round_even" for the typed kernel, whose
+    *   `math.rint(mape*1000)/1000` is banker's like the reference's
+    *   Python round().
+    */
+  private def e2eOracle(mapeRound: String): String =
+    s"""WITH sales AS (
+       |  SELECT CAST(l_suppkey AS VARCHAR) AS sku, l_returnflag AS store,
+       |         l_shipdate, l_quantity AS units
+       |  FROM lineitem WHERE l_quantity >= 0),
+       |wk AS (
+       |  SELECT sku, store, $wsun AS week, sum(units) AS units
+       |  FROM sales GROUP BY 1, 2, 3),
+       |bounds AS (SELECT sku, store, min(week) AS w0, max(week) AS w1
+       |           FROM wk GROUP BY 1, 2),
+       |grid AS (SELECT sku, store,
+       |           CAST(unnest(generate_series(w0, w1, INTERVAL 7 DAY)) AS DATE) AS week
+       |         FROM bounds),
+       |dense AS (SELECT g.sku, g.store, g.week,
+       |                 coalesce(wk.units, 0.0) AS units
+       |          FROM grid g LEFT JOIN wk USING (sku, store, week)),
+       |gated AS (
+       |  SELECT * FROM (
+       |    SELECT sku, store, week, units,
+       |      count(*) OVER (PARTITION BY sku, store) AS wks,
+       |      sum(units) OVER (PARTITION BY sku, store) AS tot
+       |    FROM dense)
+       |  WHERE wks >= 12 AND tot >= 10),
+       |wins AS (
+       |  SELECT sku, store, week,
+       |    CASE WHEN npos > 5
+       |         THEN least(greatest(units, q01), q99) ELSE units END AS units
+       |  FROM (
+       |    SELECT sku, store, week, units,
+       |      count(CASE WHEN units > 0 THEN 1 END)
+       |        OVER (PARTITION BY sku, store) AS npos,
+       |      quantile_cont(CASE WHEN units > 0 THEN units END, 0.01)
+       |        OVER (PARTITION BY sku, store) AS q01,
+       |      quantile_cont(CASE WHEN units > 0 THEN units END, 0.99)
+       |        OVER (PARTITION BY sku, store) AS q99
+       |    FROM gated)),
+       |split AS (
+       |  SELECT sku, store, week, units,
+       |    row_number() OVER (PARTITION BY sku, store ORDER BY week DESC)
+       |      AS rn_desc
+       |  FROM wins),
+       |series AS (
+       |  SELECT sku, store,
+       |    list(units ORDER BY week) FILTER (WHERE rn_desc > 4) AS train,
+       |    list(units ORDER BY week) FILTER (WHERE rn_desc <= 4) AS test
+       |  FROM split GROUP BY 1, 2),
+       |fc AS (
+       |  SELECT sku, store, train, test,
+       |    round(list_sum(list_slice(train,
+       |            greatest(len(train) - 3, 1), len(train)))
+       |          / least(len(train), 4), 6) AS ma
+       |  FROM series),
+       |stats AS (
+       |  SELECT sku, store, train, test, ma,
+       |    [greatest(ma, 0.0) FOR i IN range(4)] AS forecast,
+       |    round(sqrt(greatest(
+       |      list_sum(list_transform(train, x -> x * x)) / len(train)
+       |      - pow(list_sum(train) / len(train), 2), 0.0)), 6) AS train_std,
+       |    train[-1] AS last_units
+       |  FROM fc),
+       |mape AS (
+       |  SELECT sku, store, forecast, test, train, train_std, last_units, ma,
+       |    $mapeRound(CASE
+       |      WHEN len(list_filter(test, x -> x != 0)) > 0
+       |      THEN list_sum(list_transform(range(1, len(test) + 1),
+       |             i -> CASE WHEN test[i] != 0
+       |                  THEN abs((test[i] - forecast[i]) / test[i]) END))
+       |           / len(list_filter(test, x -> x != 0)) * 100
+       |      ELSE list_sum(list_transform(range(1, len(test) + 1),
+       |             i -> abs(test[i] - forecast[i]))) / len(test)
+       |      END, 3) AS mape
+       |  FROM stats),
+       |inv AS (
+       |  SELECT sku, store, mape, forecast, test,
+       |    CASE WHEN len(train) > 1
+       |         THEN round(1.645 * train_std * sqrt(0.4285), 6)
+       |         ELSE 0.0 END AS ss,
+       |    round(ma * 0.4285, 6) AS dlt,
+       |    last_units
+       |  FROM mape)
+       |SELECT sku, store, mape, forecast, test,
+       |  CAST(round_even(greatest(ss, 0.0), 0) AS BIGINT) AS safety_stock,
+       |  CAST(round_even(greatest(dlt + ss, 0.0), 0) AS BIGINT) AS reorder_point,
+       |  CAST(round_even(greatest(greatest(0.0, dlt + ss - last_units), 0.0), 0)
+       |    AS BIGINT) AS qty_to_order
+       |FROM inv ORDER BY sku, store""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e2e_slice" -> e2eOracle("round"),
+    "kernel_ma" -> e2eOracle("round_even"),
+    "notebook_flow" ->
+      """WITH ev AS (
+        |  SELECT * FROM events
+        |  WHERE event_type = 'click' AND user_id < 50),
+        |daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 6) AS units
+        |  FROM ev GROUP BY 1),
+        |lagged AS (
+        |  SELECT day, units,
+        |    lag(units, 1) OVER w AS lag_1, lag(units, 7) OVER w AS lag_7
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        |clean AS (
+        |  SELECT * FROM lagged
+        |  WHERE lag_1 IS NOT NULL AND lag_7 IS NOT NULL),
+        |split AS (
+        |  SELECT day, units,
+        |    row_number() OVER (ORDER BY day DESC) <= 7 AS is_test
+        |  FROM clean),
+        |fc AS (SELECT round(avg(units), 6) AS yhat FROM split
+        |       WHERE NOT is_test)
+        |SELECT round(avg(abs(units - yhat)), 6) AS mae,
+        |  round(sqrt(avg(pow(units - yhat, 2))), 6) AS rmse,
+        |  count(*) AS n_test
+        |FROM split, fc WHERE is_test""".stripMargin)
+}
