@@ -82,7 +82,10 @@ object PipelineQueries {
       .withColumn("qty",
         Inventory.orderQty(col("rop"), col("last_units")))
       .select(col("sku"), col("store"), col("mape"), col("forecast"),
-        col("test"),
+        // raw winsorized values can differ between Spark percentile,
+        // the kernel quantile, and DuckDB quantile_cont in the last
+        // ulp — round for exact hash compare
+        expr("transform(test, x -> round(x, 6))").as("test"),
         Inventory.intClamp(col("ss")).cast("long").as("safety_stock"),
         Inventory.intClamp(col("rop")).cast("long").as("reorder_point"),
         Inventory.intClamp(col("qty")).cast("long").as("qty_to_order"))
@@ -99,6 +102,7 @@ object PipelineQueries {
       .drop("runtime_sec")
       .withColumn("forecast",
         expr("transform(forecast, x -> round(x, 6))"))
+      .withColumn("test", expr("transform(test, x -> round(x, 6))"))
       .withColumn("mape", round(col("mape"), 3))
       .withColumn("safety_stock", col("safety_stock").cast("long"))
       .withColumn("reorder_point", col("reorder_point").cast("long"))
@@ -225,7 +229,8 @@ object PipelineQueries {
        |    round(ma * 0.4285, 6) AS dlt,
        |    last_units
        |  FROM mape)
-       |SELECT sku, store, mape, forecast, test,
+       |SELECT sku, store, mape, forecast,
+       |  list_transform(test, x -> round(x, 6)) AS test,
        |  CAST(round_even(greatest(ss, 0.0), 0) AS BIGINT) AS safety_stock,
        |  CAST(round_even(greatest(dlt + ss, 0.0), 0) AS BIGINT) AS reorder_point,
        |  CAST(round_even(greatest(greatest(0.0, dlt + ss - last_units), 0.0), 0)
