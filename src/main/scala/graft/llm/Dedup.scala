@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared integer-hash constants. Everything here is plain 64-bit
+  * integer arithmetic so results are exactly reproducible in any
+  * engine (the DuckDB oracles use the same constants); intermediate
+  * products stay < 2^62 (values < P ≈ 2^30, multipliers < 2^31).
+  */
+object HashConstants {
+  val P: Long = 1000000007L
+  /** K=8 minhash permutations h_k(x) = (a_k * x + b_k) mod P. */
+  val minhashA: Seq[Long] = Seq(1049297L, 2097169L, 4194319L, 8388617L,
+    16777259L, 33554467L, 67108879L, 134217757L)
+  val minhashB: Seq[Long] = Seq(7L, 101L, 1009L, 10007L, 100003L,
+    1000003L, 10000019L, 100000007L)
+  /** banded LSH layout over the K=8 signature: 4 bands × 2 rows. */
+  val lshBands = 4
+  val lshRows = 2
+  val simhashBits = 20
+  val shingleSize = 5
+}
+
+/** Deduplication operators for large text corpora (the builder brief's
+  * LLM-data-pipeline category; no reference-repo counterpart).
+  *
+  * Scale design: exact dedup is a hash-keyed groupBy (one shuffle on
+  * the content hash — never a sort of raw text). Near-dup detection is
+  * shingle → minhash signature (narrow, per-row, codegen'd
+  * expressions) → banded LSH bucket groupBy (shuffle keyed on
+  * (band, band_key), which is uniformly distributed by construction) →
+  * within-bucket candidate pairs → exact n-gram Jaccard verification
+  * on candidates only. There is NO all-pairs / cross join anywhere:
+  * at 100 TB the candidate-pair count is governed by the LSH collision
+  * rate, not n².
+  */
+object Dedup {
+  import HashConstants._
+
+  /** Exact dedup, deterministic keeper = min doc id per text group. */
+  def exactDedup(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(col(text))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup keyed on md5(text) — at scale the shuffle carries the
+    * 16-byte hash, not the document body.
+    */
+  def exactDedupByHash(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("text_md5"))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("dup_count"))
+
+  /** Character n-gram shingles of a text column (positions are
+    * 1-based; guarded for texts shorter than the shingle).
+    */
+  def shinglesExpr(text: String, n: Int = shingleSize): Column =
+    expr(s"""CASE WHEN length($text) >= $n
+             THEN transform(sequence(1, length($text) - ${n - 1}),
+                            i -> substring($text, i, $n))
+             ELSE array($text) END""")
+
+  /** Polynomial rolling hash of every shingle:
+    * h(s) = fold(acc*31 + codepoint) mod P. Left fold from 0 —
+    * identical to a first-element-seeded fold, which is what the
+    * DuckDB oracle's list_reduce computes.
+    */
+  def shingleHashesExpr(shinglesCol: String): Column =
+    expr(s"""transform($shinglesCol,
+             s -> aggregate(sequence(1, length(s)), 0L,
+                  (acc, i) -> (acc * 31 + ascii(substring(s, i, 1))) % $P))""")
+
+  /** MinHash signature: sig_k = min over shingle hashes of
+    * (a_k * h + b_k) mod P.
+    */
+  def minhashExpr(hashesCol: String): Column = {
+    val mins = minhashA.zip(minhashB).map { case (a, b) =>
+      s"array_min(transform($hashesCol, h -> (($a * h + $b) % $P)))"
+    }
+    expr(s"array(${mins.mkString(", ")})")
+  }
+
+  /** Per-document signatures over a corpus. */
+  def minhashSignatures(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), shinglesExpr(text).as("__sh"))
+      .select(col(id), shingleHashesExpr("__sh").as("__h"))
+      .select(col(id), minhashExpr("__h").as("sig"))
+
+  /** Banded LSH buckets: one row per (doc, band) with the band key =
+    * polynomial hash of that band's signature slice. groupBy-able;
+    * docs sharing a band key are near-dup candidates.
+    */
+  def lshBuckets(signatures: DataFrame, id: String): DataFrame = {
+    val bandRows = (0 until lshBands).map { b =>
+      val slice = s"slice(sig, ${b * lshRows + 1}, $lshRows)"
+      s"named_struct('band', $b, 'band_key', aggregate($slice, 0L, (acc, h) -> (acc * 31 + h) % $P))"
+    }
+    signatures
+      .select(col(id),
+        explode(expr(s"array(${bandRows.mkString(", ")})")).as("bk"))
+      .select(col(id), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate near-dup pairs: within-bucket self-join (id1 < id2),
+    * distinct across bands. The join is keyed on (band, band_key) —
+    * never an unbucketed cross join.
+    */
+  def candidatePairs(buckets: DataFrame, id: String): DataFrame = {
+    val a = buckets.select(col("band"), col("band_key"),
+      col(id).as("id1"))
+    val b = buckets.select(col("band"), col("band_key"),
+      col(id).as("id2"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard over distinct shingle sets — the verify step
+    * applied to candidate pairs only.
+    */
+  def jaccardExpr(shA: String, shB: String): Column =
+    expr(s"""CAST(size(array_intersect($shA, $shB)) AS DOUBLE) /
+             (size($shA) + size($shB) - size(array_intersect($shA, $shB)))""")
+
+  /** SimHash over whitespace tokens: bit_j = sign of sum over token
+    * hashes of (±1 from the hash's j-th bit); packed into a long.
+    */
+  def simhashExpr(text: String): Column = {
+    val hashes =
+      s"""transform(split($text, ' '),
+          t -> aggregate(sequence(1, length(t)), 0L,
+               (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $P))"""
+    val bits = (0 until simhashBits).map { j =>
+      val pw = 1L << j
+      s"(CASE WHEN aggregate($hashes, 0L, (a, h) -> a + ((h div $pw) % 2) * 2 - 1) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    expr(bits.mkString("CAST((", " + ", ") AS BIGINT)"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set
+  * against the corpus — one narrow pass, no shuffle of the corpus, the
+  * right plan when |queries| ≪ |corpus|. The scale path is
+  * random-hyperplane LSH: each vector gets a small integer bucket from
+  * deterministic hyperplanes (a per-row codegen'd expression), then
+  * search/join happens within buckets — shuffle keyed on the bucket
+  * id, candidate count governed by bucket occupancy, never n².
+  */
+object Similarity {
+
+  /** Left-fold dot product of two double arrays (exact fold order —
+    * reproducible across engines).
+    */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  /** Cosine similarity between two array<double> columns. */
+  def cosineExpr(a: String, b: String): Column =
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Ties broken by candidate id for
+    * determinism; similarity rounded before ranking so rank order is
+    * reproducible bit-for-bit.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
+    val c = corpus.select(col(id).as("cand_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineExpr("__qv", "__cv"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component w(j, i) in
+    * [-0.5, 0.5): integer LCG scramble, exact in both Spark and
+    * DuckDB ((j*dim+i)*2654435761 < 2^42 — no overflow).
+    */
+  def planeCoef(j: Int, i: String): String =
+    s"(CAST(((($j * 64 + $i) * 2654435761) % 2147483647) AS DOUBLE) / 2147483647.0 - 0.5)"
+
+  /** Random-hyperplane LSH bucket id from `planes` sign bits
+    * (planes = 0 ⇒ single bucket 0, useful as a brute-force fallback).
+    */
+  def lshBucketExpr(vec: String, planes: Int): Column = {
+    if (planes <= 0) return expr("0")
+    val bits = (0 until planes).map { j =>
+      val d = s"""aggregate(zip_with($vec, sequence(0, 63),
+                  (x, i) -> CAST(x AS DOUBLE) * ${planeCoef(j, "i")}),
+                  0D, (acc, v) -> acc + v)"""
+      s"(CASE WHEN $d >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** Bucket assignment for a corpus — the pre-partitioning step of the
+    * LSH similarity join.
+    */
+  def lshBuckets(df: DataFrame, id: String, vec: String,
+      planes: Int = 8): DataFrame =
+    df.select(col(id), lshBucketExpr(vec, planes).as("bucket"))
+
+  /** LSH similarity join: cosine scored only within buckets. */
+  def lshSimilarityJoin(df: DataFrame, id: String, vec: String,
+      planes: Int = 8, minSim: Double = 0.0): DataFrame = {
+    val withB = df.select(col(id),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"),
+      lshBucketExpr(vec, planes).as("bucket"))
+    val a = withB.select(col("bucket"), col(id).as("id1"),
+      col("__v").as("__v1"))
+    val b = withB.select(col("bucket"), col(id).as("id2"),
+      col("__v").as("__v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", round(cosineExpr("__v1", "__v2"), 6))
+      .filter(col("sim") >= minSim)
+      .select("bucket", "id1", "id2", "sim")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting,
+  * quality scoring, language ID, document fingerprinting. All are
+  * per-row codegen'd column expressions — narrow, no shuffle, scale
+  * linearly with the scan.
+  */
+object TextAnalysis {
+  import HashConstants.P
+
+  /** Whitespace token count. */
+  def tokenCountExpr(text: String): Column =
+    expr(s"size(split(trim($text), '\\\\s+'))")
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks (a cheap stand-in for a real subword
+    * tokenizer's piece count).
+    */
+  def bpeishCountExpr(text: String): Column =
+    expr(s"size(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))")
+
+  /** Punctuation-ish ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatioExpr(text: String): Column =
+    expr(s"""CAST(length(regexp_replace($text, '[a-zA-Z0-9\\\\s]', ''))
+             AS DOUBLE) / length($text)""")
+
+  /** Mean token length. */
+  def avgWordLenExpr(text: String): Column =
+    expr(s"""CAST(length(regexp_replace($text, '\\\\s', '')) AS DOUBLE)
+             / size(split(trim($text), '\\\\s+'))""")
+
+  /** Language-specific stopword lists (tiny, for the n-gram/stopword
+    * heuristic language ID).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+
+  private def hitCount(text: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"size(filter(split(trim($text), '\\\\s+'), t -> array_contains($arr, t)))"
+  }
+
+  /** Stopword ratio against one language's list. */
+  def stopwordRatioExpr(text: String, lang: String = "en"): Column =
+    expr(s"""CAST(${hitCount(text, stopwords(lang))} AS DOUBLE)
+             / size(split(trim($text), '\\\\s+'))""")
+
+  /** Heuristic language ID: argmax of per-language stopword hits,
+    * deterministic priority order (en > es > fr > de) on ties; "und"
+    * (undetermined) when nothing hits.
+    */
+  def langIdExpr(text: String): Column = {
+    val langs = Seq("en", "es", "fr", "de")
+    val scores = langs.map(l => l -> hitCount(text, stopwords(l))).toMap
+    val best = langs.map(l =>
+      s"WHEN ${scores(l)} >= ${langs.filterNot(_ == l).map(scores).map(s => s"greatest($s, 0)").mkString("greatest(", ", ", ")")} AND ${scores(l)} > 0 THEN '$l'"
+    ).mkString(" ")
+    expr(s"CASE $best ELSE 'und' END")
+  }
+
+  /** Composite quality score in [0, 1]: enough tokens, low punctuation
+    * noise, natural stopword density.
+    */
+  def qualityScoreExpr(text: String): Column =
+    round(
+      least(tokenCountExpr(text).cast("double") / 100.0, lit(1.0)) * 0.4
+        + (lit(1.0) - punctRatioExpr(text)) * 0.3
+        + least(stopwordRatioExpr(text) * lit(4.0), lit(1.0)) * 0.3, 6)
+
+  /** Document fingerprint: polynomial rolling hash of the
+    * whitespace-normalized, lowercased text — equal fingerprints ⇔
+    * equal normalized content (mod collisions at ~1/P).
+    */
+  def fingerprintExpr(text: String): Column = {
+    val norm = s"lower(regexp_replace(trim($text), '\\\\s+', ' '))"
+    expr(s"""aggregate(sequence(1, length($norm)), 0L,
+             (acc, i) -> (acc * 31 + ascii(substring($norm, i, 1))) % $P)""")
+  }
+
+  /** All text stats in one pass. */
+  def withStats(df: DataFrame, text: String): DataFrame =
+    df.withColumn("n_tokens", tokenCountExpr(text).cast("long"))
+      .withColumn("n_bpeish", bpeishCountExpr(text).cast("long"))
+      .withColumn("punct_ratio", round(punctRatioExpr(text), 6))
+      .withColumn("avg_word_len", round(avgWordLenExpr(text), 6))
+      .withColumn("stopword_ratio", round(stopwordRatioExpr(text), 6))
+      .withColumn("quality", qualityScoreExpr(text))
+      .withColumn("pred_lang", langIdExpr(text))
+      .withColumn("fingerprint", fingerprintExpr(text))
+}

@@ -1,11 +1,273 @@
 package graft.queries
 
+import graft.llm.{Dedup, HashConstants, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operator queries (dedup, similarity search, text
-  * analysis, multimodal) — filled incrementally.
+  * analysis, multimodal metadata) with DuckDB oracles built from the
+  * SAME hash constants — all hashing is exact 64-bit integer
+  * arithmetic, so results match bit-for-bit.
   */
 object LlmQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+  import HashConstants._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("keeper")
+    }),
+    "dedup_exact_hash" -> ((s, d) => {
+      Dedup.exactDedupByHash(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("keeper")
+    }),
+    "minhash_signature" -> ((s, d) => {
+      Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "lsh_band_buckets" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(t(s, d, "documents"), "text",
+        "doc_id")
+      Dedup.lshBuckets(sigs, "doc_id")
+        .withColumn("band", col("band").cast("long"))
+        .orderBy("doc_id", "band")
+    }),
+    "lsh_candidate_pairs" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(t(s, d, "documents"), "text",
+        "doc_id")
+      val buckets = Dedup.lshBuckets(sigs, "doc_id")
+      Dedup.candidatePairs(buckets, "doc_id").orderBy("id1", "id2")
+    }),
+    "ngram_jaccard" -> ((s, d) => {
+      // exact Jaccard verification on a fixed small candidate set
+      val docs = t(s, d, "documents").filter(col("doc_id") < 15)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shinglesExpr("text")).as("sh"))
+      val a = docs.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = docs.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Dedup.jaccardExpr("sh1", "sh2"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+    "simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhashExpr("text").as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "embed_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+    "embed_lsh_buckets" -> ((s, d) => {
+      Similarity.lshBuckets(t(s, d, "embeddings"), "vec_id", "embedding")
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("vec_id")
+    }),
+    "embed_lsh_simjoin" -> ((s, d) => {
+      Similarity.lshSimilarityJoin(t(s, d, "embeddings"), "vec_id",
+        "embedding", planes = 6, minSim = 0.0)
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("id1", "id2")
+    }),
+    "text_stats" -> ((s, d) => {
+      TextAnalysis.withStats(t(s, d, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
+          "avg_word_len", "stopword_ratio", "quality", "pred_lang",
+          "fingerprint")
+        .orderBy("doc_id")
+    }),
+    "multimodal_meta" -> ((s, d) => {
+      Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          Multimodal.sampleExpr("text", 16, 4).as("sample"))
+        .orderBy("doc_id")
+    }))
+
+  // ---- DuckDB oracle builders sharing the Scala-side constants ----
+
+  /** char-fold polynomial hash of a (DuckDB) string expression. */
+  private def duckPolyHash(s: String): String =
+    s"""list_reduce(list_transform(generate_series(1, length($s)),
+        i -> CAST(ascii(substring($s, i, 1)) AS BIGINT)),
+        (acc, x) -> (acc * 31 + x) % $P)"""
+
+  private val duckShingles =
+    s"""CASE WHEN length(text) >= $shingleSize
+        THEN list_transform(generate_series(1, length(text) - ${shingleSize - 1}),
+             i -> substring(text, i, $shingleSize))
+        ELSE [text] END"""
+
+  private def duckHashes(shingles: String): String =
+    s"list_transform($shingles, s -> ${duckPolyHash("s")})"
+
+  private def duckSig(hashes: String): String = {
+    val mins = minhashA.zip(minhashB).map { case (a, b) =>
+      s"list_min(list_transform($hashes, h -> ($a * h + $b) % $P))"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
+  private val sigCte =
+    s"""sigs AS (
+       |  SELECT doc_id, ${duckSig("hashes")} AS sig
+       |  FROM (SELECT doc_id, ${duckHashes("shingles")} AS hashes
+       |        FROM (SELECT doc_id, $duckShingles AS shingles
+       |              FROM documents)))""".stripMargin
+
+  private val bandCte = {
+    val bands = (0 until lshBands).map { b =>
+      s"""SELECT doc_id, CAST($b AS BIGINT) AS band,
+          list_reduce(list_slice(sig, ${b * lshRows + 1}, ${(b + 1) * lshRows}),
+            (acc, h) -> (acc * 31 + h) % $P) AS band_key FROM sigs"""
+    }
+    s"buckets AS (${bands.mkString(" UNION ALL ")})"
+  }
+
+  private def duckSimhash: String = {
+    val hashes =
+      s"""list_transform(string_split(text, ' '), t -> ${duckPolyHash("t")})"""
+    val bits = (0 until simhashBits).map { j =>
+      val pw = 1L << j
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> ((h // $pw) % 2) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** left-fold dot product of two DOUBLE list expressions (same fold
+    * order as Spark's aggregate).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  private val duckVec =
+    "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def duckLshBucket(vec: String, planes: Int): String = {
+    val bits = (0 until planes).map { j =>
+      val d = s"""list_reduce(list_transform(range(0, 64),
+                  i -> $vec[i + 1] * ${Similarity.planeCoef(j, "i")}),
+                  (x, y) -> x + y)"""
+      s"(CASE WHEN $d >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  private val duckStopwords = TextAnalysis.stopwords.map { case (l, ws) =>
+    l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  }
+
+  private def duckHits(lang: String): String =
+    s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> list_contains(${duckStopwords(lang)}, t)))"
+
+  private val duckNTokens =
+    "len(string_split_regex(trim(text), '\\s+'))"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT text, min(doc_id) AS keeper, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+    "dedup_exact_hash" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "minhash_signature" ->
+      s"""WITH $sigCte
+         |SELECT doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin,
+    "lsh_band_buckets" ->
+      s"""WITH $sigCte, $bandCte
+         |SELECT doc_id, band, band_key FROM buckets
+         |ORDER BY doc_id, band""".stripMargin,
+    "lsh_candidate_pairs" ->
+      s"""WITH $sigCte, $bandCte
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         | AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($duckShingles) AS sh
+         |  FROM documents WHERE doc_id < 15)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin,
+    "simhash" ->
+      s"""SELECT doc_id, $duckSimhash AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "embed_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${duckCos("q.vec", "c.vec")}, 6) AS sim
+         |  FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, sim, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_lsh_buckets" ->
+      s"""SELECT vec_id,
+         |  CAST(${duckLshBucket(duckVec, 8)} AS BIGINT) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "embed_lsh_simjoin" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $duckVec AS vec,
+         |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2,
+         |  round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |FROM v a JOIN v b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
+         |ORDER BY id1, id2""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST($duckNTokens AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+         |    AS n_bpeish,
+         |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / length(text), 6) AS punct_ratio,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |    / $duckNTokens, 6) AS avg_word_len,
+         |  round(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens, 6)
+         |    AS stopword_ratio,
+         |  round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |    + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |    AS quality,
+         |  CASE
+         |    WHEN ${duckHits("en")} >= greatest(greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("en")} > 0 THEN 'en'
+         |    WHEN ${duckHits("es")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("es")} > 0 THEN 'es'
+         |    WHEN ${duckHits("fr")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("fr")} > 0 THEN 'fr'
+         |    WHEN ${duckHits("de")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0)) AND ${duckHits("de")} > 0 THEN 'de'
+         |    ELSE 'und' END AS pred_lang,
+         |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
+         |    AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain; charset=utf-8' AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  list_transform(range(0, 4), i ->
+        |    CASE WHEN i * 16 + 1 <= length(text)
+        |         THEN ascii(substring(text, CAST(i * 16 + 1 AS INT), 1))
+        |         ELSE 0 END) AS sample
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

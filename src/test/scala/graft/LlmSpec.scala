@@ -1,0 +1,133 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-data-pipeline operator specs: dedup collision properties,
+  * similarity sanity, text stats, multimodal plumbing.
+  */
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("identical documents always share every minhash band bucket") {
+    val df = docs(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a completely different document about spark and data engines")
+    val sigs = Dedup.minhashSignatures(df, "text", "doc_id")
+    val rows = sigs.orderBy("doc_id").collect()
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1))
+    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, "doc_id"),
+      "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("near-identical documents collide; jaccard ranks them first") {
+    val base = "spark engines shuffle partitions and broadcast small " +
+      "dimension tables to avoid expensive network exchanges at scale"
+    val df = docs(base, base.replace("small", "tiny"),
+      "totally unrelated text about cooking pasta with tomato sauce")
+    val withSh = df.select(col("doc_id"),
+      array_distinct(Dedup.shinglesExpr("text")).as("sh"))
+    val a = withSh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = withSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val jac = a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Dedup.jaccardExpr("sh1", "sh2").as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(jac((0L, 1L)) > 0.8)
+    assert(jac((0L, 2L)) < 0.1)
+  }
+
+  test("exact dedup keeps deterministic min-id keeper") {
+    val df = docs("aaa", "bbb", "aaa", "aaa")
+    val r = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("keeper").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq
+      === Seq((0L, 3L), (1L, 1L)))
+    val h = Dedup.exactDedupByHash(df, "text", "doc_id")
+      .orderBy("keeper").collect()
+    assert(h.map(_.getLong(2)).toSeq === Seq(3L, 1L))
+  }
+
+  test("simhash: identical texts equal; hamming small for near-dups") {
+    val df = docs(
+      "data engines love columnar formats and vectorized execution",
+      "data engines love columnar formats and vectorized execution",
+      "zzz qqq xxx yyy www vvv uuu ttt sss rrr")
+    val r = df.select(Dedup.simhashExpr("text").as("s")).collect()
+      .map(_.getLong(0))
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+  }
+
+  test("cosine similarity: self = 1, orthogonal = 0") {
+    val df = Seq(
+      (0L, Seq.fill(64)(1.0f)),
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, (Seq.fill(32)(1.0f) ++ Seq.fill(32)(-1.0f))))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0),
+      "vec_id", "embedding", 2).orderBy("rank").collect()
+    assert(topk(0).getLong(1) === 1L) // identical vector ranks first
+    assert(topk(0).getDouble(2) === 1.0)
+    assert(topk(1).getDouble(2) === 0.0) // orthogonal
+  }
+
+  test("LSH buckets: identical vectors land in the same bucket; recall smoke vs brute force") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b = Similarity.lshBuckets(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b.values.toSet.size > 4) // spreads across buckets
+    // recall smoke: within-bucket pairs should be closer on average
+    // than random pairs (hyperplane LSH preserves cosine locality)
+    val joined = Similarity.lshSimilarityJoin(emb, "vec_id", "embedding",
+      planes = 4, minSim = -1.0)
+    val inBucket = joined.agg(avg("sim")).collect()(0).getDouble(0)
+    val all = Similarity.lshSimilarityJoin(emb.limit(60), "vec_id",
+      "embedding", planes = 0, minSim = -1.0) // planes=0 -> one bucket
+      .agg(avg("sim")).collect()(0).getDouble(0)
+    assert(inBucket > all)
+  }
+
+  test("text stats and language id on constructed inputs") {
+    val df = docs(
+      "the cat and the dog walk to the park of the city",
+      "el perro y el gato de la casa que ladra y corre",
+      "xyzzy plugh foobar")
+    val r = TextAnalysis.withStats(df, "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("pred_lang") === "en")
+    assert(r(1).getAs[String]("pred_lang") === "es")
+    assert(r(2).getAs[String]("pred_lang") === "und")
+    assert(r(0).getAs[Long]("n_tokens") === 12L)
+    assert(r(0).getAs[Double]("quality") > r(2).getAs[Double]("quality"))
+    // fingerprint invariant under whitespace/case normalization
+    val f = docs("Hello  World", "hello world")
+      .select(TextAnalysis.fingerprintExpr("text")).collect()
+    assert(f(0).getLong(0) === f(1).getLong(0))
+  }
+
+  test("multimodal: payload metadata + batch feature extraction stub") {
+    val df = Multimodal.withBinaryPayload(docs("abcd", "wxyz longer"),
+      "text")
+    val m = df.select("meta.n_bytes", "meta.mime").orderBy("n_bytes")
+      .collect()
+    assert(m(0).getLong(0) === 4L)
+    assert(m(0).getString(1).startsWith("text/plain"))
+    val feats = Multimodal.extractFeatures(df).collect()
+      .sortBy(_.doc_id)
+    assert(feats(0).feat.length === 4)
+    assert(feats(0).feat(0) === 4.0) // n bytes
+    assert(feats(0).feat(3) === 'a'.toInt.toDouble) // first byte
+    val samp = df.select(Multimodal.sampleExpr("text", 2, 3)).collect()
+    assert(samp(0).getSeq[Int](0) === Seq('a'.toInt, 'c'.toInt, 0))
+  }
+}
