@@ -54,8 +54,7 @@ object LlmQueries {
         .orderBy("id1", "id2")
     }),
     "simhash" -> ((s, d) => {
-      t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhashExpr("text").as("simhash"))
+      Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
     "embed_cosine_topk" -> ((s, d) => {
@@ -73,6 +72,14 @@ object LlmQueries {
       Similarity.lshSimilarityJoin(t(s, d, "embeddings"), "vec_id",
         "embedding", planes = 6, minSim = 0.0)
         .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("id1", "id2")
+    }),
+    // rows-only check (xxhash64 has no DuckDB twin): the fast
+    // production dedup path end to end
+    "minhash_fast_pairs" -> ((s, d) => {
+      val sigs = Dedup.minhashSignaturesFast(t(s, d, "documents"),
+        "text", "doc_id")
+      Dedup.candidatePairs(Dedup.lshBuckets(sigs, "doc_id"), "doc_id")
         .orderBy("id1", "id2")
     }),
     "text_stats" -> ((s, d) => {

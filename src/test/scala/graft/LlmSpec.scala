@@ -28,6 +28,20 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("fast (xxhash64) minhash: identical docs share signatures and collide") {
+    val df = docs(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a completely different document about spark and data engines")
+    val sigs = Dedup.minhashSignaturesFast(df, "text", "doc_id")
+    val rows = sigs.orderBy("doc_id").collect()
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1))
+    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, "doc_id"),
+      "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) || !pairs.contains((1L, 2L)))
+  }
+
   test("near-identical documents collide; jaccard ranks them first") {
     val base = "spark engines shuffle partitions and broadcast small " +
       "dimension tables to avoid expensive network exchanges at scale"
@@ -62,8 +76,8 @@ class LlmSpec extends AnyFunSuite {
       "data engines love columnar formats and vectorized execution",
       "data engines love columnar formats and vectorized execution",
       "zzz qqq xxx yyy www vvv uuu ttt sss rrr")
-    val r = df.select(Dedup.simhashExpr("text").as("s")).collect()
-      .map(_.getLong(0))
+    val r = Dedup.simhash(df, "text", "doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(1))
     assert(r(0) === r(1))
     assert(r(0) !== r(2))
   }
