@@ -133,10 +133,61 @@ object PipelineQueries {
       count(lit(1)).as("n_test"))
   }
 
+  /** forecast_results-shaped frame built deterministically from
+    * lineitem (the §3.3 report job's input: stringified forecast
+    * arrays, fractional inventory columns, some zero order
+    * quantities). Array elements are integral-valued so the
+    * stringified form is identical across engines.
+    */
+  private def reportInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_returnflag"))
+      .agg(
+        round(avg(col("l_discount")) * 1000.0, 3).as("MAPE"),
+        sum(col("l_quantity")).as("__sq"),
+        max(col("l_quantity")).as("__mq"),
+        round(stddev_pop(col("l_quantity")), 3).as("Safety_Stock"),
+        round(avg(col("l_quantity")), 2).as("__avgq"),
+        round(sum(col("l_discount")), 3).as("Runtime_sec"))
+      .select(
+        col("l_suppkey").cast("string").as("SKU"),
+        col("l_returnflag").as("Store"),
+        col("MAPE"),
+        concat(lit("["), col("__sq").cast("bigint").cast("string"),
+          lit(".0, "), col("__mq").cast("bigint").cast("string"),
+          lit(".0]")).as("Forecast"),
+        col("Safety_Stock"),
+        (col("Safety_Stock") + col("__avgq")).as("Reorder_Point"),
+        when(col("l_suppkey") % 3 === 0, lit(0.0))
+          .otherwise(col("__avgq")).as("Qty_to_Order"),
+        col("Runtime_sec"))
+
+  /** §3.3 report stage end to end: rename → coerce → parse stringified
+    * arrays → derived/base columns → bround int casts → quality bands
+    * + interpretation text columns (generador.py:31-158 semantics).
+    */
+  def reportStage(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Report.clean(reportInput(s, dir))
+    Report.withInterpretation(cleaned)
+      .select("StockCode", "StoreID", "MAPE", "Forecast_Total",
+        "Forecast_Weeks", "Need_Reorder", "RMSE", "Safety_Stock",
+        "Reorder_Point", "Qty_to_Order", "Duracion_sec", "Quality_Band",
+        "Quality_Color", "Pedido_Text", "Logistica_Text", "Header_Text")
+      .orderBy("StockCode", "StoreID")
+  }
+
+  /** §3.3 global header aggregates (generador.py:180-183). */
+  def reportGlobal(s: SparkSession, dir: String): DataFrame =
+    Report.globalStats(Report.clean(reportInput(s, dir)))
+      .select(col("n_series"), col("n_reorder"),
+        round(col("mean_mape"), 6).as("mean_mape"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_slice" -> ((s, d) => e2eSlice(s, d)),
     "kernel_ma" -> ((s, d) => kernelMa(s, d)),
-    "notebook_flow" -> ((s, d) => notebookFlow(s, d)))
+    "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
+    "report_stage" -> ((s, d) => reportStage(s, d)),
+    "report_global" -> ((s, d) => reportGlobal(s, d)))
 
   /** Shared oracle SQL for the e2e semantics (both the relational form
     * and the typed kernel must match it).
@@ -237,9 +288,68 @@ object PipelineQueries {
        |    AS BIGINT) AS qty_to_order
        |FROM inv ORDER BY sku, store""".stripMargin
 
+  private val reportBaseCte =
+    """base AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS StockCode,
+      |    l_returnflag AS StoreID,
+      |    round(avg(l_discount) * 1000.0, 3) AS mape,
+      |    sum(l_quantity) AS sq, max(l_quantity) AS mq,
+      |    round(stddev_pop(l_quantity), 3) AS ss_raw,
+      |    round(avg(l_quantity), 2) AS avgq,
+      |    round(sum(l_discount), 3) AS dur,
+      |    l_suppkey AS sk
+      |  FROM lineitem GROUP BY l_suppkey, l_returnflag),
+      |derived AS (
+      |  SELECT StockCode, StoreID, mape,
+      |    sq + mq AS fc_total_raw,
+      |    ss_raw, ss_raw + avgq AS rop_raw,
+      |    CASE WHEN sk % 3 = 0 THEN 0.0 ELSE avgq END AS qty_raw,
+      |    dur
+      |  FROM base),
+      |cleaned AS (
+      |  SELECT StockCode, StoreID, mape AS MAPE,
+      |    CAST(round_even(fc_total_raw, 0) AS INT) AS Forecast_Total,
+      |    CAST(2 AS INT) AS Forecast_Weeks,
+      |    qty_raw > 0 AS Need_Reorder,
+      |    0.0 AS RMSE,
+      |    CAST(round_even(ss_raw, 0) AS INT) AS Safety_Stock,
+      |    CAST(round_even(rop_raw, 0) AS INT) AS Reorder_Point,
+      |    CAST(round_even(qty_raw, 0) AS INT) AS Qty_to_Order,
+      |    dur AS Duracion_sec
+      |  FROM derived)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "e2e_slice" -> e2eOracle("round"),
     "kernel_ma" -> e2eOracle("round_even"),
+    "report_stage" ->
+      s"""WITH $reportBaseCte
+         |SELECT StockCode, StoreID, MAPE, Forecast_Total,
+         |  Forecast_Weeks, Need_Reorder, RMSE, Safety_Stock,
+         |  Reorder_Point, Qty_to_Order, Duracion_sec,
+         |  CASE WHEN MAPE < 10.0 THEN 'alta precisión'
+         |       WHEN MAPE < 50.0 THEN 'aceptable'
+         |       ELSE 'baja precisión' END AS Quality_Band,
+         |  CASE WHEN MAPE < 10.0 THEN 'green'
+         |       WHEN MAPE < 50.0 THEN 'orange'
+         |       ELSE 'red' END AS Quality_Color,
+         |  CASE WHEN Need_Reorder THEN printf(
+         |    'RECOMENDACIÓN CLAVE: Se debe realizar un pedido de %d unidades para evitar una posible rotura de stock.',
+         |    Qty_to_Order)
+         |  ELSE 'RECOMENDACIÓN CLAVE: No se requiere realizar un pedido inmediato (el inventario actual está por encima del ROP).'
+         |  END AS Pedido_Text,
+         |  printf(
+         |    'El punto de reorden (ROP) es de %d unidades. El stock de seguridad (SS) calculado es de %d unidades. La demanda pronosticada para las %d semanas siguientes es de %d unidades.',
+         |    Reorder_Point, Safety_Stock, Forecast_Weeks, Forecast_Total)
+         |    AS Logistica_Text,
+         |  printf('Análisis Detallado de SKU: %s en %s', StockCode,
+         |    StoreID) AS Header_Text
+         |FROM cleaned ORDER BY StockCode, StoreID""".stripMargin,
+    "report_global" ->
+      s"""WITH $reportBaseCte
+         |SELECT count(*) AS n_series,
+         |  count(*) FILTER (WHERE Need_Reorder) AS n_reorder,
+         |  round(avg(MAPE), 6) AS mean_mape
+         |FROM cleaned""".stripMargin,
     "notebook_flow" ->
       """WITH ev AS (
         |  SELECT * FROM events

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming variant of the E2 weekly resample (SURVEY
+  * §7.2.8): the same W-SUN bucketing as the batch operator, computed
+  * incrementally with watermark-driven state cleanup.
+  *
+  * W-SUN mapping on a stream: `window(ts, "7 days")` is epoch-anchored
+  * and the epoch was a THURSDAY, so the default windows run Thu→Thu.
+  * `startTime = "4 days"` shifts them to Mon 00:00 → next Mon 00:00
+  * (closed-left), which is exactly the pandas W-SUN bin; the label is
+  * the window's last day, `date(window.end) - 1` = the ending Sunday.
+  * Verified equal to the batch `next_day(date_sub(to_date(ts),1),'Sun')`
+  * in StreamingSpec.
+  *
+  * Scale design: state is one row per (keys, week) — bounded by the
+  * watermark horizon, not the stream length; late events inside the
+  * watermark update their week's sum, older ones are dropped.
+  */
+object StreamingResample {
+
+  /** Weekly W-SUN sums over a (possibly streaming) frame. In append
+    * mode a week emits once its watermark passes; `watermarkDelay`
+    * bounds both lateness tolerance and state size.
+    */
+  def weeklyStream(events: DataFrame, keys: Seq[String], ts: String,
+      value: String, watermarkDelay: String = "14 days"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(ts, watermarkDelay)
+      else events
+    withWm
+      .groupBy((keys.map(col) :+
+        window(col(ts), "7 days", "7 days", "4 days").as("__w")): _*)
+      .agg(sum(col(value)).as("units"))
+      .select((keys.map(col) :+
+        date_sub(to_date(col("__w.end")), 1).as("week") :+
+        col("units")): _*)
+  }
+
+  /** Running per-key event count + sum with explicit state and a
+    * processing-time timeout — the `mapGroupsWithState` surface for
+    * custom streaming state (e.g. sessionization, dedup-by-key).
+    */
+  case class KeyTotals(key: String, n: Long, total: Double)
+
+  def runningTotals(events: Dataset[(String, Double)])
+      : Dataset[KeyTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyTotals, KeyTotals](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[KeyTotals]) =>
+          val prev = state.getOption.getOrElse(KeyTotals(key, 0L, 0.0))
+          val buf = rows.toSeq
+          val next = KeyTotals(key, prev.n + buf.size,
+            prev.total + buf.map(_._2).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a weekly aggregation stream from a parquet
+    * directory into an in-memory table, processing everything
+    * currently available (complete mode — every week emitted).
+    */
+  def runWeeklyOnce(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], ts: String, value: String,
+      sinkTable: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val weekly = weeklyStream(stream, keys, ts, value)
+    val q = weekly.writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

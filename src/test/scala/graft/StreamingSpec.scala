@@ -1,0 +1,82 @@
+package graft
+
+import graft.engine.Resample
+import graft.streaming.StreamingResample
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming E2 equivalence: the incremental W-SUN weekly aggregation
+  * must produce exactly the batch operator's buckets, and the
+  * watermark must drop too-late events in append mode.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("ts", TimestampType),
+    StructField("v", DoubleType)))
+
+  private def writeBatch(dir: String, rows: (String, String, Double)*)
+      : Unit =
+    rows.toSeq
+      .map { case (k, ts, v) => (k, java.sql.Timestamp.valueOf(ts), v) }
+      .toDF("k", "ts", "v")
+      .write.mode("append").parquet(dir)
+
+  test("streaming weekly W-SUN equals the batch resample") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    writeBatch(dir,
+      ("a", "2024-01-01 09:00:00", 1.0), // Mon -> Sun 01-07
+      ("a", "2024-01-07 10:30:00", 2.0), // intraday Sun -> Sun 01-07
+      ("a", "2024-01-08 00:00:00", 4.0), // Mon -> Sun 01-14
+      ("b", "2024-01-20 12:00:00", 8.0)) // Sat -> Sun 01-21
+    StreamingResample.runWeeklyOnce(spark, dir, schema, Seq("k"), "ts",
+      "v", "wk_stream")
+    val streamed = spark.table("wk_stream")
+      .orderBy("k", "week").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val batch = Resample.weeklySparse(
+      spark.read.schema(schema).parquet(dir), Seq("k"), "ts", "v")
+      .orderBy("k", "week").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.toSeq === Seq(
+      ("a", "2024-01-07", 3.0), ("a", "2024-01-14", 4.0),
+      ("b", "2024-01-21", 8.0)))
+  }
+
+  test("append mode emits closed weeks and drops beyond-watermark lates") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    writeBatch(dir, ("a", "2024-01-01 00:00:00", 1.0))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val weekly = StreamingResample.weeklyStream(stream, Seq("k"), "ts",
+      "v", watermarkDelay = "7 days")
+    val q = weekly.writeStream.format("memory").queryName("wk_append")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // advance event time far past the first week -> watermark closes it
+    writeBatch(dir, ("a", "2024-02-19 00:00:00", 2.0))
+    q.processAllAvailable()
+    // a record older than watermark (max 02-19 - 7d = 02-12) is dropped
+    writeBatch(dir, ("a", "2024-01-02 00:00:00", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wk_append").orderBy("week").collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2)))
+    assert(rows.contains(("2024-01-07", 1.0))) // closed, NOT 101.0
+  }
+
+  test("mapGroupsWithState running totals") {
+    val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
+    val out = StreamingResample.runningTotals(ds).collect()
+      .map(t => t.key -> (t.n, t.total)).toMap
+    assert(out("a") === ((2L, 3.0)))
+    assert(out("b") === ((1L, 5.0)))
+  }
+}
