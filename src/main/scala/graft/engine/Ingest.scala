@@ -22,6 +22,18 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
+  /** A2 — scan with existence pre-check (ref: generador.py:25-28
+    * aborts with a message when the results CSV is missing): None when
+    * the path does not exist, mirroring the reference's guard instead
+    * of surfacing an AnalysisException from the scan.
+    */
+  def tableIfExists(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath)) Some(spark.read.parquet(path)) else None
+  }
+
   /** A3 — columnar (parquet) scan of a named test table. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -76,6 +76,66 @@ object Similarity {
       planes: Int = 8): DataFrame =
     df.select(col(id), lshBucketExpr(vec, planes).as("bucket"))
 
+  /** IVF cell assignment: nearest centroid by cosine (ties to the
+    * higher cell id, deterministically). Centroids are a small frame
+    * (cell: long, cvec: array<double>) — broadcast, so assignment is
+    * one narrow pass over the corpus; a k-means fit would produce the
+    * same frame. The inverted-file layout IS the partitioning:
+    * searches touch only probed cells, never the whole corpus.
+    */
+  def ivfAssign(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame = {
+    val v = df.select(col(id),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+    val scored = v.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineExpr("__v", "cvec"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__sim").desc, col("cell").desc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col("cell"))
+  }
+
+  /** Deterministic centroid frame: the vectors with id < cells serve
+    * as fixed seeds (stand-in for a k-means fit).
+    */
+  def seedCentroids(df: DataFrame, id: String, vec: String,
+      cells: Int): DataFrame =
+    df.filter(col(id) < cells)
+      .select(col(id).cast("long").as("cell"),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("cvec"))
+
+  /** IVF top-k: probe each query's `nprobe` nearest cells, brute-force
+    * cosine only within them. Both the probe map and the query set are
+    * broadcast; the corpus is scanned once.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, centroids: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineExpr("__qv", "cvec"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("cell").desc)
+    val probed = probes.withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val cands = ivfAssign(corpus, id, vec, centroids)
+      .join(corpus.select(col(id),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__cv")),
+        Seq(id))
+      .select(col(id).as("cand_id"), col("cell"), col("__cv"))
+    val joined = cands.join(broadcast(probed), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineExpr("__qv", "__cv"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** LSH similarity join: cosine scored only within buckets. */
   def lshSimilarityJoin(df: DataFrame, id: String, vec: String,
       planes: Int = 8, minSim: Double = 0.0): DataFrame = {

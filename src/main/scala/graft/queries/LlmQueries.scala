@@ -82,6 +82,19 @@ object LlmQueries {
       Dedup.candidatePairs(Dedup.lshBuckets(sigs, "doc_id"), "doc_id")
         .orderBy("id1", "id2")
     }),
+    "ivf_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfAssign(emb, "vec_id", "embedding",
+        Similarity.seedCentroids(emb, "vec_id", "embedding", 16))
+        .orderBy("vec_id")
+    }),
+    "ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", cents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     "text_stats" -> ((s, d) => {
       TextAnalysis.withStats(t(s, d, "documents"), "text")
         .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
@@ -244,6 +257,51 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    "ivf_assign" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
+         |         FROM v WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, cent.cell,
+         |    ${duckCos("v.vec", "cent.cvec")} AS sim
+         |  FROM v, cent)
+         |SELECT vec_id, cell
+         |FROM (SELECT vec_id, cell, row_number() OVER
+         |        (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) rn
+         |      FROM scored)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
+         |         FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cell
+         |  FROM (SELECT v.vec_id, cent.cell, row_number() OVER
+         |          (PARTITION BY v.vec_id ORDER BY
+         |           ${duckCos("v.vec", "cent.cvec")} DESC, cent.cell DESC) rn
+         |        FROM v, cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cell
+         |  FROM (SELECT q.vec_id AS query_id, cent.cell, row_number() OVER
+         |          (PARTITION BY q.vec_id ORDER BY
+         |           ${duckCos("q.vec", "cent.cvec")} DESC, cent.cell DESC) rn
+         |        FROM v q, cent WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |cands AS (
+         |  SELECT a.vec_id AS cand_id, a.cell, v.vec AS cvec2
+         |  FROM assign a JOIN v ON a.vec_id = v.vec_id),
+         |joined AS (
+         |  SELECT p.query_id, c.cand_id,
+         |    round(${duckCos("qv.vec", "c.cvec2")}, 6) AS sim
+         |  FROM cands c JOIN probes p ON c.cell = p.cell
+         |  JOIN v qv ON qv.vec_id = p.query_id
+         |  WHERE c.cand_id != p.query_id)
+         |SELECT query_id, cand_id, sim,
+         |  rank FROM (SELECT query_id, cand_id, sim, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+         |  FROM joined)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST($duckNTokens AS BIGINT) AS n_tokens,

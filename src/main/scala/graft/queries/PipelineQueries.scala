@@ -187,7 +187,18 @@ object PipelineQueries {
     "kernel_ma" -> ((s, d) => kernelMa(s, d)),
     "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
     "report_stage" -> ((s, d) => reportStage(s, d)),
-    "report_global" -> ((s, d) => reportGlobal(s, d)))
+    "report_global" -> ((s, d) => reportGlobal(s, d)),
+    // rows-only check (iterative model fits are not SQL-expressible,
+    // SURVEY §5.3): the full J1+J2+J3 ensemble kernel
+    "kernel_full" -> ((s, d) => {
+      Kernel.run(Clean.nonNegative(sales(s, d), "units"),
+        PipelineConfig())
+        .drop("runtime_sec")
+        .withColumn("forecast",
+          expr("transform(forecast, x -> round(x, 6))"))
+        .withColumn("test", expr("transform(test, x -> round(x, 6))"))
+        .orderBy("sku", "store")
+    }))
 
   /** Shared oracle SQL for the e2e semantics (both the relational form
     * and the typed kernel must match it).

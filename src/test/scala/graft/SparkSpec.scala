@@ -123,6 +123,13 @@ class SparkSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("tableIfExists: Some for a real table, None for a missing path (A2 precheck)") {
+    assert(Ingest.tableIfExists(spark,
+      "/root/testdata/sf0.001/lineitem.parquet").isDefined)
+    assert(Ingest.tableIfExists(spark, "/tmp/definitely/not/here.parquet")
+      .isEmpty)
+  }
+
   test("csv roundtrip keeps pandas-style '[a, b]' array format") {
     val dir = java.nio.file.Files.createTempDirectory("csvrt").toString
     val df = Seq(("k1", Seq(1.0, 2.5))).toDF("k", "fc")
