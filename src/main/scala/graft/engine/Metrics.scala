@@ -64,6 +64,39 @@ object Metrics {
     aggregate(pairs(y, yhat), lit(0.0),
       (acc, p) => acc + abs(p("y") - p("yhat"))) / size(y)
 
+  // ---- typed Aggregator (reusable UDAF surface, SURVEY §2.K) ----
+
+  /** safe_mape as a typed Aggregator over (y, yhat) pairs — the
+    * custom-UDAF form of G1 for `Dataset.groupByKey(...).agg` and
+    * untyped `udaf(...)` registration. Buffer carries the masked
+    * percentage sum/count plus the absolute-error fallback.
+    */
+  case class MapeBuf(pctSum: Double, pctN: Long, absSum: Double, n: Long)
+
+  object SafeMapeAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Double), MapeBuf, Double] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: MapeBuf = MapeBuf(0.0, 0L, 0.0, 0L)
+    def reduce(b: MapeBuf, p: (Double, Double)): MapeBuf = {
+      val (y, yhat) = p
+      val abs = math.abs(y - yhat)
+      if (y != 0.0)
+        MapeBuf(b.pctSum + math.abs((y - yhat) / y), b.pctN + 1,
+          b.absSum + abs, b.n + 1)
+      else MapeBuf(b.pctSum, b.pctN, b.absSum + abs, b.n + 1)
+    }
+    def merge(a: MapeBuf, b: MapeBuf): MapeBuf =
+      MapeBuf(a.pctSum + b.pctSum, a.pctN + b.pctN,
+        a.absSum + b.absSum, a.n + b.n)
+    def finish(b: MapeBuf): Double =
+      if (b.pctN > 0) b.pctSum / b.pctN * 100
+      else if (b.n > 0) b.absSum / b.n
+      else 0.0
+    def bufferEncoder: Encoder[MapeBuf] = Encoders.product[MapeBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   // ---- plain Scala (typed kernel) — bit-for-bit the reference math ----
 
   /** ref: PRACTICA3.py:44-51 */

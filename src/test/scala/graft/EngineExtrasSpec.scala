@@ -1,0 +1,65 @@
+package graft
+
+import graft.engine.{Metrics, Report, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the Aggregator UDAF surface, skew utilities, and the
+  * driver-side report render (A5).
+  */
+class EngineExtrasSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SafeMapeAgg matches the kernel safeMape on grouped pairs") {
+    val pairs = Seq(
+      ("g1", 10.0, 11.0), ("g1", 0.0, 5.0), ("g1", 20.0, 18.0),
+      ("g2", 0.0, 3.0), ("g2", 0.0, 5.0)) // all-zero -> MAE fallback
+    val ds = pairs.toDS()
+    val agg = ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(Metrics.SafeMapeAgg.toColumn.name("mape"))
+      .collect().toMap
+    assert(math.abs(agg("g1") -
+      Metrics.safeMape(Array(10.0, 0.0, 20.0), Array(11.0, 5.0, 18.0)))
+      < 1e-12)
+    assert(agg("g2") === 4.0) // plain MAE of (3, 5)
+  }
+
+  test("saltedJoin equals plain join; salted aggregation equals plain sum") {
+    val big = (1 to 500).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", 4)
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum("v")).collect()(0).getDouble(0)
+      === plain.agg(sum("v")).collect()(0).getDouble(0))
+    val sums = Skew.saltedSum(big, Seq("k"), "v", 4)
+      .orderBy("k").collect().map(_.getDouble(1))
+    val expect = big.groupBy("k").agg(sum("v")).orderBy("k")
+      .collect().map(_.getDouble(1))
+    assert(sums.toSeq === expect.toSeq)
+  }
+
+  test("hotKeys surfaces the dominant key with its share") {
+    val df = (Seq.fill(90)("UK") ++ Seq.fill(10)("DE")).toDF("country")
+    val hot = Skew.hotKeys(df, "country", 1).collect()(0)
+    assert(hot.getString(0) === "UK")
+    assert(hot.getAs[Double]("share") === 0.9)
+  }
+
+  test("renderText (A5) produces per-SKU paragraphs driver-side") {
+    val df = Seq(
+      ("S1", "UK", 5.0, 3, 2, true, 10, 7, 4),
+      ("S2", "DE", 80.0, 2, 1, false, 5, 3, 0))
+      .toDF("StockCode", "StoreID", "MAPE", "Forecast_Total",
+        "Forecast_Weeks", "Need_Reorder", "Reorder_Point",
+        "Safety_Stock", "Qty_to_Order")
+    val text = Report.renderText(df)
+    assert(text.contains("Análisis Detallado de SKU: S1 en UK"))
+    assert(text.contains("pedido de 4 unidades"))
+    assert(text.contains("No se requiere realizar"))
+    assert(text.contains("alta precisión"))
+    assert(text.contains("baja precisión"))
+  }
+}
