@@ -69,6 +69,24 @@ object Dedup {
              s -> aggregate(sequence(1, length(s)), 0L,
                   (acc, i) -> (acc * 31 + ascii(substring(s, i, 1))) % $P))""")
 
+  /** Codepoint array of a text column — staged once so shingle hashing
+    * folds over slices instead of re-running substring/ascii per
+    * shingle character (interpreted lambdas: ~25% fewer node evals).
+    */
+  def charCodesExpr(text: String): Column =
+    expr(s"""transform(sequence(1, length($text)),
+             i -> CAST(ascii(substring($text, i, 1)) AS BIGINT))""")
+
+  /** Shingle hashes from a staged codepoint column; identical values
+    * to shingleHashesExpr ∘ shinglesExpr (the fold over a shingle's
+    * codepoints IS the fold over the corresponding codes slice).
+    */
+  def shingleHashesFromCodes(codesCol: String, n: Int = shingleSize)
+      : Column =
+    expr(s"""transform(sequence(1, greatest(size($codesCol) - ${n - 1}, 1)),
+             i -> aggregate(slice($codesCol, i, least($n, size($codesCol))),
+                  0L, (acc, c) -> (acc * 31 + c) % $P))""")
+
   /** MinHash signature: sig_k = min over shingle hashes of
     * (a_k * h + b_k) mod P.
     */
@@ -81,8 +99,8 @@ object Dedup {
 
   /** Per-document signatures over a corpus. */
   def minhashSignatures(df: DataFrame, text: String, id: String): DataFrame =
-    df.select(col(id), shinglesExpr(text).as("__sh"))
-      .select(col(id), shingleHashesExpr("__sh").as("__h"))
+    df.select(col(id), charCodesExpr(text).as("__codes"))
+      .select(col(id), shingleHashesFromCodes("__codes").as("__h"))
       .select(col(id), minhashExpr("__h").as("sig"))
 
   /** Production-speed signatures: xxhash64 (native, seeded) for the
@@ -120,19 +138,27 @@ object Dedup {
       .select(col(id), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
 
-  /** Candidate near-dup pairs: within-bucket self-join (id1 < id2),
-    * distinct across bands. The join is keyed on (band, band_key) —
-    * never an unbucketed cross join.
+  /** Candidate near-dup pairs: collect each (band, band_key) bucket's
+    * member ids with ONE shuffle, emit all within-bucket pairs
+    * (id1 < id2) by expression, distinct across bands. A self-join
+    * formulation would run the whole signature pipeline once per join
+    * leg (no exchange reuse across differing projections) and shuffle
+    * the buckets twice; per-bucket state here is the member-id list,
+    * bounded by the LSH collision rate — never an unbucketed cross
+    * join.
     */
-  def candidatePairs(buckets: DataFrame, id: String): DataFrame = {
-    val a = buckets.select(col("band"), col("band_key"),
-      col(id).as("id1"))
-    val b = buckets.select(col("band"), col("band_key"),
-      col(id).as("id2"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-  }
+  def candidatePairs(buckets: DataFrame, id: String): DataFrame =
+    buckets
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col(id))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(__ids) - 1),
+           i -> transform(slice(__ids, i + 1, size(__ids) - i),
+                x -> named_struct('id1', element_at(__ids, i),
+                     'id2', x))))""")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
 
   /** Exact n-gram Jaccard over distinct shingle sets — the verify step
     * applied to candidate pairs only.
