@@ -97,10 +97,14 @@ object Dedup {
     expr(s"array(${mins.mkString(", ")})")
   }
 
-  /** Per-document signatures over a corpus. */
+  /** Per-document signatures over a corpus. Shingle hashing runs as a
+    * native codegen'd expression (PolyHashShingles) — same values as
+    * the SQL higher-order formulation the DuckDB oracle uses, compiled
+    * speed instead of interpreted lambdas.
+    */
   def minhashSignatures(df: DataFrame, text: String, id: String): DataFrame =
-    df.select(col(id), charCodesExpr(text).as("__codes"))
-      .select(col(id), shingleHashesFromCodes("__codes").as("__h"))
+    df.select(col(id),
+        PolyHashColumns.shingleHashes(col(text)).as("__h"))
       .select(col(id), minhashExpr("__h").as("sig"))
 
   /** Production-speed signatures: xxhash64 (native, seeded) for the
@@ -187,8 +191,8 @@ object Dedup {
     expr(bits.mkString("CAST((", " + ", ") AS BIGINT)"))
   }
 
-  /** SimHash of a corpus (stages the token hashes once per row). */
+  /** SimHash of a corpus (native token hashing, staged once per row). */
   def simhash(df: DataFrame, text: String, id: String): DataFrame =
-    df.select(col(id), tokenHashesExpr(text).as("__th"))
+    df.select(col(id), PolyHashColumns.tokenHashes(col(text)).as("__th"))
       .select(col(id), simhashFromHashes("__th").as("simhash"))
 }

@@ -77,16 +77,12 @@ object TextAnalysis {
     * whitespace-normalized, lowercased text — equal fingerprints ⇔
     * equal normalized content (mod collisions at ~1/P).
     */
-  def fingerprintExpr(text: String): Column = {
-    val norm = s"lower(regexp_replace(trim($text), '\\\\s+', ' '))"
-    // bind the normalized string ONCE as a lambda variable — naming it
-    // inline would re-run the regex normalization per character
-    // (higher-order lambdas are interpreted: no subexpression
-    // elimination, measured 6x slowdown of the whole stats pass)
-    expr(s"""element_at(transform(array($norm),
-             nrm -> aggregate(sequence(1, length(nrm)), 0L,
-                    (acc, i) -> (acc * 31 + ascii(substring(nrm, i, 1))) % $P)), 1)""")
-  }
+  def fingerprintExpr(text: String): Column =
+    // codegen'd normalization feeding the native PolyHashString
+    // expression — the whole fingerprint stays inside one
+    // whole-stage-codegen span, no interpreted lambdas
+    PolyHashColumns.fingerprint(
+      expr(s"lower(regexp_replace(trim($text), '\\\\s+', ' '))"))
 
   /** All text stats in one pass.
     *

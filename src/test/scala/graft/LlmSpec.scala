@@ -60,6 +60,36 @@ class LlmSpec extends AnyFunSuite {
     assert(jac((0L, 2L)) < 0.1)
   }
 
+  test("native PolyHash expressions equal the SQL higher-order forms") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    // shingle hashes: native vs staged-codes SQL form
+    val nat = df.select(col("doc_id"),
+      graft.llm.PolyHashColumns.shingleHashes(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val sql = df
+      .select(col("doc_id"), Dedup.charCodesExpr("text").as("__codes"))
+      .select(col("doc_id"),
+        Dedup.shingleHashesFromCodes("__codes").as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(nat.toSeq === sql.toSeq)
+    // token hashes: native vs SQL split form
+    val natT = df.select(
+      graft.llm.PolyHashColumns.tokenHashes(col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val sqlT = df.select(Dedup.tokenHashesExpr("text").as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(natT.toSeq === sqlT.toSeq)
+    // whole-string: edge cases incl. multi-space and short strings
+    val edges = docs("", "a", "a  b ", "ab")
+    val natW = edges.select(
+      graft.llm.PolyHashColumns.fingerprint(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(natW(1) === 'a'.toInt.toLong)
+    assert(natW(3) === ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
+  }
+
   test("exact dedup keeps deterministic min-id keeper") {
     val df = docs("aaa", "bbb", "aaa", "aaa")
     val r = Dedup.exactDedup(df, "text", "doc_id")
