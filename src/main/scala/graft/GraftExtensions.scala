@@ -1,0 +1,51 @@
+package graft
+
+import graft.llm.{HashConstants, PolyHashShingles, PolyHashString, PolyHashTokens}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL-surface registration of the engine's custom Catalyst
+  * expressions, both as a `SparkSessionExtensions` class
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`) and as a direct
+  * registry call for an existing session.
+  *
+  *   SELECT graft_shingle_hashes(text, 5), graft_fingerprint(text)
+  *   FROM documents
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, default: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => default
+  }
+
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingle_hashes" -> { args =>
+      val n = if (args.length > 1)
+        intArg(args(1), HashConstants.shingleSize)
+      else HashConstants.shingleSize
+      PolyHashShingles(args.head, n)
+    },
+    "graft_token_hashes" -> (args => PolyHashTokens(args.head)),
+    "graft_fingerprint" -> (args => PolyHashString(args.head)))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

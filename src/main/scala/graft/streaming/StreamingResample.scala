@@ -64,6 +64,28 @@ object StreamingResample {
       }
   }
 
+  /** Streaming exact dedup: emit only the first occurrence of each
+    * key (the streaming form of the batch exact-dedup operator — e.g.
+    * dedup-by-fingerprint on a document firehose). State is one
+    * boolean per seen key; on a production stream bound it with
+    * `GroupStateTimeout.ProcessingTimeTimeout` + a TTL matched to the
+    * dedup horizon.
+    */
+  case class Keyed(key: Long, payload: String)
+
+  def dedupFirstSeen(events: Dataset[Keyed]): Dataset[Keyed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
   /** Convenience: run a weekly aggregation stream from a parquet
     * directory into an in-memory table, processing everything
     * currently available (complete mode — every week emitted).

@@ -48,6 +48,20 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(hot.getAs[Double]("share") === 0.9)
   }
 
+  test("graft_* SQL functions usable after registration") {
+    GraftExtensions.register(spark)
+    Seq(("spark engines", 0L)).toDF("text", "z")
+      .createOrReplaceTempView("gx_docs")
+    val r = spark.sql(
+      """SELECT graft_fingerprint(text) AS f,
+        |  size(graft_shingle_hashes(text, 5)) AS ns,
+        |  size(graft_token_hashes(text)) AS nt
+        |FROM gx_docs""".stripMargin).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getInt(1) === "spark engines".length - 4)
+    assert(r.getInt(2) === 2)
+  }
+
   test("renderText (A5) produces per-SKU paragraphs driver-side") {
     val df = Seq(
       ("S1", "UK", 5.0, 3, 2, true, 10, 7, 4),

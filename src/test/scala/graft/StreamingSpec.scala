@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-07", 1.0))) // closed, NOT 101.0
   }
 
+  test("streaming dedup emits each key once across micro-batches") {
+    import graft.streaming.StreamingResample.Keyed
+    val dir = java.nio.file.Files.createTempDirectory("dedup_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ck").toString
+    Seq(Keyed(1L, "a"), Keyed(2L, "b")).toDS()
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[Keyed].toDS().schema).parquet(dir).as[Keyed]
+    val q = StreamingResample.dedupFirstSeen(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Seq(Keyed(2L, "b2"), Keyed(3L, "c")).toDS()
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").collect()
+      .map(_.getLong(0)).sorted
+    assert(keys.toSeq === Seq(1L, 2L, 3L)) // key 2 emitted only once
+  }
+
   test("mapGroupsWithState running totals") {
     val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
     val out = StreamingResample.runningTotals(ds).collect()
