@@ -107,25 +107,6 @@ object Dedup {
         PolyHashColumns.shingleHashes(col(text)).as("__h"))
       .select(col(id), minhashExpr("__h").as("sig"))
 
-  /** Production-speed signatures: xxhash64 (native, seeded) for the
-    * shingle hash instead of the portable polynomial — ~5× fewer
-    * interpreted lambda evaluations. Same banded-LSH machinery
-    * downstream. Not DuckDB-reproducible (no shared xxhash64), so
-    * verified by property tests rather than an oracle; the permutation
-    * step uses wrap-around multiply-add, deterministic on any JVM.
-    */
-  def minhashSignaturesFast(df: DataFrame, text: String, id: String)
-      : DataFrame = {
-    // mask to 32 bits before the multiply — a*h on the raw 64-bit hash
-    // overflows, which ANSI mode (Spark 4 default) rejects
-    val mins = minhashA.zip(minhashB).map { case (a, b) =>
-      s"array_min(transform(__h, h -> ($a * (h & 4294967295) + $b) % $P))"
-    }
-    df.select(col(id), shinglesExpr(text).as("__sh"))
-      .select(col(id), expr("transform(__sh, s -> xxhash64(s))").as("__h"))
-      .select(col(id), expr(s"array(${mins.mkString(", ")})").as("sig"))
-  }
-
   /** Banded LSH buckets: one row per (doc, band) with the band key =
     * polynomial hash of that band's signature slice. groupBy-able;
     * docs sharing a band key are near-dup candidates.

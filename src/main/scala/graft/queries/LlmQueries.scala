@@ -74,14 +74,6 @@ object LlmQueries {
         .withColumn("bucket", col("bucket").cast("long"))
         .orderBy("id1", "id2")
     }),
-    // rows-only check (xxhash64 has no DuckDB twin): the fast
-    // production dedup path end to end
-    "minhash_fast_pairs" -> ((s, d) => {
-      val sigs = Dedup.minhashSignaturesFast(t(s, d, "documents"),
-        "text", "doc_id")
-      Dedup.candidatePairs(Dedup.lshBuckets(sigs, "doc_id"), "doc_id")
-        .orderBy("id1", "id2")
-    }),
     "ivf_assign" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfAssign(emb, "vec_id", "embedding",

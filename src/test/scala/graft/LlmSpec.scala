@@ -28,38 +28,6 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
-  test("fast (xxhash64) minhash: identical docs share signatures and collide") {
-    val df = docs(
-      "the quick brown fox jumps over the lazy dog again and again",
-      "the quick brown fox jumps over the lazy dog again and again",
-      "a completely different document about spark and data engines")
-    val sigs = Dedup.minhashSignaturesFast(df, "text", "doc_id")
-    val rows = sigs.orderBy("doc_id").collect()
-    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1))
-    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, "doc_id"),
-      "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.contains((0L, 1L)))
-    assert(!pairs.contains((0L, 2L)) || !pairs.contains((1L, 2L)))
-  }
-
-  test("near-identical documents collide; jaccard ranks them first") {
-    val base = "spark engines shuffle partitions and broadcast small " +
-      "dimension tables to avoid expensive network exchanges at scale"
-    val df = docs(base, base.replace("small", "tiny"),
-      "totally unrelated text about cooking pasta with tomato sauce")
-    val withSh = df.select(col("doc_id"),
-      array_distinct(Dedup.shinglesExpr("text")).as("sh"))
-    val a = withSh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-    val b = withSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-    val jac = a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        Dedup.jaccardExpr("sh1", "sh2").as("j"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
-      .toMap
-    assert(jac((0L, 1L)) > 0.8)
-    assert(jac((0L, 2L)) < 0.1)
-  }
-
   test("native PolyHash expressions equal the SQL higher-order forms") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
