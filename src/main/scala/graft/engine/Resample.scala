@@ -41,24 +41,27 @@ object Resample {
       .groupBy((keys.map(col) :+ weekEndingSunday(col(ts)).as("week")): _*)
       .agg(sum(col(value)).as("units"))
 
-  /** E2 step 2 — densify: explicit 0 rows for every missing week between
-    * each group's min and max week. One extra keys-grain aggregation, no
-    * join.
+  /** E2 step 2 — densify: explicit 0 rows for every missing bucket
+    * between each group's min and max label (pandas resample
+    * semantics). One extra keys-grain aggregation, no join; per-key
+    * state is calendar-bounded.
     */
-  def densify(sparse: DataFrame, keys: Seq[String]): DataFrame = {
+  def densify(sparse: DataFrame, keys: Seq[String],
+      labelCol: String = "week", stepDays: Int = 7): DataFrame = {
     val byKey = sparse
       .groupBy(keys.map(col): _*)
       .agg(
-        min($("week")).as("w0"),
-        max($("week")).as("w1"),
-        map_from_entries(collect_list(struct($("week"), $("units"))))
+        min($(labelCol)).as("w0"),
+        max($(labelCol)).as("w1"),
+        map_from_entries(collect_list(struct($(labelCol), $("units"))))
           .as("wk_map"))
     byKey
       .select((keys.map(col) :+
-        explode(sequence($("w0"), $("w1"), expr("interval 7 days")))
-          .as("week") :+ $("wk_map")): _*)
+        explode(sequence($("w0"), $("w1"),
+          expr(s"interval $stepDays days"))).as(labelCol) :+
+        $("wk_map")): _*)
       .withColumn("units",
-        coalesce(element_at($("wk_map"), $("week")), lit(0.0)))
+        coalesce(element_at($("wk_map"), $(labelCol)), lit(0.0)))
       .drop("wk_map")
   }
 
@@ -86,9 +89,19 @@ object Resample {
   /** E3 — daily resample (ref: limpieza_de_datos.py:23). */
   def daily(df: DataFrame, keys: Seq[String], ts: String,
       value: String): DataFrame =
-    df.groupBy((keys.map(col) :+
+    df.filter(col(ts).isNotNull)
+      .groupBy((keys.map(col) :+
         to_date(date_trunc("DAY", col(ts))).as("day")): _*)
       .agg(sum(col(value)).as("units"))
+
+  /** E3 with gap-fill: pandas `resample("D").agg(sum)` materializes
+    * empty days as zero rows — required before positional lags/splits
+    * (ref: limpieza_de_datos.py:23-33).
+    */
+  def dailyDense(df: DataFrame, keys: Seq[String], ts: String,
+      value: String): DataFrame =
+    densify(daily(df, keys, ts, value), keys, labelCol = "day",
+      stepDays = 1)
 
   private def $(n: String): Column = col(n)
 }

@@ -117,7 +117,9 @@ object PipelineQueries {
   def notebookFlow(s: SparkSession, dir: String): DataFrame = {
     val ev = Ingest.tableNanos(s, dir, "events", Seq("ts"))
       .filter(col("event_type") === "click" && col("user_id") < 50)
-    val daily = Resample.daily(ev, Seq(), "ts", "value")
+    // pandas resample("D") materializes empty days as zeros — they
+    // must exist before the positional lags and split
+    val daily = Resample.dailyDense(ev, Seq(), "ts", "value")
       .withColumn("units", round(col("units"), 6))
     val lagged = Series.withLags(daily, Seq(), "day", "units", Seq(1, 7))
     val split = Series.markSplit(lagged, Seq(), "day", 7)
@@ -365,10 +367,16 @@ object PipelineQueries {
       """WITH ev AS (
         |  SELECT * FROM events
         |  WHERE event_type = 'click' AND user_id < 50),
-        |daily AS (
+        |sparse AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    round(sum(value), 6) AS units
+        |    sum(value) AS units
         |  FROM ev GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM sparse),
+        |grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |           INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT g.day, round(coalesce(s.units, 0.0), 6) AS units
+        |  FROM grid g LEFT JOIN sparse s USING (day)),
         |lagged AS (
         |  SELECT day, units,
         |    lag(units, 1) OVER w AS lag_1, lag(units, 7) OVER w AS lag_7

@@ -56,6 +56,15 @@ class SparkSpec extends AnyFunSuite {
       === Seq(5.0, 0.0, 0.0, 3.0))
   }
 
+  test("dailyDense fills missing days with zeros (pandas resample('D'))") {
+    val df = salesDf(
+      ("a", "x", "2024-01-01 09:00:00", 3.0),
+      ("a", "x", "2024-01-04 01:00:00", 5.0))
+    val d = Resample.dailyDense(df, Seq("sku"), "ts", "units")
+      .orderBy("day").collect().map(_.getAs[Double]("units"))
+    assert(d.toSeq === Seq(3.0, 0.0, 0.0, 5.0))
+  }
+
   test("weeklySparse drops null timestamps (pandas NaT-drop)") {
     val df = salesDf(("a", "x", "2024-01-01 00:00:00", 5.0))
       .union(Seq(("a", "x", null.asInstanceOf[java.sql.Timestamp], 9.0))
