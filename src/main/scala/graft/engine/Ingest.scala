@@ -72,6 +72,22 @@ object Ingest {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Bucketed sink + catalog read: pre-shuffling a table by its join/
+    * aggregation keys at write time removes the Exchange from every
+    * later equi-join or groupBy on those keys (both sides bucketed
+    * with equal bucket counts ⇒ a zero-shuffle sort-merge join). At
+    * 100 TB this converts the recurring shuffle of a fact table into a
+    * one-time cost at ingest. Bucketing requires the session catalog
+    * (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

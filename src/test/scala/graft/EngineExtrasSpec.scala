@@ -62,6 +62,29 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(r.getInt(2) === 2)
   }
 
+  test("bucketed tables join without a shuffle") {
+    import graft.engine.Ingest
+    val a = (1 to 1000).map(i => (i.toLong % 50, i.toDouble))
+      .toDF("k", "v")
+    val b = (1 to 1000).map(i => (i.toLong % 50, s"n$i")).toDF("k", "s")
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+    Ingest.writeBucketed(a, "bk_a", 8, Seq("k"))
+    Ingest.writeBucketed(b, "bk_b", 8, Seq("k"))
+    // force a sort-merge join (broadcast would hide the bucketing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() === 50L * 20 * 20)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("renderText (A5) produces per-SKU paragraphs driver-side") {
     val df = Seq(
       ("S1", "UK", 5.0, 3, 2, true, 10, 7, 4),
