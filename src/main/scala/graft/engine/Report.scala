@@ -22,13 +22,18 @@ object Report {
     val coerced = numCols.foldLeft(renamed) { (d, c) =>
       d.withColumn(c, expr(s"try_cast(`$c` as double)"))
     }
-    val parsed = coerced
+    // B8: struct-producing row function + star-expand — the reference's
+    // `df['Forecast'].apply(parse_forecast).apply(pd.Series)` +
+    // positional concat (ref: generador.py:67-69), expressed as one
+    // struct column expanded into fields (no positional join)
+    val filled = coerced
       .withColumn("Forecast", Ingest.fillStr(col("Forecast"), "[]"))
-      .withColumn("__fc", Clean.parseDoubleArray(col("Forecast")))
-      .withColumn("Forecast_List", col("__fc"))
-      .withColumn("Forecast_Total", Clean.arrayTotal(col("__fc")))
-      .withColumn("Forecast_Weeks", Clean.arrayWeeks(col("__fc")))
-      .drop("__fc")
+    val fc = Clean.parseDoubleArray(col("Forecast"))
+    val parsed = Clean.expandStruct(filled,
+      struct(
+        fc.as("Forecast_List"),
+        Clean.arrayTotal(fc).as("Forecast_Total"),
+        Clean.arrayWeeks(fc).as("Forecast_Weeks")), "__fc")
       .withColumn("Need_Reorder", Clean.needReorder(col("Qty_to_Order")))
     val withRmse = Ingest.withColumnIfAbsent(parsed, "RMSE", lit(0.0))
     val cleaned = withRmse

@@ -126,6 +126,18 @@ class SparkSpec extends AnyFunSuite {
     assert(rows(4).getSeq[Double](0) === Seq())
   }
 
+  test("expandStruct star-expands computed fields without positional concat") {
+    val df = Seq(("[1.0, 2.0]", "x")).toDF("fc", "k")
+    val parsed = Clean.parseDoubleArray(col("fc"))
+    val out = Clean.expandStruct(df,
+      struct(Clean.arrayTotal(parsed).as("total"),
+        Clean.arrayWeeks(parsed).as("weeks")), "__s")
+    assert(out.columns.toSeq === Seq("fc", "k", "total", "weeks"))
+    val r = out.collect()(0)
+    assert(r.getAs[Double]("total") === 3.0)
+    assert(r.getAs[Int]("weeks") === 2)
+  }
+
   test("stddev_pop vs stddev: engine uses population form") {
     val df = Seq(2.0, 4.0).toDF("x")
     val r = df.agg(stddev_pop(col("x")).as("p"), stddev(col("x")).as("s"))
