@@ -49,6 +49,20 @@ object Multimodal {
     Array(n, mean, math.sqrt(varr), first)
   }
 
+  /** STUB resize — deterministic stand-in for an image resize: nearest
+    * -neighbor downsample of the payload byte stream to `target`
+    * bytes (??? replacement point for a real decoder+resampler; the
+    * batch shape and output schema are what a codec swap would keep).
+    */
+  def stubResize(bytes: Array[Byte], target: Int): Array[Byte] = {
+    // ??? <- real decode + resample goes here; deterministic fake below
+    if (bytes == null || bytes.isEmpty || target <= 0)
+      return Array.emptyByteArray
+    if (bytes.length <= target) return bytes
+    Array.tabulate(target)(i =>
+      bytes((i.toLong * bytes.length / target).toInt))
+  }
+
   /** Batch feature extraction over partitions: the mapInPandas-shaped
     * stage. Input must have (doc_id: long, payload: binary).
     */

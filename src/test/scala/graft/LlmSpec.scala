@@ -42,6 +42,12 @@ class LlmSpec extends AnyFunSuite {
         Dedup.shingleHashesFromCodes("__codes").as("h"))
       .orderBy("doc_id").collect().map(_.getSeq[Long](1))
     assert(nat.toSeq === sql.toSeq)
+    // and vs the original per-shingle SQL formulation
+    val sql2 = df.select(col("doc_id"),
+      Dedup.shinglesExpr("text").as("__sh"))
+      .select(col("doc_id"), Dedup.shingleHashesExpr("__sh").as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(nat.toSeq === sql2.toSeq)
     // token hashes: native vs SQL split form
     val natT = df.select(
       graft.llm.PolyHashColumns.tokenHashes(col("text")).as("h"))
@@ -141,5 +147,10 @@ class LlmSpec extends AnyFunSuite {
     assert(feats(0).feat(3) === 'a'.toInt.toDouble) // first byte
     val samp = df.select(Multimodal.sampleExpr("text", 2, 3)).collect()
     assert(samp(0).getSeq[Int](0) === Seq('a'.toInt, 'c'.toInt, 0))
+    // resize stub: deterministic downsample, identity when small
+    assert(Multimodal.stubResize("abcdefgh".getBytes, 4).toSeq
+      === "aceg".getBytes.toSeq)
+    assert(Multimodal.stubResize("ab".getBytes, 4).toSeq
+      === "ab".getBytes.toSeq)
   }
 }
