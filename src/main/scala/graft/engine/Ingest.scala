@@ -88,6 +88,17 @@ object Ingest {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Hive-style partitioned parquet sink: directory partitioning on a
+    * low-cardinality key gives free partition pruning on every later
+    * read filtered by that key (`PartitionFilters` in the scan, whole
+    * directories skipped — the first lever against a 100 TB scan).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

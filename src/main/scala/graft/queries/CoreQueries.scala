@@ -179,6 +179,19 @@ object CoreQueries {
         .orderBy("l_suppkey")
     }),
 
+    // rows-only (sketch algorithms differ across engines): the approx
+    // forms a 100 TB deployment would swap in for exact percentile /
+    // count-distinct (SURVEY D8 tolerance note)
+    "d8b_approx_aggs" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_quantity, 0.99)"), 6)
+            .as("p99_approx"),
+          approx_count_distinct(col("l_partkey")).as("nparts_approx"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- E: time series ----
     "e2_weekly_dense" -> ((s, d) => {
       Resample.weeklyDense(t(s, d, "lineitem"), Seq("l_suppkey"),

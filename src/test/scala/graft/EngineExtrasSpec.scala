@@ -85,6 +85,19 @@ class EngineExtrasSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("partitioned sink prunes partitions on filtered reads") {
+    import graft.engine.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("part_out").toString
+    val df = (1 to 300).map(i => (s"store${i % 3}", i.toLong, i * 1.5))
+      .toDF("store", "id", "v")
+    Ingest.writePartitioned(df, s"$dir/t", Seq("store"))
+    val filtered = spark.read.parquet(s"$dir/t")
+      .filter(col("store") === "store1")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(store"), scan)
+    assert(filtered.count() === 100)
+  }
+
   test("renderText (A5) produces per-SKU paragraphs driver-side") {
     val df = Seq(
       ("S1", "UK", 5.0, 3, 2, true, 10, 7, 4),
