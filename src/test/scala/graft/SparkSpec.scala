@@ -146,6 +146,34 @@ class SparkSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("readVentasCsv: explicit schema + timestamp parse (A1)") {
+    val dir = java.nio.file.Files.createTempDirectory("ventas").toString
+    val csv = new java.io.PrintWriter(s"$dir/ventas.csv")
+    csv.println("InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country")
+    csv.println("536365,85123A,HOLDER,6,2010-12-01 08:26:00,2.55,17850,United Kingdom")
+    csv.println("536366,71053,LANTERN,-2,2010-12-01 08:28:00,3.39,,France")
+    csv.close()
+    val df = Ingest.readVentasCsv(spark, s"$dir/ventas.csv")
+    assert(df.schema("Quantity").dataType.typeName === "long")
+    assert(df.schema("InvoiceDate").dataType.typeName === "timestamp")
+    val rows = df.orderBy("InvoiceNo").collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("InvoiceDate")
+      === java.sql.Timestamp.valueOf("2010-12-01 08:26:00"))
+    assert(rows(1).getAs[Long]("Quantity") === -2L)
+    assert(rows(1).getAs[String]("CustomerID") === null)
+  }
+
+  test("lastByTime (max_by) picks the latest row's value per group (D11)") {
+    val df = salesDf(
+      ("a", "x", "2024-01-01 00:00:00", 5.0),
+      ("a", "x", "2024-02-01 00:00:00", 9.0),
+      ("b", "x", "2024-01-15 00:00:00", 2.0))
+    val r = df.groupBy("sku")
+      .agg(Series.lastByTime("units", "ts").as("last_units"))
+      .orderBy("sku").collect()
+    assert(r.map(_.getDouble(1)).toSeq === Seq(9.0, 2.0))
+  }
+
   test("tableIfExists: Some for a real table, None for a missing path (A2 precheck)") {
     assert(Ingest.tableIfExists(spark,
       "/root/testdata/sf0.001/lineitem.parquet").isDefined)
