@@ -82,7 +82,9 @@ for name, sql in sorted(oracles.items()):
             if av.dtype == object or bv.dtype == object:
                 eq = all(_cell_eq(x, y) for x, y in zip(av, bv))
             elif str(av.dtype).startswith("datetime") or str(bv.dtype).startswith("datetime"):
-                eq = (av.astype("datetime64[us]").values == bv.astype("datetime64[us]").values).all()
+                a_us = av.astype("datetime64[us]").values
+                b_us = bv.astype("datetime64[us]").values
+                eq = ((a_us == b_us) | (np.isnat(a_us) & np.isnat(b_us))).all()
             elif av.dtype.kind == "f":
                 eq = ((av.values == bv.values) | (np.isnan(av.values) & np.isnan(bv.values))).all()
                 if not eq:

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond the reference's single equi-join (G5) —
+  * notably the as-of join a forecasting/inventory engine wants for
+  * "latest observation at or before t" alignment.
+  *
+  * Spark has no ASOF JOIN; the composed form here follows the
+  * SURVEY §7.4 preference order (compose built-ins before custom
+  * plans): union both sides tagged, ONE sort per key on (ts, side),
+  * and a last-non-null window carries the most recent right-side value
+  * forward onto each left row. Cost is a single shuffle+sort of
+  * |L|+|R| — no range-condition join (which Spark would execute as a
+  * broadcast nested loop), no per-row probing, skew handled by AQE
+  * like any other sort. State per key is one carried value.
+  */
+object Joins {
+
+  /** For every left row, attach the right side's latest `valueCols`
+    * at-or-before the left row's `ts` (per `keys`). Left rows with no
+    * prior right row get nulls (left-outer semantics). Also emits
+    * `matched_ts` = the matched right row's timestamp.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag and align schemas: right contributes (ts + valueCols) only
+    val rTagged = right.select(
+      (keys.map(col) :+ col(ts) :+ lit(0).as("__side")) ++
+        (col(ts).as("__r_ts") +: valueCols.map(c =>
+          col(c).as(s"__r_$c"))): _*)
+    val lTagged = left.select(
+      (keys.map(col) :+ col(ts) :+ lit(1).as("__side")) ++
+        (lit(null).cast(rTagged.schema("__r_ts").dataType).as("__r_ts") +:
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType)
+            .as(s"__r_$c"))) ++
+        leftCols.filterNot(c => keys.contains(c) || c == ts)
+          .map(c => col(c).as(s"__l_$c")): _*)
+    val rAligned = rTagged.select(
+      (keys.map(col) :+ col(ts) :+ col("__side") :+ col("__r_ts")) ++
+        valueCols.map(c => col(s"__r_$c")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType)
+            .as(s"__l_$c")): _*)
+    // right rows sort BEFORE left rows at equal ts: at-or-before
+    // includes a same-timestamp right observation
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rAligned)
+      .withColumn("matched_ts",
+        last(col("__r_ts"), ignoreNulls = true).over(w))
+    val withVals = valueCols.foldLeft(carried) { (d, c) =>
+      d.withColumn(s"matched_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    withVals
+      .filter(col("__side") === 1)
+      .select((keys.map(col) :+ col(ts)) ++
+        leftCols.filterNot(c => keys.contains(c) || c == ts)
+          .map(c => col(s"__l_$c").as(c)) ++
+        (col("matched_ts") +: valueCols.map(c => col(s"matched_$c"))): _*)
+  }
+}

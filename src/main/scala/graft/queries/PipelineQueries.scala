@@ -190,6 +190,19 @@ object PipelineQueries {
     "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
+    // as-of join: every click gets the user's latest purchase value
+    // at-or-before the click time (DuckDB's native ASOF JOIN is the
+    // oracle for the composed union+window form)
+    "asof_join" -> ((s, d) => {
+      val ev = Ingest.tableNanos(s, d, "events", Seq("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("value"))
+        .orderBy("event_id")
+    }),
     // rows-only check (iterative model fits are not SQL-expressible,
     // SURVEY §5.3): the full J1+J2+J3 ensemble kernel
     "kernel_full" -> ((s, d) => {
@@ -357,6 +370,18 @@ object PipelineQueries {
          |  printf('Análisis Detallado de SKU: %s en %s', StockCode,
          |    StoreID) AS Header_Text
          |FROM cleaned ORDER BY StockCode, StoreID""".stripMargin,
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ts, c.event_id,
+        |  p.ts AS matched_ts, p.value AS matched_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "report_global" ->
       s"""WITH $reportBaseCte
          |SELECT count(*) AS n_series,

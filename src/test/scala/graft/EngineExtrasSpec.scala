@@ -98,6 +98,30 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(filtered.count() === 100)
   }
 
+  test("asOfJoin: latest at-or-before value, inclusive ties, null when none") {
+    import graft.engine.Joins
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("u1", ts("2024-01-10 00:00:00"), 100L), // after two quotes
+      ("u1", ts("2024-01-05 00:00:00"), 101L), // exactly at a quote (tie)
+      ("u1", ts("2024-01-01 00:00:00"), 102L), // before any quote
+      ("u2", ts("2024-01-10 00:00:00"), 103L)) // no quotes for key
+      .toDF("k", "ts", "eid")
+    val right = Seq(
+      ("u1", ts("2024-01-03 00:00:00"), 3.0),
+      ("u1", ts("2024-01-05 00:00:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("eid").collect()
+      .map(r => r.getAs[Long]("eid") ->
+        Option(r.getAs[java.lang.Double]("matched_v")).map(_.toDouble))
+      .toMap
+    assert(out(100L) === Some(5.0)) // latest of the two
+    assert(out(101L) === Some(5.0)) // same-instant quote matches
+    assert(out(102L) === None)      // nothing at-or-before
+    assert(out(103L) === None)      // key has no right rows
+  }
+
   test("renderText (A5) produces per-SKU paragraphs driver-side") {
     val df = Seq(
       ("S1", "UK", 5.0, 3, 2, true, 10, 7, 4),
