@@ -152,6 +152,29 @@ object Dedup {
     expr(s"""CAST(size(array_intersect($shA, $shB)) AS DOUBLE) /
              (size($shA) + size($shB) - size(array_intersect($shA, $shB)))""")
 
+  /** Full near-dup dedup flow: LSH candidates → exact Jaccard verify →
+    * greedy keep-lowest-id (each verified pair (id1 < id2) drops id2;
+    * transitive chains collapse to their minimum via the pairwise
+    * drops — a union-find clustering would be the exact variant) →
+    * surviving doc ids. All joins are id- or bucket-keyed; the only
+    * quadratic-ish work is Jaccard on the candidate set.
+    */
+  def dedupNearDup(df: DataFrame, text: String, id: String,
+      minJaccard: Double): DataFrame = {
+    val pairs = candidatePairs(
+      lshBuckets(minhashSignatures(df, text, id), id), id)
+    val withSh = df.select(col(id),
+      array_distinct(shinglesExpr(text)).as("__sh"))
+    val verified = pairs
+      .join(withSh.select(col(id).as("id1"), col("__sh").as("__sh1")),
+        "id1")
+      .join(withSh.select(col(id).as("id2"), col("__sh").as("__sh2")),
+        "id2")
+      .filter(jaccardExpr("__sh1", "__sh2") >= minJaccard)
+    val drops = verified.select(col("id2").as(id)).distinct()
+    df.select(col(id)).join(drops, Seq(id), "left_anti")
+  }
+
   /** Token (whitespace-split) polynomial hashes of a text column. */
   def tokenHashesExpr(text: String): Column =
     expr(s"""transform(split($text, ' '),

@@ -41,6 +41,10 @@ object LlmQueries {
       val buckets = Dedup.lshBuckets(sigs, "doc_id")
       Dedup.candidatePairs(buckets, "doc_id").orderBy("id1", "id2")
     }),
+    "dedup_neardup_flow" -> ((s, d) => {
+      Dedup.dedupNearDup(t(s, d, "documents"), "text", "doc_id", 0.5)
+        .orderBy("doc_id")
+    }),
     "ngram_jaccard" -> ((s, d) => {
       // exact Jaccard verification on a fixed small candidate set
       val docs = t(s, d, "documents").filter(col("doc_id") < 15)
@@ -208,6 +212,27 @@ object LlmQueries {
          |  ON a.band = b.band AND a.band_key = b.band_key
          | AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_neardup_flow" ->
+      s"""WITH $sigCte, $bandCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct($duckShingles) AS sh
+         |       FROM documents),
+         |verified AS (
+         |  SELECT p.id1, p.id2
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |        >= 0.5),
+         |drops AS (SELECT DISTINCT id2 AS doc_id FROM verified)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct($duckShingles) AS sh

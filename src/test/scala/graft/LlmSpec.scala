@@ -64,6 +64,16 @@ class LlmSpec extends AnyFunSuite {
     assert(natW(3) === ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
   }
 
+  test("dedupNearDup drops higher-id near-duplicates, keeps distinct docs") {
+    val base = "spark engines shuffle partitions and broadcast small " +
+      "dimension tables to avoid expensive network exchanges at scale"
+    val df = docs(base, base.replace("small", "tiny"), base,
+      "totally unrelated text about cooking pasta with tomato sauce")
+    val kept = Dedup.dedupNearDup(df, "text", "doc_id", 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 3L)) // 1 and 2 are near/exact dups of 0
+  }
+
   test("exact dedup keeps deterministic min-id keeper") {
     val df = docs("aaa", "bbb", "aaa", "aaa")
     val r = Dedup.exactDedup(df, "text", "doc_id")
