@@ -89,11 +89,15 @@ object Similarity {
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
     val scored = v.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosineExpr("__v", "cvec"))
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("__sim").desc, col("cell").desc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(id), col("cell"))
+    // max_by over the (sim, cell) struct = argmax with ties to the
+    // higher cell. An equivalent row_number window would shuffle and
+    // sort all |corpus| x |centroids| scored rows; the aggregation's
+    // map-side combine collapses each vector's candidates before the
+    // exchange (the scores for one vector are co-located — they come
+    // from one input row).
+    scored.groupBy(col(id))
+      .agg(max_by(col("cell"), struct(col("__sim"), col("cell")))
+        .as("cell"))
   }
 
   /** Deterministic centroid frame: the vectors with id < cells serve

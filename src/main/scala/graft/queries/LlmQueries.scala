@@ -42,7 +42,7 @@ object LlmQueries {
       Dedup.candidatePairs(buckets, "doc_id").orderBy("id1", "id2")
     }),
     "dedup_neardup_flow" -> ((s, d) => {
-      Dedup.dedupNearDup(t(s, d, "documents"), "text", "doc_id", 0.5)
+      Dedup.dedupNearDup(t(s, d, "documents"), "text", "doc_id", 0.8)
         .orderBy("doc_id")
     }),
     "ngram_jaccard" -> ((s, d) => {
@@ -219,7 +219,7 @@ object LlmQueries {
          |  FROM buckets a JOIN buckets b
          |    ON a.band = b.band AND a.band_key = b.band_key
          |   AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, list_distinct($duckShingles) AS sh
+         |sh AS (SELECT doc_id, list_distinct(${duckHashes(duckShingles)}) AS sh
          |       FROM documents),
          |verified AS (
          |  SELECT p.id1, p.id2
@@ -228,7 +228,7 @@ object LlmQueries {
          |  JOIN sh b ON b.doc_id = p.id2
          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         |        >= 0.5),
+         |        >= 0.8),
          |drops AS (SELECT DISTINCT id2 AS doc_id FROM verified)
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
