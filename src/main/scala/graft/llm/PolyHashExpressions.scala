@@ -86,6 +86,85 @@ object PolyHash {
   }
 }
 
+object TextClassStats {
+  /** One pass over the codepoints computing every class-based count
+    * the text-stats operators need. Semantics replicate the SQL/regex
+    * formulations exactly:
+    *   - nChars      = length(text) (codepoints)
+    *   - nTokens     = size(split(trim(text), '\s+'))
+    *   - nBpeish     = count of matches of
+    *                   [a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]
+    *   - nPunct      = length(regexp_replace(text,'[a-zA-Z0-9\s]',''))
+    *   - nNonSpace   = length(regexp_replace(text, '\s', ''))
+    * where \s is the Java regex class [ \t\n\x0B\f\r].
+    */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val cps = PolyHash.codePoints(s.trim())
+    val cpsAll = PolyHash.codePoints(s)
+    def isSpace(c: Int): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' ||
+        c == '\r'
+    def isAlpha(c: Int): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
+    var nPunct = 0L
+    var nNonSpace = 0L
+    var nBpeish = 0L
+    var i = 0
+    var prevClass = -1 // 0 alpha-run, 1 digit-run, 2 other, 3 space
+    while (i < cpsAll.length) {
+      val c = cpsAll(i)
+      val cls =
+        if (isAlpha(c)) 0
+        else if (isDigit(c)) 1
+        else if (isSpace(c)) 3
+        else 2
+      if (cls == 2) { nPunct += 1; nBpeish += 1 } // singles always match
+      else if (cls != 3 && cls != prevClass) nBpeish += 1 // run start
+      if (cls != 3) nNonSpace += 1
+      prevClass = cls
+      i += 1
+    }
+    // tokens of the TRIMMED text: whitespace runs + 1 (empty -> 1,
+    // matching split('', '\s+') = [""] size 1)
+    var nTokens = 1L
+    var j = 0
+    var inSpace = false
+    while (j < cps.length) {
+      val sp = isSpace(cps(j))
+      if (sp && !inSpace) nTokens += 1
+      inSpace = sp
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      cpsAll.length.toLong, nTokens, nBpeish, nPunct, nNonSpace)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_bpeish", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_nonspace", LongType, nullable = false)))
+}
+
+/** struct of character-class counts of a string column — a single
+  * native pass replacing three regex scans + a split in the text-stats
+  * operator.
+  */
+case class TextClassStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = TextClassStats.schema
+  override protected def nullSafeEval(input: Any): Any =
+    TextClassStats.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.llm.TextClassStats.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextClassStatsExpr = copy(child = newChild)
+}
+
 /** array<bigint> of n-gram shingle hashes of a string column. */
 case class PolyHashShingles(child: Expression, n: Int)
     extends UnaryExpression {
@@ -132,4 +211,6 @@ object PolyHashColumns {
     column(PolyHashTokens(expression(c)))
   def fingerprint(c: Column): Column =
     column(PolyHashString(expression(c)))
+  def textClassStats(c: Column): Column =
+    column(TextClassStatsExpr(expression(c)))
 }

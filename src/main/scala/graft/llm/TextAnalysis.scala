@@ -98,9 +98,13 @@ object TextAnalysis {
   def withStats(df: DataFrame, text: String): DataFrame = {
     val langs = Seq("en", "es", "fr", "de")
     val hitCols = langs.map(l => s"__hits_$l")
+    // ONE native pass for every class-based count (replaces three
+    // regex scans + a size(split)); the token array survives only for
+    // stopword matching
     val staged = df
+      .withColumn("__cs", PolyHashColumns.textClassStats(col(text)))
       .withColumn("__toks", expr(s"split(trim($text), '\\\\s+')"))
-      .withColumn("__nt", expr("size(__toks)"))
+      .withColumn("__nt", col("__cs.n_tokens"))
     val withHits = langs.foldLeft(staged) { (d, l) =>
       val arr = stopwords(l).map(w => s"'$w'").mkString("array(", ", ", ")")
       d.withColumn(s"__hits_$l",
@@ -111,21 +115,23 @@ object TextAnalysis {
         .map(o => s"__hits_$o").mkString("greatest(", ", ", ")")
       s"WHEN __hits_$l >= $others AND __hits_$l > 0 THEN '$l'"
     }.mkString(" ")
+    val punct = col("__cs.n_punct").cast("double") /
+      col("__cs.n_chars").cast("double")
     withHits
-      .withColumn("n_tokens", col("__nt").cast("long"))
-      .withColumn("n_bpeish", bpeishCountExpr(text).cast("long"))
-      .withColumn("punct_ratio", round(punctRatioExpr(text), 6))
+      .withColumn("n_tokens", col("__nt"))
+      .withColumn("n_bpeish", col("__cs.n_bpeish"))
+      .withColumn("punct_ratio", round(punct, 6))
       .withColumn("avg_word_len", round(
-        expr(s"CAST(length(regexp_replace($text, '\\\\s', '')) AS DOUBLE) / __nt"), 6))
+        col("__cs.n_nonspace").cast("double") / col("__nt"), 6))
       .withColumn("stopword_ratio",
         round(expr("CAST(__hits_en AS DOUBLE) / __nt"), 6))
       .withColumn("quality", round(
         least(col("__nt").cast("double") / 100.0, lit(1.0)) * 0.4
-          + (lit(1.0) - punctRatioExpr(text)) * 0.3
+          + (lit(1.0) - punct) * 0.3
           + least(expr("CAST(__hits_en AS DOUBLE) / __nt") * 4.0,
             lit(1.0)) * 0.3, 6))
       .withColumn("pred_lang", expr(s"CASE $best ELSE 'und' END"))
       .withColumn("fingerprint", fingerprintExpr(text))
-      .drop(Seq("__toks", "__nt") ++ hitCols: _*)
+      .drop(Seq("__cs", "__toks", "__nt") ++ hitCols: _*)
   }
 }
