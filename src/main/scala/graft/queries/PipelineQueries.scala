@@ -17,9 +17,10 @@ object PipelineQueries {
     * (sku, store, ts, units). sku = l_suppkey, store = l_returnflag —
     * ~300 series at ~120-360 weeks each, the reference's grain shape.
     */
-  private def sales(s: SparkSession, dir: String): DataFrame =
+  private def sales(s: SparkSession, dir: String,
+      skuCol: String = "l_suppkey"): DataFrame =
     t(s, dir, "lineitem")
-      .select(col("l_suppkey").cast("string").as("sku"),
+      .select(col(skuCol).cast("string").as("sku"),
         col("l_returnflag").as("store"),
         col("l_shipdate").as("ts"),
         col("l_quantity").as("units"))
@@ -29,9 +30,10 @@ object PipelineQueries {
     * MA forecast → G1 MAPE → H1-H5 inventory.
     */
   def e2eSlice(s: SparkSession, dir: String,
-      cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+      cfg: PipelineConfig = PipelineConfig(),
+      skuCol: String = "l_suppkey"): DataFrame = {
     val keys = Seq("sku", "store")
-    val cleaned = Clean.nonNegative(sales(s, dir), "units")
+    val cleaned = Clean.nonNegative(sales(s, dir, skuCol), "units")
     val weekly = Resample.weeklyDense(cleaned, keys, "ts", "units")
     val gated = Series.eligible(weekly, keys, cfg)
     val wins = Series.winsorize(gated, keys)
@@ -188,6 +190,10 @@ object PipelineQueries {
     "e2e_slice" -> ((s, d) => e2eSlice(s, d)),
     "kernel_ma" -> ((s, d) => kernelMa(s, d)),
     "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
+    // same pipeline at the fine grain: ~6000 (part, flag) series —
+    // stresses group parallelism/skew rather than series length
+    "e2e_slice_partkey" -> ((s, d) =>
+      e2eSlice(s, d, skuCol = "l_partkey")),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
     // as-of join: every click gets the user's latest purchase value
@@ -226,9 +232,10 @@ object PipelineQueries {
     *   `math.rint(mape*1000)/1000` is banker's like the reference's
     *   Python round().
     */
-  private def e2eOracle(mapeRound: String): String =
+  private def e2eOracle(mapeRound: String,
+      skuCol: String = "l_suppkey"): String =
     s"""WITH sales AS (
-       |  SELECT CAST(l_suppkey AS VARCHAR) AS sku, l_returnflag AS store,
+       |  SELECT CAST($skuCol AS VARCHAR) AS sku, l_returnflag AS store,
        |         l_shipdate, l_quantity AS units
        |  FROM lineitem WHERE l_quantity >= 0),
        |wk AS (
@@ -346,6 +353,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "e2e_slice" -> e2eOracle("round"),
+    "e2e_slice_partkey" -> e2eOracle("round", "l_partkey"),
     "kernel_ma" -> e2eOracle("round_even"),
     "report_stage" ->
       s"""WITH $reportBaseCte
