@@ -31,9 +31,17 @@ object PipelineQueries {
     */
   def e2eSlice(s: SparkSession, dir: String,
       cfg: PipelineConfig = PipelineConfig(),
-      skuCol: String = "l_suppkey"): DataFrame = {
+      skuCol: String = "l_suppkey",
+      skuFilter: Option[Long] = None): DataFrame = {
     val keys = Seq("sku", "store")
-    val cleaned = Clean.nonNegative(sales(s, dir, skuCol), "units")
+    val base = skuFilter.foldLeft(t(s, dir, "lineitem")) {
+      (d, bound) => d.filter(col(skuCol) < bound)
+    }
+    val cleaned = Clean.nonNegative(
+      base.select(col(skuCol).cast("string").as("sku"),
+        col("l_returnflag").as("store"),
+        col("l_shipdate").as("ts"),
+        col("l_quantity").as("units")), "units")
     val weekly = Resample.weeklyDense(cleaned, keys, "ts", "units")
     val gated = Series.eligible(weekly, keys, cfg)
     val wins = Series.winsorize(gated, keys)
@@ -190,10 +198,13 @@ object PipelineQueries {
     "e2e_slice" -> ((s, d) => e2eSlice(s, d)),
     "kernel_ma" -> ((s, d) => kernelMa(s, d)),
     "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
-    // same pipeline at the fine grain: ~6000 (part, flag) series —
-    // stresses group parallelism/skew rather than series length
+    // same pipeline at the fine grain ((part, flag) series — stresses
+    // group parallelism and densification amplification rather than
+    // series length). Bounded to partkey < 5000: fine-grain sparse
+    // series densify ~20x (600k rows -> ~12M at sf0.1 unbounded),
+    // which is semantically required work but poor bench hygiene.
     "e2e_slice_partkey" -> ((s, d) =>
-      e2eSlice(s, d, skuCol = "l_partkey")),
+      e2eSlice(s, d, skuCol = "l_partkey", skuFilter = Some(5000))),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
     // as-of join: every click gets the user's latest purchase value
@@ -233,11 +244,12 @@ object PipelineQueries {
     *   Python round().
     */
   private def e2eOracle(mapeRound: String,
-      skuCol: String = "l_suppkey"): String =
+      skuCol: String = "l_suppkey",
+      where: String = "WHERE l_quantity >= 0"): String =
     s"""WITH sales AS (
        |  SELECT CAST($skuCol AS VARCHAR) AS sku, l_returnflag AS store,
        |         l_shipdate, l_quantity AS units
-       |  FROM lineitem WHERE l_quantity >= 0),
+       |  FROM lineitem $where),
        |wk AS (
        |  SELECT sku, store, $wsun AS week, sum(units) AS units
        |  FROM sales GROUP BY 1, 2, 3),
@@ -353,7 +365,8 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "e2e_slice" -> e2eOracle("round"),
-    "e2e_slice_partkey" -> e2eOracle("round", "l_partkey"),
+    "e2e_slice_partkey" -> e2eOracle("round", "l_partkey",
+      "WHERE l_partkey < 5000 AND l_quantity >= 0"),
     "kernel_ma" -> e2eOracle("round_even"),
     "report_stage" ->
       s"""WITH $reportBaseCte
