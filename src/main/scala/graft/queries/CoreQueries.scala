@@ -179,16 +179,28 @@ object CoreQueries {
         .orderBy("l_suppkey")
     }),
 
-    // rows-only (sketch algorithms differ across engines): the approx
-    // forms a 100 TB deployment would swap in for exact percentile /
-    // count-distinct (SURVEY D8 tolerance note)
+    // Sketch aggregates (the approx forms a 100 TB deployment swaps in
+    // for exact percentile / count-distinct — SURVEY D8 tolerance
+    // note). Sketch internals differ across engines, so the oracle
+    // checks exact values plus tolerance booleans the Spark side
+    // computes: |approx − exact| within 5%+1.0 for the percentile
+    // (default accuracy 10000 ⇒ rank error ≪ that) and 15% for
+    // HLL++ count-distinct (3× the default rsd 0.05).
     "d8b_approx_aggs" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("approx_percentile(l_quantity, 0.99)"), 6)
-            .as("p99_approx"),
-          approx_count_distinct(col("l_partkey")).as("nparts_approx"))
+          round(percentile(col("l_quantity"), lit(0.99)), 6)
+            .as("p99_exact"),
+          countDistinct(col("l_partkey")).as("nparts_exact"),
+          expr("approx_percentile(l_quantity, 0.99)").as("__p99a"),
+          approx_count_distinct(col("l_partkey")).as("__nda"))
+        .select(col("l_returnflag"), col("p99_exact"),
+          col("nparts_exact"),
+          (abs(col("__p99a") - col("p99_exact"))
+            <= abs(col("p99_exact")) * 0.05 + 1.0).as("p99_ok"),
+          (abs(col("__nda") - col("nparts_exact"))
+            <= col("nparts_exact") * 0.15).as("nd_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -395,6 +407,12 @@ object CoreQueries {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.99), 6) AS p99,
         |  round(quantile_cont(l_quantity, 0.01), 6) AS p01
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d8b_approx_aggs" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.99), 6) AS p99_exact,
+        |  count(DISTINCT l_partkey) AS nparts_exact,
+        |  TRUE AS p99_ok, TRUE AS nd_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d9_row_median" ->
       """SELECT l_orderkey, l_linenumber,

@@ -25,7 +25,8 @@ object LlmQueries {
         .orderBy("keeper")
     }),
     "minhash_signature" -> ((s, d) => {
-      Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id")
+      Canon.stringifyArrays(
+        Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id"))
         .orderBy("doc_id")
     }),
     "lsh_band_buckets" -> ((s, d) => {
@@ -99,11 +100,12 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
     "multimodal_meta" -> ((s, d) => {
-      Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
-        .select(col("doc_id"), col("meta.mime").as("mime"),
-          col("meta.n_bytes").as("n_bytes"),
-          col("meta.checksum").as("checksum"),
-          Multimodal.sampleExpr("text", 16, 4).as("sample"))
+      Canon.stringifyArrays(
+        Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
+          .select(col("doc_id"), col("meta.mime").as("mime"),
+            col("meta.n_bytes").as("n_bytes"),
+            col("meta.checksum").as("checksum"),
+            Multimodal.sampleExpr("text", 16, 4).as("sample")))
         .orderBy("doc_id")
     }))
 
@@ -200,7 +202,8 @@ object LlmQueries {
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
     "minhash_signature" ->
       s"""WITH $sigCte
-         |SELECT doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string(sig, ',') AS sig
+         |FROM sigs ORDER BY doc_id""".stripMargin,
     "lsh_band_buckets" ->
       s"""WITH $sigCte, $bandCte
          |SELECT doc_id, band, band_key FROM buckets
@@ -347,9 +350,9 @@ object LlmQueries {
       """SELECT doc_id, 'text/plain; charset=utf-8' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS checksum,
-        |  list_transform(range(0, 4), i ->
+        |  array_to_string(list_transform(range(0, 4), i ->
         |    CASE WHEN i * 16 + 1 <= length(text)
         |         THEN ascii(substring(text, CAST(i * 16 + 1 AS INT), 1))
-        |         ELSE 0 END) AS sample
+        |         ELSE 0 END), ',') AS sample
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

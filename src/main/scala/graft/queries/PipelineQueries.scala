@@ -195,16 +195,16 @@ object PipelineQueries {
         round(col("mean_mape"), 6).as("mean_mape"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e2e_slice" -> ((s, d) => e2eSlice(s, d)),
-    "kernel_ma" -> ((s, d) => kernelMa(s, d)),
+    "e2e_slice" -> ((s, d) => Canon.stringifyArrays(e2eSlice(s, d))),
+    "kernel_ma" -> ((s, d) => Canon.stringifyArrays(kernelMa(s, d))),
     "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
     // same pipeline at the fine grain ((part, flag) series — stresses
     // group parallelism and densification amplification rather than
     // series length). Bounded to partkey < 5000: fine-grain sparse
     // series densify ~20x (600k rows -> ~12M at sf0.1 unbounded),
     // which is semantically required work but poor bench hygiene.
-    "e2e_slice_partkey" -> ((s, d) =>
-      e2eSlice(s, d, skuCol = "l_partkey", skuFilter = Some(5000))),
+    "e2e_slice_partkey" -> ((s, d) => Canon.stringifyArrays(
+      e2eSlice(s, d, skuCol = "l_partkey", skuFilter = Some(5000)))),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
     // as-of join: every click gets the user's latest purchase value
@@ -220,15 +220,26 @@ object PipelineQueries {
         Seq("value"))
         .orderBy("event_id")
     }),
-    // rows-only check (iterative model fits are not SQL-expressible,
-    // SURVEY §5.3): the full J1+J2+J3 ensemble kernel
+    // Full J1+J2+J3 ensemble kernel. The iterative model fits (OLS,
+    // Holt-Winters grid search) are not SQL-expressible (SURVEY §5.3),
+    // so the oracle checks what IS: per-series membership (gates),
+    // the winsorized/split test arrays, and safety_stock (train-only
+    // math), plus invariant booleans over the model-dependent outputs
+    // (forecast length/nonnegativity, mape >= 0, the H3/H4 orderings
+    // rop >= ss and qty <= rop that hold by construction). Model
+    // VALUES are pinned by ModelsSpec/KernelSpec unit tests.
     "kernel_full" -> ((s, d) => {
       Kernel.run(Clean.nonNegative(sales(s, d), "units"),
         PipelineConfig())
-        .drop("runtime_sec")
-        .withColumn("forecast",
-          expr("transform(forecast, x -> round(x, 6))"))
-        .withColumn("test", expr("transform(test, x -> round(x, 6))"))
+        .select(col("sku"), col("store"),
+          expr("transform(test, x -> round(x, 6))").as("test"),
+          col("safety_stock").cast("long").as("safety_stock"),
+          (size(col("forecast")) === 4).as("n_fc_ok"),
+          expr("forall(forecast, x -> x >= 0D)").as("fc_nonneg"),
+          (col("mape") >= 0.0).as("mape_ok"),
+          (col("reorder_point") >= col("safety_stock")).as("rop_ge_ss"),
+          (col("qty_to_order") <= col("reorder_point")).as("qty_le_rop"))
+        .transform(Canon.stringifyArrays)
         .orderBy("sku", "store")
     }))
 
@@ -243,7 +254,11 @@ object PipelineQueries {
     *   `math.rint(mape*1000)/1000` is banker's like the reference's
     *   Python round().
     */
-  private def e2eOracle(mapeRound: String,
+  /** CTE chain shared by the e2e-slice oracles and the kernel_full
+    * invariant oracle: sales → weekly dense → gates → winsorize →
+    * split → series arrays → MA forecast → stats → mape → inventory.
+    */
+  private def e2eCtes(mapeRound: String,
       skuCol: String = "l_suppkey",
       where: String = "WHERE l_quantity >= 0"): String =
     s"""WITH sales AS (
@@ -324,13 +339,38 @@ object PipelineQueries {
        |         ELSE 0.0 END AS ss,
        |    round(ma * 0.4285, 6) AS dlt,
        |    last_units
-       |  FROM mape)
-       |SELECT sku, store, mape, forecast,
-       |  list_transform(test, x -> round(x, 6)) AS test,
+       |  FROM mape)""".stripMargin
+
+  /** Array columns serialize to the same canonical strings as
+    * [[Canon.stringifyArrays]] (`%.6f` elements, comma-joined).
+    */
+  private def e2eOracle(mapeRound: String,
+      skuCol: String = "l_suppkey",
+      where: String = "WHERE l_quantity >= 0"): String =
+    s"""${e2eCtes(mapeRound, skuCol, where)}
+       |SELECT sku, store, mape,
+       |  array_to_string(list_transform(forecast,
+       |    x -> printf('%.6f', x + 0.0)), ',') AS forecast,
+       |  array_to_string(list_transform(test,
+       |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS test,
        |  CAST(round_even(greatest(ss, 0.0), 0) AS BIGINT) AS safety_stock,
        |  CAST(round_even(greatest(dlt + ss, 0.0), 0) AS BIGINT) AS reorder_point,
        |  CAST(round_even(greatest(greatest(0.0, dlt + ss - last_units), 0.0), 0)
        |    AS BIGINT) AS qty_to_order
+       |FROM inv ORDER BY sku, store""".stripMargin
+
+  /** kernel_full oracle: exact on membership, test arrays, and
+    * safety_stock; literal TRUE for the model-dependent invariants the
+    * Spark side computes (see the `kernel_full` query comment).
+    */
+  private def kernelFullOracle: String =
+    s"""${e2eCtes("round_even")}
+       |SELECT sku, store,
+       |  array_to_string(list_transform(test,
+       |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS test,
+       |  CAST(round_even(greatest(ss, 0.0), 0) AS BIGINT) AS safety_stock,
+       |  TRUE AS n_fc_ok, TRUE AS fc_nonneg, TRUE AS mape_ok,
+       |  TRUE AS rop_ge_ss, TRUE AS qty_le_rop
        |FROM inv ORDER BY sku, store""".stripMargin
 
   private val reportBaseCte =
@@ -368,6 +408,7 @@ object PipelineQueries {
     "e2e_slice_partkey" -> e2eOracle("round", "l_partkey",
       "WHERE l_partkey < 5000 AND l_quantity >= 0"),
     "kernel_ma" -> e2eOracle("round_even"),
+    "kernel_full" -> kernelFullOracle,
     "report_stage" ->
       s"""WITH $reportBaseCte
          |SELECT StockCode, StoreID, MAPE, Forecast_Total,
