@@ -105,15 +105,16 @@ object Dedup {
     expr(s"array(${mins.mkString(", ")})")
   }
 
-  /** Per-document signatures over a corpus. Shingle hashing runs as a
-    * native codegen'd expression (PolyHashShingles) — same values as
-    * the SQL higher-order formulation the DuckDB oracle uses, compiled
-    * speed instead of interpreted lambdas.
+  /** Per-document signatures over a corpus. Shingle hashing AND the
+    * K-minima pass run as native codegen'd expressions
+    * (PolyHashShingles, MinHashSigExpr) — same values as the SQL
+    * higher-order formulation the DuckDB oracle uses, compiled speed
+    * instead of K+1 interpreted lambda passes per document.
     */
   def minhashSignatures(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id),
-        PolyHashColumns.shingleHashes(col(text)).as("__h"))
-      .select(col(id), minhashExpr("__h").as("sig"))
+      PolyHashColumns.minhashSig(
+        PolyHashColumns.shingleHashes(col(text))).as("sig"))
 
   /** Banded LSH buckets: one row per (doc, band) with the band key =
     * polynomial hash of that band's signature slice. groupBy-able;
@@ -139,11 +140,22 @@ object Dedup {
     * the buckets twice; per-bucket state here is the member-id list,
     * bounded by the LSH collision rate — never an unbucketed cross
     * join.
+    *
+    * `maxBucket` bounds the within-bucket pair blowup: a hot bucket of
+    * k members emits k²/2 pairs, quadratic in one task when a corpus
+    * has a huge cluster of near-identical documents. The cap keeps the
+    * lowest-id `maxBucket` members (deterministic; recall on hot
+    * buckets degrades gracefully instead of the job dying) — run
+    * [[dedupNearDup]]'s exact-dedup-first composition so IDENTICAL
+    * docs never inflate a bucket in the first place. Mirrored in the
+    * oracle as a row_number()-capped bucket CTE.
     */
-  def candidatePairs(buckets: DataFrame, id: String): DataFrame =
+  def candidatePairs(buckets: DataFrame, id: String,
+      maxBucket: Int = 4096): DataFrame =
     buckets
       .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col(id))).as("__ids"))
+      .agg(slice(sort_array(collect_list(col(id))), 1, maxBucket)
+        .as("__ids"))
       .filter(size(col("__ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(__ids) - 1),
@@ -160,22 +172,38 @@ object Dedup {
     expr(s"""CAST(size(array_intersect($shA, $shB)) AS DOUBLE) /
              (size($shA) + size($shB) - size(array_intersect($shA, $shB)))""")
 
-  /** Full near-dup dedup flow: LSH candidates → exact Jaccard verify →
-    * greedy keep-lowest-id (each verified pair (id1 < id2) drops id2;
-    * transitive chains collapse to their minimum via the pairwise
-    * drops — a union-find clustering would be the exact variant) →
-    * surviving doc ids. All joins are id- or bucket-keyed; the only
-    * quadratic-ish work is Jaccard on the candidate set.
+  /** Full near-dup dedup flow: exact-dedup collapse → LSH candidates →
+    * exact Jaccard verify → greedy keep-lowest-id (each verified pair
+    * (id1 < id2) drops id2; transitive chains collapse to their
+    * minimum via the pairwise drops — [[dedupClusters]] is the exact
+    * union-find variant) → surviving doc ids.
+    *
+    * Exact duplicates collapse FIRST (hash-keyed groupBy with map-side
+    * combine), so the LSH stage sees one representative per distinct
+    * text: a cluster of k identical documents — the dominant hot-bucket
+    * shape in web corpora, where boilerplate pages repeat millions of
+    * times — contributes ONE bucket member instead of k (k²/2 pairs).
+    * Identical docs have Jaccard 1 ≥ any threshold and identical
+    * signatures, so the survivor set is exactly the one the
+    * un-collapsed flow computes. All joins are id- or bucket-keyed;
+    * the only quadratic-ish work is Jaccard on the capped candidate
+    * set.
     */
   def dedupNearDup(df: DataFrame, text: String, id: String,
       minJaccard: Double): DataFrame = {
+    // keeper of each identical-text group (first(text): all values in
+    // a group are identical, so any-value is deterministic)
+    val reps = df
+      .groupBy(md5(col(text).cast("binary")).as("__md5"))
+      .agg(min(col(id)).as(id), first(col(text)).as(text))
+      .drop("__md5")
     val pairs = candidatePairs(
-      lshBuckets(minhashSignatures(df, text, id), id), id)
+      lshBuckets(minhashSignatures(reps, text, id), id), id)
     // verify on distinct shingle-HASH sets: set algebra over longs is
     // several times cheaper than over the shingle strings, and the
     // Jaccard value is identical (same hash on both engines, so even
     // the ~n²/P collision noise matches the oracle bit-for-bit)
-    val withSh = df.select(col(id),
+    val withSh = reps.select(col(id),
       array_distinct(PolyHashColumns.shingleHashes(col(text)))
         .as("__sh"))
     val verified = pairs
@@ -189,7 +217,7 @@ object Dedup {
         >= greatest(size(col("__sh1")), size(col("__sh2"))) * minJaccard)
       .filter(jaccardExpr("__sh1", "__sh2") >= minJaccard)
     val drops = verified.select(col("id2").as(id)).distinct()
-    df.select(col(id)).join(drops, Seq(id), "left_anti")
+    reps.select(col(id)).join(drops, Seq(id), "left_anti")
   }
 
   /** Token (whitespace-split) polynomial hashes of a text column. */
@@ -212,8 +240,13 @@ object Dedup {
     expr(bits.mkString("CAST((", " + ", ") AS BIGINT)"))
   }
 
-  /** SimHash of a corpus (native token hashing, staged once per row). */
+  /** SimHash of a corpus — fully native: token hashing and the packed
+    * bit votes each run as one codegen'd pass per row (the HOF
+    * formulation in [[simhashFromHashes]] re-walks the token array
+    * once per bit, interpreted).
+    */
   def simhash(df: DataFrame, text: String, id: String): DataFrame =
-    df.select(col(id), PolyHashColumns.tokenHashes(col(text)).as("__th"))
-      .select(col(id), simhashFromHashes("__th").as("simhash"))
+    df.select(col(id),
+      PolyHashColumns.simhashPack(
+        PolyHashColumns.tokenHashes(col(text))).as("simhash"))
 }

@@ -191,6 +191,97 @@ case class PolyHashTokens(child: Expression) extends UnaryExpression {
       : PolyHashTokens = copy(child = newChild)
 }
 
+object MinHashSig {
+  private val A = HashConstants.minhashA.toArray
+  private val B = HashConstants.minhashB.toArray
+  private val P = HashConstants.P
+
+  /** All K=16 signature minima in ONE pass over the shingle hashes —
+    * the native form of K separate
+    * `array_min(transform(h, x -> (a*x + b) % P))` passes (HOF lambdas
+    * are interpreted; K passes re-walk the hash array K times).
+    * Products stay < 2^62 (a < 2^31, h < P ≈ 2^30) — no ANSI overflow.
+    * Input arrays are never empty (shingle hashing emits the
+    * whole-string hash for short texts).
+    */
+  def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData)
+      : GenericArrayData = {
+    val k = A.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<bigint> K-wide MinHash signature of an array<bigint> of
+  * shingle hashes.
+  */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.MinHashSig.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+}
+
+object SimHashPack {
+  private val bits = HashConstants.simhashBits
+
+  /** All `simhashBits` bit votes in ONE pass over the token hashes —
+    * native form of per-bit `aggregate(h, 0L, (a, x) ->
+    * a + ((x div 2^j) % 2) * 2 - 1) > 0` (which re-walks the token
+    * array once per bit). Hashes are in [0, P) so `(h >> j) & 1`
+    * equals the SQL `(h div 2^j) % 2`.
+    */
+  def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData)
+      : Long = {
+    val counts = new Array[Long](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < bits) {
+        counts(j) += ((h >> j) & 1L) * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+}
+
+/** bigint packed SimHash of an array<bigint> of token hashes. */
+case class SimHashPackExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashPack.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHashPack.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashPackExpr = copy(child = newChild)
+}
+
 /** bigint whole-string polynomial hash (fingerprint). */
 case class PolyHashString(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -211,6 +302,10 @@ object PolyHashColumns {
     column(PolyHashTokens(expression(c)))
   def fingerprint(c: Column): Column =
     column(PolyHashString(expression(c)))
+  def minhashSig(c: Column): Column =
+    column(MinHashSigExpr(expression(c)))
+  def simhashPack(c: Column): Column =
+    column(SimHashPackExpr(expression(c)))
   def textClassStats(c: Column): Column =
     column(TextClassStatsExpr(expression(c)))
 }

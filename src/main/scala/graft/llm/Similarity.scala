@@ -140,20 +140,44 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
-  /** LSH similarity join: cosine scored only within buckets. */
+  /** LSH similarity join: cosine scored only within buckets.
+    *
+    * Shaped as ONE shuffle — groupBy(bucket) collecting (id, vec,
+    * norm) members, then within-bucket pairs by expression — instead
+    * of a self-join: a self-join of the derived bucketed frame gets no
+    * exchange reuse (the two legs project differently), so it would
+    * compute the bucket projection and shuffle the corpus twice.
+    * Norms are staged per MEMBER (not per pair); the per-pair work is
+    * one dot product. Per-bucket state is its member list — bounded
+    * by occupancy ≈ n / 2^planes, so `planes` must scale with the
+    * corpus (the caller-visible recall/cost knob), exactly like any
+    * LSH join at 100 TB.
+    */
   def lshSimilarityJoin(df: DataFrame, id: String, vec: String,
       planes: Int = 8, minSim: Double = 0.0): DataFrame = {
-    val withB = df.select(col(id),
-      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"),
-      lshBucketExpr(vec, planes).as("bucket"))
-    val a = withB.select(col("bucket"), col(id).as("id1"),
-      col("__v").as("__v1"))
-    val b = withB.select(col("bucket"), col(id).as("id2"),
-      col("__v").as("__v2"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("sim", round(cosineExpr("__v1", "__v2"), 6))
+    val members = df.select(
+      lshBucketExpr(vec, planes).as("bucket"),
+      col(id).as("__id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+      .withColumn("__n", expr(s"sqrt(${dot("__v", "__v")})"))
+    members
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("__id"), col("__v"), col("__n")))).as("__ms"))
+      .filter(size(col("__ms")) > 1)
+      .select(col("bucket"), explode(expr(
+        s"""flatten(transform(sequence(1, size(__ms) - 1),
+            i -> transform(slice(__ms, i + 1, size(__ms) - i),
+                 y -> named_struct(
+                   'id1', element_at(__ms, i).__id,
+                   'id2', y.__id,
+                   'sim', round(
+                     aggregate(zip_with(element_at(__ms, i).__v, y.__v,
+                       (p, q) -> p * q), 0D, (acc, v) -> acc + v)
+                     / (element_at(__ms, i).__n * y.__n), 6)))))"""))
+        .as("p"))
+      .select(col("bucket"), col("p.id1").as("id1"),
+        col("p.id2").as("id2"), col("p.sim").as("sim"))
       .filter(col("sim") >= minSim)
-      .select("bucket", "id1", "id2", "sim")
   }
 }

@@ -123,6 +123,12 @@ object LlmQueries {
              i -> substring(text, i, $shingleSize))
         ELSE [text] END"""
 
+  /** Exact-dedup representatives (min doc id per distinct text) — the
+    * collapse step Dedup.dedupNearDup runs before LSH.
+    */
+  private val repsCte =
+    "reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
+
   private def duckHashes(shingles: String): String =
     s"list_transform($shingles, s -> ${duckPolyHash("s")})"
 
@@ -133,12 +139,14 @@ object LlmQueries {
     mins.mkString("[", ", ", "]")
   }
 
-  private val sigCte =
+  private def sigCteFrom(src: String): String =
     s"""sigs AS (
        |  SELECT doc_id, ${duckSig("hashes")} AS sig
        |  FROM (SELECT doc_id, ${duckHashes("shingles")} AS hashes
        |        FROM (SELECT doc_id, $duckShingles AS shingles
-       |              FROM documents)))""".stripMargin
+       |              FROM $src)))""".stripMargin
+
+  private val sigCte = sigCteFrom("documents")
 
   private val bandCte = {
     val bands = (0 until lshBands).map { b =>
@@ -148,6 +156,17 @@ object LlmQueries {
     }
     s"buckets AS (${bands.mkString(" UNION ALL ")})"
   }
+
+  /** Mirror of candidatePairs' maxBucket cap (keep the lowest
+    * `maxBucket` doc ids per (band, band_key) bucket).
+    */
+  private def cappedCte(maxBucket: Int = 4096): String =
+    s"""capped AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT doc_id, band, band_key, row_number() OVER
+       |      (PARTITION BY band, band_key ORDER BY doc_id) AS __rn
+       |    FROM buckets)
+       |  WHERE __rn <= $maxBucket)""".stripMargin
 
   private def duckSimhash: String = {
     val hashes =
@@ -209,21 +228,21 @@ object LlmQueries {
          |SELECT doc_id, band, band_key FROM buckets
          |ORDER BY doc_id, band""".stripMargin,
     "lsh_candidate_pairs" ->
-      s"""WITH $sigCte, $bandCte
+      s"""WITH $sigCte, $bandCte, ${cappedCte()}
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |FROM buckets a JOIN buckets b
+         |FROM capped a JOIN capped b
          |  ON a.band = b.band AND a.band_key = b.band_key
          | AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin,
     "dedup_neardup_flow" ->
-      s"""WITH $sigCte, $bandCte,
+      s"""WITH $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM buckets a JOIN buckets b
+         |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.band_key = b.band_key
          |   AND a.doc_id < b.doc_id),
          |sh AS (SELECT doc_id, list_distinct(${duckHashes(duckShingles)}) AS sh
-         |       FROM documents),
+         |       FROM reps),
          |verified AS (
          |  SELECT p.id1, p.id2
          |  FROM pairs p
@@ -233,9 +252,9 @@ object LlmQueries {
          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
          |        >= 0.8),
          |drops AS (SELECT DISTINCT id2 AS doc_id FROM verified)
-         |SELECT d.doc_id FROM documents d
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
-         |ORDER BY d.doc_id""".stripMargin,
+         |SELECT r.doc_id FROM reps r
+         |WHERE r.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY r.doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct($duckShingles) AS sh

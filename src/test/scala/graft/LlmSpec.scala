@@ -64,6 +64,55 @@ class LlmSpec extends AnyFunSuite {
     assert(natW(3) === ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
   }
 
+  test("native MinHash/SimHash pack expressions equal the HOF SQL forms") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val nat = Dedup.minhashSignatures(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val sql = df
+      .select(col("doc_id"),
+        graft.llm.PolyHashColumns.shingleHashes(col("text")).as("__h"))
+      .select(col("doc_id"), Dedup.minhashExpr("__h").as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(nat.toSeq === sql.toSeq)
+    val natS = Dedup.simhash(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val sqlS = df
+      .select(col("doc_id"),
+        graft.llm.PolyHashColumns.tokenHashes(col("text")).as("__th"))
+      .select(col("doc_id"), Dedup.simhashFromHashes("__th").as("s"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(natS.toSeq === sqlS.toSeq)
+  }
+
+  test("exact-dedup-first bounds hot buckets: 1k identical docs, zero pair blowup") {
+    val texts = Seq.fill(1000)(
+      "exactly the same boilerplate page repeated across the corpus") ++
+      Seq("one genuinely different document about something else entirely")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNearDup(df, "text", "doc_id", 0.8)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 1000L))
+    // the rep-collapsed LSH stage sees 2 members total → no k²/2 pairs
+    val reps = df.groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"))
+    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(
+      Dedup.minhashSignatures(reps, "text", "doc_id"), "doc_id"),
+      "doc_id").count()
+    assert(pairs <= 1)
+  }
+
+  test("candidatePairs maxBucket cap keeps lowest ids, bounds pairs") {
+    val buckets = (0 until 6).map(i => (i.toLong, 0, 7L))
+      .toDF("doc_id", "band", "band_key")
+    val capped = Dedup.candidatePairs(buckets, "doc_id", maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(capped.toSeq === Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("dedupNearDup drops higher-id near-duplicates, keeps distinct docs") {
     val base = "spark engines shuffle partitions and broadcast small " +
       "dimension tables to avoid expensive network exchanges at scale"
