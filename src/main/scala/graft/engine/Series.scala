@@ -27,6 +27,30 @@ object Series {
       .drop("__weeks", "__total")
   }
 
+  /** C4 decided BEFORE densify: the densified row count of a group
+    * equals its week-span ((max-min)/7 + 1) and gap-zeros add nothing
+    * to the total, so both gates are computable on the SPARSE weekly
+    * frame. Filtering first means densification (the pipeline's row
+    * amplifier — ~20× at fine grains) materializes zero rows only for
+    * groups that survive; at 100 TB with selective gates this is the
+    * difference between exploding the corpus and exploding the kept
+    * slice. The window partitions on the resample keys, the same hash
+    * partitioning the subsequent densify aggregation reuses.
+    */
+  def eligibleSparse(sparse: DataFrame, keys: Seq[String],
+      cfg: PipelineConfig = PipelineConfig(),
+      labelCol: String = "week"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    sparse
+      .withColumn("__span",
+        datediff(max(col(labelCol)).over(w),
+          min(col(labelCol)).over(w)) / 7 + 1)
+      .withColumn("__total", sum(col("units")).over(w))
+      .filter(col("__span") >= cfg.minWeeks &&
+        col("__total") >= cfg.minTotalSales)
+      .drop("__span", "__total")
+  }
+
   /** C4 relational form — group-level gate as a plain HAVING aggregate
     * (one row per eligible group).
     */

@@ -191,22 +191,35 @@ object Dedup {
     */
   def dedupNearDup(df: DataFrame, text: String, id: String,
       minJaccard: Double): DataFrame = {
-    // keeper of each identical-text group (first(text): all values in
-    // a group are identical, so any-value is deterministic)
-    val reps = df
-      .groupBy(md5(col(text).cast("binary")).as("__md5"))
+    val reps = exactReps(df, text, id)
+    val drops = verifiedPairs(reps, text, id, minJaccard)
+      .select(col("id2").as(id)).distinct()
+    reps.select(col(id)).join(drops, Seq(id), "left_anti")
+  }
+
+  /** Keeper of each identical-text group: min id, any text value
+    * (first() is deterministic here — all texts in a group are
+    * identical). One hash-keyed shuffle with map-side combine.
+    */
+  def exactReps(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("__md5"))
       .agg(min(col(id)).as(id), first(col(text)).as(text))
       .drop("__md5")
+
+  /** LSH candidates verified by exact Jaccard ≥ τ over distinct
+    * shingle-HASH sets: set algebra over longs is several times
+    * cheaper than over the shingle strings, and the Jaccard value is
+    * identical (same hash on both engines, so even the ~n²/P collision
+    * noise matches the oracle bit-for-bit). Returns (id1 < id2) pairs.
+    */
+  def verifiedPairs(reps: DataFrame, text: String, id: String,
+      minJaccard: Double): DataFrame = {
     val pairs = candidatePairs(
       lshBuckets(minhashSignatures(reps, text, id), id), id)
-    // verify on distinct shingle-HASH sets: set algebra over longs is
-    // several times cheaper than over the shingle strings, and the
-    // Jaccard value is identical (same hash on both engines, so even
-    // the ~n²/P collision noise matches the oracle bit-for-bit)
     val withSh = reps.select(col(id),
       array_distinct(PolyHashColumns.shingleHashes(col(text)))
         .as("__sh"))
-    val verified = pairs
+    pairs
       .join(withSh.select(col(id).as("id1"), col("__sh").as("__sh1")),
         "id1")
       .join(withSh.select(col(id).as("id2"), col("__sh").as("__sh2")),
@@ -216,8 +229,63 @@ object Dedup {
       .filter(least(size(col("__sh1")), size(col("__sh2")))
         >= greatest(size(col("__sh1")), size(col("__sh2"))) * minJaccard)
       .filter(jaccardExpr("__sh1", "__sh2") >= minJaccard)
-    val drops = verified.select(col("id2").as(id)).distinct()
-    reps.select(col(id)).join(drops, Seq(id), "left_anti")
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Connected components over an (id1, id2) edge list by iterative
+    * min-label propagation: each vertex's label becomes the minimum of
+    * its own and its neighbors' labels until fixpoint — the
+    * distributed union-find equivalent (converges in O(component
+    * diameter) rounds, each one shuffle keyed on vertex id). The edge
+    * list is the VERIFIED near-dup pairs — orders of magnitude smaller
+    * than the corpus — and near-dup components are shallow in
+    * practice, so rounds stay low at any corpus size.
+    * `localCheckpoint` truncates the per-round lineage so plans don't
+    * grow with iteration count.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      id: String, maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col("id1").as("__a"), col("id2").as("__b"))
+      .union(edges.select(col("id2").as("__a"), col("id1").as("__b")))
+      .localCheckpoint()
+    var labels = vertices.select(col(id).as("__a"),
+      col(id).as("cluster")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = sym
+        .join(labels.select(col("__a").as("__b"),
+          col("cluster").as("__nl")), "__b")
+        .groupBy(col("__a")).agg(min(col("__nl")).as("__nl"))
+      val next = labels.join(prop, Seq("__a"), "left")
+        .select(col("__a"),
+          least(col("cluster"), coalesce(col("__nl"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("__a"), col("cluster").as("__old")),
+          "__a")
+        .filter(col("cluster") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("__a").as(id), col("cluster"))
+  }
+
+  /** Transitive-closure near-dup clustering: exact-dedup reps →
+    * verified pairs as edges → connected components. Every rep gets a
+    * cluster label = the minimum doc id reachable through verified
+    * near-dup relations (singletons label themselves). This is the
+    * exact semantics a corpus-dedup user expects for chains A~B~C
+    * where A̸~C — unlike [[dedupNearDup]]'s greedy pairwise drop, the
+    * whole chain lands in ONE cluster and a downstream keep-one-per-
+    * cluster policy sees it as such.
+    */
+  def dedupClusters(df: DataFrame, text: String, id: String,
+      minJaccard: Double): DataFrame = {
+    val reps = exactReps(df, text, id)
+    val edges = verifiedPairs(reps, text, id, minJaccard)
+    connectedComponents(edges, reps.select(col(id)), id)
   }
 
   /** Token (whitespace-split) polynomial hashes of a text column. */

@@ -46,6 +46,10 @@ object LlmQueries {
       Dedup.dedupNearDup(t(s, d, "documents"), "text", "doc_id", 0.8)
         .orderBy("doc_id")
     }),
+    "dedup_clusters" -> ((s, d) => {
+      Dedup.dedupClusters(t(s, d, "documents"), "text", "doc_id", 0.8)
+        .orderBy("doc_id")
+    }),
     "ngram_jaccard" -> ((s, d) => {
       // exact Jaccard verification on a fixed small candidate set
       val docs = t(s, d, "documents").filter(col("doc_id") < 15)
@@ -157,6 +161,27 @@ object LlmQueries {
     s"buckets AS (${bands.mkString(" UNION ALL ")})"
   }
 
+  /** LSH candidate pairs + exact-Jaccard verification over the capped
+    * buckets — shared by the near-dup flow and clustering oracles
+    * (expects `reps`/`capped` CTEs in scope).
+    */
+  private val verifiedCtes =
+    s"""pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, list_distinct(${duckHashes(duckShingles)}) AS sh
+       |       FROM reps),
+       |verified AS (
+       |  SELECT p.id1, p.id2
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.id1
+       |  JOIN sh b ON b.doc_id = p.id2
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= 0.8)""".stripMargin
+
   /** Mirror of candidatePairs' maxBucket cap (keep the lowest
     * `maxBucket` doc ids per (band, band_key) bucket).
     */
@@ -236,24 +261,25 @@ object LlmQueries {
          |ORDER BY id1, id2""".stripMargin,
     "dedup_neardup_flow" ->
       s"""WITH $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM capped a JOIN capped b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, list_distinct(${duckHashes(duckShingles)}) AS sh
-         |       FROM reps),
-         |verified AS (
-         |  SELECT p.id1, p.id2
-         |  FROM pairs p
-         |  JOIN sh a ON a.doc_id = p.id1
-         |  JOIN sh b ON b.doc_id = p.id2
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         |        >= 0.8),
+         |$verifiedCtes,
          |drops AS (SELECT DISTINCT id2 AS doc_id FROM verified)
          |SELECT r.doc_id FROM reps r
          |WHERE r.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY r.doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
+         |$verifiedCtes,
+         |sym AS (SELECT id1 AS a, id2 AS b FROM verified
+         |        UNION ALL SELECT id2, id1 FROM verified),
+         |walk AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM walk GROUP BY a)
+         |SELECT r.doc_id, coalesce(l.cluster, r.doc_id) AS cluster
+         |FROM reps r LEFT JOIN labels l USING (doc_id)
          |ORDER BY r.doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH sh AS (

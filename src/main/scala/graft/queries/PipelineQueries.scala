@@ -42,8 +42,12 @@ object PipelineQueries {
         col("l_returnflag").as("store"),
         col("l_shipdate").as("ts"),
         col("l_quantity").as("units")), "units")
-    val weekly = Resample.weeklyDense(cleaned, keys, "ts", "units")
-    val gated = Series.eligible(weekly, keys, cfg)
+    // gates decide on the SPARSE frame (span/total are densify-
+    // invariant), so zero-row amplification only happens for kept
+    // groups — the order that survives fine grains at scale
+    val sparse = Resample.weeklySparse(cleaned, keys, "ts", "units")
+    val gated = Resample.densify(
+      Series.eligibleSparse(sparse, keys, cfg), keys)
     val wins = Series.winsorize(gated, keys)
     val split = Series.markSplit(wins, keys, "week", cfg.horizonWeeks)
 
@@ -200,11 +204,11 @@ object PipelineQueries {
     "notebook_flow" -> ((s, d) => notebookFlow(s, d)),
     // same pipeline at the fine grain ((part, flag) series — stresses
     // group parallelism and densification amplification rather than
-    // series length). Bounded to partkey < 5000: fine-grain sparse
-    // series densify ~20x (600k rows -> ~12M at sf0.1 unbounded),
-    // which is semantically required work but poor bench hygiene.
+    // series length). UNBOUNDED: gates filter on the sparse frame
+    // before densify, so the ~20x zero-row amplification (600k -> ~12M
+    // at sf0.1) is paid only for surviving groups.
     "e2e_slice_partkey" -> ((s, d) => Canon.stringifyArrays(
-      e2eSlice(s, d, skuCol = "l_partkey", skuFilter = Some(5000)))),
+      e2eSlice(s, d, skuCol = "l_partkey"))),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
     // as-of join: every click gets the user's latest purchase value
@@ -405,8 +409,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "e2e_slice" -> e2eOracle("round"),
-    "e2e_slice_partkey" -> e2eOracle("round", "l_partkey",
-      "WHERE l_partkey < 5000 AND l_quantity >= 0"),
+    "e2e_slice_partkey" -> e2eOracle("round", "l_partkey"),
     "kernel_ma" -> e2eOracle("round_even"),
     "kernel_full" -> kernelFullOracle,
     "report_stage" ->

@@ -105,6 +105,18 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs <= 1)
   }
 
+  test("connectedComponents collapses chains to min label; singletons self-label") {
+    // chain 1-2-3 (even though 1 and 3 share no edge), pair 5-6,
+    // isolated 4 and 7
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(edges, verts, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 7L)))
+  }
+
   test("candidatePairs maxBucket cap keeps lowest ids, bounds pairs") {
     val buckets = (0 until 6).map(i => (i.toLong, 0, 7L))
       .toDF("doc_id", "band", "band_key")
