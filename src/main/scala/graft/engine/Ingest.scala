@@ -55,6 +55,15 @@ object Ingest {
     }
   }
 
+  /** A4 array serialization: pandas to_csv of a Python list prints
+    * "[1.0, 2.0]" (", " separator, ref: PRACTICA3.py:169,209);
+    * to_json emits no space. Exactly inverted by
+    * [[Clean.parseDoubleArray]] (F4) — the `a4_roundtrip` query proves
+    * the inversion under the oracle.
+    */
+  def csvArrayForm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(to_json(c), ",", ", ")
+
   /** A4 — CSV sink; arrays stay native when sinking parquet (preferred),
     * CSV-compat keeps the reference's bracketed stringified form
     * (ref: PRACTICA3.py:208-209).
@@ -62,10 +71,7 @@ object Ingest {
   def writeCsvCompat(df: DataFrame, path: String): Unit = {
     val out = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType.typeName match {
-        // pandas to_csv of a Python list prints "[1.0, 2.0]" (", "
-        // separator, ref: PRACTICA3.py:169,209); to_json emits no space
-        case "array" => d.withColumn(f.name,
-          regexp_replace(to_json(col(f.name)), ",", ", "))
+        case "array" => d.withColumn(f.name, csvArrayForm(col(f.name)))
         case _       => d
       }
     }

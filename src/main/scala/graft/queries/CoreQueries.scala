@@ -31,6 +31,32 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // A4+F4 round-trip: the CSV sink's pandas-style array form
+    // ("[1.0, 2.0]", the exact expression writeCsvCompat applies) fed
+    // back through Clean.parseDoubleArray, proving sink serialization
+    // and parse are inverses under the oracle. Array elements are
+    // integral-valued doubles so the JSON rendering is byte-identical
+    // across engines (fractional shortest-repr can differ between
+    // Java 17 Double.toString and DuckDB's Ryu).
+    "a4_roundtrip" -> ((s, d) => {
+      val base = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("bigint").cast("double")
+            .as("__s"),
+          max(col("l_quantity")).cast("bigint").cast("double")
+            .as("__m"))
+        .select(col("l_suppkey"),
+          array(col("__s"), col("__m")).as("__arr"))
+      base
+        .withColumn("csv_form", Ingest.csvArrayForm(col("__arr")))
+        .withColumn("__parsed", Clean.parseDoubleArray(col("csv_form")))
+        .select(col("l_suppkey"), col("csv_form"),
+          round(Clean.arrayTotal(col("__parsed")), 6).as("total"),
+          Clean.arrayWeeks(col("__parsed")).cast("long").as("weeks"),
+          (col("__parsed") === col("__arr")).as("roundtrip_ok"))
+        .orderBy("l_suppkey")
+    }),
+
     // ---- B: projection / rename / coercion ----
     "b1_rename" -> ((s, d) => {
       Ingest.rename(t(s, d, "lineitem"), Map(
@@ -344,6 +370,19 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem WHERE l_quantity > 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a4_roundtrip" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) AS s,
+        |    CAST(CAST(max(l_quantity) AS BIGINT) AS DOUBLE) AS m
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey,
+        |  '[' || CAST(CAST(s AS BIGINT) AS VARCHAR) || '.0, ' ||
+        |    CAST(CAST(m AS BIGINT) AS VARCHAR) || '.0]' AS csv_form,
+        |  round(s + m, 6) AS total,
+        |  CAST(2 AS BIGINT) AS weeks,
+        |  TRUE AS roundtrip_ok
+        |FROM agg ORDER BY l_suppkey""".stripMargin,
     "b1_rename" ->
       """SELECT l_orderkey, l_linenumber, l_partkey AS product_id,
         |  l_returnflag AS store_id, l_quantity AS units_sold
