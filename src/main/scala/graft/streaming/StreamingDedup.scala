@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact dedup by CONTENT hash with watermark-bounded state
+  * — the shape an unbounded document firehose needs.
+  *
+  * [[StreamingResample.dedupFirstSeen]]'s per-key state grows with
+  * the all-time distinct-key count; on a corpus stream that is
+  * unbounded. `dropDuplicatesWithinWatermark` instead evicts state
+  * once the event-time watermark passes: state is one 16-byte md5 per
+  * document inside the horizon — never the text, never the whole
+  * history. Within the horizon the semantics are exactly the batch
+  * `Dedup.exactDedupByHash` keeper rule (first arrival wins).
+  */
+object StreamingDedup {
+
+  /** Emit only the first occurrence of each text content within the
+    * watermark horizon. Falls back to plain `dropDuplicates` for a
+    * batch frame (useful for spec parity checks).
+    */
+  def dedupByContent(docs: DataFrame, text: String, ts: String,
+      watermarkDelay: String = "24 hours"): DataFrame = {
+    val hashed = docs.withColumn("__md5", md5(col(text).cast("binary")))
+    val out =
+      if (docs.isStreaming)
+        hashed.withWatermark(ts, watermarkDelay)
+          .dropDuplicatesWithinWatermark("__md5")
+      else hashed.dropDuplicates("__md5")
+    out.drop("__md5")
+  }
+}

@@ -94,6 +94,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSeq === Seq(1L, 2L, 3L)) // key 2 emitted only once
   }
 
+  test("watermarked content dedup emits first arrival only, bounded state") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def rows(dir: String, docs: (Long, String, String)*): Unit =
+      docs.toSeq
+        .map { case (i, ts, t) => (i, java.sql.Timestamp.valueOf(ts), t) }
+        .toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory("cdedup_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdedup_ck").toString
+    rows(dir, (1L, "2024-01-01 00:00:00", "same boilerplate"),
+      (2L, "2024-01-01 00:05:00", "unique page"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.dedupByContent(stream, "text", "ts",
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("cdedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // duplicate content in a later micro-batch inside the horizon
+    rows(dir, (3L, "2024-01-01 00:10:00", "same boilerplate"),
+      (4L, "2024-01-01 00:20:00", "another page"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("cdedup_out").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 4L)) // doc 3 deduped against doc 1
+    // batch degenerate path = exactDedupByHash keeper count
+    val batch = Seq((1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(StreamingDedup.dedupByContent(batch, "text", "ts").count() === 2)
+  }
+
   test("mapGroupsWithState running totals") {
     val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
     val out = StreamingResample.runningTotals(ds).collect()
