@@ -153,6 +153,21 @@ object Similarity {
     * corpus (the caller-visible recall/cost knob), exactly like any
     * LSH join at 100 TB.
     */
+  /** Embedding-cosine near-dup dedup: verified sim-join pairs at
+    * cosine ≥ τ, drop the higher id of each pair, keep survivors —
+    * the embedding-space analogue of the text near-dup flow. LSH
+    * bucketing bounds the candidate set (recall is governed by
+    * `planes`, the standard trade at corpus scale; the oracle mirrors
+    * the same buckets so results are exact w.r.t. the declared
+    * algorithm).
+    */
+  def dedupByCosine(df: DataFrame, id: String, vec: String,
+      planes: Int, minSim: Double): DataFrame = {
+    val drops = lshSimilarityJoin(df, id, vec, planes, minSim)
+      .select(col("id2").as(id)).distinct()
+    df.select(col(id)).join(drops, Seq(id), "left_anti")
+  }
+
   def lshSimilarityJoin(df: DataFrame, id: String, vec: String,
       planes: Int = 8, minSim: Double = 0.0): DataFrame = {
     val members = df.select(

@@ -66,6 +66,17 @@ object LlmQueries {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "simhash_neardup" -> ((s, d) => {
+      Dedup.simhashNearDup(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+    "dedup_embed_cosine" -> ((s, d) => {
+      // τ=0.35 sits just under the synthetic corpus's max pair cosine
+      // (0.44) so the flow is exercised non-vacuously
+      Similarity.dedupByCosine(t(s, d, "embeddings"), "vec_id",
+        "embedding", planes = 6, minSim = 0.35)
+        .orderBy("vec_id")
+    }),
     "embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -294,6 +305,42 @@ object LlmQueries {
     "simhash" ->
       s"""SELECT doc_id, $duckSimhash AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "simhash_neardup" -> {
+      val nBands = 2
+      val width = simhashBits / nBands
+      val bandRows = (0 until nBands).map { b =>
+        s"""SELECT doc_id, CAST($b AS BIGINT) AS band,
+            (s // ${1L << (b * width)}) % ${1L << width} AS band_key
+            FROM sh"""
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, $duckSimhash AS s FROM documents),
+         |buckets AS ($bandRows),
+         |${cappedCte()},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)
+         |SELECT p.id1, p.id2,
+         |  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+         |FROM pairs p JOIN sh x ON x.doc_id = p.id1
+         |JOIN sh y ON y.doc_id = p.id2
+         |WHERE bit_count(xor(x.s, y.s)) <= 1
+         |ORDER BY id1, id2""".stripMargin
+    },
+    "dedup_embed_cosine" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $duckVec AS vec,
+         |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM v a JOIN v b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY e.vec_id""".stripMargin,
     "embed_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |scored AS (

@@ -157,6 +157,24 @@ class LlmSpec extends AnyFunSuite {
     assert(r(0) !== r(2))
   }
 
+  test("simhashNearDup: identical docs pair at hamming 0; banding is lossless") {
+    val df = docs(
+      "data engines love columnar formats and vectorized execution",
+      "data engines love columnar formats and vectorized execution",
+      "zzz qqq xxx yyy www vvv uuu ttt sss rrr")
+    val pairs = Dedup.simhashNearDup(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq.contains((0L, 1L, 0L)))
+    // brute-force check: every hamming<=1 pair is found (pigeonhole)
+    val sh = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      i <- sh.keys; j <- sh.keys if i < j
+      if java.lang.Long.bitCount(sh(i) ^ sh(j)) <= 1
+    } yield (i, j)
+    assert(pairs.map(p => (p._1, p._2)).toSet === brute.toSet)
+  }
+
   test("cosine similarity: self = 1, orthogonal = 0") {
     val df = Seq(
       (0L, Seq.fill(64)(1.0f)),
