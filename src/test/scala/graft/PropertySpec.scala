@@ -16,6 +16,40 @@ class PropertySpec extends AnyFunSuite {
     Array.fill(n)(lo + rnd.nextDouble() * (hi - lo))
   private val trials = 200
 
+  test("eligibleSparse = eligible after densify (gate-before-densify equivalence)") {
+    // randomized sparse weekly frames: the groups surviving the gates
+    // must be identical whether gates run on the sparse frame (span
+    // arithmetic) or on the densified frame (dense row count)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cfg = PipelineConfig()
+    (1 to 10).foreach { _ =>
+      val rows = (0 until 40).map { _ =>
+        val key = s"k${rnd.nextInt(6)}"
+        val week = java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 7).plusWeeks(rnd.nextInt(30)))
+        (key, week, rnd.nextInt(12).toDouble)
+      }
+      val sparse = rows.toDF("sku", "week", "units")
+        .groupBy("sku", "week")
+        .agg(org.apache.spark.sql.functions.sum("units").as("units"))
+      val viaSparse = graft.engine.Resample.densify(
+        graft.engine.Series.eligibleSparse(sparse, Seq("sku"), cfg),
+        Seq("sku"))
+        .select("sku", "week", "units").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+        .sorted
+      val viaDense = graft.engine.Series.eligible(
+        graft.engine.Resample.densify(sparse, Seq("sku")), Seq("sku"),
+        cfg)
+        .select("sku", "week", "units").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+        .sorted
+      assert(viaSparse.toSeq === viaDense.toSeq)
+    }
+  }
+
   test("safeMape is non-negative and finite") {
     (1 to trials).foreach { _ =>
       val n = 1 + rnd.nextInt(64)
