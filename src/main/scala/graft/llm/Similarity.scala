@@ -109,6 +109,41 @@ object Similarity {
       .select(col(id).cast("long").as("cell"),
         expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("cvec"))
 
+  /** Deterministic Lloyd's k-means refinement of the IVF centroids:
+    * each iteration broadcast-assigns every vector to its nearest
+    * centroid (one narrow corpus pass — [[ivfAssign]]), then takes the
+    * component-wise mean per cell. Component sums route through
+    * `decimal(28,10)` — decimal addition is exact, so the mean is
+    * ORDER-INDEPENDENT and bit-reproducible on any partitioning and
+    * in the DuckDB oracle (a double sum would drift with shuffle
+    * order). Cells that lose all members keep their previous centroid.
+    * Per iteration: one broadcast pass + one (cell, dim)-keyed
+    * aggregation — both map-side combining, nothing driver-side, the
+    * same cost profile at any corpus size.
+    */
+  def kmeansCentroids(df: DataFrame, id: String, vec: String,
+      cells: Int, iters: Int): DataFrame = {
+    val v = df.select(col(id),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+    var cents = seedCentroids(df, id, vec, cells)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(df, id, vec, cents).join(v, Seq(id))
+      val means = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy(col("cell"), col("__i"))
+        .agg((sum(col("__x").cast("decimal(28,10)")).cast("double")
+          / count(lit(1))).as("__m"))
+      val refreshed = means.groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(__i, __m))), s -> s.__m)")
+          .as("__cv"))
+      cents = cents
+        .join(refreshed, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("__cv"), col("cvec")).as("cvec"))
+    }
+    cents
+  }
+
   /** IVF top-k: probe each query's `nprobe` nearest cells, brute-force
     * cosine only within them. Both the probe map and the query set are
     * broadcast; the corpus is scanned once.

@@ -100,6 +100,15 @@ object LlmQueries {
         Similarity.seedCentroids(emb, "vec_id", "embedding", 16))
         .orderBy("vec_id")
     }),
+    "ivf_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Canon.stringifyArrays(
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          cells = 16, iters = 2)
+          .select(col("cell"),
+            expr("transform(cvec, x -> round(x, 6))").as("centroid")))
+        .orderBy("cell")
+    }),
     "ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
@@ -382,6 +391,40 @@ object LlmQueries {
          |        (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ivf_kmeans" -> {
+      // two unrolled Lloyd iterations; decimal-routed component sums
+      // make the means order-independent, matching the Spark side
+      def assign(cs: String) =
+        s"""SELECT vec_id, cell
+           |  FROM (SELECT v.vec_id, $cs.cell, row_number() OVER
+           |          (PARTITION BY v.vec_id ORDER BY
+           |           ${duckCos("v.vec", s"$cs.cvec")} DESC, $cs.cell DESC) rn
+           |        FROM v, $cs)
+           |  WHERE rn = 1""".stripMargin
+      def step(prev: String, a: String, m: String, out: String) =
+        s"""$a AS (${assign(prev)}),
+           |${m} AS (
+           |  SELECT $a.cell, dims.i,
+           |    CAST(sum(CAST(v.vec[dims.i] AS DECIMAL(28,10))) AS DOUBLE)
+           |      / count(*) AS m
+           |  FROM $a JOIN v USING (vec_id),
+           |       (SELECT unnest(generate_series(1, 64)) AS i) dims
+           |  GROUP BY 1, 2),
+           |${out}_new AS (
+           |  SELECT cell, list(m ORDER BY i) AS cvec FROM $m GROUP BY cell),
+           |$out AS (
+           |  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+           |  FROM $prev p LEFT JOIN ${out}_new n USING (cell))""".stripMargin
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
+         |       FROM v WHERE vec_id < 16),
+         |${step("c0", "a1", "m1", "c1")},
+         |${step("c1", "a2", "m2", "c2")}
+         |SELECT cell,
+         |  array_to_string(list_transform(cvec,
+         |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS centroid
+         |FROM c2 ORDER BY cell""".stripMargin
+    },
     "ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec

@@ -205,6 +205,20 @@ class LlmSpec extends AnyFunSuite {
     assert(inBucket > all)
   }
 
+  test("kmeansCentroids: deterministic, cells preserved, means exact") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(c1.map(_._1).toSeq === (0L until 8L)) // every cell survives
+    assert(c1.map(_._2).toSeq === c2.map(_._2).toSeq) // repartition-proof
+    assert(c1.forall(_._2.length === 64))
+  }
+
   test("text stats and language id on constructed inputs") {
     val df = docs(
       "the cat and the dog walk to the park of the city",
