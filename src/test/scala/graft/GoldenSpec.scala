@@ -45,6 +45,29 @@ class GoldenSpec extends AnyFunSuite {
     rows.result()
   }
 
+  test("ForecastJob: ventas CSV in, results CSV + report out (reference main parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("ventas").toString
+    val outCsv = java.nio.file.Files.createTempDirectory("results").toString + "/res"
+    ventasRows.toDF("InvoiceNo", "StockCode", "Description",
+      "Quantity", "InvoiceDate", "UnitPrice", "CustomerID", "Country")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val cfg = PipelineConfig(useTrendSeasonal = false,
+      useHoltWinters = false)
+    val (results, reportTxt) =
+      ForecastJob.run(spark, dir, Some(outCsv), cfg)
+    assert(results.select("SKU").collect().map(_.getString(0)).sorted
+      .toSeq === Seq("DENSE", "GAPPY"))
+    // sunk CSV re-enters the report stage like generador.py re-reads
+    // forecast_resultados: stringified Forecast parses back (A4+F4)
+    val reread = spark.read.schema(graft.engine.Schemas.forecastResults)
+      .option("header", "true").csv(outCsv)
+    val cleaned = graft.engine.Report.clean(reread)
+    assert(cleaned.count() === 2)
+    assert(cleaned.filter(col("Forecast_Weeks") === 4).count() === 2)
+    assert(reportTxt.contains("Análisis Detallado de SKU: DENSE"))
+    assert(reportTxt.contains("RECOMENDACIÓN CLAVE"))
+  }
+
   test("flagship golden: gates, W-SUN edge, MA forecast, inventory") {
     val raw = ventasRows.toDF("InvoiceNo", "StockCode", "Description",
       "Quantity", "InvoiceDate", "UnitPrice", "CustomerID", "Country")
