@@ -116,6 +116,17 @@ object LlmQueries {
         "embedding", cents, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+    // the full IVF pipeline composed: Lloyd-fitted centroids feed the
+    // probed search — fit, assign, probe, and search all oracled
+    // through one query
+    "ivf_topk_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        cells = 16, iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", cents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     "text_stats" -> ((s, d) => {
       TextAnalysis.withStats(t(s, d, "documents"), "text")
         .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
@@ -256,6 +267,71 @@ object LlmQueries {
   private val duckNTokens =
     "len(string_split_regex(trim(text), '\\s+'))"
 
+  /** Two unrolled Lloyd iterations over the `v` CTE; decimal-routed
+    * component sums make the means order-independent, matching the
+    * Spark side. Ends with centroid CTE `c2`.
+    */
+  private def duckKmeansChain: String = {
+    def assign(cs: String) =
+      s"""SELECT vec_id, cell
+         |  FROM (SELECT v.vec_id, $cs.cell, row_number() OVER
+         |          (PARTITION BY v.vec_id ORDER BY
+         |           ${duckCos("v.vec", s"$cs.cvec")} DESC, $cs.cell DESC) rn
+         |        FROM v, $cs)
+         |  WHERE rn = 1""".stripMargin
+    def step(prev: String, a: String, m: String, out: String) =
+      s"""$a AS (${assign(prev)}),
+         |${m} AS (
+         |  SELECT $a.cell, dims.i,
+         |    CAST(sum(CAST(v.vec[dims.i] AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM $a JOIN v USING (vec_id),
+         |       (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY 1, 2),
+         |${out}_new AS (
+         |  SELECT cell, list(m ORDER BY i) AS cvec FROM $m GROUP BY cell),
+         |$out AS (
+         |  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN ${out}_new n USING (cell))""".stripMargin
+    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
+       |       FROM v WHERE vec_id < 16),
+       |${step("c0", "a1", "m1", "c1")},
+       |${step("c1", "a2", "m2", "c2")}""".stripMargin
+  }
+
+  /** IVF probed top-k over a centroid CTE named `cent` (expects `v` in
+    * scope); mirrors Similarity.ivfTopK exactly.
+    */
+  private def duckIvfTopkTail(cent: String): String =
+    s"""assign AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT v.vec_id, $cent.cell, row_number() OVER
+       |          (PARTITION BY v.vec_id ORDER BY
+       |           ${duckCos("v.vec", s"$cent.cvec")} DESC, $cent.cell DESC) rn
+       |        FROM v, $cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cell
+       |  FROM (SELECT q.vec_id AS query_id, $cent.cell, row_number() OVER
+       |          (PARTITION BY q.vec_id ORDER BY
+       |           ${duckCos("q.vec", s"$cent.cvec")} DESC, $cent.cell DESC) rn
+       |        FROM v q, $cent WHERE q.vec_id < 8)
+       |  WHERE rn <= 2),
+       |cands AS (
+       |  SELECT a.vec_id AS cand_id, a.cell, v.vec AS cvec2
+       |  FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |joined AS (
+       |  SELECT p.query_id, c.cand_id,
+       |    round(${duckCos("qv.vec", "c.cvec2")}, 6) AS sim
+       |  FROM cands c JOIN probes p ON c.cell = p.cell
+       |  JOIN v qv ON qv.vec_id = p.query_id
+       |  WHERE c.cand_id != p.query_id)
+       |SELECT query_id, cand_id, sim,
+       |  rank FROM (SELECT query_id, cand_id, sim, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+       |  FROM joined)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper, count(*) AS dup_count
@@ -391,72 +467,22 @@ object LlmQueries {
          |        (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-    "ivf_kmeans" -> {
-      // two unrolled Lloyd iterations; decimal-routed component sums
-      // make the means order-independent, matching the Spark side
-      def assign(cs: String) =
-        s"""SELECT vec_id, cell
-           |  FROM (SELECT v.vec_id, $cs.cell, row_number() OVER
-           |          (PARTITION BY v.vec_id ORDER BY
-           |           ${duckCos("v.vec", s"$cs.cvec")} DESC, $cs.cell DESC) rn
-           |        FROM v, $cs)
-           |  WHERE rn = 1""".stripMargin
-      def step(prev: String, a: String, m: String, out: String) =
-        s"""$a AS (${assign(prev)}),
-           |${m} AS (
-           |  SELECT $a.cell, dims.i,
-           |    CAST(sum(CAST(v.vec[dims.i] AS DECIMAL(28,10))) AS DOUBLE)
-           |      / count(*) AS m
-           |  FROM $a JOIN v USING (vec_id),
-           |       (SELECT unnest(generate_series(1, 64)) AS i) dims
-           |  GROUP BY 1, 2),
-           |${out}_new AS (
-           |  SELECT cell, list(m ORDER BY i) AS cvec FROM $m GROUP BY cell),
-           |$out AS (
-           |  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
-           |  FROM $prev p LEFT JOIN ${out}_new n USING (cell))""".stripMargin
+    "ivf_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
-         |       FROM v WHERE vec_id < 16),
-         |${step("c0", "a1", "m1", "c1")},
-         |${step("c1", "a2", "m2", "c2")}
+         |$duckKmeansChain
          |SELECT cell,
          |  array_to_string(list_transform(cvec,
          |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS centroid
-         |FROM c2 ORDER BY cell""".stripMargin
-    },
+         |FROM c2 ORDER BY cell""".stripMargin,
     "ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
          |         FROM v WHERE vec_id < 16),
-         |assign AS (
-         |  SELECT vec_id, cell
-         |  FROM (SELECT v.vec_id, cent.cell, row_number() OVER
-         |          (PARTITION BY v.vec_id ORDER BY
-         |           ${duckCos("v.vec", "cent.cvec")} DESC, cent.cell DESC) rn
-         |        FROM v, cent)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, cell
-         |  FROM (SELECT q.vec_id AS query_id, cent.cell, row_number() OVER
-         |          (PARTITION BY q.vec_id ORDER BY
-         |           ${duckCos("q.vec", "cent.cvec")} DESC, cent.cell DESC) rn
-         |        FROM v q, cent WHERE q.vec_id < 8)
-         |  WHERE rn <= 2),
-         |cands AS (
-         |  SELECT a.vec_id AS cand_id, a.cell, v.vec AS cvec2
-         |  FROM assign a JOIN v ON a.vec_id = v.vec_id),
-         |joined AS (
-         |  SELECT p.query_id, c.cand_id,
-         |    round(${duckCos("qv.vec", "c.cvec2")}, 6) AS sim
-         |  FROM cands c JOIN probes p ON c.cell = p.cell
-         |  JOIN v qv ON qv.vec_id = p.query_id
-         |  WHERE c.cand_id != p.query_id)
-         |SELECT query_id, cand_id, sim,
-         |  rank FROM (SELECT query_id, cand_id, sim, row_number() OVER
-         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
-         |  FROM joined)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+         |${duckIvfTopkTail("cent")}""".stripMargin,
+    "ivf_topk_kmeans" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |$duckKmeansChain,
+         |${duckIvfTopkTail("c2")}""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST($duckNTokens AS BIGINT) AS n_tokens,
