@@ -11,6 +11,20 @@ class EngineExtrasSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("Canon.stringifyArrays: %.6f doubles, -0.0 normalized, ints cast, scalars untouched") {
+    val df = Seq(
+      (1L, Seq(1.5, -0.0, 12.125), Seq(3L, 14L), "keep"))
+      .toDF("id", "ds", "ls", "s")
+    val out = graft.queries.Canon.stringifyArrays(df).collect()(0)
+    assert(out.getLong(0) === 1L)
+    assert(out.getString(1) === "1.500000,0.000000,12.125000")
+    assert(out.getString(2) === "3,14")
+    assert(out.getString(3) === "keep")
+    // schema: every array column became a string column
+    val schema = graft.queries.Canon.stringifyArrays(df).schema
+    assert(schema.fields.count(_.dataType.typeName == "string") === 3)
+  }
+
   test("SafeMapeAgg matches the kernel safeMape on grouped pairs") {
     val pairs = Seq(
       ("g1", 10.0, 11.0), ("g1", 0.0, 5.0), ("g1", 20.0, 18.0),
