@@ -25,9 +25,39 @@ object PipelineQueries {
         col("l_shipdate").as("ts"),
         col("l_quantity").as("units"))
 
+  /** Exact linear-interpolated quantile over a sorted array column,
+    * reproducing Spark `percentile` (and DuckDB `quantile_cont`)
+    * arithmetic bit-for-bit: position h = (n-1)*p; when h is integral
+    * the element itself, else (ceil(h)-h)*a[floor(h)+1] +
+    * (h-floor(h))*a[ceil(h)+1] — that exact product order, verified
+    * against PercentileBase.getPercentile, so the array form below
+    * hashes identically to the window form it replaced.
+    */
+  private def quantileCont(sorted: String, n: String,
+      p: Double): org.apache.spark.sql.Column = expr(
+    s"""CASE WHEN $n = 0 THEN NULL ELSE (
+       |  CASE WHEN floor(($n - 1) * ${p}D) = ceil(($n - 1) * ${p}D)
+       |    THEN element_at($sorted, CAST(($n - 1) * ${p}D AS INT) + 1)
+       |    ELSE (ceil(($n - 1) * ${p}D) - ($n - 1) * ${p}D)
+       |       * element_at($sorted, CAST(floor(($n - 1) * ${p}D) AS INT) + 1)
+       |       + (($n - 1) * ${p}D - floor(($n - 1) * ${p}D))
+       |       * element_at($sorted, CAST(ceil(($n - 1) * ${p}D) AS INT) + 1)
+       |  END) END""".stripMargin)
+
   /** §7.3 minimum end-to-end slice, fully relational (J3-only model so
     * every step is SQL-expressible): clean → E2 → C4 → winsorize → E5 →
     * MA forecast → G1 MAPE → H1-H5 inventory.
+    *
+    * Physical shape: ONE per-series aggregation straight off the sparse
+    * weekly frame; gates, densify, winsorize and split are array
+    * expressions on the collapsed row. The dense calendar grid (the
+    * pipeline's ~20× row amplifier at fine grains) exists only inside
+    * per-series arrays — never as shuffled rows — which is the typed
+    * kernel's (Kernel.run) strategy expressed relationally. The three
+    * window passes the previous form pushed ~12M dense rows through
+    * (winsorize quantiles, split row_number, gate counts) are gone;
+    * per-series state stays calendar-bounded (52 cells/yr), so the
+    * shape survives a 100 TB fine-grain run.
     */
   def e2eSlice(s: SparkSession, dir: String,
       cfg: PipelineConfig = PipelineConfig(),
@@ -42,26 +72,54 @@ object PipelineQueries {
         col("l_returnflag").as("store"),
         col("l_shipdate").as("ts"),
         col("l_quantity").as("units")), "units")
-    // gates decide on the SPARSE frame (span/total are densify-
-    // invariant), so zero-row amplification only happens for kept
-    // groups — the order that survives fine grains at scale
     val sparse = Resample.weeklySparse(cleaned, keys, "ts", "units")
-    val gated = Resample.densify(
-      Series.eligibleSparse(sparse, keys, cfg), keys)
-    val wins = Series.winsorize(gated, keys)
-    val split = Series.markSplit(wins, keys, "week", cfg.horizonWeeks)
+    val h = cfg.horizonWeeks
 
-    // per-series aggregates: ordered train/test arrays + train stats
-    val perSeries = split
+    val perSeries = sparse
       .groupBy(keys.map(col): _*)
-      .agg(
-        sort_array(collect_list(when(!col("is_test"),
-          struct(col("week"), col("units"))))).as("train_wk"),
-        sort_array(collect_list(when(col("is_test"),
-          struct(col("week"), col("units"))))).as("test_wk"))
+      .agg(min(col("week")).as("w0"), max(col("week")).as("w1"),
+        sum(col("units")).as("__total"),
+        sort_array(collect_list(struct(col("week"), col("units"))))
+          .as("__ent"))
+      // C4 gates are densify-invariant (span == dense row count, gap
+      // zeros add nothing to the total — see Series.eligibleSparse), so
+      // they apply on the collapsed sparse row before any densification
+      .filter((datediff(col("w1"), col("w0")) / 7 + 1) >= cfg.minWeeks &&
+        col("__total") >= cfg.minTotalSales)
+      // E2 densify as an array SCATTER over the week-sorted entries:
+      // each entry emits its units followed by (gap-1) zeros up to the
+      // next observed week. O(total cells), unlike an element_at(map)
+      // lookup per grid cell which is O(cells × entries) — the map form
+      // measured ~2× slower at the fine grain
+      .withColumn("dense", expr(
+        """flatten(transform(__ent, (e, i) ->
+          |  CASE WHEN i = size(__ent) - 1 THEN array(e.units)
+          |  ELSE concat(array(e.units), array_repeat(0D, CAST(
+          |    (datediff(element_at(__ent, i + 2).week, e.week) div 7) - 1
+          |    AS INT)))
+          |  END))""".stripMargin))
+      // D8+D10 winsorize: [q01, q99] of the POSITIVE values (gap zeros
+      // excluded from the quantile, raised by the clamp — the
+      // reference's semantic trap, see Series.winsorize). Both bounds
+      // live in ONE staged array column: referenced twice below, so
+      // CollapseProject keeps the projection instead of inlining the
+      // quantile CASEs into the clamp lambda (which would re-evaluate
+      // them per dense cell — measured ~2× the whole query)
+      .withColumn("__pos", expr(
+        "array_sort(filter(transform(__ent, e -> e.units), x -> x > 0D))"))
+      .withColumn("__npos", size(col("__pos")))
+      .withColumn("__qb", array(
+        quantileCont("__pos", "__npos", 0.01),
+        quantileCont("__pos", "__npos", 0.99)))
+      .withColumn("wins", when(col("__npos") > 5, expr(
+        "transform(dense, x -> least(greatest(x, __qb[0]), __qb[1]))"))
+        .otherwise(col("dense")))
+      // E5 positional split: last `horizon` cells are test
+      .withColumn("__n", size(col("wins")))
       .select(col("sku"), col("store"),
-        expr("transform(train_wk, x -> x.units)").as("train"),
-        expr("transform(test_wk, x -> x.units)").as("test"))
+        expr(s"slice(wins, 1, greatest(__n - $h, 0))").as("train"),
+        expr(s"slice(wins, greatest(__n - $h, 0) + 1, least($h, __n))")
+          .as("test"))
 
     val withFc = perSeries
       // J3 moving average: mean of last 4 train weeks (full mean when
