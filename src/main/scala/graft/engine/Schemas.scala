@@ -52,7 +52,15 @@ case class PipelineConfig(
     // model toggles (the reference gates Prophet on import availability,
     // ref: PRACTICA3.py:22-26; we gate the substitute the same way)
     useTrendSeasonal: Boolean = true,
-    useHoltWinters: Boolean = true)
+    useHoltWinters: Boolean = true,
+    // align the kernel's float arithmetic with the SQL-oracle form for
+    // exact hash compare: round the MA forecast to 6dp (half-up, the
+    // same BigDecimal path as Spark `round`) before MAPE, and use
+    // Spark-percentile product order in the winsorize quantile.
+    // Default false = the reference's numpy semantics (unrounded MA,
+    // `lo + frac*(hi-lo)` interpolation); the divergence is ≤1 ulp,
+    // visible only when a MAPE lands exactly on a .0005 boundary
+    oracleCompat: Boolean = false)
 
 /** One cleaned sales observation entering the typed kernel. */
 case class SalesRow(sku: String, store: String, week: Date, units: Double)

@@ -28,14 +28,20 @@ object Kernel {
 
   /** pandas-style exact quantile with linear interpolation
     * (ref: PRACTICA3.py:103-106; verified q(.99) of 1..10 = 9.91).
+    * `oracleCompat` switches to Spark `percentile`'s product order
+    * ((ceil(h)-h)*lo + (h-floor(h))*hi) — same real value, ≤1 ulp
+    * apart from numpy's `lo + frac*(hi-lo)`.
     */
-  def quantile(sorted: Array[Double], q: Double): Double = {
+  def quantile(sorted: Array[Double], q: Double,
+      oracleCompat: Boolean = false): Double = {
     val n = sorted.length
     if (n == 1) return sorted(0)
     val h = (n - 1) * q
     val lo = math.floor(h).toInt
     val hi = math.min(lo + 1, n - 1)
-    sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    if (lo == hi) sorted(lo)
+    else if (oracleCompat) (hi - h) * sorted(lo) + (h - lo) * sorted(hi)
+    else sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
   }
 
   /** Densified weekly series: explicit zeros between min and max week
@@ -69,8 +75,8 @@ object Kernel {
     // winsorize (D8/D10): bounds from POSITIVE values, clip whole series
     val pos = series.filter(_ > 0).sorted
     if (pos.length > 5) {
-      val lo = quantile(pos, 0.01)
-      val hi = quantile(pos, 0.99)
+      val lo = quantile(pos, 0.01, cfg.oracleCompat)
+      val hi = quantile(pos, 0.99, cfg.oracleCompat)
       series = series.map(x => math.min(math.max(x, lo), hi))
     }
 
@@ -88,14 +94,30 @@ object Kernel {
     preds += Models.movingAverage(train, cfg.horizonWeeks)
 
     // ensemble (J4), metrics (G1), inventory (H1-H5)
-    val fc = Models.ensemble(preds.result(), train, cfg.horizonWeeks)
+    val fc0 = Models.ensemble(preds.result(), train, cfg.horizonWeeks)
+    // oracle-compat: 6dp half-up via BigDecimal — the exact code path
+    // of Spark `round(_, 6)` on doubles, so MAPE inputs match the SQL
+    // form bit-for-bit
+    val fc = if (cfg.oracleCompat) fc0.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    else fc0
     val mape = Metrics.safeMape(test, fc)
     val inv = Inventory.compute(train, fc, cfg)
     val elapsed = (System.nanoTime() - t0) / 1e9
 
+    // ref rounds mape to 3 dp banker's (Python round). math.rint on
+    // x*1000 matches it; oracleCompat instead goes through BigDecimal
+    // 12dp→3dp HALF_EVEN — bit-deterministic and mirrored exactly by
+    // the oracle's round_even(CAST(x AS DECIMAL(28,12)), 3), where
+    // float round_even is unpredictable within an ulp of a .0005 tie
+    val mape3 =
+      if (cfg.oracleCompat)
+        BigDecimal(mape).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)
+          .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      else math.rint(mape * 1000) / 1000
     Some(SkuResult(
       sku = sku, store = store,
-      mape = math.rint(mape * 1000) / 1000, // ref rounds to 3 dp
+      mape = mape3,
       forecast = fc, test = test,
       safety_stock = inv.safetyStock,
       reorder_point = inv.reorderPoint,

@@ -168,9 +168,10 @@ object PipelineQueries {
     * as e2eSlice) — exercises Kernel.run end to end.
     */
   def kernelMa(s: SparkSession, dir: String,
-      skuCol: String = "l_suppkey"): DataFrame = {
+      skuCol: String = "l_suppkey",
+      oracleCompat: Boolean = false): DataFrame = {
     val cfg = PipelineConfig(useTrendSeasonal = false,
-      useHoltWinters = false)
+      useHoltWinters = false, oracleCompat = oracleCompat)
     Kernel.run(Clean.nonNegative(sales(s, dir, skuCol), "units"), cfg)
       .drop("runtime_sec")
       .withColumn("forecast",
@@ -270,18 +271,14 @@ object PipelineQueries {
       e2eSlice(s, d, skuCol = "l_partkey"))),
     // the same fine-grain workload through the TYPED KERNEL: per-series
     // calendar-bounded densify inside flatMap instead of materializing
-    // ~12M dense rows through three window passes. This is the physical
-    // strategy a 100 TB fine-grain run should pick — the bench shows
-    // the relational form (above, deliberately kept as the operator
-    // stress) vs this at ~6x. forecast/test/inventory are oracle-exact;
-    // mape is a >=0 invariant here because the kernel's MA is unrounded
-    // (reference semantics) while the SQL oracle's is 6dp-rounded — at
-    // ~6000 series a handful of mapes land exactly on a .0005 banker's
-    // boundary of that ulp gap (kernel_ma and e2e_slice_partkey check
-    // mape exactly at their grains).
+    // dense rows through window passes — the physical strategy a 100 TB
+    // fine-grain run should pick. Runs with oracleCompat=true (6dp MA
+    // rounding + Spark-percentile product order, PipelineConfig doc) so
+    // EVERY column, mape included, hash-matches the SQL oracle exactly
+    // even at ~6000 series where the reference's unrounded-MA floats
+    // land on .0005 banker's boundaries.
     "kernel_ma_partkey" -> ((s, d) => Canon.stringifyArrays(
-      kernelMa(s, d, skuCol = "l_partkey")
-        .withColumn("mape_ok", col("mape") >= 0.0).drop("mape"))),
+      kernelMa(s, d, skuCol = "l_partkey", oracleCompat = true))),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
     // as-of join: every click gets the user's latest purchase value
@@ -397,9 +394,9 @@ object PipelineQueries {
        |      - pow(list_sum(train) / len(train), 2), 0.0)), 6) AS train_std,
        |    train[-1] AS last_units
        |  FROM fc),
-       |mape AS (
+       |mape0 AS (
        |  SELECT sku, store, forecast, test, train, train_std, last_units, ma,
-       |    $mapeRound(CASE
+       |    CASE
        |      WHEN len(list_filter(test, x -> x != 0)) > 0
        |      THEN list_sum(list_transform(range(1, len(test) + 1),
        |             i -> CASE WHEN test[i] != 0
@@ -407,10 +404,14 @@ object PipelineQueries {
        |           / len(list_filter(test, x -> x != 0)) * 100
        |      ELSE list_sum(list_transform(range(1, len(test) + 1),
        |             i -> abs(test[i] - forecast[i]))) / len(test)
-       |      END, 3) AS mape
+       |      END AS mape_raw
        |  FROM stats),
+       |mape AS (
+       |  SELECT sku, store, forecast, test, train, train_std, last_units,
+       |    ma, mape_raw, $mapeRound(mape_raw, 3) AS mape
+       |  FROM mape0),
        |inv AS (
-       |  SELECT sku, store, mape, forecast, test,
+       |  SELECT sku, store, mape, mape_raw, forecast, test,
        |    CASE WHEN len(train) > 1
        |         THEN round(1.645 * train_std * sqrt(0.4285), 6)
        |         ELSE 0.0 END AS ss,
@@ -436,12 +437,14 @@ object PipelineQueries {
        |    AS BIGINT) AS qty_to_order
        |FROM inv ORDER BY sku, store""".stripMargin
 
-  /** kernel_ma_partkey oracle: everything exact except mape (TRUE
-    * invariant — see the query comment for the ulp-boundary rationale).
+  /** kernel_ma_partkey oracle: every column exact, mape included —
+    * the query runs the kernel with oracleCompat=true.
     */
   private def kernelMaPartkeyOracle: String =
     s"""${e2eCtes("round_even", "l_partkey")}
-       |SELECT sku, store, TRUE AS mape_ok,
+       |SELECT sku, store,
+       |  CAST(round_even(CAST(mape_raw AS DECIMAL(28,12)), 3) AS DOUBLE)
+       |    AS mape,
        |  array_to_string(list_transform(forecast,
        |    x -> printf('%.6f', x + 0.0)), ',') AS forecast,
        |  array_to_string(list_transform(test,
