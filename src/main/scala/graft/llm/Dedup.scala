@@ -232,19 +232,31 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
-  /** Connected components over an (id1, id2) edge list by iterative
-    * min-label propagation: each vertex's label becomes the minimum of
-    * its own and its neighbors' labels until fixpoint — the
-    * distributed union-find equivalent (converges in O(component
-    * diameter) rounds, each one shuffle keyed on vertex id). The edge
-    * list is the VERIFIED near-dup pairs — orders of magnitude smaller
-    * than the corpus — and near-dup components are shallow in
-    * practice, so rounds stay low at any corpus size.
-    * `localCheckpoint` truncates the per-round lineage so plans don't
-    * grow with iteration count.
+  /** Connected components over an (id1, id2) edge list by min-label
+    * propagation WITH pointer-jumping: each round every vertex takes
+    * the minimum of (its label, its neighbors' labels), then shortcuts
+    * to its label's label — so label chains collapse geometrically and
+    * a diameter-d component converges in O(log d) rounds instead of
+    * O(d), halving the driver-side convergence probes (one count()
+    * per round) on chain-shaped components. The edge list is the
+    * VERIFIED near-dup pairs — orders of magnitude smaller than the
+    * corpus. `localCheckpoint` truncates the per-round lineage so
+    * plans don't grow with iteration count.
+    *
+    * Exits loudly (stderr warning) if the loop hits `maxIters` with
+    * labels still changing — a silent partial result would diverge
+    * from the full-transitive-closure semantics callers rely on.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-      id: String, maxIters: Int = 50): DataFrame = {
+      id: String, maxIters: Int = 50): DataFrame =
+    connectedComponentsWithIters(edges, vertices, id, maxIters)._1
+
+  /** [[connectedComponents]] + the number of rounds actually run
+    * (exposed for convergence tests).
+    */
+  def connectedComponentsWithIters(edges: DataFrame,
+      vertices: DataFrame, id: String, maxIters: Int = 50)
+      : (DataFrame, Int) = {
     val sym = edges.select(col("id1").as("__a"), col("id2").as("__b"))
       .union(edges.select(col("id2").as("__a"), col("id1").as("__b")))
       .localCheckpoint()
@@ -257,9 +269,19 @@ object Dedup {
         .join(labels.select(col("__a").as("__b"),
           col("cluster").as("__nl")), "__b")
         .groupBy(col("__a")).agg(min(col("__nl")).as("__nl"))
-      val next = labels.join(prop, Seq("__a"), "left")
+      val stepped = labels.join(prop, Seq("__a"), "left")
         .select(col("__a"),
           least(col("cluster"), coalesce(col("__nl"), col("cluster")))
+            .as("cluster"))
+      // pointer-jump: labels are always vertex ids, so label(label(v))
+      // exists; taking it each round doubles the distance information
+      // carried per round (the large-star trick in min-label form)
+      val next = stepped.join(
+          stepped.select(col("__a").as("cluster"),
+            col("cluster").as("__ll")),
+          Seq("cluster"), "left")
+        .select(col("__a"),
+          least(col("cluster"), coalesce(col("__ll"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
       changed = next
@@ -269,7 +291,11 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("__a").as(id), col("cluster"))
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents hit maxIters=" +
+        s"$maxIters with labels still changing — result is a partial " +
+        "closure; raise maxIters")
+    (labels.select(col("__a").as(id), col("cluster")), iter)
   }
 
   /** Transitive-closure near-dup clustering: exact-dedup reps →

@@ -140,6 +140,10 @@ object Similarity {
         .join(refreshed, Seq("cell"), "left")
         .select(col("cell"),
           coalesce(col("__cv"), col("cvec")).as("cvec"))
+        // truncate lineage: without this each iteration's plan embeds
+        // every previous one, and each action recomputes the full
+        // history — fine at iters=2, quadratic blowup beyond
+        .localCheckpoint()
     }
     cents
   }
@@ -197,14 +201,22 @@ object Similarity {
     * algorithm).
     */
   def dedupByCosine(df: DataFrame, id: String, vec: String,
-      planes: Int, minSim: Double): DataFrame = {
-    val drops = lshSimilarityJoin(df, id, vec, planes, minSim)
+      planes: Int, minSim: Double,
+      maxBucket: Int = 4096): DataFrame = {
+    val drops = lshSimilarityJoin(df, id, vec, planes, minSim, maxBucket)
       .select(col("id2").as(id)).distinct()
     df.select(col(id)).join(drops, Seq(id), "left_anti")
   }
 
+  /** `maxBucket` caps each bucket's member list (lowest ids kept, the
+    * same deterministic rule as Dedup.candidatePairs): a hot bucket in
+    * a skewed embedding corpus would otherwise emit k²/2 pairs inside
+    * one task. Recall on the dropped tail is governed by `planes`,
+    * like every other occupancy knob in this file.
+    */
   def lshSimilarityJoin(df: DataFrame, id: String, vec: String,
-      planes: Int = 8, minSim: Double = 0.0): DataFrame = {
+      planes: Int = 8, minSim: Double = 0.0,
+      maxBucket: Int = 4096): DataFrame = {
     val members = df.select(
       lshBucketExpr(vec, planes).as("bucket"),
       col(id).as("__id"),
@@ -212,8 +224,9 @@ object Similarity {
       .withColumn("__n", expr(s"sqrt(${dot("__v", "__v")})"))
     members
       .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(
-        struct(col("__id"), col("__v"), col("__n")))).as("__ms"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("__id"), col("__v"), col("__n")))), 1, maxBucket)
+        .as("__ms"))
       .filter(size(col("__ms")) > 1)
       .select(col("bucket"), explode(expr(
         s"""flatten(transform(sequence(1, size(__ms) - 1),

@@ -37,7 +37,12 @@ object CoreQueries {
     // and parse are inverses under the oracle. Array elements are
     // integral-valued doubles so the JSON rendering is byte-identical
     // across engines (fractional shortest-repr can differ between
-    // Java 17 Double.toString and DuckDB's Ryu).
+    // Java 17 Double.toString and DuckDB's Ryu). MAGNITUDE BOUND: the
+    // hand-built "[N.0, M.0]" oracle string assumes values < 1e7 —
+    // Java renders integral doubles >= 1e7 as "1.0E7" scientific form
+    // and the byte compare would break. Holds at any TPC-H sf for
+    // per-suppkey quantity sums (~6e5 at sf100); revisit if the
+    // grouping key or measure changes.
     "a4_roundtrip" -> ((s, d) => {
       val base = t(s, d, "lineitem")
         .groupBy(col("l_suppkey"))

@@ -414,10 +414,15 @@ object LlmQueries {
          |ORDER BY id1, id2""".stripMargin
     },
     "dedup_embed_cosine" ->
-      s"""WITH v AS (
+      s"""WITH v0 AS (
          |  SELECT vec_id, $duckVec AS vec,
          |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
          |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT v0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM v0)
+         |  WHERE rn <= 4096),
          |drops AS (
          |  SELECT DISTINCT b.vec_id AS vec_id
          |  FROM v a JOIN v b
@@ -444,10 +449,15 @@ object LlmQueries {
          |  CAST(${duckLshBucket(duckVec, 8)} AS BIGINT) AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "embed_lsh_simjoin" ->
-      s"""WITH v AS (
+      s"""WITH v0 AS (
          |  SELECT vec_id, $duckVec AS vec,
          |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
-         |  FROM embeddings)
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT v0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM v0)
+         |  WHERE rn <= 4096)
          |SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2,
          |  round(${duckCos("a.vec", "b.vec")}, 6) AS sim
          |FROM v a JOIN v b

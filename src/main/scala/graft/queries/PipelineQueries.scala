@@ -187,6 +187,14 @@ object PipelineQueries {
   /** §3.2 notebook flow (limpieza_de_datos.py): filter one series →
     * daily resample → lags → dropna → split → constant forecast →
     * G5 align join → G4/G3 metrics. One output row.
+    *
+    * SINGLE-SERIES ONLY: `withLags`/`markSplit` run with keys = Seq()
+    * — a global (empty-partition) window, every row through one task.
+    * That is the notebook's semantics (one time series has a global
+    * order by definition) and the frame is ~150 rows post-filter, so
+    * the `WindowExec: No Partition Defined` warning is intentional
+    * here. Do NOT reuse this keys-less shape on a multi-series frame;
+    * pass the series keys so the window partitions.
     */
   def notebookFlow(s: SparkSession, dir: String): DataFrame = {
     val ev = Ingest.tableNanos(s, dir, "events", Seq("ts"))

@@ -117,6 +117,21 @@ class LlmSpec extends AnyFunSuite {
       (5L, 5L), (6L, 5L), (7L, 7L)))
   }
 
+  test("connectedComponents pointer-jumping converges in O(log d) rounds on a chain") {
+    // 17-vertex chain: plain min-label propagation needs 16 rounds to
+    // carry label 1 to vertex 17 (plus one no-change probe); with the
+    // per-round label shortcut the distance information doubles, so
+    // the loop must finish well under half that
+    val n = 17
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id1", "id2")
+    val verts = (1 to n).map(_.toLong).toDF("doc_id")
+    val (cc, iters) =
+      Dedup.connectedComponentsWithIters(edges, verts, "doc_id")
+    assert(cc.collect().map(_.getLong(1)).forall(_ == 1L))
+    assert(iters <= 8, s"expected <= 8 rounds on a $n-chain, got $iters")
+  }
+
   test("candidatePairs maxBucket cap keeps lowest ids, bounds pairs") {
     val buckets = (0 until 6).map(i => (i.toLong, 0, 7L))
       .toDF("doc_id", "band", "band_key")
