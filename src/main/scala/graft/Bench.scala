@@ -37,22 +37,40 @@ object Bench {
     // optional comma-separated allowlist for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map {
-      case (name, fn) =>
+    // N full passes (not N consecutive runs of one query — interleaving
+    // keeps each sample honest about cache/JIT state), median per
+    // query: this shared VM swings ±40% between runs, and a single
+    // sample has repeatedly mis-graded identical code
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val samples = (1 to runs).map { _ =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = queries.map { case (name, _) =>
+      name -> median(samples.map(_(name)))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spread = queries.map { case (name, _) =>
+      val xs = samples.map(_(name))
+      "\"" + name + "\":" + f""""${xs.min}%.2f-${xs.max}%.2f""""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -144,6 +144,28 @@ object CoreQueries {
       s.range(1).select(lit(df.isEmpty).as("is_empty"))
     }),
 
+    // ---- Skew (SURVEY §7.5.5): Zipfian hot key through the salted
+    // operators. ~90% of lineitem rows are remapped onto ONE 'HOT'
+    // store (the Online-Retail one-dominant-country shape), then a
+    // salted dim join (hot key spread over saltFactor buckets, dim
+    // exploded to match) feeds a salted two-stage aggregation
+    // (partial on (store, salt), final on store). The oracle computes
+    // the same result UNSALTED — proving the skew machinery is
+    // semantics-preserving, the whole point of Skew.*. Plan audit in
+    // PLANS.md shows the split exchanges.
+    "skew_salted_agg" -> ((s, d) => {
+      val skewed = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 9, lit("HOT"))
+          .otherwise(col("l_returnflag")).as("store"),
+        col("l_quantity").as("units"))
+      val dim = skewed.select(col("store")).distinct()
+        .withColumn("w", length(col("store")).cast("double"))
+      val joined = Skew.saltedJoin(skewed, dim, "store", saltFactor = 8)
+        .withColumn("wu", col("units") * col("w"))
+      Skew.saltedSum(joined, Seq("store"), "wu", saltFactor = 8)
+        .orderBy("store")
+    }),
+
     // ---- D: grouping / aggregation ----
     "d1_multikey_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -439,6 +461,21 @@ object CoreQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c6_empty_guard" ->
       "SELECT (count(*) = 0) AS is_empty FROM lineitem WHERE l_quantity < 0",
+    // the UNSALTED form — the salted join + two-stage agg must
+    // reproduce it exactly (units integral ⇒ double sums exact in any
+    // order)
+    "skew_salted_agg" ->
+      """WITH skewed AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT'
+        |              ELSE l_returnflag END AS store,
+        |         l_quantity AS units
+        |  FROM lineitem),
+        |dimw AS (
+        |  SELECT store, CAST(length(store) AS DOUBLE) AS w
+        |  FROM (SELECT DISTINCT store FROM skewed))
+        |SELECT s.store, sum(s.units * d.w) AS sum_wu
+        |FROM skewed s JOIN dimw d USING (store)
+        |GROUP BY s.store ORDER BY s.store""".stripMargin,
     "d1_multikey_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.llm.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,4 +31,21 @@ object StreamingDedup {
       else hashed.dropDuplicates("__md5")
     out.drop("__md5")
   }
+
+  /** Stateless streaming MinHash stage: per-document signature AND
+    * banded LSH bucket keys as pure per-row projections — the batch
+    * flow's native codegen'd expressions (PolyHashShingles,
+    * MinHashSigExpr) are deterministic row-local functions, so they
+    * are streaming-safe in any output mode with no state and no
+    * watermark. Composed after [[dedupByContent]] this is the
+    * streaming front half of `Dedup.dedupNearDup`: incremental
+    * (id, band, band_key) rows land in a sink partitioned on
+    * (band, band_key), where candidate judging runs as a periodic
+    * batch job over closed partitions (pair emission is inherently
+    * cross-row; keeping it out of the stream keeps state zero).
+    * Emits one row per (doc, band).
+    */
+  def minhashBuckets(docs: DataFrame, text: String,
+      id: String): DataFrame =
+    Dedup.lshBuckets(Dedup.minhashSignatures(docs, text, id), id)
 }

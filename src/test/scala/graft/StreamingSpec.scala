@@ -131,6 +131,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingDedup.dedupByContent(batch, "text", "ts").count() === 2)
   }
 
+  test("streaming minhash bucket stage equals the batch flow across micro-batches") {
+    import graft.llm.Dedup
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def rows(dir: String, docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory("mh_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_ck").toString
+    val d1 = "spark engines shuffle partitions and broadcast small tables"
+    val d2 = "an entirely different document about pasta and tomato sauce"
+    rows(dir, (1L, d1), (2L, d2))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.minhashBuckets(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("mh_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a near-duplicate of d1 arriving in a LATER micro-batch must get
+    // the same band keys the batch flow assigns it (stateless stage —
+    // bucket keys depend only on the row)
+    rows(dir, (3L, d1.replace("small", "tiny")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mh_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val batch = Dedup.lshBuckets(Dedup.minhashSignatures(
+      spark.read.schema(docSchema).parquet(dir), "text", "doc_id"),
+      "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+    // docs 1 and 3 (near-dups) must collide on at least one band key;
+    // doc 2 must not collide with either on any band
+    val byBand = streamed.groupBy(_._2)
+    val collide13 = byBand.values.exists(g =>
+      g.filter(x => x._1 == 1L || x._1 == 3L).groupBy(_._3)
+        .values.exists(_.map(_._1).toSet == Set(1L, 3L)))
+    assert(collide13)
+  }
+
   test("mapGroupsWithState running totals") {
     val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
     val out = StreamingResample.runningTotals(ds).collect()
