@@ -142,6 +142,15 @@ object LlmQueries {
             col("meta.checksum").as("checksum"),
             Multimodal.sampleExpr("text", 16, 4).as("sample")))
         .orderBy("doc_id")
+    }),
+    // REAL decode path: text-derived 8×8 raster → actual BMP bytes →
+    // real parser → nearest-neighbor 4×4 resize. The oracle recomputes
+    // every channel mean directly from the shared codepoint expression
+    // (k/64 dyadic values — bit-exact, unrounded); encode∘decode
+    // identity is checked in-query (roundtrip_ok)
+    "multimodal_decode" -> ((s, d) => {
+      Multimodal.bmpPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     }))
 
   // ---- DuckDB oracle builders sharing the Scala-side constants ----
@@ -525,5 +534,24 @@ object LlmQueries {
         |    CASE WHEN i * 16 + 1 <= length(text)
         |         THEN ascii(substring(text, CAST(i * 16 + 1 AS INT), 1))
         |         ELSE 0 END), ',') AS sample
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(range(0, 192), j ->
+        |    CASE WHEN j + 1 <= length(text)
+        |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |    ELSE 0 END) AS v
+        |  FROM documents)
+        |SELECT doc_id, CAST(246 AS BIGINT) AS n_bytes,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 1] AS DOUBLE))) / 64 AS mean_r,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 2] AS DOUBLE))) / 64 AS mean_g,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 3] AS DOUBLE))) / 64 AS mean_b,
+        |  list_sum(list_transform(range(0, 16),
+        |    i -> CAST(v[3*(16*(i // 4) + 2*(i % 4)) + 1] AS DOUBLE)))
+        |    / 16 AS rs_mean_r,
+        |  TRUE AS roundtrip_ok
+        |FROM b ORDER BY doc_id""".stripMargin)
 }

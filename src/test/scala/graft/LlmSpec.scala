@@ -271,4 +271,44 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.stubResize("ab".getBytes, 4).toSeq
       === "ab".getBytes.toSeq)
   }
+
+  test("multimodal: real BMP encode/decode round-trip, padding, resize, dispatch") {
+    import Multimodal._
+    // 3x2 image: row stride 9 bytes -> padded to 12 (exercises padding)
+    val px = Array(0xff0000, 0x00ff00, 0x0000ff, 0x102030, 0x405060,
+      0x708090)
+    val img = DecodedImage(3, 2, px)
+    val bmp = encodeBmp(img)
+    assert(bmp.length === 54 + 12 * 2)
+    val dec = decodeBmp(bmp).get
+    assert(dec.width === 3 && dec.height === 2)
+    assert(dec.pixels.toSeq === px.toSeq)
+    // top-down variant (negative height) decodes to the same raster
+    val td = bmp.clone()
+    val negH = -2
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte
+    td(25) = ((negH >> 24) & 0xff).toByte
+    // rows are stored top-down now: swap the two file rows to keep
+    // the logical raster identical
+    val row0 = td.slice(54, 66); val row1 = td.slice(66, 78)
+    System.arraycopy(row1, 0, td, 54, 12)
+    System.arraycopy(row0, 0, td, 66, 12)
+    assert(decodeBmp(td).get.pixels.toSeq === px.toSeq)
+    // nearest-neighbor resize: dst (x,y) <- src (x*w/W, y*h/H)
+    val big = DecodedImage(4, 4, Array.tabulate(16)(identity))
+    val small = resizeNearest(big, 2, 2)
+    assert(small.pixels.toSeq === Seq(0, 2, 8, 10))
+    // channel means
+    val (r, g, b) = channelMeans(DecodedImage(2, 1,
+      Array(0x204060, 0x608020)))
+    assert((r, g, b) === ((64.0, 96.0, 64.0)))
+    // dispatcher: BMP -> real 5-feature path; non-BMP -> 4-feature stub
+    assert(decode(bmp).length === 5)
+    assert(decode(bmp).take(2).toSeq === Seq(3.0, 2.0))
+    assert(decode("not a bitmap".getBytes).length === 4)
+    // malformed/truncated BMPs refuse rather than guess
+    assert(decodeBmp(bmp.take(53)) === None)
+    assert(decodeBmp("BMxxxx".getBytes) === None)
+  }
 }
