@@ -84,6 +84,31 @@ object TextAnalysis {
     PolyHashColumns.fingerprint(
       expr(s"lower(regexp_replace(trim($text), '\\\\s+', ' '))"))
 
+  /** Context-window chunking for training-data preparation: fixed
+    * character windows with `overlap` chars of overlap (stride =
+    * size − overlap), one output row per (doc, chunk), including the
+    * short tail window. A narrow per-row explode — no shuffle, chunk
+    * count scales with document length, never corpus size, so the
+    * stage is embarrassingly parallel at any scale. Token-window
+    * variants compose by tokenizing first and windowing the token
+    * array with the same stride arithmetic.
+    */
+  def chunkDocuments(df: DataFrame, text: String, id: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(id),
+      posexplode(expr(
+        s"""CASE WHEN length($text) >= 1
+            THEN transform(sequence(1, length($text), $stride),
+                 s -> substring($text, s, $chunkSize))
+            ELSE CAST(array() AS ARRAY<STRING>) END"""))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
   /** All text stats in one pass.
     *
     * Performance note: higher-order-function expressions (transform/

@@ -134,6 +134,29 @@ object LlmQueries {
           "fingerprint")
         .orderBy("doc_id")
     }),
+    // context-window chunking (size 200, overlap 50): the training-
+    // data windowing stage — narrow explode, chunk count scales with
+    // doc length, never corpus size
+    "chunk_windows" -> ((s, d) => {
+      TextAnalysis.chunkDocuments(t(s, d, "documents"), "text",
+        "doc_id", chunkSize = 200, overlap = 50)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    // the composed curation flow a corpus pipeline actually runs:
+    // stats → quality + language gates → exact-dedup on the
+    // normalized-content fingerprint (lowest doc id kept). One
+    // narrow stats pass + ONE shuffle (the fingerprint groupBy via
+    // min_by — no join-back for the carried columns)
+    "curation_pipeline" -> ((s, d) => {
+      TextAnalysis.withStats(t(s, d, "documents"), "text")
+        .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"),
+          min_by(col("quality"), col("doc_id")).as("quality"))
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    }),
     "multimodal_meta" -> ((s, d) => {
       Canon.stringifyArrays(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
@@ -526,6 +549,39 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_windows" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text), 150)) AS s
+        |  FROM documents WHERE length(text) >= 1)
+        |SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
+        |  substring(text, CAST(s AS INT), 200) AS chunk,
+        |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
+        |    AS chunk_len
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "curation_pipeline" ->
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    CAST($duckNTokens AS BIGINT) AS n_tokens,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality,
+         |    CASE
+         |      WHEN ${duckHits("en")} >= greatest(greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("en")} > 0 THEN 'en'
+         |      WHEN ${duckHits("es")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("es")} > 0 THEN 'es'
+         |      WHEN ${duckHits("fr")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("fr")} > 0 THEN 'fr'
+         |      WHEN ${duckHits("de")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0)) AND ${duckHits("de")} > 0 THEN 'de'
+         |      ELSE 'und' END AS pred_lang,
+         |    ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
+         |      AS fingerprint
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM st WHERE quality >= 0.5 AND pred_lang = 'en')
+         |SELECT min(doc_id) AS doc_id,
+         |  arg_min(n_tokens, doc_id) AS n_tokens,
+         |  arg_min(quality, doc_id) AS quality
+         |FROM kept GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain; charset=utf-8' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

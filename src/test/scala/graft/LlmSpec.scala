@@ -251,6 +251,23 @@ class LlmSpec extends AnyFunSuite {
     assert(f(0).getLong(0) === f(1).getLong(0))
   }
 
+  test("chunkDocuments windows with overlap, keeps the tail, skips empty docs") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis
+      .chunkDocuments(df, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // stride 3: starts 1,4,7,10 -> abcd, defg, ghij, j (tail window)
+    assert(chunks.toSeq === Seq(
+      (1L, 0L, "abcd", 4L), (1L, 1L, "defg", 4L),
+      (1L, 2L, "ghij", 4L), (1L, 3L, "j", 1L),
+      (2L, 0L, "xy", 2L)))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "text", "doc_id", 4, 4)
+    }
+  }
+
   test("multimodal: payload metadata + batch feature extraction stub") {
     val df = Multimodal.withBinaryPayload(docs("abcd", "wxyz longer"),
       "text")
