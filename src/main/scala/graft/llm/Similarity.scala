@@ -179,6 +179,27 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|/127, code_i = round-half-even(x_i/scale), in
+    * [-127, 127] by construction. The rounding routes through
+    * DECIMAL(28,12) — Spark `bround` on decimal and DuckDB
+    * `round_even` on decimal agree exactly, where float round_even is
+    * unpredictable within an ulp of a tie. Zero vectors get scale 0
+    * and zero codes. Dequantization is code * scale; 4× smaller
+    * vectors is the standard ANN-at-scale memory trade.
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+      .withColumn("scale",
+        expr("array_max(transform(__v, x -> abs(x))) / 127.0D"))
+      .withColumn("qvec", when(col("scale") > 0, expr(
+        """transform(__v, x ->
+          |  CAST(bround(CAST(x / scale AS DECIMAL(28,12)), 0) AS INT))"""
+          .stripMargin))
+        .otherwise(expr("transform(__v, x -> 0)")))
+      .select(col(id), round(col("scale"), 6).as("scale"), col("qvec"))
+
   /** LSH similarity join: cosine scored only within buckets.
     *
     * Shaped as ONE shuffle — groupBy(bucket) collecting (id, vec,

@@ -84,6 +84,19 @@ object TextAnalysis {
     PolyHashColumns.fingerprint(
       expr(s"lower(regexp_replace(trim($text), '\\\\s+', ' '))"))
 
+  /** Deterministic sampling bucket in [0, 1000): an integer LCG
+    * scramble of the id — reproducible across engines, runs, and
+    * partitionings (everything `rand()`-based sampling is not), so a
+    * sampled corpus can be re-derived exactly from the full one. The
+    * id is masked to 2^30 before the multiply so the product stays
+    * < 2^62 (no ANSI overflow at any id magnitude). Stratified
+    * sampling = per-stratum bucket thresholds (e.g. keep 20% of the
+    * dominant language, 50% of the rest — the standard corpus
+    * rebalancing step).
+    */
+  def sampleBucketExpr(id: String, seed: Long): Column =
+    expr(s"((pmod($id, 1073741824) * 2654435761 + $seed) % $P) % 1000")
+
   /** Context-window chunking for training-data preparation: fixed
     * character windows with `overlap` chars of overlap (stride =
     * size − overlap), one output row per (doc, chunk), including the

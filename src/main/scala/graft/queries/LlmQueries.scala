@@ -166,6 +166,26 @@ object LlmQueries {
             Multimodal.sampleExpr("text", 16, 4).as("sample")))
         .orderBy("doc_id")
     }),
+    // deterministic stratified sampling: 20% of the dominant language,
+    // 50% of the rest, derived from a pure integer scramble of the id
+    // — re-runnable to the exact same sample on any engine/partitioning
+    "sample_stratified" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.sampleBucketExpr("doc_id", 42L).cast("long")
+            .as("bucket"))
+        .filter(when(col("lang") === "en", col("bucket") < 200)
+          .otherwise(col("bucket") < 500))
+        .orderBy("doc_id")
+    }),
+    // symmetric int8 embedding quantization (decimal-routed rounding
+    // — bit-portable to the oracle)
+    "embed_quantize" -> ((s, d) => {
+      Canon.stringifyArrays(
+        Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id",
+          "embedding"))
+        .orderBy("vec_id")
+    }),
     // REAL decode path: text-derived 8×8 raster → actual BMP bytes →
     // real parser → nearest-neighbor 4×4 resize. The oracle recomputes
     // every channel mean directly from the shared codepoint expression
@@ -549,6 +569,30 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ((doc_id % 1073741824) * 2654435761 + 42) % $P % 1000
+         |      AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+         |FROM b
+         |WHERE CASE WHEN lang = 'en' THEN bucket < 200
+         |      ELSE bucket < 500 END
+         |ORDER BY doc_id""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, vec,
+         |    list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+         |  FROM v)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  array_to_string(list_transform(vec, x ->
+         |    CASE WHEN scale > 0
+         |    THEN CAST(CAST(round_even(CAST(x / scale AS DECIMAL(28,12)), 0)
+         |         AS INT) AS VARCHAR)
+         |    ELSE '0' END), ',') AS qvec
+         |FROM sc ORDER BY vec_id""".stripMargin,
     "chunk_windows" ->
       """WITH starts AS (
         |  SELECT doc_id, text,

@@ -268,6 +268,17 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeInt8: codes in range, half-even ties, zero vector safe") {
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // scale = 1/127: codes 127, -63.5 -> -64 (half-even), 31.75 -> 32
+    assert(q(0).getSeq[Int](2) === Seq(127, -64, 32))
+    assert(q(1).getDouble(1) === 0.0)
+    assert(q(1).getSeq[Int](2) === Seq(0, 0, 0))
+  }
+
   test("multimodal: payload metadata + batch feature extraction stub") {
     val df = Multimodal.withBinaryPayload(docs("abcd", "wxyz longer"),
       "text")
