@@ -166,6 +166,19 @@ object CoreQueries {
         .orderBy("store")
     }),
 
+    // gap-based sessionization over the event stream (30-minute gap):
+    // Spark's native session_window — same code runs on a streaming
+    // frame with a watermark. Boundary semantics (merge at exactly
+    // the gap, break strictly beyond) mirrored in the oracle's
+    // lag/cumsum formulation
+    "sessionize" -> ((s, d) => {
+      Sessions.sessionAgg(
+        Ingest.tableNanos(s, d, "events", Seq("ts"))
+          .filter(col("user_id") < 200),
+        Seq("user_id"), "ts", "value", "30 minutes")
+        .orderBy("user_id", "s_start")
+    }),
+
     // ---- D: grouping / aggregation ----
     "d1_multikey_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -476,6 +489,23 @@ object CoreQueries {
         |SELECT s.store, sum(s.units * d.w) AS sum_wu
         |FROM skewed s JOIN dimw d USING (store)
         |GROUP BY s.store ORDER BY s.store""".stripMargin,
+    "sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id < 200
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL '30 minutes' AS s_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     "d1_multikey_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
