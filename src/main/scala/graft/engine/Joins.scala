@@ -64,4 +64,31 @@ object Joins {
           .map(c => col(s"__l_$c").as(c)) ++
         (col("matched_ts") +: valueCols.map(c => col(s"matched_$c"))): _*)
   }
+
+  /** Point-in-interval range join WITHOUT an equi key, binned: Spark
+    * plans a bare `lo <= x AND x <= hi` join as a broadcast
+    * nested-loop (every point against every interval — n·m at any
+    * cluster size). Binning turns it into an EQUI join: each interval
+    * is exploded to the `binWidth`-sized bins it overlaps, each point
+    * hashes to exactly one bin, and the range predicate survives only
+    * as a residual filter after the hash join. Shuffle is keyed on
+    * the bin — uniformly distributed when points are — and interval
+    * replication is length/binWidth + 1, the caller-visible knob
+    * (size bins near the median interval length). No dedup needed:
+    * a point's single bin meets each interval at most once.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    points
+      .withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(col(loCol) <= col(pointCol) &&
+        col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -179,6 +179,25 @@ object CoreQueries {
         .orderBy("user_id", "s_start")
     }),
 
+    // point-in-interval range join with NO equi key, binned into an
+    // equi join (naive form is a broadcast nested loop — n·m at any
+    // scale). Intervals derive deterministically from orders; DuckDB's
+    // native range join is the oracle
+    "range_join" -> ((s, d) => {
+      val points = Ingest.tableNanos(s, d, "events", Seq("ts"))
+        .select(col("event_id"), col("value"))
+      val intervals = t(s, d, "orders")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 490).cast("double").as("lo"))
+        .withColumn("hi", col("lo") + 2.5)
+      Joins.rangeJoinBinned(points, intervals, "value", "lo", "hi",
+        binWidth = 5.0)
+        .select(col("event_id"), col("o_orderkey"), col("value"),
+          col("lo"))
+        .orderBy("event_id", "o_orderkey")
+    }),
+
     // ---- D: grouping / aggregation ----
     "d1_multikey_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -506,6 +525,16 @@ object CoreQueries {
         |  count(*) AS n_events, round(sum(value), 6) AS total
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+    "range_join" ->
+      """WITH intervals AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderkey % 490 AS DOUBLE) AS lo,
+        |    CAST(o_orderkey % 490 AS DOUBLE) + 2.5 AS hi
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT e.event_id, i.o_orderkey, e.value, i.lo
+        |FROM events e JOIN intervals i
+        |  ON i.lo <= e.value AND e.value <= i.hi
+        |ORDER BY event_id, o_orderkey""".stripMargin,
     "d1_multikey_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -55,6 +55,25 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(sums.toSeq === expect.toSeq)
   }
 
+  test("rangeJoinBinned: inclusive bounds, bin-spanning intervals, no nested loop") {
+    val points = Seq((1L, 0.0), (2L, 5.0), (3L, 7.5), (4L, 12.0))
+      .toDF("pid", "x")
+    // interval [4.9, 12.0] spans bins 0/1/2 at width 5; [0,0] degenerate
+    val intervals = Seq((10L, 4.9, 12.0), (20L, 0.0, 0.0))
+      .toDF("iid", "lo", "hi")
+    val out = graft.engine.Joins
+      .rangeJoinBinned(points, intervals, "x", "lo", "hi", 5.0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // both endpoints inclusive: x=5.0 and x=12.0 match [4.9, 12.0];
+    // x=0.0 matches the degenerate [0, 0]
+    assert(out.toSeq === Seq((1L, 20L), (2L, 10L), (3L, 10L), (4L, 10L)))
+    val plan = graft.engine.Joins
+      .rangeJoinBinned(points, intervals, "x", "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("hotKeys surfaces the dominant key with its share") {
     val df = (Seq.fill(90)("UK") ++ Seq.fill(10)("DE")).toDF("country")
     val hot = Skew.hotKeys(df, "country", 1).collect()(0)
