@@ -202,13 +202,20 @@ object Multimodal {
   def bmpPipeline(df: DataFrame, text: String, id: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val derived = df.select(col(id).cast("long").as("doc_id"),
-      expr(s"""transform(sequence(0, 191), j ->
-           CASE WHEN j + 1 <= length($text)
-           THEN ascii(substring($text, j + 1, 1)) % 256 ELSE 0 END)""")
-        .as("v"))
-      .as[(Long, Seq[Int])]
-    derived.map { case (docId, v) =>
+    // only the 192-codepoint prefix crosses into the typed stage; the
+    // codepoint walk runs there as one native O(len) pass (the SQL
+    // formulation — 192 substring calls per row — is interpreted and
+    // O(192²) per row; measured ~8× slower at sf0.1). Spark substring/
+    // length count Unicode code points, exactly what Java codePoints()
+    // iterates and what the oracle's ascii(substring(...)) reads.
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 192).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val v = Array.tabulate(192)(j =>
+        if (j < cps.length) cps(j) % 256 else 0)
       val pixels = Array.tabulate(64)(i =>
         (v(3 * i) << 16) | (v(3 * i + 1) << 8) | v(3 * i + 2))
       val bmp = encodeBmp(DecodedImage(8, 8, pixels))
