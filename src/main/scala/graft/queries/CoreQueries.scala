@@ -199,6 +199,34 @@ object CoreQueries {
     }),
 
     // ---- D: grouping / aggregation ----
+    // pivot (pandas pivot_table): one column per pivoted key value.
+    // Values enumerated explicitly — at scale an un-enumerated pivot
+    // runs a distinct scan first AND an unbounded column blowup is a
+    // schema hazard; enumerating keeps it one pass
+    "pivot_returns" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"))
+        .orderBy("l_returnflag")
+    }),
+    // rollup subtotals: (flag, status), per-flag, and grand total in
+    // one pass (partial-aggregating, no union of three scans). NULL
+    // grouping slots are labeled so the oracle compare is total-order
+    "rollup_sales" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
     "d1_multikey_agg" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -535,6 +563,20 @@ object CoreQueries {
         |FROM events e JOIN intervals i
         |  ON i.lo <= e.value AND e.value <= i.hi
         |ORDER BY event_id, o_orderkey""".stripMargin,
+    "pivot_returns" ->
+      """SELECT l_returnflag,
+        |  coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0)
+        |    AS qty_f,
+        |  coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0)
+        |    AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "d1_multikey_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
