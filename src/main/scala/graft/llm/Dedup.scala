@@ -320,6 +320,38 @@ object Dedup {
              t -> aggregate(sequence(1, length(t)), 0L,
                   (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $P))""")
 
+  /** Word n-gram hashes from a staged token-hash column: each n-token
+    * window folds its token hashes ((acc*31 + h) mod P); documents
+    * shorter than n contribute one whole-document window. Products
+    * stay < 2^35 (acc < P ≈ 2^30).
+    */
+  def ngramHashesFromTokenHashes(thCol: String, n: Int): Column =
+    expr(s"""transform(sequence(1, greatest(size($thCol) - ${n - 1}, 1)),
+             i -> aggregate(slice($thCol, i, least($n, size($thCol))),
+                  0L, (acc, h) -> (acc * 31 + h) % $P))""")
+
+  /** Benchmark decontamination: drop every training document sharing
+    * at least one word n-gram with the evaluation corpus — the
+    * standard n-gram-overlap rule for scrubbing eval leakage out of
+    * training data. Scale shape: both corpora reduce to (gram, id)
+    * rows keyed on a uniform hash; contamination is ONE left-semi
+    * join on the gram (the distinct eval-gram side is small and
+    * broadcastable whenever the eval set is) and the final keep is a
+    * left-anti join on the id. Never a doc×doc comparison.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, text: String,
+      id: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("__th", tokenHashesExpr(s"lower($text)"))
+      .select(col(id),
+        explode(ngramHashesFromTokenHashes("__th", n)).as("gram"))
+    val evalGrams = grams(evalSet).select("gram").distinct()
+    val contaminated = grams(train)
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .select(col(id)).distinct()
+    train.select(col(id)).join(contaminated, Seq(id), "left_anti")
+  }
+
   /** SimHash from a PRECOMPUTED token-hash column: bit_j = sign of sum
     * over token hashes of (±1 from the hash's j-th bit); packed into a
     * long. Takes a column (not the raw text) because higher-order

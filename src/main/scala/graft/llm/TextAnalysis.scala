@@ -122,6 +122,37 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** TF-IDF top-k terms per document — corpus-level statistics from
+    * map-side-combining aggregations only: token explode → (doc, term)
+    * tf → document frequency as a SECOND aggregation of the tf frame
+    * (one row per (doc, term) — never a countDistinct over raw
+    * tokens) → idf = ln((N+1)/(df+1)) + 1 joined on the term → top-k
+    * by rank (WindowGroupLimit pushes the k-filter into the sort).
+    * The doc count N stays in-plan as a broadcast 1-row frame — no
+    * driver-side count().
+    */
+  def tfIdfTopTerms(df: DataFrame, text: String, id: String,
+      k: Int): DataFrame = {
+    val tokens = df.select(col(id), explode(expr(
+      s"filter(split(lower($text), ' '), t -> length(t) > 2)"))
+      .as("term"))
+    val tf = tokens.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = df.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** All text stats in one pass.
     *
     * Performance note: higher-order-function expressions (transform/

@@ -166,6 +166,23 @@ object LlmQueries {
             Multimodal.sampleExpr("text", 16, 4).as("sample")))
         .orderBy("doc_id")
     }),
+    // TF-IDF top-3 terms per doc (corpus-level statistic, in-plan N)
+    "tfidf_topterms" -> ((s, d) => {
+      TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "text",
+        "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+    // benchmark decontamination: even doc_ids are "training", odd are
+    // the "eval set"; training docs sharing any 8-token gram with eval
+    // are dropped (the published n-gram-overlap scrub)
+    "decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
     // deterministic stratified sampling: 20% of the dominant language,
     // 50% of the rest, derived from a pure integer scramble of the id
     // — re-runnable to the exact same sample on any engine/partitioning
@@ -569,6 +586,49 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH tokens AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> length(t) > 2)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tokens GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf, dfreq, nd WHERE tf.term = dfreq.term),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "decontaminate" ->
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(lower(text), ' '),
+         |      t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(1, greatest(len(th) - 7, 1)),
+         |      i -> list_reduce(
+         |             list_slice(th, i, i + least(8, len(th)) - 1),
+         |             (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |  FROM th),
+         |bad AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM grams tr JOIN grams ev ON tr.gram = ev.gram
+         |  WHERE tr.doc_id % 2 = 0 AND ev.doc_id % 2 = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,
