@@ -251,6 +251,42 @@ class LlmSpec extends AnyFunSuite {
     assert(f(0).getLong(0) === f(1).getLong(0))
   }
 
+  test("decontaminate drops n-gram overlap with eval, keeps disjoint docs") {
+    val shared = "large scale training corpora need careful leakage control"
+    val train = Seq(
+      (2L, shared), // shares every gram with eval doc 1
+      (4L, "completely unrelated words about cooking fresh pasta dishes"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((1L, shared)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval_, "text", "doc_id", n = 3)
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(4L))
+    // disjoint corpora: nothing dropped
+    val kept2 = Dedup.decontaminate(train,
+      Seq((9L, "zebra quagga okapi")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 3).collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq === Seq(2L, 4L))
+  }
+
+  test("tfIdfTopTerms ranks rare terms above common ones") {
+    val df = Seq(
+      (1L, "common common rare_one common filler filler"),
+      (2L, "common filler other other other"),
+      (3L, "common filler something else entirely")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(df, "text", "doc_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 2: 'other' (tf=3, df=1, tfidf ≈ 5.08) beats 'common'
+    // (tf=1, df=3, tfidf = 1.0)
+    assert(top(2L) === "other")
+    // doc 3: all tf=1; the df=1 terms tie at ln(4/2)+1 and the
+    // term-asc tie-break picks 'else'
+    assert(top(3L) === "else")
+    val all = TextAnalysis.tfIdfTopTerms(df, "text", "doc_id", 2)
+      .collect()
+    assert(all.forall(_.getLong(5) <= 2))
+    assert(all.length === 6)
+  }
+
   test("chunkDocuments windows with overlap, keeps the tail, skips empty docs") {
     val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
       .toDF("doc_id", "text")
