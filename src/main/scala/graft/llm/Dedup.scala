@@ -270,25 +270,25 @@ object Dedup {
           col("cluster").as("__nl")), "__b")
         .groupBy(col("__a")).agg(min(col("__nl")).as("__nl"))
       val stepped = labels.join(prop, Seq("__a"), "left")
-        .select(col("__a"),
+        .select(col("__a"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__nl"), col("cluster")))
             .as("cluster"))
       // pointer-jump: labels are always vertex ids, so label(label(v))
       // exists; taking it each round doubles the distance information
-      // carried per round (the large-star trick in min-label form)
+      // carried per round (the large-star trick in min-label form).
+      // The previous label rides along so the convergence probe below
+      // is a filter-count on the checkpointed frame — no extra join
+      // job per round
       val next = stepped.join(
           stepped.select(col("__a").as("cluster"),
             col("cluster").as("__ll")),
           Seq("cluster"), "left")
-        .select(col("__a"),
+        .select(col("__a"), col("__old"),
           least(col("cluster"), coalesce(col("__ll"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("__a"), col("cluster").as("__old")),
-          "__a")
-        .filter(col("cluster") =!= col("__old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("__old")).count()
+      labels = next.select(col("__a"), col("cluster"))
       iter += 1
     }
     if (changed > 0)
