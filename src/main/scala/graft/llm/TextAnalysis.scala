@@ -122,6 +122,21 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Repetition ratio — the duplicate-bigram fraction
+    * (1 − distinct/total over token 2-grams), the standard
+    * boilerplate/repetition quality gate: near-0 for natural prose,
+    * near-1 for looping spam. Docs under 2 tokens score 0. Built from
+    * a STAGED token-array column (interpreted HOF lambdas re-evaluate
+    * inlined subexpressions).
+    */
+  def repetitionRatioExpr(toksCol: String): Column =
+    expr(s"""CASE WHEN size($toksCol) < 2 THEN 0.0D ELSE
+             round(1.0D - CAST(size(array_distinct(
+                 transform(sequence(1, size($toksCol) - 1),
+                   i -> concat(element_at($toksCol, i), ' ',
+                        element_at($toksCol, i + 1))))) AS DOUBLE)
+               / (size($toksCol) - 1), 6) END""")
+
   /** TF-IDF top-k terms per document — corpus-level statistics from
     * map-side-combining aggregations only: token explode → (doc, term)
     * tf → document frequency as a SECOND aggregation of the tf frame

@@ -166,6 +166,14 @@ object LlmQueries {
             Multimodal.sampleExpr("text", 16, 4).as("sample")))
         .orderBy("doc_id")
     }),
+    // repetition-ratio quality gate (duplicate-bigram fraction)
+    "rep_ratio" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("__toks", expr("split(lower(text), ' ')"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatioExpr("__toks").as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
     // TF-IDF top-3 terms per doc (corpus-level statistic, in-plan N)
     "tfidf_topterms" -> ((s, d) => {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "text",
@@ -586,6 +594,17 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "rep_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(t) < 2 THEN 0.0 ELSE
+        |    round(1.0 - CAST(len(list_distinct(
+        |        list_transform(generate_series(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+        |      / (len(t) - 1), 6) END AS rep_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
     "tfidf_topterms" ->
       """WITH tokens AS (
         |  SELECT doc_id,
