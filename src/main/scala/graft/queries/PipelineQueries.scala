@@ -77,10 +77,18 @@ object PipelineQueries {
 
     val perSeries = sparse
       .groupBy(keys.map(col): _*)
-      .agg(min(col("week")).as("w0"), max(col("week")).as("w1"),
-        sum(col("units")).as("__total"),
-        sort_array(collect_list(struct(col("week"), col("units"))))
-          .as("__ent"))
+      // ONE aggregate expression, exactly the kernel's shape: bounds
+      // and total derive from the sorted entries afterwards (sorted
+      // ends are the min/max; units are integral-valued doubles so the
+      // fold total is exact in any order). Mixing min/max/sum into the
+      // same ObjectHashAggregate as collect_list measured ~0.9 s
+      // slower at sf0.1 than deriving them post-agg.
+      .agg(sort_array(collect_list(struct(col("week"), col("units"))))
+        .as("__ent"))
+      .withColumn("w0", expr("__ent[0].week"))
+      .withColumn("w1", expr("element_at(__ent, -1).week"))
+      .withColumn("__total",
+        expr("aggregate(__ent, 0D, (a, e) -> a + e.units)"))
       // C4 gates are densify-invariant (span == dense row count, gap
       // zeros add nothing to the total — see Series.eligibleSparse), so
       // they apply on the collapsed sparse row before any densification
