@@ -61,14 +61,10 @@ object PipelineQueries {
     */
   def e2eSlice(s: SparkSession, dir: String,
       cfg: PipelineConfig = PipelineConfig(),
-      skuCol: String = "l_suppkey",
-      skuFilter: Option[Long] = None): DataFrame = {
+      skuCol: String = "l_suppkey"): DataFrame = {
     val keys = Seq("sku", "store")
-    val base = skuFilter.foldLeft(t(s, dir, "lineitem")) {
-      (d, bound) => d.filter(col(skuCol) < bound)
-    }
     val cleaned = Clean.nonNegative(
-      base.select(col(skuCol).cast("string").as("sku"),
+      t(s, dir, "lineitem").select(col(skuCol).cast("string").as("sku"),
         col("l_returnflag").as("store"),
         col("l_shipdate").as("ts"),
         col("l_quantity").as("units")), "units")
