@@ -166,6 +166,16 @@ object LlmQueries {
             Multimodal.sampleExpr("text", 16, 4).as("sample")))
         .orderBy("doc_id")
     }),
+    // the full CurationJob flagship: exact dedup → quality/lang gates
+    // → decontamination (odd ids as the eval corpus) → chunking, one
+    // library call, every stage oracled individually elsewhere
+    "curation_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.CurationJob.curate(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        evalSet = Some(docs.filter(col("doc_id") % 2 === 1)))
+        .orderBy("doc_id", "chunk_id")
+    }),
     // repetition-ratio quality gate (duplicate-bigram fraction)
     "rep_ratio" -> ((s, d) => {
       t(s, d, "documents")
@@ -594,6 +604,61 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "curation_e2e" ->
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, text
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY text),
+         |st AS (
+         |  SELECT doc_id, text,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality,
+         |    CASE
+         |      WHEN ${duckHits("en")} >= greatest(greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("en")} > 0 THEN 'en'
+         |      WHEN ${duckHits("es")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("es")} > 0 THEN 'es'
+         |      WHEN ${duckHits("fr")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("fr")} > 0 THEN 'fr'
+         |      WHEN ${duckHits("de")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0)) AND ${duckHits("de")} > 0 THEN 'de'
+         |      ELSE 'und' END AS pred_lang
+         |  FROM reps),
+         |kept AS (
+         |  SELECT doc_id, text FROM st
+         |  WHERE quality >= 0.5 AND pred_lang = 'en'),
+         |kth AS (
+         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM kept),
+         |eth AS (
+         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |kgrams AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(th) - 7, 1)),
+         |    i -> list_reduce(list_slice(th, i, i + least(8, len(th)) - 1),
+         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |  FROM kth),
+         |egrams AS (
+         |  SELECT unnest(list_transform(
+         |    generate_series(1, greatest(len(th) - 7, 1)),
+         |    i -> list_reduce(list_slice(th, i, i + least(8, len(th)) - 1),
+         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |  FROM eth),
+         |bad AS (
+         |  SELECT DISTINCT k.doc_id FROM kgrams k
+         |  JOIN egrams e ON k.gram = e.gram),
+         |clean AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |starts AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text), 150)) AS s
+         |  FROM clean WHERE length(text) >= 1)
+         |SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
+         |  substring(text, CAST(s AS INT), 200) AS chunk,
+         |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
+         |    AS chunk_len
+         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
     "rep_ratio" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t
