@@ -61,13 +61,20 @@ object PipelineQueries {
     */
   def e2eSlice(s: SparkSession, dir: String,
       cfg: PipelineConfig = PipelineConfig(),
-      skuCol: String = "l_suppkey"): DataFrame = {
-    val keys = Seq("sku", "store")
-    val cleaned = Clean.nonNegative(
+      skuCol: String = "l_suppkey"): DataFrame =
+    e2eSliceFrom(Clean.nonNegative(
       t(s, dir, "lineitem").select(col(skuCol).cast("string").as("sku"),
         col("l_returnflag").as("store"),
         col("l_shipdate").as("ts"),
-        col("l_quantity").as("units")), "units")
+        col("l_quantity").as("units")), "units"), cfg)
+
+  /** [[e2eSlice]] over an arbitrary cleaned sales frame
+    * (sku, store, ts, units) — the DataFrame-in core, also the seam
+    * the array-form-vs-window-form equivalence property test uses.
+    */
+  def e2eSliceFrom(cleaned: DataFrame,
+      cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val keys = Seq("sku", "store")
     val sparse = Resample.weeklySparse(cleaned, keys, "ts", "units")
     val h = cfg.horizonWeeks
 

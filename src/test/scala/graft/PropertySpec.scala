@@ -50,6 +50,88 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("array-form e2e slice equals the windowed-operator composition") {
+    // the round-5 restructure pin: e2eSliceFrom (per-series array
+    // expressions, dense grid never materialized as rows) must equal
+    // the original windowed composition (eligibleSparse -> densify ->
+    // winsorize -> markSplit -> per-series collect -> same downstream
+    // array math) on random sales frames
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Resample, Series}
+    val cfg = PipelineConfig()
+    (1 to 5).foreach { _ =>
+      val rows = (0 until 400).map { _ =>
+        val sku = s"s${rnd.nextInt(4)}"
+        val store = s"st${rnd.nextInt(2)}"
+        val ts = java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2023, 1, 2, 0, 0)
+            .plusDays(rnd.nextInt(400)))
+        (sku, store, ts, rnd.nextInt(15).toDouble)
+      }
+      val sales = rows.toDF("sku", "store", "ts", "units")
+      val keys = Seq("sku", "store")
+
+      val arrayForm = graft.queries.PipelineQueries
+        .e2eSliceFrom(sales, cfg)
+        .select("sku", "store", "mape", "safety_stock", "reorder_point",
+          "qty_to_order")
+        .collect().map(_.toSeq).sortBy(_.toString)
+
+      // the windowed composition with identical downstream math
+      val sparse = Resample.weeklySparse(sales, keys, "ts", "units")
+      val gated = Resample.densify(
+        Series.eligibleSparse(sparse, keys, cfg), keys)
+      val wins = Series.winsorize(gated, keys)
+      val split = Series.markSplit(wins, keys, "week", cfg.horizonWeeks)
+      val perSeries = split.groupBy(keys.map(col): _*)
+        .agg(
+          sort_array(collect_list(when(!col("is_test"),
+            struct(col("week"), col("units"))))).as("train_wk"),
+          sort_array(collect_list(when(col("is_test"),
+            struct(col("week"), col("units"))))).as("test_wk"))
+        .select(col("sku"), col("store"),
+          expr("transform(train_wk, x -> x.units)").as("train"),
+          expr("transform(test_wk, x -> x.units)").as("test"))
+      val z = cfg.serviceLevelZ; val lt = cfg.leadTimeWeeks
+      val windowForm = perSeries
+        .withColumn("ma", round(expr(
+          """aggregate(slice(train, greatest(size(train) - 3, 1),
+            |          least(size(train), 4)), 0D, (a, x) -> a + x)
+            |/ least(size(train), 4)""".stripMargin), 6))
+        .withColumn("forecast",
+          expr(s"array_repeat(greatest(ma, 0D), ${cfg.horizonWeeks})"))
+        .withColumn("train_std", round(sqrt(greatest(expr(
+          """aggregate(train, 0D, (a, x) -> a + x * x) / size(train)
+            |- pow(aggregate(train, 0D, (a, x) -> a + x) / size(train), 2)
+            |""".stripMargin), lit(0.0))), 6))
+        .withColumn("last_units", expr("element_at(train, -1)"))
+        .withColumn("mape",
+          round(graft.engine.Metrics.safeMapeArr(col("test"),
+            col("forecast")), 3))
+        .withColumn("ss", when(expr("size(train)") > 1,
+          round(lit(z) * col("train_std") * lit(math.sqrt(lt)), 6))
+          .otherwise(lit(0.0)))
+        .withColumn("dlt", round(col("ma") * lit(lt), 6))
+        .withColumn("rop",
+          graft.engine.Inventory.reorderPoint(col("dlt"), col("ss")))
+        .withColumn("qty",
+          graft.engine.Inventory.orderQty(col("rop"), col("last_units")))
+        .select(col("sku"), col("store"), col("mape"),
+          graft.engine.Inventory.intClamp(col("ss")).cast("long")
+            .as("safety_stock"),
+          graft.engine.Inventory.intClamp(col("rop")).cast("long")
+            .as("reorder_point"),
+          graft.engine.Inventory.intClamp(col("qty")).cast("long")
+            .as("qty_to_order"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+
+      assert(arrayForm.toSeq === windowForm.toSeq)
+      assert(arrayForm.nonEmpty)
+    }
+  }
+
   test("safeMape is non-negative and finite") {
     (1 to trials).foreach { _ =>
       val n = 1 + rnd.nextInt(64)
