@@ -198,6 +198,25 @@ object CoreQueries {
         .orderBy("event_id", "o_orderkey")
     }),
 
+    // pandas pct_change over the dense weekly series: week-over-week
+    // growth per store — lag window on the resampled frame, null for
+    // the first week, null growth on a zero base (pandas inf is not
+    // SQL-portable; the mask IS the documented divergence)
+    "wow_growth" -> ((s, d) => {
+      val weekly = Resample.weeklyDense(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_shipdate", "l_quantity")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("week"))
+      weekly
+        .withColumn("prev", lag(col("units"), 1).over(w))
+        .withColumn("growth",
+          when(col("prev") > 0,
+            round((col("units") - col("prev")) / col("prev"), 6)))
+        .select(col("l_returnflag"), col("week"), col("units"),
+          col("growth"))
+        .orderBy("l_returnflag", "week")
+    }),
+
     // ---- D: grouping / aggregation ----
     // pivot (pandas pivot_table): one column per pivoted key value.
     // Values enumerated explicitly — at scale an un-enumerated pivot
@@ -563,6 +582,17 @@ object CoreQueries {
         |FROM events e JOIN intervals i
         |  ON i.lo <= e.value AND e.value <= i.hi
         |ORDER BY event_id, o_orderkey""".stripMargin,
+    "wow_growth" ->
+      s"""WITH ${denseCte("l_returnflag")},
+         |lagged AS (
+         |  SELECT l_returnflag, week, units,
+         |    lag(units, 1) OVER (PARTITION BY l_returnflag
+         |      ORDER BY week) AS prev
+         |  FROM dense)
+         |SELECT l_returnflag, week, units,
+         |  CASE WHEN prev > 0
+         |       THEN round((units - prev) / prev, 6) END AS growth
+         |FROM lagged ORDER BY l_returnflag, week""".stripMargin,
     "pivot_returns" ->
       """SELECT l_returnflag,
         |  coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0)
