@@ -44,14 +44,19 @@ object Bench {
     // query: this shared VM swings ±40% between runs, and a single
     // sample has repeatedly mis-graded identical code
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val samples = (1 to runs).map { _ =>
-      queries.map { case (name, fn) =>
+    // A failed run records NO sample (not its time-to-failure) so the
+    // median never mixes crash timings with real measurements; failed
+    // names surface in the JSON line instead of only on stderr.
+    val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      queries.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
@@ -59,18 +64,36 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = queries.map { case (name, _) =>
-      name -> median(samples.map(_(name)))
+    val results = queries.flatMap { case (name, _) =>
+      val xs = samples.flatMap(_.get(name))
+      if (xs.nonEmpty) Some(name -> median(xs)) else None
     }
+    val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // Full per-query min–max spread goes to a side file, NOT the stdout
+    // line: the driver keeps only a 2000-char stdout tail, and the
+    // spread map pushed the JSON line past it every round (r2–r5
+    // "parsed": null). The one-line summary must stay < ~1900 chars.
     val spread = queries.map { case (name, _) =>
-      val xs = samples.map(_(name))
-      "\"" + name + "\":" + f""""${xs.min}%.2f-${xs.max}%.2f""""
+      val xs = samples.flatMap(_.get(name))
+      val rng = if (xs.isEmpty) "\"failed\""
+                else f""""${xs.min}%.2f-${xs.max}%.2f""""
+      "\"" + name + "\":" + rng
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (f"""{"runs":$runs,"sf":"$sfDir","total_median_sec":$total%.3f,""" +
+        f""""spread":$spread,"medians":$qs$failedJson}""" + "\n")
+        .getBytes("UTF-8"))
     spark.stop()
+    // Printed LAST (after spark.stop()) so only sbt's one [success]
+    // line can follow it inside the driver's stdout tail.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
   }
 }
