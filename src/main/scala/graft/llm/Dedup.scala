@@ -243,9 +243,13 @@ object Dedup {
     * corpus. `localCheckpoint` truncates the per-round lineage so
     * plans don't grow with iteration count.
     *
-    * Exits loudly (stderr warning) if the loop hits `maxIters` with
-    * labels still changing — a silent partial result would diverge
-    * from the full-transitive-closure semantics callers rely on.
+    * Throws if the loop hits `maxIters` with labels still changing —
+    * a partial labeling is NOT a transitive closure, and batch
+    * callers ([[dedupClusters]], keep-one-per-cluster policies) would
+    * silently consume it as if it were. With pointer jumping the
+    * reachable distance doubles per round, so maxIters=50 covers any
+    * component diameter up to ~2^50; hitting the cap means the input
+    * is pathological, not that more rounds are a good idea.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       id: String, maxIters: Int = 50): DataFrame =
@@ -292,9 +296,10 @@ object Dedup {
       iter += 1
     }
     if (changed > 0)
-      System.err.println(s"[graft] connectedComponents hit maxIters=" +
-        s"$maxIters with labels still changing — result is a partial " +
-        "closure; raise maxIters")
+      throw new IllegalStateException(
+        s"connectedComponents hit maxIters=$maxIters with labels " +
+          "still changing — the labeling is a partial closure, which " +
+          "downstream dedup would silently treat as complete")
     (labels.select(col("__a").as(id), col("cluster")), iter)
   }
 
@@ -314,11 +319,20 @@ object Dedup {
     connectedComponents(edges, reps.select(col(id)), id)
   }
 
-  /** Token (whitespace-split) polynomial hashes of a text column. */
+  /** Polynomial hash fold over each element of a token-array SQL
+    * expression ((acc*31 + char) mod P per token).
+    */
+  private def hashTokensExpr(tokensExpr: String): String =
+    s"""transform($tokensExpr,
+        t -> aggregate(sequence(1, length(t)), 0L,
+             (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $P))"""
+
+  /** Token (whitespace-split) polynomial hashes of a text column.
+    * Empty tokens (from consecutive/leading spaces) hash to 0L —
+    * matching the native [[PolyHashColumns.tokenHashes]] exactly.
+    */
   def tokenHashesExpr(text: String): Column =
-    expr(s"""transform(split($text, ' '),
-             t -> aggregate(sequence(1, length(t)), 0L,
-                  (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $P))""")
+    expr(hashTokensExpr(s"split($text, ' ')"))
 
   /** Word n-gram hashes from a staged token-hash column: each n-token
     * window folds its token hashes ((acc*31 + h) mod P); documents
@@ -341,8 +355,15 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, text: String,
       id: String, n: Int = 8): DataFrame = {
+    // Tokens here are NON-EMPTY words only, and zero-token documents
+    // produce no grams at all: an empty/whitespace-only doc would
+    // otherwise fold to the sentinel gram 0L and read as
+    // "contaminated" by any other empty doc despite sharing no
+    // content. (Mirrored in the DuckDB oracle.)
     def grams(df: DataFrame): DataFrame = df
-      .withColumn("__th", tokenHashesExpr(s"lower($text)"))
+      .withColumn("__th", expr(hashTokensExpr(
+        s"filter(split(lower($text), ' '), t -> t != '')")))
+      .filter(size(col("__th")) > 0)
       .select(col(id),
         explode(ngramHashesFromTokenHashes("__th", n)).as("gram"))
     val evalGrams = grams(evalSet).select("gram").distinct()

@@ -94,8 +94,15 @@ object TextAnalysis {
     * dominant language, 50% of the rest — the standard corpus
     * rebalancing step).
     */
-  def sampleBucketExpr(id: String, seed: Long): Column =
-    expr(s"((pmod($id, 1073741824) * 2654435761 + $seed) % $P) % 1000")
+  def sampleBucketExpr(id: String, seed: Long): Column = {
+    // Reduce the seed into [0, P) Scala-side and use pmod for the
+    // outer reductions: a negative (or near-Long.Max) seed would
+    // otherwise flip the plain % reductions negative — silently
+    // emptying threshold samples like `bucket < 200` — or overflow
+    // under ANSI. Values for any seed already in [0, P) are unchanged.
+    val s = java.lang.Math.floorMod(seed, P)
+    expr(s"pmod(pmod(pmod($id, 1073741824) * 2654435761 + $s, $P), 1000)")
+  }
 
   /** Context-window chunking for training-data preparation: fixed
     * character windows with `overlap` chars of overlap (stride =

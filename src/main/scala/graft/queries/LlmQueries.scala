@@ -695,9 +695,13 @@ object LlmQueries {
     "decontaminate" ->
       s"""WITH th AS (
          |  SELECT doc_id,
-         |    list_transform(string_split(lower(text), ' '),
+         |    list_transform(
+         |      list_filter(string_split(lower(text), ' '),
+         |        t -> t != ''),
          |      t -> ${duckPolyHash("t")}) AS th
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(lower(text), ' '),
+         |        t -> t != '')) > 0),
          |grams AS (
          |  SELECT doc_id,
          |    unnest(list_transform(

@@ -268,6 +268,50 @@ class LlmSpec extends AnyFunSuite {
     assert(kept2.toSeq === Seq(2L, 4L))
   }
 
+  test("decontaminate: empty/whitespace docs never contaminate each other") {
+    // an empty train doc vs an empty eval doc share zero real
+    // n-grams — the sentinel gram 0L must not link them
+    val train = Seq((2L, ""), (4L, "   "), (6L, "real words here"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((1L, ""), (3L, " \t ")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval_, "text", "doc_id",
+      n = 3).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 4L, 6L))
+  }
+
+  test("connectedComponents throws on non-convergence instead of returning a partial closure") {
+    val edges = (1 until 9).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id1", "id2")
+    val verts = (1 to 9).map(_.toLong).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, verts, "doc_id", maxIters = 1)
+    }
+    assert(e.getMessage.contains("partial closure"))
+  }
+
+  test("sampleBucketExpr stays in [0, 1000) for negative and huge seeds") {
+    val ids = Seq(0L, 1L, 17L, 999999999L, Long.MaxValue)
+      .toDF("doc_id")
+    for (seed <- Seq(-42L, Long.MinValue, Long.MaxValue, 0L, 42L)) {
+      val b = ids.select(
+        TextAnalysis.sampleBucketExpr("doc_id", seed).cast("long"))
+        .collect().map(_.getLong(0))
+      assert(b.forall(x => x >= 0 && x < 1000),
+        s"seed=$seed produced out-of-range buckets: ${b.toSeq}")
+    }
+    // seed already in [0, P) keeps its historical values (the oracle
+    // SQL for sample_stratified hard-codes this arithmetic with 42)
+    val fixed = ids.select(
+      TextAnalysis.sampleBucketExpr("doc_id", 42L).cast("long"))
+      .collect().map(_.getLong(0))
+    val expected = Seq(0L, 1L, 17L, 999999999L, Long.MaxValue).map {
+      id =>
+        ((Math.floorMod(id, 1073741824L) * 2654435761L + 42L)
+          % 1000000007L) % 1000L
+    }
+    assert(fixed.toSeq === expected)
+  }
+
   test("tfIdfTopTerms ranks rare terms above common ones") {
     val df = Seq(
       (1L, "common common rare_one common filler filler"),
