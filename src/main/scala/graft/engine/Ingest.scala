@@ -87,12 +87,23 @@ object Ingest {
     * (`saveAsTable`), not a bare path.
     */
   def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // The in-memory catalog is per-JVM but the warehouse directory is
+    // not: a fresh session sees no table yet LOCATION_ALREADY_EXISTS
+    // on the leftover managed-table dir. Drop both for idempotence.
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tableName.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Hive-style partitioned parquet sink: directory partitioning on a
     * low-cardinality key gives free partition pruning on every later

@@ -373,6 +373,28 @@ object Dedup {
     train.select(col(id)).join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Boilerplate n-gram detector: word n-grams (lowercased, empty
+    * tokens dropped) appearing in at least `minDocs` DISTINCT
+    * documents, with their document frequency — the corpus-level scan
+    * that surfaces repeated headers/footers/navigation chrome before
+    * a paragraph-level scrub. Per-doc `array_distinct` keeps df a
+    * true document count; docs shorter than n contribute nothing.
+    * Scale shape: narrow explode (grams per doc ∝ doc length) into
+    * ONE map-side-combining groupBy on the gram. At 100 TB the group
+    * key would be the gram's 64-bit hash with `min(gram)` carried for
+    * display — same plan, eighth the shuffle bytes.
+    */
+  def boilerplateNgrams(df: DataFrame, text: String, id: String,
+      n: Int = 8, minDocs: Int = 3): DataFrame = df
+    .withColumn("__toks",
+      expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+    .filter(size(col("__toks")) >= n)
+    .select(col(id), explode(expr(
+      s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+          i -> array_join(slice(__toks, i, $n), ' ')))""")).as("gram"))
+    .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    .filter(col("df") >= minDocs)
+
   /** SimHash from a PRECOMPUTED token-hash column: bit_j = sign of sum
     * over token hashes of (±1 from the hash's j-th bit); packed into a
     * long. Takes a column (not the raw text) because higher-order

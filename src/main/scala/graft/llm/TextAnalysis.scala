@@ -225,4 +225,90 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprintExpr(text))
       .drop(Seq("__cs", "__toks", "__nt") ++ hitCols: _*)
   }
+
+  // ---- PII redaction ----------------------------------------------
+  // Regexes are written with character classes only (no backslash
+  // escapes), so the SAME literal string is valid in Spark SQL and in
+  // the DuckDB oracle without escape-layer divergence.
+
+  /** Email address pattern (case-insensitive local/domain chars). */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  /** NANP-style dashed phone pattern. */
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  /** Dotted-quad IPv4 pattern. */
+  val ipRe = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+  /** PII-scrubbed text: emails → [EMAIL], IPv4 → [IP], phones →
+    * [PHONE]. Email runs first so its digits/dots can't be half-eaten
+    * by the narrower patterns. A narrow per-row projection — the
+    * standard pre-training scrub stage, embarrassingly parallel, no
+    * shuffle at any corpus size.
+    */
+  def redactPiiExpr(text: String): Column =
+    expr(s"""regexp_replace(regexp_replace(regexp_replace($text,
+             '$emailRe', '[EMAIL]'),
+             '$ipRe', '[IP]'),
+             '$phoneRe', '[PHONE]')""")
+
+  /** Per-category PII hit counts (audit columns for the scrub). */
+  def piiCountsExpr(text: String): Seq[(String, Column)] = Seq(
+    "n_email" -> expr(s"regexp_count($text, '$emailRe')").cast("long"),
+    "n_ip" -> expr(s"regexp_count($text, '$ipRe')").cast("long"),
+    "n_phone" -> expr(s"regexp_count($text, '$phoneRe')").cast("long"))
+
+  // ---- Gopher-style quality rules ---------------------------------
+
+  /** Composite rule-based quality gate (the published Gopher/C4-style
+    * heuristics, thresholds as parameters): token-count bounds, mean-
+    * word-length bounds, symbol-ratio cap, and a minimum stopword
+    * ratio. Emits the per-rule booleans (so a pipeline can audit WHY
+    * a doc was dropped) plus the conjunction as `keep`. Per-row
+    * projection over one staged class-stats pass — no shuffle.
+    */
+  def gopherRules(df: DataFrame, text: String,
+      minTokens: Int = 40, maxTokens: Int = 1000,
+      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopwordRatio: Double = 0.0): DataFrame = {
+    val staged = df
+      .withColumn("__cs", PolyHashColumns.textClassStats(col(text)))
+      .withColumn("__nt", col("__cs.n_tokens"))
+      .withColumn("__awl", col("__cs.n_nonspace").cast("double") /
+        col("__nt"))
+      .withColumn("__sym", col("__cs.n_punct").cast("double") /
+        col("__cs.n_chars"))
+      .withColumn("__swr", expr(
+        s"""CAST(${hitCount(text, stopwords("en"))} AS DOUBLE)
+            / size(split(trim($text), '\\\\s+'))"""))
+    staged
+      .withColumn("rule_tokens",
+        col("__nt") >= minTokens && col("__nt") <= maxTokens)
+      .withColumn("rule_word_len",
+        col("__awl") >= minAvgWordLen && col("__awl") <= maxAvgWordLen)
+      .withColumn("rule_symbols", col("__sym") <= maxSymbolRatio)
+      .withColumn("rule_stopwords", col("__swr") >= minStopwordRatio)
+      .withColumn("keep",
+        col("rule_tokens") && col("rule_word_len") &&
+          col("rule_symbols") && col("rule_stopwords"))
+      .drop("__cs", "__nt", "__awl", "__sym", "__swr")
+  }
+
+  /** Per-domain document cap: keep at most `n` rows per `domain`,
+    * highest `priority` first (ties broken by ascending `id` for
+    * determinism). The corpus-rebalancing stage that stops one crawl
+    * host from dominating the training mix. ONE shuffle on the
+    * domain key; Spark's WindowGroupLimit rewrite pushes the rank
+    * cutoff below the per-partition sort, so no domain is ever fully
+    * sorted — only its running top-n is kept (the two-phase top-k
+    * shape that survives domain skew at scale).
+    */
+  def capPerDomain(df: DataFrame, domain: String, priority: Column,
+      id: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domain))
+      .orderBy(priority.desc, col(id).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

@@ -235,6 +235,28 @@ object CoreQueries {
     // rollup subtotals: (flag, status), per-flag, and grand total in
     // one pass (partial-aggregating, no union of three scans). NULL
     // grouping slots are labeled so the oracle compare is total-order
+    // bucketed ingest + co-located join: both fact tables are written
+    // bucketed on the join key, so the join back out of the catalog
+    // plans with NO Exchange on either side (spec-pinned in
+    // EngineExtrasSpec); at 100 TB this converts the recurring
+    // fact-join shuffle into a one-time ingest cost. The oracle runs
+    // the same join straight off the raw parquet — equal results
+    // prove the bucketed path changes the plan, not the data.
+    "bucketed_join" -> ((s, d) => {
+      Ingest.writeBucketed(t(s, d, "orders"), "graft_bk_orders", 16,
+        Seq("o_orderkey"))
+      Ingest.writeBucketed(t(s, d, "lineitem"), "graft_bk_lineitem",
+        16, Seq("l_orderkey"))
+      s.table("graft_bk_lineitem")
+        .join(s.table("graft_bk_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "rollup_sales" -> ((s, d) => {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -600,6 +622,13 @@ object CoreQueries {
         |  coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0)
         |    AS qty_o
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

@@ -229,7 +229,58 @@ object LlmQueries {
     "multimodal_decode" -> ((s, d) => {
       Multimodal.bmpPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+    // PII scrub: deterministic contact info (email/phone/IPv4 derived
+    // from doc_id — same arithmetic in the oracle) is appended to each
+    // doc, then redacted; per-category hit counts audit the scrub
+    "pii_redact" -> ((s, d) => {
+      val aug = t(s, d, "documents")
+        .withColumn("aug", expr(piiAugmentSql))
+      TextAnalysis.piiCountsExpr("aug")
+        .foldLeft(aug.withColumn("redacted",
+          TextAnalysis.redactPiiExpr("aug"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }
+        .select("doc_id", "redacted", "n_email", "n_ip", "n_phone")
+        .orderBy("doc_id")
+    }),
+    // corpus-level boilerplate scan: word 8-grams present in >= 3
+    // distinct documents (repeated chrome/header detection)
+    "boilerplate_ngrams" -> ((s, d) => {
+      Dedup.boilerplateNgrams(t(s, d, "documents"), "text", "doc_id",
+        n = 8, minDocs = 3)
+        .orderBy(col("df").desc, col("gram"))
+    }),
+    // per-source document cap: keep the 10 highest-quality docs per
+    // source (deterministic doc_id tiebreak) — the rebalancing stage
+    // that stops one crawl host from dominating the mix
+    "domain_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("quality", TextAnalysis.qualityScoreExpr("text"))
+      TextAnalysis.capPerDomain(docs, "source", col("quality"),
+        "doc_id", 10)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
+    // Gopher-style rule gate: per-rule booleans + the conjunction
+    "gopher_rules" -> ((s, d) => {
+      TextAnalysis.gopherRules(t(s, d, "documents"), "text",
+        minTokens = 40, maxTokens = 1000)
+        .select("doc_id", "rule_tokens", "rule_word_len",
+          "rule_symbols", "rule_stopwords", "keep")
+        .orderBy("doc_id")
     }))
+
+  /** Deterministic contact-info augmentation shared VERBATIM with the
+    * DuckDB oracle (integer arithmetic + concat only, both engines
+    * implicitly cast the numerics).
+    */
+  private val piiAugmentSql =
+    """concat(text, ' contact user', doc_id, '@example', doc_id % 7,
+      |'.com or 555-', 100 + doc_id % 900, '-', 1000 + doc_id % 9000,
+      |' from ', 10 + doc_id % 240, '.', doc_id % 256, '.',
+      |(3 * doc_id) % 256, '.', (7 * doc_id) % 256)"""
+      .stripMargin.replace("\n", " ")
 
   // ---- DuckDB oracle builders sharing the Scala-side constants ----
 
@@ -801,5 +852,68 @@ object LlmQueries {
         |    i -> CAST(v[3*(16*(i // 4) + 2*(i % 4)) + 1] AS DOUBLE)))
         |    / 16 AS rs_mean_r,
         |  TRUE AS roundtrip_ok
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, $piiAugmentSql AS aug FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${TextAnalysis.emailRe}', '[EMAIL]', 'g'),
+         |    '${TextAnalysis.ipRe}', '[IP]', 'g'),
+         |    '${TextAnalysis.phoneRe}', '[PHONE]', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(aug, '${TextAnalysis.emailRe}'))
+         |    AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '${TextAnalysis.ipRe}'))
+         |    AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(aug, '${TextAnalysis.phoneRe}'))
+         |    AS BIGINT) AS n_phone
+         |FROM aug ORDER BY doc_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> t != '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 7),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))))
+        |    AS gram
+        |  FROM toks WHERE len(tk) >= 8)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS df
+        |FROM g GROUP BY gram HAVING count(*) >= 3
+        |ORDER BY df DESC, gram""".stripMargin,
+    "domain_cap" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT doc_id, source, quality FROM r WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin,
+    "gopher_rules" ->
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    $duckNTokens AS nt,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |      / $duckNTokens AS awl,
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS sym,
+         |    CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens AS swr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  (nt >= 40 AND nt <= 1000) AS rule_tokens,
+         |  (awl >= 2.0 AND awl <= 12.0) AS rule_word_len,
+         |  (sym <= 0.1) AS rule_symbols,
+         |  (swr >= 0.0) AS rule_stopwords,
+         |  ((nt >= 40 AND nt <= 1000) AND (awl >= 2.0 AND awl <= 12.0)
+         |    AND sym <= 0.1 AND swr >= 0.0) AS keep
+         |FROM st ORDER BY doc_id""".stripMargin)
 }

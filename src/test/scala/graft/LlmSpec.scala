@@ -312,6 +312,63 @@ class LlmSpec extends AnyFunSuite {
     assert(fixed.toSeq === expected)
   }
 
+  test("redactPii masks emails, phones, IPv4; counts hits; leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org or call 555-123-4567 from 10.0.42.7 today"),
+      (2L, "no contact info in this one at all"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.redactPiiExpr("text").as("r"))
+    val red = out.orderBy("doc_id").collect().map(_.getString(1))
+    assert(red(0) === "mail [EMAIL] or call [PHONE] from [IP] today")
+    assert(red(1) === "no contact info in this one at all")
+    val counts = TextAnalysis.piiCountsExpr("text")
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .orderBy("doc_id").collect()
+    assert((counts(0).getLong(2), counts(0).getLong(3),
+      counts(0).getLong(4)) === ((1L, 1L, 1L)))
+    assert((counts(1).getLong(2), counts(1).getLong(3),
+      counts(1).getLong(4)) === ((0L, 0L, 0L)))
+  }
+
+  test("gopherRules gates on token count; audit booleans explain drops") {
+    val longDoc = ("word " * 50).trim
+    val df = Seq((1L, longDoc), (2L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "text", minTokens = 40)
+      .select("doc_id", "rule_tokens", "keep").orderBy("doc_id")
+      .collect()
+    assert(out(0).getBoolean(1) && out(0).getBoolean(2))
+    assert(!out(1).getBoolean(1) && !out(1).getBoolean(2))
+  }
+
+  test("capPerDomain keeps top-n by priority with deterministic ties") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
+      (5L, "b", 0.2))
+      .toDF("doc_id", "dom", "q")
+    val kept = TextAnalysis.capPerDomain(df, "dom", col("q"),
+      "doc_id", 2).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    // domain a: quality 0.9 ties broken by doc_id asc -> 1, 3
+    assert(kept.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("boilerplateNgrams finds grams in >= minDocs distinct docs only") {
+    val chrome = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$chrome alpha beta"),
+      (2L, s"intro $chrome"),
+      (3L, s"$chrome"),
+      (4L, s"$chrome $chrome"), // repeats within ONE doc: df += 1, not 2
+      (5L, "short doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateNgrams(df, "text", "doc_id", n = 8,
+      minDocs = 4).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.exists { case (g, c) => g == chrome && c == 4L })
+    // every reported gram must clear the distinct-doc threshold
+    assert(out.forall(_._2 >= 4L))
+  }
+
   test("tfIdfTopTerms ranks rare terms above common ones") {
     val df = Seq(
       (1L, "common common rare_one common filler filler"),
