@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.llm.Dedup
+import graft.llm.{Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -48,4 +48,21 @@ object StreamingDedup {
   def minhashBuckets(docs: DataFrame, text: String,
       id: String): DataFrame =
     Dedup.lshBuckets(Dedup.minhashSignatures(docs, text, id), id)
+
+  /** Stateless streaming curation gate: Gopher-style rule booleans +
+    * PII redaction in ONE per-row projection — every expression is a
+    * deterministic row-local function (native class-stats pass +
+    * three regex rewrites), so the stage is streaming-safe in any
+    * output mode with zero state and no watermark. This is the
+    * ingest-edge filter a live corpus feed runs BEFORE anything
+    * stateful: rejected docs never reach the dedup stores, and
+    * redaction happens before the text is ever persisted. Identical
+    * semantics on a batch frame (spec-pinned parity).
+    */
+  def curationGate(docs: DataFrame, text: String,
+      minTokens: Int = 40, maxTokens: Int = 1000): DataFrame =
+    TextAnalysis.gopherRules(docs, text, minTokens, maxTokens)
+      .withColumn("redacted", TextAnalysis.redactPiiExpr(text))
+      .filter(col("keep"))
+      .drop(text)
 }

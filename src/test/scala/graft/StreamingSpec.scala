@@ -174,6 +174,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(collide13)
   }
 
+  test("streaming curation gate equals the batch form; rejects and redacts") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def rows(dir: String, docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory("cg_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cg_ck").toString
+    val longDoc = ("retail units sold per store and week " * 8).trim +
+      " mail me at ops@example.com"
+    rows(dir, (1L, longDoc), (2L, "too short to keep"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.curationGate(stream, "text",
+        minTokens = 40)
+      .writeStream.format("memory").queryName("cg_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows(dir, (3L, longDoc + " second batch arrival"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cg_out")
+      .select("doc_id", "redacted").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    // short doc rejected; survivors have the email scrubbed
+    assert(streamed.map(_._1).toSeq === Seq(1L, 3L))
+    assert(streamed.forall(_._2.contains("[EMAIL]")))
+    assert(streamed.forall(!_._2.contains("ops@example.com")))
+    // batch parity: same rows, same redaction
+    val batch = StreamingDedup.curationGate(
+      spark.read.schema(docSchema).parquet(dir), "text",
+      minTokens = 40)
+      .select("doc_id", "redacted").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("mapGroupsWithState running totals") {
     val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
     val out = StreamingResample.runningTotals(ds).collect()
