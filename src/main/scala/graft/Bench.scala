@@ -69,9 +69,10 @@ object Bench {
       if (xs.nonEmpty) Some(name -> median(xs)) else None
     }
     val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    def mediansJson(dp: Int): String = results
+      .map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
       .mkString("{", ",", "}")
+    val qs = mediansJson(2)
     // Full per-query min–max spread goes to a side file, NOT the stdout
     // line: the driver keeps only a 2000-char stdout tail, and the
     // spread map pushed the JSON line past it every round (r2–r5
@@ -93,7 +94,15 @@ object Bench {
         .getBytes("UTF-8"))
     spark.stop()
     // Printed LAST (after spark.stop()) so only sbt's one [success]
-    // line can follow it inside the driver's stdout tail.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    // line can follow it inside the driver's stdout tail. The tail is
+    // 2000 chars; at 80+ queries a 2-decimal medians map can exceed
+    // it, so degrade precision (2 → 1 → 0 dp) until the line fits —
+    // full-precision medians are already in BENCH_DETAIL.json.
+    def line(dp: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        s""""queries":${mediansJson(dp)}$failedJson,"sf":"$sfDir"}"""
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1880)
+      .getOrElse(line(0))
+    println(out)
   }
 }
