@@ -91,4 +91,29 @@ object Joins {
         col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** SCD-1 merge/upsert (the Delta/Iceberg MERGE shape, engine-level):
+    * rows in `updates` override same-key rows in `base`; new keys are
+    * inserted. Both sides must be key-unique (standard MERGE
+    * precondition).
+    *
+    * Implemented as tagged-union + one per-key arg-min aggregation
+    * rather than a full-outer join: ONE shuffle on the key, no join
+    * at all, and it generalizes to N prioritized sources (base <
+    * updates < corrections) for free. At 100 TB the base side should
+    * be bucketed on the key ([[graft.engine.Ingest.writeBucketed]])
+    * so only the (much smaller) update side moves.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      "base and updates must share a schema")
+    val payload = base.columns.filterNot(keys.contains)
+    base.withColumn("__prio", lit(1))
+      .unionByName(updates.withColumn("__prio", lit(0)))
+      .groupBy(keys.map(col): _*)
+      .agg(min_by(col(payload.head), col("__prio")).as(payload.head),
+        payload.tail.toSeq
+          .map(c => min_by(col(c), col("__prio")).as(c)): _*)
+  }
 }

@@ -319,6 +319,31 @@ object Dedup {
     connectedComponents(edges, reps.select(col(id)), id)
   }
 
+  /** Canonical-document selection: given cluster labels (from
+    * [[dedupClusters]]) and a per-doc score, keep the best-scoring doc
+    * of each near-dup cluster (ties → lowest id — fully
+    * deterministic). This is the curation policy step after
+    * clustering: "of these k near-identical pages, keep the highest
+    * -quality one", rather than the keep-lowest-id default.
+    *
+    * One key-join (cluster labels are reps-sized, far below corpus
+    * size) plus one per-cluster window; clusters are tiny (near-dup
+    * groups), so the window never sees a skewed partition — the
+    * groupBy key is the cluster label, not anything Zipfian.
+    */
+  def keepBestPerCluster(clusters: DataFrame, scored: DataFrame,
+      id: String, score: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(score).desc, col(id).asc)
+    clusters.join(scored.select(col(id), col(score)), Seq(id))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col(id), col(score), col("n_members"))
+  }
+
   /** Polynomial hash fold over each element of a token-array SQL
     * expression ((acc*31 + char) mod P per token).
     */

@@ -104,6 +104,63 @@ object TextAnalysis {
     expr(s"pmod(pmod(pmod($id, 1073741824) * 2654435761 + $s, $P), 1000)")
   }
 
+  /** Deterministic train/val/test assignment from the same integer
+    * scramble as [[sampleBucketExpr]]: bucket thresholds in per-mille
+    * (e.g. 960/20 → 96% train, 2% val, 2% test). Hash-based splits
+    * are the only form that survives a growing corpus — a given doc's
+    * split never changes when new data arrives, rows never need a
+    * global shuffle or a stored assignment table, and the split can
+    * be re-derived identically on any engine. (Random splits fail all
+    * three at 100 TB.) Narrow per-row projection, zero shuffle.
+    */
+  def hashSplit(df: DataFrame, id: String, seed: Long,
+      trainPerMille: Int = 960, valPerMille: Int = 20): DataFrame = {
+    require(trainPerMille > 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille < 1000,
+      "need 0 < trainPerMille, 0 <= valPerMille, sum < 1000")
+    df.withColumn("bucket",
+        sampleBucketExpr(id, seed).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
+  }
+
+  /** Sequence packing (concat-and-chunk) for LLM training: documents
+    * are deterministically sharded, concatenated in id order within
+    * each shard, and the token stream is cut every `seqLen` tokens.
+    * Emits per doc: its shard, the token offset where it starts in
+    * the shard's stream, and the first/last sequence index it lands
+    * in (`pack_first`/`pack_last` — a doc straddles a boundary when
+    * they differ).
+    *
+    * Scale shape: ONE shuffle (hash-shard the corpus), then a
+    * per-shard window cumsum. The sequential dependency of packing is
+    * inherently per-output-shard; `nShards` is the parallelism knob
+    * (one shard ≈ one output file of the tokenized corpus), so wall
+    * clock scales with corpus/nShards, never corpus size. The shard
+    * comes from the id scramble, so packing is bit-reproducible
+    * across runs, engines, and input partitionings.
+    */
+  def packSequences(df: DataFrame, text: String, id: String,
+      seqLen: Int, nShards: Int, seed: Long = 0L): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "need seqLen > 0, nShards > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(id),
+        PolyHashColumns.textClassStats(col(text))
+          .getField("n_tokens").as("n_tokens"),
+        pmod(sampleBucketExpr(id, seed), lit(nShards)).cast("long")
+          .as("shard"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_first", floor(col("tok_offset") / seqLen))
+      .withColumn("pack_last",
+        floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L))
+          - 1L) / seqLen))
+  }
+
   /** Context-window chunking for training-data preparation: fixed
     * character windows with `overlap` chars of overlap (stride =
     * size − overlap), one output row per (doc, chunk), including the

@@ -257,6 +257,55 @@ object CoreQueries {
             .cast("double").as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // SCD-1 merge/upsert: updates override base rows (priced-up
+    // orders get status U), unseen keys insert (status N). The
+    // union+arg-min implementation is checked against a full-outer-
+    // join oracle — two independent formulations of MERGE.
+    "merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      val ins = base.filter(col("o_orderkey") % 1000 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      Joins.mergeUpsert(base, upd.unionByName(ins), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // Hive-style partitioned sink + pruned read-back: the filter on
+    // the partition key becomes a directory skip (PartitionFilters),
+    // the first scan-reduction lever at 100 TB
+    "partition_prune" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_li"
+      Ingest.writePartitioned(
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity",
+          "l_extendedprice", "l_linestatus", "l_returnflag"),
+        tmp, Seq("l_returnflag"))
+      s.read.parquet(tmp).filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("l_linestatus")
+    }),
+    // schema-aligned union (pandas concat with mismatched columns):
+    // missing columns null-fill per side, no shuffle at all
+    "union_align" -> ((s, d) => {
+      val a = t(s, d, "orders").select(
+        col("o_orderkey").as("key"),
+        col("o_totalprice").as("amount"),
+        col("o_orderstatus").as("status"),
+        lit("orders").as("src"))
+      val b = t(s, d, "lineitem").select(
+        col("l_orderkey").as("key"),
+        col("l_extendedprice").as("amount"),
+        lit("lineitem").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("key", "src", "amount")
+    }),
     "rollup_sales" -> ((s, d) => {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -629,6 +678,37 @@ object CoreQueries {
         |    AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "merge_upsert" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 10.0 AS o_totalprice
+        |  FROM b WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  FROM b WHERE o_orderkey % 1000 = 1)
+        |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "partition_prune" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "union_align" ->
+      """SELECT o_orderkey AS key, o_totalprice AS amount,
+        |  o_orderstatus AS status, 'orders' AS src FROM orders
+        |UNION ALL BY NAME
+        |SELECT l_orderkey AS key, l_extendedprice AS amount,
+        |  'lineitem' AS src FROM lineitem
+        |ORDER BY key, src, amount""".stripMargin,
     "rollup_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

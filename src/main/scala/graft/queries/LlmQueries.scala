@@ -213,6 +213,31 @@ object LlmQueries {
           .otherwise(col("bucket") < 500))
         .orderBy("doc_id")
     }),
+    // deterministic hash-based train/val/test split (96/2/2): a doc's
+    // assignment never changes as the corpus grows — no stored split
+    // table, no shuffle, re-derivable on any engine
+    "hash_split" -> ((s, d) => {
+      TextAnalysis.hashSplit(t(s, d, "documents"), "doc_id", 7L)
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+    // sequence packing (concat-and-chunk, 256-token sequences over 8
+    // hash shards): the tokenized-corpus layout stage — one shuffle,
+    // per-shard window cumsum, bit-reproducible shard assignment
+    "pack_sequences" -> ((s, d) => {
+      TextAnalysis.packSequences(t(s, d, "documents"), "text",
+        "doc_id", seqLen = 256, nShards = 8)
+        .orderBy("doc_id")
+    }),
+    // canonical-doc selection: near-dup clustering, then keep the
+    // highest-quality member of each cluster (not the lowest-id one)
+    "cluster_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keepBestPerCluster(
+        Dedup.dedupClusters(docs, "text", "doc_id", 0.8),
+        TextAnalysis.withStats(docs, "text"), "doc_id", "quality")
+        .orderBy("cluster")
+    }),
     // symmetric int8 embedding quantization (decimal-routed rounding
     // — bit-portable to the oracle)
     "embed_quantize" -> ((s, d) => {
@@ -779,6 +804,68 @@ object LlmQueries {
          |WHERE CASE WHEN lang = 'en' THEN bucket < 200
          |      ELSE bucket < 500 END
          |ORDER BY doc_id""".stripMargin,
+    "hash_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ((doc_id % 1073741824) * 2654435761 + 7) % $P % 1000
+         |      AS bucket
+         |  FROM documents)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket < 960 THEN 'train'
+         |       WHEN bucket < 980 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    CAST($duckNTokens AS BIGINT) AS n_tokens,
+         |    CAST(((doc_id % 1073741824) * 2654435761 + 0) % $P % 1000 % 8
+         |      AS BIGINT) AS shard
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM st)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 256 AS BIGINT) AS pack_first,
+         |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 256
+         |    AS BIGINT) AS pack_last
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "cluster_keep_best" ->
+      s"""WITH RECURSIVE $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
+         |$verifiedCtes,
+         |sym AS (SELECT id1 AS a, id2 AS b FROM verified
+         |        UNION ALL SELECT id2, id1 FROM verified),
+         |walk AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |  FROM walk GROUP BY a),
+         |clustered AS (
+         |  SELECT r.doc_id, coalesce(l.cluster, r.doc_id) AS cluster
+         |  FROM reps r LEFT JOIN labels l USING (doc_id)),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster, c.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster) AS n_members
+         |  FROM clustered c JOIN q USING (doc_id))
+         |SELECT cluster, doc_id, quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "embed_quantize" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |sc AS (

@@ -131,6 +131,22 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(filtered.count() === 100)
   }
 
+  test("mergeUpsert: updates override, new keys insert, base rows survive") {
+    import graft.engine.Joins
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val upd = Seq((2L, "B", 99.0), (9L, "new", 1.0))
+      .toDF("k", "tag", "v")
+    val out = Joins.mergeUpsert(base, upd, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out === Array((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (9L, "new", 1.0)))
+    intercept[IllegalArgumentException] {
+      Joins.mergeUpsert(base, upd.select("k", "v", "tag"), Seq("k"))
+    }
+  }
+
   test("asOfJoin: latest at-or-before value, inclusive ties, null when none") {
     import graft.engine.Joins
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -28,6 +28,68 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("hashSplit: deterministic, exhaustive, and stable under corpus growth") {
+    val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val split = TextAnalysis.hashSplit(ids, "doc_id", 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all three splits materialize and roughly respect 96/2/2
+    val bySplit = split.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > 1800 && bySplit("val") > 5 &&
+      bySplit("test") > 5)
+    // growth stability: the first 500 ids keep their assignment when
+    // 1500 more arrive (the property random splits lack)
+    val small = TextAnalysis.hashSplit(
+      (0L until 500L).map(Tuple1(_)).toDF("doc_id"), "doc_id", 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, s) => split(id) == s })
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashSplit(ids, "doc_id", 7L, 990, 20)
+    }
+  }
+
+  test("packSequences: per-shard concat offsets and boundary straddles") {
+    val df = Seq(
+      (0L, "a b c"),            // 3 tokens
+      (1L, "d e f g"),          // 4 tokens
+      (2L, "h i j k l m n o"),  // 8 tokens
+      (3L, ""))                 // empty -> 1 token (split of "")
+      .toDF("doc_id", "text")
+    // one shard so the stream order is just doc_id order
+    val out = TextAnalysis.packSequences(df, "text", "doc_id",
+      seqLen = 6, nShards = 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // (id, n_tokens, tok_offset, pack_first, pack_last)
+    assert(out(0) === ((0L, 3L, 0L, 0L, 0L)))
+    assert(out(1) === ((1L, 4L, 3L, 0L, 1L))) // straddles 6-boundary
+    assert(out(2) === ((2L, 8L, 7L, 1L, 2L)))
+    assert(out(3) === ((3L, 1L, 15L, 2L, 2L)))
+    // sharded: offsets restart per shard and shards partition the ids
+    val sharded = TextAnalysis.packSequences(df, "text", "doc_id",
+      seqLen = 6, nShards = 4)
+    val offsets = sharded.groupBy("shard")
+      .agg(min(col("tok_offset")).as("m")).collect()
+    assert(offsets.forall(_.getLong(1) === 0L))
+  }
+
+  test("keepBestPerCluster: highest score wins, ties break to lowest id") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L),
+      (21L, 2L), (30L, 3L))
+      .toDF("doc_id", "cluster")
+    val scored = Seq((10L, 0.5), (11L, 0.9), (12L, 0.9), (20L, 0.7),
+      (21L, 0.7), (30L, 0.1))
+      .toDF("doc_id", "quality")
+    val kept = Dedup.keepBestPerCluster(clusters, scored, "doc_id",
+      "quality").orderBy("cluster").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cluster 1: 11 beats 12 on the id tie-break; singletons survive
+    assert(kept === Array((11L, 0.9, 3L), (20L, 0.7, 2L),
+      (30L, 0.1, 1L)))
+  }
+
   test("native PolyHash expressions equal the SQL higher-order forms") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
