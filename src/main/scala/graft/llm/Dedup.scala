@@ -359,6 +359,14 @@ object Dedup {
   def tokenHashesExpr(text: String): Column =
     expr(hashTokensExpr(s"split($text, ' ')"))
 
+  /** Content-token hashes: lowercased, empty tokens dropped — the
+    * token form [[decontaminate]] and corpus statistics share. Docs
+    * that are empty/whitespace-only yield an empty array.
+    */
+  def contentTokenHashesExpr(text: String): Column =
+    expr(hashTokensExpr(
+      s"filter(split(lower($text), ' '), t -> t != '')"))
+
   /** Word n-gram hashes from a staged token-hash column: each n-token
     * window folds its token hashes ((acc*31 + h) mod P); documents
     * shorter than n contribute one whole-document window. Products

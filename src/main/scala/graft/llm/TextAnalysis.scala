@@ -161,6 +161,50 @@ object TextAnalysis {
           - 1L) / seqLen))
   }
 
+  /** Corpus-frequency quality score — the exact-arithmetic analog of
+    * unigram log-prob filtering: build a capped vocabulary (top
+    * `vocabSize` tokens by corpus count, ties to the lower hash),
+    * then score each doc by its mean token corpus-frequency in parts
+    * per million. Rare/garbled text scores near 0, boilerplate
+    * scores high; thresholding either tail is the standard
+    * perplexity-style gate. All aggregation is integer (token counts
+    * summed as longs), so the score is bit-reproducible across
+    * engines and partitionings — no transcendentals whose last ulp
+    * differs between libms.
+    *
+    * Scale shape: one explode+count shuffle keyed on the uniform
+    * token hash (map-side combine does the heavy lifting), a
+    * driver-bounded top-K vocabulary (TakeOrdered, K constant) that
+    * re-joins as a broadcast, and one per-doc aggregation shuffle.
+    * Docs with zero content tokens are excluded by construction
+    * (documented; mirrors [[graft.llm.Dedup.decontaminate]]).
+    */
+  def unigramFreqScore(df: DataFrame, text: String, id: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, "need vocabSize > 0")
+    val toks = df
+      .select(col(id),
+        explode(Dedup.contentTokenHashesExpr(text)).as("tok"))
+    // materialize the (vocab-sized) count table once: it feeds both
+    // the top-K vocabulary and the total, and without the checkpoint
+    // each consumer would re-run the corpus explode+count
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+    val total = counts.agg(sum(col("cnt")).cast("long")
+      .as("__total"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cnt"), lit(0L))).as("vocab_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("freq_ppm",
+        round(col("vocab_count").cast("double") / col("n_tokens")
+          / col("__total") * 1e6, 6))
+      .drop("__total")
+  }
+
   /** Context-window chunking for training-data preparation: fixed
     * character windows with `overlap` chars of overlap (stride =
     * size − overlap), one output row per (doc, chunk), including the

@@ -229,6 +229,14 @@ object LlmQueries {
         "doc_id", seqLen = 256, nShards = 8)
         .orderBy("doc_id")
     }),
+    // perplexity-style corpus-frequency gate: capped top-1000
+    // vocabulary, per-doc mean token corpus-frequency in ppm — exact
+    // integer aggregation end-to-end, no transcendentals
+    "unigram_score" -> ((s, d) => {
+      TextAnalysis.unigramFreqScore(t(s, d, "documents"), "text",
+        "doc_id", vocabSize = 1000)
+        .orderBy("doc_id")
+    }),
     // canonical-doc selection: near-dup clustering, then keep the
     // highest-quality member of each cluster (not the lowest-id one)
     "cluster_keep_best" -> ((s, d) => {
@@ -835,6 +843,29 @@ object LlmQueries {
          |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 256
          |    AS BIGINT) AS pack_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "unigram_score" ->
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_filter(string_split(lower(text), ' '),
+         |        t -> t != ''),
+         |      t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(th) AS tok FROM th),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, cnt FROM counts
+         |          ORDER BY cnt DESC, tok ASC LIMIT 1000),
+         |tot AS (SELECT sum(cnt) AS total FROM counts),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |    sum(coalesce(v.cnt, 0)) AS vocab_count
+         |  FROM tok t LEFT JOIN vocab v USING (tok)
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(vocab_count AS BIGINT) AS vocab_count,
+         |  round(CAST(vocab_count AS DOUBLE) / n_tokens
+         |    / (SELECT total FROM tot) * 1000000, 6) AS freq_ppm
+         |FROM per ORDER BY doc_id""".stripMargin,
     "cluster_keep_best" ->
       s"""WITH RECURSIVE $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
          |$verifiedCtes,

@@ -75,6 +75,24 @@ class LlmSpec extends AnyFunSuite {
     assert(offsets.forall(_.getLong(1) === 0L))
   }
 
+  test("unigramFreqScore: exact counts, vocab cap zeroes rare tokens") {
+    // corpus: "a" ×4, "b" ×2, "c" ×1  (7 tokens total)
+    val df = docs("a a b", "a a b c", "")
+    val full = TextAnalysis.unigramFreqScore(df, "text", "doc_id",
+      vocabSize = 10).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // doc0: tokens a,a,b -> 4+4+2 = 10; mean freq = 10/3/7
+    assert(full(0) === ((0L, 3L, 10L,
+      math.rint(10.0 / 3 / 7 * 1e6 * 1e6) / 1e6)))
+    assert(full(1)._3 === 11L) // 4+4+2+1
+    assert(full.length === 2)  // empty doc excluded
+    // vocabSize=1 keeps only "a": doc0 counts 4+4, "b" out of vocab
+    val capped = TextAnalysis.unigramFreqScore(df, "text", "doc_id",
+      vocabSize = 1).orderBy("doc_id").collect()
+    assert(capped(0).getLong(2) === 8L)
+  }
+
   test("keepBestPerCluster: highest score wins, ties break to lowest id") {
     val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L),
       (21L, 2L), (30L, 3L))
