@@ -264,4 +264,137 @@ object Similarity {
         col("p.id2").as("id2"), col("p.sim").as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  // ---- Product quantization (PQ) ----------------------------------
+  // The fourth ANN family member next to brute-force, LSH, and IVF:
+  // split each vector into `m` subspaces, k-means each subspace
+  // independently, store each vector as m small codes (m bytes at
+  // k<=256 — a 256× memory cut on a 64-dim float vector), and answer
+  // queries via asymmetric distance computation (ADC): per query, a
+  // (m × k) table of exact subspace distances, each candidate scored
+  // by m table lookups instead of a 64-dim dot product.
+
+  /** Exact left-fold squared-L2 between two array<double> columns —
+    * fixed evaluation order, bit-reproducible across engines.
+    */
+  private def sqDistExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+        0D, (acc, v) -> acc + v)"""
+
+  /** One row per (id, subspace): the vector's `subDim`-wide slice.
+    * Narrow explode — rows scale with m, never corpus² — and every
+    * subspace travels together with its vector row, so downstream
+    * per-subspace work needs no extra shuffle.
+    */
+  def subVectors(df: DataFrame, id: String, vec: String, m: Int,
+      subDim: Int): DataFrame =
+    df.select(col(id),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+      .select(col(id), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+            struct(j AS j, slice(__v, j * $subDim + 1, $subDim) AS sv))"""))
+        .as("__s"))
+      .select(col(id), col("__s.j").as("subspace"), col("__s.sv").as("sv"))
+
+  /** Nearest PQ cell per (vector, subspace): broadcast the (m × k)
+    * centroid table, argmin squared-L2 with ties to the LOWER cell.
+    * The max_by-free aggregation shape mirrors [[ivfAssign]]: scored
+    * candidates for one (vector, subspace) come from one input row,
+    * so the map-side combine collapses them before any exchange.
+    */
+  def pqAssign(sub: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = sub.join(broadcast(centroids), Seq("subspace"))
+      .withColumn("__d", expr(sqDistExpr("sv", "cvec")))
+    scored.groupBy(col(sub.columns.head), col("subspace"))
+      .agg(min_by(col("cell"), struct(col("__d"), col("cell")))
+        .as("cell"))
+  }
+
+  /** Deterministic per-subspace Lloyd's fit of the PQ codebook
+    * (seeds = subvectors of the first k ids, component sums routed
+    * through decimal — the same order-independence contract as
+    * [[kmeansCentroids]]). Returns (subspace, cell, cvec). Per
+    * iteration: one broadcast assign pass over the subvector frame +
+    * one (subspace, cell, dim)-keyed aggregation, both map-side
+    * combining; all m sub-codebooks fit in the SAME pass — m never
+    * multiplies the number of jobs.
+    */
+  def pqCentroids(df: DataFrame, id: String, vec: String, m: Int,
+      subDim: Int, k: Int, iters: Int): DataFrame = {
+    val sub = subVectors(df, id, vec, m, subDim)
+    var cents = sub.filter(col(id) < k)
+      .select(col("subspace"), col(id).cast("long").as("cell"),
+        col("sv").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(sub, cents)
+        .join(sub, Seq(id, "subspace"))
+      val means = assigned
+        .select(col("subspace"), col("cell"),
+          posexplode(col("sv")).as(Seq("__i", "__x")))
+        .groupBy(col("subspace"), col("cell"), col("__i"))
+        .agg((sum(col("__x").cast("decimal(28,10)")).cast("double")
+          / count(lit(1))).as("__m"))
+      val refreshed = means.groupBy(col("subspace"), col("cell"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(__i, __m))), s -> s.__m)")
+          .as("__cv"))
+      cents = cents
+        .join(refreshed, Seq("subspace", "cell"), "left")
+        .select(col("subspace"), col("cell"),
+          coalesce(col("__cv"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ codes: each vector as an m-long array of cell ids (subspace
+    * order). This is the stored representation — the full vector can
+    * be dropped after encoding.
+    */
+  def pqEncode(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqAssign(subVectors(df, id, vec, m, subDim), centroids)
+      .groupBy(col(id))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(subspace, cell))), s -> s.cell)")
+        .as("codes"))
+
+  /** PQ top-k via ADC. Per query: an exact (m × k) distance table to
+    * every subspace centroid (tiny — computed on the broadcast
+    * query×centroid cross), shipped as a nested array. Each corpus
+    * vector is scored by m array lookups over its codes, summed in
+    * fixed subspace order (bit-reproducible). The corpus is never
+    * shuffled — codes are scored in place; only the per-query top-k
+    * window moves data, and rank-pushdown (WindowGroupLimit) bounds
+    * it at k rows per query per partition.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, centroids: DataFrame, m: Int, subDim: Int,
+      k: Int): DataFrame = {
+    val qsub = subVectors(queries, id, vec, m, subDim)
+      .withColumnRenamed(id, "query_id")
+    val dtab = qsub.join(broadcast(centroids), Seq("subspace"))
+      .withColumn("__d", expr(sqDistExpr("sv", "cvec")))
+      .groupBy(col("query_id"), col("subspace"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(cell, __d))), s -> s.__d)")
+        .as("__row"))
+      .groupBy(col("query_id"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(subspace, __row))), s -> s.__row)")
+        .as("dtab"))
+    val codes = pqEncode(corpus, id, vec, centroids, m, subDim)
+      .withColumnRenamed(id, "cand_id")
+    val scored = codes.crossJoin(broadcast(dtab))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("adist", round(expr(
+        s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
+            acc + element_at(element_at(dtab, j),
+                  CAST(element_at(codes, j) AS INT) + 1))"""), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "adist", "rank")
+  }
 }

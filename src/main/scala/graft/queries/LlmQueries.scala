@@ -127,6 +127,37 @@ object LlmQueries {
         "embedding", cents, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+    // PQ codebook fit (m=4 subspaces × 16 dims, k=16 cells, 2 Lloyd
+    // iterations — all four sub-codebooks fit in the same passes)
+    "pq_centroids" -> ((s, d) => {
+      Canon.stringifyArrays(
+        Similarity.pqCentroids(t(s, d, "embeddings"), "vec_id",
+          "embedding", m = 4, subDim = 16, k = 16, iters = 2)
+          .select(col("subspace").cast("long").as("subspace"),
+            col("cell"),
+            expr("transform(cvec, x -> round(x, 6))").as("centroid")))
+        .orderBy("subspace", "cell")
+    }),
+    // PQ encoding: each 64-dim float vector stored as 4 cell ids
+    "pq_encode" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 16, iters = 2)
+      Canon.stringifyArrays(
+        Similarity.pqEncode(emb, "vec_id", "embedding", cents,
+          m = 4, subDim = 16))
+        .orderBy("vec_id")
+    }),
+    // PQ ADC top-k: per-query exact subspace distance tables, corpus
+    // scored by 4 table lookups per vector — never shuffled
+    "pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 16, iters = 2)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", cents, m = 4, subDim = 16, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "text_stats" -> ((s, d) => {
       TextAnalysis.withStats(t(s, d, "documents"), "text")
         .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
@@ -412,6 +443,60 @@ object LlmQueries {
     s"""list_reduce(list_transform(range(1, 65),
         i -> $a[i] * $b[i]), (x, y) -> x + y)"""
 
+  /** Exact left-fold squared-L2 over `subDim` dims — (0+d1)+d2+…
+    * equals DuckDB's init-less list_reduce (d1+d2+…) exactly, so the
+    * fold is bit-identical to the Spark sqDistExpr.
+    */
+  private def duckSqDist(a: String, b: String, subDim: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $subDim),
+        i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"""
+
+  /** PQ mirror of [[duckKmeansChain]]: per-subspace k-means keyed on
+    * (j, cell) — two unrolled Lloyd iterations ending in centroid CTE
+    * `pc2`, plus the final assignment `pa3` and per-vector `pcodes`.
+    * Assumes CTEs `v` (cast vectors) is already defined.
+    */
+  private def duckPqChain(m: Int = 4, subDim: Int = 16,
+      k: Int = 16): String = {
+    def assign(cs: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, c.cell, row_number() OVER
+         |      (PARTITION BY s.vec_id, s.j ORDER BY
+         |       ${duckSqDist("s.sv", "c.cvec", subDim)} ASC, c.cell ASC) rn
+         |    FROM sub s JOIN $cs c ON s.j = c.j)
+         |  WHERE rn = 1)""".stripMargin
+    def step(prev: String, a: String, mm: String, out: String) =
+      s"""${assign(prev, a)},
+         |$mm AS (
+         |  SELECT a.j, a.cell, dims.i,
+         |    CAST(sum(CAST(s.sv[dims.i] AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM $a a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j,
+         |       (SELECT unnest(generate_series(1, $subDim)) AS i) dims
+         |  GROUP BY 1, 2, 3),
+         |${out}_new AS (
+         |  SELECT j, cell, list(m ORDER BY i) AS cvec
+         |  FROM $mm GROUP BY j, cell),
+         |$out AS (
+         |  SELECT p.j, p.cell, coalesce(n.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN ${out}_new n
+         |    ON p.j = n.j AND p.cell = n.cell)""".stripMargin
+    s"""sub AS (
+       |  SELECT vec_id, j,
+       |    list_slice(vec, j * $subDim + 1, j * $subDim + $subDim) AS sv
+       |  FROM v, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |pc0 AS (
+       |  SELECT j, CAST(vec_id AS BIGINT) AS cell, sv AS cvec
+       |  FROM sub WHERE vec_id < $k),
+       |${step("pc0", "pa1", "pm1", "pc1")},
+       |${step("pc1", "pa2", "pm2", "pc2")},
+       |${assign("pc2", "pa3")},
+       |pcodes AS (
+       |  SELECT vec_id, list(cell ORDER BY j) AS codes
+       |  FROM pa3 GROUP BY vec_id)""".stripMargin
+  }
+
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
@@ -655,6 +740,42 @@ object LlmQueries {
          |  array_to_string(list_transform(cvec,
          |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS centroid
          |FROM c2 ORDER BY cell""".stripMargin,
+    "pq_centroids" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |${duckPqChain()}
+         |SELECT CAST(j AS BIGINT) AS subspace, cell,
+         |  array_to_string(list_transform(cvec,
+         |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS centroid
+         |FROM pc2 ORDER BY subspace, cell""".stripMargin,
+    "pq_encode" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |${duckPqChain()}
+         |SELECT vec_id,
+         |  array_to_string(list_transform(codes,
+         |    c -> CAST(c AS VARCHAR)), ',') AS codes
+         |FROM pcodes ORDER BY vec_id""".stripMargin,
+    "pq_topk" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |${duckPqChain()},
+         |dt AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.cell,
+         |    ${duckSqDist("q.sv", "c.cvec", 16)} AS d
+         |  FROM sub q JOIN pc2 c ON q.j = c.j
+         |  WHERE q.vec_id < 8),
+         |sc AS (
+         |  SELECT dt.query_id, p.vec_id AS cand_id,
+         |    round(list_reduce(list(dt.d ORDER BY dt.j),
+         |      (acc, x) -> acc + x), 6) AS adist
+         |  FROM pa3 p JOIN dt ON p.j = dt.j AND p.cell = dt.cell
+         |  WHERE p.vec_id != dt.query_id
+         |  GROUP BY dt.query_id, p.vec_id),
+         |rk AS (
+         |  SELECT query_id, cand_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT query_id, cand_id, adist, rank FROM rk
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec

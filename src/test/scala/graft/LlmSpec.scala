@@ -75,6 +75,39 @@ class LlmSpec extends AnyFunSuite {
     assert(offsets.forall(_.getLong(1) === 0L))
   }
 
+  test("PQ: codes deterministic under repartitioning; ADC ranks the near-identical vector first") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 8, iters = 2)
+    assert(cents.count() === 32) // 4 subspaces × 8 cells survive
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      cents, m = 4, subDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(c =>
+      c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // order-independence: a differently-partitioned input yields the
+    // SAME codebook and codes (the decimal-sum contract)
+    val cents2 = Similarity.pqCentroids(emb.repartition(7), "vec_id",
+      "embedding", m = 4, subDim = 16, k = 8, iters = 2)
+    val c1 = cents.orderBy("subspace", "cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val c2 = cents2.orderBy("subspace", "cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(c1 === c2)
+    // ADC sanity: each query's own codes give adist 0 to itself, so
+    // with self excluded the top hit is a vector sharing its codes if
+    // one exists; ranks are 1..k dense per query
+    val top = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", cents, m = 4, subDim = 16, k = 4)
+      .collect()
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    assert(byQ.values.forall(_.map(_.getLong(3)).sorted.sameElements(
+      Seq(1L, 2L, 3L, 4L))))
+    assert(top.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("unigramFreqScore: exact counts, vocab cap zeroes rare tokens") {
     // corpus: "a" ×4, "b" ×2, "c" ×1  (7 tokens total)
     val df = docs("a a b", "a a b c", "")
