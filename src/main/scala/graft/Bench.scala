@@ -69,10 +69,20 @@ object Bench {
       if (xs.nonEmpty) Some(name -> median(xs)) else None
     }
     val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
-    def mediansJson(dp: Int): String = results
-      .map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
-      .mkString("{", ",", "}")
-    val qs = mediansJson(2)
+    // fine decimals under 10 s, coarse at/above (big values need less
+    // relative precision); optionally keep only the slowest `cap`
+    def mediansJson(fine: Int, coarse: Int,
+        cap: Int = Int.MaxValue): String = {
+      val kept = results.sortBy(-_._2).take(cap).sortBy(_._1)
+      val entries = kept.map { case (k, v) =>
+        val dp = if (v < 10) fine else coarse
+        "\"" + k + "\":" + s"%.${dp}f".format(v)
+      }.mkString("{", ",", "}")
+      val omitted = results.size - kept.size
+      if (omitted == 0) entries
+      else entries + s""","omitted":$omitted"""
+    }
+    val qs = mediansJson(2, 2)
     // Full per-query min–max spread goes to a side file, NOT the stdout
     // line: the driver keeps only a 2000-char stdout tail, and the
     // spread map pushed the JSON line past it every round (r2–r5
@@ -95,14 +105,17 @@ object Bench {
     spark.stop()
     // Printed LAST (after spark.stop()) so only sbt's one [success]
     // line can follow it inside the driver's stdout tail. The tail is
-    // 2000 chars; at 80+ queries a 2-decimal medians map can exceed
-    // it, so degrade precision (2 → 1 → 0 dp) until the line fits —
-    // full-precision medians are already in BENCH_DETAIL.json.
-    def line(dp: Int): String =
+    // 2000 chars; at 90+ queries a 2-decimal medians map exceeds it,
+    // so degrade precision, then fall back to the slowest 60 queries
+    // plus an "omitted" count — full-precision medians for EVERY
+    // query are in the committed BENCH_DETAIL.json either way.
+    def line(body: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-        s""""queries":${mediansJson(dp)}$failedJson,"sf":"$sfDir"}"""
-    val out = Seq(2, 1, 0).map(line).find(_.length <= 1880)
-      .getOrElse(line(0))
+        s""""queries":$body$failedJson,"sf":"$sfDir"}"""
+    val rungs = Seq(mediansJson(2, 2), mediansJson(2, 1)) ++
+      (9 to 2 by -1).map(c => mediansJson(2, 1, c * 10))
+    val out = rungs.map(line).find(_.length <= 1880)
+      .getOrElse(line(mediansJson(1, 0, 20)))
     println(out)
   }
 }
