@@ -116,6 +116,24 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Range-clustered parquet layout: repartitionByRange on the sort
+    * key then sortWithinPartitions before writing, so each output
+    * file covers a narrow, non-overlapping key interval. Parquet
+    * min/max footer stats then let any later range/point predicate on
+    * the key skip whole files and row groups — the second
+    * scan-reduction lever after directory partitioning
+    * ([[writePartitioned]]), and the right one for high-cardinality
+    * keys where one-directory-per-value would explode. (The
+    * single-key form of Z-ordering; at 100 TB this is how a sorted
+    * fact table is laid down.)
+    */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int,
+      sortCols: Seq[String]): Unit =
+    df.repartitionByRange(numFiles,
+        sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.mode("overwrite").parquet(path)
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

@@ -344,6 +344,41 @@ object Dedup {
       .select(col("cluster"), col(id), col(score), col("n_members"))
   }
 
+  /** Incremental exact dedup: keep the rows of `batch` whose
+    * normalized-content fingerprint does not already exist in
+    * `corpus` — the "dedup today's crawl against the existing 100 TB
+    * corpus" operation, which must NOT cost a full batch×corpus join
+    * per increment.
+    *
+    * A Bloom filter of the corpus fingerprints (built distributed,
+    * merged to a driver sketch of `expectedItems`/`fpp`-bounded size,
+    * then broadcast) splits the batch row-locally: rows the filter
+    * has definitely never seen (no false negatives) pass straight
+    * through with ZERO join; only the small might-contain slice —
+    * true dups + an fpp-fraction of false positives — anti-joins the
+    * corpus fingerprints for exact confirmation. Results are
+    * therefore IDENTICAL to the plain anti-join at every `fpp`; the
+    * knob trades sketch memory against anti-join traffic only
+    * (pinned by the LlmSpec parity test). The might-contain probe is
+    * a Scala UDF by necessity (Spark exposes no public
+    * bloom-contains expression) — one primitive-long call per row,
+    * off the codegen path but allocation-free.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      text: String, id: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val bfp = batch.withColumn("__fp",
+      TextAnalysis.fingerprintExpr(text))
+    val cfp = corpus.select(TextAnalysis.fingerprintExpr(text)
+      .as("__fp"))
+    val bloom = cfp.stat.bloomFilter("__fp", expectedItems, fpp)
+    val mightContain = udf((x: Long) => bloom.mightContainLong(x))
+    val definiteNew = bfp.filter(!mightContain(col("__fp")))
+    val confirmed = bfp.filter(mightContain(col("__fp")))
+      .join(cfp.distinct(), Seq("__fp"), "left_anti")
+    definiteNew.unionByName(confirmed).drop("__fp")
+  }
+
   /** Polynomial hash fold over each element of a token-array SQL
     * expression ((acc*31 + char) mod P per token).
     */

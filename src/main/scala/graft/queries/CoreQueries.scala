@@ -291,6 +291,25 @@ object CoreQueries {
             .cast("double").as("sum_price"))
         .orderBy("l_linestatus")
     }),
+    // range-clustered sorted layout + range-predicate read-back: each
+    // file covers a disjoint key interval, so the parquet min/max
+    // stats prune non-matching files (spec asserts disjointness; the
+    // oracle pins the read-back result)
+    "sorted_layout" -> ((s, d) => {
+      val tmp =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sorted_li"
+      Ingest.writeSorted(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice"),
+        tmp, numFiles = 8, Seq("l_orderkey"))
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").between(1000, 2000))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    }),
     // schema-aligned union (pandas concat with mismatched columns):
     // missing columns null-fill per side, no shuffle at all
     "union_align" -> ((s, d) => {
@@ -702,6 +721,12 @@ object CoreQueries {
         |    AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sorted_layout" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "union_align" ->
       """SELECT o_orderkey AS key, o_totalprice AS amount,
         |  o_orderstatus AS status, 'orders' AS src FROM orders

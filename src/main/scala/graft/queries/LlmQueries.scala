@@ -260,6 +260,18 @@ object LlmQueries {
         "doc_id", seqLen = 256, nShards = 8)
         .orderBy("doc_id")
     }),
+    // incremental dedup: today's batch (odd ids) against the standing
+    // corpus (even ids) — bloom prefilter splits the batch row-
+    // locally, only might-contain rows anti-join; result provably
+    // equals the plain anti-join at any fpp
+    "incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", expectedItems = 100000, fpp = 0.03)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // perplexity-style corpus-frequency gate: capped top-1000
     // vocabulary, per-doc mean token corpus-frequency in ppm — exact
     // integer aggregation end-to-end, no transcendentals
@@ -964,6 +976,16 @@ object LlmQueries {
          |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 256
          |    AS BIGINT) AS pack_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "incremental_dedup" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
+         |      AS fp
+         |  FROM documents)
+         |SELECT a.doc_id FROM fp a
+         |WHERE a.doc_id % 2 = 1
+         |  AND a.fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
+         |ORDER BY a.doc_id""".stripMargin,
     "unigram_score" ->
       s"""WITH th AS (
          |  SELECT doc_id,

@@ -131,6 +131,28 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(filtered.count() === 100)
   }
 
+  test("writeSorted: output files cover disjoint key ranges") {
+    import graft.engine.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("sorted_out")
+      .toString
+    val df = (1 to 10000).map(i => ((i * 37) % 10007, i.toLong))
+      .toDF("k", "v")
+    Ingest.writeSorted(df, s"$dir/t", numFiles = 4, Seq("k"))
+    val ranges = spark.read.parquet(s"$dir/t")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(ranges.length === 4)
+    // disjoint, ordered intervals: every file's lo exceeds the
+    // previous file's hi — parquet min/max stats can skip whole
+    // files for any key range predicate
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(lo2 > hi1, s"overlap: $hi1 vs $lo2")
+    }
+    // row totals survive the layout
+    assert(spark.read.parquet(s"$dir/t").count() === 10000)
+  }
+
   test("mergeUpsert: updates override, new keys insert, base rows survive") {
     import graft.engine.Joins
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

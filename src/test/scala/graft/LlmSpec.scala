@@ -75,6 +75,27 @@ class LlmSpec extends AnyFunSuite {
     assert(offsets.forall(_.getLong(1) === 0L))
   }
 
+  test("incrementalDedup equals the plain anti-join at extreme fpp values") {
+    val corpus = docs("alpha beta gamma", "delta epsilon zeta",
+      "shared duplicate content")
+    val batch = Seq((10L, "shared duplicate content"),
+      (11L, "completely new page"), (12L, "alpha beta gamma"),
+      (13L, "another new one"))
+      .toDF("doc_id", "text")
+    val plain = batch
+      .withColumn("__fp", TextAnalysis.fingerprintExpr("text"))
+      .join(corpus.select(TextAnalysis.fingerprintExpr("text")
+        .as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    for (fpp <- Seq(0.5, 0.01)) {
+      val inc = Dedup.incrementalDedup(batch, corpus, "text",
+        "doc_id", expectedItems = 100, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(inc === plain, s"fpp=$fpp")
+    }
+    assert(plain === Array(11L, 13L))
+  }
+
   test("PQ: codes deterministic under repartitioning; ADC ranks the near-identical vector first") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
