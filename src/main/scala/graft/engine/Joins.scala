@@ -104,6 +104,40 @@ object Joins {
     * be bucketed on the key ([[graft.engine.Ingest.writeBucketed]])
     * so only the (much smaller) update side moves.
     */
+  /** SCD-2 apply: the time-versioned complement of [[mergeUpsert]].
+    * `history` carries validity intervals (`validTo` null = current
+    * row); each update (at most one per key per batch — standard
+    * MERGE precondition) CLOSES the key's current row at the update
+    * timestamp and appends a new open version; unseen keys insert an
+    * open row. Closed rows pass through untouched, so history is
+    * append-only — the warehouse pattern that keeps every past state
+    * queryable "as of" any time.
+    *
+    * Cost: one key-shuffle join of history against the (small) update
+    * batch plus a plan-level union — updates broadcast when they fit,
+    * and with the history bucketed on the key nothing but the batch
+    * moves.
+    */
+  def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
+      ts: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val payload = history.columns
+      .filterNot(c => c == key || c == validFrom || c == validTo)
+    val closed = history
+      .join(broadcast(updates.select(col(key), col(ts).as("__uts"))),
+        Seq(key), "left")
+      .withColumn(validTo,
+        when(col(validTo).isNull && col("__uts").isNotNull,
+          col("__uts")).otherwise(col(validTo)))
+      .drop("__uts")
+    val inserts = updates.select(
+      (col(key) +: payload.toSeq.map(col)) :+
+        col(ts).as(validFrom) :+
+        lit(null).cast(history.schema(validTo).dataType)
+          .as(validTo): _*)
+    closed.unionByName(inserts)
+  }
+
   def mergeUpsert(base: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(base.columns.sameElements(updates.columns),

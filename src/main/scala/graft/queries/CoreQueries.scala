@@ -274,6 +274,22 @@ object CoreQueries {
       Joins.mergeUpsert(base, upd.unionByName(ins), Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    // SCD-2 apply: updates close the key's current row at the update
+    // timestamp and append a new open version — history stays
+    // append-only and as-of-queryable
+    "scd2_apply" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val hist = orders.select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val upd = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+          (col("o_totalprice") + 5.0).as("o_totalprice"),
+          expr("o_orderdate + INTERVAL 30 DAY").as("ts"))
+      Joins.scd2Apply(hist, upd, "o_orderkey", "ts")
+        .orderBy("o_orderkey", "valid_from")
+    }),
     // Hive-style partitioned sink + pruned read-back: the filter on
     // the partition key becomes a directory skip (PartitionFilters),
     // the first scan-reduction lever at 100 TB
@@ -714,6 +730,27 @@ object CoreQueries {
         |  coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
         |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_apply" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, 'C' AS o_orderstatus,
+        |    o_totalprice + 5.0 AS o_totalprice,
+        |    o_orderdate + INTERVAL 30 DAY AS ts
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice,
+        |  h.valid_from,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.ts
+        |       ELSE NULL END AS valid_to
+        |FROM h LEFT JOIN u USING (o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM u
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
     "partition_prune" ->
       """SELECT l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty,

@@ -153,6 +153,38 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/t").count() === 10000)
   }
 
+  test("scd2Apply: closes current rows, appends versions, keeps closed history; as-of works") {
+    import graft.engine.Joins
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hist = Seq(
+      // k=1 has a closed old version + an open current one
+      (1L, "old", ts("2024-01-01 00:00:00"),
+        Option(ts("2024-02-01 00:00:00"))),
+      (1L, "cur", ts("2024-02-01 00:00:00"), None),
+      (2L, "keep", ts("2024-01-15 00:00:00"), None))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, "new", ts("2024-03-01 00:00:00")),
+      (9L, "ins", ts("2024-03-02 00:00:00")))
+      .toDF("k", "v", "ts")
+    val out = Joins.scd2Apply(hist, upd, "k", "ts")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString)))
+    assert(out === Array(
+      (1L, "old", Some("2024-02-01 00:00:00.0")), // untouched
+      (1L, "cur", Some("2024-03-01 00:00:00.0")), // closed at update
+      (1L, "new", None),                          // new open version
+      (2L, "keep", None),                         // no update
+      (9L, "ins", None)))                         // fresh key
+    // as-of 2024-02-15: k=1 resolves to "cur"
+    val asOf = Joins.scd2Apply(hist, upd, "k", "ts")
+      .filter(col("valid_from") <= lit(ts("2024-02-15 00:00:00")) &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(ts("2024-02-15 00:00:00"))))
+      .filter(col("k") === 1L).collect()
+    assert(asOf.map(_.getString(1)).toSeq === Seq("cur"))
+  }
+
   test("mergeUpsert: updates override, new keys insert, base rows survive") {
     import graft.engine.Joins
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
