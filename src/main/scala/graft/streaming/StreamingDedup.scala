@@ -49,6 +49,23 @@ object StreamingDedup {
       id: String): DataFrame =
     Dedup.lshBuckets(Dedup.minhashSignatures(docs, text, id), id)
 
+  /** Streaming dedup against a STANDING batch corpus: each microbatch
+    * anti-joins the (static, broadcastable) corpus fingerprint set —
+    * the live-ingest face of [[graft.llm.Dedup.incrementalDedup]].
+    * Stream-static joins are stateless on the stream side (no
+    * watermark, any output mode): Spark re-plans the static side per
+    * microbatch, so the corpus frame may even be a view over data
+    * that grows between batches. Cross-batch self-duplicates are a
+    * separate concern — compose with [[dedupByContent]] upstream for
+    * watermark-bounded within-stream state.
+    */
+  def dedupVsCorpus(stream: DataFrame, corpus: DataFrame,
+      text: String): DataFrame =
+    stream.withColumn("__fp", TextAnalysis.fingerprintExpr(text))
+      .join(corpus.select(TextAnalysis.fingerprintExpr(text)
+        .as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Stateless streaming curation gate: Gopher-style rule booleans +
     * PII redaction in ONE per-row projection — every expression is a
     * deterministic row-local function (native class-stats pass +

@@ -22,6 +22,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingResample {
 
+  /** Stream-static dimension enrichment: broadcast-join the (small)
+    * dim table onto the event stream — stateless, no watermark, works
+    * in every output mode. The standard first stage of a live
+    * pipeline (attach store/product attributes at ingest); at scale
+    * the dim side must stay broadcastable, which is exactly the same
+    * contract as the batch broadcast join.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Weekly W-SUN sums over a (possibly streaming) frame. In append
     * mode a week emits once its watermark passes; `watermarkDelay`
     * bounds both lateness tolerance and state size.

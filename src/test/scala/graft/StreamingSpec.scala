@@ -174,6 +174,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(collide13)
   }
 
+  test("stream-static corpus dedup drops known fingerprints, passes new docs") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val corpus = Seq((100L, "already in the corpus"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sd_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sd_ck").toString
+    Seq((1L, "already in the corpus"), (2L, "fresh doc one"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val q = StreamingDedup.dedupVsCorpus(
+        spark.readStream.schema(docSchema).parquet(dir),
+        corpus, "text")
+      .writeStream.format("memory").queryName("sd_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Seq((3L, "fresh doc two"), (4L, "already in the corpus"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sd_out").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(out === Array(2L, 3L)) // corpus dups dropped in BOTH batches
+  }
+
+  test("stream-static dim enrichment matches the batch broadcast join") {
+    val evSchema = StructType(Seq(
+      StructField("store", StringType),
+      StructField("units", LongType)))
+    val dim = Seq(("s1", "north"), ("s2", "south"))
+      .toDF("store", "region")
+    val dir = java.nio.file.Files.createTempDirectory("en_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("en_ck").toString
+    Seq(("s1", 5L), ("s3", 2L)).toDF("store", "units")
+      .write.mode("append").parquet(dir)
+    val q = StreamingResample.enrichWithDim(
+        spark.readStream.schema(evSchema).parquet(dir), dim, "store")
+      .writeStream.format("memory").queryName("en_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("en_out")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).sorted
+    val batch = StreamingResample.enrichWithDim(
+        spark.read.schema(evSchema).parquet(dir), dim, "store")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).sorted
+    assert(streamed === batch)
+    assert(streamed.find(_._1 == "s3").get._3.isEmpty)
+    assert(streamed.find(_._1 == "s1").get._3.contains("north"))
+  }
+
   test("streaming curation gate equals the batch form; rejects and redacts") {
     import graft.streaming.StreamingDedup
     val docSchema = StructType(Seq(
