@@ -341,6 +341,32 @@ object CoreQueries {
       a.unionByName(b, allowMissingColumns = true)
         .orderBy("key", "src", "amount")
     }),
+    // full grouping-set lattice (cube): every (flag × status) margin
+    // in one pass — the one-level-up sibling of rollup_sales
+    "cube_sales" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+    // fixed-width histogram: pure per-row bucket arithmetic + one
+    // count shuffle — the scalable distribution profile (no global
+    // sort, unlike ntile)
+    "histogram_qty" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .withColumn("bucket",
+          floor((col("l_quantity") - 1) / 5).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"),
+          max(col("l_quantity")).as("hi"))
+        .orderBy("bucket")
+    }),
     "rollup_sales" -> ((s, d) => {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -771,6 +797,17 @@ object CoreQueries {
         |SELECT l_orderkey AS key, l_extendedprice AS amount,
         |  'lineitem' AS src FROM lineitem
         |ORDER BY key, src, amount""".stripMargin,
+    "cube_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "histogram_qty" ->
+      """SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
