@@ -158,6 +158,53 @@ object LlmQueries {
         "embedding", cents, m = 4, subDim = 16, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // ANN quality telemetry: recall@5 of the IVF index against the
+    // brute-force ground truth, per query — the evaluation loop any
+    // production ANN deployment runs on a sampled query set
+    "ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", k = 5).select("query_id", "cand_id")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", cells = 16, iters = 2)
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        cents, k = 5, nprobe = 2).select("query_id", "cand_id")
+      val hits = bf.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+    // per-language mean embedding (the "mean pooling" vector
+    // aggregate): decimal-routed component sums — exact on any
+    // partitioning, like every centroid in this engine
+    "lang_centroid" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("lang"))
+      val emb = t(s, d, "embeddings")
+      val joined = emb.join(docs, col("vec_id") === col("doc_id"))
+        .select(col("lang"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .as("__v"))
+      Canon.stringifyArrays(
+        joined
+          .select(col("lang"),
+            posexplode(col("__v")).as(Seq("__i", "__x")))
+          .groupBy(col("lang"), col("__i"))
+          .agg((sum(col("__x").cast("decimal(28,10)")).cast("double")
+            / count(lit(1))).as("__m"))
+          .groupBy(col("lang"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(__i, __m))),
+               s -> round(s.__m, 6))""").as("centroid"),
+            count(lit(1)).as("dims")))
+        .select("lang", "centroid")
+        .orderBy("lang")
+    }),
     "text_stats" -> ((s, d) => {
       TextAnalysis.withStats(t(s, d, "documents"), "text")
         .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
@@ -797,6 +844,73 @@ object LlmQueries {
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |$duckKmeansChain,
          |${duckIvfTopkTail("c2")}""".stripMargin,
+    "ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |$duckKmeansChain,
+         |bfs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${duckCos("q.vec", "c.vec")}, 6) AS sim
+         |  FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |bf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+         |    FROM bfs)
+         |  WHERE rank <= 5),
+         |iassign AS (
+         |  SELECT vec_id, cell
+         |  FROM (SELECT v.vec_id, c2.cell, row_number() OVER
+         |          (PARTITION BY v.vec_id ORDER BY
+         |           ${duckCos("v.vec", "c2.cvec")} DESC, c2.cell DESC) rn
+         |        FROM v, c2)
+         |  WHERE rn = 1),
+         |iprobes AS (
+         |  SELECT query_id, cell
+         |  FROM (SELECT q.vec_id AS query_id, c2.cell, row_number() OVER
+         |          (PARTITION BY q.vec_id ORDER BY
+         |           ${duckCos("q.vec", "c2.cvec")} DESC, c2.cell DESC) rn
+         |        FROM v q, c2 WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |icands AS (
+         |  SELECT a.vec_id AS cand_id, a.cell, v.vec AS cvec2
+         |  FROM iassign a JOIN v ON a.vec_id = v.vec_id),
+         |ijoined AS (
+         |  SELECT p.query_id, c.cand_id,
+         |    round(${duckCos("qv.vec", "c.cvec2")}, 6) AS sim
+         |  FROM icands c JOIN iprobes p ON c.cell = p.cell
+         |  JOIN v qv ON qv.vec_id = p.query_id
+         |  WHERE c.cand_id != p.query_id),
+         |ivf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+         |    FROM ijoined)
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT bf.query_id, count(*) AS hits
+         |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+         |    AND bf.cand_id = ivf.cand_id
+         |  GROUP BY bf.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(coalesce(h.hits, 0) / 5.0, 6) AS recall
+         |FROM v q LEFT JOIN hits h ON q.vec_id = h.query_id
+         |WHERE q.vec_id < 8 ORDER BY query_id""".stripMargin,
+    "lang_centroid" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |j AS (
+         |  SELECT d.lang, v.vec FROM v
+         |  JOIN documents d ON v.vec_id = d.doc_id),
+         |m AS (
+         |  SELECT lang, dims.i,
+         |    CAST(sum(CAST(vec[dims.i] AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM j, (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY 1, 2)
+         |SELECT lang,
+         |  array_to_string(list_transform(list(m ORDER BY i),
+         |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS centroid
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST($duckNTokens AS BIGINT) AS n_tokens,
