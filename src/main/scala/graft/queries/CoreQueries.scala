@@ -341,6 +341,13 @@ object CoreQueries {
       a.unionByName(b, allowMissingColumns = true)
         .orderBy("key", "src", "amount")
     }),
+    // one-pass data-quality profile: per-column row/null/distinct
+    // counts — the ingest sanity report, one scan + one reduce
+    "profile_table" -> ((s, d) => {
+      Profile.profile(t(s, d, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("col_name")
+    }),
     // full grouping-set lattice (cube): every (flag × status) margin
     // in one pass — the one-level-up sibling of rollup_sales
     "cube_sales" -> ((s, d) => {
@@ -797,6 +804,20 @@ object CoreQueries {
         |SELECT l_orderkey AS key, l_extendedprice AS amount,
         |  'lineitem' AS src FROM lineitem
         |ORDER BY key, src, amount""".stripMargin,
+    "profile_table" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |  count(o_custkey) AS n_nonnull,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  count(*) - count(o_custkey) AS n_null FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  count(*) - count(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  count(*) - count(o_totalprice) FROM orders
+        |ORDER BY col_name""".stripMargin,
     "cube_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

@@ -22,6 +22,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingResample {
 
+  /** Watermarked stream-stream interval join: match each right-stream
+    * event to left-stream events with the same key whose timestamp
+    * falls within `[left.ts, left.ts + within]` — the
+    * impression→click attribution shape. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * PROVE when a buffered row can never match again and evict it:
+    * state is (rate × (watermark + within))-bounded on both sides,
+    * never stream-length-bounded. Without the time-range conjunct
+    * this would be an unbounded-state join — the thing you must never
+    * ship on an infinite stream.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Stream-static dimension enrichment: broadcast-join the (small)
     * dim table onto the event stream — stateless, no watermark, works
     * in every output mode. The standard first stage of a live

@@ -174,6 +174,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(collide13)
   }
 
+  test("stream-stream interval join attributes events inside the window only") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val impSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("imp_ts", TimestampType)))
+    val clkSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("clk_ts", TimestampType)))
+    val impDir = java.nio.file.Files.createTempDirectory("ij_imp").toString
+    val clkDir = java.nio.file.Files.createTempDirectory("ij_clk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ij_ck").toString
+    Seq(("a", ts("2024-01-01 10:00:00")),
+      ("b", ts("2024-01-01 10:05:00")))
+      .toDF("key", "imp_ts").write.mode("append").parquet(impDir)
+    Seq(("a", ts("2024-01-01 10:20:00")), // inside 30 min -> match
+      ("b", ts("2024-01-01 11:00:00")),   // 55 min late -> no match
+      ("c", ts("2024-01-01 10:10:00")))   // no impression -> no match
+      .toDF("key", "clk_ts").write.mode("append").parquet(clkDir)
+    val joined = StreamingResample.intervalJoin(
+      spark.readStream.schema(impSchema).parquet(impDir),
+      spark.readStream.schema(clkSchema).parquet(clkDir),
+      "key", "imp_ts", "clk_ts", within = "30 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij_out").select("key").collect()
+      .map(_.getString(0))
+    assert(out.toSeq === Seq("a"))
+    // batch parity on the same inputs
+    val batch = StreamingResample.intervalJoin(
+      spark.read.schema(impSchema).parquet(impDir),
+      spark.read.schema(clkSchema).parquet(clkDir),
+      "key", "imp_ts", "clk_ts", within = "30 MINUTES")
+      .select("key").collect().map(_.getString(0))
+    assert(batch.toSeq === out.toSeq)
+  }
+
   test("stream-static corpus dedup drops known fingerprints, passes new docs") {
     import graft.streaming.StreamingDedup
     val docSchema = StructType(Seq(
