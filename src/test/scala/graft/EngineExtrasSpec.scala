@@ -131,6 +131,25 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(filtered.count() === 100)
   }
 
+  test("Profile: null, distinct, and row counts; HLL mode keeps schema") {
+    import graft.engine.Profile
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), None),
+      (None, Some("y")), (Some(3L), Some("x")))
+      .toDF("a", "b")
+    val out = Profile.profile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // (col, n_rows, n_nonnull, n_distinct, n_null); distinct counts
+    // exclude nulls, matching SQL COUNT(DISTINCT)
+    assert(out === Array(("a", 4L, 3L, 2L, 1L), ("b", 4L, 3L, 2L, 1L)))
+    val approx = Profile.profile(df, Seq("a", "b"), exact = false)
+      .orderBy("col_name").collect()
+    assert(approx.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(approx.forall(_.getLong(3) >= 2L)) // HLL exact at this size
+  }
+
   test("writeSorted: output files cover disjoint key ranges") {
     import graft.engine.Ingest
     val dir = java.nio.file.Files.createTempDirectory("sorted_out")
