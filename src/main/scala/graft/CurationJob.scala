@@ -42,4 +42,40 @@ object CurationJob {
     }
     TextAnalysis.chunkDocuments(clean, text, id, chunkSize, overlap)
   }
+
+  /** Raw docs → TRAINING-READY sequences: [[curate]], then a
+    * deterministic doc-level hash split (a document's chunks never
+    * straddle train/val — the leakage rule), then sequence-packing of
+    * the train chunk stream into `seqLen`-token sequences across
+    * `nShards` hash shards. Output: one row per train chunk with its
+    * shard, stream offset, and first/last sequence index.
+    *
+    * This is the whole data-prep path a pretraining run consumes,
+    * composed purely from the individually-oracled operators —
+    * nothing here is new machinery, which is the point: stages stay
+    * independently testable and the composition stays one declarative
+    * plan (Catalyst sees through the whole chain; no materialization
+    * between stages unless the caller checkpoints).
+    */
+  def prepare(docs: DataFrame, evalSet: Option[DataFrame],
+      text: String, id: String,
+      trainPerMille: Int = 960, valPerMille: Int = 20,
+      splitSeed: Long = 7L, seqLen: Int = 256, nShards: Int = 4,
+      packSeed: Long = 0L): DataFrame = {
+    val chunks = curate(docs, text, id, evalSet = evalSet)
+    // doc-level split (the id column hashes the DOC id, so every
+    // chunk of a doc lands in the same split)
+    val train = TextAnalysis
+      .hashSplit(chunks, id, splitSeed, trainPerMille, valPerMille)
+      .filter(col("split") === "train")
+      // composite chunk id: unique, and ordered = (doc, chunk) order
+      .withColumn("cid", col(id) * 1000000L + col("chunk_id"))
+    TextAnalysis.packSequences(train, "chunk", "cid", seqLen,
+        nShards, packSeed)
+      .select(
+        floor(col("cid") / 1000000L).cast("long").as(id),
+        pmod(col("cid"), lit(1000000L)).cast("long").as("chunk_id"),
+        col("n_tokens"), col("shard"), col("tok_offset"),
+        col("pack_first"), col("pack_last"))
+  }
 }

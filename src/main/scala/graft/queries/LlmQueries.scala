@@ -254,6 +254,17 @@ object LlmQueries {
         evalSet = Some(docs.filter(col("doc_id") % 2 === 1)))
         .orderBy("doc_id", "chunk_id")
     }),
+    // the FULL training-data prep flagship: curate -> doc-level hash
+    // split -> pack the train chunk stream into 256-token sequences;
+    // pure composition of individually-oracled stages, one plan
+    "prep_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.CurationJob.prepare(
+        docs.filter(col("doc_id") % 2 === 0),
+        Some(docs.filter(col("doc_id") % 2 === 1)),
+        "text", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    }),
     // repetition-ratio quality gate (duplicate-bigram fraction)
     "rep_ratio" -> ((s, d) => {
       t(s, d, "documents")
@@ -647,6 +658,61 @@ object LlmQueries {
        |  FROM joined)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared curation CTE chain (corpus = even ids, eval = odd
+    * ids): exact-dedup reps -> quality/lang gates -> n-gram
+    * decontamination -> chunk starts. Ends with CTE `starts`.
+    */
+  private def duckCurationChain: String =
+    s"""reps AS (
+         |  SELECT min(doc_id) AS doc_id, text
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY text),
+         |st AS (
+         |  SELECT doc_id, text,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality,
+         |    CASE
+         |      WHEN ${duckHits("en")} >= greatest(greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("en")} > 0 THEN 'en'
+         |      WHEN ${duckHits("es")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("es")} > 0 THEN 'es'
+         |      WHEN ${duckHits("fr")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("fr")} > 0 THEN 'fr'
+         |      WHEN ${duckHits("de")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0)) AND ${duckHits("de")} > 0 THEN 'de'
+         |      ELSE 'und' END AS pred_lang
+         |  FROM reps),
+         |kept AS (
+         |  SELECT doc_id, text FROM st
+         |  WHERE quality >= 0.5 AND pred_lang = 'en'),
+         |kth AS (
+         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM kept),
+         |eth AS (
+         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |kgrams AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(th) - 7, 1)),
+         |    i -> list_reduce(list_slice(th, i, i + least(8, len(th)) - 1),
+         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |  FROM kth),
+         |egrams AS (
+         |  SELECT unnest(list_transform(
+         |    generate_series(1, greatest(len(th) - 7, 1)),
+         |    i -> list_reduce(list_slice(th, i, i + least(8, len(th)) - 1),
+         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |  FROM eth),
+         |bad AS (
+         |  SELECT DISTINCT k.doc_id FROM kgrams k
+         |  JOIN egrams e ON k.gram = e.gram),
+         |clean AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |starts AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text), 150)) AS s
+         |  FROM clean WHERE length(text) >= 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper, count(*) AS dup_count
@@ -936,60 +1002,47 @@ object LlmQueries {
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "curation_e2e" ->
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS doc_id, text
-         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY text),
-         |st AS (
-         |  SELECT doc_id, text,
-         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
-         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
-         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
-         |      AS quality,
-         |    CASE
-         |      WHEN ${duckHits("en")} >= greatest(greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("en")} > 0 THEN 'en'
-         |      WHEN ${duckHits("es")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("es")} > 0 THEN 'es'
-         |      WHEN ${duckHits("fr")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("fr")} > 0 THEN 'fr'
-         |      WHEN ${duckHits("de")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0)) AND ${duckHits("de")} > 0 THEN 'de'
-         |      ELSE 'und' END AS pred_lang
-         |  FROM reps),
-         |kept AS (
-         |  SELECT doc_id, text FROM st
-         |  WHERE quality >= 0.5 AND pred_lang = 'en'),
-         |kth AS (
-         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
-         |    t -> ${duckPolyHash("t")}) AS th
-         |  FROM kept),
-         |eth AS (
-         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
-         |    t -> ${duckPolyHash("t")}) AS th
-         |  FROM documents WHERE doc_id % 2 = 1),
-         |kgrams AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, greatest(len(th) - 7, 1)),
-         |    i -> list_reduce(list_slice(th, i, i + least(8, len(th)) - 1),
-         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
-         |  FROM kth),
-         |egrams AS (
-         |  SELECT unnest(list_transform(
-         |    generate_series(1, greatest(len(th) - 7, 1)),
-         |    i -> list_reduce(list_slice(th, i, i + least(8, len(th)) - 1),
-         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
-         |  FROM eth),
-         |bad AS (
-         |  SELECT DISTINCT k.doc_id FROM kgrams k
-         |  JOIN egrams e ON k.gram = e.gram),
-         |clean AS (
-         |  SELECT doc_id, text FROM kept
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-         |starts AS (
-         |  SELECT doc_id, text,
-         |    unnest(generate_series(1, length(text), 150)) AS s
-         |  FROM clean WHERE length(text) >= 1)
+      s"""WITH $duckCurationChain
          |SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
          |  substring(text, CAST(s AS INT), 200) AS chunk,
          |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
          |    AS chunk_len
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "prep_e2e" ->
+      s"""WITH $duckCurationChain,
+         |chunks AS (
+         |  SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
+         |    substring(text, CAST(s AS INT), 200) AS chunk
+         |  FROM starts),
+         |sp AS (
+         |  SELECT doc_id, chunk_id, chunk,
+         |    ((doc_id % 1073741824) * 2654435761 + 7) % $P % 1000
+         |      AS bucket
+         |  FROM chunks),
+         |tr AS (
+         |  SELECT doc_id, chunk_id, chunk,
+         |    doc_id * 1000000 + chunk_id AS cid
+         |  FROM sp WHERE bucket < 960),
+         |st2 AS (
+         |  SELECT doc_id, chunk_id, cid,
+         |    CAST(len(string_split_regex(trim(chunk), '\\s+'))
+         |      AS BIGINT) AS n_tokens,
+         |    CAST(((cid % 1073741824) * 2654435761 + 0) % $P % 1000 % 4
+         |      AS BIGINT) AS shard
+         |  FROM tr),
+         |o AS (
+         |  SELECT doc_id, chunk_id, n_tokens, shard,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY cid
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM st2)
+         |SELECT doc_id, chunk_id, n_tokens, shard,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 256 AS BIGINT) AS pack_first,
+         |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 256
+         |    AS BIGINT) AS pack_last
+         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
     "rep_ratio" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t
