@@ -123,8 +123,11 @@ object Joins {
       validTo: String = "valid_to"): DataFrame = {
     val payload = history.columns
       .filterNot(c => c == key || c == validFrom || c == validTo)
+    // no forced broadcast: the update batch is usually tiny (AQE
+    // broadcasts it on its own), but a backfill-sized batch must be
+    // free to shuffle-join instead of OOMing the driver
     val closed = history
-      .join(broadcast(updates.select(col(key), col(ts).as("__uts"))),
+      .join(updates.select(col(key), col(ts).as("__uts")),
         Seq(key), "left")
       .withColumn(validTo,
         when(col(validTo).isNull && col("__uts").isNotNull,
