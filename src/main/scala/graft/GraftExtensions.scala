@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{HashConstants, PolyHashShingles, PolyHashString, PolyHashTokens}
+import graft.llm.{HashConstants, MinHashSigExpr, PolyHashShingles, PolyHashString, PolyHashTokens, SimHashPackExpr, TextClassStatsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -40,7 +40,16 @@ object GraftExtensions {
       PolyHashShingles(args.head, n)
     },
     "graft_token_hashes" -> (args => PolyHashTokens(args.head)),
-    "graft_fingerprint" -> (args => PolyHashString(args.head)))
+    "graft_fingerprint" -> (args => PolyHashString(args.head)),
+    // text-in convenience forms, composed exactly like the batch
+    // operators: minhash over shingle hashes, simhash over token
+    // hashes
+    "graft_minhash" -> (args =>
+      MinHashSigExpr(
+        PolyHashShingles(args.head, HashConstants.shingleSize))),
+    "graft_simhash" -> (args =>
+      SimHashPackExpr(PolyHashTokens(args.head))),
+    "graft_text_stats" -> (args => TextClassStatsExpr(args.head)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -88,11 +88,23 @@ class EngineExtrasSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_fingerprint(text) AS f,
         |  size(graft_shingle_hashes(text, 5)) AS ns,
-        |  size(graft_token_hashes(text)) AS nt
+        |  size(graft_token_hashes(text)) AS nt,
+        |  size(graft_minhash(text)) AS nm,
+        |  graft_simhash(text) AS sh,
+        |  graft_text_stats(text).n_tokens AS ntok
         |FROM gx_docs""".stripMargin).collect()(0)
     assert(r.getLong(0) > 0)
     assert(r.getInt(1) === "spark engines".length - 4)
     assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === graft.llm.HashConstants.minhashA.size)
+    assert(r.getLong(5) === 2L)
+    // SQL surface values equal the Column-API native expressions
+    val viaCols = Seq(("spark engines", 0L)).toDF("text", "z")
+      .select(graft.llm.PolyHashColumns.fingerprint(col("text")))
+      .collect()(0).getLong(0)
+    assert(viaCols ===
+      spark.sql("SELECT graft_fingerprint('spark engines')")
+        .collect()(0).getLong(0))
   }
 
   test("bucketed tables join without a shuffle") {
