@@ -179,6 +179,23 @@ object CoreQueries {
         .orderBy("user_id", "s_start")
     }),
 
+    // ordered funnel over the event log: users completing
+    // view -> click -> purchase strictly in order, one row per stage
+    "funnel_stages" -> ((s, d) => {
+      Sessions.funnel(
+        Ingest.tableNanos(s, d, "events", Seq("ts")),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("stage")
+    }),
+    // weekly retention cohorts: first-activity week x weeks-later
+    // return counts — the standard growth-analytics matrix
+    "retention_cohorts" -> ((s, d) => {
+      Sessions.retentionCohorts(
+        Ingest.tableNanos(s, d, "events", Seq("ts")),
+        "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    }),
     // point-in-interval range join with NO equi key, binned into an
     // equi join (naive form is a broadcast nested loop — n·m at any
     // scale). Intervals derive deterministically from orders; DuckDB's
@@ -694,6 +711,37 @@ object CoreQueries {
         |SELECT s.store, sum(s.units * d.w) AS sum_wu
         |FROM skewed s JOIN dimw d USING (store)
         |GROUP BY s.store ORDER BY s.store""".stripMargin,
+    "funnel_stages" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, min(e.ts) AS t2
+        |  FROM s1 JOIN events e ON e.user_id = s1.user_id
+        |   AND e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT s2.user_id, min(e.ts) AS t3
+        |  FROM s2 JOIN events e ON e.user_id = s2.user_id
+        |   AND e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS stage_name,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY stage""".stripMargin,
+    "retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events),
+        |c AS (SELECT user_id, min(w) AS c FROM w GROUP BY 1)
+        |SELECT c.c AS cohort_week,
+        |  CAST(date_diff('day', c.c, w.w) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
