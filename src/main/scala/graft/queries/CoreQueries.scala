@@ -179,6 +179,22 @@ object CoreQueries {
         .orderBy("user_id", "s_start")
     }),
 
+    // semi-structured extraction: parse the JSON props column with a
+    // declared schema (from_json — schema projection, malformed rows
+    // null out) and aggregate on the extracted field
+    "json_props" -> ((s, d) => {
+      Ingest.tableNanos(s, d, "events", Seq("ts"))
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        .groupBy(pmod(col("k"), lit(10)).cast("long").as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("k_mod")
+    }),
     // ordered funnel over the event log: users completing
     // view -> click -> purchase strictly in order, one row per stage
     "funnel_stages" -> ((s, d) => {
@@ -711,6 +727,16 @@ object CoreQueries {
         |SELECT s.store, sum(s.units * d.w) AS sum_wu
         |FROM skewed s JOIN dimw d USING (store)
         |GROUP BY s.store ORDER BY s.store""".stripMargin,
+    "json_props" ->
+      """WITH p AS (
+        |  SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
+        |    value
+        |  FROM events)
+        |SELECT CAST(k % 10 AS BIGINT) AS k_mod, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_stages" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
