@@ -179,6 +179,22 @@ object CoreQueries {
         .orderBy("user_id", "s_start")
     }),
 
+    // event-time RANGE window frame: trailing 7-day average — frames
+    // defined by time distance, not row counts (gaps in the calendar
+    // shrink the frame, unlike rowsBetween)
+    "rolling_7d" -> ((s, d) => {
+      val daily = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_shipdate"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      // NTZ won't cast straight to long; session TZ is UTC so the
+      // LTZ hop is identity and unix seconds are a faithful order key
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_shipdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-6L * 86400, 0)
+      daily
+        .withColumn("qty7", round(avg(col("qty")).over(w), 6))
+        .orderBy("l_returnflag", "l_shipdate")
+    }),
     // semi-structured extraction: parse the JSON props column with a
     // declared schema (from_json — schema projection, malformed rows
     // null out) and aggregate on the extracted field
@@ -727,6 +743,16 @@ object CoreQueries {
         |SELECT s.store, sum(s.units * d.w) AS sum_wu
         |FROM skewed s JOIN dimw d USING (store)
         |GROUP BY s.store ORDER BY s.store""".stripMargin,
+    "rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, l_shipdate, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_shipdate, qty,
+        |  round(avg(qty) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 6)
+        |    AS qty7
+        |FROM daily ORDER BY 1, 2""".stripMargin,
     "json_props" ->
       """WITH p AS (
         |  SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
