@@ -134,6 +134,36 @@ object Ingest {
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Bit-interleaved Z-value of two non-negative integer keys (lowest
+    * `bits` of each): points close in BOTH dimensions get close
+    * Z-values, so range-partitioning on it clusters a 2-D key space
+    * into files whose (min,max) boxes are small in both dims at once
+    * — what single-key sorting ([[writeSorted]]) cannot do. Pure
+    * integer shifts, exact on any engine.
+    */
+  def zValueExpr(a: String, b: String, bits: Int = 16)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+          acc + shiftleft(shiftright($a, i) & 1, 2 * i)
+              + shiftleft(shiftright($b, i) & 1, 2 * i + 1))""")
+
+  /** Z-ordered parquet layout on two keys: range-partition + sort on
+    * the interleaved Z-value. Any later predicate constraining EITHER
+    * key (or both) skips files via parquet min/max on the key columns
+    * themselves — the multi-dimension generalization of
+    * [[writeSorted]], and the standard data-clustering lever for
+    * fact tables queried along two axes at 100 TB.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      keyA: String, keyB: String): Unit =
+    df.withColumn("__z", zValueExpr(keyA, keyB))
+      .repartitionByRange(numFiles,
+        org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

@@ -375,6 +375,25 @@ object CoreQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("sum_price"))
     }),
+    // Z-ordered 2-D layout + boxed read-back: bit-interleaved
+    // clustering keeps BOTH keys' per-file ranges narrow (spec
+    // asserts the file-skip win); the oracle pins the read-back
+    "zorder_layout" -> ((s, d) => {
+      val tmp =
+        s"${System.getProperty("java.io.tmpdir")}/graft_zorder_li"
+      Ingest.writeZOrdered(
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"),
+        tmp, numFiles = 8, "l_partkey", "l_suppkey")
+      s.read.parquet(tmp)
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 40))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    }),
     // schema-aligned union (pandas concat with mismatched columns):
     // missing columns null-fill per side, no shuffle at all
     "union_align" -> ((s, d) => {
@@ -897,6 +916,13 @@ object CoreQueries {
         |    AS sum_price
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "zorder_layout" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300
+        |  AND l_suppkey BETWEEN 10 AND 40""".stripMargin,
     "union_align" ->
       """SELECT o_orderkey AS key, o_totalprice AS amount,
         |  o_orderstatus AS status, 'orders' AS src FROM orders

@@ -216,6 +216,38 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(asOf.map(_.getString(1)).toSeq === Seq("cur"))
   }
 
+  test("writeZOrdered: per-file boxes stay narrow in BOTH dims; single-key sort does not") {
+    import graft.engine.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("z_out").toString
+    // uniform 2-D grid of keys
+    val df = (0 until 4096).map(i => ((i * 73) % 256L, (i * 149) % 256L))
+      .toDF("ka", "kb")
+    Ingest.writeZOrdered(df, s"$dir/z", 8, "ka", "kb")
+    Ingest.writeSorted(df, s"$dir/s", 8, Seq("ka"))
+    def boxes(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name())
+      .agg(min(col("ka")).as("alo"), max(col("ka")).as("ahi"),
+        min(col("kb")).as("blo"), max(col("kb")).as("bhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // the differentiating query filters ONLY the second key: the
+    // ka-sorted layout leaves kb spanning [0,255] in every file, so
+    // ALL 8 files intersect kb in [0,63]; z-order keeps kb boxes
+    // narrow too, so only a fraction of files can contain it
+    def hits(bs: Array[(Long, Long, Long, Long)]) = bs.count {
+      case (_, _, blo, bhi) => blo <= 63 && bhi >= 0
+    }
+    val z = boxes(s"$dir/z"); val s1 = boxes(s"$dir/s")
+    assert(z.length === 8 && s1.length === 8)
+    assert(hits(s1) === 8, s"sorted layout should be skip-free: ${s1.toSeq}")
+    assert(hits(z) < hits(s1),
+      s"z=${hits(z)} files vs sorted=${hits(s1)}")
+    assert(hits(z) <= 4, s"z-order should bound the kb stripe: ${z.toSeq}")
+    // both layouts preserve the data
+    assert(spark.read.parquet(s"$dir/z").count() === 4096)
+  }
+
   test("mergeUpsert: updates override, new keys insert, base rows survive") {
     import graft.engine.Joins
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
