@@ -409,6 +409,20 @@ object CoreQueries {
       a.unionByName(b, allowMissingColumns = true)
         .orderBy("key", "src", "amount")
     }),
+    // unpivot / melt (the pandas wide→long reshape, inverse of
+    // pivot_returns): native Dataset.unpivot — plan-level row
+    // expansion, no shuffle
+    "unpivot_measures" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
     // one-pass data-quality profile: per-column row/null/distinct
     // counts — the ingest sanity report, one scan + one reduce
     "profile_table" -> ((s, d) => {
@@ -930,6 +944,15 @@ object CoreQueries {
         |SELECT l_orderkey AS key, l_extendedprice AS amount,
         |  'lineitem' AS src FROM lineitem
         |ORDER BY key, src, amount""".stripMargin,
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber,
+        |  'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "profile_table" ->
       """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
         |  count(o_custkey) AS n_nonnull,
