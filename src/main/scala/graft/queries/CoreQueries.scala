@@ -409,6 +409,24 @@ object CoreQueries {
       a.unionByName(b, allowMissingColumns = true)
         .orderBy("key", "src", "amount")
     }),
+    // edit-distance fuzzy matching: the classic small-dim dedup
+    // verifier (supplier names against nation names here) — the
+    // right side broadcasts, levenshtein runs codegen'd per pair
+    "fuzzy_pairs" -> ((s, d) => {
+      val a = t(s, d, "nation")
+        .select(col("n_nationkey").as("id1"),
+          lower(col("n_name")).as("s1"))
+      val b = t(s, d, "nation")
+        .select(col("n_nationkey").as("id2"),
+          lower(col("n_name")).as("s2"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id1") < col("id2"))
+        .withColumn("dist",
+          levenshtein(col("s1"), col("s2")).cast("long"))
+        .filter(col("dist") <= 5)
+        .select("id1", "id2", "s1", "s2", "dist")
+        .orderBy("id1", "id2")
+    }),
     // unpivot / melt (the pandas wide→long reshape, inverse of
     // pivot_returns): native Dataset.unpivot — plan-level row
     // expansion, no shuffle
@@ -944,6 +962,14 @@ object CoreQueries {
         |SELECT l_orderkey AS key, l_extendedprice AS amount,
         |  'lineitem' AS src FROM lineitem
         |ORDER BY key, src, amount""".stripMargin,
+    "fuzzy_pairs" ->
+      """SELECT a.n_nationkey AS id1, b.n_nationkey AS id2,
+        |  lower(a.n_name) AS s1, lower(b.n_name) AS s2,
+        |  CAST(levenshtein(lower(a.n_name), lower(b.n_name))
+        |    AS BIGINT) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(lower(a.n_name), lower(b.n_name)) <= 5
+        |ORDER BY id1, id2""".stripMargin,
     "unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber,
         |  'l_quantity' AS measure, l_quantity AS value FROM lineitem
