@@ -132,6 +132,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences conserves the token stream per shard") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id",
+      seqLen = 64, nShards = 4)
+    // per shard: offsets are the exclusive prefix sums of n_tokens in
+    // id order — so max(tok_offset + n_tokens) == sum(n_tokens)
+    val ok = packed.groupBy("shard")
+      .agg(max(col("tok_offset") + col("n_tokens")).as("hi"),
+        sum(col("n_tokens")).as("total"))
+      .filter(col("hi") =!= col("total")).count()
+    assert(ok === 0L)
+    // every doc appears exactly once
+    assert(packed.select("doc_id").distinct().count() === 300L)
+  }
+
+  test("mergeUpsert equals the full-outer-join reference on random frames") {
+    import graft.engine.Joins
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(k => (k, rnd.nextInt(1000)))
+      .toDF("k", "v")
+    val upd = rnd.shuffle((0L until 260L).toList).take(90)
+      .map(k => (k, -rnd.nextInt(1000) - 1)).toDF("k", "v")
+    val merged = Joins.mergeUpsert(base, upd, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val reference = base.as("b")
+      .join(upd.as("u"), col("b.k") === col("u.k"), "full_outer")
+      .select(coalesce(col("u.k"), col("b.k")).as("k"),
+        coalesce(col("u.v"), col("b.v")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === reference)
+  }
+
   test("safeMape is non-negative and finite") {
     (1 to trials).foreach { _ =>
       val n = 1 + rnd.nextInt(64)
