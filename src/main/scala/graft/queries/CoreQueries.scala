@@ -409,6 +409,20 @@ object CoreQueries {
       a.unionByName(b, allowMissingColumns = true)
         .orderBy("key", "src", "amount")
     }),
+    // top-k per group in the retail core: top-3 parts by revenue per
+    // return flag — the rank filter pushes into WindowGroupLimit, so
+    // each shuffle partition forwards only k rows per group
+    "topk_per_group" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+      rev.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("l_returnflag", "rank")
+    }),
     // edit-distance fuzzy matching: the classic small-dim dedup
     // verifier (supplier names against nation names here) — the
     // right side broadcasts, levenshtein runs codegen'd per pair
@@ -962,6 +976,18 @@ object CoreQueries {
         |SELECT l_orderkey AS key, l_extendedprice AS amount,
         |  'lineitem' AS src FROM lineitem
         |ORDER BY key, src, amount""".stripMargin,
+    "topk_per_group" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY revenue DESC, l_partkey) AS BIGINT) AS rank
+        |  FROM rev)
+        |SELECT l_returnflag, l_partkey, revenue, rank FROM r
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
     "fuzzy_pairs" ->
       """SELECT a.n_nationkey AS id1, b.n_nationkey AS id2,
         |  lower(a.n_name) AS s1, lower(b.n_name) AS s2,
