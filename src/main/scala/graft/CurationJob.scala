@@ -43,6 +43,21 @@ object CurationJob {
     TextAnalysis.chunkDocuments(clean, text, id, chunkSize, overlap)
   }
 
+  /** Arithmetic-packed (doc, chunk) composite id. The packing is only
+    * injective while 0 <= id < 2^63/1e6 and chunk_id < 1e6 —
+    * out-of-range rows would silently collide with (or, under ANSI,
+    * overflow into) neighboring doc ids and corrupt every downstream
+    * split/shard/offset derivation, so they fail loud instead.
+    */
+  private[graft] def packedChunkId(id: String) =
+    expr(
+      s"""CASE WHEN $id > 9223372036853L OR $id < 0
+                 OR chunk_id >= 1000000L
+           THEN CAST(raise_error(concat(
+                  'chunk id packing out of range: doc ', $id,
+                  ' chunk ', chunk_id)) AS BIGINT)
+           ELSE $id * 1000000L + chunk_id END""")
+
   /** Raw docs → TRAINING-READY sequences: [[curate]], then a
     * deterministic doc-level hash split (a document's chunks never
     * straddle train/val — the leakage rule), then sequence-packing of
@@ -69,11 +84,13 @@ object CurationJob {
       .hashSplit(chunks, id, splitSeed, trainPerMille, valPerMille)
       .filter(col("split") === "train")
       // composite chunk id: unique, and ordered = (doc, chunk) order
-      .withColumn("cid", col(id) * 1000000L + col("chunk_id"))
+      .withColumn("cid", packedChunkId(id))
     TextAnalysis.packSequences(train, "chunk", "cid", seqLen,
         nShards, packSeed)
       .select(
-        floor(col("cid") / 1000000L).cast("long").as(id),
+        // integer DIV, not floor(double /): cid can exceed 2^53,
+        // where double division silently rounds the doc id
+        expr("cid DIV 1000000").as(id),
         pmod(col("cid"), lit(1000000L)).cast("long").as("chunk_id"),
         col("n_tokens"), col("shard"), col("tok_offset"),
         col("pack_first"), col("pack_last"))

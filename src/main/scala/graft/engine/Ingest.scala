@@ -145,8 +145,8 @@ object Ingest {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
       s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-          acc + shiftleft(shiftright($a, i) & 1, 2 * i)
-              + shiftleft(shiftright($b, i) & 1, 2 * i + 1))""")
+          acc + shiftleft(shiftright(CAST($a AS BIGINT), i) & 1, 2 * i)
+              + shiftleft(shiftright(CAST($b AS BIGINT), i) & 1, 2 * i + 1))""")
 
   /** Z-ordered parquet layout on two keys: range-partition + sort on
     * the interleaved Z-value. Any later predicate constraining EITHER

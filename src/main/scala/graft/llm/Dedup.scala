@@ -373,8 +373,14 @@ object Dedup {
       .as("__fp"))
     val bloom = cfp.stat.bloomFilter("__fp", expectedItems, fpp)
     val mightContain = udf((x: Long) => bloom.mightContainLong(x))
-    val definiteNew = bfp.filter(!mightContain(col("__fp")))
-    val confirmed = bfp.filter(mightContain(col("__fp")))
+    // Null fingerprints (null text) must take the definite-new path:
+    // the plain anti-join keeps null-key rows (null never equals
+    // null), and both mightContain filters would otherwise evaluate
+    // to null and drop the row from BOTH branches.
+    val definiteNew = bfp.filter(
+      col("__fp").isNull || !mightContain(col("__fp")))
+    val confirmed = bfp.filter(
+      col("__fp").isNotNull && mightContain(col("__fp")))
       .join(cfp.distinct(), Seq("__fp"), "left_anti")
     definiteNew.unionByName(confirmed).drop("__fp")
   }

@@ -373,15 +373,23 @@ object Similarity {
       k: Int): DataFrame = {
     val qsub = subVectors(queries, id, vec, m, subDim)
       .withColumnRenamed(id, "query_id")
+    // The ADC table is a subspace -> (cell -> distance) MAP, not a
+    // sorted array: an array lookup by `codes[j] + 1` silently
+    // misaligns whenever cell ids are sparse or not 0-based
+    // (externally-built centroids). Both map levels are tiny (m and k
+    // entries), so the linear-scan element_at costs m+k ops per
+    // subspace — noise next to the O(1) array read, and correct for
+    // any id space. The distance sum still iterates j = 1..m, so it
+    // stays in fixed subspace order (bit-reproducible).
     val dtab = qsub.join(broadcast(centroids), Seq("subspace"))
       .withColumn("__d", expr(sqDistExpr("sv", "cvec")))
       .groupBy(col("query_id"), col("subspace"))
       .agg(expr(
-        "transform(sort_array(collect_list(struct(cell, __d))), s -> s.__d)")
+        "map_from_entries(sort_array(collect_list(struct(cell, __d))))")
         .as("__row"))
       .groupBy(col("query_id"))
       .agg(expr(
-        "transform(sort_array(collect_list(struct(subspace, __row))), s -> s.__row)")
+        "map_from_entries(collect_list(struct(subspace, __row)))")
         .as("dtab"))
     val codes = pqEncode(corpus, id, vec, centroids, m, subDim)
       .withColumnRenamed(id, "cand_id")
@@ -389,8 +397,8 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("adist", round(expr(
         s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
-            acc + element_at(element_at(dtab, j),
-                  CAST(element_at(codes, j) AS INT) + 1))"""), 6))
+            acc + element_at(element_at(dtab, j - 1),
+                  element_at(codes, j)))"""), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

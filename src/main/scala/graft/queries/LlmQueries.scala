@@ -683,13 +683,19 @@ object LlmQueries {
          |  SELECT doc_id, text FROM st
          |  WHERE quality >= 0.5 AND pred_lang = 'en'),
          |kth AS (
-         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split(lower(text), ' '), t -> t != ''),
          |    t -> ${duckPolyHash("t")}) AS th
-         |  FROM kept),
+         |  FROM kept
+         |  WHERE len(list_filter(string_split(lower(text), ' '),
+         |        t -> t != '')) > 0),
          |eth AS (
-         |  SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split(lower(text), ' '), t -> t != ''),
          |    t -> ${duckPolyHash("t")}) AS th
-         |  FROM documents WHERE doc_id % 2 = 1),
+         |  FROM documents WHERE doc_id % 2 = 1
+         |    AND len(list_filter(string_split(lower(text), ' '),
+         |        t -> t != '')) > 0),
          |kgrams AS (
          |  SELECT doc_id, unnest(list_transform(
          |    generate_series(1, greatest(len(th) - 7, 1)),

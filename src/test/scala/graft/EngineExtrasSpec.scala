@@ -248,6 +248,23 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").count() === 4096)
   }
 
+  test("zValueExpr: INT keys with bit 15 set interleave identically to BIGINT keys") {
+    import graft.engine.Ingest
+    // 0xFFFF in both dims exercises the top bit: shiftleft(...,31)
+    // on an un-widened INT would overflow into the sign bit
+    val df = Seq((65535, 65535), (32768, 0), (0, 32768), (7, 11))
+      .toDF("ia", "ib")
+      .withColumn("la", col("ia").cast("long"))
+      .withColumn("lb", col("ib").cast("long"))
+      .withColumn("zi", Ingest.zValueExpr("ia", "ib"))
+      .withColumn("zl", Ingest.zValueExpr("la", "lb"))
+    val rows = df.select("zi", "zl").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (zi, zl) => zi == zl && zi >= 0L })
+    // full interleave of (0xFFFF, 0xFFFF) = 0xFFFFFFFF
+    assert(rows(0)._1 === 0xFFFFFFFFL)
+  }
+
   test("mergeUpsert: updates override, new keys insert, base rows survive") {
     import graft.engine.Joins
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

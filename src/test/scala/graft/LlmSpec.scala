@@ -78,9 +78,11 @@ class LlmSpec extends AnyFunSuite {
   test("incrementalDedup equals the plain anti-join at extreme fpp values") {
     val corpus = docs("alpha beta gamma", "delta epsilon zeta",
       "shared duplicate content")
+    // 14 has NULL text: the anti-join keeps null-key rows, so the
+    // bloom fast-path must route null fingerprints to definite-new
     val batch = Seq((10L, "shared duplicate content"),
       (11L, "completely new page"), (12L, "alpha beta gamma"),
-      (13L, "another new one"))
+      (13L, "another new one"), (14L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val plain = batch
       .withColumn("__fp", TextAnalysis.fingerprintExpr("text"))
@@ -93,7 +95,7 @@ class LlmSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).sorted
       assert(inc === plain, s"fpp=$fpp")
     }
-    assert(plain === Array(11L, 13L))
+    assert(plain === Array(11L, 13L, 14L))
   }
 
   test("PQ: codes deterministic under repartitioning; ADC ranks the near-identical vector first") {
@@ -127,6 +129,40 @@ class LlmSpec extends AnyFunSuite {
     assert(byQ.values.forall(_.map(_.getLong(3)).sorted.sameElements(
       Seq(1L, 2L, 3L, 4L))))
     assert(top.forall(r => r.getLong(0) != r.getLong(1)))
+    // externally-built centroids may have sparse / non-0-based cell
+    // ids — the ADC table is keyed by cell VALUE, so a relabeled
+    // codebook must produce identical distances and ranks
+    val sparse = cents.withColumn("cell", col("cell") * 37L + 1000L)
+    val topSparse = Similarity.pqTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", sparse,
+      m = 4, subDim = 16, k = 4).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    assert(key(topSparse) === key(top))
+  }
+
+  test("packedChunkId: round-trips in range, fails loud out of range") {
+    val ok = Seq((42L, 7L), (9223372036853L, 999999L), (0L, 0L))
+      .toDF("doc_id", "chunk_id")
+      .withColumn("cid", graft.CurationJob.packedChunkId("doc_id"))
+    val back = ok.select(
+      expr("cid DIV 1000000").as("d"),
+      pmod(col("cid"), lit(1000000L)).as("c"),
+      col("doc_id"), col("chunk_id")).collect()
+    assert(back.forall(r =>
+      r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3)))
+    for (bad <- Seq((9223372036854L, 0L), (-1L, 0L), (1L, 1000000L))) {
+      val ex = intercept[Exception] {
+        Seq(bad).toDF("doc_id", "chunk_id")
+          .withColumn("cid", graft.CurationJob.packedChunkId("doc_id"))
+          .collect()
+      }
+      assert(ex.getMessage.contains("chunk id packing out of range")
+        || Option(ex.getCause).exists(
+             _.getMessage.contains("chunk id packing out of range")),
+        s"bad=$bad got ${ex.getMessage}")
+    }
   }
 
   test("unigramFreqScore: exact counts, vocab cap zeroes rare tokens") {
