@@ -447,6 +447,80 @@ object Dedup {
     train.select(col(id)).join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Every n-token window of every document, with its 1-based start
+    * position: (id, win_start, gram). Tokens are the non-empty
+    * lowercased words; documents shorter than n contribute nothing
+    * (a span, unlike a [[decontaminate]] gram, has no whole-document
+    * fallback — there is no n-token span to dedup). The shared
+    * building block of the span-level dedup family below.
+    */
+  private def spanGrams(df: DataFrame, text: String, id: String,
+      n: Int): DataFrame = df
+    .withColumn("__th", expr(hashTokensExpr(
+      s"filter(split(lower($text), ' '), t -> t != '')")))
+    .filter(size(col("__th")) >= n)
+    .select(col(id), posexplode(expr(
+      s"""transform(sequence(1, size(__th) - ${n - 1}),
+          i -> aggregate(slice(__th, i, $n), 0L,
+               (acc, h) -> (acc * 31 + h) % $P))"""))
+      .as(Seq("__p", "gram")))
+    .select(col(id), (col("__p") + 1).cast("long").as("win_start"),
+      col("gram"))
+
+  /** Span-level exact-substring dedup, detection half: every n-token
+    * window whose gram occurs at least twice in the corpus (across
+    * documents OR repeated within one) — the duplicated-span scan
+    * behind substring-level training-data dedup, where near-identical
+    * pages share long runs that document-level dedup never sees.
+    * Scale shape: a narrow window explode (rows ∝ total tokens), ONE
+    * map-side-combining groupBy on the uniform 64-bit gram to find
+    * repeated grams, and a semi-join back on that same key — no
+    * doc×doc comparison anywhere, and the heavy explode never carries
+    * the text itself, only (id, pos, gram).
+    */
+  def dupSpanWindows(df: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame = {
+    val g = spanGrams(df, text, id, n)
+    val dup = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("gram"))
+    g.join(dup, Seq("gram"), "left_semi")
+      .select(col(id), col("win_start"), col("gram"))
+  }
+
+  /** Span-level dedup, accounting half: per document, how much of it
+    * is duplicated text — window count, tokens covered by the UNION
+    * of its duplicated [win_start, win_start+n) intervals (classic
+    * running-max interval union, so overlapping windows are not
+    * double-counted), total tokens, and the covered ratio. This is
+    * the scrub-or-keep signal: a doc that is 90% duplicated spans is
+    * boilerplate even if no single whole-document duplicate exists.
+    * The interval union runs per-document under a window partitioned
+    * on the id — token positions within one doc, never corpus-wide.
+    */
+  def spanDedupStats(df: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ntok = df.select(col(id), size(expr(
+      s"filter(split(lower($text), ' '), t -> t != '')"))
+      .cast("long").as("n_tokens"))
+    val prevEnd = Window.partitionBy(col(id)).orderBy(col("win_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dupSpanWindows(df, text, id, n)
+      .withColumn("__end", col("win_start") + n)
+      .withColumn("__pmax", max(col("__end")).over(prevEnd))
+      .withColumn("__add", greatest(lit(0L),
+        col("__end") - greatest(
+          coalesce(col("__pmax"), col("win_start")), col("win_start"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("__add")).as("dup_tokens"))
+      .join(ntok, Seq(id))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens") / col("n_tokens"), 6))
+  }
+
   /** Boilerplate n-gram detector: word n-grams (lowercased, empty
     * tokens dropped) appearing in at least `minDocs` DISTINCT
     * documents, with their document frequency — the corpus-level scan

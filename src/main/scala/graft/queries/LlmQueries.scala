@@ -290,6 +290,21 @@ object LlmQueries {
         "text", "doc_id", n = 8)
         .orderBy("doc_id")
     }),
+    // span-level exact-substring dedup: every 20-token window whose
+    // gram repeats anywhere in the corpus (across docs or within one)
+    // — the substring-granularity scrub document-level dedup misses
+    "span_dup_windows" -> ((s, d) => {
+      Dedup.dupSpanWindows(t(s, d, "documents"), "text", "doc_id",
+        n = 20)
+        .orderBy("doc_id", "win_start")
+    }),
+    // per-doc duplicated-span accounting: window count, interval-union
+    // covered tokens (overlaps not double-counted), coverage ratio
+    "span_dedup_stats" -> ((s, d) => {
+      Dedup.spanDedupStats(t(s, d, "documents"), "text", "doc_id",
+        n = 20)
+        .orderBy("doc_id")
+    }),
     // deterministic stratified sampling: 20% of the dominant language,
     // 50% of the rest, derived from a pure integer scramble of the id
     // — re-runnable to the exact same sample on any engine/partitioning
@@ -719,6 +734,30 @@ object LlmQueries {
          |    unnest(generate_series(1, length(text), 150)) AS s
          |  FROM clean WHERE length(text) >= 1)""".stripMargin
 
+  /** Shared span-dedup CTE chain: non-empty lowercased token hashes,
+    * every 20-token window with its 1-based start (docs shorter than
+    * 20 tokens contribute nothing), and the corpus-repeated grams.
+    * Mirrors Dedup.spanGrams/dupSpanWindows; ends with CTEs `sgrams`
+    * and `sdup`.
+    */
+  private def duckSpanChain: String =
+    s"""sth AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(string_split(lower(text), ' '), t -> t != ''),
+       |    t -> ${duckPolyHash("t")}) AS th
+       |  FROM documents),
+       |sw AS (
+       |  SELECT doc_id, th,
+       |    unnest(generate_series(1, len(th) - 19)) AS ws
+       |  FROM sth WHERE len(th) >= 20),
+       |sgrams AS (
+       |  SELECT doc_id, CAST(ws AS BIGINT) AS win_start,
+       |    CAST(list_reduce(list_slice(th, ws, ws + 19),
+       |      (acc, h) -> (acc * 31 + h) % $P) AS BIGINT) AS gram
+       |  FROM sw),
+       |sdup AS (
+       |  SELECT gram FROM sgrams GROUP BY gram HAVING count(*) >= 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper, count(*) AS dup_count
@@ -1107,6 +1146,40 @@ object LlmQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+    "span_dup_windows" ->
+      s"""WITH $duckSpanChain
+         |SELECT doc_id, win_start, gram FROM sgrams
+         |WHERE gram IN (SELECT gram FROM sdup)
+         |ORDER BY doc_id, win_start""".stripMargin,
+    "span_dedup_stats" ->
+      s"""WITH $duckSpanChain,
+         |dupw AS (
+         |  SELECT doc_id, win_start FROM sgrams
+         |  WHERE gram IN (SELECT gram FROM sdup)),
+         |u2 AS (
+         |  SELECT doc_id, win_start, win_start + 20 AS win_end,
+         |    max(win_start + 20) OVER (PARTITION BY doc_id
+         |      ORDER BY win_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS pmax
+         |  FROM dupw),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_dup_windows,
+         |    sum(greatest(0, win_end -
+         |      greatest(coalesce(pmax, win_start), win_start)))
+         |      AS dup_tokens
+         |  FROM u2 GROUP BY doc_id),
+         |nt AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT a.doc_id, CAST(n_dup_windows AS BIGINT)
+         |    AS n_dup_windows,
+         |  CAST(dup_tokens AS BIGINT) AS dup_tokens, n_tokens,
+         |  round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6)
+         |    AS dup_ratio
+         |FROM agg a JOIN nt USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "sample_stratified" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,

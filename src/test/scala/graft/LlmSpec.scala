@@ -142,6 +142,41 @@ class LlmSpec extends AnyFunSuite {
     assert(key(topSparse) === key(top))
   }
 
+  test("span dedup: cross-doc and intra-doc repeats found, interval union exact") {
+    val ts = (1 to 30).map(i => s"t$i")
+    val xs = (1 to 20).map(i => s"x$i")
+    val docsDf = Seq(
+      (0L, ts.mkString(" ")),                         // t1..t30
+      (1L, (ts.slice(5, 25) ++ Seq("u1", "u2", "u3", "u4", "u5"))
+        .mkString(" ")),                              // t6..t25 + unique
+      (2L, (xs ++ xs).mkString(" ")),                 // intra-doc repeat
+      (3L, "short doc under twenty tokens counts for nothing at all"))
+      .toDF("doc_id", "text")
+    val w = Dedup.dupSpanWindows(docsDf, "text", "doc_id", n = 20)
+      .orderBy("doc_id", "win_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc0's t6..t25 window (start 6) == doc1's start-1 window;
+    // doc2 repeats x1..x20 at starts 1 and 21; doc3 too short
+    assert(w === Array((0L, 6L), (1L, 1L), (2L, 1L), (2L, 21L)))
+    val st = Dedup.spanDedupStats(docsDf, "text", "doc_id", n = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(st === Array(
+      (0L, 1L, 20L, 30L, math.rint(20.0 / 30 * 1e6) / 1e6),
+      (1L, 1L, 20L, 25L, 0.8),
+      (2L, 2L, 40L, 40L, 1.0)))
+    // overlap accounting: y1..y20 y1..y25 (45 tokens) repeats y1..y20
+    // at starts 1 and 21 — adjacent intervals [1,21)+[21,41) union to
+    // exactly 40 covered tokens, not 2×20 blindly summed over overlap
+    val ys = (1 to 20).map(i => s"y$i") ++ (1 to 25).map(i => s"y$i")
+    val ov = Dedup.spanDedupStats(
+      Seq((9L, ys.mkString(" "))).toDF("doc_id", "text"),
+      "text", "doc_id", n = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ov.head === ((2L, 40L, 45L)))
+  }
+
   test("packedChunkId: round-trips in range, fails loud out of range") {
     val ok = Seq((42L, 7L), (9223372036853L, 999999L), (0L, 0L))
       .toDF("doc_id", "chunk_id")
