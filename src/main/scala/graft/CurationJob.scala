@@ -43,6 +43,45 @@ object CurationJob {
     TextAnalysis.chunkDocuments(clean, text, id, chunkSize, overlap)
   }
 
+  /** Per-gate attrition audit — the funnel a data-curation run
+    * publishes: for each pipeline stage, how many documents and
+    * tokens survive. Stages: raw → exact_dedup → quality_gate →
+    * lang_gate → decontaminated (quality and language are applied
+    * sequentially here so each gate's own cost is visible; their
+    * composition equals [[curate]]'s combined filter). Each stage is
+    * ONE count/sum aggregate over the progressively gated frame —
+    * the union of five 1-row frames costs five scans of shrinking
+    * data, the audit shape; at 100 TB you would cache `reps` once
+    * and the remaining stages are cheap gated re-scans of it.
+    */
+  def funnel(docs: DataFrame, text: String, id: String,
+      minQuality: Double = 0.5, lang: String = "en",
+      evalSet: Option[DataFrame] = None): DataFrame = {
+    def stage(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(TextAnalysis.tokenCountExpr(text)
+            .cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"),
+          lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val reps = docs.groupBy(col(text))
+      .agg(min(col(id)).as(id))
+      .select(col(id), col(text))
+    val st = TextAnalysis.withStats(reps, text)
+    val q = st.filter(col("quality") >= minQuality)
+    val l = q.filter(col("pred_lang") === lang)
+    val kept = l.select(col(id), col(text))
+    val clean = evalSet match {
+      case Some(ev) =>
+        kept.join(Dedup.decontaminate(kept, ev, text, id), Seq(id))
+      case None => kept
+    }
+    stage(1, "raw", docs)
+      .unionByName(stage(2, "exact_dedup", reps))
+      .unionByName(stage(3, "quality_gate", q))
+      .unionByName(stage(4, "lang_gate", l))
+      .unionByName(stage(5, "decontaminated", clean))
+  }
+
   /** Arithmetic-packed (doc, chunk) composite id. The packing is only
     * injective while 0 <= id < 2^63/1e6 and chunk_id < 1e6 —
     * out-of-range rows would silently collide with (or, under ANSI,

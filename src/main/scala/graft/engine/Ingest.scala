@@ -164,6 +164,23 @@ object Ingest {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** JSON-lines sink: one JSON object per row — the interchange
+    * format crawl dumps and annotation pipelines actually ship.
+    * Plain distributed text write, one file per partition.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with an EXPLICIT schema: schema-on-read
+    * without the inference pre-scan (at 100 TB, inference would read
+    * the whole corpus once before the query even starts — always
+    * pass the schema). Malformed lines null-fill per Spark's
+    * PERMISSIVE default rather than failing the scan.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

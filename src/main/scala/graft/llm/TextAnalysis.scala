@@ -412,4 +412,65 @@ object TextAnalysis {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** BPE merge-step statistics: corpus-wide frequency of adjacent
+    * character pairs WITHIN words (lowercased, whitespace-split),
+    * ranked — exactly the count a byte-pair-encoding tokenizer
+    * trainer computes to pick its next merge; running it against a
+    * candidate corpus is the standard "does my tokenizer fit this
+    * data" probe. Scale shape: two narrow explodes (pairs per row ∝
+    * characters) into ONE map-side-combining groupBy on the pair —
+    * the top-k is a single-column sort of the tiny aggregated side
+    * (≤ alphabet², not corpus-sized). Per-char substring is O(i)
+    * positional UTF-8 scan, acceptable because words are short; a
+    * 100 TB run would stage codepoints once per word instead.
+    */
+  def bpePairCounts(df: DataFrame, text: String, k: Int = 20)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    df.select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> length(t) >= 2)"))
+        .as("__w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Domain mixture reweighting — per-domain sampling probabilities
+    * that reshape the corpus's natural token distribution into a
+    * TARGET one (the "data mixing" step of assembling a pretraining
+    * mix). The output corpus is the largest achievable under
+    * `sample_prob <= 1`: its size is `t_out = min_d(n_tokens_d /
+    * target_d)`, and each domain keeps `target_d * t_out / n_tokens_d`
+    * of its tokens. Domains absent from `targets` are excluded (their
+    * target is 0). Scale shape: ONE map-side-combining groupBy on the
+    * domain, a broadcast join against the tiny target table, and a
+    * broadcast 1-row cross for the global min/total — the corpus
+    * itself is scanned once and never re-shuffled.
+    */
+  def mixtureWeights(df: DataFrame, text: String, domain: String,
+      targets: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF(domain, "target_share")
+    val perDomain = df.groupBy(col(domain))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountExpr(text).cast("long")).as("n_tokens"))
+      .join(broadcast(tgt), Seq(domain))
+    val globals = perDomain.agg(
+      sum(col("n_tokens")).as("__tot"),
+      min(col("n_tokens") / col("target_share")).as("__t_out"))
+    perDomain.crossJoin(broadcast(globals))
+      .select(col(domain), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("natural_share"),
+        col("target_share"),
+        round(col("target_share") * col("__t_out") / col("n_tokens"), 6)
+          .as("sample_prob"),
+        round(col("target_share") * col("__t_out"), 6)
+          .as("expected_tokens"))
+  }
 }

@@ -394,6 +394,17 @@ object CoreQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("sum_price"))
     }),
+    // JSONL sink + schema-explicit source roundtrip: write the docs
+    // table as JSON lines, read it back with a declared schema (no
+    // inference pre-scan), and pin every row against the parquet
+    // original — the crawl-dump interchange path, lossless
+    "jsonl_roundtrip" -> ((s, d) => {
+      val tmp =
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_docs"
+      val docs = t(s, d, "documents")
+      Ingest.writeJsonl(docs, tmp)
+      Ingest.readJsonl(s, tmp, docs.schema).orderBy("doc_id")
+    }),
     // schema-aligned union (pandas concat with mismatched columns):
     // missing columns null-fill per side, no shuffle at all
     "union_align" -> ((s, d) => {
@@ -969,6 +980,9 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 300
         |  AND l_suppkey BETWEEN 10 AND 40""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "union_align" ->
       """SELECT o_orderkey AS key, o_totalprice AS amount,
         |  o_orderstatus AS status, 'orders' AS src FROM orders

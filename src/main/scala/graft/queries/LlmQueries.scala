@@ -265,6 +265,31 @@ object LlmQueries {
         "text", "doc_id")
         .orderBy("doc_id", "chunk_id")
     }),
+    // per-gate attrition audit over the same corpus/eval split: doc
+    // and token counts surviving raw → dedup → quality → lang →
+    // decontamination — the funnel report a curation run publishes
+    "curation_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.CurationJob.funnel(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        evalSet = Some(docs.filter(col("doc_id") % 2 === 1)))
+        .orderBy("stage_ord")
+    }),
+    // domain mixture reweighting: per-source sampling probabilities
+    // that reshape the natural token distribution into a 50/30/20
+    // target over three sources — the pretraining data-mixing step
+    "mix_weights" -> ((s, d) => {
+      TextAnalysis.mixtureWeights(t(s, d, "documents"), "text",
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy("source")
+    }),
+    // BPE merge-step statistics: top-20 adjacent character pairs
+    // within words — the count a tokenizer trainer maximizes when
+    // picking its next merge
+    "bpe_pairs" -> ((s, d) => {
+      TextAnalysis.bpePairCounts(t(s, d, "documents"), "text", k = 20)
+        .orderBy("rank")
+    }),
     // repetition-ratio quality gate (duplicate-bigram fraction)
     "rep_ratio" -> ((s, d) => {
       t(s, d, "documents")
@@ -1053,6 +1078,69 @@ object LlmQueries {
          |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
          |    AS chunk_len
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> length(t) >= 2)) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, length(w) - 1),
+        |    i -> substring(w, i, 2))) AS pair
+        |  FROM w),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+        |r AS (
+        |  SELECT pair, cnt, CAST(row_number() OVER
+        |    (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT pair, CAST(cnt AS BIGINT) AS cnt, rank FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "mix_weights" ->
+      s"""WITH tgt(source, target_share) AS (
+         |  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         |         ('src1', CAST(0.3 AS DOUBLE)),
+         |         ('src2', CAST(0.2 AS DOUBLE))),
+         |pd AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum($duckNTokens) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |j AS (
+         |  SELECT pd.source, n_docs, n_tokens, target_share
+         |  FROM pd JOIN tgt USING (source)),
+         |g AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |    min(CAST(n_tokens AS DOUBLE) / target_share) AS t_out
+         |  FROM j)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS natural_share,
+         |  target_share,
+         |  round(target_share * t_out / n_tokens, 6) AS sample_prob,
+         |  round(target_share * t_out, 6) AS expected_tokens
+         |FROM j, g ORDER BY source""".stripMargin,
+    "curation_funnel" ->
+      s"""WITH $duckCurationChain,
+         |fq AS (
+         |  SELECT doc_id, text FROM st WHERE quality >= 0.5),
+         |raw AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+         |    count(*) AS n_docs,
+         |    CAST(coalesce(sum($duckNTokens), 0) AS BIGINT) AS n_tokens
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT 2, 'exact_dedup', count(*),
+         |    CAST(coalesce(sum($duckNTokens), 0) AS BIGINT) FROM reps
+         |  UNION ALL
+         |  SELECT 3, 'quality_gate', count(*),
+         |    CAST(coalesce(sum($duckNTokens), 0) AS BIGINT) FROM fq
+         |  UNION ALL
+         |  SELECT 4, 'lang_gate', count(*),
+         |    CAST(coalesce(sum($duckNTokens), 0) AS BIGINT) FROM kept
+         |  UNION ALL
+         |  SELECT 5, 'decontaminated', count(*),
+         |    CAST(coalesce(sum($duckNTokens), 0) AS BIGINT) FROM clean
+         |) ORDER BY stage_ord""".stripMargin,
     "prep_e2e" ->
       s"""WITH $duckCurationChain,
          |chunks AS (

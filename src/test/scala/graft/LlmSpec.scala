@@ -177,6 +177,53 @@ class LlmSpec extends AnyFunSuite {
     assert(ov.head === ((2L, 40L, 45L)))
   }
 
+  test("curation funnel: each gate drops exactly its targeted doc") {
+    val good = "the cat and the dog is in the house of a king to see"
+    // shares no 8-token run with `good` (only scattered stopwords)
+    val decon =
+      "every brave knight must guard a tall tower of stone and gold for the queen"
+    val spanish = Seq.fill(15)("el la de que y los es").mkString(" ")
+    val corpus = Seq(
+      (0L, good), (1L, good),            // 1 dies at exact_dedup
+      (2L, "zzz ### %%% @@@"),           // dies at quality_gate
+      (3L, spanish),                     // 105 es tokens: quality 0.7,
+                                         // pred_lang es -> lang_gate
+      (4L, decon))                       // dies at decontamination
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, decon)).toDF("doc_id", "text")
+    val f = graft.CurationJob.funnel(corpus, "text", "doc_id",
+      evalSet = Some(ev)).orderBy("stage_ord").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(f === Array(("raw", 5L), ("exact_dedup", 4L),
+      ("quality_gate", 3L), ("lang_gate", 2L),
+      ("decontaminated", 1L)))
+  }
+
+  test("mixtureWeights: largest feasible corpus under the target mix") {
+    val df = Seq((0L, "a", "x x x x"), (1L, "b", "y y"),
+      (2L, "c", "untargeted domain ignored entirely"))
+      .toDF("doc_id", "dom", "text")
+    val out = TextAnalysis.mixtureWeights(df, "text", "dom",
+      Map("a" -> 0.5, "b" -> 0.5)).orderBy("dom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    // t_out = min(4/.5, 2/.5) = 4: b is the binding domain (prob 1),
+    // a keeps half; expected tokens split 2/2 per the 50/50 target
+    assert(out === Array(
+      ("a", 1L, 4L, 0.666667, 0.5, 0.5, 2.0),
+      ("b", 1L, 2L, 0.333333, 0.5, 1.0, 2.0)))
+  }
+
+  test("bpePairCounts: exact adjacent-pair counts, rank ties on pair") {
+    val out = TextAnalysis.bpePairCounts(
+      docs("ab ab abc", "z"), "text", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // words: ab, ab, abc (z too short) -> ab x3, bc x1
+    assert(out === Array(("ab", 3L, 1L), ("bc", 1L, 2L)))
+  }
+
   test("packedChunkId: round-trips in range, fails loud out of range") {
     val ok = Seq((42L, 7L), (9223372036853L, 999999L), (0L, 0L))
       .toDF("doc_id", "chunk_id")
