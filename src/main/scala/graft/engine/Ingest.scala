@@ -181,6 +181,17 @@ object Ingest {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink/source roundtrip pair — the second columnar container
+    * a warehouse-adjacent engine must read and write (Hive-lineage
+    * lakes are ORC). Spark's native vectorized ORC reader keeps
+    * predicate pushdown and column pruning, same as parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.orc(path)
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

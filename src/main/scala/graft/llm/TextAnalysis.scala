@@ -440,6 +440,77 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Bigram language-model quality score: per document, the mean
+    * add-1-smoothed log-probability of its token bigrams under the
+    * corpus's OWN bigram statistics, ln((C(ab)+1)/(C(a)+V)) — the
+    * cheap LM-perplexity stand-in used to rank documents by fluency
+    * before any neural scorer exists (a doc of improbable token
+    * transitions scores low). Docs with fewer than two content
+    * tokens are excluded. Scale shape: the bigram and unigram count
+    * tables are map-side-combined groupBys on the gram; scoring is
+    * two hash joins keyed on those same grams plus a broadcast 1-row
+    * cross for the vocabulary size — corpus-linear, never quadratic.
+    */
+  def bigramLmScore(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val toks = df
+      .withColumn("__t",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .filter(size(col("__t")) >= 2)
+    val pairs = toks.select(col(id), explode(expr(
+      """transform(sequence(1, size(__t) - 1),
+         i -> named_struct('a', element_at(__t, i),
+                           'b', element_at(__t, i + 1)))"""))
+      .as("__p"))
+      .select(col(id), col("__p.a").as("a"), col("__p.b").as("b"))
+    val uni = toks.select(explode(col("__t")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    pairs
+      .join(big, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(voc))
+      .withColumn("__lp",
+        log((col("cab") + 1.0) / (col("ca") + col("v"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Heavy-hitter detection with a count-min sketch cross-check: the
+    * exact top-k keys by frequency (one map-side-combining groupBy +
+    * a rank-pushed top-k), each validated against a count-min sketch
+    * of the SAME scan — `cms_sound` pins the sketch's no-undercount
+    * guarantee (estimate >= true count, always), `cms_tight` its
+    * eps-overcount bound (estimate <= count + eps·N, w.p. >= conf).
+    * The sketch is the 100 TB half of the story: it merges
+    * associatively across executors into eps·depth fixed memory, so
+    * hot-key detection never needs the full groupBy when an
+    * approximate answer suffices — and this operator proves the
+    * sketch honest against the exact path on the same data. The
+    * fixed seed makes the sketch (and so both booleans)
+    * deterministic for a given dataset.
+    */
+  def heavyHitters(df: DataFrame, key: String, k: Int = 10,
+      eps: Double = 0.005, conf: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    val cms = df.stat.countMinSketch(key, eps, conf, seed)
+    val n = cms.totalCount()
+    val slack = math.ceil(eps * n).toLong
+    val est = udf((x: Long) => cms.estimateCount(x))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col(key).asc)
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("__est", est(col(key)))
+      .select(col(key), col("cnt"), col("rank"),
+        (col("__est") >= col("cnt")).as("cms_sound"),
+        (col("__est") <= col("cnt") + slack).as("cms_tight"))
+  }
+
   /** Domain mixture reweighting — per-domain sampling probabilities
     * that reshape the corpus's natural token distribution into a
     * TARGET one (the "data mixing" step of assembling a pretraining

@@ -405,6 +405,23 @@ object CoreQueries {
       Ingest.writeJsonl(docs, tmp)
       Ingest.readJsonl(s, tmp, docs.schema).orderBy("doc_id")
     }),
+    // ORC sink + source roundtrip: the Hive-lineage columnar
+    // container, full-row pinned against the parquet original
+    "orc_roundtrip" -> ((s, d) => {
+      val tmp =
+        s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs"
+      Ingest.writeOrc(t(s, d, "documents"), tmp)
+      Ingest.readOrc(s, tmp).orderBy("doc_id")
+    }),
+    // exact top-10 hot keys, each cross-checked against a count-min
+    // sketch of the same scan (sound: never undercounts; tight:
+    // within eps*N) — the fixed-memory hot-key path for 100 TB scans
+    "heavy_hitters" -> ((s, d) => {
+      graft.llm.TextAnalysis.heavyHitters(
+        t(s, d, "lineitem").select(col("l_partkey")), "l_partkey",
+        k = 10)
+        .orderBy("rank")
+    }),
     // schema-aligned union (pandas concat with mismatched columns):
     // missing columns null-fill per side, no shuffle at all
     "union_align" -> ((s, d) => {
@@ -983,6 +1000,21 @@ object CoreQueries {
     "jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey)
+        |      AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT l_partkey, cnt, rank, TRUE AS cms_sound,
+        |  TRUE AS cms_tight
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "union_align" ->
       """SELECT o_orderkey AS key, o_totalprice AS amount,
         |  o_orderstatus AS status, 'orders' AS src FROM orders

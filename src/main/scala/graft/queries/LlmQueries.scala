@@ -283,6 +283,14 @@ object LlmQueries {
         "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")
     }),
+    // bigram LM fluency score: mean add-1-smoothed log-prob of each
+    // doc's bigrams under the corpus's own statistics — the cheap
+    // perplexity stand-in for ranking docs before a neural scorer
+    "bigram_lm_score" -> ((s, d) => {
+      TextAnalysis.bigramLmScore(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("doc_id")
+    }),
     // BPE merge-step statistics: top-20 adjacent character pairs
     // within words — the count a tokenizer trainer maximizes when
     // picking its next merge
@@ -1078,6 +1086,34 @@ object LlmQueries {
          |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
          |    AS chunk_len
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "bigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> t != '') AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(text), ' '),
+        |    t -> t != '')) >= 2),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest(list_slice(t, 1, len(t) - 1)) AS a,
+        |    unnest(list_slice(t, 2, len(t))) AS b
+        |  FROM toks),
+        |ua AS (
+        |  SELECT a, count(*) AS ca
+        |  FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a),
+        |vv AS (SELECT count(*) AS v FROM ua),
+        |bc AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    ln((bc.cab + 1.0) / (ua.ca + vv.v)) AS lp
+        |  FROM pairs p
+        |  JOIN bc ON p.a = bc.a AND p.b = bc.b
+        |  JOIN ua ON p.a = ua.a
+        |  CROSS JOIN vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(lp) / count(*), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(lower(text), ' '),

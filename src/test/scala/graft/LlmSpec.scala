@@ -224,6 +224,30 @@ class LlmSpec extends AnyFunSuite {
     assert(out === Array(("ab", 3L, 1L), ("bc", 1L, 2L)))
   }
 
+  test("heavyHitters: exact counts and ranks, sketch bounds hold") {
+    val df = (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L)
+      ++ (100L to 199L)).toDF("k")
+    val hh = TextAnalysis.heavyHitters(df, "k", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(hh === Array((1L, 50L, 1L, true, true),
+      (2L, 30L, 2L, true, true), (3L, 20L, 3L, true, true)))
+  }
+
+  test("bigramLmScore: add-1 smoothed mean log-prob, exact on a tiny corpus") {
+    // uni: a=4, b=2, V=2; bigrams: (a,b)=2, (b,a)=1, (a,a)=1
+    val out = TextAnalysis.bigramLmScore(
+      docs("a b a b", "a a"), "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc0: all three bigrams score ln(3/6) or ln(2/4) = ln(0.5)
+    // doc1: (a,a) -> ln((1+1)/(4+2)) = ln(1/3)
+    assert(out === Array(
+      (0L, 3L, math.rint(math.log(0.5) * 1e6) / 1e6),
+      (1L, 1L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
+  }
+
   test("packedChunkId: round-trips in range, fails loud out of range") {
     val ok = Seq((42L, 7L), (9223372036853L, 999999L), (0L, 0L))
       .toDF("doc_id", "chunk_id")
