@@ -456,9 +456,14 @@ object Dedup {
     */
   private def spanGrams(df: DataFrame, text: String, id: String,
       n: Int): DataFrame = df
+    // the length gate runs on the CHEAP token count, before the hash
+    // projection: a filter on size(__th) gets pushed beneath the
+    // projection by Catalyst and re-evaluates the whole per-char
+    // hash fold once for the predicate and once for the output
+    .filter(expr(
+      s"size(filter(split(lower($text), ' '), t -> t != '')) >= $n"))
     .withColumn("__th", expr(hashTokensExpr(
       s"filter(split(lower($text), ' '), t -> t != '')")))
-    .filter(size(col("__th")) >= n)
     .select(col(id), posexplode(expr(
       s"""transform(sequence(1, size(__th) - ${n - 1}),
           i -> aggregate(slice(__th, i, $n), 0L,
@@ -479,15 +484,24 @@ object Dedup {
     * the text itself, only (id, pos, gram).
     */
   def dupSpanWindows(df: DataFrame, text: String, id: String,
-      n: Int = 20): DataFrame = {
-    val g = spanGrams(df, text, id, n)
-    val dup = g.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2)
-      .select(col("gram"))
-    g.join(dup, Seq("gram"), "left_semi")
-      .select(col(id), col("win_start"), col("gram"))
-  }
+      n: Int = 20): DataFrame =
+    // ONE scan + ONE exchange: collect each gram's occurrences and
+    // re-explode the repeated ones (the same groupBy+explode shape
+    // that replaced the candidate-pair self-join — a self-semi-join
+    // of the derived gram frame would re-scan and re-hash the whole
+    // corpus, since differing projections defeat exchange reuse).
+    // The collected row is exactly the rows emitted anyway, so the
+    // output stays linear; a pathological mega-boilerplate gram
+    // (~1e8 occurrences at 100 TB) would concentrate in one row —
+    // there, pre-collapse identical DOCS first (exact-dedup-first,
+    // as dedupNearDup does), which removes precisely those grams.
+    spanGrams(df, text, id, n)
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col(id), col("win_start"))).as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+      .select(col("gram"), explode(col("__ms")).as("__m"))
+      .select(col(s"__m.$id").as(id),
+        col("__m.win_start").as("win_start"), col("gram"))
 
   /** Span-level dedup, accounting half: per document, how much of it
     * is duplicated text — window count, tokens covered by the UNION
