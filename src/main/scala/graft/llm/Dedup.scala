@@ -535,6 +535,53 @@ object Dedup {
         round(col("dup_tokens") / col("n_tokens"), 6))
   }
 
+  /** Span-level dedup, apply half: REMOVE duplicated spans from the
+    * corpus, keeping each repeated gram's canonical occurrence (the
+    * lexicographically first (doc, win_start)) and scrubbing the
+    * tokens covered by every other occurrence — the substring-level
+    * scrub itself, not just its detection. Output per surviving doc:
+    * the scrubbed normalized token stream (lowercased, single-spaced
+    * — the same token normalization every gram saw), kept and
+    * removed token counts. Docs whose every token is covered vanish.
+    * Scale shape: canonical selection is one rank window keyed on
+    * the gram; cover positions explode n ints per non-canonical
+    * window (distinct-bounded by doc length); the scrub is a
+    * doc-local anti-join on (id, pos) and one per-doc re-assembly —
+    * nothing corpus-quadratic, no global windows.
+    */
+  def scrubSpans(df: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCanon = Window.partitionBy(col("gram"))
+      .orderBy(col(id), col("win_start"))
+    val nonCanon = dupSpanWindows(df, text, id, n)
+      .withColumn("__rn", row_number().over(wCanon))
+      .filter(col("__rn") > 1)
+    val covered = nonCanon
+      .select(col(id), explode(expr(
+        s"sequence(win_start, win_start + ${n - 1})")).as("pos"))
+      .distinct()
+    val toks = df
+      .withColumn("__t",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .select(col(id), posexplode(col("__t")).as(Seq("__p", "tok")))
+      .select(col(id), (col("__p") + 1).cast("long").as("pos"),
+        col("tok"))
+    val ntok = df.select(col(id), size(expr(
+      s"filter(split(lower($text), ' '), t -> t != '')"))
+      .cast("long").as("__n"))
+    toks.join(covered, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok), ' ')")
+        .as("scrubbed_text"),
+        count(lit(1)).as("n_kept"))
+      .join(ntok, Seq(id))
+      .withColumn("n_removed", col("__n") - col("n_kept"))
+      .select(col(id), col("scrubbed_text"), col("n_kept"),
+        col("n_removed"))
+  }
+
   /** Boilerplate n-gram detector: word n-grams (lowercased, empty
     * tokens dropped) appearing in at least `minDocs` DISTINCT
     * documents, with their document frequency — the corpus-level scan

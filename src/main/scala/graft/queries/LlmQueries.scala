@@ -331,6 +331,13 @@ object LlmQueries {
         n = 20)
         .orderBy("doc_id", "win_start")
     }),
+    // the scrub itself: remove every non-canonical duplicated span
+    // (each repeated gram keeps its first (doc, win) occurrence),
+    // emit the scrubbed token stream + kept/removed counts
+    "span_scrub" -> ((s, d) => {
+      Dedup.scrubSpans(t(s, d, "documents"), "text", "doc_id", n = 20)
+        .orderBy("doc_id")
+    }),
     // per-doc duplicated-span accounting: window count, interval-union
     // covered tokens (overlaps not double-counted), coverage ratio
     "span_dedup_stats" -> ((s, d) => {
@@ -1275,6 +1282,45 @@ object LlmQueries {
          |SELECT doc_id, win_start, gram FROM sgrams
          |WHERE gram IN (SELECT gram FROM sdup)
          |ORDER BY doc_id, win_start""".stripMargin,
+    "span_scrub" ->
+      s"""WITH $duckSpanChain,
+         |dupw AS (
+         |  SELECT doc_id, win_start, gram FROM sgrams
+         |  WHERE gram IN (SELECT gram FROM sdup)),
+         |nc AS (
+         |  SELECT doc_id, win_start FROM (
+         |    SELECT doc_id, win_start, row_number() OVER
+         |      (PARTITION BY gram ORDER BY doc_id, win_start) AS rn
+         |    FROM dupw)
+         |  WHERE rn > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id,
+         |      unnest(generate_series(win_start, win_start + 19))
+         |        AS pos
+         |    FROM nc)),
+         |tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '),
+         |      t -> t != '') AS t
+         |  FROM documents),
+         |tp AS (
+         |  SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) AS pos
+         |  FROM tk),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok
+         |  FROM tp LEFT JOIN cov
+         |    ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |nt AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk)
+         |SELECT k.doc_id,
+         |  string_agg(tok, ' ' ORDER BY k.pos) AS scrubbed_text,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(min(nt.n) - count(*) AS BIGINT) AS n_removed
+         |FROM kept k JOIN nt ON k.doc_id = nt.doc_id
+         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "span_dedup_stats" ->
       s"""WITH $duckSpanChain,
          |dupw AS (

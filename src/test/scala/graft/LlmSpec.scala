@@ -177,6 +177,31 @@ class LlmSpec extends AnyFunSuite {
     assert(ov.head === ((2L, 40L, 45L)))
   }
 
+  test("scrubSpans: canonical occurrence survives, covered tokens removed") {
+    val ts = (1 to 30).map(i => s"t$i")
+    val xs = (1 to 20).map(i => s"x$i")
+    val docsDf = Seq(
+      (0L, ts.mkString(" ")),
+      (1L, (ts.slice(5, 25) ++ Seq("u1", "u2", "u3", "u4", "u5"))
+        .mkString(" ")),
+      (2L, (xs ++ xs).mkString(" ")),
+      (3L, "short doc under twenty tokens counts for nothing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docsDf, "text", "doc_id", n = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // doc0 holds both canonical occurrences -> untouched; doc1 loses
+    // its copy of t6..t25; doc2 loses the second x-run; doc3 has no
+    // 20-token window at all
+    assert(out === Array(
+      (0L, ts.mkString(" "), 30L, 0L),
+      (1L, "u1 u2 u3 u4 u5", 5L, 20L),
+      (2L, xs.mkString(" "), 20L, 20L),
+      (3L, "short doc under twenty tokens counts for nothing at all",
+        10L, 0L)))
+  }
+
   test("curation funnel: each gate drops exactly its targeted doc") {
     val good = "the cat and the dog is in the house of a king to see"
     // shares no 8-token run with `good` (only scattered stopwords)
