@@ -200,6 +200,26 @@ object Similarity {
         .otherwise(expr("transform(__v, x -> 0)")))
       .select(col(id), round(col("scale"), 6).as("scale"), col("qvec"))
 
+  /** Matryoshka-style truncation: keep the FIRST `k` dimensions and
+    * L2-renormalize — the standard way to trade recall for a
+    * k/d-times smaller index when embeddings were trained with
+    * nested (matryoshka) objectives. Emits the truncated-prefix norm
+    * (the informativeness signal of the kept prefix) and the
+    * renormalized vector. Pure row-local projection — no shuffle,
+    * scales with the scan.
+    */
+  def truncateRenorm(df: DataFrame, id: String, vec: String,
+      k: Int): DataFrame =
+    df.select(col(id), expr(
+        s"transform(slice($vec, 1, $k), x -> CAST(x AS DOUBLE))")
+        .as("__v"))
+      .withColumn("__norm",
+        expr("sqrt(aggregate(__v, 0D, (acc, x) -> acc + x * x))"))
+      .select(col(id), round(col("__norm"), 6).as("tnorm"),
+        when(col("__norm") > 0,
+          expr("transform(__v, x -> round(x / __norm, 6))"))
+          .otherwise(expr("transform(__v, x -> 0.0D)")).as("tvec"))
+
   /** LSH similarity join: cosine scored only within buckets.
     *
     * Shaped as ONE shuffle — groupBy(bucket) collecting (id, vec,

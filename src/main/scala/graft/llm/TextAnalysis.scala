@@ -479,6 +479,32 @@ object TextAnalysis {
         round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Percentile length gate: keep documents whose token count lies
+    * inside the corpus's own [pLo, pHi] exact interpolated percentile
+    * band — the distribution-relative length filter (truncation
+    * fragments and run-on concatenations sit in the tails regardless
+    * of the corpus's absolute length scale, where a fixed threshold
+    * would need retuning per source). Scale shape: one exact
+    * percentile aggregate over the narrow token-count projection,
+    * broadcast back as a 1-row cross — the corpus is scanned twice
+    * but shuffled never; at extreme scale swap in approx_percentile
+    * for the bounds with no other change.
+    */
+  def lengthGate(df: DataFrame, text: String, id: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val nt = df.select(col(id),
+      tokenCountExpr(text).cast("long").as("n_tokens"))
+    val bounds = nt.agg(
+      percentile(col("n_tokens"), lit(pLo)).as("__lo"),
+      percentile(col("n_tokens"), lit(pHi)).as("__hi"))
+    nt.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("__lo") &&
+        col("n_tokens") <= col("__hi"))
+      .select(col(id), col("n_tokens"),
+        round(col("__lo"), 6).as("p_lo"),
+        round(col("__hi"), 6).as("p_hi"))
+  }
+
   /** Heavy-hitter detection with a count-min sketch cross-check: the
     * exact top-k keys by frequency (one map-side-combining groupBy +
     * a rank-pushed top-k), each validated against a count-min sketch

@@ -283,6 +283,13 @@ object LlmQueries {
         "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")
     }),
+    // distribution-relative length gate: docs inside the corpus's own
+    // p5-p95 token-count band (tails are truncation fragments and
+    // run-on concatenations at any absolute scale)
+    "length_gate" -> ((s, d) => {
+      TextAnalysis.lengthGate(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // bigram LM fluency score: mean add-1-smoothed log-prob of each
     // doc's bigrams under the corpus's own statistics — the cheap
     // perplexity stand-in for ranking docs before a neural scorer
@@ -404,6 +411,14 @@ object LlmQueries {
     }),
     // symmetric int8 embedding quantization (decimal-routed rounding
     // — bit-portable to the oracle)
+    // matryoshka truncation: first-16-dims prefix, L2-renormalized —
+    // the k/d-smaller index trade when embeddings trained nested
+    "embed_truncate" -> ((s, d) => {
+      Canon.stringifyArrays(
+        Similarity.truncateRenorm(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 16))
+        .orderBy("vec_id")
+    }),
     "embed_quantize" -> ((s, d) => {
       Canon.stringifyArrays(
         Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id",
@@ -1093,6 +1108,18 @@ object LlmQueries {
          |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
          |    AS chunk_len
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "length_gate" ->
+      s"""WITH nt AS (
+         |  SELECT doc_id, CAST($duckNTokens AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT quantile_cont(n_tokens, 0.05) AS lo,
+         |    quantile_cont(n_tokens, 0.95) AS hi
+         |  FROM nt)
+         |SELECT doc_id, n_tokens, round(lo, 6) AS p_lo,
+         |  round(hi, 6) AS p_hi
+         |FROM nt, b WHERE n_tokens >= lo AND n_tokens <= hi
+         |ORDER BY doc_id""".stripMargin,
     "bigram_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1456,6 +1483,20 @@ object LlmQueries {
          |SELECT cluster, doc_id, quality,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "embed_truncate" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |t AS (SELECT vec_id, list_slice(vec, 1, 16) AS tv FROM v),
+         |n AS (
+         |  SELECT vec_id, tv,
+         |    sqrt(list_reduce(list_transform(tv, x -> x * x),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM t)
+         |SELECT vec_id, round(nrm, 6) AS tnorm,
+         |  array_to_string(list_transform(tv, x ->
+         |    printf('%.6f', CASE WHEN nrm > 0
+         |      THEN round(x / nrm, 6) ELSE 0.0 END + 0.0)), ',')
+         |    AS tvec
+         |FROM n ORDER BY vec_id""".stripMargin,
     "embed_quantize" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |sc AS (

@@ -273,6 +273,31 @@ class LlmSpec extends AnyFunSuite {
       (1L, 1L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
   }
 
+  test("truncateRenorm: prefix kept, unit norm restored, zero guarded") {
+    val df = Seq((0L, Array(3f, 4f, 100f)), (1L, Array(0f, 0f, 9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.truncateRenorm(df, "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+    // vec0: prefix (3,4), norm 5 -> (0.6, 0.8); the 100 in dim 3
+    // must not leak into the norm. vec1: zero prefix stays zeros.
+    assert(out(0) === ((0L, 5.0, Seq(0.6, 0.8))))
+    assert(out(1) === ((1L, 0.0, Seq(0.0, 0.0))))
+  }
+
+  test("lengthGate: percentile band excludes exactly the tails") {
+    val df = (1 to 20)
+      .map(i => (i.toLong, (1 to i).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthGate(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // counts 1..20: p5 = 1.95, p95 = 19.05 -> docs of 2..19 tokens
+    assert(out.map(_._1).toSeq === (2L to 19L))
+    assert(out.head._3 === 1.95 && out.head._4 === 19.05)
+  }
+
   test("packedChunkId: round-trips in range, fails loud out of range") {
     val ok = Seq((42L, 7L), (9223372036853L, 999999L), (0L, 0L))
       .toDF("doc_id", "chunk_id")
