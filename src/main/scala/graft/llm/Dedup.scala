@@ -452,10 +452,12 @@ object Dedup {
     * lowercased words; documents shorter than n contribute nothing
     * (a span, unlike a [[decontaminate]] gram, has no whole-document
     * fallback — there is no n-token span to dedup). The shared
-    * building block of the span-level dedup family below.
+    * building block of the span-level dedup family below; public
+    * because it is also the stateless streaming front half
+    * ([[graft.streaming.StreamingDedup.spanGramStage]]).
     */
-  private def spanGrams(df: DataFrame, text: String, id: String,
-      n: Int): DataFrame = df
+  def spanGrams(df: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame = df
     // the length gate runs on the CHEAP token count, before the hash
     // projection: a filter on size(__th) gets pushed beneath the
     // projection by Catalyst and re-evaluates the whole per-char

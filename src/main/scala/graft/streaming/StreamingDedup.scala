@@ -49,6 +49,19 @@ object StreamingDedup {
       id: String): DataFrame =
     Dedup.lshBuckets(Dedup.minhashSignatures(docs, text, id), id)
 
+  /** Stateless streaming span-gram stage: every n-token window's
+    * (id, win_start, gram) per incoming document — the streaming
+    * front half of span-level dedup (a window's gram depends only on
+    * its own row, so the stage is streaming-safe in any output mode
+    * with zero state). Incremental rows land in a gram-partitioned
+    * sink; repeated-gram detection and the scrub run as periodic
+    * batch jobs over it (cross-row by nature — kept out of the
+    * stream, same split as [[minhashBuckets]] vs pair judging).
+    */
+  def spanGramStage(docs: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame =
+    Dedup.spanGrams(docs, text, id, n)
+
   /** Streaming dedup against a STANDING batch corpus: each microbatch
     * anti-joins the (static, broadcastable) corpus fingerprint set —
     * the live-ingest face of [[graft.llm.Dedup.incrementalDedup]].

@@ -131,6 +131,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingDedup.dedupByContent(batch, "text", "ts").count() === 2)
   }
 
+  test("streaming span-gram stage equals the batch flow across micro-batches") {
+    import graft.llm.Dedup
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("sg_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sg_ck").toString
+    val span = (1 to 25).map(i => s"w$i").mkString(" ")
+    Seq((1L, span)).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.spanGramStage(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("sg_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a later micro-batch carrying the same 25-token span must emit
+    // identical grams (stateless stage: grams depend only on the row)
+    Seq((2L, span + " trailing extras beyond the shared run"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sg_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = Dedup.spanGrams(
+      spark.read.schema(docSchema).parquet(dir), "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+    // the shared windows collide: doc2's first 6 window grams equal
+    // doc1's (25-token span, 20-token windows)
+    val g1 = streamed.filter(_._1 == 1L).map(t => (t._2, t._3)).toMap
+    val g2 = streamed.filter(_._1 == 2L).map(t => (t._2, t._3)).toMap
+    assert((1L to 6L).forall(ws => g1(ws) == g2(ws)))
+  }
+
   test("streaming minhash bucket stage equals the batch flow across micro-batches") {
     import graft.llm.Dedup
     import graft.streaming.StreamingDedup
