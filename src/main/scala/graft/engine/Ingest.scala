@@ -192,6 +192,29 @@ object Ingest {
       path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-file compaction: rewrite a parquet dataset into
+    * `targetFiles` files via `coalesce` — NO shuffle (coalesce only
+    * merges upstream partitions), so compaction costs one read + one
+    * write. The standing maintenance job of any long-lived lake:
+    * streaming sinks and incremental ingests accrete thousands of
+    * KB-sized files whose per-file open/footer overhead eventually
+    * dominates scan time. Use `repartitionByRange` + [[writeSorted]]
+    * instead when the rewrite should also re-cluster.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFiles: Int): Unit = {
+    val df = spark.read.parquet(inPath)
+    // coalesce cannot INCREASE partition count, and the scan may
+    // already pack many small files into fewer read partitions than
+    // the target (maxPartitionBytes bin-packing) — only then fall
+    // back to a repartition, which pays a shuffle for an exact count
+    val out =
+      if (df.rdd.getNumPartitions >= targetFiles)
+        df.coalesce(targetFiles)
+      else df.repartition(targetFiles)
+    out.write.mode("overwrite").parquet(outPath)
+  }
+
   /** B1 — column rename (ref: PRACTICA3.py:186-190). */
   val ventasRenames: Map[String, String] = Map(
     "StockCode" -> "Product_ID",

@@ -479,6 +479,36 @@ object TextAnalysis {
         round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Ranked vocabulary with cumulative coverage: the top-k content
+    * tokens by corpus frequency, each with the cumulative fraction
+    * of all token occurrences covered by the vocabulary up to and
+    * including it — the curve a tokenizer/vocab-size decision reads
+    * ("how many tokens cover 95%?"). Scale shape: ONE map-side-
+    * combining groupBy on the token; the running sum's global window
+    * runs over the AGGREGATED vocabulary (≤ distinct tokens, never
+    * corpus rows), and the total is a broadcast 1-row cross.
+    */
+  def vocabCoverage(df: DataFrame, text: String, k: Int = 100)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val counts = df.select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')"))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .withColumn("coverage",
+        round(sum(col("cnt")).over(w) / col("__tot"), 6))
+      .filter(col("rank") <= k)
+      .select(col("token"), col("cnt"), col("rank"), col("coverage"))
+  }
+
   /** Percentile length gate: keep documents whose token count lies
     * inside the corpus's own [pLo, pHi] exact interpolated percentile
     * band — the distribution-relative length filter (truncation

@@ -405,6 +405,19 @@ object CoreQueries {
       Ingest.writeJsonl(docs, tmp)
       Ingest.readJsonl(s, tmp, docs.schema).orderBy("doc_id")
     }),
+    // small-file compaction: fragment the docs table into 32 files,
+    // compact to 4 with a shuffle-free coalesce rewrite, pin every
+    // row against the original (spec asserts the file counts)
+    "compact_files" -> ((s, d) => {
+      val frag =
+        s"${System.getProperty("java.io.tmpdir")}/graft_frag_docs"
+      val comp =
+        s"${System.getProperty("java.io.tmpdir")}/graft_comp_docs"
+      t(s, d, "documents").repartition(32)
+        .write.mode("overwrite").parquet(frag)
+      Ingest.compact(s, frag, comp, targetFiles = 4)
+      s.read.parquet(comp).orderBy("doc_id")
+    }),
     // ORC sink + source roundtrip: the Hive-lineage columnar
     // container, full-row pinned against the parquet original
     "orc_roundtrip" -> ((s, d) => {
@@ -1001,6 +1014,9 @@ object CoreQueries {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "compact_files" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "heavy_hitters" ->

@@ -283,6 +283,13 @@ object LlmQueries {
         "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")
     }),
+    // ranked vocabulary with cumulative coverage: top-100 tokens and
+    // the fraction of all occurrences each vocabulary prefix covers
+    // — the curve a vocab-size decision reads
+    "vocab_coverage" -> ((s, d) => {
+      TextAnalysis.vocabCoverage(t(s, d, "documents"), "text", k = 100)
+        .orderBy("rank")
+    }),
     // distribution-relative length gate: docs inside the corpus's own
     // p5-p95 token-count band (tails are truncation fragments and
     // run-on concatenations at any absolute scale)
@@ -1108,6 +1115,23 @@ object LlmQueries {
          |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
          |    AS chunk_len
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t != '')) AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM c GROUP BY token),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM g),
+        |r AS (
+        |  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token)
+        |      AS BIGINT) AS rank,
+        |    round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / tot, 6) AS coverage
+        |  FROM g, t)
+        |SELECT token, cnt, rank, coverage FROM r
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "length_gate" ->
       s"""WITH nt AS (
          |  SELECT doc_id, CAST($duckNTokens AS BIGINT) AS n_tokens

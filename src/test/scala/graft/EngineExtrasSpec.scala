@@ -265,6 +265,21 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(rows(0)._1 === 0xFFFFFFFFL)
   }
 
+  test("compact: shuffle-free rewrite hits the target file count, keeps rows") {
+    import graft.engine.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("cpt").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    df.repartition(32).write.mode("overwrite").parquet(s"$dir/frag")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/frag") === 32)
+    Ingest.compact(spark, s"$dir/frag", s"$dir/comp", targetFiles = 4)
+    assert(files(s"$dir/comp") === 4)
+    assert(spark.read.parquet(s"$dir/comp").count() === 1000)
+    assert(spark.read.parquet(s"$dir/comp")
+      .agg(sum(col("k"))).head.getLong(0) === 500500L)
+  }
+
   test("mergeUpsert: updates override, new keys insert, base rows survive") {
     import graft.engine.Joins
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

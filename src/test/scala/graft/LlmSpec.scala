@@ -285,6 +285,15 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1) === ((1L, 0.0, Seq(0.0, 0.0))))
   }
 
+  test("vocabCoverage: exact counts, monotone coverage reaching 1") {
+    val out = TextAnalysis.vocabCoverage(docs("a a b", "a c"), "text")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out === Array(("a", 3L, 1L, 0.6), ("b", 1L, 2L, 0.8),
+      ("c", 1L, 3L, 1.0)))
+  }
+
   test("lengthGate: percentile band excludes exactly the tails") {
     val df = (1 to 20)
       .map(i => (i.toLong, (1 to i).map(_ => "w").mkString(" ")))
