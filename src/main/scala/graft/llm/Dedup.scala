@@ -584,6 +584,57 @@ object Dedup {
         col("n_removed"))
   }
 
+  /** Decontamination REPORT: per training document, how much of it
+    * overlaps the eval corpus — distinct word n-grams, how many of
+    * them appear in the eval set, and the fraction. The graded
+    * companion to the binary [[decontaminate]] drop: a 2% overlap is
+    * a quote, 80% is a leaked benchmark — pipelines threshold this
+    * ratio rather than dropping on any single shared gram. Same
+    * scale shape as decontaminate: gram explode, ONE left join
+    * against the (distinct, broadcastable-when-small) eval-gram set,
+    * one per-doc aggregate; never doc×doc.
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+      text: String, id: String, n: Int = 8): DataFrame = {
+    def docGrams(df: DataFrame): DataFrame = df
+      .withColumn("__th", expr(hashTokensExpr(
+        s"filter(split(lower($text), ' '), t -> t != '')")))
+      .filter(size(col("__th")) > 0)
+      .select(col(id),
+        explode(ngramHashesFromTokenHashes("__th", n)).as("gram"))
+      .distinct()
+    val evalGrams = docGrams(evalSet).select("gram").distinct()
+      .withColumn("__hit", lit(1L))
+    docGrams(train)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("overlap_ratio",
+        round(col("n_hits") / col("n_grams"), 6))
+  }
+
+  /** Corpus snapshot diff by content fingerprint: how many distinct
+    * normalized contents were added, removed, and carried over
+    * between two corpus versions — the data-versioning summary every
+    * refresh publishes. Fingerprints reduce each side to a distinct
+    * 64-bit set; the diff is two anti-joins and a semi-join on that
+    * integer key (broadcast when one side is small, plain shuffle
+    * otherwise) — never text comparison, never quadratic.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, text: String)
+      : DataFrame = {
+    def fps(df: DataFrame): DataFrame = df
+      .select(TextAnalysis.fingerprintExpr(text).as("__fp")).distinct()
+    val f1 = fps(v1); val f2 = fps(v2)
+    def one(change: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_contents"))
+        .select(lit(change).as("change"), col("n_contents"))
+    one("added", f2.join(f1, Seq("__fp"), "left_anti"))
+      .unionByName(one("removed", f1.join(f2, Seq("__fp"), "left_anti")))
+      .unionByName(one("unchanged", f2.join(f1, Seq("__fp"), "left_semi")))
+  }
+
   /** Boilerplate n-gram detector: word n-grams (lowercased, empty
     * tokens dropped) appearing in at least `minDocs` DISTINCT
     * documents, with their document frequency — the corpus-level scan

@@ -359,6 +359,26 @@ object LlmQueries {
         n = 20)
         .orderBy("doc_id")
     }),
+    // graded contamination report: per train doc, distinct 8-gram
+    // count, eval-overlapping grams, and the fraction — the ratio
+    // pipelines threshold instead of dropping on any single hit
+    "contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+    // corpus snapshot diff by content fingerprint: added / removed /
+    // unchanged distinct contents between two corpus versions
+    "corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.corpusDiff(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 100), "text")
+        .orderBy("change")
+    }),
     // deterministic stratified sampling: 20% of the dominant language,
     // 50% of the rest, derived from a pure integer scramble of the id
     // — re-runnable to the exact same sample on any engine/partitioning
@@ -1401,6 +1421,53 @@ object LlmQueries {
          |  round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6)
          |    AS dup_ratio
          |FROM agg a JOIN nt USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+    "contamination_report" ->
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_filter(string_split(lower(text), ' '),
+         |        t -> t != ''),
+         |      t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(lower(text), ' '),
+         |        t -> t != '')) > 0),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, gram FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(
+         |        generate_series(1, greatest(len(th) - 7, 1)),
+         |        i -> list_reduce(
+         |               list_slice(th, i, i + least(8, len(th)) - 1),
+         |               (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |    FROM th)),
+         |eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 1),
+         |tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 2 = 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(e.gram) AS BIGINT) AS n_hits,
+         |  round(CAST(count(e.gram) AS DOUBLE) / count(*), 6)
+         |    AS overlap_ratio
+         |FROM tr t LEFT JOIN eg e ON t.gram = e.gram
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "corpus_diff" ->
+      s"""WITH f1 AS (
+         |  SELECT DISTINCT ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
+         |    AS fp
+         |  FROM documents WHERE doc_id < 400),
+         |f2 AS (
+         |  SELECT DISTINCT ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
+         |    AS fp
+         |  FROM documents WHERE doc_id >= 100)
+         |SELECT * FROM (
+         |  SELECT 'added' AS change, CAST(count(*) AS BIGINT)
+         |      AS n_contents
+         |  FROM f2 WHERE fp NOT IN (SELECT fp FROM f1)
+         |  UNION ALL
+         |  SELECT 'removed', CAST(count(*) AS BIGINT)
+         |  FROM f1 WHERE fp NOT IN (SELECT fp FROM f2)
+         |  UNION ALL
+         |  SELECT 'unchanged', CAST(count(*) AS BIGINT)
+         |  FROM f2 WHERE fp IN (SELECT fp FROM f1)
+         |) ORDER BY change""".stripMargin,
     "sample_stratified" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,

@@ -202,6 +202,28 @@ class LlmSpec extends AnyFunSuite {
         10L, 0L)))
   }
 
+  test("contaminationReport: exact distinct-gram overlap fraction") {
+    val train = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")                  // 8-gram windows 1,2,3
+    val ev = Seq((1L, (1 to 8).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")                  // equals window 1 only
+    val out = Dedup.contaminationReport(train, ev, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out === Array((0L, 3L, 1L,
+      math.rint(1.0 / 3 * 1e6) / 1e6)))
+  }
+
+  test("corpusDiff: added/removed/unchanged by distinct content") {
+    val v1 = docs("alpha content", "beta content")
+    val v2 = docs("beta content", "gamma content", "gamma content")
+    val out = Dedup.corpusDiff(v1, v2, "text")
+      .orderBy("change").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("added", 1L), ("removed", 1L),
+      ("unchanged", 1L)))
+  }
+
   test("curation funnel: each gate drops exactly its targeted doc") {
     val good = "the cat and the dog is in the house of a king to see"
     // shares no 8-token run with `good` (only scattered stopwords)
