@@ -20,6 +20,45 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Exact pairwise Pearson correlations over `cols`: one aggregate
+    * computes every moment (n, Σx, Σx², Σxy) through DECIMAL sums —
+    * order-independent and bit-identical on any engine/partitioning,
+    * unlike streaming-covariance `corr` implementations whose float
+    * accumulation order differs engine to engine. One pass over the
+    * data regardless of pair count; the closed-form combine happens
+    * on the 1-row result. Output: one row per (col_x, col_y) pair.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def s(c: String) = sum(col(c).cast("decimal(28,6)"))
+    val moments = df.agg(
+      count(lit(1)).as("__n"),
+      cols.map(c => s(c).as(s"__s_$c")) ++
+        cols.map(c => sum((col(c) * col(c)).cast("decimal(28,6)"))
+          .as(s"__ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((col(a) * col(b)).cast("decimal(28,6)"))
+            .as(s"__sp_${a}_$b")
+        }.toSeq: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      moments.select(
+        lit(a).as("col_x"), lit(b).as("col_y"),
+        // each variance term stays decimal-exact; the cast to double
+        // happens BEFORE their product (decimal×decimal here would
+        // overflow 38 digits), and both engines cast the same exact
+        // decimal to the same double
+        round(
+          (col("__n") * col(s"__sp_${a}_$b") -
+            col(s"__s_$a") * col(s"__s_$b")).cast("double") /
+            sqrt((col("__n") * col(s"__ss_$a") -
+              col(s"__s_$a") * col(s"__s_$a")).cast("double") *
+              (col("__n") * col(s"__ss_$b") -
+                col(s"__s_$b") * col(s"__s_$b")).cast("double")),
+          6).as("r"))
+    }.toSeq
+    pairs.reduce(_.unionByName(_))
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")

@@ -405,6 +405,14 @@ object CoreQueries {
       Ingest.writeJsonl(docs, tmp)
       Ingest.readJsonl(s, tmp, docs.schema).orderBy("doc_id")
     }),
+    // exact pairwise Pearson correlations via decimal moment sums —
+    // order-independent, unlike streaming-covariance corr; one pass
+    // for all pairs
+    "corr_pairs" -> ((s, d) => {
+      graft.engine.Profile.corrPairs(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_x", "col_y")
+    }),
     // small-file compaction: fragment the docs table into 32 files,
     // compact to 4 with a shuffle-free coalesce rewrite, pin every
     // row against the original (spec asserts the file counts)
@@ -1019,6 +1027,44 @@ object CoreQueries {
     "compact_files" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corr_pairs" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_e,
+        |    sum(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+        |      AS ss_q,
+        |    sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(28,6))) AS ss_e,
+        |    sum(CAST(l_discount * l_discount AS DECIMAL(28,6)))
+        |      AS ss_d,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+        |      AS sp_qe,
+        |    sum(CAST(l_quantity * l_discount AS DECIMAL(28,6)))
+        |      AS sp_qd,
+        |    sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+        |      AS sp_ed
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |    round(CAST(n * sp_qe - s_q * s_e AS DOUBLE) /
+        |      sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE) *
+        |           CAST(n * ss_e - s_e * s_e AS DOUBLE)), 6) AS r
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |    round(CAST(n * sp_qd - s_q * s_d AS DOUBLE) /
+        |      sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE) *
+        |           CAST(n * ss_d - s_d * s_d AS DOUBLE)), 6)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |    round(CAST(n * sp_ed - s_e * s_d AS DOUBLE) /
+        |      sqrt(CAST(n * ss_e - s_e * s_e AS DOUBLE) *
+        |           CAST(n * ss_d - s_d * s_d AS DOUBLE)), 6)
+        |  FROM m
+        |) ORDER BY col_x, col_y""".stripMargin,
     "heavy_hitters" ->
       """WITH c AS (
         |  SELECT l_partkey, count(*) AS cnt

@@ -265,6 +265,18 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(rows(0)._1 === 0xFFFFFFFFL)
   }
 
+  test("corrPairs: exact closed-form Pearson r on a known fixture") {
+    import graft.engine.Profile
+    val df = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0))
+      .toDF("x", "y", "z")
+    val out = Profile.corrPairs(df, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // y = 2x exactly -> r = 1; corr(x, z) = corr(y, z) = 0.5
+    assert(out === Array(("x", "y", 1.0), ("x", "z", 0.5),
+      ("y", "z", 0.5)))
+  }
+
   test("compact: shuffle-free rewrite hits the target file count, keeps rows") {
     import graft.engine.Ingest
     val dir = java.nio.file.Files.createTempDirectory("cpt").toString
