@@ -283,6 +283,21 @@ object LlmQueries {
         "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")
     }),
+    // per-source percentile-rank normalization of the quality score:
+    // scores from different sources aren't comparable raw (each
+    // source has its own score distribution) — rank-normalizing
+    // within source puts them on one [0,1] scale before any global
+    // threshold; ONE shuffle on the source key
+    "quality_pct_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").asc, col("doc_id").asc)
+      TextAnalysis.withStats(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("pct_rank",
+          round(percent_rank().over(w), 6))
+        .orderBy("doc_id")
+    }),
     // ranked vocabulary with cumulative coverage: top-100 tokens and
     // the fraction of all occurrences each vocabulary prefix covers
     // — the curve a vocab-size decision reads
@@ -1135,6 +1150,18 @@ object LlmQueries {
          |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
          |    AS chunk_len
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "quality_pct_rank" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, source,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM documents)
+         |SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY quality, doc_id), 6) AS pct_rank
+         |FROM st ORDER BY doc_id""".stripMargin,
     "vocab_coverage" ->
       """WITH c AS (
         |  SELECT unnest(list_filter(string_split(lower(text), ' '),
