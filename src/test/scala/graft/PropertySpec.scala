@@ -260,4 +260,50 @@ class PropertySpec extends AnyFunSuite {
       assert(a.map(_.mape) === b.map(_.mape))
     }
   }
+
+  test("span family invariants on random small-alphabet corpora") {
+    // tiny alphabet forces repeated windows; invariants must hold on
+    // every draw: detection grams repeat globally, stats conserve
+    // (0 < dup_tokens <= n_tokens, windows*n bounds the union), and
+    // the scrub conserves tokens (kept + removed = total)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Dedup
+    val n = 5
+    (1 to 5).foreach { _ =>
+      val docsDf = (0L until 12L).map { i =>
+        val len = 6 + rnd.nextInt(20)
+        (i, Seq.fill(len)(s"t${rnd.nextInt(3)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val w = Dedup.dupSpanWindows(docsDf, "text", "doc_id", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every emitted gram occurs at least twice corpus-wide, and a
+      // (doc, win_start) slot appears at most once
+      val byGram = w.groupBy(_._3)
+      assert(byGram.values.forall(_.length >= 2))
+      assert(w.map(t => (t._1, t._2)).distinct.length === w.length)
+      val st = Dedup.spanDedupStats(docsDf, "text", "doc_id", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      st.foreach { case (_, nw, dup, tot) =>
+        assert(nw >= 1 && dup >= n && dup <= tot && dup <= nw * n)
+      }
+      val sc = Dedup.scrubSpans(docsDf, "text", "doc_id", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val ntok = docsDf.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.expr(
+            "filter(split(lower(text), ' '), t -> t != '')"))
+          .cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sc.foreach { case (id, text, kept, removed) =>
+        assert(kept + removed === ntok(id))
+        assert(text.split(" ").count(_.nonEmpty).toLong === kept)
+      }
+    }
+  }
 }
