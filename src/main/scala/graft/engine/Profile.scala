@@ -40,23 +40,31 @@ object Profile {
           sum((col(a) * col(b)).cast("decimal(28,6)"))
             .as(s"__sp_${a}_$b")
         }.toSeq: _*)
-    val pairs = cols.combinations(2).map { case Seq(a, b) =>
-      moments.select(
-        lit(a).as("col_x"), lit(b).as("col_y"),
-        // each variance term stays decimal-exact; the cast to double
-        // happens BEFORE their product (decimal×decimal here would
-        // overflow 38 digits), and both engines cast the same exact
-        // decimal to the same double
-        round(
-          (col("__n") * col(s"__sp_${a}_$b") -
-            col(s"__s_$a") * col(s"__s_$b")).cast("double") /
-            sqrt((col("__n") * col(s"__ss_$a") -
-              col(s"__s_$a") * col(s"__s_$a")).cast("double") *
-              (col("__n") * col(s"__ss_$b") -
-                col(s"__s_$b") * col(s"__s_$b")).cast("double")),
-          6).as("r"))
-    }.toSeq
-    pairs.reduce(_.unionByName(_))
+    // each variance term stays decimal-exact; the cast to double
+    // happens BEFORE their product (decimal×decimal here would
+    // overflow 38 digits), and both engines cast the same exact
+    // decimal to the same double
+    def r(a: String, b: String) =
+      round(
+        (col("__n") * col(s"__sp_${a}_$b") -
+          col(s"__s_$a") * col(s"__s_$b")).cast("double") /
+          sqrt((col("__n") * col(s"__ss_$a") -
+            col(s"__s_$a") * col(s"__s_$a")).cast("double") *
+            (col("__n") * col(s"__ss_$b") -
+              col(s"__s_$b") * col(s"__s_$b")).cast("double")),
+        6)
+    // one row of all pair correlations, unpivoted row-locally with
+    // stack — a union of per-pair selects would plan one full
+    // scan+aggregate PER PAIR (no subtree reuse at static planning)
+    val pairs = cols.combinations(2).toSeq
+    val wide = moments.select(pairs.map { case Seq(a, b) =>
+      r(a, b).as(s"__r_${a}_$b")
+    }: _*)
+    val stackArgs = pairs.map { case Seq(a, b) =>
+      s"'$a', '$b', __r_${a}_$b"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, r)")
   }
 
   def profile(df: DataFrame, cols: Seq[String],
