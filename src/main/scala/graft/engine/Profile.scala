@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column row/null/distinct counts in ONE
@@ -65,6 +65,32 @@ object Profile {
     }.mkString(", ")
     wide.selectExpr(
       s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, r)")
+  }
+
+  /** Declarative data-quality audit: each named rule is a boolean
+    * predicate; the output is one row per rule with pass/fail counts
+    * and the pass ratio — the expectation-suite gate a pipeline runs
+    * before promoting a dataset. ONE aggregate evaluates every rule
+    * in a single scan (conditional sums), unpivoted row-locally with
+    * stack. Null predicate results count as failures (a rule that
+    * cannot evaluate did not pass).
+    */
+  def dqChecks(df: DataFrame, rules: Seq[(String, Column)])
+      : DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.map { case (name, pred) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"__p_$name")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', __p_$name"
+    }.mkString(", ")
+    wide.selectExpr("__n",
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_pass)")
+      .select(col("rule"), col("__n").as("n_rows"), col("n_pass"),
+        (col("__n") - col("n_pass")).as("n_fail"),
+        round(col("n_pass") / col("__n"), 6).as("pass_ratio"))
   }
 
   def profile(df: DataFrame, cols: Seq[String],

@@ -120,4 +120,43 @@ object Series {
       .groupBy(keys.map(col): _*)
       .agg(avg(when(col("__rn") <= k, col(value))).as(s"tail${k}_mean"))
   }
+
+  /** Exponential weighted moving average per series, seeded at the
+    * first observation: ewma_1 = x_1, ewma_t = α·x_t + (1−α)·ewma_t-1
+    * — the classic smoothed-level signal. The fold runs over each
+    * series' collected, time-sorted value array with one prefix fold
+    * per row (O(len²) per series, like any exact EWMA re-derivation;
+    * fine at daily/weekly grain, and the per-row shape means BOTH
+    * engines execute the same multiply-add order, so results are
+    * bit-comparable). α is a BigDecimal so 1−α is exact in decimal
+    * before either engine parses it (1−0.3 as doubles is
+    * 0.7000000000000001 — a silent cross-engine divergence).
+    * One shuffle on the series key; the dense per-key state is the
+    * series itself, the same boundedness contract as the forecast
+    * kernel.
+    */
+  def ewma(df: DataFrame, keys: Seq[String], ts: String,
+      value: String, alpha: BigDecimal = BigDecimal("0.3"))
+      : DataFrame = {
+    val aS = alpha.toString + "D"
+    val bS = (BigDecimal(1) - alpha).toString + "D"
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"sort_array(collect_list(struct($ts, $value)))")
+        .as("__sv"))
+      .withColumn("__xs",
+        expr(s"transform(__sv, s -> CAST(s.$value AS DOUBLE))"))
+      .select(keys.map(col) :+ col("__xs") :+
+        posexplode(col("__sv")).as(Seq("__i", "__e")): _*)
+      .select(keys.map(col) :+ col(s"__e.$ts").as(ts) :+
+        col(s"__e.$value").as(value) :+
+        // 2dp, not 6: at money magnitudes (~1e6) a 6dp round needs
+        // value×1e6 ≈ 1e12-1e13 digits beyond double's exact range,
+        // where engines' rounding algorithms legitimately disagree
+        // within an ulp; value×100 stays exactly representable, so
+        // identical folds round identically everywhere (and a true
+        // .005 binary tie cannot exist)
+        round(expr(
+          s"""aggregate(slice(__xs, 2, __i), element_at(__xs, 1),
+              (acc, x) -> $aS * x + $bS * acc)"""), 2).as("ewma"): _*)
+  }
 }

@@ -405,6 +405,27 @@ object CoreQueries {
       Ingest.writeJsonl(docs, tmp)
       Ingest.readJsonl(s, tmp, docs.schema).orderBy("doc_id")
     }),
+    // exact per-series EWMA (seeded at first obs, identical fold
+    // order on both engines) over daily revenue per return flag
+    "ewma_daily" -> ((s, d) => {
+      val daily = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_shipdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      graft.engine.Series.ewma(daily, Seq("l_returnflag"),
+        "l_shipdate", "revenue")
+        .orderBy("l_returnflag", "l_shipdate")
+    }),
+    // declarative data-quality audit: one scan evaluates every
+    // expectation; per-rule pass/fail counts gate dataset promotion
+    "dq_checks" -> ((s, d) => {
+      graft.engine.Profile.dqChecks(t(s, d, "lineitem"), Seq(
+        "qty_in_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_band" -> col("l_discount").between(0.0, 0.1),
+        "ship_not_null" -> col("l_shipdate").isNotNull))
+        .orderBy("rule")
+    }),
     // exact pairwise Pearson correlations via decimal moment sums —
     // order-independent, unlike streaming-covariance corr; one pass
     // for all pairs
@@ -1027,6 +1048,46 @@ object CoreQueries {
     "compact_files" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ewma_daily" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_shipdate,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT l_returnflag,
+        |    list(revenue ORDER BY l_shipdate) AS xs,
+        |    list(l_shipdate ORDER BY l_shipdate) AS ds
+        |  FROM g GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag, unnest(ds) AS l_shipdate,
+        |    unnest(xs) AS revenue,
+        |    unnest(generate_series(1, len(xs))) AS t, xs
+        |  FROM arr)
+        |SELECT l_returnflag, l_shipdate, revenue,
+        |  round(list_reduce(list_slice(xs, 1, t),
+        |    (acc, x) -> 0.3 * x + 0.7 * acc), 2) AS ewma
+        |FROM e ORDER BY l_returnflag, l_shipdate""".stripMargin,
+    "dq_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 50)
+        |      AS p_qty,
+        |    count(*) FILTER (WHERE l_extendedprice > 0) AS p_price,
+        |    count(*) FILTER (WHERE l_discount BETWEEN 0.0 AND 0.1)
+        |      AS p_disc,
+        |    count(*) FILTER (WHERE l_shipdate IS NOT NULL) AS p_ship
+        |  FROM lineitem)
+        |SELECT rule, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(n_pass AS BIGINT) AS n_pass,
+        |  CAST(n - n_pass AS BIGINT) AS n_fail,
+        |  round(CAST(n_pass AS DOUBLE) / n, 6) AS pass_ratio
+        |FROM (
+        |  SELECT 'qty_in_range' AS rule, n, p_qty AS n_pass FROM m
+        |  UNION ALL SELECT 'price_positive', n, p_price FROM m
+        |  UNION ALL SELECT 'discount_band', n, p_disc FROM m
+        |  UNION ALL SELECT 'ship_not_null', n, p_ship FROM m
+        |) ORDER BY rule""".stripMargin,
     "corr_pairs" ->
       """WITH m AS (
         |  SELECT count(*) AS n,

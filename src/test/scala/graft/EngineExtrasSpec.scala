@@ -265,6 +265,37 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(rows(0)._1 === 0xFFFFFFFFL)
   }
 
+  test("ewma: first-obs seed, exact recursion, per-series isolation") {
+    import graft.engine.Series
+    val df = Seq(
+      ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+      ("b", 1, 10.0))
+      .toDF("k", "t", "v")
+    val out = Series.ewma(df, Seq("k"), "t", "v",
+      alpha = BigDecimal("0.5"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3)))
+    // a: 1, .5*2+.5*1 = 1.5, .5*3+.5*1.5 = 2.25; b seeds fresh
+    assert(out === Array(("a", 1, 1.0), ("a", 2, 1.5),
+      ("a", 3, 2.25), ("b", 1, 10.0)))
+  }
+
+  test("dqChecks: one scan, exact pass/fail split, null counts as fail") {
+    import graft.engine.Profile
+    val df = Seq[(java.lang.Integer, java.lang.Double)](
+      (1, 5.0), (60, 5.0), (3, null), (4, -1.0))
+      .toDF("q", "p")
+    val out = Profile.dqChecks(df, Seq(
+      "q_band" -> col("q").between(1, 50),
+      "p_pos" -> (col("p") > 0)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out === Array(
+      ("p_pos", 4L, 2L, 2L, 0.5),     // null p is a fail
+      ("q_band", 4L, 3L, 1L, 0.75)))
+  }
+
   test("corrPairs: exact closed-form Pearson r on a known fixture") {
     import graft.engine.Profile
     val df = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0))
