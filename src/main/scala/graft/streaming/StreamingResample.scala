@@ -98,6 +98,49 @@ object StreamingResample {
       }
   }
 
+  /** Streaming per-key EWMA: the stateful smoothed level over a live
+    * series, state = (last ewma, last event time). Within a batch,
+    * events fold in event-time order; across batches the carried
+    * state makes the result identical to the batch
+    * [[graft.engine.Series.ewma]] fold WHEN events arrive
+    * time-ordered across batches (the monotone-ingest contract —
+    * pinned by the parity spec; out-of-order arrivals need the
+    * watermarked resample upstream). State per key is two numbers,
+    * so a million live series cost megabytes.
+    */
+  case class EwmaEvent(key: String, t: Long, v: Double)
+  case class EwmaState(ewma: Double, lastT: Long)
+  case class EwmaOut(key: String, t: Long, v: Double, ewma: Double)
+
+  def ewmaStream(events: Dataset[EwmaEvent],
+      alpha: BigDecimal = BigDecimal("0.3")): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a = alpha.toDouble
+    val b = (BigDecimal(1) - alpha).toDouble
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(_.t)
+          var st = state.getOption
+          val out = sorted.map { e =>
+            val next = st match {
+              case Some(s) => a * e.v + b * s.ewma
+              case None    => e.v
+            }
+            st = Some(EwmaState(next, e.t))
+            // HALF_UP at 2dp — the exact rounding Series.ewma's
+            // round(col, 2) applies, so batch parity is bitwise
+            EwmaOut(key, e.t, e.v, BigDecimal(next)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: emit only the first occurrence of each
     * key (the streaming form of the batch exact-dedup operator — e.g.
     * dedup-by-fingerprint on a document firehose). State is one

@@ -94,6 +94,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSeq === Seq(1L, 2L, 3L)) // key 2 emitted only once
   }
 
+  test("streaming EWMA equals the batch fold across ordered micro-batches") {
+    import graft.streaming.StreamingResample.EwmaEvent
+    val dir = java.nio.file.Files.createTempDirectory("ew_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ew_ck").toString
+    Seq(EwmaEvent("a", 1L, 100.0), EwmaEvent("a", 2L, 200.0),
+      EwmaEvent("b", 1L, 50.0)).toDS()
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[EwmaEvent].toDS().schema).parquet(dir)
+      .as[EwmaEvent]
+    val q = StreamingResample.ewmaStream(stream)
+      .writeStream.format("memory").queryName("ew_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // later micro-batch continues each key's carried state
+    Seq(EwmaEvent("a", 3L, 300.0), EwmaEvent("b", 2L, 150.0)).toDS()
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ew_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.engine.Series.ewma(
+      spark.read.parquet(dir).toDF(), Seq("key"), "t", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.toSeq === batch.toSeq)
+    // recursion sanity: a's third point = .3*300 + .7*(.3*200+.7*100)
+    assert(streamed.find(t => t._1 == "a" && t._2 == 3L).get._3 ===
+      BigDecimal(0.3 * 300 + 0.7 * (0.3 * 200 + 0.7 * 100))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("watermarked content dedup emits first arrival only, bounded state") {
     import graft.streaming.StreamingDedup
     val docSchema = StructType(Seq(
