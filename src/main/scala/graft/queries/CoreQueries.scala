@@ -773,6 +773,32 @@ object CoreQueries {
       actual.join(fcast, "day")
         .agg(round(Metrics.maeRows(col("y"), col("yhat")), 6).as("mae"),
           round(Metrics.rmseRows(col("y"), col("yhat")), 6).as("rmse"))
+    }),
+
+    // ---- retail portfolio analytics ----
+    // ABC inventory classification: Pareto cumulative revenue share
+    // computed as a DISTRIBUTED prefix sum (range-repartition →
+    // per-partition offsets → local windows) — never a single-
+    // partition global sort. The oracle is the textbook one-window
+    // form, so the hash match proves the distributed decomposition
+    // is exact.
+    "abc_class" -> ((s, d) => {
+      Retail.abcClassify(t(s, d, "lineitem"), "l_partkey")
+        .select(col("l_partkey"),
+          col("revenue").cast("double").as("revenue"),
+          col("cum_share"), col("abc_band"))
+        .orderBy("l_partkey")
+    }),
+    // days-of-supply stockout projection: trailing average daily
+    // demand vs a deterministic on-hand proxy (p_size × 100); parts
+    // with no sales history get NULL cover and are flagged for review
+    "days_of_supply" -> ((s, d) => {
+      val stock = t(s, d, "part").select(
+        col("p_partkey").as("l_partkey"),
+        (col("p_size") * 100).cast("long").as("on_hand_units"))
+      Retail.daysOfSupply(t(s, d, "lineitem"), stock,
+        "l_partkey", "on_hand_units", leadTimeDays = 30)
+        .orderBy("l_partkey")
     }))
 
   /** DuckDB-equivalent SQL per query above. The W-SUN week label
@@ -1358,5 +1384,54 @@ object CoreQueries {
         |  FROM orders GROUP BY 1)
         |SELECT round(avg(abs(y - yhat)), 6) AS mae,
         |  round(sqrt(avg(pow(y - yhat, 2))), 6) AS rmse
-        |FROM actual JOIN fcast USING (day)""".stripMargin)
+        |FROM actual JOIN fcast USING (day)""".stripMargin,
+    "abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1.0 AS DECIMAL(3,2)) -
+        |         CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, revenue,
+        |    round(CAST(sum(revenue) OVER (
+        |        ORDER BY revenue DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) /
+        |      CAST((SELECT sum(revenue) FROM rev) AS DOUBLE), 6)
+        |      AS cum_share,
+        |    round(CAST(sum(revenue) OVER (
+        |        ORDER BY revenue DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - revenue AS DOUBLE) /
+        |      CAST((SELECT sum(revenue) FROM rev) AS DOUBLE), 6)
+        |      AS prev_share
+        |  FROM rev)
+        |SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+        |  cum_share,
+        |  CASE WHEN prev_share < 0.80 THEN 'A'
+        |       WHEN prev_share < 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_band
+        |FROM c ORDER BY l_partkey""".stripMargin,
+    "days_of_supply" ->
+      """WITH span AS (
+        |  SELECT date_diff('day', CAST(min(l_shipdate) AS DATE),
+        |           CAST(max(l_shipdate) AS DATE)) + 1 AS days
+        |  FROM lineitem),
+        |dem AS (
+        |  SELECT l_partkey,
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |        AS DOUBLE) / (SELECT days FROM span), 6)
+        |      AS daily_demand
+        |  FROM lineitem GROUP BY 1),
+        |stock AS (
+        |  SELECT p_partkey AS l_partkey,
+        |    CAST(p_size * 100 AS BIGINT) AS on_hand
+        |  FROM part)
+        |SELECT s.l_partkey, s.on_hand, d.daily_demand,
+        |  round(s.on_hand / d.daily_demand, 6) AS days_of_supply,
+        |  coalesce(round(s.on_hand / d.daily_demand, 6) < 30, TRUE)
+        |    AS stockout_risk
+        |FROM stock s LEFT JOIN dem d USING (l_partkey)
+        |ORDER BY l_partkey""".stripMargin)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.engine.Retail
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the retail portfolio analytics: the distributed prefix-sum
+  * cumulative share must EXACTLY equal the naive single-window form
+  * (decimal arithmetic end to end), and days-of-supply must handle
+  * the no-history item.
+  */
+class RetailSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cumulativeShare equals the single-window form exactly") {
+    // revenues engineered with ties across range-partition boundaries
+    val perItem = (1L to 500L).map { k =>
+      (k, BigDecimal((k % 37) * 100 + 7, 2 /* scale */))
+    }.toDF("item", "revenue")
+      .select(col("item"), col("revenue").cast("decimal(22,4)")
+        .as("revenue"))
+    val dist = Retail.cumulativeShare(perItem, "item", numParts = 8)
+    val w = Window.orderBy(col("revenue").desc, col("item"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perItem.agg(sum("revenue").cast("double")).head.getDouble(0)
+    val naive = perItem
+      .withColumn("cum_share",
+        round(sum("revenue").over(w).cast("double") / total, 6))
+      .select("item", "cum_share")
+    val mismatch = dist.select("item", "cum_share")
+      .except(naive).count() + naive.except(
+        dist.select("item", "cum_share")).count()
+    assert(mismatch === 0L)
+  }
+
+  test("abcClassify bands: monotone A->B->C down the revenue ranking") {
+    val li = Seq(
+      // one dominant item, a mid item, a tail of small ones
+      (1L, 10000.0, 0.0), (2L, 2000.0, 0.0),
+      (3L, 100.0, 0.0), (4L, 50.0, 0.0), (5L, 10.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val bands = Retail.abcClassify(li, "l_partkey", numParts = 2)
+      .orderBy(col("revenue").desc)
+      .select("abc_band").as[String].collect().toSeq
+    assert(bands.head === "A")
+    assert(bands === bands.sorted) // never goes back from C to B/A
+    assert(bands.last === "C")
+  }
+
+  test("daysOfSupply flags no-history items and low cover") {
+    val li = Seq(
+      (1L, 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 10.0, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+      (2L, 400.0, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("l_partkey", "l_quantity", "l_shipdate")
+    val stock = Seq((1L, 1000L), (2L, 100L), (3L, 50L))
+      .toDF("l_partkey", "on_hand")
+    val out = Retail.daysOfSupply(li, stock, "l_partkey", "on_hand",
+        leadTimeDays = 30)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), r.getBoolean(4))).toMap
+    // item 1: 20 units over a 10-day span -> 2/day -> 500 days cover
+    assert(out(1L)._1.contains(500.0) && !out(1L)._2)
+    // item 2: 40/day -> 2.5 days cover, below 30-day lead time
+    assert(out(2L)._1.contains(2.5) && out(2L)._2)
+    // item 3: never sold -> null cover, flagged for review
+    assert(out(3L)._1.isEmpty && out(3L)._2)
+  }
+}
