@@ -97,6 +97,70 @@ object Retail {
           .otherwise("C"))
       .drop("prev_share")
 
+  /** Market-basket co-occurrence with support and lift. Shape chosen
+    * for scale:
+    *
+    *   - ONE shuffle builds per-order item sets (`collect_set` after a
+    *     distinct on (order, item) — the same distinct frame also
+    *     yields the per-item marginals, so the raw table is scanned
+    *     once);
+    *   - pairs are generated ROW-LOCALLY from each sorted basket with
+    *     nested `transform` + `flatten` (i<j), never via an
+    *     order-keyed self-join — a self-join would shuffle the full
+    *     frame twice and blow up k² inside the join for hot orders;
+    *   - `maxBasket` drops pathological mega-baskets BEFORE pair
+    *     explosion, deterministically bounding the k² term (a B2B
+    *     order with 10⁴ items would otherwise emit 5·10⁷ pairs);
+    *   - the marginal join is keyed on the item id — broadcast when
+    *     the item dimension fits, hash-shuffle on the same key
+    *     otherwise; both sides are already aggregated (≪ raw rows).
+    *
+    * lift = P(a,b) / (P(a)·P(b)) with probabilities over orders.
+    */
+  def basketLift(lineitem: DataFrame, key: String = "l_partkey",
+      orderCol: String = "l_orderkey", minSupport: Long = 2,
+      maxBasket: Int = 64): DataFrame = {
+    // ONE shuffle + ONE raw-table scan: collect_set dedups line items
+    // into the per-order basket, and the checkpoint pins the small
+    // aggregated frame (one row per order) so the three consumers
+    // below (order count, marginals, pairs) don't each re-scan the
+    // raw table — without it Spark re-executes the diamond DAG from
+    // the source once per branch
+    val baskets = lineitem
+      .select(col(orderCol).as("__ord"), col(key).as("__item"))
+      .groupBy("__ord")
+      .agg(sort_array(collect_set(col("__item"))).as("__basket"))
+      .localCheckpoint()
+    val nOrders = baskets.agg(count(lit(1)).as("__n_orders"))
+    val marginals = baskets
+      .select(explode(col("__basket")).as("__item"))
+      .groupBy(col("__item"))
+      .agg(count(lit(1)).as("__item_count"))
+    val pairs = baskets
+      .filter(size(col("__basket")) <= maxBasket)
+      .select(explode(flatten(expr(
+        """transform(__basket, (x, i) ->
+          |  transform(slice(__basket, i + 2, size(__basket)),
+          |    y -> struct(x AS a, y AS b)))""".stripMargin)))
+        .as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+    pairs
+      .join(broadcast(marginals
+        .withColumnRenamed("__item", "item_a")
+        .withColumnRenamed("__item_count", "__cnt_a")), "item_a")
+      .join(broadcast(marginals
+        .withColumnRenamed("__item", "item_b")
+        .withColumnRenamed("__item_count", "__cnt_b")), "item_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        round(col("pair_count").cast("double") / col("__n_orders"), 6)
+          .as("support"),
+        round(col("pair_count").cast("double") * col("__n_orders") /
+          (col("__cnt_a") * col("__cnt_b")), 6).as("lift"))
+  }
+
   /** Days-of-supply projection: on-hand stock divided by trailing
     * average daily demand, with a stockout-risk flag when cover is
     * below the replenishment lead time. Demand is an exact decimal

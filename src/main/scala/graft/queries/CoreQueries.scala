@@ -789,6 +789,13 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // market-basket pair lift: co-occurrence mined from row-local
+    // pair explosion over per-order item sets — one shuffle to build
+    // baskets, never an order-keyed self-join
+    "basket_lift" -> ((s, d) => {
+      Retail.basketLift(t(s, d, "lineitem"))
+        .orderBy("item_a", "item_b")
+    }),
     // days-of-supply stockout projection: trailing average daily
     // demand vs a deterministic on-hand proxy (p_size × 100); parts
     // with no sales history get NULL cover and are flagged for review
@@ -1413,6 +1420,37 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "basket_lift" ->
+      """WITH di AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (
+        |  SELECT l_orderkey FROM di GROUP BY 1
+        |  HAVING count(*) <= 64),
+        |n AS (
+        |  SELECT count(*) AS n_orders
+        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
+        |m AS (
+        |  SELECT l_partkey, count(*) AS item_count
+        |  FROM di GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+        |    count(*) AS pair_count
+        |  FROM di a
+        |  JOIN di b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  JOIN ok ON a.l_orderkey = ok.l_orderkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b,
+        |  CAST(pair_count AS BIGINT) AS pair_count,
+        |  round(CAST(pair_count AS DOUBLE) / n_orders, 6)
+        |    AS support,
+        |  round(CAST(pair_count AS DOUBLE) * n_orders /
+        |    (ma.item_count * mb.item_count), 6) AS lift
+        |FROM p
+        |CROSS JOIN n
+        |JOIN m ma ON p.item_a = ma.l_partkey
+        |JOIN m mb ON p.item_b = mb.l_partkey
+        |ORDER BY item_a, item_b""".stripMargin,
     "days_of_supply" ->
       """WITH span AS (
         |  SELECT date_diff('day', CAST(min(l_shipdate) AS DATE),

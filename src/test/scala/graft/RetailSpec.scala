@@ -49,6 +49,29 @@ class RetailSpec extends AnyFunSuite {
     assert(bands.last === "C")
   }
 
+  test("basketLift: row-local pairs, mega-basket cap, exact lift") {
+    // orders: {1,2,3} twice, {1,2} once, plus a mega-basket to drop
+    val rows =
+      Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), // dup line kept once
+        (11L, 1L), (11L, 2L), (11L, 3L),
+        (12L, 1L), (12L, 2L),
+        (13L, 99L)) ++ (1L to 10L).map(i => (14L, 100L + i))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val out = Retail.basketLift(li, minSupport = 2, maxBasket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    // n_orders = 5 (mega-basket still counts toward marginals/total)
+    // pair (1,2): count 3, lift = 3*5/(3*3) = 1.666667
+    assert(out((1L, 2L)) === ((3L, 1.666667)))
+    // pair (1,3): count 2, lift = 2*5/(3*2) = 1.666667
+    assert(out((1L, 3L)) === ((2L, 1.666667)))
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // no pair from the capped order 14 even at minSupport 1
+    val all = Retail.basketLift(li, minSupport = 1, maxBasket = 5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!all.exists(_ >= 100L))
+  }
+
   test("daysOfSupply flags no-history items and low cover") {
     val li = Seq(
       (1L, 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
