@@ -97,6 +97,51 @@ object Retail {
           .otherwise("C"))
       .drop("prev_share")
 
+  /** Demand-spike detection: each day's demand scored against the
+    * TRAILING `windowDays`-day baseline (event-time RANGE frame that
+    * EXCLUDES the current day — the spike must not contaminate its
+    * own baseline). Moments are computed manually (n, Σx, Σx²) so
+    * both engines evaluate the identical closed form: daily demand
+    * sums are integral-valued doubles, making the window sums exact
+    * regardless of accumulation order — a built-in `stddev` would
+    * instead hit engine-specific streaming-variance accumulation.
+    * Per-key windows: the shuffle is one hash exchange on the series
+    * key; no global sort anywhere. Days with fewer than `minObs`
+    * baseline points score NULL (cold start is not an anomaly).
+    */
+  def demandAnomaly(lineitem: DataFrame, keys: Seq[String],
+      tsCol: String, qtyCol: String, windowDays: Int = 28,
+      minObs: Int = 7, zThresh: Double = 3.0): DataFrame = {
+    val daily = lineitem
+      .groupBy((keys.map(col) :+ col(tsCol)): _*)
+      .agg(sum(col(qtyCol)).as("qty"))
+    // NTZ won't cast straight to long; session TZ is UTC so the LTZ
+    // hop is identity and unix seconds are a faithful range key
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).cast("timestamp_ltz").cast("long"))
+      .rangeBetween(-windowDays.toLong * 86400, -86400)
+    val scored = daily
+      .withColumn("__n", count(col("qty")).over(w))
+      .withColumn("__s", sum(col("qty")).over(w))
+      .withColumn("__ss", sum(col("qty") * col("qty")).over(w))
+      .withColumn("__mean", col("__s") / col("__n"))
+      // clamp at 0: identical-valued baselines can go epsilon-negative
+      .withColumn("__std", sqrt(greatest(
+        (col("__ss") - col("__s") * col("__s") / col("__n")) /
+          col("__n"), lit(0.0))))
+      .withColumn("z",
+        when(col("__n") >= minObs && col("__std") > 0,
+          round((col("qty") - col("__mean")) / col("__std"), 6)))
+    scored.select((keys.map(col) :+ col(tsCol) :+ col("qty") :+
+      when(col("__n") >= minObs, round(col("__mean"), 6))
+        .as("base_mean") :+
+      when(col("__n") >= minObs, round(col("__std"), 6))
+        .as("base_std") :+
+      col("z") :+
+      coalesce(abs(col("z")) > zThresh, lit(false))
+        .as("is_anomaly")): _*)
+  }
+
   /** Market-basket co-occurrence with support and lift. Shape chosen
     * for scale:
     *

@@ -789,6 +789,14 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // demand-spike detection: trailing 28-day z-score per supplier,
+    // baseline excludes the scored day; manual moments keep both
+    // engines on the identical closed form
+    "demand_anomaly" -> ((s, d) => {
+      Retail.demandAnomaly(t(s, d, "lineitem"), Seq("l_suppkey"),
+        "l_shipdate", "l_quantity")
+        .orderBy("l_suppkey", "l_shipdate")
+    }),
     // market-basket pair lift: co-occurrence mined from row-local
     // pair explosion over per-order item sets — one shuffle to build
     // baskets, never an order-keyed self-join
@@ -1420,6 +1428,32 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "demand_anomaly" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_suppkey, l_shipdate, qty,
+        |    count(qty) OVER tw AS n,
+        |    sum(qty) OVER tw AS s,
+        |    sum(qty * qty) OVER tw AS ss
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 28 DAY PRECEDING
+        |    AND INTERVAL 1 DAY PRECEDING)),
+        |z AS (
+        |  SELECT l_suppkey, l_shipdate, qty, n, s / n AS mean,
+        |    sqrt(greatest((ss - s * s / n) / n, 0.0)) AS std
+        |  FROM m)
+        |SELECT l_suppkey, l_shipdate, qty,
+        |  CASE WHEN n >= 7 THEN round(mean, 6) END AS base_mean,
+        |  CASE WHEN n >= 7 THEN round(std, 6) END AS base_std,
+        |  CASE WHEN n >= 7 AND std > 0
+        |    THEN round((qty - mean) / std, 6) END AS z,
+        |  coalesce(abs(CASE WHEN n >= 7 AND std > 0
+        |    THEN round((qty - mean) / std, 6) END) > 3.0, FALSE)
+        |    AS is_anomaly
+        |FROM z ORDER BY l_suppkey, l_shipdate""".stripMargin,
     "basket_lift" ->
       """WITH di AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

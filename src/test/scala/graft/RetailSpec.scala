@@ -72,6 +72,35 @@ class RetailSpec extends AnyFunSuite {
     assert(!all.exists(_ >= 100L))
   }
 
+  test("demandAnomaly: spike excluded from its own baseline, cold start null") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 00:00:00")
+    // 10 steady days at 10 units, then a 100-unit spike
+    val li = ((1 to 10).map(d => (1L, 10.0, ts(d))) :+
+      (1L, 100.0, ts(11)))
+      .toDF("l_suppkey", "l_quantity", "l_shipdate")
+    val rows = graft.engine.Retail.demandAnomaly(li, Seq("l_suppkey"),
+        "l_shipdate", "l_quantity", minObs = 7)
+      .orderBy("l_shipdate").collect()
+    // first 7 days: baseline too thin -> null z, not anomalous
+    assert((0 until 7).forall(i => rows(i).isNullAt(5) &&
+      !rows(i).getBoolean(6)))
+    // day 11: baseline is the 10 steady days -> std 0 -> null z but
+    // mean present; zero-variance baseline cannot score
+    val spike = rows(10)
+    assert(spike.getDouble(3) === 10.0) // base_mean excludes the spike
+    assert(spike.getDouble(4) === 0.0)
+    assert(spike.isNullAt(5) && !spike.getBoolean(6))
+    // perturb one baseline day -> nonzero std -> spike flags
+    val li2 = ((1 to 9).map(d => (1L, 10.0, ts(d))) :+
+      (1L, 12.0, ts(10)) :+ (1L, 100.0, ts(11)))
+      .toDF("l_suppkey", "l_quantity", "l_shipdate")
+    val spike2 = graft.engine.Retail.demandAnomaly(li2,
+        Seq("l_suppkey"), "l_shipdate", "l_quantity", minObs = 7)
+      .orderBy("l_shipdate").collect().last
+    assert(spike2.getBoolean(6))
+  }
+
   test("daysOfSupply flags no-history items and low cover") {
     val li = Seq(
       (1L, 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
