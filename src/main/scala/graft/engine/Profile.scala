@@ -93,6 +93,38 @@ object Profile {
         round(col("n_pass") / col("__n"), 6).as("pass_ratio"))
   }
 
+  /** Equi-depth histogram in TWO aggregate passes, neither a global
+    * sort: pass 1 computes the `buckets-1` interior quantile
+    * boundaries as ONE tiny aggregate row; pass 2 broadcasts the
+    * boundaries, assigns each row its bucket with a row-local fold
+    * over the boundary array (`1 + #{b : x > b}` — ties go to the
+    * lower bucket), and aggregates per-bucket stats. This is the
+    * scale-correct alternative to `NTILE(n) OVER (ORDER BY x)`,
+    * which Spark would execute as a SINGLE-PARTITION global sort of
+    * the whole table. At 100 TB flip `exact = false` to compute the
+    * boundaries with `approx_percentile` (t-digest, one pass,
+    * constant memory) — bucket depths then wobble by the sketch
+    * error instead of being exactly n/buckets.
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, buckets: Int = 10,
+      exact: Boolean = true): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val qList = qs.mkString(", ")
+    val bounds = df.agg(
+      (if (exact) expr(s"percentile(`$c`, array($qList))")
+       else expr(s"approx_percentile(`$c`, array($qList), 10000)"))
+        .as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"1 + aggregate(__bounds, 0, (acc, b) -> acc + " +
+          s"IF(`$c` > b, 1, 0))").cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(c)).as("min_v"), max(col(c)).as("max_v"),
+        sum(col(c).cast("decimal(18,2)")).cast("double").as("sum_v"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")

@@ -84,6 +84,73 @@ object TextAnalysis {
     PolyHashColumns.fingerprint(
       expr(s"lower(regexp_replace(trim($text), '\\\\s+', ' '))"))
 
+  /** Deterministic bottom-k sample per group: the k rows with the
+    * SMALLEST content fingerprints. Because the fingerprint is a
+    * content hash, this is a uniform random sample that is (a)
+    * reproducible across engines/runs/partitionings, and (b) STABLE
+    * under corpus growth — a doc stays sampled until k smaller
+    * hashes exist in its group, so per-group samples from different
+    * snapshots overlap maximally (the property rand()-based sampling
+    * lacks). The rank filter pushes into WindowGroupLimit: each
+    * shuffle partition forwards only k rows per group, so the
+    * exchange carries O(groups × k), not the corpus.
+    */
+  /** 60-bit md5-prefix hash of the normalized text, uniform in
+    * [0, 2^60). The cheap polynomial fingerprint is NOT usable here:
+    * order statistics need an avalanched hash, and the char fold
+    * maps near-identical texts ("doc 41"/"doc 42") to ADJACENT
+    * values, wrecking the uniformity KMV's estimator assumes (a 67%
+    * estimate error on sequential doc names in the spec fixture).
+    */
+  def uniformHash60(text: String): Column =
+    expr(s"CAST(conv(substring(md5(lower(regexp_replace(" +
+      s"trim($text), '\\\\s+', ' '))), 1, 15), 16, 10) AS BIGINT)")
+
+  def kmvSample(df: DataFrame, group: String, text: String,
+      id: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("__h"), col(id))
+    df.withColumn("__h", uniformHash60(text))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(group), col(id), col("__h").as("h"), col("rank"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count estimate per group from
+    * the k-th smallest distinct fingerprint: est = (k-1) / U_(k)
+    * with U_(k) = h_k / P the k-th order statistic mapped to [0,1).
+    * Groups with fewer than k distinct values report their EXACT
+    * count (the sketch degenerates to the full set). The point at
+    * scale: the estimator state is k longs per group — this is the
+    * fixed-memory form of count_distinct whose error (~1/√k) you
+    * choose, and unlike approx_count_distinct the estimate is
+    * bit-reproducible on any engine that can hash strings the same
+    * way. One distinct-shuffle + one window-limited pass.
+    */
+  def kmvDistinct(df: DataFrame, group: String, text: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df
+      .select(col(group), uniformHash60(text).as("__h"))
+      .distinct()
+    val n = d.groupBy(col(group))
+      .agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col(group)).orderBy(col("__h"))
+    val kth = d
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col(group))
+      .agg(max(when(col("__r") === k, col("__h"))).as("kth_hash"))
+    n.join(kth, group)
+      .select(col(group), col("n_exact"), col("kth_hash"),
+        when(col("kth_hash").isNotNull,
+          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth_hash"), 6))
+          .otherwise(col("n_exact").cast("double"))
+          .as("est_distinct"))
+  }
+
   /** Deterministic sampling bucket in [0, 1000): an integer LCG
     * scramble of the id — reproducible across engines, runs, and
     * partitionings (everything `rand()`-based sampling is not), so a

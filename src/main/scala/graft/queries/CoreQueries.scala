@@ -789,6 +789,14 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // equi-depth histogram over price: exact decile boundaries from
+    // one tiny aggregate + broadcast row-local bucket assignment —
+    // the scale-correct form of NTILE's single-partition global sort
+    "equidepth_hist" -> ((s, d) => {
+      Profile.equiDepthHistogram(t(s, d, "lineitem"),
+        "l_extendedprice", buckets = 10)
+        .orderBy("bucket")
+    }),
     // demand-spike detection: trailing 28-day z-score per supplier,
     // baseline excludes the scored day; manual moments keep both
     // engines on the identical closed form
@@ -1428,6 +1436,22 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |    AS bounds
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(1 + len(list_filter(bounds,
+        |    x -> l_extendedprice > x)) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  min(l_extendedprice) AS min_v,
+        |  max(l_extendedprice) AS max_v,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_v
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "demand_anomaly" ->
       """WITH daily AS (
         |  SELECT l_suppkey, l_shipdate, sum(l_quantity) AS qty

@@ -205,6 +205,22 @@ object LlmQueries {
         .select("lang", "centroid")
         .orderBy("lang")
     }),
+    // deterministic bottom-k sample per source: k smallest content
+    // fingerprints — reproducible AND maximally stable across corpus
+    // snapshots; rank filter pushes into WindowGroupLimit
+    "kmv_sample" -> ((s, d) => {
+      TextAnalysis.kmvSample(t(s, d, "documents"), "source", "text",
+        "doc_id", k = 10)
+        .orderBy("source", "doc_id")
+    }),
+    // KMV distinct-count estimate from the k-th smallest distinct
+    // fingerprint: the bit-reproducible fixed-memory alternative to
+    // approx_count_distinct, with the exact count as degenerate case
+    "kmv_distinct" -> ((s, d) => {
+      TextAnalysis.kmvDistinct(t(s, d, "documents"), "source", "text",
+        k = 20)
+        .orderBy("source")
+    }),
     "text_stats" -> ((s, d) => {
       TextAnalysis.withStats(t(s, d, "documents"), "text")
         .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
@@ -1143,6 +1159,44 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "kmv_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)
+         |      AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, h, row_number() OVER (
+         |    PARTITION BY source ORDER BY h, doc_id) AS rank
+         |  FROM h)
+         |SELECT source, doc_id, h, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY source, doc_id""".stripMargin,
+    "kmv_distinct" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT source,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)
+         |      AS h
+         |  FROM documents),
+         |n AS (
+         |  SELECT source, count(*) AS n_exact FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT source, h, row_number() OVER (
+         |    PARTITION BY source ORDER BY h) AS r
+         |  FROM d),
+         |k AS (
+         |  SELECT source, max(CASE WHEN r = 20 THEN h END)
+         |    AS kth_hash
+         |  FROM r WHERE r <= 20 GROUP BY 1)
+         |SELECT n.source, n.n_exact, k.kth_hash,
+         |  CASE WHEN k.kth_hash IS NOT NULL
+         |    THEN round(19.0 * CAST(1152921504606846976 AS DOUBLE)
+         |      / k.kth_hash, 6)
+         |    ELSE CAST(n.n_exact AS DOUBLE) END AS est_distinct
+         |FROM n JOIN k ON n.source = k.source
+         |ORDER BY n.source""".stripMargin,
     "curation_e2e" ->
       s"""WITH $duckCurationChain
          |SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_id,

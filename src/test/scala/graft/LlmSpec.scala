@@ -833,4 +833,32 @@ class LlmSpec extends AnyFunSuite {
     assert(decodeBmp(bmp.take(53)) === None)
     assert(decodeBmp("BMxxxx".getBytes) === None)
   }
+
+  test("kmvSample: stable under corpus growth, k per group") {
+    val base = (1L to 40L).map(i => (i, s"doc number $i", "s1"))
+    val small = base.toDF("doc_id", "text", "source")
+    val grown = (base ++ (41L to 80L).map(i =>
+      (i, s"doc number $i", "s1"))).toDF("doc_id", "text", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.kmvSample(df, "source", "text", "doc_id", k = 10)
+        .select("doc_id").as[Long].collect().toSet
+    val (a, b) = (ids(small), ids(grown))
+    assert(a.size === 10 && b.size === 10)
+    // growth only EVICTS (new smaller hashes), never reshuffles:
+    // survivors of the grown sample that existed before were sampled
+    assert(b.filter(_ <= 40L).subsetOf(a))
+  }
+
+  test("kmvDistinct: exact path under k, estimate within 25% at k=64") {
+    val df = (1L to 500L).map(i => (i, s"unique doc $i",
+      if (i <= 30) "small" else "big")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.kmvDistinct(df, "source", "text", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // 30 distinct < k=64 -> degenerate exact path
+    assert(out("small") === ((30L, 30.0)))
+    // 470 distinct >= k -> estimator, tolerance ~1/sqrt(64)
+    assert(out("big")._1 === 470L)
+    assert(math.abs(out("big")._2 - 470.0) / 470.0 < 0.25)
+  }
 }
