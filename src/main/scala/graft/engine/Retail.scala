@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,40 @@ object Retail {
           .when(col("prev_share") < bCut, "B")
           .otherwise("C"))
       .drop("prev_share")
+
+  /** Log-log price elasticity of demand per product group: the OLS
+    * slope of ln(quantity) on ln(unit price), computed from moment
+    * sums (n, Σx, Σy, Σxy, Σx²) in ONE aggregation pass — the
+    * closed-form regression, no iterative fitting. Each ln() term is
+    * cast to DECIMAL(28,6) before summing (the corr_pairs recipe):
+    * the sums are then order-independent and bit-identical on any
+    * engine/partitioning, where a double accumulation would drift
+    * with partition count. The product dimension broadcasts; the
+    * only shuffle is the per-group moment aggregate, map-side
+    * combined.
+    */
+  def elasticity(lineitem: DataFrame, part: DataFrame,
+      groupCol: String = "p_brand"): DataFrame = {
+    val j = lineitem
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .join(broadcast(part.select(col("p_partkey"), col(groupCol))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col(groupCol),
+        log(col("l_extendedprice") / col("l_quantity")).as("__x"),
+        log(col("l_quantity")).as("__y"))
+    def dsum(c: Column) = sum(c.cast("decimal(28,6)"))
+    j.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__n"),
+        dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+        dsum(col("__x") * col("__y")).as("__sxy"),
+        dsum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(groupCol), col("__n").as("n_obs"),
+        round(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"), 6).as("elasticity"))
+  }
 
   /** Demand-spike detection: each day's demand scored against the
     * TRAILING `windowDays`-day baseline (event-time RANGE frame that

@@ -159,4 +159,59 @@ object Series {
           s"""aggregate(slice(__xs, 2, __i), element_at(__xs, 1),
               (acc, x) -> $aS * x + $bS * acc)"""), 2).as("ewma"): _*)
   }
+
+  /** Croston's method for INTERMITTENT demand (the slow-mover
+    * forecast the MA/Holt-Winters family handles badly: series that
+    * are mostly zeros with occasional demand spikes). Works on the
+    * SPARSE weekly frame directly — demand events are exactly the
+    * observed buckets, and inter-demand intervals come from label
+    * gaps, so no densify / zero-fill pass is ever paid (at 100 TB
+    * the dense grid is ~20× the sparse one for slow movers — this
+    * operator's whole point).
+    *
+    * Two exponential smoothings, both seeded at their first
+    * observation and folded in event order (the exact `ewma`
+    * machinery above — identical multiply-add order on any engine):
+    * z over demand SIZES, p over inter-demand INTERVALS (in weeks).
+    * Forecast per period = z/p; `sba_fc` is the Syntetos-Boylan
+    * bias-corrected (1 − α/2)·z/p. Series with a single demand
+    * event report sizes but NULL interval/forecast (no interval
+    * evidence). One shuffle on the series key; per-key state is the
+    * series' own events, calendar-bounded.
+    */
+  def croston(df: DataFrame, keys: Seq[String], ts: String,
+      value: String, alpha: BigDecimal = BigDecimal("0.3"))
+      : DataFrame = {
+    val aS = alpha.toString + "D"
+    val bS = (BigDecimal(1) - alpha).toString + "D"
+    val sbaS = (BigDecimal(1) - alpha / 2).toString + "D"
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"sort_array(collect_list(struct($ts, $value)))")
+        .as("__sv"))
+      .withColumn("__ys",
+        expr(s"transform(__sv, s -> CAST(s.$value AS DOUBLE))"))
+      .withColumn("__m", size(col("__sv")))
+      // sequence(2,1) would count DOWN; guard keeps single-event
+      // series on an empty gap list
+      .withColumn("__gaps", expr(
+        s"""IF(__m >= 2, transform(sequence(2, __m), i ->
+            CAST(datediff(element_at(__sv, i).$ts,
+                          element_at(__sv, i - 1).$ts) AS DOUBLE)
+              / 7.0D), array())"""))
+      .withColumn("__z", expr(
+        s"""aggregate(slice(__ys, 2, __m - 1), element_at(__ys, 1),
+            (acc, x) -> $aS * x + $bS * acc)"""))
+      .withColumn("__p", when(col("__m") >= 2, expr(
+        s"""aggregate(slice(__gaps, 2, __m - 2),
+            element_at(__gaps, 1),
+            (acc, x) -> $aS * x + $bS * acc)""")))
+      .select(keys.map(col) :+
+        col("__m").cast("long").as("n_events") :+
+        round(col("__z"), 6).as("z_size") :+
+        round(col("__p"), 6).as("p_interval") :+
+        when(col("__m") >= 2, round(col("__z") / col("__p"), 6))
+          .as("croston_fc") :+
+        when(col("__m") >= 2,
+          round(expr(s"$sbaS * __z / __p"), 6)).as("sba_fc"): _*)
+  }
 }

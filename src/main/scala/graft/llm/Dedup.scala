@@ -635,6 +635,31 @@ object Dedup {
       .unionByName(one("unchanged", f2.join(f1, Seq("__fp"), "left_semi")))
   }
 
+  /** Intra-document duplicate-line removal (the CCNet-style cleanup
+    * that strips repeated nav bars / footers WITHIN one page): split
+    * on `sep`, keep only the FIRST occurrence of each line, rejoin
+    * in original order. Entirely row-local — a single codegen'd
+    * higher-order-function projection, no shuffle, scales linearly
+    * with the scan. The first-occurrence test is an indexed lambda
+    * (`array_position(lines, x) == i+1`), quadratic in the LINE
+    * count of one document — bounded by page size, never by corpus
+    * size (a 1,000-line page costs 10⁶ comparisons, microseconds).
+    * Cross-document dedup is the separate span/minhash family.
+    */
+  def dedupLinesIntra(df: DataFrame, text: String, id: String,
+      sep: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    df.select(col(id),
+        split(col(text), q).as("__lines"))
+      .withColumn("__kept", expr(
+        "filter(__lines, (x, i) -> array_position(__lines, x) = i + 1)"))
+      .select(col(id),
+        array_join(col("__kept"), sep).as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Boilerplate n-gram detector: word n-grams (lowercased, empty
     * tokens dropped) appearing in at least `minDocs` DISTINCT
     * documents, with their document frequency — the corpus-level scan

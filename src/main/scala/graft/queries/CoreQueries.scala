@@ -789,6 +789,22 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // Croston intermittent-demand forecast per part, straight off
+    // the SPARSE weekly frame (no densify: intervals come from week
+    // label gaps) — exact seeded folds, ewma machinery
+    "croston" -> ((s, d) => {
+      Series.croston(
+        Resample.weeklySparse(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_shipdate", "l_quantity"),
+        Seq("l_partkey"), "week", "units")
+        .orderBy("l_partkey")
+    }),
+    // log-log price elasticity per brand: closed-form OLS slope from
+    // decimal moment sums, one aggregation pass, broadcast dimension
+    "elasticity" -> ((s, d) => {
+      Retail.elasticity(t(s, d, "lineitem"), t(s, d, "part"))
+        .orderBy("p_brand")
+    }),
     // equi-depth histogram over price: exact decile boundaries from
     // one tiny aggregate + broadcast row-local bucket assignment —
     // the scale-correct form of NTILE's single-partition global sort
@@ -1436,6 +1452,50 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "croston" ->
+      s"""WITH wk AS (${weeklyCte("l_partkey")}),
+        |arr AS (
+        |  SELECT l_partkey,
+        |    list(CAST(units AS DOUBLE) ORDER BY week) AS ys,
+        |    list(week ORDER BY week) AS ws
+        |  FROM wk GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, len(ys) AS m, ys,
+        |    list_transform(generate_series(2, len(ys)), i ->
+        |      CAST(date_diff('day', ws[i-1], ws[i]) AS DOUBLE)
+        |        / 7.0) AS gaps
+        |  FROM arr),
+        |f AS (
+        |  SELECT l_partkey, m,
+        |    list_reduce(ys, (acc, x) -> 0.3 * x + 0.7 * acc) AS z,
+        |    CASE WHEN m >= 2 THEN
+        |      list_reduce(gaps, (acc, x) -> 0.3 * x + 0.7 * acc)
+        |    END AS p
+        |  FROM c)
+        |SELECT l_partkey, CAST(m AS BIGINT) AS n_events,
+        |  round(z, 6) AS z_size,
+        |  round(p, 6) AS p_interval,
+        |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
+        |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
+        |FROM f ORDER BY l_partkey""".stripMargin,
+    "elasticity" ->
+      """WITH j AS (
+        |  SELECT p_brand,
+        |    ln(l_extendedprice / l_quantity) AS x,
+        |    ln(l_quantity) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |m AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,6))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(28,6))) AS sxx
+        |  FROM j GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_obs,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+        |FROM m ORDER BY p_brand""".stripMargin,
     "equidepth_hist" ->
       """WITH b AS (
         |  SELECT quantile_cont(l_extendedprice,

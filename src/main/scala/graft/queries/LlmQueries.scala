@@ -205,6 +205,14 @@ object LlmQueries {
         .select("lang", "centroid")
         .orderBy("lang")
     }),
+    // intra-doc duplicate-line removal at token grain (this corpus
+    // has no newlines; the operator's default sep is '\n') — one
+    // row-local HOF projection, no shuffle
+    "dedup_lines_intra" -> ((s, d) => {
+      Dedup.dedupLinesIntra(t(s, d, "documents"), "text", "doc_id",
+        sep = " ")
+        .orderBy("doc_id")
+    }),
     // deterministic bottom-k sample per source: k smallest content
     // fingerprints — reproducible AND maximally stable across corpus
     // snapshots; rank filter pushes into WindowGroupLimit
@@ -1159,6 +1167,19 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_lines_intra" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, ' ') AS lines
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines,
+        |      (x, i) -> list_position(lines, x) = i) AS kept
+        |  FROM l)
+        |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
     "kmv_sample" ->
       s"""WITH h AS (
          |  SELECT source, doc_id,

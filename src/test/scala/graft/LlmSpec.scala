@@ -834,6 +834,20 @@ class LlmSpec extends AnyFunSuite {
     assert(decodeBmp("BMxxxx".getBytes) === None)
   }
 
+  test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
+    val df = Seq(
+      (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
+      (2L, "only line"),
+      (3L, "x\nx\nx"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesIntra(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("nav bar\ncontent A\ncontent B", 5L, 2L)))
+    assert(out(2L) === (("only line", 1L, 0L)))
+    assert(out(3L) === (("x", 3L, 2L)))
+  }
+
   test("kmvSample: stable under corpus growth, k per group") {
     val base = (1L to 40L).map(i => (i, s"doc number $i", "s1"))
     val small = base.toDF("doc_id", "text", "source")

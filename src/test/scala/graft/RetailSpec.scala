@@ -72,6 +72,20 @@ class RetailSpec extends AnyFunSuite {
     assert(!all.exists(_ >= 100L))
   }
 
+  test("elasticity: exact slope on a constructed log-log line") {
+    // unit prices u = 1, e, e^2 with qty = u^-2  =>  ln q = -2 ln u
+    val e = math.E
+    val pts = Seq(1.0, e, e * e).map { u =>
+      val q = 1.0 / (u * u); (1L, q, u * q)
+    }
+    val li = pts.toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "BrandX")).toDF("p_partkey", "p_brand")
+    val out = graft.engine.Retail.elasticity(li, part).collect()(0)
+    assert(out.getString(0) === "BrandX")
+    assert(out.getLong(1) === 3L)
+    assert(math.abs(out.getDouble(2) - (-2.0)) < 1e-5)
+  }
+
   test("demandAnomaly: spike excluded from its own baseline, cold start null") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(
       f"2024-01-$day%02d 00:00:00")
@@ -99,6 +113,29 @@ class RetailSpec extends AnyFunSuite {
         Seq("l_suppkey"), "l_shipdate", "l_quantity", minObs = 7)
       .orderBy("l_shipdate").collect().last
     assert(spike2.getBoolean(6))
+  }
+
+  test("croston: hand-computed smoothings, single-event series null") {
+    def wk(s: String) = java.sql.Date.valueOf(s)
+    val sparse = Seq(
+      (1L, wk("2024-01-07"), 10.0),
+      (1L, wk("2024-01-14"), 20.0), // gap 1 week
+      (1L, wk("2024-02-04"), 30.0), // gap 3 weeks
+      (2L, wk("2024-01-07"), 5.0))
+      .toDF("l_partkey", "week", "units")
+    val out = graft.engine.Series.croston(sparse, Seq("l_partkey"),
+        "week", "units")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // z: 10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1
+    assert(r1.getDouble(2) === 18.1)
+    // p: seed 1, then .3*3+.7*1=1.6
+    assert(r1.getDouble(3) === 1.6)
+    assert(r1.getDouble(4) === math.rint(18.1 / 1.6 * 1e6) / 1e6)
+    assert(r1.getDouble(5) === 9.615625) // 0.85*18.1/1.6
+    val r2 = out(2L)
+    assert(r2.getLong(1) === 1L && r2.getDouble(2) === 5.0)
+    assert(r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(5))
   }
 
   test("daysOfSupply flags no-history items and low cover") {
