@@ -151,6 +151,35 @@ object TextAnalysis {
           .as("est_distinct"))
   }
 
+  /** Deterministic WEIGHTED sample without replacement per group
+    * (Efraimidis-Spirakis A-ES in its exponential-race form): each
+    * row gets e = -ln(u)/w with u the content-hash uniform and w its
+    * weight; the k SMALLEST e per group are an exact
+    * probability-proportional-to-size draw. Because u comes from the
+    * avalanched content hash (not rand()), the draw is reproducible
+    * across engines/runs/partitionings — the property a curriculum /
+    * mixture sampler needs so a published data recipe can be
+    * re-derived. Rank filter pushes into WindowGroupLimit (each
+    * shuffle partition forwards k rows per group). Rows with NULL or
+    * non-positive weight are excluded (they have zero draw
+    * probability).
+    */
+  def weightedSample(df: DataFrame, group: String, text: String,
+      id: String, weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("__e"), col(id))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__h", uniformHash60(text))
+      .withColumn("__e",
+        -log((col("__h") + 1).cast("double") /
+          lit(math.pow(2, 60))) / col(weightCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(group), col(id), col(weightCol).as("weight"),
+        round(col("__e"), 6).as("es_key"), col("rank"))
+  }
+
   /** Deterministic sampling bucket in [0, 1000): an integer LCG
     * scramble of the id — reproducible across engines, runs, and
     * partitionings (everything `rand()`-based sampling is not), so a

@@ -213,6 +213,14 @@ object LlmQueries {
         sep = " ")
         .orderBy("doc_id")
     }),
+    // deterministic weighted sample (A-ES exponential race) per
+    // source, weight = doc length: the reproducible PPS draw a
+    // mixture/curriculum sampler publishes in its data recipe
+    "weighted_sample" -> ((s, d) => {
+      TextAnalysis.weightedSample(t(s, d, "documents"), "source",
+        "text", "doc_id", "n_chars", k = 10)
+        .orderBy("source", "doc_id")
+    }),
     // deterministic bottom-k sample per source: k smallest content
     // fingerprints — reproducible AND maximally stable across corpus
     // snapshots; rank filter pushes into WindowGroupLimit
@@ -1180,6 +1188,22 @@ object LlmQueries {
         |  CAST(len(lines) AS BIGINT) AS n_lines,
         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, n_chars,
+         |    -ln((CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)
+         |      + 1) / CAST(1152921504606846976 AS DOUBLE))
+         |      / n_chars AS e
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (
+         |  SELECT source, doc_id, n_chars, e, row_number() OVER (
+         |    PARTITION BY source ORDER BY e, doc_id) AS rank
+         |  FROM h)
+         |SELECT source, doc_id, n_chars AS weight,
+         |  round(e, 6) AS es_key, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY source, doc_id""".stripMargin,
     "kmv_sample" ->
       s"""WITH h AS (
          |  SELECT source, doc_id,

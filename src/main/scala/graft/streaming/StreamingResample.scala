@@ -141,6 +141,64 @@ object StreamingResample {
       }
   }
 
+  /** Streaming Croston: the intermittent-demand smoothings advanced
+    * event-by-event with the same multiply-add order as the batch
+    * [[graft.engine.Series.croston]] fold, so the LAST emitted row
+    * per key is bitwise-equal to the batch result on the same
+    * events (pinned by the parity spec; monotone-ingest contract as
+    * ewmaStream). `t` is the epoch DAY of the demand week label —
+    * gaps are (t−lastT)/7.0 weeks, matching the batch datediff/7.0.
+    * State per key is four numbers: a million slow-mover series
+    * cost megabytes, and each demand event does O(1) work — the
+    * streaming replenishment planner's shape.
+    */
+  case class CrostonEvent(key: String, t: Long, v: Double)
+  case class CrostonState(z: Double, p: Double, hasP: Boolean,
+    lastT: Long, n: Long)
+  case class CrostonOut(key: String, t: Long, v: Double,
+    nEvents: Long, zSize: Double, pInterval: Option[Double],
+    crostonFc: Option[Double], sbaFc: Option[Double])
+
+  def crostonStream(events: Dataset[CrostonEvent],
+      alpha: BigDecimal = BigDecimal("0.3")): Dataset[CrostonOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a = alpha.toDouble
+    val b = (BigDecimal(1) - alpha).toDouble
+    val sbaF = (BigDecimal(1) - alpha / 2).toDouble
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CrostonState, CrostonOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[CrostonState]) =>
+          val sorted = rows.toSeq.sortBy(_.t)
+          var st = state.getOption
+          val out = sorted.map { e =>
+            val next = st match {
+              case None =>
+                CrostonState(e.v, 0.0, hasP = false, e.t, 1L)
+              case Some(s) =>
+                val gap = (e.t - s.lastT).toDouble / 7.0
+                val p = if (s.hasP) a * gap + b * s.p else gap
+                CrostonState(a * e.v + b * s.z, p, hasP = true,
+                  e.t, s.n + 1)
+            }
+            st = Some(next)
+            val (pOut, fc, sba) =
+              if (next.hasP)
+                (Some(r6(next.p)), Some(r6(next.z / next.p)),
+                  Some(r6(sbaF * next.z / next.p)))
+              else (None, None, None)
+            CrostonOut(key, e.t, e.v, next.n, r6(next.z), pOut, fc,
+              sba)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: emit only the first occurrence of each
     * key (the streaming form of the batch exact-dedup operator — e.g.
     * dedup-by-fingerprint on a document firehose). State is one

@@ -863,6 +863,25 @@ class LlmSpec extends AnyFunSuite {
     assert(b.filter(_ <= 40L).subsetOf(a))
   }
 
+  test("weightedSample: PPS dominance, zero-weight excluded, k rows") {
+    val df = ((1L to 100L).map(i => (i, s"light doc $i", "s1", 1L)) :+
+      (500L, "the heavy document", "s1", 1000000L) :+
+      (501L, "zero weight doc", "s1", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.weightedSample(df, "source", "text",
+        "doc_id", "n_chars", k = 10)
+      .orderBy("rank").collect()
+    assert(out.length === 10)
+    // a 10^6:1 weight advantage wins the exponential race
+    assert(out.head.getLong(1) === 500L)
+    assert(!out.exists(_.getLong(1) === 501L)) // zero weight: excluded
+    // deterministic: a second evaluation draws the identical sample
+    val again = TextAnalysis.weightedSample(df, "source", "text",
+        "doc_id", "n_chars", k = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(again === out.map(_.getLong(1)).toSeq)
+  }
+
   test("kmvDistinct: exact path under k, estimate within 25% at k=64") {
     val df = (1L to 500L).map(i => (i, s"unique doc $i",
       if (i <= 30) "small" else "big")).toDF("doc_id", "text", "source")

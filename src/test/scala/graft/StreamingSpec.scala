@@ -129,6 +129,51 @@ class StreamingSpec extends AnyFunSuite {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("streaming Croston: last emit per key equals the batch fold") {
+    import graft.streaming.StreamingResample.CrostonEvent
+    val d0 = java.time.LocalDate.of(2024, 1, 7).toEpochDay
+    val dir = java.nio.file.Files.createTempDirectory("cr_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cr_ck").toString
+    Seq(CrostonEvent("a", d0, 10.0), CrostonEvent("a", d0 + 7, 20.0),
+      CrostonEvent("b", d0, 5.0)).toDS()
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[CrostonEvent].toDS().schema).parquet(dir)
+      .as[CrostonEvent]
+    val q = StreamingResample.crostonStream(stream)
+      .writeStream.format("memory").queryName("cr_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // the 3-week gap arrives in a LATER micro-batch: carried state
+    Seq(CrostonEvent("a", d0 + 28, 30.0)).toDS()
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamedLast = spark.table("cr_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4), Option(r.get(5)), Option(r.get(6)),
+        Option(r.get(7))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+    val batchDf = spark.read.parquet(dir)
+      .select(col("key"),
+        expr("date_add(DATE '1970-01-01', CAST(t AS INT))").as("week"),
+        col("v").as("units"))
+    val batch = graft.engine.Series.croston(batchDf, Seq("key"),
+        "week", "units")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)))).toMap
+    for ((k, (_, _, n, z, p, fc, sba)) <- streamedLast) {
+      val (bn, bz, bp, bfc, bsba) = batch(k)
+      assert((n, z, p, fc, sba) === ((bn, bz, bp, bfc, bsba)),
+        s"key $k")
+    }
+    // hand check: z=18.1, p=1.6 after gaps [1, 3]
+    val a = streamedLast("a")
+    assert(a._4 === 18.1 && a._5 === Some(1.6))
+  }
+
   test("watermarked content dedup emits first arrival only, bounded state") {
     import graft.streaming.StreamingDedup
     val docSchema = StructType(Seq(
