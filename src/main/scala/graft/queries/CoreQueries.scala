@@ -789,6 +789,16 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // rolling-origin MA backtest: every origin's 1-step forecast in
+    // ONE window pass (K origins cost one shuffle), masked MAPE with
+    // decimal-summed APEs
+    "backtest_ma" -> ((s, d) => {
+      graft.engine.forecast.Backtest.rollingOriginMa(
+        Resample.weeklyDense(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_shipdate", "l_quantity"),
+        Seq("l_partkey"))
+        .orderBy("origin")
+    }),
     // Croston intermittent-demand forecast per part, straight off
     // the SPARSE weekly frame (no densify: intervals come from week
     // label gaps) — exact seeded folds, ewma machinery
@@ -1452,6 +1462,28 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "backtest_ma" ->
+      s"""WITH ${denseCte("l_partkey")},
+        |m AS (
+        |  SELECT l_partkey, week, units,
+        |    avg(units) OVER tw AS ma,
+        |    count(units) OVER tw AS cnt,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY week DESC) AS origin
+        |  FROM dense
+        |  WINDOW tw AS (PARTITION BY l_partkey ORDER BY week
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT origin, units, ma,
+        |    CASE WHEN units > 0
+        |      THEN round(abs(units - ma) / units, 6) END AS ape
+        |  FROM m WHERE origin <= 8 AND cnt = 3)
+        |SELECT CAST(origin AS BIGINT) AS origin,
+        |  count(*) AS n_series,
+        |  count(ape) AS n_scored,
+        |  round(CAST(sum(CAST(ape AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(ape) * 100, 6) AS mape_pct
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "croston" ->
       s"""WITH wk AS (${weeklyCte("l_partkey")}),
         |arr AS (

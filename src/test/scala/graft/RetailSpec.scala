@@ -138,6 +138,30 @@ class RetailSpec extends AnyFunSuite {
     assert(r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(5))
   }
 
+  test("rollingOriginMa: hand-computed per-origin masked MAPE") {
+    def wk(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 7).plusWeeks(i).toString)
+    val dense = Seq(3.0, 6.0, 9.0, 3.0, 6.0, 9.0).zipWithIndex
+      .map { case (u, i) => ("s1", wk(i), u) }
+      .toDF("key", "week", "units")
+    val out = graft.engine.forecast.Backtest.rollingOriginMa(
+        dense, Seq("key"), nMa = 3, origins = 2)
+      .orderBy("origin").collect()
+    // origin 1 (last week): ma=(9+3+6)/3=6, units 9 -> ape 1/3
+    assert(out(0).getLong(0) === 1L)
+    assert(out(0).getDouble(3) === 33.3333)
+    // origin 2: ma=(6+9+3)/3=6, units 6 -> perfect forecast
+    assert(out(1).getDouble(3) === 0.0)
+    // zero-demand weeks are masked, short history excluded
+    val withZero = (dense.collect().map(r =>
+      ("s1", r.getDate(1), r.getDouble(2))).toSeq :+
+      ("s2", wk(5), 0.0)).toDF("key", "week", "units")
+    val o1 = graft.engine.forecast.Backtest.rollingOriginMa(
+        withZero, Seq("key"), nMa = 3, origins = 1)
+      .collect()(0)
+    assert(o1.getLong(1) === 1L && o1.getLong(2) === 1L)
+  }
+
   test("daysOfSupply flags no-history items and low cover") {
     val li = Seq(
       (1L, 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
