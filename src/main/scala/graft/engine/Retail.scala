@@ -53,20 +53,27 @@ object Retail {
     */
   def cumulativeShare(perItem: DataFrame, key: String,
       numParts: Int = 32): DataFrame = {
+    // checkpoint the ranged per-item frame: three consumers (offsets,
+    // total, the final cumsum) would otherwise each re-run the
+    // upstream aggregate + range exchange from the raw table; the
+    // frame is one row per ITEM, so pinning it is cheap at any scale
     val ranged = perItem
       .repartitionByRange(numParts, col("revenue").desc, col(key))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // tiny frame: one row per range partition; the global window over
-    // it is over ≤ numParts rows by construction
-    val offsets = ranged.groupBy("__pid")
+    // it is over ≤ numParts rows by construction, and the grand
+    // total is its sum — no extra pass over the items
+    val ptots = ranged.groupBy("__pid")
       .agg(sum("revenue").as("__ptot"))
+    val offsets = ptots
       .withColumn("__offset",
         coalesce(sum(col("__ptot")).over(
           Window.orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0).cast("decimal(38,4)")))
-    val total = perItem.agg(
-      sum("revenue").cast("decimal(38,4)").as("__total"))
+    val total = ptots.agg(
+      sum("__ptot").cast("decimal(38,4)").as("__total"))
     val local = Window.partitionBy("__pid")
       .orderBy(col("revenue").desc, col(key))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
