@@ -104,6 +104,37 @@ object Retail {
           .otherwise("C"))
       .drop("prev_share")
 
+  /** Return rate per product group with a Wilson score interval —
+    * the uncertainty-aware ranking that stops a 1-of-2-returned item
+    * from outranking a 400-of-1000 one (a plain rate sort does
+    * exactly that). Counts come from one map-side-combined
+    * aggregate; the interval is closed-form double arithmetic over
+    * integer counts, spelled identically on both engines, so the
+    * result is engine-exact. The dimension join broadcasts.
+    */
+  def returnRateCI(lineitem: DataFrame, part: DataFrame,
+      groupCol: String = "p_brand", z: Double = 1.96): DataFrame = {
+    val counts = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col(groupCol))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returns"))
+    val nD = col("n").cast("double")
+    val phat = col("n_returns").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (phat + z2 / (lit(2.0) * nD)) / denom
+    val margin = lit(z) *
+      sqrt(phat * (lit(1.0) - phat) / nD +
+        z2 / (lit(4.0) * nD * nD)) / denom
+    counts.select(col(groupCol), col("n"), col("n_returns"),
+      round(phat, 6).as("return_rate"),
+      round(center - margin, 6).as("ci_lo"),
+      round(center + margin, 6).as("ci_hi"))
+  }
+
   /** Log-log price elasticity of demand per product group: the OLS
     * slope of ln(quantity) on ln(unit price), computed from moment
     * sums (n, Σx, Σy, Σxy, Σx²) in ONE aggregation pass — the
@@ -245,6 +276,60 @@ object Retail {
           .as("support"),
         round(col("pair_count").cast("double") * col("__n_orders") /
           (col("__cnt_a") * col("__cnt_b")), 6).as("lift"))
+  }
+
+  /** Multi-period inventory projection: simulate `horizon` weeks of
+    * a (reorder-point, order-quantity) replenishment policy with a
+    * `leadWeeks`-week supply lead time, per item. The recurrence
+    * (arrivals → demand draw → position check → order) is unrolled
+    * into `horizon` chained column expressions — ENTIRELY row-local
+    * after one per-item aggregate, so the simulation costs one
+    * narrow projection regardless of horizon, and every quantity is
+    * INTEGER arithmetic (ceil-divided weekly demand), making the
+    * projection bit-exact on any engine. Policy parameters are the
+    * simple cover rules (rop = d·(lead+1), oq = d·4); the reference's
+    * full H1–H4 stats-based parameters live in [[Inventory]] and
+    * plug in the same way. Stockout weeks record lost demand
+    * (stock floors at zero, the lost-sales model).
+    */
+  def inventoryProjection(lineitem: DataFrame, stock: DataFrame,
+      key: String, stockCol: String, horizon: Int = 8,
+      leadWeeks: Int = 2): DataFrame = {
+    require(leadWeeks == 2, "recurrence is unrolled for 2-week lead")
+    // DIV, never `/`: Column./ on bigints is DOUBLE division, which
+    // silently rounds above 2^53 (the packed-id lesson)
+    val base = lineitem.groupBy(col(key)).agg(
+      sum(col("l_quantity")).cast("bigint").as("__tot"),
+      datediff(max(col("l_shipdate")), min(col("l_shipdate")))
+        .cast("bigint").as("__span"))
+    var df = stock
+      .join(base, Seq(key))
+      .withColumn("__nw", expr("__span DIV 7") + 1)
+      .withColumn("d", expr("(__tot + __nw - 1) DIV __nw"))
+      .withColumn("rop", col("d") * (leadWeeks + 1))
+      .withColumn("oq", col("d") * 4)
+      .withColumn("__s_0", col(stockCol).cast("bigint"))
+      .withColumn("__o1_0", lit(0L))
+      .withColumn("__o2_0", lit(0L))
+    for (t <- 1 to horizon) {
+      df = df
+        .withColumn(s"__avail_$t",
+          col(s"__s_${t - 1}") + col(s"__o1_${t - 1}") - col("d"))
+        .withColumn(s"__s_$t", greatest(col(s"__avail_$t"), lit(0L)))
+        .withColumn(s"__lost_$t", col(s"__avail_$t") < 0)
+        .withColumn(s"__ord_$t",
+          when(col(s"__s_$t") + col(s"__o2_${t - 1}") < col("rop"),
+            col("oq")).otherwise(lit(0L)))
+        .withColumn(s"__o1_$t", col(s"__o2_${t - 1}"))
+        .withColumn(s"__o2_$t", col(s"__ord_$t"))
+    }
+    val stackArgs = (1 to horizon).map(t =>
+      s"CAST($t AS BIGINT), __s_$t, __ord_$t, __lost_$t")
+      .mkString(", ")
+    df.select(col(key), col("d"), col("rop"), col("oq"),
+        expr(s"stack($horizon, $stackArgs)" +
+          " AS (week, stock, ordered, stockout)"))
+      .select(key, "week", "stock", "ordered", "stockout", "d")
   }
 
   /** Days-of-supply projection: on-hand stock divided by trailing

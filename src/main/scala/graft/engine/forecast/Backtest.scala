@@ -23,6 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object Backtest {
 
+  /** Top-down hierarchical forecast reconciliation: forecast ONCE at
+    * the stable aggregate level (total weekly demand — where MA/ETS
+    * models are reliable), then disaggregate to items by historical
+    * demand share. This is the classic answer to "item-level series
+    * are too intermittent to forecast directly" — and the
+    * reconciled item forecasts sum back to the top forecast by
+    * construction. ONE raw scan: the (item, week) base aggregate is
+    * checkpointed and reused for the weekly totals, the top-level
+    * last-4-weeks MA (sort+limit — TakeOrdered, never a global
+    * window), the item shares, and the grand total. Quantities are
+    * integral, so every sum is exact in doubles and the
+    * disaggregation is engine-exact without decimal routing.
+    */
+  def topDownReconcile(lineitem: DataFrame, key: String,
+      ts: String, value: String, nMa: Int = 4): DataFrame = {
+    val base = lineitem
+      .groupBy(col(key),
+        graft.engine.Resample.weekEndingSunday(col(ts)).as("week"))
+      .agg(sum(col(value)).as("units"))
+      .localCheckpoint()
+    val weeklyTotal = base.groupBy(col("week"))
+      .agg(sum(col("units")).as("units"))
+    val topFc = weeklyTotal.orderBy(col("week").desc).limit(nMa)
+      .agg(avg(col("units")).as("top_fc"))
+    val perItem = base.groupBy(col(key))
+      .agg(sum(col("units")).as("tot"))
+    val grand = perItem.agg(sum(col("tot")).as("grand"))
+    perItem
+      .crossJoin(broadcast(grand))
+      .crossJoin(broadcast(topFc))
+      .select(col(key),
+        round(col("tot") / col("grand"), 6).as("share"),
+        round(col("top_fc"), 6).as("top_fc"),
+        round(col("top_fc") * col("tot") / col("grand"), 6)
+          .as("fc_reconciled"))
+  }
+
   /** @param dense  per-key dense weekly frame (keys, week, units)
     * @param nMa    trailing moving-average window (weeks)
     * @param origins how many most-recent week-origins to score

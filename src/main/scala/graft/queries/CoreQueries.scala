@@ -789,6 +789,15 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // top-down forecast reconciliation: forecast the stable total,
+    // disaggregate by historical share — one raw scan via the
+    // checkpointed (item, week) base
+    "forecast_reconcile" -> ((s, d) => {
+      graft.engine.forecast.Backtest.topDownReconcile(
+        t(s, d, "lineitem"), "l_partkey", "l_shipdate",
+        "l_quantity")
+        .orderBy("l_partkey")
+    }),
     // rolling-origin MA backtest: every origin's 1-step forecast in
     // ONE window pass (K origins cost one shuffle), masked MAPE with
     // decimal-summed APEs
@@ -808,6 +817,12 @@ object CoreQueries {
           "l_shipdate", "l_quantity"),
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
+    }),
+    // return rate per brand with Wilson interval: uncertainty-aware
+    // ranking from one map-side-combined count aggregate
+    "return_rate_ci" -> ((s, d) => {
+      Retail.returnRateCI(t(s, d, "lineitem"), t(s, d, "part"))
+        .orderBy("p_brand")
     }),
     // log-log price elasticity per brand: closed-form OLS slope from
     // decimal moment sums, one aggregation pass, broadcast dimension
@@ -837,6 +852,17 @@ object CoreQueries {
     "basket_lift" -> ((s, d) => {
       Retail.basketLift(t(s, d, "lineitem"))
         .orderBy("item_a", "item_b")
+    }),
+    // multi-period (ROP, OQ) replenishment simulation: 8 weeks
+    // unrolled into row-local integer recurrences after one per-item
+    // aggregate — the projection costs one narrow projection
+    "inventory_projection" -> ((s, d) => {
+      val stock = t(s, d, "part").select(
+        col("p_partkey").as("l_partkey"),
+        (col("p_size") * 100).cast("long").as("on_hand_units"))
+      Retail.inventoryProjection(t(s, d, "lineitem"), stock,
+        "l_partkey", "on_hand_units")
+        .orderBy("l_partkey", "week")
     }),
     // days-of-supply stockout projection: trailing average daily
     // demand vs a deterministic on-hand proxy (p_size × 100); parts
@@ -869,7 +895,50 @@ object CoreQueries {
        |dense AS (SELECT g.$key, g.week, coalesce(wk.units, 0.0) AS units
        |          FROM grid g LEFT JOIN wk USING ($key, week))""".stripMargin
 
+  /** Chained-CTE mirror of [[Retail.inventoryProjection]]'s unrolled
+    * integer recurrence — per-level suffixed names (s0→s8 …) so no
+    * engine's lateral-alias precedence rules are in play.
+    */
+  private def invProjOracle(horizon: Int = 8): String = {
+    val steps = (1 to horizon).map { t =>
+      val p = t - 1
+      s"""w$t AS (
+         |  SELECT l_partkey, d, rop, oq,
+         |    greatest(s$p + o1$p - d, CAST(0 AS BIGINT)) AS s$t,
+         |    (s$p + o1$p - d) < 0 AS lost$t,
+         |    CASE WHEN greatest(s$p + o1$p - d, CAST(0 AS BIGINT))
+         |           + o2$p < rop
+         |         THEN oq ELSE CAST(0 AS BIGINT) END AS ord$t,
+         |    o2$p AS o1$t,
+         |    CASE WHEN greatest(s$p + o1$p - d, CAST(0 AS BIGINT))
+         |           + o2$p < rop
+         |         THEN oq ELSE CAST(0 AS BIGINT) END AS o2$t
+         |  FROM w$p)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to horizon).map { t =>
+      s"""SELECT l_partkey, CAST($t AS BIGINT) AS week,
+         |  s$t AS stock, ord$t AS ordered, lost$t AS stockout, d
+         |FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS tot,
+       |    date_diff('day', CAST(min(l_shipdate) AS DATE),
+       |      CAST(max(l_shipdate) AS DATE)) // 7 + 1 AS nw
+       |  FROM lineitem GROUP BY 1),
+       |pol AS (
+       |  SELECT l_partkey, (tot + nw - 1) // nw AS d FROM base),
+       |w0 AS (
+       |  SELECT pol.l_partkey, d, d * 3 AS rop, d * 4 AS oq,
+       |    CAST(p_size * 100 AS BIGINT) AS s0,
+       |    CAST(0 AS BIGINT) AS o10, CAST(0 AS BIGINT) AS o20
+       |  FROM pol JOIN part ON pol.l_partkey = p_partkey),
+       |$steps
+       |$unions
+       |ORDER BY l_partkey, week""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "inventory_projection" -> invProjOracle(),
     "a1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem WHERE l_quantity > 45
@@ -1462,6 +1531,22 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "forecast_reconcile" ->
+      s"""WITH base AS (
+        |  SELECT l_partkey, $wsun AS week, sum(l_quantity) AS units
+        |  FROM lineitem GROUP BY 1, 2),
+        |wt AS (SELECT week, sum(units) AS units FROM base GROUP BY 1),
+        |tf AS (SELECT avg(units) AS top_fc FROM
+        |       (SELECT units FROM wt ORDER BY week DESC LIMIT 4)),
+        |pt AS (SELECT l_partkey, sum(units) AS tot
+        |       FROM base GROUP BY 1),
+        |g AS (SELECT sum(tot) AS grand FROM pt)
+        |SELECT l_partkey,
+        |  round(tot / grand, 6) AS share,
+        |  round(top_fc, 6) AS top_fc,
+        |  round(top_fc * tot / grand, 6) AS fc_reconciled
+        |FROM pt CROSS JOIN g CROSS JOIN tf
+        |ORDER BY l_partkey""".stripMargin,
     "backtest_ma" ->
       s"""WITH ${denseCte("l_partkey")},
         |m AS (
@@ -1510,6 +1595,32 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "return_rate_ci" ->
+      """WITH c AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS n_returns
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT p_brand, n, n_returns,
+        |    CAST(n_returns AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM c)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  CAST(n_returns AS BIGINT) AS n_returns,
+        |  round(phat, 6) AS return_rate,
+        |  round((phat + 1.96 * 1.96 / (2.0 * nd))
+        |      / (1.0 + 1.96 * 1.96 / nd)
+        |    - 1.96 * sqrt(phat * (1.0 - phat) / nd
+        |        + 1.96 * 1.96 / (4.0 * nd * nd))
+        |      / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
+        |  round((phat + 1.96 * 1.96 / (2.0 * nd))
+        |      / (1.0 + 1.96 * 1.96 / nd)
+        |    + 1.96 * sqrt(phat * (1.0 - phat) / nd
+        |        + 1.96 * 1.96 / (4.0 * nd * nd))
+        |      / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi
+        |FROM w ORDER BY p_brand""".stripMargin,
     "elasticity" ->
       """WITH j AS (
         |  SELECT p_brand,

@@ -162,6 +162,77 @@ class RetailSpec extends AnyFunSuite {
     assert(o1.getLong(1) === 1L && o1.getLong(2) === 1L)
   }
 
+  test("inventoryProjection: hand-simulated (ROP,OQ) policy with lead 2") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // both parts: 10 units over an 8-day span -> nw=2 -> d=5,
+    // rop=15, oq=20
+    val li = Seq(
+      (1L, 5.0, ts("2024-01-01")), (1L, 5.0, ts("2024-01-08")),
+      (2L, 5.0, ts("2024-01-01")), (2L, 5.0, ts("2024-01-08")))
+      .toDF("l_partkey", "l_quantity", "l_shipdate")
+    val stock = Seq((1L, 10L), (2L, 2L))
+      .toDF("l_partkey", "on_hand")
+    val out = graft.engine.Retail.inventoryProjection(li, stock,
+        "l_partkey", "on_hand")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // part 1: 10 -> 5 (order 20) -> 0 -> 15 (arrival) -> 10 (order)
+    assert(out((1L, 1L)) === ((5L, 20L, false)))
+    assert(out((1L, 2L)) === ((0L, 0L, false)))  // on order covers
+    assert(out((1L, 3L)) === ((15L, 0L, false))) // arrival lands
+    assert(out((1L, 4L)) === ((10L, 20L, false)))
+    // part 2 starts under demand: lost sales week 1, floor at 0
+    assert(out((2L, 1L)) === ((0L, 20L, true)))
+    assert(out((2L, 2L)) === ((0L, 0L, true)))   // still dry pre-arrival
+    assert(out((2L, 3L)) === ((15L, 0L, false)))
+  }
+
+  test("topDownReconcile: exact shares, reconciled sums to top forecast") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 10.0, ts("2024-01-02")), (1L, 20.0, ts("2024-01-09")),
+      (2L, 30.0, ts("2024-01-02")), (2L, 30.0, ts("2024-01-09")),
+      (3L, 10.0, ts("2024-01-02")))
+      .toDF("l_partkey", "l_quantity", "l_shipdate")
+    val out = graft.engine.forecast.Backtest.topDownReconcile(
+        li, "l_partkey", "l_shipdate", "l_quantity")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // weekly totals 50, 50 -> top_fc = 50; shares .3 / .6 / .1
+    assert(out(1L) === ((0.3, 50.0, 15.0)))
+    assert(out(2L) === ((0.6, 50.0, 30.0)))
+    assert(out(3L) === ((0.1, 50.0, 5.0)))
+    assert(math.abs(out.values.map(_._3).sum - 50.0) < 1e-9)
+  }
+
+  test("returnRateCI: Wilson bounds bracket the rate; small n ranks lower") {
+    val rows =
+      (1 to 1000).map(i => (1L, if (i <= 400) "R" else "N")) ++
+        Seq((2L, "R"), (2L, "N"))
+    val li = rows.toDF("l_partkey", "l_returnflag")
+    val part = Seq((1L, "Big"), (2L, "Tiny"))
+      .toDF("p_partkey", "p_brand")
+    val out = graft.engine.Retail.returnRateCI(li, part)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (nB, rateB, loB, hiB) = out("Big")
+    assert(nB === 1000L && rateB === 0.4)
+    assert(loB < rateB && rateB < hiB)
+    // closed-form check at n=1000, p=0.4, z=1.96
+    def wilson(p: Double, n: Double, sign: Double): Double = {
+      val z = 1.96; val z2 = z * z
+      ((p + z2 / (2 * n)) + sign * z *
+        math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+    }
+    assert(math.abs(loB - wilson(0.4, 1000, -1)) < 1e-5)
+    assert(math.abs(hiB - wilson(0.4, 1000, 1)) < 1e-5)
+    // Tiny's 50% rate cannot outrank Big's 40%: its lower bound is
+    // far smaller (the whole point of interval-based ranking)
+    val (_, rateT, loT, hiT) = out("Tiny")
+    assert(rateT === 0.5 && loT < loB && (hiT - loT) > (hiB - loB))
+  }
+
   test("daysOfSupply flags no-history items and low cover") {
     val li = Seq(
       (1L, 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
