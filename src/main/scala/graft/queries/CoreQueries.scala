@@ -789,6 +789,51 @@ object CoreQueries {
           col("cum_share"), col("abc_band"))
         .orderBy("l_partkey")
     }),
+    // weekly seasonality profile: avg demand per ISO week-of-year
+    // over the overall weekly avg — two aggregates over the weekly
+    // frame plus a broadcast scalar, exact integral sums throughout
+    "seasonality_idx" -> ((s, d) => {
+      val wk = t(s, d, "lineitem")
+        .groupBy(Resample.weekEndingSunday(col("l_shipdate"))
+          .as("week"))
+        .agg(sum(col("l_quantity")).as("units"))
+      val overall = wk.agg(
+        (sum(col("units")) / count(lit(1))).as("__avg_all"))
+      wk.groupBy(weekofyear(col("week")).cast("long").as("woy"))
+        .agg(count(lit(1)).as("n_weeks"),
+          (sum(col("units")) / count(lit(1))).as("__avg_woy"))
+        .crossJoin(broadcast(overall))
+        .select(col("woy"), col("n_weeks"),
+          round(col("__avg_woy"), 6).as("avg_units"),
+          round(col("__avg_woy") / col("__avg_all"), 6)
+            .as("season_idx"))
+        .orderBy("woy")
+    }),
+    // promo uplift: discounted vs undiscounted demand per brand from
+    // ONE conditional-sum aggregate (no self-join, no second scan)
+    "promo_uplift" -> ((s, d) => {
+      val deep = col("l_discount") > 0.05
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(when(deep, 1)).as("n_promo"),
+          count(when(!deep, 1)).as("n_base"),
+          sum(when(deep, col("l_quantity")).otherwise(0.0))
+            .as("__q_promo"),
+          sum(when(!deep, col("l_quantity")).otherwise(0.0))
+            .as("__q_base"))
+        .select(col("p_brand"), col("n_promo"), col("n_base"),
+          round(col("__q_promo") / col("n_promo"), 6)
+            .as("avg_qty_promo"),
+          round(col("__q_base") / col("n_base"), 6)
+            .as("avg_qty_base"),
+          round((col("__q_promo") / col("n_promo") /
+            (col("__q_base") / col("n_base")) - 1) * 100, 6)
+            .as("uplift_pct"))
+        .orderBy("p_brand")
+    }),
     // top-down forecast reconciliation: forecast the stable total,
     // disaggregate by historical share — one raw scan via the
     // checkpointed (item, week) base
@@ -1531,6 +1576,40 @@ object CoreQueries {
         |       WHEN prev_share < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_band
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "seasonality_idx" ->
+      s"""WITH wk AS (
+        |  SELECT $wsun AS week, sum(l_quantity) AS units
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT sum(units) / count(*) AS avg_all FROM wk),
+        |w AS (
+        |  SELECT CAST(weekofyear(week) AS BIGINT) AS woy,
+        |    count(*) AS n_weeks,
+        |    sum(units) / count(*) AS avg_woy
+        |  FROM wk GROUP BY 1)
+        |SELECT woy, n_weeks,
+        |  round(avg_woy, 6) AS avg_units,
+        |  round(avg_woy / avg_all, 6) AS season_idx
+        |FROM w CROSS JOIN o ORDER BY woy""".stripMargin,
+    "promo_uplift" ->
+      """WITH c AS (
+        |  SELECT p_brand,
+        |    count(CASE WHEN l_discount > 0.05 THEN 1 END)
+        |      AS n_promo,
+        |    count(CASE WHEN NOT (l_discount > 0.05) THEN 1 END)
+        |      AS n_base,
+        |    sum(CASE WHEN l_discount > 0.05 THEN l_quantity
+        |             ELSE 0.0 END) AS q_promo,
+        |    sum(CASE WHEN NOT (l_discount > 0.05) THEN l_quantity
+        |             ELSE 0.0 END) AS q_base
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, CAST(n_promo AS BIGINT) AS n_promo,
+        |  CAST(n_base AS BIGINT) AS n_base,
+        |  round(q_promo / n_promo, 6) AS avg_qty_promo,
+        |  round(q_base / n_base, 6) AS avg_qty_base,
+        |  round((q_promo / n_promo / (q_base / n_base) - 1) * 100, 6)
+        |    AS uplift_pct
+        |FROM c ORDER BY p_brand""".stripMargin,
     "forecast_reconcile" ->
       s"""WITH base AS (
         |  SELECT l_partkey, $wsun AS week, sum(l_quantity) AS units

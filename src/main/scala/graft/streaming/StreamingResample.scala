@@ -199,6 +199,67 @@ object StreamingResample {
       }
   }
 
+  /** Streaming demand-spike detection: the trailing 28-day z-score
+    * (batch twin [[graft.engine.Retail.demandAnomaly]]) advanced
+    * per daily-demand event. State per key is ONLY the baseline
+    * window's entries (≤ `windowDays` (day, qty) pairs, pruned on
+    * every event) — bounded regardless of stream length. The
+    * baseline is summed in day order, the same accumulation order
+    * as the batch RANGE frame, and rounding matches round(…, 6)
+    * HALF_UP, so on ordered ingest of per-day demand rows the
+    * emitted scores are bitwise-equal to the batch operator
+    * (parity-pinned in StreamingSpec). Events must arrive one per
+    * (key, day), time-ordered across batches — run the daily
+    * resample upstream, as with ewmaStream.
+    */
+  case class DemandEvent(key: String, t: Long, qty: Double)
+  case class DemandWindow(entries: Seq[DemandEvent])
+  case class AnomalyOut(key: String, t: Long, qty: Double,
+    baseMean: Option[Double], baseStd: Option[Double],
+    z: Option[Double], isAnomaly: Boolean)
+
+  def demandAnomalyStream(events: Dataset[DemandEvent],
+      windowDays: Int = 28, minObs: Int = 7,
+      zThresh: Double = 3.0): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[DemandWindow, AnomalyOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[DemandWindow]) =>
+          val sorted = rows.toSeq.sortBy(_.t)
+          var win = state.getOption.map(_.entries).getOrElse(Seq())
+          val out = sorted.map { e =>
+            val base = win.filter(p =>
+              p.t >= e.t - windowDays && p.t <= e.t - 1)
+            val n = base.size
+            val res =
+              if (n >= minObs) {
+                // fold in day order — the batch frame's sum order
+                val s = base.foldLeft(0.0)(_ + _.qty)
+                val ss = base.foldLeft(0.0)((a, p) =>
+                  a + p.qty * p.qty)
+                val mean = s / n
+                val std = math.sqrt(
+                  math.max((ss - s * s / n) / n, 0.0))
+                val z = if (std > 0) Some(r6((e.qty - mean) / std))
+                        else None
+                AnomalyOut(key, e.t, e.qty, Some(r6(mean)),
+                  Some(r6(std)), z,
+                  z.exists(v => math.abs(v) > zThresh))
+              } else AnomalyOut(key, e.t, e.qty, None, None, None,
+                isAnomaly = false)
+            win = (win :+ e).filter(_.t > e.t - windowDays)
+            res
+          }
+          state.update(DemandWindow(win))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: emit only the first occurrence of each
     * key (the streaming form of the batch exact-dedup operator — e.g.
     * dedup-by-fingerprint on a document firehose). State is one

@@ -174,6 +174,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(a._4 === 18.1 && a._5 === Some(1.6))
   }
 
+  test("streaming demand anomaly: bitwise batch parity, bounded state") {
+    import graft.streaming.StreamingResample.DemandEvent
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    // fractional quantities: parity must hold on the exact fold
+    // order, not just integral-sum luck; spike lands in batch 2
+    def qty(i: Int): Double =
+      if (i == 38) 500.5 else 10.25 + (i % 5) * 1.5
+    val all = (1 to 40).map(i => DemandEvent("a", d0 + i, qty(i)))
+    val dir = java.nio.file.Files.createTempDirectory("da_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("da_ck").toString
+    all.take(30).toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[DemandEvent].toDS().schema).parquet(dir)
+      .as[DemandEvent]
+    val q = StreamingResample.demandAnomalyStream(stream)
+      .writeStream.format("memory").queryName("da_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    all.drop(30).toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("da_out").collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)), r.getBoolean(6))).toMap
+    val batchIn = all.map(e => ("a",
+      java.sql.Timestamp.valueOf(
+        java.time.LocalDate.ofEpochDay(e.t).atStartOfDay()), e.qty))
+      .toDF("key", "ts", "qty")
+    val batch = graft.engine.Retail.demandAnomaly(batchIn,
+        Seq("key"), "ts", "qty")
+      .collect().map { r =>
+        val day = r.getTimestamp(1).toLocalDateTime.toLocalDate
+          .toEpochDay
+        day -> (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          r.getBoolean(6))
+      }.toMap
+    assert(streamed.keySet === batch.keySet)
+    for ((day, b) <- batch)
+      assert(streamed(day) === b, s"day $day")
+    // the spike is flagged, and it is the only flag
+    val spikeDay = d0 + 38
+    assert(streamed(spikeDay)._4)
+    assert(streamed.count(_._2._4) === 1)
+  }
+
   test("watermarked content dedup emits first arrival only, bounded state") {
     import graft.streaming.StreamingDedup
     val docSchema = StructType(Seq(
