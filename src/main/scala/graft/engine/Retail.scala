@@ -52,41 +52,15 @@ object Retail {
     * relative to raw sales — one row per item).
     */
   def cumulativeShare(perItem: DataFrame, key: String,
-      numParts: Int = 32): DataFrame = {
-    // checkpoint the ranged per-item frame: three consumers (offsets,
-    // total, the final cumsum) would otherwise each re-run the
-    // upstream aggregate + range exchange from the raw table; the
-    // frame is one row per ITEM, so pinning it is cheap at any scale
-    val ranged = perItem
-      .repartitionByRange(numParts, col("revenue").desc, col(key))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // tiny frame: one row per range partition; the global window over
-    // it is over ≤ numParts rows by construction, and the grand
-    // total is its sum — no extra pass over the items
-    val ptots = ranged.groupBy("__pid")
-      .agg(sum("revenue").as("__ptot"))
-    val offsets = ptots
-      .withColumn("__offset",
-        coalesce(sum(col("__ptot")).over(
-          Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0).cast("decimal(38,4)")))
-    val total = ptots.agg(
-      sum("__ptot").cast("decimal(38,4)").as("__total"))
-    val local = Window.partitionBy("__pid")
-      .orderBy(col("revenue").desc, col(key))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .join(broadcast(offsets.select("__pid", "__offset")), "__pid")
-      .withColumn("__cum", col("__offset") + sum("revenue").over(local))
-      .crossJoin(broadcast(total))
+      numParts: Int = 32): DataFrame =
+    Dist.prefixSum(perItem,
+        Seq(col("revenue").desc, col(key)), "revenue", "__cum",
+        numParts, withTotal = true)
       .select(col(key), col("revenue"),
         round(col("__cum").cast("double") /
-          col("__total").cast("double"), 6).as("cum_share"),
+          col("__cum_total").cast("double"), 6).as("cum_share"),
         round((col("__cum") - col("revenue")).cast("double") /
-          col("__total").cast("double"), 6).as("prev_share"))
-  }
+          col("__cum_total").cast("double"), 6).as("prev_share"))
 
   /** ABC classification: A = items covering the first `aCut` of
     * revenue, B = up to `bCut`, C = the tail. Band is decided on the

@@ -682,6 +682,39 @@ object Dedup {
     .groupBy(col("gram")).agg(count(lit(1)).as("df"))
     .filter(col("df") >= minDocs)
 
+  /** N-gram novelty score: the fraction of a document's DISTINCT
+    * word n-grams whose corpus-wide FIRST occurrence (min doc id) is
+    * this document — 1.0 means entirely new content, ~0 means the
+    * document restates what earlier documents already said. The
+    * content-value twin of the dedup family: near-dup removal drops
+    * copies, novelty ranks what remains by information added.
+    * Shape: one narrow gram explode (checkpointed — the gram frame
+    * feeds both the first-seen aggregate and the join-back), one
+    * map-side-combined groupBy(gram), one co-partitioned join on the
+    * same gram key, one per-doc aggregate. At 100 TB key the shuffle
+    * on the gram's 64-bit hash with min-id carried, same plan.
+    */
+  def noveltyScore(df: DataFrame, text: String, id: String,
+      n: Int = 3): DataFrame = {
+    val grams = df
+      .withColumn("__toks",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(id), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+            i -> array_join(slice(__toks, i, $n), ' ')))""")).as("gram"))
+      .localCheckpoint()
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col(id)).as("__first"))
+    grams.join(firstSeen, "gram")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(id), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_grams"), 6))
+  }
+
   /** SimHash from a PRECOMPUTED token-hash column: bit_j = sign of sum
     * over token hashes of (±1 from the hash's j-th bit); packed into a
     * long. Takes a column (not the raw text) because higher-order

@@ -205,6 +205,26 @@ object LlmQueries {
         .select("lang", "centroid")
         .orderBy("lang")
     }),
+    // n-gram novelty: fraction of a doc's distinct trigrams first
+    // seen in THIS doc — ranks surviving docs by information added
+    "novelty_score" -> ((s, d) => {
+      Dedup.noveltyScore(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // token-budget corpus cut: keep the highest-quality docs until
+    // the token budget is spent — the running total comes from the
+    // DISTRIBUTED prefix sum (Dist.prefixSum), never a single-
+    // partition global window; the oracle is the naive-window form
+    "token_budget_cut" -> ((s, d) => {
+      val stats = TextAnalysis.withStats(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("quality"),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+      graft.engine.Dist.prefixSum(stats,
+        Seq(col("quality").desc, col("doc_id")), "n_tokens",
+        "cum_tokens")
+        .filter(col("cum_tokens") <= 15000)
+        .orderBy("doc_id")
+    }),
     // intra-doc duplicate-line removal at token grain (this corpus
     // has no newlines; the operator's default sep is '\n') — one
     // row-local HOF projection, no shuffle
@@ -1175,6 +1195,44 @@ object LlmQueries {
          |  ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
          |    AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "novelty_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> t != '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))))
+        |    AS gram
+        |  FROM toks WHERE len(tk) >= 3),
+        |f AS (SELECT gram, min(doc_id) AS fs FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.fs = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.fs = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty
+        |FROM g JOIN f USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_budget_cut" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, CAST($duckNTokens AS BIGINT) AS n_tokens,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM st)
+         |SELECT doc_id, quality, n_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 15000
+         |ORDER BY doc_id""".stripMargin,
     "dedup_lines_intra" ->
       """WITH l AS (
         |  SELECT doc_id, string_split(text, ' ') AS lines

@@ -848,6 +848,20 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) === (("x", 3L, 2L)))
   }
 
+  test("noveltyScore: first doc owns its grams, copies score zero") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),          // 2 trigrams, all new
+      (2L, "alpha beta gamma delta"),          // exact copy -> 0
+      (3L, "alpha beta gamma epsilon zeta"))   // 1 of 3 inherited
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((3L, 2L, 0.666667)))
+  }
+
   test("kmvSample: stable under corpus growth, k per group") {
     val base = (1L to 40L).map(i => (i, s"doc number $i", "s1"))
     val small = base.toDF("doc_id", "text", "source")

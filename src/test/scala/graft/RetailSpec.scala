@@ -35,6 +35,22 @@ class RetailSpec extends AnyFunSuite {
     assert(mismatch === 0L)
   }
 
+  test("Dist.prefixSum on longs equals the naive global window") {
+    val df = (1L to 1000L).map(i => (i, (i * 7919) % 101))
+      .toDF("id", "v")
+    val dist = graft.engine.Dist.prefixSum(df,
+        Seq(col("v").desc, col("id")), "v", "run", numParts = 8,
+        withTotal = true)
+    val w = Window.orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("run", sum("v").over(w))
+    val mismatch = dist.select("id", "run").except(
+      naive.select("id", "run")).count()
+    assert(mismatch === 0L)
+    assert(dist.select("run_total").head.getLong(0) ===
+      (1L to 1000L).map(i => (i * 7919) % 101).sum)
+  }
+
   test("abcClassify bands: monotone A->B->C down the revenue ranking") {
     val li = Seq(
       // one dominant item, a mid item, a tail of small ones
