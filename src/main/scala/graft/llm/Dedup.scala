@@ -537,6 +537,45 @@ object Dedup {
         round(col("dup_tokens") / col("n_tokens"), 6))
   }
 
+  /** Maximal duplicated RUNS: merge each document's overlapping /
+    * adjacent duplicated n-token windows ([[dupSpanWindows]]) into
+    * maximal intervals — the arbitrary-length longest-duplicate
+    * extraction of ExactSubstr-style dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * 300-token boilerplate block repeated across pages surfaces as ONE
+    * run of run_tokens ≈ 300, not 281 separate 20-token windows.
+    * Gaps-and-islands: a window starts a new run iff its start lies
+    * beyond the running max end of all earlier windows; the run id is
+    * the running sum of those starts. Scale shape: both window passes
+    * partition on the doc id (positions within one doc, never
+    * corpus-wide), and rows entering them are already only the
+    * duplicated windows — output is bounded by dup windows, grouped
+    * down to runs.
+    */
+  def spanRuns(df: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prevEnd = Window.partitionBy(col(id)).orderBy(col("win_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runningRun = Window.partitionBy(col(id))
+      .orderBy(col("win_start"))
+    dupSpanWindows(df, text, id, n)
+      .withColumn("__pmax", max(col("win_start") + n).over(prevEnd))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("win_start") > col("__pmax"),
+          1L).otherwise(0L))
+      .withColumn("__run", sum(col("__new")).over(runningRun))
+      .groupBy(col(id), col("__run"))
+      .agg(
+        min(col("win_start")).as("run_start"),
+        (max(col("win_start")) + (n - 1)).as("run_end"),
+        (max(col("win_start")) + n - min(col("win_start")))
+          .as("run_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(col(id), col("run_start"), col("run_end"),
+        col("run_tokens"), col("n_windows"))
+  }
+
   /** Span-level dedup, apply half: REMOVE duplicated spans from the
     * corpus, keeping each repeated gram's canonical occurrence (the
     * lexicographically first (doc, win_start)) and scrubbing the
@@ -552,13 +591,34 @@ object Dedup {
     * nothing corpus-quadratic, no global windows.
     */
   def scrubSpans(df: DataFrame, text: String, id: String,
+      n: Int = 20): DataFrame =
+    scrubApply(df, text, id, n, nonCanonicalWindows(df, text, id, n))
+
+  /** Detection half of [[scrubSpans]], exposed separately: every
+    * duplicated window EXCEPT each gram's canonical occurrence (the
+    * lexicographically first (doc, win_start)). The streaming twin
+    * ([[graft.streaming.StreamingDedup.spanScrubDecisions]]) produces
+    * the same (id, win_start) drop set incrementally; both feed
+    * [[scrubApply]].
+    */
+  def nonCanonicalWindows(df: DataFrame, text: String, id: String,
       n: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCanon = Window.partitionBy(col("gram"))
       .orderBy(col(id), col("win_start"))
-    val nonCanon = dupSpanWindows(df, text, id, n)
+    dupSpanWindows(df, text, id, n)
       .withColumn("__rn", row_number().over(wCanon))
       .filter(col("__rn") > 1)
+      .select(col(id), col("win_start"))
+  }
+
+  /** Apply half of [[scrubSpans]]: given the non-canonical window set
+    * (id, win_start) from any detector — the batch window rank or the
+    * streaming first-arrival state — scrub the covered tokens and
+    * re-assemble each document.
+    */
+  def scrubApply(df: DataFrame, text: String, id: String,
+      n: Int, nonCanon: DataFrame): DataFrame = {
     val covered = nonCanon
       .select(col(id), explode(expr(
         s"sequence(win_start, win_start + ${n - 1})")).as("pos"))

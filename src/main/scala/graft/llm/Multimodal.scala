@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for uncompressed 24-bit BMP (`decodeBmp` — a
   * structured-bytes parser, no codec library involved: header, BGR
-  * order, bottom-up rows, 4-byte row padding, top-down variant), as
-  * are `resizeNearest` and the channel statistics; [[decode]]
-  * dispatches on the BM magic and falls back to [[stubDecode]] for
-  * formats whose codecs genuinely don't exist in this environment
-  * (JPEG/PNG/audio/video — that boundary is the documented `???`
+  * order, bottom-up rows, 4-byte row padding, top-down variant) and
+  * for compressed PNG / baseline JPEG ([[decodeCompressed]], the
+  * JDK's built-in `javax.imageio` codecs — pure JVM, present in this
+  * environment), as are `resizeNearest` and the channel statistics;
+  * [[decode]] dispatches on the container magic and falls back to
+  * [[stubDecode]] for formats whose codecs genuinely don't exist
+  * here (audio/video — that boundary is the documented `???`
   * replacement point).
   */
 object Multimodal {
@@ -92,6 +94,46 @@ object Multimodal {
     Some(DecodedImage(width, height, px))
   }
 
+  /** Encode a raster as PNG via the JDK's built-in `javax.imageio`
+    * codec (pure JVM, no native library) — a REAL compressed image
+    * format. PNG is lossless, so decode∘encode returns the exact
+    * pixels; the byte LENGTH of the compressed stream is
+    * encoder-version-dependent and deliberately not part of any
+    * oracled output.
+    */
+  def encodePng(img: DecodedImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, img.width, img.height, img.pixels, 0, img.width)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode a compressed image (PNG or baseline JPEG) with the JDK's
+    * `javax.imageio` readers. Dispatches on the container magic and
+    * returns None for anything else — same contract as [[decodeBmp]].
+    */
+  def decodeCompressed(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 4) return None
+    val isPng = (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    if (!isPng && !isJpeg) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Int](w * h)
+      img.getRGB(0, 0, w, h, px, 0, w)
+      var i = 0
+      while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+      Some(DecodedImage(w, h, px))
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Nearest-neighbor resize: dst (x, y) reads src
     * (x*srcW/dstW, y*srcH/dstH) — integer math, deterministic.
     */
@@ -114,11 +156,12 @@ object Multimodal {
     (r / n, g / n, b / n)
   }
 
-  /** Dispatching decode: real parser for formats this environment can
-    * genuinely decode (BMP), deterministic stub features otherwise.
+  /** Dispatching decode: real parsers for formats this environment can
+    * genuinely decode (BMP structured-bytes; PNG/JPEG via
+    * `javax.imageio`), deterministic stub features otherwise.
     */
   def decode(bytes: Array[Byte]): Array[Double] =
-    decodeBmp(bytes) match {
+    decodeBmp(bytes).orElse(decodeCompressed(bytes)) match {
       case Some(img) =>
         val (r, g, b) = channelMeans(img)
         Array(img.width.toDouble, img.height.toDouble, r, g, b)
@@ -227,6 +270,43 @@ object Multimodal {
       (docId, bmp.length.toLong, r, g, b, rr, ok)
     }.toDF("doc_id", "n_bytes", "mean_r", "mean_g", "mean_b",
       "rs_mean_r", "roundtrip_ok")
+  }
+
+  /** [[bmpPipeline]]'s twin over a REAL COMPRESSED payload: the same
+    * codepoint-derived 8×8 raster is encoded to actual PNG bytes
+    * ([[encodePng]] — zlib-compressed, real IHDR/IDAT chunks), decoded
+    * back through the `javax.imageio` codec ([[decodeCompressed]]),
+    * then resized. PNG is lossless, so every decoded pixel — and thus
+    * every k/64 dyadic channel mean — is bit-exact against the oracle
+    * recomputing from the codepoints; the encoder-version-dependent
+    * compressed byte length is intentionally NOT an output column
+    * (the one non-deterministic quantity). `roundtrip_ok` asserts
+    * decode∘encode identity per row, plus that the stream really is
+    * compressed PNG (magic bytes present, not raw).
+    */
+  def pngPipeline(df: DataFrame, text: String, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 192).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val v = Array.tabulate(192)(j =>
+        if (j < cps.length) cps(j) % 256 else 0)
+      val pixels = Array.tabulate(64)(i =>
+        (v(3 * i) << 16) | (v(3 * i + 1) << 8) | v(3 * i + 2))
+      val png = encodePng(DecodedImage(8, 8, pixels))
+      val dec = decodeCompressed(png).get
+      val (r, g, b) = channelMeans(dec)
+      val (rr, _, _) = channelMeans(resizeNearest(dec, 4, 4))
+      val ok = (png(0) & 0xff) == 0x89 && png(1) == 'P' &&
+        dec.width == 8 && dec.height == 8 &&
+        java.util.Arrays.equals(dec.pixels, pixels)
+      (docId, r, g, b, rr, ok)
+    }.toDF("doc_id", "mean_r", "mean_g", "mean_b", "rs_mean_r",
+      "roundtrip_ok")
   }
 
   /** Frame/sample selection analogue: deterministic stride sampling —

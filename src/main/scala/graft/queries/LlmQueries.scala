@@ -419,6 +419,13 @@ object LlmQueries {
       Dedup.scrubSpans(t(s, d, "documents"), "text", "doc_id", n = 20)
         .orderBy("doc_id")
     }),
+    // maximal duplicated runs: overlapping/adjacent dup windows merged
+    // into arbitrary-length intervals (the ExactSubstr longest-dup
+    // shape) — a 300-token repeated block is ONE run, not 281 windows
+    "span_runs" -> ((s, d) => {
+      Dedup.spanRuns(t(s, d, "documents"), "text", "doc_id", n = 20)
+        .orderBy("doc_id", "run_start")
+    }),
     // per-doc duplicated-span accounting: window count, interval-union
     // covered tokens (overlaps not double-counted), coverage ratio
     "span_dedup_stats" -> ((s, d) => {
@@ -528,6 +535,14 @@ object LlmQueries {
       Multimodal.bmpPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // the same raster through a REAL COMPRESSED codec: PNG encode →
+    // javax.imageio decode → resize. Lossless, so channel means stay
+    // bit-exact dyadic; the encoder-dependent byte length is the one
+    // quantity deliberately excluded from the output
+    "multimodal_codec" -> ((s, d) => {
+      Multimodal.pngPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -567,6 +582,28 @@ object LlmQueries {
         .select("doc_id", "rule_tokens", "rule_word_len",
           "rule_symbols", "rule_stopwords", "keep")
         .orderBy("doc_id")
+    }),
+    // the SQL-extension surface end to end: every graft_* function
+    // GraftExtensions registers, exercised through spark.sql over a
+    // path-scoped table (no temp view — keeps the shared Verify/Bench
+    // session clean), hash-matched against the same DuckDB poly-hash
+    // formulations the batch operators oracle against
+    "graft_sql" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      s.sql(
+        s"""SELECT doc_id,
+           |  graft_fingerprint(text) AS fp,
+           |  CAST(size(graft_shingle_hashes(text, 5)) AS BIGINT)
+           |    AS n_shingles,
+           |  CAST(size(graft_token_hashes(text)) AS BIGINT) AS n_tok,
+           |  element_at(graft_minhash(text), 1) AS mh_first,
+           |  element_at(graft_minhash(text), -1) AS mh_last,
+           |  graft_simhash(text) AS sh,
+           |  graft_text_stats(text).n_chars AS n_chars,
+           |  graft_text_stats(text).n_tokens AS n_tokens,
+           |  graft_text_stats(text).n_punct AS n_punct
+           |FROM parquet.`$d/documents.parquet`
+           |ORDER BY doc_id""".stripMargin)
     }))
 
   /** Deterministic contact-info augmentation shared VERBATIM with the
@@ -1537,6 +1574,30 @@ object LlmQueries {
          |SELECT doc_id, win_start, gram FROM sgrams
          |WHERE gram IN (SELECT gram FROM sdup)
          |ORDER BY doc_id, win_start""".stripMargin,
+    "span_runs" ->
+      s"""WITH $duckSpanChain,
+         |dw AS (
+         |  SELECT doc_id, win_start FROM sgrams
+         |  WHERE gram IN (SELECT gram FROM sdup)),
+         |m AS (
+         |  SELECT doc_id, win_start,
+         |    max(win_start + 20) OVER (PARTITION BY doc_id
+         |      ORDER BY win_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM dw),
+         |r AS (
+         |  SELECT doc_id, win_start,
+         |    sum(CASE WHEN pmax IS NULL OR win_start > pmax
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY win_start) AS run_id
+         |  FROM m)
+         |SELECT doc_id,
+         |  min(win_start) AS run_start,
+         |  max(win_start) + 19 AS run_end,
+         |  max(win_start) + 20 - min(win_start) AS run_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM r GROUP BY doc_id, run_id
+         |ORDER BY doc_id, run_start""".stripMargin,
     "span_scrub" ->
       s"""WITH $duckSpanChain,
          |dupw AS (
@@ -1846,6 +1907,25 @@ object LlmQueries {
         |    / 16 AS rs_mean_r,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
+    "multimodal_codec" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(range(0, 192), j ->
+        |    CASE WHEN j + 1 <= length(text)
+        |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |    ELSE 0 END) AS v
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 1] AS DOUBLE))) / 64 AS mean_r,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 2] AS DOUBLE))) / 64 AS mean_g,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 3] AS DOUBLE))) / 64 AS mean_b,
+        |  list_sum(list_transform(range(0, 16),
+        |    i -> CAST(v[3*(16*(i // 4) + 2*(i % 4)) + 1] AS DOUBLE)))
+        |    / 16 AS rs_mean_r,
+        |  TRUE AS roundtrip_ok
+        |FROM b ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (
          |  SELECT doc_id, $piiAugmentSql AS aug FROM documents)
@@ -1908,5 +1988,25 @@ object LlmQueries {
          |  (swr >= 0.0) AS rule_stopwords,
          |  ((nt >= 40 AND nt <= 1000) AND (awl >= 2.0 AND awl <= 12.0)
          |    AND sym <= 0.1 AND swr >= 0.0) AS keep
-         |FROM st ORDER BY doc_id""".stripMargin)
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "graft_sql" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    ${duckHashes(duckShingles)} AS hashes
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, text, hashes, ${duckSig("hashes")} AS sig
+         |  FROM h)
+         |SELECT doc_id,
+         |  ${duckPolyHash("text")} AS fp,
+         |  CAST(len(hashes) AS BIGINT) AS n_shingles,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |  sig[1] AS mh_first,
+         |  sig[len(sig)] AS mh_last,
+         |  $duckSimhash AS sh,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST($duckNTokens AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+         |    AS BIGINT) AS n_punct
+         |FROM s ORDER BY doc_id""".stripMargin)
 }

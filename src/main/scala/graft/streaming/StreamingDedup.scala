@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.llm.{Dedup, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming exact dedup by CONTENT hash with watermark-bounded state
   * — the shape an unbounded document firehose needs.
@@ -61,6 +62,58 @@ object StreamingDedup {
   def spanGramStage(docs: DataFrame, text: String, id: String,
       n: Int = 20): DataFrame =
     Dedup.spanGrams(docs, text, id, n)
+
+  /** One span-gram window routed through the stateful keep/drop
+    * decision. */
+  case class SpanGramRow(doc_id: Long, win_start: Long, gram: Long)
+
+  /** [[SpanGramRow]] plus the decision: keep=true iff this window is
+    * its gram's canonical (first-seen) occurrence. */
+  case class SpanGramDecision(doc_id: Long, win_start: Long,
+      gram: Long, keep: Boolean)
+
+  /** The STATEFUL back half of streaming span-level dedup: "first
+    * occurrence wins across micro-batches". Consumes the stateless
+    * [[spanGramStage]] stream and decides, per window, keep (first
+    * time this gram is seen — its canonical occurrence) or drop
+    * (gram already seen in this or any earlier micro-batch). Within
+    * one micro-batch the tiebreak is the batch rule: lexicographically
+    * first (doc_id, win_start). When documents arrive in doc-id order
+    * the decisions equal the batch [[graft.llm.Dedup.nonCanonicalWindows]]
+    * exactly (spec-pinned), and feeding the drop set to
+    * [[graft.llm.Dedup.scrubApply]] reproduces `scrubSpans`
+    * bit-for-bit.
+    *
+    * State is ONE boolean per distinct gram ever seen —
+    * `flatMapGroupsWithState` keyed on the 64-bit gram, no timeout
+    * here because the batch-parity contract is all-time. An unbounded
+    * deployment bounds it the usual way (event-time timeout evicting
+    * grams idle past the dedup horizon — the same trade
+    * [[dedupByContent]] makes with its watermark).
+    */
+  def spanScrubDecisions(grams: DataFrame)
+      : Dataset[SpanGramDecision] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    grams
+      .selectExpr("CAST(doc_id AS LONG) AS doc_id",
+        "CAST(win_start AS LONG) AS win_start", "gram")
+      .as[SpanGramRow]
+      .groupByKey(_.gram)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (gram: Long, rows: Iterator[SpanGramRow],
+            state: GroupState[Boolean]) => {
+          val seen = state.exists && state.get
+          state.update(true)
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.doc_id, r.win_start))
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            SpanGramDecision(r.doc_id, r.win_start, gram,
+              keep = !seen && i == 0)
+          }
+        })
+  }
 
   /** Streaming dedup against a STANDING batch corpus: each microbatch
     * anti-joins the (static, broadcastable) corpus fingerprint set —

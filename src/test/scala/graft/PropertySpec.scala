@@ -132,6 +132,101 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("array form equals the typed kernel on 130 randomized " +
+      "sparse/gappy/all-zero/single-week series") {
+    // the wide equivalence guard for refactors of either side: the
+    // relational array-expression pipeline (e2eSliceFrom) and the
+    // typed kernel (Kernel.run, J3-only, oracleCompat float path)
+    // must produce IDENTICAL results — same surviving series, same
+    // forecasts, same inventory — across every edge class the gates
+    // and winsorizer branch on: dense long series, ~10%-density gappy
+    // series, all-zero units (total gate drops), single-observation
+    // series (span gate drops), constants (zero variance), and
+    // two-point bursts (npos <= 5 skips winsorize).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cfg = PipelineConfig(useTrendSeasonal = false,
+      useHoltWinters = false, oracleCompat = true)
+    val base = java.time.LocalDate.of(2023, 1, 2)
+    // test-local generator: the class-level rnd's state depends on
+    // which other tests ran first — this test must generate the same
+    // 130 series under `testOnly -z` and a full suite run alike
+    val rnd = new Random(20260813)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      base.plusDays(day.toLong).atStartOfDay)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, java.sql.Timestamp, Double)]
+    var sid = 0
+    def series(cls: String)(gen: => Seq[(Int, Double)]): Unit = {
+      val sku = s"$cls$sid"; sid += 1
+      val store = s"st${sid % 2}"
+      gen.foreach { case (d, u) => rows += ((sku, store, ts(d), u)) }
+    }
+    (1 to 40).foreach(_ => series("dense") {
+      (0 until 120).filter(_ => rnd.nextDouble() < 0.7)
+        .map(w => (w * 7 + rnd.nextInt(7), rnd.nextInt(15).toDouble))
+    })
+    (1 to 40).foreach(_ => series("gappy") {
+      (0 until 110).filter(_ => rnd.nextDouble() < 0.12)
+        .map(w => (w * 7 + rnd.nextInt(7),
+          (1 + rnd.nextInt(20)).toDouble))
+    })
+    (1 to 15).foreach(_ => series("zero") {
+      (0 until 30).map(w => (w * 7, 0.0))
+    })
+    (1 to 15).foreach(_ => series("single") {
+      Seq((rnd.nextInt(100), (1 + rnd.nextInt(30)).toDouble))
+    })
+    (1 to 10).foreach(_ => series("const") {
+      (0 until 40).map(w => (w * 7, 5.0))
+    })
+    (1 to 10).foreach(_ => series("burst") {
+      Seq((0, 50.0), (7 + rnd.nextInt(200), 50.0))
+    })
+    assert(sid === 130)
+    val sales = rows.toSeq.toDF("sku", "store", "ts", "units")
+    val cols = Seq("sku", "store", "mape", "forecast", "test",
+      "safety_stock", "reorder_point", "qty_to_order")
+    def keyed(raw: Array[org.apache.spark.sql.Row]) = raw.map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getSeq[Double](3), r.getSeq[Double](4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    val arrayForm = keyed(graft.queries.PipelineQueries
+      .e2eSliceFrom(sales, cfg)
+      .select(cols.head, cols.tail: _*).collect())
+    val kernelForm = keyed(Kernel.run(sales, cfg)
+      .drop("runtime_sec")
+      .withColumn("forecast", expr("transform(forecast, x -> round(x, 6))"))
+      .withColumn("test", expr("transform(test, x -> round(x, 6))"))
+      .withColumn("mape", round(col("mape"), 3))
+      .withColumn("safety_stock", col("safety_stock").cast("long"))
+      .withColumn("reorder_point", col("reorder_point").cast("long"))
+      .withColumn("qty_to_order", col("qty_to_order").cast("long"))
+      .select(cols.head, cols.tail: _*).collect())
+    assert(arrayForm.keySet === kernelForm.keySet)
+    arrayForm.foreach { case (k, (am, afc, atst, ass, arop, aqty)) =>
+      val (km, kfc, ktst, kss, krop, kqty) = kernelForm(k)
+      // forecasts, winsorized test slices and inventory ints must be
+      // bit/value identical; mape may differ in the LAST 3dp digit
+      // only when the unrounded value lands on a .0005 tie — the
+      // kernel's oracleCompat 12dp HALF_EVEN pre-round absorbs fold
+      // ulps there while the relational form rounds the raw double
+      // (each matches its own DuckDB oracle; PipelineConfig doc)
+      assert((afc, atst, ass, arop, aqty) === ((kfc, ktst, kss, krop,
+        kqty)), s"series $k")
+      assert(math.abs(am - km) <= 0.0011, s"mape of $k: $am vs $km")
+    }
+    // the gates must have kept the dense/gappy bulk and dropped the
+    // all-zero (total gate) and single-week (span gate) classes
+    val kept = arrayForm.keySet.map(_._1)
+    assert(kept.count(_.startsWith("dense")) === 40)
+    assert(!kept.exists(_.startsWith("zero")))
+    assert(!kept.exists(_.startsWith("single")))
+    assert(arrayForm.size >= 50)
+  }
+
   test("packSequences conserves the token stream per shard") {
     import graft.llm.TextAnalysis
     import org.apache.spark.sql.functions._

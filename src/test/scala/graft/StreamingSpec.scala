@@ -479,4 +479,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("a") === ((2L, 3.0)))
     assert(out("b") === ((1L, 5.0)))
   }
+
+  test("streaming span-scrub: first-occurrence-wins decisions equal " +
+      "batch scrubSpans across 3 micro-batches") {
+    import graft.llm.Dedup
+    import graft.streaming.StreamingDedup
+    // an 8-token span shared by four documents → 4 duplicated 5-token
+    // windows per copy; doc 1 is canonical (in-batch doc-id tiebreak
+    // vs doc 2), docs 4 and 5 arrive in LATER micro-batches (carried
+    // gram state decides the drop)
+    val s = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Map(
+      1L -> (s + " one two three four five"),
+      2L -> ("pre1 pre2 " + s),
+      3L -> "solo words only here never repeated anywhere at all",
+      4L -> s,
+      5L -> ("six seven " + s))
+    val dir = java.nio.file.Files.createTempDirectory("span_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("span_ck").toString
+    def write(ids: Long*): Unit =
+      ids.map(i => (i, docs(i))).toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    write(1L, 2L)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.spanScrubDecisions(
+        StreamingDedup.spanGramStage(stream, "text", "doc_id", n = 5))
+      .writeStream.format("memory").queryName("span_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    write(3L, 4L)
+    q.processAllAvailable()
+    write(5L)
+    q.processAllAvailable()
+    q.stop()
+    val decisions = spark.table("span_out")
+    val streamedDrop = decisions.filter(!col("keep"))
+      .select("doc_id", "win_start")
+    val static = docs.toSeq.map { case (i, t) => (i, t) }
+      .toDF("doc_id", "text")
+    // decision parity: the streamed drop set IS the batch rank>1 set
+    val batchDrop = Dedup.nonCanonicalWindows(static, "text", "doc_id",
+      n = 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(streamedDrop) === pairs(batchDrop))
+    assert(pairs(streamedDrop).nonEmpty) // non-vacuous: spans did dup
+    // exactly one keeper per gram, and it is the first-seen window
+    val keepersPerGram = decisions.filter(col("keep"))
+      .groupBy("gram").count().collect().map(_.getLong(1)).toSet
+    assert(keepersPerGram === Set(1L))
+    // end-to-end parity: feeding the streamed drop set to the batch
+    // apply half reproduces scrubSpans bit-for-bit
+    val viaStream = Dedup.scrubApply(static, "text", "doc_id", 5,
+        streamedDrop)
+      .orderBy("doc_id").collect().toSeq
+    val direct = Dedup.scrubSpans(static, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaStream === direct)
+  }
 }
