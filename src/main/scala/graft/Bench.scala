@@ -70,6 +70,10 @@ object Bench {
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       } else s.head
     }
+    // names that ERRORED (vs merely never reached before the deadline
+    // — the stdout line reports those separately as "unmeasured" so a
+    // clipped run is not misread as a crashing one)
+    val errored = scala.collection.mutable.Set.empty[String]
     def runPass(): Map[String, Double] =
       queries.iterator.takeWhile(_ => elapsedSec < deadline)
         .flatMap { case (name, fn) =>
@@ -82,6 +86,7 @@ object Bench {
             Some(name -> (System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            errored += name
             None
           }
         }.toMap
@@ -124,7 +129,9 @@ object Bench {
       val xs = samples.flatMap(_.get(name))
       if (xs.nonEmpty) Some(name -> stat(xs)) else None
     }
-    val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
+    val noSample = queries.map(_._1).filterNot(results.map(_._1).toSet)
+    val failed = noSample.filter(errored)
+    val unmeasured = noSample.filterNot(errored)
     // fine decimals under 10 s, coarse at/above (big values need less
     // relative precision); optionally keep only the slowest `cap`
     def mediansJson(fine: Int, coarse: Int,
@@ -144,9 +151,11 @@ object Bench {
     // past it every round (r2–r5 "parsed": null). The one-line summary
     // must stay < ~1900 chars.
     val total = results.map(_._2).sum
-    val failedJson =
-      if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    def names(key: String, xs: Seq[String]): String =
+      if (xs.isEmpty) ""
+      else xs.map("\"" + _ + "\"").mkString(s""","$key":[""", ",", "]")
+    val failedJson = names("failed", failed) +
+      names("unmeasured", unmeasured)
     spark.stop()
     // Printed LAST (after spark.stop()) so only sbt's one [success]
     // line can follow it inside the driver's stdout tail. The tail is

@@ -285,6 +285,26 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Semantic near-dup CLUSTERING over embeddings: transitive closure
+    * of the LSH-bucketed cosine similarity graph. Where
+    * [[dedupByCosine]] greedily drops the higher id of each similar
+    * pair, this labels every vector with the minimum id reachable
+    * through sim >= minSim relations — so a chain A~B~C (A not
+    * directly similar to C) lands in ONE cluster and a keep-one-per-
+    * cluster policy sees it whole, matching the text-side
+    * [[Dedup.dedupClusters]] semantics on the embedding side.
+    * Scale shape: edges come from the bucketed sim-join (never
+    * all-pairs; `maxBucket` caps hot buckets), and the component
+    * labeling is the shared pointer-jumping loop — O(log diameter)
+    * rounds over an edge list orders of magnitude below corpus size.
+    */
+  def embedClusters(df: DataFrame, id: String, vec: String,
+      planes: Int = 8, minSim: Double = 0.0): DataFrame = {
+    val edges = lshSimilarityJoin(df, id, vec, planes, minSim)
+      .select(col("id1"), col("id2"))
+    Dedup.connectedComponents(edges, df.select(col(id)), id)
+  }
+
   // ---- Product quantization (PQ) ----------------------------------
   // The fourth ANN family member next to brute-force, LSH, and IVF:
   // split each vector into `m` subspaces, k-means each subspace

@@ -77,6 +77,14 @@ object LlmQueries {
         "embedding", planes = 6, minSim = 0.35)
         .orderBy("vec_id")
     }),
+    // transitive-closure clustering of the same similarity graph: the
+    // embedding-side twin of dedup_clusters (chains land in ONE
+    // cluster; min reachable id labels the component)
+    "embed_clusters" -> ((s, d) => {
+      Similarity.embedClusters(t(s, d, "embeddings"), "vec_id",
+        "embedding", planes = 6, minSim = 0.35)
+        .orderBy("vec_id")
+    }),
     "embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1042,6 +1050,33 @@ object LlmQueries {
          |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35)
          |SELECT e.vec_id FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY e.vec_id""".stripMargin,
+    "embed_clusters" ->
+      s"""WITH RECURSIVE v0 AS (
+         |  SELECT vec_id, $duckVec AS vec,
+         |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT v0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM v0)
+         |  WHERE rn <= 4096),
+         |edges AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM v a JOIN v b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+         |        UNION ALL SELECT id2, id1 FROM edges),
+         |walk AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         |labels AS (
+         |  SELECT a AS vec_id, least(a, min(b)) AS cluster
+         |  FROM walk GROUP BY a)
+         |SELECT e.vec_id, coalesce(l.cluster, e.vec_id) AS cluster
+         |FROM embeddings e LEFT JOIN labels l USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin,
     "embed_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),

@@ -908,4 +908,79 @@ class LlmSpec extends AnyFunSuite {
     assert(out("big")._1 === 470L)
     assert(math.abs(out("big")._2 - 470.0) / 470.0 < 0.25)
   }
+
+  test("spanRuns merges overlapping windows into one maximal run") {
+    // docs 1 and 2 share a 9-token block -> five overlapping 5-token
+    // dup windows each, which must merge into ONE run of 9 tokens;
+    // doc 3 shares nothing
+    val block = "a b c d e f g h i"
+    val df = Seq(
+      (1L, block + " unique1 tail1 here1 now1"),
+      (2L, "pre grams go first then " + block),
+      (3L, "totally different words never repeated anywhere else ok"))
+      .toDF("doc_id", "text")
+    val runs = Dedup.spanRuns(df, "text", "doc_id", n = 5)
+      .orderBy("doc_id", "run_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc 1: block at positions 1-9 -> run [1, 9], 5 windows
+    // doc 2: block at positions 6-14 -> run [6, 14], 5 windows
+    assert(runs.toSeq === Seq((1L, 1L, 9L, 9L, 5L),
+      (2L, 6L, 14L, 9L, 5L)))
+  }
+
+  test("spanRuns keeps disjoint duplicated blocks as separate runs") {
+    val b1 = "a b c d e"
+    val b2 = "v w x y z"
+    val df = Seq(
+      (1L, b1 + " mid1 mid2 mid3 " + b2),   // two blocks, 3-token gap
+      (2L, b1 + " other words entirely " + b2))
+      .toDF("doc_id", "text")
+    val runs = Dedup.spanRuns(df, "text", "doc_id", n = 5)
+      .orderBy("doc_id", "run_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // each doc: run at 1 (5 tokens) and run at 9 (5 tokens) — the
+    // 3-token gap means the windows cannot merge
+    assert(runs.toSeq === Seq((1L, 1L, 5L), (1L, 9L, 5L),
+      (2L, 1L, 5L), (2L, 9L, 5L)))
+  }
+
+  test("PNG codec: real compressed round-trip, magic, decode dispatch") {
+    import graft.llm.Multimodal._
+    val px = Array.tabulate(64)(i => (i * 4 << 16) | (255 - i) << 8 | i)
+    val img = DecodedImage(8, 8, px)
+    val png = encodePng(img)
+    // real PNG container: magic + IHDR, and actually compressed
+    // structure (not our BMP, not raw pixels)
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P' &&
+      png(2) === 'N' && png(3) === 'G')
+    val dec = decodeCompressed(png)
+    assert(dec.isDefined)
+    assert(dec.get.width === 8 && dec.get.height === 8)
+    assert(dec.get.pixels.toSeq === px.toSeq) // lossless
+    // dispatcher routes PNG through the imageio path
+    assert(decode(png).toSeq ===
+      Seq(8.0, 8.0, channelMeans(img)._1, channelMeans(img)._2,
+        channelMeans(img)._3))
+    // non-image bytes fall through to the stub, and BMP still wins
+    assert(decodeCompressed("not an image".getBytes).isEmpty)
+    assert(decodeBmp(encodeBmp(img)).get.pixels.toSeq === px.toSeq)
+  }
+
+  test("embedClusters: chain lands in one cluster, singleton labels itself") {
+    // vectors: a~b similar, b~c similar, a!~c (chain) — all in one
+    // LSH bucket by construction (identical direction signs); d is far
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat).toArray
+    val df = Seq(
+      (1L, v(1.0, 0.0)), (2L, v(1.0, 0.6)), (3L, v(0.4, 1.0)),
+      (10L, v(-1.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedClusters(df, "vec_id", "embedding",
+        planes = 4, minSim = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cos(1,2)=.857, cos(2,3)=.762, cos(1,3)=.371 -> one chain cluster
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(10L) === 10L) // dissimilar: singleton, labels itself
+  }
 }
