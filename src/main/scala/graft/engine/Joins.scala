@@ -141,6 +141,36 @@ object Joins {
     closed.unionByName(inserts)
   }
 
+  /** SCD-2 point-in-time LOOKUP, the read side of [[scd2Apply]]: join
+    * each fact row to the dimension version that was valid at the
+    * fact's own timestamp — key equality plus the validity-range
+    * predicate `valid_from <= ts AND (valid_to IS NULL OR
+    * ts < valid_to)`. Returns the fact key/ts plus the history
+    * payload columns as of that instant; facts predating the key's
+    * first version (or with no history at all) keep nulls.
+    *
+    * Scale shape: this is an EQUI-join on the key (the range
+    * predicate rides along as a join-time filter), so it shuffles or
+    * broadcasts exactly like any key join — never an interval-only
+    * cross. Keys carry few versions each, so the per-key match
+    * amplification is the version count, not the corpus.
+    */
+  def scd2Lookup(history: DataFrame, facts: DataFrame, key: String,
+      ts: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val payload = history.columns
+      .filterNot(c => c == key || c == validFrom || c == validTo)
+    val h = history.select(
+      col(key).as("__hk") +: (payload :+ validFrom :+ validTo)
+        .map(col): _*)
+    facts.join(h,
+        facts(key) === h("__hk") &&
+          h(validFrom) <= facts(ts) &&
+          (h(validTo).isNull || facts(ts) < h(validTo)),
+        "left")
+      .drop("__hk", validTo)
+  }
+
   def mergeUpsert(base: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(base.columns.sameElements(updates.columns),

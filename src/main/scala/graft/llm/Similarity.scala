@@ -445,4 +445,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "adist", "rank")
   }
+
+  /** Two-stage ANN serving path: PQ/ADC shortlist → EXACT re-rank.
+    * Stage 1 scores the whole corpus by quantized distance and keeps
+    * a `shortlist`-sized candidate set per query ([[pqTopK]] — the
+    * corpus is never shuffled, codes score in place); stage 2 fetches
+    * only the shortlist's full vectors (a key join, `shortlist` ×
+    * queries rows) and re-ranks by exact cosine, returning the final
+    * `k`. This is the standard recall-repair architecture: the cheap
+    * quantized scan bounds the candidate set, the exact pass fixes
+    * its ranking errors, and full vectors are touched for a
+    * vanishing fraction of the corpus.
+    */
+  def pqRerank(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, centroids: DataFrame, m: Int, subDim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val short = pqTopK(corpus, queries, id, vec, centroids, m, subDim,
+        shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val cv = corpus.select(col(id).as("cand_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__cv"))
+    val qv = queries.select(col(id).as("query_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
+    val scored = short
+      .join(cv, Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("sim", round(expr(
+        s"""${dot("__qv", "__cv")} /
+            (sqrt(${dot("__qv", "__qv")}) * sqrt(${dot("__cv", "__cv")}))"""),
+        6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
 }

@@ -339,6 +339,31 @@ object CoreQueries {
       Joins.scd2Apply(hist, upd, "o_orderkey", "ts")
         .orderBy("o_orderkey", "valid_from")
     }),
+    // SCD-2 point-in-time lookup, the read side: each fact joins the
+    // dimension version valid at the fact's own timestamp (key
+    // equi-join + validity-range predicate). Lookups at +15 days hit
+    // the original version, +45 days the post-update one
+    "scd2_lookup" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val hist = Joins.scd2Apply(
+        orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to")),
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+            (col("o_totalprice") + 5.0).as("o_totalprice"),
+            expr("o_orderdate + INTERVAL 30 DAY").as("ts")),
+        "o_orderkey", "ts")
+      val facts = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          expr("""o_orderdate + CASE WHEN o_orderkey % 2 = 0
+                  THEN INTERVAL 15 DAY ELSE INTERVAL 45 DAY END""")
+            .as("fact_ts"))
+      Joins.scd2Lookup(hist, facts, "o_orderkey", "fact_ts")
+        .select("o_orderkey", "fact_ts", "o_orderstatus",
+          "o_totalprice", "valid_from")
+        .orderBy("o_orderkey", "fact_ts")
+    }),
     // Hive-style partitioned sink + pruned read-back: the filter on
     // the partition key becomes a directory skip (PartitionFilters),
     // the first scan-reduction lever at 100 TB
@@ -1208,6 +1233,39 @@ object CoreQueries {
         |  ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
         |FROM u
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "scd2_lookup" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, 'C' AS o_orderstatus,
+        |    o_totalprice + 5.0 AS o_totalprice,
+        |    o_orderdate + INTERVAL 30 DAY AS ts
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |scd AS (
+        |  SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice,
+        |    h.valid_from,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.ts
+        |         ELSE NULL END AS valid_to
+        |  FROM h LEFT JOIN u USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM u),
+        |f AS (
+        |  SELECT o_orderkey,
+        |    o_orderdate + CASE WHEN o_orderkey % 2 = 0
+        |      THEN INTERVAL 15 DAY ELSE INTERVAL 45 DAY END AS fact_ts
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT f.o_orderkey, f.fact_ts, s.o_orderstatus,
+        |  s.o_totalprice, s.valid_from
+        |FROM f LEFT JOIN scd s
+        |  ON s.o_orderkey = f.o_orderkey
+        | AND s.valid_from <= f.fact_ts
+        | AND (s.valid_to IS NULL OR f.fact_ts < s.valid_to)
+        |ORDER BY f.o_orderkey, f.fact_ts""".stripMargin,
     "partition_prune" ->
       """SELECT l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty,

@@ -166,6 +166,18 @@ object LlmQueries {
         "embedding", cents, m = 4, subDim = 16, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // two-stage ANN serving path: PQ/ADC shortlist (20) -> exact
+    // cosine re-rank (5). Full vectors are fetched only for the
+    // shortlist — the recall-repair architecture a production ANN
+    // deployment actually serves from
+    "pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 16, iters = 2)
+      Similarity.pqRerank(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", cents, m = 4, subDim = 16, shortlist = 20, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // ANN quality telemetry: recall@5 of the IVF index against the
     // brute-force ground truth, per query — the evaluation loop any
     // production ANN deployment runs on a sampled query set
@@ -1166,6 +1178,41 @@ object LlmQueries {
          |      ORDER BY adist ASC, cand_id ASC) AS BIGINT) AS rank
          |  FROM sc)
          |SELECT query_id, cand_id, adist, rank FROM rk
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "pq_rerank" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |${duckPqChain()},
+         |dt AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.cell,
+         |    ${duckSqDist("q.sv", "c.cvec", 16)} AS d
+         |  FROM sub q JOIN pc2 c ON q.j = c.j
+         |  WHERE q.vec_id < 8),
+         |sc AS (
+         |  SELECT dt.query_id, p.vec_id AS cand_id,
+         |    round(list_reduce(list(dt.d ORDER BY dt.j),
+         |      (acc, x) -> acc + x), 6) AS adist
+         |  FROM pa3 p JOIN dt ON p.j = dt.j AND p.cell = dt.cell
+         |  WHERE p.vec_id != dt.query_id
+         |  GROUP BY dt.query_id, p.vec_id),
+         |sl AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adist ASC, cand_id ASC) AS srk
+         |    FROM sc)
+         |  WHERE srk <= 20),
+         |ex AS (
+         |  SELECT s.query_id, s.cand_id,
+         |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |  FROM sl s
+         |  JOIN v a ON a.vec_id = s.query_id
+         |  JOIN v b ON b.vec_id = s.cand_id),
+         |rr AS (
+         |  SELECT query_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM ex)
+         |SELECT query_id, cand_id, sim, rank FROM rr
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),

@@ -216,6 +216,30 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(asOf.map(_.getString(1)).toSeq === Seq("cur"))
   }
 
+  test("scd2Lookup: each fact gets the version valid at its own ts") {
+    import graft.engine.Joins
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hist = Seq(
+      (1L, "old", ts("2024-01-01 00:00:00"),
+        Option(ts("2024-02-01 00:00:00"))),
+      (1L, "cur", ts("2024-02-01 00:00:00"), None),
+      (2L, "keep", ts("2024-01-15 00:00:00"), None))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, ts("2024-01-20 00:00:00")), // inside the closed version
+      (1L, ts("2024-02-01 00:00:00")), // boundary: valid_from inclusive
+      (1L, ts("2024-05-01 00:00:00")), // open version
+      (2L, ts("2024-01-01 00:00:00")), // before first version -> null
+      (7L, ts("2024-01-01 00:00:00"))) // no history at all -> null
+      .toDF("k", "fact_ts")
+    val out = Joins.scd2Lookup(hist, facts, "k", "fact_ts")
+      .orderBy("k", "fact_ts").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(out.toSeq === Seq(
+      (1L, Some("old")), (1L, Some("cur")), (1L, Some("cur")),
+      (2L, None), (7L, None)))
+  }
+
   test("writeZOrdered: per-file boxes stay narrow in BOTH dims; single-key sort does not") {
     import graft.engine.Ingest
     val dir = java.nio.file.Files.createTempDirectory("z_out").toString

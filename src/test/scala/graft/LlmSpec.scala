@@ -967,6 +967,39 @@ class LlmSpec extends AnyFunSuite {
     assert(decodeBmp(encodeBmp(img)).get.pixels.toSeq === px.toSeq)
   }
 
+  test("pqRerank: exhaustive shortlist reproduces brute-force exactly; " +
+      "final ranking is by exact cosine") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val cents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") < 3)
+    // shortlist = whole corpus -> stage 2 sees every candidate, so the
+    // final top-5 must equal the brute-force exact top-5 bit-for-bit
+    // (quantization can then only affect the shortlist, not the answer)
+    val rerank = Similarity.pqRerank(emb, q, "vec_id", "embedding",
+        cents, m = 4, subDim = 16, shortlist = n, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    assert(rerank.toSeq === brute.toSeq)
+    // and with a tight shortlist the output is still ranked by exact
+    // sim (descending), k rows per query
+    val tight = Similarity.pqRerank(emb, q, "vec_id", "embedding",
+        cents, m = 4, subDim = 16, shortlist = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    tight.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to 5L))
+      assert(byRank.map(_._2).toSeq ===
+        byRank.map(_._2).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
   test("embedClusters: chain lands in one cluster, singleton labels itself") {
     // vectors: a~b similar, b~c similar, a!~c (chain) — all in one
     // LSH bucket by construction (identical direction signs); d is far
