@@ -125,6 +125,53 @@ object Profile {
         sum(col(c).cast("decimal(18,2)")).cast("double").as("sum_v"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * slice of the same column — the standard drift monitor a data
+    * pipeline runs between snapshots (rule of thumb: PSI < 0.1
+    * stable, 0.1-0.25 shifting, > 0.25 drifted). Fixed equal-width
+    * bins over [lo, hi) (under/overflow clamp into the edge bins) so
+    * the binning is deterministic and engine-portable; per-bin
+    * PSI term = (p_cur − p_ref) · ln(p_cur / p_ref), with an `eps`
+    * floor on both proportions so empty bins contribute a finite
+    * term. Output: one row per bin (counts, proportions, term) plus
+    * the running total in `psi` on every row (scalar broadcast — the
+    * bin frame is `bins` rows).
+    * Scale shape: one conditional aggregate per side over a tagged
+    * union — ONE pass over each input, bin assignment row-local, no
+    * window, no join beyond the broadcast totals row.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int = 10,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val tagged = ref.select(col(c).cast("double").as("__x"),
+        lit(0).as("__side"))
+      .unionByName(cur.select(col(c).cast("double").as("__x"),
+        lit(1).as("__side")))
+    val width = (hi - lo) / bins
+    val binned = tagged.withColumn("bin",
+      least(greatest(floor((col("__x") - lo) / width), lit(0)),
+        lit(bins - 1)).cast("long"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(count_if(col("__side") === 0).as("n_ref"),
+        count_if(col("__side") === 1).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_ref", round(greatest(
+        col("n_ref") / col("__tr"), lit(eps)), 6))
+      .withColumn("p_cur", round(greatest(
+        col("n_cur") / col("__tc"), lit(eps)), 6))
+      .withColumn("psi_term", round(
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")),
+        6))
+      .withColumn("psi", round(sum(col("psi_term"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))), 6))
+      .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term",
+        "psi")
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")

@@ -78,6 +78,54 @@ object Retail {
           .otherwise("C"))
       .drop("prev_share")
 
+  /** Syntetos-Boylan demand classification: each item lands in one of
+    * the four forecastability quadrants from (ADI, CV²) — smooth
+    * (frequent, regular), intermittent (infrequent, regular), erratic
+    * (frequent, variable), lumpy (infrequent AND variable) — the
+    * standard routing signal for which forecast model to run (MA/ES
+    * for smooth, Croston/SBA for intermittent and lumpy). ADI = mean
+    * inter-demand interval in weeks ((last − first) / (n − 1) over
+    * demand weeks); CV² = (σ/μ)² of the NONZERO demand sizes
+    * (population σ); cutoffs 1.32 / 0.49 (Syntetos, Boylan &
+    * Croston 2005 — public literature constants). Items with one
+    * demand week have no interval: class "single", null ADI/CV².
+    * One map-side-combined aggregate per item over the SPARSE weekly
+    * frame (the dense grid is never built — zeros carry no
+    * information here), no window, no join: the cheapest possible
+    * shape at any scale.
+    */
+  def demandClass(weekly: DataFrame, key: String,
+      adiCut: Double = 1.32, cv2Cut: Double = 0.49): DataFrame =
+    weekly.filter(col("units") > 0)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("__n"),
+        min(col("week")).as("__w0"),
+        max(col("week")).as("__w1"),
+        // integral moments, not avg/stddev_pop: weekly units are
+        // integral-valued doubles, so n, Σx, Σx² are EXACT and the
+        // closed form below is bit-identical in any engine — builtin
+        // stddev_pop implementations differ in the last ulp, which
+        // flips a 6dp rounding boundary (same trick as demandAnomaly)
+        sum(col("units")).as("__s1"),
+        sum(col("units") * col("units")).as("__s2"))
+      .withColumn("__mu", col("__s1") / col("__n"))
+      .withColumn("adi", when(col("__n") > 1,
+        round((datediff(col("__w1"), col("__w0")) / lit(7.0)) /
+          (col("__n") - 1), 6)))
+      .withColumn("cv2", when(col("__n") > 1,
+        round((col("__s2") / col("__n") - col("__mu") * col("__mu")) /
+          (col("__mu") * col("__mu")), 6)))
+      .withColumn("demand_class",
+        when(col("__n") === 1, "single")
+          .when(col("adi") < adiCut && col("cv2") < cv2Cut, "smooth")
+          .when(col("adi") >= adiCut && col("cv2") < cv2Cut,
+            "intermittent")
+          .when(col("adi") < adiCut, "erratic")
+          .otherwise("lumpy"))
+      .select(col(key), col("__n").as("n_demand_weeks"), col("adi"),
+        col("cv2"), col("demand_class"))
+
   /** Return rate per product group with a Wilson score interval —
     * the uncertainty-aware ranking that stops a 1-of-2-returned item
     * from outranking a 400-of-1000 one (a plain rate sort does

@@ -408,20 +408,19 @@ object Similarity {
     * window moves data, and rank-pushdown (WindowGroupLimit) bounds
     * it at k rows per query per partition.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, centroids: DataFrame, m: Int, subDim: Int,
-      k: Int): DataFrame = {
-    val qsub = subVectors(queries, id, vec, m, subDim)
+  /** Per-query ADC distance tables. The table is a subspace ->
+    * (cell -> distance) MAP, not a sorted array: an array lookup by
+    * `codes[j] + 1` silently misaligns whenever cell ids are sparse
+    * or not 0-based (externally-built centroids). Both map levels are
+    * tiny (m and k entries), so the linear-scan element_at costs m+k
+    * ops per subspace — noise next to the O(1) array read, and
+    * correct for any id space.
+    */
+  private def adcTables(queries: DataFrame, id: String, vec: String,
+      centroids: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVectors(queries, id, vec, m, subDim)
       .withColumnRenamed(id, "query_id")
-    // The ADC table is a subspace -> (cell -> distance) MAP, not a
-    // sorted array: an array lookup by `codes[j] + 1` silently
-    // misaligns whenever cell ids are sparse or not 0-based
-    // (externally-built centroids). Both map levels are tiny (m and k
-    // entries), so the linear-scan element_at costs m+k ops per
-    // subspace — noise next to the O(1) array read, and correct for
-    // any id space. The distance sum still iterates j = 1..m, so it
-    // stays in fixed subspace order (bit-reproducible).
-    val dtab = qsub.join(broadcast(centroids), Seq("subspace"))
+      .join(broadcast(centroids), Seq("subspace"))
       .withColumn("__d", expr(sqDistExpr("sv", "cvec")))
       .groupBy(col("query_id"), col("subspace"))
       .agg(expr(
@@ -431,6 +430,13 @@ object Similarity {
       .agg(expr(
         "map_from_entries(collect_list(struct(subspace, __row)))")
         .as("dtab"))
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, centroids: DataFrame, m: Int, subDim: Int,
+      k: Int): DataFrame = {
+    // The distance sum iterates j = 1..m, so it stays in fixed
+    // subspace order (bit-reproducible).
+    val dtab = adcTables(queries, id, vec, centroids, m, subDim)
     val codes = pqEncode(corpus, id, vec, centroids, m, subDim)
       .withColumnRenamed(id, "cand_id")
     val scored = codes.crossJoin(broadcast(dtab))
@@ -479,5 +485,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")
+  }
+
+  /** The composed IVF+PQ index (the classic FAISS `IVFx,PQy` shape):
+    * the coarse IVF level restricts each query to its `nprobe`
+    * nearest cells, and only the vectors IN those cells are scored —
+    * by quantized ADC distance over their stored codes, never their
+    * full vectors. Versus [[pqTopK]] (which ADC-scans the whole
+    * corpus) the candidate set shrinks by ~cells/nprobe; versus
+    * [[ivfTopK]] (exact cosine within probed cells) the per-candidate
+    * cost drops from a d-dim dot product to m map lookups. At 100 TB
+    * this is the only memory-feasible combination: codes are ~d/8
+    * bytes per vector and full vectors are never shuffled or fetched.
+    * Probe maps and ADC tables broadcast (queries × nprobe and
+    * queries × m × k — tiny); the corpus-side frame carries only
+    * (cell, codes).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, ivfCentroids: DataFrame, pqCentroids: DataFrame,
+      m: Int, subDim: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
+    val probes = q.crossJoin(broadcast(ivfCentroids))
+      .withColumn("__sim", cosineExpr("__qv", "cvec"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("cell").desc)
+    val probed = probes.withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val dtab = adcTables(queries, id, vec, pqCentroids, m, subDim)
+    val cands = ivfAssign(corpus, id, vec, ivfCentroids)
+      .join(pqEncode(corpus, id, vec, pqCentroids, m, subDim), Seq(id))
+      .select(col(id).as("cand_id"), col("cell"), col("codes"))
+    val scored = cands.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(dtab), Seq("query_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("adist", round(expr(
+        s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
+            acc + element_at(element_at(dtab, j - 1),
+                  element_at(codes, j)))"""), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "adist", "rank")
   }
 }

@@ -888,6 +888,28 @@ object CoreQueries {
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
     }),
+    // PSI distribution drift between two date slices of l_quantity:
+    // the snapshot-over-snapshot drift monitor (fixed equal-width
+    // bins, eps-floored proportions, per-bin terms + total)
+    "dist_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.psiDrift(
+        li.filter(col("l_shipdate") < "1998-07-01"),
+        li.filter(col("l_shipdate") >= "1998-07-01"),
+        "l_quantity", lo = 1.0, hi = 51.0, bins = 10)
+        .orderBy("bin")
+    }),
+    // Syntetos-Boylan forecastability quadrants from (ADI, CV²) —
+    // the routing signal for model choice (smooth -> MA/ES,
+    // intermittent/lumpy -> Croston/SBA). One aggregate over the
+    // sparse weekly frame, no window, no join
+    "demand_class" -> ((s, d) => {
+      Retail.demandClass(
+        Resample.weeklySparse(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_shipdate", "l_quantity"),
+        "l_partkey")
+        .orderBy("l_partkey")
+    }),
     // return rate per brand with Wilson interval: uncertainty-aware
     // ranking from one map-side-combined count aggregate
     "return_rate_ci" -> ((s, d) => {
@@ -1732,6 +1754,61 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "dist_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+        |         THEN 0 ELSE 1 END AS side
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(greatest(CAST(floor((x - 1.0) / 5.0) AS BIGINT),
+        |    0), 9) AS bin, side FROM t),
+        |c AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c),
+        |p AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    round(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6), 6)
+        |      AS p_ref,
+        |    round(greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6), 6)
+        |      AS p_cur
+        |  FROM c, tt),
+        |e AS (
+        |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+        |    round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        |  FROM p)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur, psi_term,
+        |  round(sum(psi_term) OVER (), 6) AS psi
+        |FROM e ORDER BY bin""".stripMargin,
+    "demand_class" ->
+      s"""WITH wk AS (${weeklyCte("l_partkey")}),
+        |st AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |    min(week) AS w0, max(week) AS w1,
+        |    sum(units) AS s1, sum(units * units) AS s2
+        |  FROM wk WHERE units > 0 GROUP BY 1),
+        |m AS (
+        |  SELECT l_partkey, n,
+        |    CASE WHEN n > 1 THEN
+        |      round((date_diff('day', w0, w1) / 7.0) / (n - 1), 6)
+        |    END AS adi,
+        |    CASE WHEN n > 1 THEN
+        |      round((s2 / n - (s1 / n) * (s1 / n))
+        |        / ((s1 / n) * (s1 / n)), 6)
+        |    END AS cv2
+        |  FROM st)
+        |SELECT l_partkey, CAST(n AS BIGINT) AS n_demand_weeks,
+        |  adi, cv2,
+        |  CASE WHEN n = 1 THEN 'single'
+        |       WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+        |       WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+        |       WHEN adi < 1.32 THEN 'erratic'
+        |       ELSE 'lumpy' END AS demand_class
+        |FROM m ORDER BY l_partkey""".stripMargin,
     "return_rate_ci" ->
       """WITH c AS (
         |  SELECT p_brand, count(*) AS n,

@@ -166,6 +166,20 @@ object LlmQueries {
         "embedding", cents, m = 4, subDim = 16, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // the composed FAISS-style IVF+PQ index: coarse cells restrict
+    // the candidate set (nprobe=2 of 16), quantized ADC scores it —
+    // full vectors never touched past encode time
+    "ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ivfCents = Similarity.seedCentroids(emb, "vec_id",
+        "embedding", 16)
+      val pqCents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 16, iters = 2)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", ivfCents, pqCents, m = 4, subDim = 16,
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // two-stage ANN serving path: PQ/ADC shortlist (20) -> exact
     // cosine re-rank (5). Full vectors are fetched only for the
     // shortlist — the recall-repair architecture a production ANN
@@ -1170,6 +1184,51 @@ object LlmQueries {
          |    round(list_reduce(list(dt.d ORDER BY dt.j),
          |      (acc, x) -> acc + x), 6) AS adist
          |  FROM pa3 p JOIN dt ON p.j = dt.j AND p.cell = dt.cell
+         |  WHERE p.vec_id != dt.query_id
+         |  GROUP BY dt.query_id, p.vec_id),
+         |rk AS (
+         |  SELECT query_id, cand_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT query_id, cand_id, adist, rank FROM rk
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ivfpq_topk" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |icent AS (SELECT CAST(vec_id AS BIGINT) AS icell, vec AS icv
+         |          FROM v WHERE vec_id < 16),
+         |${duckPqChain()},
+         |iassign AS (
+         |  SELECT vec_id, icell
+         |  FROM (SELECT v.vec_id, icent.icell, row_number() OVER
+         |          (PARTITION BY v.vec_id ORDER BY
+         |           ${duckCos("v.vec", "icent.icv")} DESC,
+         |           icent.icell DESC) rn
+         |        FROM v, icent)
+         |  WHERE rn = 1),
+         |iprobes AS (
+         |  SELECT query_id, icell
+         |  FROM (SELECT q.vec_id AS query_id, icent.icell,
+         |          row_number() OVER
+         |          (PARTITION BY q.vec_id ORDER BY
+         |           ${duckCos("q.vec", "icent.icv")} DESC,
+         |           icent.icell DESC) rn
+         |        FROM v q, icent WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |dt AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.cell,
+         |    ${duckSqDist("q.sv", "c.cvec", 16)} AS d
+         |  FROM sub q JOIN pc2 c ON q.j = c.j
+         |  WHERE q.vec_id < 8),
+         |sc AS (
+         |  SELECT dt.query_id, p.vec_id AS cand_id,
+         |    round(list_reduce(list(dt.d ORDER BY dt.j),
+         |      (acc, x) -> acc + x), 6) AS adist
+         |  FROM pa3 p
+         |  JOIN iassign a ON a.vec_id = p.vec_id
+         |  JOIN iprobes pr ON pr.icell = a.icell
+         |  JOIN dt ON p.j = dt.j AND p.cell = dt.cell
+         |         AND dt.query_id = pr.query_id
          |  WHERE p.vec_id != dt.query_id
          |  GROUP BY dt.query_id, p.vec_id),
          |rk AS (

@@ -1000,6 +1000,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: probing every cell degenerates to plain pqTopK") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val ivfCents = Similarity.seedCentroids(emb, "vec_id", "embedding",
+      8)
+    val pqCents = Similarity.pqCentroids(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 8, iters = 2)
+    // nprobe = all cells -> the IVF level filters nothing, so the
+    // composed index must equal the whole-corpus ADC scan exactly
+    val composed = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        ivfCents, pqCents, m = 4, subDim = 16, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    val plain = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+        pqCents, m = 4, subDim = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    assert(composed.toSeq === plain.toSeq)
+    // tight probing returns at most k ranked candidates per query,
+    // all from probed cells (subset of the plain scan's candidates)
+    val tight = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        ivfCents, pqCents, m = 4, subDim = 16, k = 5, nprobe = 1)
+      .collect()
+    assert(tight.groupBy(_.getLong(0)).values
+      .forall(_.length <= 5))
+  }
+
   test("embedClusters: chain lands in one cluster, singleton labels itself") {
     // vectors: a~b similar, b~c similar, a!~c (chain) — all in one
     // LSH bucket by construction (identical direction signs); d is far

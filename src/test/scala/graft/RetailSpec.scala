@@ -268,4 +268,50 @@ class RetailSpec extends AnyFunSuite {
     // item 3: never sold -> null cover, flagged for review
     assert(out(3L)._1.isEmpty && out(3L)._2)
   }
+
+  test("demandClass: the four Syntetos-Boylan quadrants + single") {
+    def wk(s: String) = java.sql.Date.valueOf(s)
+    // weekly Sundays; crafted (ADI, CV²) per item around the
+    // 1.32 / 0.49 cutoffs
+    val rows = Seq.newBuilder[(Long, java.sql.Date, Double)]
+    // item 1 smooth: every week (ADI 1), constant size (CV² 0)
+    (0 to 9).foreach(i => rows += ((1L,
+      wk(java.time.LocalDate.of(2024, 1, 7).plusWeeks(i).toString),
+      10.0)))
+    // item 2 intermittent: every 2nd week (ADI 2), constant size
+    (0 to 4).foreach(i => rows += ((2L,
+      wk(java.time.LocalDate.of(2024, 1, 7).plusWeeks(2 * i).toString),
+      10.0)))
+    // item 3 erratic: every week, sizes 1/19 alternating (CV² ≈ 0.81)
+    (0 to 9).foreach(i => rows += ((3L,
+      wk(java.time.LocalDate.of(2024, 1, 7).plusWeeks(i).toString),
+      if (i % 2 == 0) 1.0 else 19.0)))
+    // item 4 lumpy: every 2nd week, sizes 1/19
+    (0 to 4).foreach(i => rows += ((4L,
+      wk(java.time.LocalDate.of(2024, 1, 7).plusWeeks(2 * i).toString),
+      if (i % 2 == 0) 1.0 else 19.0)))
+    // item 5: one demand week
+    rows += ((5L, wk("2024-01-07"), 7.0))
+    val weekly = rows.result().toDF("l_partkey", "week", "units")
+    val out = Retail.demandClass(weekly, "l_partkey")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out === Map(1L -> "smooth", 2L -> "intermittent",
+      3L -> "erratic", 4L -> "lumpy", 5L -> "single"))
+  }
+
+  test("psiDrift: identical slices score ~0; a shifted slice scores high") {
+    import graft.engine.Profile
+    val ref = (1 to 1000).map(i => (i % 50) + 1.0).toDF("x")
+    val same = Profile.psiDrift(ref, ref, "x", lo = 1.0, hi = 51.0,
+      bins = 10).collect()
+    assert(same.length === 10)
+    assert(same.forall(_.getDouble(6) === 0.0)) // psi exactly 0
+    // current slice concentrated in the top half -> big PSI
+    val cur = (1 to 1000).map(i => (i % 25) + 26.0).toDF("x")
+    val drift = Profile.psiDrift(ref, cur, "x", lo = 1.0, hi = 51.0,
+      bins = 10).collect()
+    assert(drift.head.getDouble(6) > 0.25) // "drifted" band
+    // proportions are eps-floored, so every term is finite
+    assert(drift.forall(r => !r.getDouble(5).isInfinite))
+  }
 }
