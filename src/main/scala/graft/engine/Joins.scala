@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,38 @@ object Joins {
           (h(validTo).isNull || facts(ts) < h(validTo)),
         "left")
       .drop("__hk", validTo)
+  }
+
+  /** Interval×interval OVERLAP join via time-bucketization — the
+    * scale-correct plan for "which events overlap which windows" when
+    * NEITHER side is small enough to broadcast and there is no equi
+    * key. Each interval explodes into the `bucketDays`-wide buckets
+    * it covers (explode factor = interval length / bucket + 1, small
+    * for short intervals); the join is then a plain EQUI-join on the
+    * bucket id, followed by the true overlap predicate. A naive theta
+    * join is |A|×|B| — a cartesian nested-loop at any scale; this is
+    * a hash join whose build side is bounded per bucket by the
+    * intervals genuinely active in that window. Each overlapping
+    * pair is emitted exactly ONCE — at the bucket containing the
+    * overlap's start (`greatest(aStart, bStart)`) — so no distinct
+    * pass is needed afterwards.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketDays: Int = 7): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+    def bkt(c: Column): Column =
+      floor(datediff(c, epoch) / bucketDays).cast("long")
+    val ae = a.withColumn("__bkt",
+      explode(sequence(bkt(col(aStart)), bkt(col(aEnd)))))
+    val be = b.withColumn("__bkt",
+      explode(sequence(bkt(col(bStart)), bkt(col(bEnd)))))
+    ae.join(be, Seq("__bkt"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      // canonical-bucket emission: keep the pair only in the bucket
+      // where its overlap starts
+      .filter(col("__bkt") === bkt(greatest(col(aStart), col(bStart))))
+      .drop("__bkt")
   }
 
   def mergeUpsert(base: DataFrame, updates: DataFrame,

@@ -644,6 +644,48 @@ object Dedup {
         col("n_removed"))
   }
 
+  /** Corpus-wide PARAGRAPH dedup (the Dolma/CCNet paragraph stage):
+    * segment each document into fixed `words`-word paragraphs, keep
+    * only each distinct paragraph's FIRST occurrence corpus-wide
+    * (lexicographically first (doc, position) — the same keeper rule
+    * as [[scrubSpans]]), and re-assemble the surviving text per
+    * document. Unlike [[dedupLinesIntra]] (within one doc, row-local)
+    * this is cross-document: repeated boilerplate paragraphs vanish
+    * everywhere except their first appearance; documents reduced to
+    * nothing drop out. Scale shape: one narrow explode (rows ∝
+    * paragraphs), ONE window partitioned on the paragraph content
+    * (uniform key — content hash distribution), one per-doc
+    * re-assembly aggregate. Never doc×doc.
+    */
+  def paragraphDedup(df: DataFrame, text: String, id: String,
+      words: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pars = df
+      .withColumn("__t",
+        expr(s"filter(split($text, ' '), t -> t != '')"))
+      .filter(size(col("__t")) > 0)
+      .select(col(id), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(__t) / ${words}D) AS INT) - 1),
+            i -> array_join(slice(__t, i * $words + 1, $words), ' '))"""))
+        .as(Seq("__p", "par")))
+    val wFirst = Window.partitionBy(col("par"))
+      .orderBy(col(id), col("__p"))
+    val kept = pars
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1)
+    val nPars = pars.groupBy(col(id))
+      .agg(count(lit(1)).as("n_pars"))
+    kept.groupBy(col(id))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(__p, par))), s -> s.par), ' ')")
+        .as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+      .join(nPars, Seq(id))
+      .withColumn("n_removed", col("n_pars") - col("n_kept"))
+      .select(col(id), col("cleaned_text"), col("n_kept"),
+        col("n_removed"))
+  }
+
   /** Decontamination REPORT: per training document, how much of it
     * overlaps the eval corpus — distinct word n-grams, how many of
     * them appear in the eval set, and the fraction. The graded

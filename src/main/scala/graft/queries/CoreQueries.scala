@@ -888,6 +888,30 @@ object CoreQueries {
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
     }),
+    // interval×interval overlap join via time-bucketization: shipment
+    // windows × promo windows with NO equi key — the bucket explode
+    // turns a cartesian theta-join into a hash join, and canonical-
+    // bucket emission needs no distinct pass
+    "interval_join" -> ((s, d) => {
+      val events = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_shipdate").as("ev_start"),
+        expr("""l_shipdate + make_dt_interval(
+                CAST(l_linenumber % 5 + 1 AS INT))""").as("ev_end"))
+      val promos = t(s, d, "orders")
+        .filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          col("o_orderdate").as("pr_start"),
+          expr("o_orderdate + INTERVAL 14 DAY").as("pr_end"))
+      Joins.intervalJoin(events, promos, "ev_start", "ev_end",
+          "pr_start", "pr_end")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("promo_id"),
+          (datediff(least(col("ev_end"), col("pr_end")),
+            greatest(col("ev_start"), col("pr_start"))) + 1)
+            .cast("long").as("overlap_days"))
+        .orderBy("l_orderkey", "l_linenumber", "promo_id")
+    }),
     // PSI distribution drift between two date slices of l_quantity:
     // the snapshot-over-snapshot drift monitor (fixed equal-width
     // bins, eps-floored proportions, per-bin terms + total)
@@ -1754,6 +1778,24 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "interval_join" ->
+      """WITH ev AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+        |      AS l_linenumber,
+        |    l_shipdate AS ev_start,
+        |    l_shipdate + (l_linenumber % 5 + 1) * INTERVAL 1 DAY
+        |      AS ev_end
+        |  FROM lineitem),
+        |pr AS (
+        |  SELECT o_orderkey AS promo_id, o_orderdate AS pr_start,
+        |    o_orderdate + INTERVAL 14 DAY AS pr_end
+        |  FROM orders WHERE o_orderkey % 199 = 0)
+        |SELECT e.l_orderkey, e.l_linenumber, p.promo_id,
+        |  CAST(date_diff('day', greatest(e.ev_start, p.pr_start),
+        |    least(e.ev_end, p.pr_end)) + 1 AS BIGINT) AS overlap_days
+        |FROM ev e JOIN pr p
+        |  ON e.ev_start <= p.pr_end AND p.pr_start <= e.ev_end
+        |ORDER BY 1, 2, 3""".stripMargin,
     "dist_drift" ->
       """WITH t AS (
         |  SELECT CAST(l_quantity AS DOUBLE) AS x,

@@ -267,6 +267,15 @@ object LlmQueries {
         sep = " ")
         .orderBy("doc_id")
     }),
+    // corpus-wide paragraph dedup (Dolma/CCNet stage): 10-word
+    // paragraphs, first occurrence wins ACROSS documents, text
+    // re-assembled — repeated boilerplate vanishes everywhere but its
+    // first appearance
+    "paragraph_dedup" -> ((s, d) => {
+      Dedup.paragraphDedup(t(s, d, "documents"), "text", "doc_id",
+        words = 10)
+        .orderBy("doc_id")
+    }),
     // deterministic weighted sample (A-ES exponential race) per
     // source, weight = doc length: the reproducible PPS draw a
     // mixture/curriculum sampler publishes in its data recipe
@@ -1411,6 +1420,34 @@ object LlmQueries {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 15000
          |ORDER BY doc_id""".stripMargin,
+    "paragraph_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1,
+        |      CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i
+        |  FROM tk WHERE len(t) > 0),
+        |pars AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    array_to_string(list_slice(t, CAST((i - 1) * 10 + 1 AS INT),
+        |      CAST(i * 10 AS INT)), ' ') AS par
+        |  FROM p2),
+        |keep AS (
+        |  SELECT doc_id, p, par, row_number() OVER
+        |    (PARTITION BY par ORDER BY doc_id, p) AS rn
+        |  FROM pars),
+        |np AS (SELECT doc_id, count(*) AS n_pars FROM pars GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(par, ' ' ORDER BY p) AS cleaned_text,
+        |    count(*) AS n_kept
+        |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+        |SELECT a.doc_id, a.cleaned_text, a.n_kept,
+        |  np.n_pars - a.n_kept AS n_removed
+        |FROM agg a JOIN np USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_lines_intra" ->
       """WITH l AS (
         |  SELECT doc_id, string_split(text, ' ') AS lines

@@ -240,6 +240,29 @@ class EngineExtrasSpec extends AnyFunSuite {
       (2L, None), (7L, None)))
   }
 
+  test("intervalJoin: overlaps found across bucket boundaries, emitted once") {
+    import graft.engine.Joins
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq(
+      (1L, d("2024-01-01"), d("2024-01-20")), // long: spans 3+ buckets
+      (2L, d("2024-02-01"), d("2024-02-02")), // short, no partner
+      (3L, d("2024-03-10"), d("2024-03-12")))
+      .toDF("aid", "a_start", "a_end")
+    val b = Seq(
+      (10L, d("2024-01-15"), d("2024-01-25")), // overlaps 1 (tail)
+      (11L, d("2023-12-20"), d("2024-01-01")), // touches 1 at boundary
+      (12L, d("2024-03-12"), d("2024-03-15")), // touches 3 at boundary
+      (13L, d("2024-02-10"), d("2024-02-20")))  // overlaps nothing
+      .toDF("bid", "b_start", "b_end")
+    val out = Joins.intervalJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end")
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // each overlapping pair exactly once — no duplicates from the
+    // multi-bucket explode
+    assert(out.toSeq === Seq((1L, 10L), (1L, 11L), (3L, 12L)))
+  }
+
   test("writeZOrdered: per-file boxes stay narrow in BOTH dims; single-key sort does not") {
     import graft.engine.Ingest
     val dir = java.nio.file.Files.createTempDirectory("z_out").toString

@@ -909,6 +909,26 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out("big")._2 - 470.0) / 470.0 < 0.25)
   }
 
+  test("paragraphDedup: first occurrence wins across docs; emptied doc drops") {
+    // 10-word paragraphs: P repeated in docs 1, 2, 3; doc 3 is ONLY P
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val u1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val u2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val df = Seq(
+      (1L, p + " " + u1),
+      (2L, u2 + " " + p),
+      (3L, p))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "doc_id", words = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 keeps both paragraphs (first owner of P); doc 2 loses P;
+    // doc 3 reduced to nothing -> absent from output
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((p + " " + u1, 2L, 0L)))
+    assert(out(2L) === ((u2, 1L, 1L)))
+  }
+
   test("spanRuns merges overlapping windows into one maximal run") {
     // docs 1 and 2 share a 9-token block -> five overlapping 5-token
     // dup windows each, which must merge into ONE run of 9 tokens;
