@@ -203,6 +203,48 @@ object Joins {
       .drop("__bkt")
   }
 
+  /** Snapshot CDC: diff two versions of the same keyed table into a
+    * change feed — one row per key that changed, classified
+    * insert / delete / update, with the list of changed payload
+    * columns (null-safe compare, so null→value and value→null both
+    * count). Unchanged keys are dropped. This is the change-data
+    * feed a downstream incremental consumer wants when the source
+    * can only provide full snapshots. One full-outer key join —
+    * shuffles on the key like any join; with both snapshots bucketed
+    * on the key it is exchange-free.
+    */
+  def cdcDiff(old: DataFrame, neu: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(old.columns.sameElements(neu.columns),
+      "snapshots must share a schema")
+    val payload = old.columns.filterNot(keys.contains)
+    val o = old.select(old.columns.map(c =>
+      col(c).as(if (keys.contains(c)) c else s"__o_$c")): _*)
+    val n = neu.select(neu.columns.map(c =>
+      col(c).as(if (keys.contains(c)) c else s"__n_$c")): _*)
+    val joined = o
+      .withColumn("__in_o", lit(true))
+      .join(n.withColumn("__in_n", lit(true)), keys.toSeq, "full_outer")
+    val changed = array_compact(array(payload.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*))
+    joined
+      .withColumn("change_type",
+        when(col("__in_o").isNull, "insert")
+          .when(col("__in_n").isNull, "delete")
+          .when(size(changed) > 0, "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      // only meaningful for updates (inserts/deletes "change" every
+      // column by construction — noise, not signal)
+      .withColumn("changed_cols",
+        when(col("change_type") === "update", array_join(changed, ","))
+          .otherwise(lit("")))
+      .select((keys.map(col) :+ col("change_type") :+
+        col("changed_cols")) ++
+        payload.flatMap(c => Seq(col(s"__o_$c").as(s"old_$c"),
+          col(s"__n_$c").as(s"new_$c"))): _*)
+  }
+
   def mergeUpsert(base: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(base.columns.sameElements(updates.columns),

@@ -191,6 +191,42 @@ object Retail {
             .cast("double"), 6).as("elasticity"))
   }
 
+  /** Robust per-series outliers via the MAD modified z-score
+    * (Iglewicz-Hoaglin): |0.6745 · (x − median) / MAD| > thresh,
+    * where MAD = median(|x − median|). Unlike the trailing-σ
+    * [[demandAnomaly]], the median/MAD baseline is immune to the
+    * outliers it is hunting — one 500-unit spike inflates a stddev
+    * baseline enough to hide itself, but moves the median not at
+    * all. Degenerate MAD = 0 (at least half the weeks identical):
+    * the z-score is undefined — any differing value flags, mz null.
+    * Scale shape: two grouped exact-percentile aggregates (median,
+    * then MAD over the deviations) + two key joins, all on the
+    * series key; no global window. Emits ONLY the outlier rows.
+    */
+  def madOutliers(weekly: DataFrame, keys: Seq[String],
+      valueCol: String = "units", thresh: Double = 3.5): DataFrame = {
+    val kc = keys.map(col)
+    val med = weekly.groupBy(kc: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withDev = weekly.join(med, keys)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = withDev.groupBy(kc: _*)
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    withDev.join(mad, keys)
+      // threshold compares the UNROUNDED score — filtering on the 6dp
+      // display round would flip rows within half an ulp of the cutoff
+      // against an oracle that filters raw
+      .withColumn("__mzr",
+        lit(0.6745) * (col(valueCol) - col("med")) / col("mad"))
+      .withColumn("mz", when(col("mad") > 0, round(col("__mzr"), 6)))
+      .filter(
+        (col("mad") > 0 && abs(col("__mzr")) > thresh) ||
+        (col("mad") === 0 && col(valueCol) =!= col("med")))
+      .select((kc :+ col("week") :+ col(valueCol) :+
+        round(col("med"), 6).as("med") :+
+        round(col("mad"), 6).as("mad") :+ col("mz")): _*)
+  }
+
   /** Demand-spike detection: each day's demand scored against the
     * TRAILING `windowDays`-day baseline (event-time RANGE frame that
     * EXCLUDES the current day — the spike must not contaminate its

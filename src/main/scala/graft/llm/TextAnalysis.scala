@@ -605,6 +605,47 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("rank"), col("coverage"))
   }
 
+  /** Zipf-law fit over the top-k token frequencies: the OLS slope and
+    * intercept of ln(count) on ln(rank) — corpus-health telemetry (a
+    * natural-language corpus fits slope ≈ −1; templated or synthetic
+    * text bends the curve). Moment sums route through DECIMAL(28,6)
+    * (the elasticity/corr_pairs recipe) so the fit is
+    * order-independent and engine-exact. The rank window runs over
+    * the VOCABULARY frame (one row per distinct token — orders of
+    * magnitude below corpus size; same documented trade as
+    * [[vocabCoverage]]), and only the top-k rows enter the fit.
+    */
+  def zipfFit(df: DataFrame, text: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')"))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(log(col("rank")).as("__x"), log(col("cnt")).as("__y"))
+    def dsum(c: Column) = sum(c.cast("decimal(28,6)"))
+    ranked.agg(
+        count(lit(1)).as("__n"),
+        dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+        dsum(col("__x") * col("__y")).as("__sxy"),
+        dsum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n").as("n_terms"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"), 6).as("zipf_slope"),
+        round((col("__sy").cast("double") -
+          ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+           (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")) * col("__sx").cast("double")) /
+          col("__n"), 6).as("zipf_intercept"))
+  }
+
   /** Percentile length gate: keep documents whose token count lies
     * inside the corpus's own [pLo, pHi] exact interpolated percentile
     * band — the distribution-relative length filter (truncation

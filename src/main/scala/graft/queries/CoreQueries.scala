@@ -888,6 +888,35 @@ object CoreQueries {
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
     }),
+    // robust MAD outliers per series (Iglewicz-Hoaglin modified
+    // z-score): the median/MAD baseline a 500-unit spike cannot
+    // inflate to hide itself, unlike the trailing-σ demand_anomaly
+    "mad_outliers" -> ((s, d) => {
+      Retail.madOutliers(
+        Resample.weeklySparse(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_shipdate", "l_quantity"),
+        Seq("l_partkey"))
+        .orderBy("l_partkey", "week")
+    }),
+    // snapshot CDC: diff two table versions into a change feed
+    // (insert/delete/update + changed-column list) — what an
+    // incremental consumer wants when the source only snapshots
+    "snapshot_cdc" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val mutated = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val inserts = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      Joins.cdcDiff(o, mutated.unionByName(inserts),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
     // interval×interval overlap join via time-bucketization: shipment
     // windows × promo windows with NO equi key — the bucket explode
     // turns a cartesian theta-join into a hash join, and canonical-
@@ -1778,6 +1807,65 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "mad_outliers" ->
+      s"""WITH wk AS (${weeklyCte("l_partkey")}),
+        |md AS (
+        |  SELECT l_partkey, quantile_cont(units, 0.5) AS med
+        |  FROM wk GROUP BY 1),
+        |dv AS (
+        |  SELECT w.l_partkey, w.week, w.units, md.med,
+        |    abs(w.units - md.med) AS ad
+        |  FROM wk w JOIN md USING (l_partkey)),
+        |md2 AS (
+        |  SELECT l_partkey, quantile_cont(ad, 0.5) AS mad
+        |  FROM dv GROUP BY 1),
+        |j AS (
+        |  SELECT dv.l_partkey, dv.week, dv.units, dv.med, md2.mad
+        |  FROM dv JOIN md2 USING (l_partkey))
+        |SELECT l_partkey, week, units,
+        |  round(med, 6) AS med, round(mad, 6) AS mad,
+        |  CASE WHEN mad > 0
+        |    THEN round(0.6745 * (units - med) / mad, 6) END AS mz
+        |FROM j
+        |WHERE (mad > 0 AND abs(0.6745 * (units - med) / mad) > 3.5)
+        |   OR (mad = 0 AND units != med)
+        |ORDER BY l_partkey, week""".stripMargin,
+    "snapshot_cdc" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderstatus AS os, o.o_totalprice AS op,
+        |    n.o_orderstatus AS ns, n.o_totalprice AS np,
+        |    (o.o_orderkey IS NOT NULL) AS in_o,
+        |    (n.o_orderkey IS NOT NULL) AS in_n
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_o THEN 'insert'
+        |       WHEN NOT in_n THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  CASE WHEN in_o AND in_n THEN array_to_string(list_filter([
+        |      CASE WHEN os IS DISTINCT FROM ns
+        |           THEN 'o_orderstatus' END,
+        |      CASE WHEN op IS DISTINCT FROM np
+        |           THEN 'o_totalprice' END], x -> x IS NOT NULL), ',')
+        |    ELSE '' END AS changed_cols,
+        |  os AS old_o_orderstatus, ns AS new_o_orderstatus,
+        |  op AS old_o_totalprice, np AS new_o_totalprice
+        |FROM j
+        |WHERE (NOT in_o) OR (NOT in_n)
+        |   OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
+        |ORDER BY o_orderkey""".stripMargin,
     "interval_join" ->
       """WITH ev AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT)

@@ -267,6 +267,11 @@ object LlmQueries {
         sep = " ")
         .orderBy("doc_id")
     }),
+    // Zipf-law fit over the top-100 token frequencies: corpus-health
+    // telemetry (natural text ≈ slope −1; templated corpora bend it)
+    "zipf_fit" -> ((s, d) => {
+      TextAnalysis.zipfFit(t(s, d, "documents"), "text", k = 100)
+    }),
     // corpus-wide paragraph dedup (Dolma/CCNet stage): 10-word
     // paragraphs, first occurrence wins ACROSS documents, text
     // re-assembled — repeated boilerplate vanishes everywhere but its
@@ -1420,6 +1425,34 @@ object LlmQueries {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 15000
          |ORDER BY doc_id""".stripMargin,
+    "zipf_fit" ->
+      """WITH c AS (
+        |  SELECT t AS token, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> t != '')) AS t FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, row_number() OVER
+        |    (ORDER BY cnt DESC, token ASC) AS rank
+        |  FROM c),
+        |x AS (
+        |  SELECT ln(rank) AS lx, ln(cnt) AS ly
+        |  FROM r WHERE rank <= 100),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(lx AS DECIMAL(28,6))) AS sx,
+        |    sum(CAST(ly AS DECIMAL(28,6))) AS sy,
+        |    sum(CAST(lx * ly AS DECIMAL(28,6))) AS sxy,
+        |    sum(CAST(lx * lx AS DECIMAL(28,6))) AS sxx
+        |  FROM x)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
+        |FROM m""".stripMargin,
     "paragraph_dedup" ->
       """WITH tk AS (
         |  SELECT doc_id,

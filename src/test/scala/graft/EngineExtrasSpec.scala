@@ -263,6 +263,47 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 10L), (1L, 11L), (3L, 12L)))
   }
 
+  test("cdcDiff: insert/delete/update classified; null-safe compare") {
+    import graft.engine.Joins
+    val old = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, Option("c"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, Option("a"), 10.0),          // unchanged
+      (2L, Option("b2"), 20.0),                     // update s
+      (4L, Option("now"), 41.0),                    // update null->val + v
+      (9L, Option("new"), 90.0))                    // insert; 3 deleted
+      .toDF("k", "s", "v")
+    val out = Joins.cdcDiff(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(out.keySet === Set(2L, 3L, 4L, 9L)) // 1 unchanged: dropped
+    assert(out(2L) === (("update", "s")))
+    assert(out(3L) === (("delete", "")))
+    assert(out(4L) === (("update", "s,v"))) // null->value counts
+    assert(out(9L) === (("insert", "")))
+  }
+
+  test("madOutliers: median baseline immune to the spike it flags") {
+    import graft.engine.Retail
+    def wk(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 7).plusWeeks(i.toLong))
+    // 19 calm weeks at 10 + one 500 spike: stddev-based z would be
+    // dragged by the spike itself; median/MAD flags exactly it
+    val rows = (0 until 19).map(i => (1L, wk(i), 10.0 + (i % 3))) :+
+      ((1L, wk(19), 500.0))
+    val weekly = rows.toDF("l_partkey", "week", "units")
+    val out = Retail.madOutliers(weekly, Seq("l_partkey"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 500.0)
+    // constant series + one differing value: MAD 0 branch, mz null
+    val const = ((0 until 9).map(i => (2L, wk(i), 5.0)) :+
+      ((2L, wk(9), 6.0))).toDF("l_partkey", "week", "units")
+    val out2 = Retail.madOutliers(const, Seq("l_partkey")).collect()
+    assert(out2.length === 1 && out2.head.getDouble(2) === 6.0)
+    assert(out2.head.isNullAt(5))
+  }
+
   test("writeZOrdered: per-file boxes stay narrow in BOTH dims; single-key sort does not") {
     import graft.engine.Ingest
     val dir = java.nio.file.Files.createTempDirectory("z_out").toString
