@@ -191,6 +191,28 @@ object Retail {
             .cast("double"), 6).as("elasticity"))
   }
 
+  /** Series coverage gaps: the missing-week INTERVALS between each
+    * series' observed weeks — the data-quality complement of densify
+    * (which silently fills them with zeros): a 12-week hole in a
+    * top-seller is a pipeline incident, not twelve zero-sales weeks.
+    * One `lag` window per series key (doc-local, uniform partition),
+    * gap rows only — output is bounded by observation count, the
+    * dense grid is never built.
+    */
+  def coverageGaps(weekly: DataFrame, keys: Seq[String],
+      weekCol: String = "week"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(weekCol))
+    weekly.select((keys.map(col) :+ col(weekCol)): _*)
+      .withColumn("__prev", lag(col(weekCol), 1).over(w))
+      .filter(datediff(col(weekCol), col("__prev")) > 7)
+      .select((keys.map(col) :+
+        date_add(col("__prev"), 7).as("gap_start") :+
+        date_sub(col(weekCol), 7).as("gap_end") :+
+        (datediff(col(weekCol), col("__prev")) / 7 - 1).cast("long")
+          .as("missing_weeks")): _*)
+  }
+
   /** Robust per-series outliers via the MAD modified z-score
     * (Iglewicz-Hoaglin): |0.6745 · (x − median) / MAD| > thresh,
     * where MAD = median(|x − median|). Unlike the trailing-σ

@@ -888,6 +888,16 @@ object CoreQueries {
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
     }),
+    // missing-week gap intervals per series: the data-quality
+    // complement of densify — holes surfaced as incidents, not
+    // silently zero-filled
+    "coverage_gaps" -> ((s, d) => {
+      Retail.coverageGaps(
+        Resample.weeklySparse(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_shipdate", "l_quantity"),
+        Seq("l_partkey"))
+        .orderBy("l_partkey", "gap_start")
+    }),
     // robust MAD outliers per series (Iglewicz-Hoaglin modified
     // z-score): the median/MAD baseline a 500-unit spike cannot
     // inflate to hide itself, unlike the trailing-σ demand_anomaly
@@ -1807,6 +1817,20 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "coverage_gaps" ->
+      s"""WITH wk AS (${weeklyCte("l_partkey")}),
+        |lg AS (
+        |  SELECT l_partkey, week,
+        |    lag(week) OVER (PARTITION BY l_partkey ORDER BY week)
+        |      AS prev
+        |  FROM wk)
+        |SELECT l_partkey,
+        |  CAST(prev + INTERVAL 7 DAY AS DATE) AS gap_start,
+        |  CAST(week - INTERVAL 7 DAY AS DATE) AS gap_end,
+        |  CAST(date_diff('day', prev, week) / 7 - 1 AS BIGINT)
+        |    AS missing_weeks
+        |FROM lg WHERE date_diff('day', prev, week) > 7
+        |ORDER BY l_partkey, gap_start""".stripMargin,
     "mad_outliers" ->
       s"""WITH wk AS (${weeklyCte("l_partkey")}),
         |md AS (

@@ -115,6 +115,49 @@ object StreamingDedup {
         })
   }
 
+  /** One (doc, band) LSH bucket row through the stateful candidate
+    * stage. */
+  case class BandRow(doc_id: Long, band: Int, band_key: Long)
+
+  /** A streamed near-dup candidate pair (rep = the bucket's first
+    * arrival). */
+  case class CandidatePair(band: Long, id1: Long, id2: Long)
+
+  /** The STATEFUL back half of streaming MinHash near-dup: incremental
+    * candidate-pair emission. State per (band, band_key) bucket is the
+    * bucket's REPRESENTATIVE — the first document that ever landed in
+    * it (min doc id within the arrival micro-batch, first-arrival
+    * across batches). Every later arrival emits ONE candidate pair
+    * (rep, newcomer). That is the STAR of each bucket rather than the
+    * batch [[graft.llm.Dedup.candidatePairs]] CLIQUE: connectivity —
+    * what transitive-closure clustering consumes — is identical, at
+    * O(n) pairs per bucket instead of O(n²), and state is ONE id per
+    * bucket ever seen regardless of bucket population. Exactly the
+    * trade a firehose needs: the full clique of a hot bucket is
+    * unbounded, its star is linear.
+    */
+  def minhashCandidateStage(buckets: DataFrame)
+      : Dataset[CandidatePair] = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets
+      .selectExpr("CAST(doc_id AS LONG) AS doc_id",
+        "CAST(band AS INT) AS band", "CAST(band_key AS LONG) AS band_key")
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[Long]) => {
+          val sorted = rows.map(_.doc_id).toIndexedSeq.sorted
+          val rep = if (state.exists) state.get
+            else { state.update(sorted.head); sorted.head }
+          sorted.iterator.filter(_ != rep)
+            .map(d => CandidatePair(key._1.toLong,
+              math.min(rep, d), math.max(rep, d)))
+        })
+  }
+
   /** Streaming dedup against a STANDING batch corpus: each microbatch
     * anti-joins the (static, broadcastable) corpus fingerprint set —
     * the live-ingest face of [[graft.llm.Dedup.incrementalDedup]].

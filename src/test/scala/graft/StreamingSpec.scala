@@ -480,6 +480,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 5.0)))
   }
 
+  test("streaming minhash candidates: per-bucket star equals the batch " +
+      "buckets' star; connectivity matches the batch clique") {
+    import graft.llm.Dedup
+    import graft.streaming.StreamingDedup
+    val base = ("spark rows shuffle partition codegen catalyst " +
+      "tungsten adaptive broadcast join hash aggregate exchange " +
+      "sort merge window watermark state checkpoint lineage") * 3
+    val docs = Map( // two near-dup families + a singleton
+      1L -> (base + " family a one"), 2L -> (base + " family a two"),
+      3L -> (base + " family a three"),
+      4L -> ("totally different corpus of words entirely unlike " +
+        "the other family with its own vocabulary repeated " * 4 + "x"),
+      5L -> ("totally different corpus of words entirely unlike " +
+        "the other family with its own vocabulary repeated " * 4 + "y"),
+      6L -> "short singleton document with nothing shared")
+    val dir = java.nio.file.Files.createTempDirectory("mh_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_ck").toString
+    def write(ids: Long*): Unit =
+      ids.map(i => (i, docs(i))).toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    write(1L, 4L)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.minhashCandidateStage(
+        StreamingDedup.minhashBuckets(stream, "text", "doc_id"))
+      .writeStream.format("memory").queryName("mh_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    write(2L, 5L); q.processAllAvailable()
+    write(3L, 6L); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mh_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch star: per (band, band_key) bucket, (min doc, other) pairs
+    val static = docs.toSeq.map { case (i, t) => (i, t) }
+      .toDF("doc_id", "text")
+    val batchStar = Dedup.lshBuckets(
+        Dedup.minhashSignatures(static, "text", "doc_id"), "doc_id")
+      .groupBy("band", "band_key")
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("ms"))
+      .collect().flatMap { r =>
+        val rep = r.getLong(2)
+        r.getSeq[Long](3).filter(_ != rep)
+          .map(d => (r.getInt(0).toLong, math.min(rep, d),
+            math.max(rep, d)))
+      }.toSet
+    assert(streamed === batchStar)
+    assert(streamed.nonEmpty) // families really did collide
+    // connectivity parity: CC over the streamed star edges equals CC
+    // over the batch clique pairs
+    val starEdges = streamed.toSeq.map { case (_, a, b) => (a, b) }
+      .distinct.toDF("id1", "id2")
+    val cliqueEdges = Dedup.candidatePairs(Dedup.lshBuckets(
+        Dedup.minhashSignatures(static, "text", "doc_id"), "doc_id"),
+        "doc_id")
+      .select("id1", "id2")
+    val verts = static.select(col("doc_id"))
+    def labels(e: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(e, verts, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(starEdges) === labels(cliqueEdges))
+  }
+
   test("streaming span-scrub: first-occurrence-wins decisions equal " +
       "batch scrubSpans across 3 micro-batches") {
     import graft.llm.Dedup
