@@ -191,6 +191,22 @@ object Retail {
             .cast("double"), 6).as("elasticity"))
   }
 
+  /** Seasonal demand ENVELOPE: p10/p50/p90 of per-series weekly
+    * demand grouped by ISO week-of-year — the percentile band a
+    * planner overlays on this year's actuals ("is week 47 running
+    * hot against its own history?"), where [[Retail.demandClass]]
+    * summarizes a series and the seasonality index only the mean.
+    * One grouped exact-percentile aggregate over the sparse weekly
+    * frame; 53 output rows regardless of scale.
+    */
+  def demandEnvelope(weekly: DataFrame, weekCol: String = "week",
+      valueCol: String = "units"): DataFrame =
+    weekly.groupBy(weekofyear(col(weekCol)).cast("long").as("woy"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(expr(s"percentile($valueCol, 0.1)"), 6).as("p10"),
+        round(expr(s"percentile($valueCol, 0.5)"), 6).as("p50"),
+        round(expr(s"percentile($valueCol, 0.9)"), 6).as("p90"))
+
   /** Series coverage gaps: the missing-week INTERVALS between each
     * series' observed weeks — the data-quality complement of densify
     * (which silently fills them with zeros): a 12-week hole in a

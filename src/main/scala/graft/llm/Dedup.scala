@@ -644,6 +644,45 @@ object Dedup {
         col("n_removed"))
   }
 
+  /** LSH near-dup RECALL/PRECISION telemetry — the text-side
+    * `ann_recall`: on a FIXED-size document subset (constant cost at
+    * any corpus scale), compare the banded-LSH candidate pairs
+    * against exact all-pairs Jaccard ground truth at `minJ`. Recall
+    * answers "how many true near-dup pairs does the banding scheme
+    * surface?", precision "how much of the candidate volume is
+    * real?" — the two numbers that justify the (bands × rows)
+    * configuration in a dedup run's report. The all-pairs leg is the
+    * ground-truth probe only (maxId² pairs on the fixed sample),
+    * exactly like ann_recall's brute-force leg.
+    */
+  def dedupRecall(df: DataFrame, text: String, id: String,
+      maxId: Long = 200, minJ: Double = 0.8): DataFrame = {
+    val sub = df.filter(col(id) < maxId)
+    val sh = sub.select(col(id),
+      array_distinct(PolyHashColumns.shingleHashes(col(text)))
+        .as("sh"))
+    val truth = sh.select(col(id).as("id1"), col("sh").as("sh1"))
+      .join(sh.select(col(id).as("id2"), col("sh").as("sh2")),
+        col("id1") < col("id2"))
+      // threshold on the 6dp-rounded ratio (boundary-stable across
+      // engines, the ngram_jaccard contract)
+      .filter(round(jaccardExpr("sh1", "sh2"), 6) >= minJ)
+      .select(col("id1"), col("id2"))
+    val cand = candidatePairs(
+      lshBuckets(minhashSignatures(sub, text, id), id), id)
+      .select(col("id1"), col("id2"))
+    val hit = truth.join(cand, Seq("id1", "id2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth"), 6)).as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hit") / col("n_candidates"), 6))
+          .as("precision"))
+  }
+
   /** Corpus-wide PARAGRAPH dedup (the Dolma/CCNet paragraph stage):
     * segment each document into fixed `words`-word paragraphs, keep
     * only each distinct paragraph's FIRST occurrence corpus-wide

@@ -888,6 +888,15 @@ object CoreQueries {
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
     }),
+    // seasonal demand envelope: p10/p50/p90 of per-series weekly
+    // demand by ISO week-of-year — the percentile band actuals are
+    // judged against
+    "demand_envelope" -> ((s, d) => {
+      Retail.demandEnvelope(
+        Resample.weeklySparse(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_shipdate", "l_quantity"))
+        .orderBy("woy")
+    }),
     // missing-week gap intervals per series: the data-quality
     // complement of densify — holes surfaced as incidents, not
     // silently zero-filled
@@ -1817,6 +1826,14 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "demand_envelope" ->
+      s"""WITH wk AS (${weeklyCte("l_partkey")})
+        |SELECT CAST(weekofyear(week) AS BIGINT) AS woy,
+        |  count(*) AS n_obs,
+        |  round(quantile_cont(units, 0.1), 6) AS p10,
+        |  round(quantile_cont(units, 0.5), 6) AS p50,
+        |  round(quantile_cont(units, 0.9), 6) AS p90
+        |FROM wk GROUP BY 1 ORDER BY woy""".stripMargin,
     "coverage_gaps" ->
       s"""WITH wk AS (${weeklyCte("l_partkey")}),
         |lg AS (

@@ -267,6 +267,13 @@ object LlmQueries {
         sep = " ")
         .orderBy("doc_id")
     }),
+    // banded-LSH recall/precision vs exact all-pairs Jaccard truth on
+    // a fixed 200-doc sample — the text-side ann_recall: the two
+    // numbers that justify the (bands × rows) configuration
+    "dedup_recall" -> ((s, d) => {
+      Dedup.dedupRecall(t(s, d, "documents"), "text", "doc_id",
+        maxId = 200, minJ = 0.8)
+    }),
     // Zipf-law fit over the top-100 token frequencies: corpus-health
     // telemetry (natural text ≈ slope −1; templated corpora bend it)
     "zipf_fit" -> ((s, d) => {
@@ -1425,6 +1432,41 @@ object LlmQueries {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 15000
          |ORDER BY doc_id""".stripMargin,
+    "dedup_recall" ->
+      s"""WITH sub AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |${sigCteFrom("sub")}, $bandCte, ${cappedCte()},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(${duckHashes(duckShingles)}) AS sh
+         |  FROM sub),
+         |truth AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh)
+         |       - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+         |hit AS (
+         |  SELECT t.id1, t.id2 FROM truth t
+         |  JOIN pairs p ON t.id1 = p.id1 AND t.id2 = p.id2),
+         |m AS (
+         |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM pairs) AS n_candidates,
+         |    (SELECT count(*) FROM hit) AS n_hit)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_truth > 0 THEN
+         |    round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+         |  CASE WHEN n_candidates > 0 THEN
+         |    round(CAST(n_hit AS DOUBLE) / n_candidates, 6)
+         |  END AS precision
+         |FROM m""".stripMargin,
     "zipf_fit" ->
       """WITH c AS (
         |  SELECT t AS token, count(*) AS cnt FROM (
