@@ -457,7 +457,7 @@ object Dedup {
     * ([[graft.streaming.StreamingDedup.spanGramStage]]).
     */
   def spanGrams(df: DataFrame, text: String, id: String,
-      n: Int = 20): DataFrame = df
+      n: Int = 20, carry: Seq[String] = Nil): DataFrame = df
     // the length gate runs on the CHEAP token count, before the hash
     // projection: a filter on size(__th) gets pushed beneath the
     // projection by Catalyst and re-evaluates the whole per-char
@@ -466,13 +466,14 @@ object Dedup {
       s"size(filter(split(lower($text), ' '), t -> t != '')) >= $n"))
     .withColumn("__th", expr(hashTokensExpr(
       s"filter(split(lower($text), ' '), t -> t != '')")))
-    .select(col(id), posexplode(expr(
+    .select((col(id) +: carry.map(col)) :+ posexplode(expr(
       s"""transform(sequence(1, size(__th) - ${n - 1}),
           i -> aggregate(slice(__th, i, $n), 0L,
                (acc, h) -> (acc * 31 + h) % $P))"""))
-      .as(Seq("__p", "gram")))
-    .select(col(id), (col("__p") + 1).cast("long").as("win_start"),
-      col("gram"))
+      .as(Seq("__p", "gram")): _*)
+    .select((col(id) +: carry.map(col)) :+
+      (col("__p") + 1).cast("long").as("win_start") :+
+      col("gram"): _*)
 
   /** Span-level exact-substring dedup, detection half: every n-token
     * window whose gram occurs at least twice in the corpus (across

@@ -63,6 +63,59 @@ object StreamingDedup {
       n: Int = 20): DataFrame =
     Dedup.spanGrams(docs, text, id, n)
 
+  /** [[SpanGramRow]] plus the event time that drives state TTL. */
+  case class SpanGramEvent(doc_id: Long, win_start: Long, gram: Long,
+      ts: java.sql.Timestamp)
+
+  /** [[spanScrubDecisions]] with BOUNDED state: the gram's seen-marker
+    * is evicted by an EVENT-TIME timeout once the watermark passes
+    * `ttl` beyond the gram's newest occurrence. Semantics become
+    * "first occurrence WITHIN THE DEDUP HORIZON wins" — a gram
+    * recurring after `ttl` of event-time silence is canonical again,
+    * exactly the trade [[dedupByContent]] makes with
+    * `dropDuplicatesWithinWatermark`. State is one boolean + one
+    * timeout timestamp per gram ACTIVE inside the horizon — bounded
+    * by horizon churn, not all-time distinct grams, which is what an
+    * unbounded firehose deployment needs.
+    */
+  def spanScrubDecisionsTtl(grams: DataFrame, tsCol: String,
+      watermarkDelay: String, ttlDays: Int): Dataset[SpanGramDecision] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val ttlMs = ttlDays.toLong * 86400000L
+    grams
+      .selectExpr("CAST(doc_id AS LONG) AS doc_id",
+        "CAST(win_start AS LONG) AS win_start", "gram",
+        s"CAST($tsCol AS TIMESTAMP) AS ts")
+      // watermark AFTER the projection — a select that rewrites the
+      // event-time column would silently drop the watermark tag
+      .withWatermark("ts", watermarkDelay)
+      .as[SpanGramEvent]
+      .groupByKey(_.gram)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (gram: Long, rows: Iterator[SpanGramEvent],
+            state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            // horizon passed with no new occurrence: forget the gram
+            state.remove()
+            Iterator.empty
+          } else {
+            val events = rows.toIndexedSeq
+            val seen = state.exists && state.get
+            state.update(true)
+            // TTL from the NEWEST occurrence: the horizon slides
+            state.setTimeoutTimestamp(
+              events.map(_.ts.getTime).max + ttlMs)
+            val sorted = events.sortBy(r => (r.doc_id, r.win_start))
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              SpanGramDecision(r.doc_id, r.win_start, gram,
+                keep = !seen && i == 0)
+            }
+          }
+        })
+  }
+
   /** One span-gram window routed through the stateful keep/drop
     * decision. */
   case class SpanGramRow(doc_id: Long, win_start: Long, gram: Long)

@@ -480,6 +480,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 5.0)))
   }
 
+  test("span-scrub TTL: gram state evicts past the horizon, recurring " +
+      "span is canonical again") {
+    import graft.streaming.StreamingDedup
+    val s5 = "alpha beta gamma delta epsilon" // one 5-token span
+    val docs = Map(
+      1L -> (s5, "2024-01-01 00:00:00"),
+      2L -> ("other words entirely here now", "2024-02-01 00:00:00"),
+      3L -> ("more unrelated padding text rows", "2024-02-02 00:00:00"),
+      4L -> (s5, "2024-02-03 00:00:00"), // far past 1's 10-day TTL
+      5L -> (s5, "2024-02-04 00:00:00")) // 1 day after 4: inside TTL
+    val dir = java.nio.file.Files.createTempDirectory("ttl_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_ck").toString
+    def write(ids: Long*): Unit =
+      ids.map { i => val (t, ts) = docs(i)
+        (i, t, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(dir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    write(1L)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val grams = graft.llm.Dedup.spanGrams(stream, "text", "doc_id",
+      n = 5, carry = Seq("ts"))
+    val q = StreamingDedup.spanScrubDecisionsTtl(grams, "ts",
+        watermarkDelay = "0 seconds", ttlDays = 10)
+      .writeStream.format("memory").queryName("ttl_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    write(2L); q.processAllAvailable() // watermark -> 02-01 (> 01-11)
+    write(3L); q.processAllAvailable() // TTL fires: span state evicted
+    write(4L); q.processAllAvailable() // recurring span: canonical AGAIN
+    write(5L); q.processAllAvailable() // 1 day later: inside new TTL
+    q.stop()
+    val byDoc = spark.table("ttl_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // docs 2/3 carry their own unique spans (first occurrence: keep);
+    // the shared span: doc 1 keeps, doc 4 keeps AGAIN (state evicted
+    // past the 10-day horizon), doc 5 drops (inside doc 4's new TTL)
+    assert(byDoc === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false))
+  }
+
   test("streaming minhash candidates: per-bucket star equals the batch " +
       "buckets' star; connectivity matches the batch clique") {
     import graft.llm.Dedup
