@@ -388,7 +388,7 @@ object Dedup {
   /** Polynomial hash fold over each element of a token-array SQL
     * expression ((acc*31 + char) mod P per token).
     */
-  private def hashTokensExpr(tokensExpr: String): String =
+  def hashTokensExpr(tokensExpr: String): String =
     s"""transform($tokensExpr,
         t -> aggregate(sequence(1, length(t)), 0L,
              (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $P))"""

@@ -605,6 +605,57 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("rank"), col("coverage"))
   }
 
+  /** Feature-hashing document embedding (the "hashing trick"): token
+    * hashes bucketed mod `dim`, counts L2-normalized — a fully
+    * deterministic, vocabulary-free text featurizer (the classic
+    * Weinberger et al. 2009 construction) usable as a cheap retrieval
+    * / clustering vector where a learned embedding is overkill.
+    * Integer bucket counts are exact, so the only float step is the
+    * final normalize (6dp-rounded; norm from an exact integer
+    * sum-of-squares). Entirely ROW-LOCAL — no shuffle at any corpus
+    * size; the O(dim × tokens) interpreted fold is the documented
+    * native-Expression upgrade point if this becomes a hot path.
+    */
+  def featureHashEmbed(df: DataFrame, text: String, id: String,
+      dim: Int = 32): DataFrame = df
+    .withColumn("__th", expr(graft.llm.Dedup.hashTokensExpr(
+      s"filter(split(lower($text), ' '), t -> t != '')")))
+    .filter(size(col("__th")) > 0)
+    .withColumn("__cnt", expr(
+      s"""transform(sequence(0, ${dim - 1}),
+          b -> CAST(size(filter(__th, h -> h % $dim = b)) AS DOUBLE))"""))
+    .withColumn("__norm", expr(
+      "sqrt(aggregate(__cnt, 0D, (acc, x) -> acc + x * x))"))
+    .select(col(id),
+      expr("transform(__cnt, x -> round(x / __norm, 6))").as("vec"))
+
+  /** Temperature-scaled mixture weights (the multilingual-sampling
+    * trick, mT5-style): per-source sampling probability
+    * q_s = p_s^α / Σ p^α from the raw token share p_s, with α < 1
+    * boosting low-resource sources. One tiny aggregate (rows =
+    * sources) + a broadcast total — `boost = q/p` shows each
+    * source's up/down-sampling factor directly.
+    */
+  def temperatureWeights(df: DataFrame, srcCol: String, text: String,
+      alpha: Double = 0.7): DataFrame = {
+    val perSrc = df.groupBy(col(srcCol))
+      .agg(sum(size(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')"))
+        .cast("long")).as("n_tokens"))
+    // the p^α sum routes through decimal: a double accumulation of
+    // irrational pow values would drift with partition order
+    val tot = perSrc.agg(sum(col("n_tokens")).as("__t"),
+      sum(pow(col("n_tokens").cast("double"), alpha)
+        .cast("decimal(28,12)")).cast("double").as("__ta"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", round(col("n_tokens") / col("__t"), 6))
+      .withColumn("q", round(
+        pow(col("n_tokens").cast("double"), alpha) / col("__ta"), 6))
+      .withColumn("boost", round(col("q") / col("p"), 6))
+      .select(col(srcCol), col("n_tokens"), col("p"), col("q"),
+        col("boost"))
+  }
+
   /** Zipf-law fit over the top-k token frequencies: the OLS slope and
     * intercept of ln(count) on ln(rank) — corpus-health telemetry (a
     * natural-language corpus fits slope ≈ −1; templated or synthetic

@@ -267,6 +267,23 @@ object LlmQueries {
         sep = " ")
         .orderBy("doc_id")
     }),
+    // feature-hashing document embedding (hashing trick): bucketed
+    // token-hash counts, L2-normalized — a vocabulary-free, fully
+    // deterministic featurizer; row-local, zero shuffle
+    "feature_hash_embed" -> ((s, d) => {
+      Canon.stringifyArrays(
+        TextAnalysis.featureHashEmbed(t(s, d, "documents"), "text",
+          "doc_id", dim = 32))
+        .orderBy("doc_id")
+    }),
+    // temperature-scaled mixture weights (alpha = 0.7): the
+    // low-resource-boosting sampling recipe, with the up/down-sample
+    // factor per source
+    "mix_temperature" -> ((s, d) => {
+      TextAnalysis.temperatureWeights(t(s, d, "documents"), "source",
+        "text", alpha = 0.7)
+        .orderBy("source")
+    }),
     // banded-LSH recall/precision vs exact all-pairs Jaccard truth on
     // a fixed 200-doc sample — the text-side ann_recall: the two
     // numbers that justify the (bands × rows) configuration
@@ -1432,6 +1449,45 @@ object LlmQueries {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 15000
          |ORDER BY doc_id""".stripMargin,
+    "feature_hash_embed" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split(lower(text), ' '),
+         |      t -> t != ''),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, list_transform(range(0, 32),
+         |    b -> CAST(len(list_filter(th, h -> h % 32 = b))
+         |         AS DOUBLE)) AS cnt
+         |  FROM th WHERE len(th) > 0),
+         |n AS (
+         |  SELECT doc_id, cnt,
+         |    sqrt(list_reduce(list_transform(cnt, x -> x * x),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM c)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(cnt,
+         |    x -> printf('%.6f', round(x / nrm, 6) + 0.0)), ',')
+         |    AS vec
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    sum(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t != '')) AS BIGINT)) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT sum(n_tokens) AS tt,
+        |    CAST(sum(CAST(pow(CAST(n_tokens AS DOUBLE), 0.7)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS ta
+        |  FROM s)
+        |SELECT source, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS p,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.7) / ta, 6) AS q,
+        |  round(round(pow(CAST(n_tokens AS DOUBLE), 0.7) / ta, 6)
+        |    / round(CAST(n_tokens AS DOUBLE) / tt, 6), 6) AS boost
+        |FROM s, t ORDER BY source""".stripMargin,
     "dedup_recall" ->
       s"""WITH sub AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
