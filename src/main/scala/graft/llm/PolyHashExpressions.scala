@@ -282,6 +282,44 @@ case class SimHashPackExpr(child: Expression) extends UnaryExpression {
       : SimHashPackExpr = copy(child = newChild)
 }
 
+object FeatureHashCounts {
+  /** Bucketed counts of an array<bigint> of token hashes in ONE pass
+    * — the native form of `transform(sequence(0, dim-1), b ->
+    * size(filter(th, h -> h % dim = b)))`, which walks the token
+    * array dim times through interpreted lambdas (measured 15 s at
+    * sf0.1 for dim=32; this pass: sub-second). Hashes are in [0, P)
+    * so `h % dim` is non-negative.
+    */
+  def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      dim: Int): GenericArrayData = {
+    val out = new Array[Double](dim)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      out((hashes.getLong(i) % dim).toInt) += 1.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<double> bucketed counts of an array<bigint> of hashes. */
+case class FeatureHashCountsExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    FeatureHashCounts.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dim)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.llm.FeatureHashCounts.compute($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : FeatureHashCountsExpr = copy(child = newChild)
+}
+
 /** bigint whole-string polynomial hash (fingerprint). */
 case class PolyHashString(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -308,4 +346,6 @@ object PolyHashColumns {
     column(SimHashPackExpr(expression(c)))
   def textClassStats(c: Column): Column =
     column(TextClassStatsExpr(expression(c)))
+  def featureHashCounts(c: Column, dim: Int): Column =
+    column(FeatureHashCountsExpr(expression(c), dim))
 }
