@@ -888,6 +888,18 @@ object CoreQueries {
         Seq("l_partkey"), "week", "units")
         .orderBy("l_partkey")
     }),
+    // global top-k WITHOUT a global sort: orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition heaps merged on the
+    // driver, k rows moved) — plan-asserted in EngineExtrasSpec; a
+    // window-rank formulation would instead single-partition-sort
+    // the whole per-item frame
+    "top_revenue" -> ((s, d) => {
+      Retail.itemRevenue(t(s, d, "lineitem"), "l_partkey")
+        .select(col("l_partkey"),
+          col("revenue").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(100)
+    }),
     // seasonal demand envelope: p10/p50/p90 of per-series weekly
     // demand by ISO week-of-year — the percentile band actuals are
     // judged against
@@ -1826,6 +1838,14 @@ object CoreQueries {
         |  CASE WHEN m >= 2 THEN round(z / p, 6) END AS croston_fc,
         |  CASE WHEN m >= 2 THEN round(0.85 * z / p, 6) END AS sba_fc
         |FROM f ORDER BY l_partkey""".stripMargin,
+    "top_revenue" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1.0 AS DECIMAL(3,2)) -
+        |       CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem GROUP BY 1
+        |ORDER BY revenue DESC, l_partkey LIMIT 100""".stripMargin,
     "demand_envelope" ->
       s"""WITH wk AS (${weeklyCte("l_partkey")})
         |SELECT CAST(weekofyear(week) AS BIGINT) AS woy,

@@ -263,6 +263,17 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 10L), (1L, 11L), (3L, 12L)))
   }
 
+  test("global top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val df = (1L to 10000L).map(i => (i, (i * 7919) % 1000))
+      .toDF("k", "v")
+      .orderBy(col("v").desc, col("k")).limit(100)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-partition heaps + driver merge of k rows — the only global
+    // top-k shape that survives an arbitrarily large input
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(df.collect().length === 100)
+  }
+
   test("cdcDiff: insert/delete/update classified; null-safe compare") {
     import graft.engine.Joins
     val old = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
