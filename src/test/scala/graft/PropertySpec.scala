@@ -356,6 +356,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin equals the naive theta join on random intervals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.engine.Joins
+    val rnd = new Random(4242)
+    (1 to 5).foreach { _ =>
+      def mk(n: Int, idCol: String, s: String, e: String) = {
+        (1 to n).map { i =>
+          val start = java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(rnd.nextInt(120).toLong)
+          val len = rnd.nextInt(25)
+          (i.toLong, java.sql.Date.valueOf(start),
+            java.sql.Date.valueOf(start.plusDays(len.toLong)))
+        }.toDF(idCol, s, e)
+      }
+      val a = mk(60, "aid", "a_start", "a_end")
+      val b = mk(40, "bid", "b_start", "b_end")
+      val bucketed = Joins.intervalJoin(a, b, "a_start", "a_end",
+          "b_start", "b_end")
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val naive = a.crossJoin(b)
+        .filter(col("a_start") <= col("b_end") &&
+          col("b_start") <= col("a_end"))
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(bucketed.toSeq === naive.toSeq)
+      assert(naive.nonEmpty)
+    }
+  }
+
+  test("paragraphDedup conservation: kept paragraphs = distinct paragraphs, " +
+      "each exactly once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Dedup
+    val rnd = new Random(77)
+    (1 to 5).foreach { _ =>
+      // tiny paragraph vocabulary forces heavy cross-doc repetition
+      def para(): String =
+        (0 until 10).map(_ => s"w${rnd.nextInt(2)}").mkString(" ")
+      val docs = (0L until 20L).map { i =>
+        (i, (0 until 1 + rnd.nextInt(4)).map(_ => para()).mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = Dedup.paragraphDedup(docs, "text", "doc_id",
+        words = 10).collect()
+      val keptPars = out.flatMap(_.getString(1).split(" ")
+        .grouped(10).map(_.mkString(" ")))
+      // every distinct input paragraph survives EXACTLY once
+      val inputPars = docs.collect().flatMap(_.getString(1).split(" ")
+        .grouped(10).map(_.mkString(" ")))
+      assert(keptPars.sorted.toSeq === inputPars.distinct.sorted.toSeq)
+      // and the removal accounting conserves: kept + removed = total
+      val totals = out.map(r => r.getLong(2) + r.getLong(3)).sum
+      val docPars = docs.collect().map(r =>
+        r.getString(1).split(" ").length / 10).sum
+      assert(out.map(_.getLong(2)).sum === inputPars.distinct.length)
+      assert(totals <= docPars) // emptied docs dropped from output
+    }
+  }
+
   test("span family invariants on random small-alphabet corpora") {
     // tiny alphabet forces repeated windows; invariants must hold on
     // every draw: detection grams repeat globally, stats conserve
