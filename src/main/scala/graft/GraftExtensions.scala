@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{HashConstants, MinHashSigExpr, PolyHashShingles, PolyHashString, PolyHashTokens, SimHashPackExpr, TextClassStatsExpr}
+import graft.llm.{FeatureHashCountsExpr, HashConstants, MinHashSigExpr, PolyHashShingles, PolyHashString, PolyHashTokens, SimHashPackExpr, TextClassStatsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -49,7 +49,13 @@ object GraftExtensions {
         PolyHashShingles(args.head, HashConstants.shingleSize))),
     "graft_simhash" -> (args =>
       SimHashPackExpr(PolyHashTokens(args.head))),
-    "graft_text_stats" -> (args => TextClassStatsExpr(args.head)))
+    "graft_text_stats" -> (args => TextClassStatsExpr(args.head)),
+    // bucketed token-hash counts (the feature-hashing featurizer's
+    // counting pass) over an array<bigint> of hashes; dim optional
+    "graft_feature_hash" -> { args =>
+      val dim = if (args.length > 1) intArg(args(1), 32) else 32
+      FeatureHashCountsExpr(args.head, dim)
+    })
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -673,7 +673,10 @@ object LlmQueries {
            |  graft_simhash(text) AS sh,
            |  graft_text_stats(text).n_chars AS n_chars,
            |  graft_text_stats(text).n_tokens AS n_tokens,
-           |  graft_text_stats(text).n_punct AS n_punct
+           |  graft_text_stats(text).n_punct AS n_punct,
+           |  element_at(
+           |    graft_feature_hash(graft_token_hashes(text), 8), 1)
+           |    AS fh0
            |FROM parquet.`$d/documents.parquet`
            |ORDER BY doc_id""".stripMargin)
     }))
@@ -2316,6 +2319,10 @@ object LlmQueries {
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST($duckNTokens AS BIGINT) AS n_tokens,
          |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-         |    AS BIGINT) AS n_punct
+         |    AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${duckPolyHash("t")}),
+         |    h -> h % 8 = 0)) AS DOUBLE) AS fh0
          |FROM s ORDER BY doc_id""".stripMargin)
 }
