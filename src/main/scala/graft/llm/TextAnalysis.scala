@@ -644,15 +644,22 @@ object TextAnalysis {
       .agg(sum(size(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .cast("long")).as("n_tokens"))
-    // the p^α sum routes through decimal: a double accumulation of
-    // irrational pow values would drift with partition order
+      // per-row p^α stabilizes through DECIMAL(28,12) BEFORE any
+      // arithmetic: JVM Math.pow and libm pow differ in the last
+      // ulp (~3.5e-14 at these magnitudes), which a raw
+      // round(.., 6) can flip on a half-tie; 12dp absorbs it. The
+      // sum over the stabilized values is then decimal-exact and
+      // order-independent, and q derives from two bit-identical
+      // doubles on both engines.
+      .withColumn("__pa",
+        pow(col("n_tokens").cast("double"), alpha)
+          .cast("decimal(28,12)"))
     val tot = perSrc.agg(sum(col("n_tokens")).as("__t"),
-      sum(pow(col("n_tokens").cast("double"), alpha)
-        .cast("decimal(28,12)")).cast("double").as("__ta"))
+      sum(col("__pa")).as("__ta"))
     perSrc.crossJoin(broadcast(tot))
       .withColumn("p", round(col("n_tokens") / col("__t"), 6))
       .withColumn("q", round(
-        pow(col("n_tokens").cast("double"), alpha) / col("__ta"), 6))
+        col("__pa").cast("double") / col("__ta").cast("double"), 6))
       .withColumn("boost", round(col("q") / col("p"), 6))
       .select(col(srcCol), col("n_tokens"), col("p"), col("q"),
         col("boost"))

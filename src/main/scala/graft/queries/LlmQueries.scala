@@ -1478,17 +1478,18 @@ object LlmQueries {
       """WITH s AS (
         |  SELECT source,
         |    sum(CAST(len(list_filter(string_split(lower(text), ' '),
-        |      t -> t != '')) AS BIGINT)) AS n_tokens
+        |      t -> t != '')) AS BIGINT)) AS n_tokens,
+        |    CAST(pow(CAST(sum(CAST(len(list_filter(
+        |      string_split(lower(text), ' '),
+        |      t -> t != '')) AS BIGINT)) AS DOUBLE), 0.7)
+        |      AS DECIMAL(28,12)) AS pa
         |  FROM documents GROUP BY 1),
         |t AS (
-        |  SELECT sum(n_tokens) AS tt,
-        |    CAST(sum(CAST(pow(CAST(n_tokens AS DOUBLE), 0.7)
-        |      AS DECIMAL(28,12))) AS DOUBLE) AS ta
-        |  FROM s)
+        |  SELECT sum(n_tokens) AS tt, sum(pa) AS ta FROM s)
         |SELECT source, n_tokens,
         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS p,
-        |  round(pow(CAST(n_tokens AS DOUBLE), 0.7) / ta, 6) AS q,
-        |  round(round(pow(CAST(n_tokens AS DOUBLE), 0.7) / ta, 6)
+        |  round(CAST(pa AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS q,
+        |  round(round(CAST(pa AS DOUBLE) / CAST(ta AS DOUBLE), 6)
         |    / round(CAST(n_tokens AS DOUBLE) / tt, 6), 6) AS boost
         |FROM s, t ORDER BY source""".stripMargin,
     "dedup_recall" ->
