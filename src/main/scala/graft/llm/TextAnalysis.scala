@@ -543,12 +543,21 @@ object TextAnalysis {
     * before any neural scorer exists (a doc of improbable token
     * transitions scores low). Docs with fewer than two content
     * tokens are excluded. Scale shape: the bigram and unigram count
-    * tables are map-side-combined groupBys on the gram; scoring is
-    * two hash joins keyed on those same grams plus a broadcast 1-row
-    * cross for the vocabulary size — corpus-linear, never quadratic.
+    * tables are map-side-combined groupBys on the gram, persisted
+    * (they are read twice: once for the size guard, once for the
+    * join) and BROADCAST to the corpus-sized pair frame — token keys
+    * are Zipf-skewed ("the" lands in every partition), so a shuffle
+    * join keyed on raw tokens is a skew hazard at 100 TB; with the
+    * lookups broadcast, the only shuffle of corpus-sized data is the
+    * final per-doc groupBy, keyed on the well-distributed doc id.
+    * Above `maxBroadcastRows` (a corpus whose distinct-bigram table
+    * no longer fits a broadcast) it falls back to a deterministic
+    * salted shuffle join: the probe side gets a hash-derived salt,
+    * the count tables are replicated across all salt values, so no
+    * single reducer owns all of a hot token's rows.
     */
-  def bigramLmScore(df: DataFrame, text: String, id: String)
-      : DataFrame = {
+  def bigramLmScore(df: DataFrame, text: String, id: String,
+      maxBroadcastRows: Long = 50000000L): DataFrame = {
     val toks = df
       .withColumn("__t",
         expr(s"filter(split(lower($text), ' '), t -> t != '')"))
@@ -561,12 +570,25 @@ object TextAnalysis {
       .select(col(id), col("__p.a").as("a"), col("__p.b").as("b"))
     val uni = toks.select(explode(col("__t")).as("a"))
       .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val voc = uni.agg(count(lit(1)).as("v"))
     val big = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cab"))
-    pairs
-      .join(big, Seq("a", "b"))
-      .join(uni, Seq("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored =
+      if (big.count() <= maxBroadcastRows && uni.count() <= maxBroadcastRows)
+        pairs.join(broadcast(big), Seq("a", "b"))
+          .join(broadcast(uni), Seq("a"))
+      else {
+        val s = 16
+        val salted = pairs.withColumn("__s",
+          pmod(hash(col(id), col("a"), col("b")), lit(s)))
+        val rep = explode(sequence(lit(0), lit(s - 1)))
+        salted
+          .join(big.withColumn("__s", rep), Seq("a", "b", "__s"))
+          .join(uni.withColumn("__s", rep), Seq("a", "__s"))
+      }
+    scored
       .crossJoin(broadcast(voc))
       .withColumn("__lp",
         log((col("cab") + 1.0) / (col("ca") + col("v"))))

@@ -295,6 +295,26 @@ class LlmSpec extends AnyFunSuite {
       (1L, 1L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
   }
 
+  test("bigramLmScore: count lookups broadcast; salted fallback exact") {
+    val df = docs("a b a b", "a a")
+    // skew guard: the corpus-sized pair frame must never shuffle on
+    // raw token keys — both count lookups ride broadcast joins
+    val plan = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"token-keyed shuffle join in plan:\n$plan")
+    // above-threshold path: salted shuffle join, identical rows
+    val salted = TextAnalysis.bigramLmScore(
+      df, "text", "doc_id", maxBroadcastRows = 0L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted === Array(
+      (0L, 3L, math.rint(math.log(0.5) * 1e6) / 1e6),
+      (1L, 1L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
+  }
+
   test("truncateRenorm: prefix kept, unit norm restored, zero guarded") {
     val df = Seq((0L, Array(3f, 4f, 100f)), (1L, Array(0f, 0f, 9f)))
       .toDF("vec_id", "embedding")
