@@ -28,7 +28,11 @@ object GraftExtensions {
 
   private def intArg(e: Expression, default: Int): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"integer argument out of range: $v")
+      v.toInt
     case _ => default
   }
 

@@ -95,20 +95,22 @@ object Retail {
     * shape at any scale.
     */
   def demandClass(weekly: DataFrame, key: String,
-      adiCut: Double = 1.32, cv2Cut: Double = 0.49): DataFrame =
-    weekly.filter(col("units") > 0)
+      adiCut: Double = 1.32, cv2Cut: Double = 0.49,
+      weekCol: String = "week", valueCol: String = "units")
+      : DataFrame =
+    weekly.filter(col(valueCol) > 0)
       .groupBy(col(key))
       .agg(
         count(lit(1)).as("__n"),
-        min(col("week")).as("__w0"),
-        max(col("week")).as("__w1"),
+        min(col(weekCol)).as("__w0"),
+        max(col(weekCol)).as("__w1"),
         // integral moments, not avg/stddev_pop: weekly units are
         // integral-valued doubles, so n, Σx, Σx² are EXACT and the
         // closed form below is bit-identical in any engine — builtin
         // stddev_pop implementations differ in the last ulp, which
         // flips a 6dp rounding boundary (same trick as demandAnomaly)
-        sum(col("units")).as("__s1"),
-        sum(col("units") * col("units")).as("__s2"))
+        sum(col(valueCol)).as("__s1"),
+        sum(col(valueCol) * col(valueCol)).as("__s2"))
       .withColumn("__mu", col("__s1") / col("__n"))
       .withColumn("adi", when(col("__n") > 1,
         round((datediff(col("__w1"), col("__w0")) / lit(7.0)) /
@@ -242,7 +244,8 @@ object Retail {
     * series key; no global window. Emits ONLY the outlier rows.
     */
   def madOutliers(weekly: DataFrame, keys: Seq[String],
-      valueCol: String = "units", thresh: Double = 3.5): DataFrame = {
+      valueCol: String = "units", thresh: Double = 3.5,
+      weekCol: String = "week"): DataFrame = {
     val kc = keys.map(col)
     val med = weekly.groupBy(kc: _*)
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
@@ -260,7 +263,7 @@ object Retail {
       .filter(
         (col("mad") > 0 && abs(col("__mzr")) > thresh) ||
         (col("mad") === 0 && col(valueCol) =!= col("med")))
-      .select((kc :+ col("week") :+ col(valueCol) :+
+      .select((kc :+ col(weekCol) :+ col(valueCol) :+
         round(col("med"), 6).as("med") :+
         round(col("mad"), 6).as("mad") :+ col("mz")): _*)
   }

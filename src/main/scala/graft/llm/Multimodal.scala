@@ -131,7 +131,13 @@ object Multimodal {
       var i = 0
       while (i < px.length) { px(i) &= 0xffffff; i += 1 }
       Some(DecodedImage(w, h, px))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO readers throw more than IOException on corrupt
+      // streams with valid magic (IIOException causes, AIOOBE on
+      // truncated scanlines) — anything undecodable must map to None,
+      // not crash the row.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Nearest-neighbor resize: dst (x, y) reads src

@@ -287,16 +287,19 @@ object FeatureHashCounts {
     * — the native form of `transform(sequence(0, dim-1), b ->
     * size(filter(th, h -> h % dim = b)))`, which walks the token
     * array dim times through interpreted lambdas (measured 15 s at
-    * sf0.1 for dim=32; this pass: sub-second). Hashes are in [0, P)
-    * so `h % dim` is non-negative.
+    * sf0.1 for dim=32; this pass: sub-second). `floorMod` keeps the
+    * bucket in [0, dim) even for negative hashes — the expression is
+    * registered as a general SQL function (`graft_feature_hash`), so
+    * callers may feed arbitrary bigints, not just [0, P) poly-hashes.
     */
   def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
       dim: Int): GenericArrayData = {
+    require(dim > 0, s"graft_feature_hash: dim must be > 0, got $dim")
     val out = new Array[Double](dim)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      out((hashes.getLong(i) % dim).toInt) += 1.0
+      out(java.lang.Math.floorMod(hashes.getLong(i), dim.toLong).toInt) += 1.0
       i += 1
     }
     new GenericArrayData(out)

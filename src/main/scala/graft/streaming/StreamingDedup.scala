@@ -188,6 +188,13 @@ object StreamingDedup {
     * bucket ever seen regardless of bucket population. Exactly the
     * trade a firehose needs: the full clique of a hot bucket is
     * unbounded, its star is linear.
+    *
+    * Delivery note: output is AT-LEAST-ONCE per pair — state holds
+    * only the representative, so a document re-delivered to a bucket
+    * in a later micro-batch re-emits its (rep, doc) pair. Downstream
+    * connected-components consumers are idempotent on duplicate
+    * edges, which is why the state stays one id per bucket instead
+    * of the unbounded seen-set exactly-once would need.
     */
   def minhashCandidateStage(buckets: DataFrame)
       : Dataset[CandidatePair] = {

@@ -1005,6 +1005,26 @@ class LlmSpec extends AnyFunSuite {
     // non-image bytes fall through to the stub, and BMP still wins
     assert(decodeCompressed("not an image".getBytes).isEmpty)
     assert(decodeBmp(encodeBmp(img)).get.pixels.toSeq === px.toSeq)
+    // corrupt stream behind valid PNG magic: ImageIO readers throw
+    // RuntimeExceptions, not just IOException — must map to None
+    assert(decodeCompressed(png.take(20)).isEmpty)
+    val garbled = png.clone(); java.util.Arrays.fill(garbled, 16,
+      garbled.length, 0x5a.toByte)
+    assert(decodeCompressed(garbled).isEmpty)
+  }
+
+  test("graft_feature_hash: negative hashes bucket via floorMod; " +
+      "dim must be positive") {
+    graft.GraftExtensions.register(spark)
+    val one = spark.sql(
+      "SELECT graft_feature_hash(array(-7L, 3L, -7L), 5) AS c")
+      .head.getSeq[Double](0)
+    // floorMod(-7, 5) = 3; a Java % would have thrown AIOOBE
+    assert(one === Seq(0.0, 0.0, 0.0, 3.0, 0.0))
+    intercept[Exception] {
+      spark.sql("SELECT graft_feature_hash(array(1L), 0) AS c")
+        .collect()
+    }
   }
 
   test("pqRerank: exhaustive shortlist reproduces brute-force exactly; " +
