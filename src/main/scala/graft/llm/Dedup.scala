@@ -360,9 +360,10 @@ object Dedup {
     * therefore IDENTICAL to the plain anti-join at every `fpp`; the
     * knob trades sketch memory against anti-join traffic only
     * (pinned by the LlmSpec parity test). The might-contain probe is
-    * a Scala UDF by necessity (Spark exposes no public
-    * bloom-contains expression) — one primitive-long call per row,
-    * off the codegen path but allocation-free.
+    * a native codegen'd expression carrying the broadcast-sized
+    * filter as a plan reference object ([[BloomMightContainExpr]] —
+    * Spark exposes no public bloom-contains Column), so the split
+    * stays inside whole-stage codegen.
     */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame,
       text: String, id: String, expectedItems: Long = 1L << 20,
@@ -372,7 +373,8 @@ object Dedup {
     val cfp = corpus.select(TextAnalysis.fingerprintExpr(text)
       .as("__fp"))
     val bloom = cfp.stat.bloomFilter("__fp", expectedItems, fpp)
-    val mightContain = udf((x: Long) => bloom.mightContainLong(x))
+    val mightContain = (c: Column) =>
+      SketchColumns.bloomMightContain(c, bloom)
     // Null fingerprints (null text) must take the definite-new path:
     // the plain anti-join keeps null-key rows (null never equals
     // null), and both mightContain filters would otherwise evaluate

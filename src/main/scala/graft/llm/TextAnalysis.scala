@@ -774,13 +774,13 @@ object TextAnalysis {
     val cms = df.stat.countMinSketch(key, eps, conf, seed)
     val n = cms.totalCount()
     val slack = math.ceil(eps * n).toLong
-    val est = udf((x: Long) => cms.estimateCount(x))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col(key).asc)
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .withColumn("__est", est(col(key)))
+      .withColumn("__est",
+        SketchColumns.countMinEstimate(col(key), cms))
       .select(col(key), col("cnt"), col("rank"),
         (col("__est") >= col("cnt")).as("cms_sound"),
         (col("__est") <= col("cnt") + slack).as("cms_tight"))

@@ -96,6 +96,11 @@ class LlmSpec extends AnyFunSuite {
       assert(inc === plain, s"fpp=$fpp")
     }
     assert(plain === Array(11L, 13L, 14L))
+    // bloom probe rides a native expression inside codegen, no UDF
+    val plan = Dedup.incrementalDedup(batch, corpus, "text",
+      "doc_id", expectedItems = 100, fpp = 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
   }
 
   test("PQ: codes deterministic under repartitioning; ADC ranks the near-identical vector first") {
@@ -280,6 +285,11 @@ class LlmSpec extends AnyFunSuite {
         r.getBoolean(3), r.getBoolean(4)))
     assert(hh === Array((1L, 50L, 1L, true, true),
       (2L, 30L, 2L, true, true), (3L, 20L, 3L, true, true)))
+    // the sketch probe is a native expression, not a codegen-fencing
+    // Scala UDF
+    val plan = TextAnalysis.heavyHitters(df, "k", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
   }
 
   test("bigramLmScore: add-1 smoothed mean log-prob, exact on a tiny corpus") {
