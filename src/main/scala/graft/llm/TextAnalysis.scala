@@ -239,14 +239,18 @@ object TextAnalysis {
     * across runs, engines, and input partitionings.
     */
   def packSequences(df: DataFrame, text: String, id: String,
-      seqLen: Int, nShards: Int, seed: Long = 0L): DataFrame = {
+      seqLen: Int, nShards: Int, seed: Long = 0L,
+      tokenCounts: Option[Column] = None): DataFrame = {
     require(seqLen > 0 && nShards > 0, "need seqLen > 0, nShards > 0")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // tokenCounts swaps in tokenizer-grain counts (e.g. bpeApply's
+    // n_bpe_tokens) for the default whitespace accounting
     df.select(col(id),
-        PolyHashColumns.textClassStats(col(text))
-          .getField("n_tokens").as("n_tokens"),
+        tokenCounts.getOrElse(
+          PolyHashColumns.textClassStats(col(text))
+            .getField("n_tokens")).cast("long").as("n_tokens"),
         pmod(sampleBucketExpr(id, seed), lit(nShards)).cast("long")
           .as("shard"))
       .withColumn("tok_offset",
@@ -534,6 +538,94 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** BPE tokenizer fit + apply: learns `numMerges` byte-pair merges
+    * on the corpus (classic Sennrich training on the word-frequency
+    * table — each round merges the most frequent adjacent symbol
+    * pair, ties broken by pair ascending for determinism) and emits
+    * each document's BPE token sequence and count. This is the
+    * tokenizer-grain token accounting [[bpePairCounts]] only
+    * computes statistics for; the `n_bpe_tokens` output (or the
+    * tokens themselves) feeds [[packSequences]] via its
+    * `tokenCounts` hook.
+    *
+    * Words are represented as single-space-delimited symbol strings
+    * (`" a b c "`). One merge round rewrites every word with three
+    * plain `replace` calls: double every delimiter, replace
+    * `" a  b "` with `" ab "`, collapse doubles — with doubled
+    * delimiters each pair occurrence owns a private leading AND
+    * trailing space, so one left-to-right replace-all IS the greedy
+    * non-overlapping BPE merge scan (adjacent occurrences no longer
+    * share the boundary space that a single-space encoding loses to
+    * the first match). `replace` has identical left-to-right
+    * semantics in Spark and DuckDB, which is what makes the oracle
+    * exact.
+    *
+    * Scale shape: the fit loop runs entirely on the DISTINCT-WORD
+    * frame (vocabulary-sized, orders of magnitude below corpus) —
+    * per round one map-side-combined pair aggregate, a 1-row
+    * TakeOrdered argmax crossed back as a broadcast, and a row-local
+    * rewrite, with `localCheckpoint` truncating lineage exactly as
+    * the connected-components loop does. The corpus itself is
+    * touched twice: one groupBy to build word counts, and one
+    * broadcast join word→tokens for the apply (the only
+    * corpus-sized shuffle is the final per-doc groupBy on the
+    * well-distributed doc id). No driver-side data path: the argmax
+    * stays in the plan.
+    *
+    * Docs with zero content tokens are excluded by construction
+    * (mirrors [[unigramFreqScore]]).
+    */
+  def bpeApply(df: DataFrame, text: String, id: String,
+      numMerges: Int = 10): DataFrame = {
+    require(numMerges >= 0, "need numMerges >= 0")
+    val wordsOf = expr(
+      s"filter(split(lower($text), ' '), t -> t != '')")
+    var vocab = df.select(explode(wordsOf).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // " a b c ": space-delimited symbols with boundary spaces;
+      // [^ ] (not .) so newline-class chars split identically to
+      // DuckDB's RE2
+      .withColumn("repr", concat(lit(" "),
+        regexp_replace(col("word"), "([^ ])", "$1 ")))
+      .localCheckpoint()
+    for (_ <- 0 until numMerges) {
+      val best = vocab
+        .select(col("cnt"),
+          expr("filter(split(repr, ' '), x -> x != '')").as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(__t) - 1),
+             i -> struct(element_at(__t, i) AS a,
+                         element_at(__t, i + 1) AS b))""")).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("cnt")).as("__c"))
+        .orderBy(col("__c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .select(col("a"), col("b"))
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("repr", replace(
+          replace(
+            replace(col("repr"), lit(" "), lit("  ")),
+            concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
+            concat(lit(" "), col("a"), col("b"), lit(" "))),
+          lit("  "), lit(" ")))
+        .drop("a", "b")
+        .localCheckpoint()
+    }
+    val perWord = vocab.select(col("word"),
+      expr("filter(split(repr, ' '), x -> x != '')").as("__toks"))
+    df.select(col(id), posexplode(wordsOf).as(Seq("__pos", "word")))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__toks"))))
+        .as("__o"))
+      .withColumn("tokens",
+        flatten(expr("transform(__o, s -> s.__toks)")))
+      .select(col(id),
+        size(col("tokens")).cast("long").as("n_bpe_tokens"),
+        col("tokens"))
   }
 
   /** Bigram language-model quality score: per document, the mean

@@ -451,6 +451,16 @@ object LlmQueries {
       TextAnalysis.bpePairCounts(t(s, d, "documents"), "text", k = 20)
         .orderBy("rank")
     }),
+    // BPE fit + apply: 10 deterministic merges learned on the
+    // corpus's word-frequency table, then every doc tokenized by
+    // broadcast word->tokens join; the oracle replays the identical
+    // merge chain as generated materialized CTE stages
+    "bpe_apply" -> ((s, d) => {
+      Canon.stringifyArrays(
+        TextAnalysis.bpeApply(t(s, d, "documents"), "text", "doc_id",
+          numMerges = 10))
+        .orderBy("doc_id")
+    }),
     // repetition-ratio quality gate (duplicate-bigram fraction)
     "rep_ratio" -> ((s, d) => {
       t(s, d, "documents")
@@ -1743,6 +1753,54 @@ object LlmQueries {
         |  FROM c)
         |SELECT pair, CAST(cnt AS BIGINT) AS cnt, rank FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // replays the 10-round merge chain as generated CTE stages; the
+    // w-stages are MATERIALIZED (each is referenced twice - pair
+    // extraction and rewrite - and inlined CTEs would re-evaluate
+    // the chain exponentially)
+    "bpe_apply" -> {
+      val stages = (1 to 10).map { i =>
+        val p = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT a, b, sum(cnt) AS c FROM (
+           |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS a,
+           |           unnest(list_slice(t, 2, len(t))) AS b, cnt
+           |    FROM (SELECT list_filter(string_split(repr, ' '),
+           |        x -> x != '') AS t, cnt FROM $p)
+           |    WHERE len(t) >= 2)
+           |  GROUP BY a, b),
+           |b$i AS (SELECT a, b FROM p$i
+           |  ORDER BY c DESC, a, b LIMIT 1),
+           |w$i AS MATERIALIZED (SELECT word, cnt,
+           |  replace(replace(replace(repr, ' ', '  '),
+           |    ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '),
+           |    '  ', ' ') AS repr
+           |  FROM $p, b$i),""".stripMargin
+      }.mkString("\n")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt,
+         |    ' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g')
+         |      AS repr
+         |  FROM (SELECT unnest(list_filter(
+         |      string_split(lower(text), ' '), t -> t != '')) AS word
+         |    FROM documents)
+         |  GROUP BY word),
+         |$stages
+         |dw AS (
+         |  SELECT doc_id, unnest(ws) AS word,
+         |         unnest(generate_series(1, len(ws))) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split(lower(text), ' '), t -> t != '') AS ws
+         |    FROM documents)),
+         |tok AS (
+         |  SELECT doc_id, flatten(list(
+         |      list_filter(string_split(repr, ' '), x -> x != '')
+         |      ORDER BY pos)) AS toks
+         |  FROM dw JOIN w10 USING (word)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(toks, ',') AS tokens
+         |FROM tok ORDER BY doc_id""".stripMargin
+    },
     "mix_weights" ->
       s"""WITH tgt(source, target_share) AS (
          |  VALUES ('src0', CAST(0.5 AS DOUBLE)),

@@ -305,6 +305,35 @@ class LlmSpec extends AnyFunSuite {
       (1L, 1L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
   }
 
+  test("bpeApply: greedy overlap merge, tie-break, token accounting") {
+    // round 1: (a,a) wins with 6; greedy left-to-right on "aaab"
+    // gives [aa,a,b], NOT [a,aa,b]. round 2: (aa,a) and (a,b) tie
+    // at 3 -> pair-ascending picks (a,b), so [aa,a,b] -> [aa,ab]
+    val out = TextAnalysis.bpeApply(
+      docs("aaab aaab ab", "aaa x"), "text", "doc_id", numMerges = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).mkString(",")))
+    assert(out === Array(
+      (0L, 5L, "aa,ab,aa,ab,ab"),
+      (1L, 3L, "aa,a,x")))
+    // zero merges = plain character tokenization
+    val raw = TextAnalysis.bpeApply(
+      docs("ab c"), "text", "doc_id", numMerges = 0)
+      .collect().map(r => (r.getLong(1), r.getSeq[String](2)))
+    assert(raw === Array((3L, Seq("a", "b", "c"))))
+    // tokenCounts hook: packSequences accounts with BPE counts
+    val d = docs("aaab aaab ab", "aaa x")
+    val withN = d.join(TextAnalysis.bpeApply(d, "text", "doc_id", 2)
+      .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+    val packed = TextAnalysis.packSequences(withN, "text", "doc_id",
+      seqLen = 4, nShards = 1,
+      tokenCounts = Some(col("n_bpe_tokens")))
+      .select("doc_id", "n_tokens").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(packed === Array((0L, 5L), (1L, 3L)))
+  }
+
   test("bigramLmScore: count lookups broadcast; salted fallback exact") {
     val df = docs("a b a b", "a a")
     // skew guard: the corpus-sized pair frame must never shuffle on
