@@ -259,6 +259,25 @@ object LlmQueries {
         .filter(col("cum_tokens") <= 15000)
         .orderBy("doc_id")
     }),
+    // the same budget cut at TOKENIZER grain: n_bpe_tokens from
+    // bpeApply (10 merges) replaces the whitespace count — the
+    // accounting a real pretraining pipeline bills against. Budget
+    // scaled ~5x (10-merge BPE tokens are near-character-grain).
+    // Same distributed prefix sum; integral counts keep the
+    // threshold engine-exact
+    "token_budget_cut_bpe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val stats = TextAnalysis.withStats(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      val bpe = TextAnalysis.bpeApply(docs, "text", "doc_id",
+          numMerges = 10)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      graft.engine.Dist.prefixSum(stats.join(bpe, Seq("doc_id")),
+        Seq(col("quality").desc, col("doc_id")), "n_bpe_tokens",
+        "cum_tokens")
+        .filter(col("cum_tokens") <= 75000)
+        .orderBy("doc_id")
+    }),
     // intra-doc duplicate-line removal at token grain (this corpus
     // has no newlines; the operator's default sep is '\n') — one
     // row-local HOF projection, no shuffle
@@ -878,6 +897,50 @@ object LlmQueries {
 
   private val duckNTokens =
     "len(string_split_regex(trim(text), '\\s+'))"
+
+  /** Replays [[TextAnalysis.bpeApply]]'s deterministic merge chain as
+    * generated CTE stages: `w0` = the word-frequency table as spaced
+    * symbol strings, `w$i` = after merge round i (MATERIALIZED — each
+    * stage is read twice and inlined CTEs would re-evaluate the chain
+    * exponentially), `dw` = per-occurrence word positions per doc.
+    * Returns the WITH-body up through `dw` (no trailing comma);
+    * callers join `dw` against `w$n` for tokens or counts.
+    */
+  private def duckBpeChain(n: Int = 10): String = {
+    val stages = (1 to n).map { i =>
+      val p = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT a, b, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS a,
+         |           unnest(list_slice(t, 2, len(t))) AS b, cnt
+         |    FROM (SELECT list_filter(string_split(repr, ' '),
+         |        x -> x != '') AS t, cnt FROM $p)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY a, b),
+         |b$i AS (SELECT a, b FROM p$i
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, cnt,
+         |  replace(replace(replace(repr, ' ', '  '),
+         |    ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '),
+         |    '  ', ' ') AS repr
+         |  FROM $p, b$i),""".stripMargin
+    }.mkString("\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt,
+       |    ' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g')
+       |      AS repr
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split(lower(text), ' '), t -> t != '')) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |$stages
+       |dw AS (
+       |  SELECT doc_id, unnest(ws) AS word,
+       |         unnest(generate_series(1, len(ws))) AS pos
+       |  FROM (SELECT doc_id, list_filter(
+       |      string_split(lower(text), ' '), t -> t != '') AS ws
+       |    FROM documents))""".stripMargin
+  }
 
   /** Two unrolled Lloyd iterations over the `v` CTE; decimal-routed
     * component sums make the means order-independent, matching the
@@ -1757,40 +1820,8 @@ object LlmQueries {
     // w-stages are MATERIALIZED (each is referenced twice - pair
     // extraction and rewrite - and inlined CTEs would re-evaluate
     // the chain exponentially)
-    "bpe_apply" -> {
-      val stages = (1 to 10).map { i =>
-        val p = s"w${i - 1}"
-        s"""p$i AS (
-           |  SELECT a, b, sum(cnt) AS c FROM (
-           |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS a,
-           |           unnest(list_slice(t, 2, len(t))) AS b, cnt
-           |    FROM (SELECT list_filter(string_split(repr, ' '),
-           |        x -> x != '') AS t, cnt FROM $p)
-           |    WHERE len(t) >= 2)
-           |  GROUP BY a, b),
-           |b$i AS (SELECT a, b FROM p$i
-           |  ORDER BY c DESC, a, b LIMIT 1),
-           |w$i AS MATERIALIZED (SELECT word, cnt,
-           |  replace(replace(replace(repr, ' ', '  '),
-           |    ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '),
-           |    '  ', ' ') AS repr
-           |  FROM $p, b$i),""".stripMargin
-      }.mkString("\n")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT word, count(*) AS cnt,
-         |    ' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g')
-         |      AS repr
-         |  FROM (SELECT unnest(list_filter(
-         |      string_split(lower(text), ' '), t -> t != '')) AS word
-         |    FROM documents)
-         |  GROUP BY word),
-         |$stages
-         |dw AS (
-         |  SELECT doc_id, unnest(ws) AS word,
-         |         unnest(generate_series(1, len(ws))) AS pos
-         |  FROM (SELECT doc_id, list_filter(
-         |      string_split(lower(text), ' '), t -> t != '') AS ws
-         |    FROM documents)),
+    "bpe_apply" ->
+      s"""WITH ${duckBpeChain()},
          |tok AS (
          |  SELECT doc_id, flatten(list(
          |      list_filter(string_split(repr, ' '), x -> x != '')
@@ -1799,8 +1830,36 @@ object LlmQueries {
          |  GROUP BY doc_id)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
          |  array_to_string(toks, ',') AS tokens
-         |FROM tok ORDER BY doc_id""".stripMargin
-    },
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    // BPE-grain budget cut: the token_budget_cut recipe with the
+    // accounting swapped from whitespace tokens to bpe_apply's
+    // tokenizer-grain counts (integral, so the prefix sum and the
+    // budget threshold stay engine-exact)
+    "token_budget_cut_bpe" ->
+      s"""WITH ${duckBpeChain()},
+         |bt AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |  FROM dw JOIN w10 USING (word)
+         |  GROUP BY doc_id),
+         |st AS (
+         |  SELECT doc_id,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, quality, n_bpe_tokens,
+         |    sum(n_bpe_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM st JOIN bt USING (doc_id))
+         |SELECT doc_id, quality, n_bpe_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 75000
+         |ORDER BY doc_id""".stripMargin,
     "mix_weights" ->
       s"""WITH tgt(source, target_share) AS (
          |  VALUES ('src0', CAST(0.5 AS DOUBLE)),
