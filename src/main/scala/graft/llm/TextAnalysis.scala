@@ -745,6 +745,42 @@ object TextAnalysis {
     .select(col(id),
       expr("transform(__cnt, x -> round(x / __norm, 6))").as("vec"))
 
+  /** Deterministic weight fixture for [[lrQualityGate]]: exact
+    * rationals k/97 in (-0.5, 0.5), pseudo-randomized by the Knuth
+    * multiplicative constant — stands in for trained classifier
+    * weights (production would broadcast a loaded weight vector; the
+    * operator's shape is identical).
+    */
+  def lrFixtureWeights(dim: Int): Array[Double] =
+    Array.tabulate(dim)(b => ((b * 2654435761L % 97) - 48) / 97.0)
+
+  /** Model-based quality gate: linear classifier INFERENCE over the
+    * feature-hash embedding — the fastText-style quality-filter step
+    * (score each doc with a trained text classifier, keep above
+    * threshold) that sits between heuristic gates and a neural
+    * scorer in a curation pipeline. z = w·x + b over
+    * [[featureHashEmbed]]'s L2-normalized bucket counts; `keep`
+    * thresholds the RAW logit on both engines (float-tie
+    * discipline), the displayed score is 6dp. Inference is entirely
+    * ROW-LOCAL (the weight vector rides in the plan as a literal
+    * array — a broadcast scalar at any corpus size), so the operator
+    * adds ZERO shuffle on top of the embedding: the 100 TB shape for
+    * classifier-based filtering. Dot product folds in bucket-index
+    * order on both engines — IEEE ops in a fixed order are
+    * bit-identical, so no rounding is needed before the threshold.
+    */
+  def lrQualityGate(df: DataFrame, text: String, id: String,
+      dim: Int = 32, bias: Double = 0.0): DataFrame = {
+    val ws = lrFixtureWeights(dim)
+      .map(java.lang.Double.toString).mkString("array(", "D, ", "D)")
+    featureHashEmbed(df, text, id, dim)
+      .withColumn("__z", expr(
+        s"aggregate(zip_with(vec, $ws, (x, w) -> x * w), " +
+          s"0D, (a, v) -> a + v) + ${java.lang.Double.toString(bias)}D"))
+      .select(col(id), round(col("__z"), 6).as("lr_score"),
+        (col("__z") >= 0.0).as("keep"))
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-sampling
     * trick, mT5-style): per-source sampling probability
     * q_s = p_s^α / Σ p^α from the raw token share p_s, with α < 1

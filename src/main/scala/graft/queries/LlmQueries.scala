@@ -295,6 +295,14 @@ object LlmQueries {
           "doc_id", dim = 32))
         .orderBy("doc_id")
     }),
+    // model-based quality gate: linear classifier inference over the
+    // hashed features (fastText-filter shape) — row-local, the weight
+    // vector rides in the plan; keep thresholds the raw logit
+    "quality_lr_gate" -> ((s, d) => {
+      TextAnalysis.lrQualityGate(t(s, d, "documents"), "text",
+        "doc_id", dim = 32)
+        .orderBy("doc_id")
+    }),
     // temperature-scaled mixture weights (alpha = 0.7): the
     // low-resource-boosting sampling recipe, with the up/down-sample
     // factor per source
@@ -1547,6 +1555,42 @@ object LlmQueries {
          |    x -> printf('%.6f', round(x / nrm, 6) + 0.0)), ',')
          |    AS vec
          |FROM n ORDER BY doc_id""".stripMargin,
+    // same embedding chain as feature_hash_embed, then the identical
+    // index-order left-fold dot against the shared weight fixture;
+    // components are 6dp-rounded on BOTH sides (the embedding's own
+    // output grain) and the keep gate compares the RAW logit on both
+    "quality_lr_gate" -> {
+      val ws = TextAnalysis.lrFixtureWeights(32)
+        .map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split(lower(text), ' '),
+         |      t -> t != ''),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, list_transform(range(0, 32),
+         |    b -> CAST(len(list_filter(th, h -> h % 32 = b))
+         |         AS DOUBLE)) AS cnt
+         |  FROM th WHERE len(th) > 0),
+         |n AS (
+         |  SELECT doc_id, cnt,
+         |    sqrt(list_reduce(list_transform(cnt, x -> x * x),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM c),
+         |x AS (
+         |  SELECT doc_id,
+         |    list_transform(cnt, x -> round(x / nrm, 6)) AS xs,
+         |    CAST($ws AS DOUBLE[]) AS ws
+         |  FROM n),
+         |z AS (
+         |  SELECT doc_id, list_reduce(
+         |    list_transform(generate_series(1, 32),
+         |      i -> xs[i] * ws[i]), (a, v) -> a + v) AS z
+         |  FROM x)
+         |SELECT doc_id, round(z, 6) AS lr_score, z >= 0.0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
     "mix_temperature" ->
       """WITH s AS (
         |  SELECT source,

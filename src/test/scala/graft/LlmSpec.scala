@@ -1143,4 +1143,28 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
     assert(out(10L) === 10L) // dissimilar: singleton, labels itself
   }
+
+  test("lrQualityGate: score is the index-order fold over the " +
+      "embedding; keep thresholds the raw logit") {
+    val d = docs("alpha beta gamma alpha", "zzz qqq", "one two three")
+    val w = TextAnalysis.lrFixtureWeights(32)
+    assert(w.forall(v => v > -0.5 && v < 0.5))
+    assert(w.toSeq === TextAnalysis.lrFixtureWeights(32).toSeq)
+    val vecs = TextAnalysis.featureHashEmbed(d, "text", "doc_id", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val out = TextAnalysis.lrQualityGate(d, "text", "doc_id", 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getBoolean(2))).sortBy(_._1)
+    assert(out.length === 3)
+    out.foreach { case (id, score, keep) =>
+      // same left fold the SQL aggregate runs: (0 + x1*w1) + x2*w2 ...
+      val z = vecs(id).zip(w).foldLeft(0.0) { case (a, (x, ww)) =>
+        a + x * ww
+      }
+      val expected = BigDecimal(z)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score === expected)
+      assert(keep === (z >= 0.0))
+    }
+  }
 }
