@@ -927,13 +927,18 @@ object TextAnalysis {
     * itself is scanned once and never re-shuffled.
     */
   def mixtureWeights(df: DataFrame, text: String, domain: String,
-      targets: Map[String, Double]): DataFrame = {
+      targets: Map[String, Double],
+      tokenCounts: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val tgt = targets.toSeq.toDF(domain, "target_share")
+    // tokenCounts swaps in tokenizer-grain accounting (e.g.
+    // bpeApply's n_bpe_tokens) for the whitespace default — same
+    // hook contract as packSequences
     val perDomain = df.groupBy(col(domain))
       .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCountExpr(text).cast("long")).as("n_tokens"))
+        sum(tokenCounts.getOrElse(tokenCountExpr(text))
+          .cast("long")).as("n_tokens"))
       .join(broadcast(tgt), Seq(domain))
     val globals = perDomain.agg(
       sum(col("n_tokens")).as("__tot"),

@@ -434,6 +434,19 @@ object LlmQueries {
         "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")
     }),
+    // the same reweighting billed at TOKENIZER grain: per-source
+    // token mass from bpeApply's counts — completes the BPE
+    // accounting trio (pack_sequences, token_budget_cut_bpe, this)
+    "mix_weights_bpe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val withBpe = docs.join(
+        TextAnalysis.bpeApply(docs, "text", "doc_id", numMerges = 10)
+          .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+      TextAnalysis.mixtureWeights(withBpe, "text", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        tokenCounts = Some(col("n_bpe_tokens")))
+        .orderBy("source")
+    }),
     // per-source percentile-rank normalization of the quality score:
     // scores from different sources aren't comparable raw (each
     // source has its own score distribution) — rank-normalizing
@@ -1913,6 +1926,37 @@ object LlmQueries {
          |  SELECT source, count(*) AS n_docs,
          |    CAST(sum($duckNTokens) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
+         |j AS (
+         |  SELECT pd.source, n_docs, n_tokens, target_share
+         |  FROM pd JOIN tgt USING (source)),
+         |g AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |    min(CAST(n_tokens AS DOUBLE) / target_share) AS t_out
+         |  FROM j)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS natural_share,
+         |  target_share,
+         |  round(target_share * t_out / n_tokens, 6) AS sample_prob,
+         |  round(target_share * t_out, 6) AS expected_tokens
+         |FROM j, g ORDER BY source""".stripMargin,
+    // mix_weights with per-source token mass from the replayed BPE
+    // merge chain instead of whitespace counts
+    "mix_weights_bpe" ->
+      s"""WITH ${duckBpeChain()},
+         |bt AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS n_bpe
+         |  FROM dw JOIN w10 USING (word)
+         |  GROUP BY doc_id),
+         |tgt(source, target_share) AS (
+         |  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         |         ('src1', CAST(0.3 AS DOUBLE)),
+         |         ('src2', CAST(0.2 AS DOUBLE))),
+         |pd AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+         |  FROM documents JOIN bt USING (doc_id) GROUP BY source),
          |j AS (
          |  SELECT pd.source, n_docs, n_tokens, target_share
          |  FROM pd JOIN tgt USING (source)),
