@@ -689,6 +689,91 @@ object TextAnalysis {
         round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Trigram stupid-backoff LM score (Brants et al. 2007): per doc,
+    * the mean log-score of its trigrams under n-gram statistics fit
+    * on a SEPARATE `stats` corpus — S(w3|w1w2) = c123/c12, backing
+    * off to 0.4·c23/c2, then to 0.16·(c3+1)/(T+V) (add-1 unigram
+    * floor, so unseen words score finitely). Scoring against a held
+    * training slice is what makes the backoff real: a self-scored
+    * corpus contains every one of its own trigrams, and the lower
+    * branches would be dead code ([[bigramLmScore]]'s add-1
+    * self-scoring is the complementary design). This is the CCNet
+    * recipe shape — fixed LM stats, stream the corpus through it.
+    *
+    * Scale shape: identical to [[bigramLmScore]] — the count tables
+    * are train-side n-gram aggregates (vocabulary-scaled, map-side
+    * combined), BROADCAST to the corpus-sized trigram frame under a
+    * row guard with a salted-shuffle fallback; every lookup is a
+    * LEFT join (the CASE arbitrates missing grams), so no branch can
+    * drop a scoring row. Only the final per-doc groupBy shuffles
+    * corpus-sized data, keyed on the well-distributed doc id.
+    */
+  def trigramLmScore(df: DataFrame, stats: DataFrame, text: String,
+      id: String, maxBroadcastRows: Long = 50000000L): DataFrame = {
+    def toksOf(d: DataFrame) = d
+      .withColumn("__t",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .filter(size(col("__t")) >= 3)
+    def grams(d: DataFrame, n: Int, names: Seq[String]) = {
+      val fields = names.zipWithIndex.map { case (nm, j) =>
+        s"'$nm', element_at(__t, i + $j)"
+      }.mkString(", ")
+      d.select(col(id), explode(expr(
+        s"""transform(sequence(1, size(__t) - ${n - 1}),
+            i -> named_struct($fields))""")).as("__g"))
+        .select(col(id) +: names.map(nm => col(s"__g.$nm").as(nm)): _*)
+    }
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val train = toksOf(stats)
+    val uni = train.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw")).persist(mem)
+    // T (total train occurrences) and V (train vocab) ride one row
+    val consts = uni.agg(sum(col("cw")).as("tt"),
+      count(lit(1)).as("v"))
+    val big = grams(train, 2, Seq("x", "y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .persist(mem)
+    val tri3 = grams(train, 3, Seq("a", "b", "c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cabc")).persist(mem)
+    val target = grams(toksOf(df), 3, Seq("a", "b", "c"))
+    val fits = Seq(tri3, big, uni).forall(_.count() <= maxBroadcastRows)
+    def lookup(l: DataFrame, table: DataFrame, keys: Seq[String])
+        : DataFrame =
+      if (fits) l.join(broadcast(table), keys, "left")
+      else {
+        // Zipf-skewed gram keys must not key a corpus-sized shuffle:
+        // salt on the full row identity, replicate the count table
+        val s = 16
+        val salted = l.withColumn("__s",
+          pmod(hash(col(id), col("a"), col("b"), col("c")), lit(s)))
+        val rep = table.withColumn("__s",
+          explode(sequence(lit(0), lit(s - 1))))
+        salted.join(rep, keys :+ "__s", "left").drop("__s")
+      }
+    val ab = lookup(target, big
+      .select(col("x").as("a"), col("y").as("b"),
+        col("cxy").as("cab")), Seq("a", "b"))
+    val bc = lookup(ab, big
+      .select(col("x").as("b"), col("y").as("c"),
+        col("cxy").as("cbc")), Seq("b", "c"))
+    val wb = lookup(bc, uni
+      .select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+    val wc = lookup(wb, uni
+      .select(col("w").as("c"), col("cw").as("cc")), Seq("c"))
+    lookup(wc, tri3, Seq("a", "b", "c"))
+      .crossJoin(broadcast(consts))
+      .withColumn("__lp",
+        when(col("cabc").isNotNull, log(col("cabc") / col("cab")))
+          .when(col("cbc").isNotNull,
+            log(lit(0.4) * col("cbc") / col("cb")))
+          .otherwise(log(lit(0.16) * (coalesce(col("cc"), lit(0L)) + 1.0)
+            / (col("tt") + col("v")))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Ranked vocabulary with cumulative coverage: the top-k content
     * tokens by corpus frequency, each with the cumulative fraction
     * of all token occurrences covered by the vocabulary up to and

@@ -484,6 +484,16 @@ object LlmQueries {
         "doc_id")
         .orderBy("doc_id")
     }),
+    // trigram stupid-backoff LM: stats fit on the even-doc_id train
+    // slice, ALL docs scored — odd docs hit grams unseen in train,
+    // so every backoff branch (trigram -> bigram -> add-1 unigram
+    // floor) is exercised against the oracle
+    "trigram_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.trigramLmScore(docs,
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // BPE merge-step statistics: top-20 adjacent character pairs
     // within words — the count a tokenizer trainer maximizes when
     // picking its next merge
@@ -1854,6 +1864,59 @@ object LlmQueries {
         |  JOIN ua ON p.a = ua.a
         |  CROSS JOIN vv)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(lp) / count(*), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // train-slice n-gram tables, LEFT-joined lookups, CASE backoff;
+    // arithmetic association mirrors the Spark column expressions
+    // term for term so each branch's double math is bit-identical
+    "trigram_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> t != '') AS t
+        |  FROM documents),
+        |t3 AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+        |tr AS (SELECT doc_id, t FROM t3 WHERE doc_id % 2 = 0),
+        |cu AS (
+        |  SELECT w, count(*) AS cw
+        |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+        |k AS (
+        |  SELECT CAST(sum(cw) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM cu),
+        |cb AS (
+        |  SELECT x, y, count(*) AS cxy FROM (
+        |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS x,
+        |           unnest(list_slice(t, 2, len(t))) AS y
+        |    FROM tr) GROUP BY x, y),
+        |ct AS (
+        |  SELECT a, b, c, count(*) AS cabc FROM (
+        |    SELECT unnest(list_slice(t, 1, len(t) - 2)) AS a,
+        |           unnest(list_slice(t, 2, len(t) - 1)) AS b,
+        |           unnest(list_slice(t, 3, len(t))) AS c
+        |    FROM tr) GROUP BY a, b, c),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_slice(t, 1, len(t) - 2)) AS a,
+        |    unnest(list_slice(t, 2, len(t) - 1)) AS b,
+        |    unnest(list_slice(t, 3, len(t))) AS c
+        |  FROM t3),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CASE WHEN ct.cabc IS NOT NULL
+        |           THEN ln(CAST(ct.cabc AS DOUBLE) / ab.cxy)
+        |         WHEN bc.cxy IS NOT NULL
+        |           THEN ln(0.4 * bc.cxy / ub.cw)
+        |         ELSE ln(0.16 * (coalesce(uc.cw, 0) + 1.0)
+        |           / (k.tt + k.v)) END AS lp
+        |  FROM g
+        |  LEFT JOIN cb ab ON ab.x = g.a AND ab.y = g.b
+        |  LEFT JOIN cb bc ON bc.x = g.b AND bc.y = g.c
+        |  LEFT JOIN cu ub ON ub.w = g.b
+        |  LEFT JOIN cu uc ON uc.w = g.c
+        |  LEFT JOIN ct ON ct.a = g.a AND ct.b = g.b AND ct.c = g.c
+        |  CROSS JOIN k)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
         |  round(sum(lp) / count(*), 6) AS avg_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe_pairs" ->

@@ -1144,6 +1144,29 @@ class LlmSpec extends AnyFunSuite {
     assert(out(10L) === 10L) // dissimilar: singleton, labels itself
   }
 
+  test("trigramLmScore: stupid-backoff branch arithmetic exact on a " +
+      "tiny train/score split") {
+    // train: uni a=2,b=2,c=2 (tt=6, v=3); pairs ab=2,bc=2,ca=1;
+    // tris abc=2,bca=1,cab=1
+    val train = docs("a b c a b c")
+    val score = docs("a b c a b c", "a b c x", "x a b")
+    val out = TextAnalysis.trigramLmScore(score, train, "text",
+        "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array(
+      // doc0 all-trigram: ln(2/2)+ln(1/2)+ln(1/1)+ln(2/2)
+      (0L, 4L, r6(math.log(0.5) / 4)),
+      // doc1: abc hits; bcx misses tri AND bigram (c,x), x unseen
+      // in train -> add-1 unigram floor 0.16*(0+1)/(6+3)
+      (1L, 2L, r6(math.log(0.16 * 1.0 / 9) / 2)),
+      // doc2: xab misses tri, bigram (a,b)=2 seen, c(a)=2 ->
+      // stupid backoff 0.4*2/2
+      (2L, 1L, r6(math.log(0.4 * 2 / 2)))))
+  }
+
   test("lrQualityGate: score is the index-order fold over the " +
       "embedding; keep thresholds the raw logit") {
     val d = docs("alpha beta gamma alpha", "zzz qqq", "one two three")
