@@ -46,6 +46,22 @@ object LlmQueries {
       Dedup.dedupNearDup(t(s, d, "documents"), "text", "doc_id", 0.8)
         .orderBy("doc_id")
     }),
+    // winnowing (MOSS) fingerprints: window-min sample of the
+    // shingle-hash sequence — row-local, integer-exact
+    "winnow_fingerprints" -> ((s, d) => {
+      Canon.stringifyArrays(
+        Dedup.winnowFingerprints(t(s, d, "documents"), "text",
+          "doc_id", w = 5))
+        .orderBy("doc_id")
+    }),
+    // MOSS match step: capped posting-list self-join on the
+    // fingerprint, scored + thresholded on fingerprint-set Jaccard
+    "winnow_pairs" -> ((s, d) => {
+      Dedup.winnowPairs(
+        Dedup.winnowFingerprints(t(s, d, "documents"), "text",
+          "doc_id", w = 5), "doc_id", minJaccard = 0.7)
+        .orderBy("id1", "id2")
+    }),
     "dedup_clusters" -> ((s, d) => {
       Dedup.dedupClusters(t(s, d, "documents"), "text", "doc_id", 0.8)
         .orderBy("doc_id")
@@ -775,6 +791,20 @@ object LlmQueries {
   private def duckHashes(shingles: String): String =
     s"list_transform($shingles, s -> ${duckPolyHash("s")})"
 
+  /** Winnowing (w=5) fingerprint CTEs: shingle hashes, then the
+    * window-min sample, distinct + sorted — ends with `fp`.
+    */
+  private val winnowCte =
+    s"""hs AS (
+       |  SELECT doc_id, ${duckHashes(duckShingles)} AS hs
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(hs) - 4, 1)),
+       |      i -> list_min(list_slice(hs, i,
+       |        i + least(5, len(hs)) - 1))))) AS fps
+       |  FROM hs)""".stripMargin
+
   private def duckSig(hashes: String): String = {
     val mins = minhashA.zip(minhashB).map { case (a, b) =>
       s"list_min(list_transform($hashes, h -> ($a * h + $b) % $P))"
@@ -1153,6 +1183,34 @@ object LlmQueries {
          |SELECT r.doc_id FROM reps r
          |WHERE r.doc_id NOT IN (SELECT doc_id FROM drops)
          |ORDER BY r.doc_id""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""WITH $winnowCte
+         |SELECT doc_id, array_to_string(fps, ',') AS fps
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "winnow_pairs" ->
+      s"""WITH $winnowCte,
+         |pl AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |capped AS (
+         |  SELECT f, doc_id FROM (
+         |    SELECT f, doc_id, row_number() OVER
+         |      (PARTITION BY f ORDER BY doc_id) AS rn
+         |    FROM pl) WHERE rn <= 1024),
+         |pc AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(count(*) AS BIGINT) AS shared_fps
+         |  FROM capped a JOIN capped b
+         |    ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(fps) AS n FROM fp)
+         |SELECT id1, id2, shared_fps,
+         |  round(CAST(shared_fps AS DOUBLE)
+         |    / (sa.n + sb.n - shared_fps), 6) AS sim
+         |FROM pc
+         |JOIN sz sa ON sa.doc_id = pc.id1
+         |JOIN sz sb ON sb.doc_id = pc.id2
+         |WHERE round(CAST(shared_fps AS DOUBLE)
+         |    / (sa.n + sb.n - shared_fps), 6) >= 0.7
+         |ORDER BY id1, id2""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
          |$verifiedCtes,

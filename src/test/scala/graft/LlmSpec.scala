@@ -1144,6 +1144,26 @@ class LlmSpec extends AnyFunSuite {
     assert(out(10L) === 10L) // dissimilar: singleton, labels itself
   }
 
+  test("winnowing: shared long substring guarantees a shared " +
+      "fingerprint; identical docs score sim 1.0") {
+    // guarantee: any shared substring of length >= w + shingle - 1
+    // (= 9 here) contributes at least one common window minimum
+    val d = docs(
+      "abXcdefghijklmnoZq",
+      "zzzzcdefghijklmnoyyy",
+      "totally unrelated text here")
+    val fps = Dedup.winnowFingerprints(d, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert((fps(0L) intersect fps(1L)).nonEmpty)
+    val same = docs("abcdefghijklmnopqrs", "abcdefghijklmnopqrs")
+    val pairs = Dedup.winnowPairs(
+      Dedup.winnowFingerprints(same, "text", "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(3)))
+    assert(pairs === Array((0L, 1L, 1.0)))
+  }
+
   test("trigramLmScore: stupid-backoff branch arithmetic exact on a " +
       "tiny train/score split") {
     // train: uni a=2,b=2,c=2 (tt=6, v=3); pairs ab=2,bc=2,ca=1;
