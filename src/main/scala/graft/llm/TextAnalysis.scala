@@ -305,6 +305,46 @@ object TextAnalysis {
       .drop("__total")
   }
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family,
+    * simplified to the core rolling-hash cut rule): a chunk boundary
+    * opens after every position whose k-char shingle hash ≡ 0 mod
+    * `divisor`, so expected chunk length ≈ `divisor` and — the CDC
+    * property [[chunkDocuments]]'s fixed windows lack — boundaries
+    * REALIGN after an insertion/deletion: chunks past the first
+    * post-edit boundary are byte-identical to the unedited
+    * document's, which is what makes chunk-grain dedup robust to
+    * edits. Row-local (native shingle hashing + one HOF pass);
+    * all-integer boundary arithmetic keeps the oracle hash-exact.
+    * Production knobs (min/max chunk clamps, gear masks) are
+    * documented extensions of the same cut rule.
+    */
+  def cdcChunks(df: DataFrame, text: String, id: String,
+      divisor: Int = 64): DataFrame = {
+    val k = graft.llm.HashConstants.shingleSize
+    df.withColumn("__hs",
+        graft.llm.PolyHashColumns.shingleHashes(col(text)))
+      .withColumn("__bs", expr(
+        s"""CASE WHEN length($text) < $k
+            THEN array(1L, CAST(length($text) + 1 AS BIGINT))
+            ELSE array_sort(array_distinct(concat(
+              array(1L),
+              transform(filter(sequence(1, size(__hs)),
+                i -> element_at(__hs, i) % $divisor = 0),
+                i -> CAST(i + $k AS BIGINT)),
+              array(CAST(length($text) + 1 AS BIGINT)))))
+            END"""))
+      .select(col(id), posexplode(expr(
+        s"""CASE WHEN length($text) >= 1
+            THEN transform(sequence(1, size(__bs) - 1),
+              j -> substring($text, CAST(element_at(__bs, j) AS INT),
+                CAST(element_at(__bs, j + 1) - element_at(__bs, j)
+                  AS INT)))
+            ELSE CAST(array() AS ARRAY<STRING>) END"""))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
   /** Context-window chunking for training-data preparation: fixed
     * character windows with `overlap` chars of overlap (stride =
     * size − overlap), one output row per (doc, chunk), including the

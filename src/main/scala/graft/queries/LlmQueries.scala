@@ -387,6 +387,14 @@ object LlmQueries {
         "doc_id", chunkSize = 200, overlap = 50)
         .orderBy("doc_id", "chunk_id")
     }),
+    // content-defined chunking: rolling-hash cut rule (boundary
+    // after shingle-hash % 64 == 0), edit-stable boundaries for
+    // chunk-grain dedup
+    "cdc_chunks" -> ((s, d) => {
+      TextAnalysis.cdcChunks(t(s, d, "documents"), "text", "doc_id",
+        divisor = 64)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // the composed curation flow a corpus pipeline actually runs:
     // stats → quality + language gates → exact-dedup on the
     // normalized-content fingerprint (lowest doc id kept). One
@@ -2495,6 +2503,33 @@ object LlmQueries {
         |  CAST(length(substring(text, CAST(s AS INT), 200)) AS BIGINT)
         |    AS chunk_len
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    // same cut rule replayed: boundary set from the shingle hashes,
+    // 0-based chunk ids from the boundary index
+    "cdc_chunks" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, text, ${duckHashes(duckShingles)} AS hs
+         |  FROM documents WHERE length(text) >= 1),
+         |b AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) < $shingleSize
+         |    THEN [CAST(1 AS BIGINT), CAST(length(text) + 1 AS BIGINT)]
+         |    ELSE list_sort(list_distinct(
+         |      [CAST(1 AS BIGINT)]
+         |      || list_transform(list_filter(
+         |           generate_series(1, len(hs)), i -> hs[i] % 64 = 0),
+         |           i -> CAST(i + $shingleSize AS BIGINT))
+         |      || [CAST(length(text) + 1 AS BIGINT)])) END AS bs
+         |  FROM hs),
+         |c AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(bs) - 1),
+         |    j -> struct_pack(cid := j - 1,
+         |      ch := substring(text, CAST(bs[j] AS INT),
+         |        CAST(bs[j + 1] - bs[j] AS INT))))) AS s
+         |  FROM b)
+         |SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id,
+         |  s.ch AS chunk, CAST(length(s.ch) AS BIGINT) AS chunk_len
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "curation_pipeline" ->
       s"""WITH st AS (
          |  SELECT doc_id,

@@ -1144,6 +1144,29 @@ class LlmSpec extends AnyFunSuite {
     assert(out(10L) === 10L) // dissimilar: singleton, labels itself
   }
 
+  test("cdcChunks: chunks concatenate to the text; boundaries " +
+      "realign after a prefix edit") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles hang on the wall and slowly count " +
+      "themselves down to none at all in the warm afternoon sun"
+    val d = docs(base, "EDITED PREFIX INSERTED " + base)
+    val out = TextAnalysis.cdcChunks(d, "text", "doc_id", divisor = 16)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val a = out.filter(_._1 == 0L).map(_._2)
+    val b = out.filter(_._1 == 1L).map(_._2)
+    // lossless split
+    assert(a.mkString === base)
+    assert(b.mkString === "EDITED PREFIX INSERTED " + base)
+    // content-defined realignment: once past the edit's first
+    // boundary, chunking is identical — the shared tail chunks match
+    val shared = a.reverse.zip(b.reverse).takeWhile { case (x, y) =>
+      x == y
+    }.length
+    assert(shared >= 1, s"no realigned tail chunks (a=${a.length})")
+    assert(a.length >= 3, "fixture text produced too few chunks")
+  }
+
   test("winnowing: shared long substring guarantees a shared " +
       "fingerprint; identical docs score sim 1.0") {
     // guarantee: any shared substring of length >= w + shingle - 1
