@@ -345,6 +345,55 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Chunk-grain dedup over [[cdcChunks]] output: each distinct
+    * chunk text is owned by its FIRST occurrence (total order
+    * (doc, chunk_id) via row_number — deterministic on both
+    * engines); later occurrences are duplicates. Per doc:
+    * duplicate-chunk count, duplicate chars, and the duplicated
+    * fraction of the document — the corpus-redundancy report CDC
+    * exists to make edit-stable. One exchange keyed on the chunk
+    * text (map-side-combined occurrence numbering, same
+    * gram→occurrence shape as the span-dedup family; a
+    * boilerplate-heavy chunk is a hot key there too and the same
+    * hash-key mitigation applies at scale).
+    */
+  def cdcDedupStats(chunks: DataFrame, id: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"))
+      .orderBy(col(id), col("chunk_id"))
+    chunks
+      .withColumn("__dup", row_number().over(w) > 1)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("__dup"), col("chunk_len")).otherwise(0L))
+          .as("dup_chars"),
+        sum(col("chunk_len")).as("n_chars"))
+      .withColumn("dup_frac",
+        round(col("dup_chars") / col("n_chars"), 6))
+  }
+
+  /** The scrub counterpart: reassemble each document from only its
+    * NON-duplicate chunks (first occurrences keep their text; later
+    * copies of a chunk vanish corpus-wide) — chunk-grain
+    * deduplicated storage, robust to edits because the chunk
+    * boundaries are content-defined. Same single chunk-keyed
+    * exchange, then a doc-keyed reassembly.
+    */
+  def cdcScrub(chunks: DataFrame, id: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"))
+      .orderBy(col(id), col("chunk_id"))
+    chunks
+      .withColumn("__dup", row_number().over(w) > 1)
+      .filter(!col("__dup"))
+      .groupBy(col(id))
+      .agg(concat_ws("", array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk")))).getField("chunk"))
+        .as("scrubbed"))
+      .withColumn("scrubbed_len", length(col("scrubbed")).cast("long"))
+  }
+
   /** Context-window chunking for training-data preparation: fixed
     * character windows with `overlap` chars of overlap (stride =
     * size − overlap), one output row per (doc, chunk), including the

@@ -395,6 +395,21 @@ object LlmQueries {
         divisor = 64)
         .orderBy("doc_id", "chunk_id")
     }),
+    // per-doc corpus-redundancy report at CDC-chunk grain
+    "cdc_dedup_stats" -> ((s, d) => {
+      TextAnalysis.cdcDedupStats(
+        TextAnalysis.cdcChunks(t(s, d, "documents"), "text",
+          "doc_id", divisor = 64), "doc_id")
+        .orderBy("doc_id")
+    }),
+    // chunk-grain deduplicated storage: first occurrence keeps its
+    // chunk, later copies vanish corpus-wide
+    "cdc_scrub" -> ((s, d) => {
+      TextAnalysis.cdcScrub(
+        TextAnalysis.cdcChunks(t(s, d, "documents"), "text",
+          "doc_id", divisor = 64), "doc_id")
+        .orderBy("doc_id")
+    }),
     // the composed curation flow a corpus pipeline actually runs:
     // stats → quality + language gates → exact-dedup on the
     // normalized-content fingerprint (lowest doc id kept). One
@@ -798,6 +813,36 @@ object LlmQueries {
 
   private def duckHashes(shingles: String): String =
     s"list_transform($shingles, s -> ${duckPolyHash("s")})"
+
+  /** Content-defined chunking CTEs (divisor 64): the cut rule over
+    * shingle hashes, boundary list, exploded chunks — ends with `cc`
+    * (doc_id, cid 0-based, ch, chlen).
+    */
+  private val cdcCte =
+    s"""cdh AS (
+       |  SELECT doc_id, text, ${duckHashes(duckShingles)} AS hs
+       |  FROM documents WHERE length(text) >= 1),
+       |bnd AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(text) < $shingleSize
+       |    THEN [CAST(1 AS BIGINT), CAST(length(text) + 1 AS BIGINT)]
+       |    ELSE list_sort(list_distinct(
+       |      [CAST(1 AS BIGINT)] ||
+       |      list_transform(list_filter(
+       |           generate_series(1, len(hs)), i -> hs[i] % 64 = 0),
+       |           i -> CAST(i + $shingleSize AS BIGINT)) ||
+       |      [CAST(length(text) + 1 AS BIGINT)])) END AS bs
+       |  FROM cdh),
+       |cc AS (
+       |  SELECT doc_id, s.cid AS cid, s.ch AS ch,
+       |    CAST(length(s.ch) AS BIGINT) AS chlen
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(bs) - 1),
+       |      j -> struct_pack(cid := j - 1,
+       |        ch := substring(text, CAST(bs[j] AS INT),
+       |          CAST(bs[j + 1] - bs[j] AS INT))))) AS s
+       |    FROM bnd))""".stripMargin
 
   /** Winnowing (w=5) fingerprint CTEs: shingle hashes, then the
     * window-min sample, distinct + sorted — ends with `fp`.
@@ -2506,30 +2551,38 @@ object LlmQueries {
     // same cut rule replayed: boundary set from the shingle hashes,
     // 0-based chunk ids from the boundary index
     "cdc_chunks" ->
-      s"""WITH hs AS (
-         |  SELECT doc_id, text, ${duckHashes(duckShingles)} AS hs
-         |  FROM documents WHERE length(text) >= 1),
-         |b AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN length(text) < $shingleSize
-         |    THEN [CAST(1 AS BIGINT), CAST(length(text) + 1 AS BIGINT)]
-         |    ELSE list_sort(list_distinct(
-         |      [CAST(1 AS BIGINT)]
-         |      || list_transform(list_filter(
-         |           generate_series(1, len(hs)), i -> hs[i] % 64 = 0),
-         |           i -> CAST(i + $shingleSize AS BIGINT))
-         |      || [CAST(length(text) + 1 AS BIGINT)])) END AS bs
-         |  FROM hs),
-         |c AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len(bs) - 1),
-         |    j -> struct_pack(cid := j - 1,
-         |      ch := substring(text, CAST(bs[j] AS INT),
-         |        CAST(bs[j + 1] - bs[j] AS INT))))) AS s
-         |  FROM b)
-         |SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id,
-         |  s.ch AS chunk, CAST(length(s.ch) AS BIGINT) AS chunk_len
-         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH $cdcCte
+         |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+         |  ch AS chunk, chlen AS chunk_len
+         |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
+    // first occurrence (doc, chunk_id order) owns each chunk text;
+    // later occurrences are duplicates
+    "cdc_dedup_stats" ->
+      s"""WITH $cdcCte,
+         |r AS (
+         |  SELECT doc_id, cid, chlen, row_number() OVER
+         |    (PARTITION BY ch ORDER BY doc_id, cid) AS rn
+         |  FROM cc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN chlen ELSE 0 END) AS BIGINT)
+         |    AS dup_chars,
+         |  CAST(sum(chlen) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(CASE WHEN rn > 1 THEN chlen ELSE 0 END)
+         |    AS DOUBLE) / sum(chlen), 6) AS dup_frac
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cdc_scrub" ->
+      s"""WITH $cdcCte,
+         |r AS (
+         |  SELECT doc_id, cid, ch, row_number() OVER
+         |    (PARTITION BY ch ORDER BY doc_id, cid) AS rn
+         |  FROM cc)
+         |SELECT doc_id, string_agg(ch, '' ORDER BY cid) AS scrubbed,
+         |  CAST(length(string_agg(ch, '' ORDER BY cid)) AS BIGINT)
+         |    AS scrubbed_len
+         |FROM r WHERE rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curation_pipeline" ->
       s"""WITH st AS (
          |  SELECT doc_id,
