@@ -1243,18 +1243,16 @@ object LlmQueries {
     "winnow_pairs" ->
       s"""WITH $winnowCte,
          |pl AS (SELECT doc_id, unnest(fps) AS f FROM fp),
-         |capped AS (
-         |  SELECT f, doc_id FROM (
-         |    SELECT f, doc_id, row_number() OVER
-         |      (PARTITION BY f ORDER BY doc_id) AS rn
-         |    FROM pl) WHERE rn <= 1024),
+         |keptf AS (
+         |  SELECT f FROM pl GROUP BY f HAVING count(*) <= 256),
+         |kp AS (SELECT doc_id, f FROM pl JOIN keptf USING (f)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM kp GROUP BY doc_id),
          |pc AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    CAST(count(*) AS BIGINT) AS shared_fps
-         |  FROM capped a JOIN capped b
+         |  FROM kp a JOIN kp b
          |    ON a.f = b.f AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(fps) AS n FROM fp)
+         |  GROUP BY 1, 2)
          |SELECT id1, id2, shared_fps,
          |  round(CAST(shared_fps AS DOUBLE)
          |    / (sa.n + sb.n - shared_fps), 6) AS sim

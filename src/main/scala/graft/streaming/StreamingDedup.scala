@@ -235,6 +235,65 @@ object StreamingDedup {
         .as("__fp")).distinct(), Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  /** One content-defined chunk routed through the stateful
+    * first-occurrence decision. */
+  case class CdcChunkRow(doc_id: Long, chunk_id: Long,
+      chunk_hash: String, chunk_len: Long)
+
+  /** [[CdcChunkRow]] plus the decision: keep=true iff this occurrence
+    * owns its chunk content (first seen). */
+  case class CdcChunkDecision(doc_id: Long, chunk_id: Long,
+      chunk_hash: String, chunk_len: Long, keep: Boolean)
+
+  /** Stateless streaming front half of CHUNK-GRAIN dedup: content-
+    * defined chunks ([[TextAnalysis.cdcChunks]] — the cut rule is a
+    * row-local projection, no window/state, streaming-safe in any
+    * output mode) hashed to their 16-byte content key. CDC is what
+    * makes this stage worth streaming: an edited re-crawl of a page
+    * re-chunks to mostly-identical content keys, so the stateful
+    * back half drops the unchanged bulk instead of re-admitting the
+    * whole document.
+    */
+  def cdcChunkStage(docs: DataFrame, text: String, id: String,
+      divisor: Int = 64): DataFrame =
+    TextAnalysis.cdcChunks(docs, text, id, divisor)
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+      .select(col(id).cast("long").as("doc_id"),
+        col("chunk_id"), col("chunk_hash"), col("chunk_len"))
+
+  /** The STATEFUL back half of streaming chunk-grain dedup: first
+    * occurrence owns each chunk content across micro-batches, later
+    * arrivals are duplicates — the streaming form of
+    * [[TextAnalysis.cdcDedupStats]]'s row_number rule. State is ONE
+    * boolean per distinct chunk hash (same contract and bounding
+    * trade as [[spanScrubDecisions]]: batch-parity here is all-time,
+    * an unbounded deployment evicts idle keys by event-time
+    * timeout). Within a micro-batch the tiebreak is the batch rule —
+    * lexicographically first (doc_id, chunk_id) — so when documents
+    * arrive in id order the keep set equals the batch first-
+    * occurrence set exactly (spec-pinned).
+    */
+  def cdcChunkDecisions(chunks: DataFrame)
+      : Dataset[CdcChunkDecision] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.as[CdcChunkRow]
+      .groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (h: String, rows: Iterator[CdcChunkRow],
+            state: GroupState[Boolean]) => {
+          val seen = state.exists && state.get
+          state.update(true)
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.doc_id, r.chunk_id))
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            CdcChunkDecision(r.doc_id, r.chunk_id, r.chunk_hash,
+              r.chunk_len, keep = !seen && i == 0)
+          }
+        })
+  }
+
   /** Stateless streaming curation gate: Gopher-style rule booleans +
     * PII redaction in ONE per-row projection — every expression is a
     * deterministic row-local function (native class-stats pass +

@@ -650,4 +650,50 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(viaStream === direct)
   }
+
+  test("streaming CDC chunk dedup: keep set equals the batch " +
+      "first-occurrence rule across micro-batches") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles hang on the wall and slowly count " +
+      "themselves down to none at all in the warm afternoon sun"
+    val dir = java.nio.file.Files.createTempDirectory("cdc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ck").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // batch 1: original + an edited near-dup (intra-batch chunk dups)
+    Seq((0L, base), (1L, "EDITED PREFIX " + base))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.cdcChunkDecisions(
+        StreamingDedup.cdcChunkStage(stream, "text", "doc_id",
+          divisor = 16))
+      .writeStream.format("memory").queryName("cdc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: an exact re-crawl — every chunk already owned
+    Seq((2L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cdc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2))
+    // batch rule on the full accumulated corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    val batch = TextAnalysis.cdcChunks(
+        spark.read.parquet(dir), "text", "doc_id", divisor = 16)
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(5))).sortBy(t => (t._1, t._2))
+    assert(streamed.toSeq === batch.toSeq)
+    // the re-crawl admitted nothing new
+    assert(streamed.filter(_._1 == 2L).forall(!_._3))
+    // and the near-dup's realigned tail was deduplicated too
+    assert(streamed.filter(_._1 == 1L).exists(!_._3))
+  }
 }
