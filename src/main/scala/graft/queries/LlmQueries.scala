@@ -425,6 +425,30 @@ object LlmQueries {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     }),
+    // the round-9 flagship composition: heuristic gates + MODEL gate
+    // (linear classifier) + exact dedup + chunk-grain CDC scrub, one
+    // plan — each stage oracled individually elsewhere, this pins
+    // the composition
+    "curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val reps = TextAnalysis.withStats(docs, "text")
+        .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("quality"), col("doc_id")).as("quality"))
+        .select("doc_id", "quality")
+      val lr = TextAnalysis.lrQualityGate(docs, "text", "doc_id")
+        .filter(col("keep")).select(col("doc_id"), col("lr_score"))
+      val survivors = reps.join(lr, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      TextAnalysis.cdcScrub(
+          TextAnalysis.cdcChunks(survivors, "text", "doc_id",
+            divisor = 64), "doc_id")
+        .join(reps, Seq("doc_id")).join(lr, Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("lr_score"),
+          col("scrubbed"), col("scrubbed_len"))
+        .orderBy("doc_id")
+    }),
     "multimodal_meta" -> ((s, d) => {
       Canon.stringifyArrays(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
@@ -814,14 +838,51 @@ object LlmQueries {
   private def duckHashes(shingles: String): String =
     s"list_transform($shingles, s -> ${duckPolyHash("s")})"
 
+  /** Linear quality-classifier CTEs: the feature-hash embedding
+    * chain (same as feature_hash_embed) folded against the shared
+    * weight fixture in index order — ends with `lrz` (doc_id, z =
+    * the raw logit).
+    */
+  private val duckLrChain = {
+    val ws = TextAnalysis.lrFixtureWeights(32)
+      .map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"""lth AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(string_split(lower(text), ' '),
+       |      t -> t != ''),
+       |    t -> ${duckPolyHash("t")}) AS th
+       |  FROM documents),
+       |lcnt AS (
+       |  SELECT doc_id, list_transform(range(0, 32),
+       |    b -> CAST(len(list_filter(th, h -> h % 32 = b))
+       |         AS DOUBLE)) AS cnt
+       |  FROM lth WHERE len(th) > 0),
+       |lnrm AS (
+       |  SELECT doc_id, cnt,
+       |    sqrt(list_reduce(list_transform(cnt, x -> x * x),
+       |      (a, b) -> a + b)) AS nrm
+       |  FROM lcnt),
+       |lx AS (
+       |  SELECT doc_id,
+       |    list_transform(cnt, x -> round(x / nrm, 6)) AS xs,
+       |    CAST($ws AS DOUBLE[]) AS ws
+       |  FROM lnrm),
+       |lrz AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_transform(generate_series(1, 32),
+       |      i -> xs[i] * ws[i]), (a, v) -> a + v) AS z
+       |  FROM lx)""".stripMargin
+  }
+
   /** Content-defined chunking CTEs (divisor 64): the cut rule over
     * shingle hashes, boundary list, exploded chunks — ends with `cc`
-    * (doc_id, cid 0-based, ch, chlen).
+    * (doc_id, cid 0-based, ch, chlen). `src` must expose
+    * (doc_id, text).
     */
-  private val cdcCte =
+  private def cdcCte(src: String = "documents"): String =
     s"""cdh AS (
        |  SELECT doc_id, text, ${duckHashes(duckShingles)} AS hs
-       |  FROM documents WHERE length(text) >= 1),
+       |  FROM $src WHERE length(text) >= 1),
        |bnd AS (
        |  SELECT doc_id, text,
        |    CASE WHEN length(text) < $shingleSize
@@ -1691,38 +1752,10 @@ object LlmQueries {
     // index-order left-fold dot against the shared weight fixture;
     // components are 6dp-rounded on BOTH sides (the embedding's own
     // output grain) and the keep gate compares the RAW logit on both
-    "quality_lr_gate" -> {
-      val ws = TextAnalysis.lrFixtureWeights(32)
-        .map(java.lang.Double.toString).mkString("[", ", ", "]")
-      s"""WITH th AS (
-         |  SELECT doc_id, list_transform(
-         |    list_filter(string_split(lower(text), ' '),
-         |      t -> t != ''),
-         |    t -> ${duckPolyHash("t")}) AS th
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, list_transform(range(0, 32),
-         |    b -> CAST(len(list_filter(th, h -> h % 32 = b))
-         |         AS DOUBLE)) AS cnt
-         |  FROM th WHERE len(th) > 0),
-         |n AS (
-         |  SELECT doc_id, cnt,
-         |    sqrt(list_reduce(list_transform(cnt, x -> x * x),
-         |      (a, b) -> a + b)) AS nrm
-         |  FROM c),
-         |x AS (
-         |  SELECT doc_id,
-         |    list_transform(cnt, x -> round(x / nrm, 6)) AS xs,
-         |    CAST($ws AS DOUBLE[]) AS ws
-         |  FROM n),
-         |z AS (
-         |  SELECT doc_id, list_reduce(
-         |    list_transform(generate_series(1, 32),
-         |      i -> xs[i] * ws[i]), (a, v) -> a + v) AS z
-         |  FROM x)
+    "quality_lr_gate" ->
+      s"""WITH $duckLrChain
          |SELECT doc_id, round(z, 6) AS lr_score, z >= 0.0 AS keep
-         |FROM z ORDER BY doc_id""".stripMargin
-    },
+         |FROM lrz ORDER BY doc_id""".stripMargin,
     "mix_temperature" ->
       """WITH s AS (
         |  SELECT source,
@@ -2549,14 +2582,14 @@ object LlmQueries {
     // same cut rule replayed: boundary set from the shingle hashes,
     // 0-based chunk ids from the boundary index
     "cdc_chunks" ->
-      s"""WITH $cdcCte
+      s"""WITH ${cdcCte()}
          |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
          |  ch AS chunk, chlen AS chunk_len
          |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
     // first occurrence (doc, chunk_id order) owns each chunk text;
     // later occurrences are duplicates
     "cdc_dedup_stats" ->
-      s"""WITH $cdcCte,
+      s"""WITH ${cdcCte()},
          |r AS (
          |  SELECT doc_id, cid, chlen, row_number() OVER
          |    (PARTITION BY ch ORDER BY doc_id, cid) AS rn
@@ -2571,7 +2604,7 @@ object LlmQueries {
          |    AS DOUBLE) / sum(chlen), 6) AS dup_frac
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cdc_scrub" ->
-      s"""WITH $cdcCte,
+      s"""WITH ${cdcCte()},
          |r AS (
          |  SELECT doc_id, cid, ch, row_number() OVER
          |    (PARTITION BY ch ORDER BY doc_id, cid) AS rn
@@ -2604,6 +2637,51 @@ object LlmQueries {
          |  arg_min(n_tokens, doc_id) AS n_tokens,
          |  arg_min(quality, doc_id) AS quality
          |FROM kept GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+    // composition pin: heuristic gates + exact-dedup reps (the
+    // curation_pipeline chain) ∩ LR-gate keeps, then the CDC scrub
+    // replayed over the survivor set
+    "curation_v2" ->
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality,
+         |    CASE
+         |      WHEN ${duckHits("en")} >= greatest(greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("en")} > 0 THEN 'en'
+         |      WHEN ${duckHits("es")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("fr")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("es")} > 0 THEN 'es'
+         |      WHEN ${duckHits("fr")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("de")}, 0)) AND ${duckHits("fr")} > 0 THEN 'fr'
+         |      WHEN ${duckHits("de")} >= greatest(greatest(${duckHits("en")}, 0), greatest(${duckHits("es")}, 0), greatest(${duckHits("fr")}, 0)) AND ${duckHits("de")} > 0 THEN 'de'
+         |      ELSE 'und' END AS pred_lang,
+         |    ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}
+         |      AS fingerprint
+         |  FROM documents),
+         |ckept AS (
+         |  SELECT * FROM st WHERE quality >= 0.5 AND pred_lang = 'en'),
+         |creps AS (
+         |  SELECT min(doc_id) AS doc_id,
+         |    arg_min(quality, doc_id) AS quality
+         |  FROM ckept GROUP BY fingerprint),
+         |$duckLrChain,
+         |lrk AS (
+         |  SELECT doc_id, round(z, 6) AS lr_score
+         |  FROM lrz WHERE z >= 0.0),
+         |sv AS (
+         |  SELECT r.doc_id, d.text, r.quality, l.lr_score
+         |  FROM creps r JOIN lrk l USING (doc_id)
+         |  JOIN documents d USING (doc_id)),
+         |${cdcCte("sv")},
+         |occ AS (
+         |  SELECT doc_id, cid, ch, row_number() OVER
+         |    (PARTITION BY ch ORDER BY doc_id, cid) AS rn
+         |  FROM cc),
+         |scr AS (
+         |  SELECT doc_id, string_agg(ch, '' ORDER BY cid) AS scrubbed
+         |  FROM occ WHERE rn = 1 GROUP BY doc_id)
+         |SELECT s.doc_id, v.quality, v.lr_score, s.scrubbed,
+         |  CAST(length(s.scrubbed) AS BIGINT) AS scrubbed_len
+         |FROM scr s JOIN sv v ON v.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain; charset=utf-8' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
