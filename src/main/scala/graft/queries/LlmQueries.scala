@@ -431,14 +431,20 @@ object LlmQueries {
     // the composition
     "curation_v2" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // reps and lr each feed the survivor build AND the final
+      // attach — pinned so the stats / embedding corpus passes run
+      // once, not per consumer
       val reps = TextAnalysis.withStats(docs, "text")
         .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
         .groupBy(col("fingerprint"))
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("quality"), col("doc_id")).as("quality"))
         .select("doc_id", "quality")
+        .persist(mem)
       val lr = TextAnalysis.lrQualityGate(docs, "text", "doc_id")
         .filter(col("keep")).select(col("doc_id"), col("lr_score"))
+        .persist(mem)
       val survivors = reps.join(lr, Seq("doc_id"))
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       TextAnalysis.cdcScrub(
