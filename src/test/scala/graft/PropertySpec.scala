@@ -463,4 +463,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private def randText(n: Int): String = {
+    val alphabet = "abcdefgh "
+    (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+      .mkString
+  }
+
+  test("cdcChunks: lossless nonempty split on random corpora") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = (0 until 100)
+      .map(i => (i.toLong, randText(50 + rnd.nextInt(400))))
+    val out = graft.llm.TextAnalysis.cdcChunks(
+        texts.toDF("doc_id", "text"), "text", "doc_id", divisor = 32)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id).mkString === t, s"doc $id split is lossy")
+      assert(out(id).forall(_.nonEmpty), s"doc $id empty chunk")
+    }
+  }
+
+  test("winnowing guarantee: any shared substring of length >= " +
+      "w + shingle - 1 yields a shared fingerprint (random pairs)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 100 pairs: ids (2i, 2i+1) embed one common substring of the
+    // guarantee length (w=5, shingle=5 -> 9) inside independent noise
+    val pairs = (0 until 100).map { i =>
+      val common = randText(9 + rnd.nextInt(30))
+      ((2 * i).toLong, randText(rnd.nextInt(40)) + common +
+        randText(rnd.nextInt(40)),
+        (2 * i + 1).toLong, randText(rnd.nextInt(40)) + common +
+        randText(rnd.nextInt(40)))
+    }
+    val docs = pairs.flatMap { case (ia, ta, ib, tb) =>
+      Seq((ia, ta), (ib, tb))
+    }.toDF("doc_id", "text")
+    val fps = graft.llm.Dedup.winnowFingerprints(docs, "text",
+        "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert((fps(ia) intersect fps(ib)).nonEmpty,
+        s"pair ($ia, $ib) shares no fingerprint")
+    }
+  }
 }
