@@ -968,16 +968,21 @@ object TextAnalysis {
       .agg(sum(size(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .cast("long")).as("n_tokens"))
-      // per-row p^α stabilizes through DECIMAL(28,12) BEFORE any
-      // arithmetic: JVM Math.pow and libm pow differ in the last
-      // ulp (~3.5e-14 at these magnitudes), which a raw
-      // round(.., 6) can flip on a half-tie; 12dp absorbs it. The
-      // sum over the stabilized values is then decimal-exact and
-      // order-independent, and q derives from two bit-identical
-      // doubles on both engines.
+      // per-row p^α stabilizes through DECIMAL(28,6) BEFORE any
+      // arithmetic: pow is the ONLY libm-dependent value in this
+      // operator, and JVM Math.pow vs a foreign libm can differ by
+      // one ulp (~2.3e-13 at these ~2e3 magnitudes). A 12dp cast
+      // provably cannot absorb that — the 12dp rounding boundary
+      // sits 5e-13 from a grid point, the same order as the ulp —
+      // but at 6dp the boundary is 5e-7 away: six orders of margin.
+      // Once __pa is the same decimal on both engines, everything
+      // downstream is deterministic: a DECIMAL(28,6) value of this
+      // magnitude is value*1e6 < 2^53 so its double cast is exact,
+      // sums are decimal-exact/order-independent, and IEEE double
+      // division is exactly rounded — no further libm calls exist.
       .withColumn("__pa",
         pow(col("n_tokens").cast("double"), alpha)
-          .cast("decimal(28,12)"))
+          .cast("decimal(28,6)"))
     val tot = perSrc.agg(sum(col("n_tokens")).as("__t"),
       sum(col("__pa")).as("__ta"))
     perSrc.crossJoin(broadcast(tot))

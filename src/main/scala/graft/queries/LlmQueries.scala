@@ -1770,7 +1770,7 @@ object LlmQueries {
         |    CAST(pow(CAST(sum(CAST(len(list_filter(
         |      string_split(lower(text), ' '),
         |      t -> t != '')) AS BIGINT)) AS DOUBLE), 0.7)
-        |      AS DECIMAL(28,12)) AS pa
+        |      AS DECIMAL(28,6)) AS pa
         |  FROM documents GROUP BY 1),
         |t AS (
         |  SELECT sum(n_tokens) AS tt, sum(pa) AS ta FROM s)
