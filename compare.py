@@ -7,14 +7,24 @@ Reads each <outDir>/<name> parquet dump written by graft.Verify, runs the
 matching oracle_sql.json entry in DuckDB over <sfDir>'s tables, and
 compares: row count, column names/dtypes, and values (exact after
 canonical row sort; floats compared exactly first, then with 1e-9 rel
-tolerance reported separately)."""
-import json, sys, glob, os
+tolerance reported separately).
+
+--strict-hash reproduces the DRIVER's verdict instead of the tolerant
+local one: every cell is rendered to a canonical string (repr for
+floats — full round-trip precision, no tolerance band) and the sorted
+row block is SHA-256 hashed per side. Any float that differs in even
+the last ulp flips the hash, exactly like the driver's
+sort-columns-then-hash-values compare. Use it when chasing cross-libm
+tie bugs that the tolerant compare hides."""
+import json, sys, glob, os, hashlib
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
 
-sf, out = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+argv = [a for a in sys.argv[1:] if a != "--strict-hash"]
+STRICT = "--strict-hash" in sys.argv
+sf, out = argv[0], argv[1]
+only = set(argv[2:])
 con = duckdb.connect()
 for f in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(f)[:-8]
@@ -73,6 +83,50 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         fails.append(name); continue
     a, b = canon(spark_df), canon(duck_df)
+    if STRICT:
+        # dtype-pair normalization: DuckDB's pandas bridge often returns
+        # BIGINT sums as float64 (nullable) while the Spark dump keeps
+        # int64. A value-identical column must not hash-differ on
+        # rendering, so when exactly one side is float and every value
+        # in it is integral, cast that side to int64. A genuinely
+        # fractional value stays float and mismatches loudly.
+        import numpy as np
+        for c in a.columns:
+            pair = [a, b]
+            kinds = [d[c].dtype.kind for d in pair]
+            if sorted(kinds) == ["f", "i"]:
+                fd = pair[kinds.index("f")]
+                v = fd[c].values
+                if not np.isnan(v).any() and (v == np.floor(v)).all():
+                    fd[c] = fd[c].astype("int64")
+        def render(df):
+            import numpy as np, datetime
+            def cell(x):
+                if x is None or (isinstance(x, float) and np.isnan(x)):
+                    return "<null>"
+                if isinstance(x, (list, np.ndarray)):
+                    return "[" + ",".join(cell(i) for i in x) + "]"
+                if isinstance(x, (np.floating, float)):
+                    return repr(float(x))
+                if isinstance(x, np.integer):
+                    return str(int(x))
+                if isinstance(x, (datetime.date, datetime.datetime)):
+                    return x.isoformat()
+                return str(x)
+            rows = sorted("|".join(cell(v) for v in r) for r in df.itertuples(index=False, name=None))
+            return rows, hashlib.sha256("\n".join(rows).encode()).hexdigest()
+        ra, ha = render(a)
+        rb, hb = render(b)
+        if ha != hb:
+            print(f"FAIL {name}: strict hash mismatch {ha[:12]} != {hb[:12]}")
+            for i, (x, y) in enumerate(zip(ra, rb)):
+                if x != y:
+                    print(f"    row {i}: spark={x}\n           duck ={y}")
+                    break
+            fails.append(name)
+        else:
+            print(f"ok   {name} ({len(a)} rows, strict {ha[:12]})")
+        continue
     # normalize list/array cells and timestamps to comparable forms
     import numpy as np
     bad_cols = []

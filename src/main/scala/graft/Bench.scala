@@ -45,16 +45,27 @@ object Bench {
     // partial run (round 8: 12/169 queries, inflated medians), so it
     // is only the fallback. Read BEFORE the incremental writes below
     // overwrite BENCH_DETAIL.json.
+    // Priors are SCALE-TAGGED: a snapshot's medians only apply when its
+    // "sf" field matches this run's sfDir — clamping an sf1 sweep
+    // against sf0.1 medians would abort legitimately slower
+    // output-bound queries (range_join is a measured 60x at sf1, above
+    // the 20x clamp). A mismatched or missing sf tag drops the file's
+    // medians entirely and the clamp falls back to clampDefault.
     def readMedians(file: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(file)), "UTF-8")
-        val at = txt.indexOf("\"medians\":{")
-        if (at < 0) Map.empty
+        val sfTag = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        if (!sfTag.contains(sfDir)) Map.empty
         else {
-          val seg = txt.substring(at, txt.indexOf('}', at).max(at))
-          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(seg)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val at = txt.indexOf("\"medians\":{")
+          if (at < 0) Map.empty
+          else {
+            val seg = txt.substring(at, txt.indexOf('}', at).max(at))
+            """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(seg)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         }
       } catch { case _: Throwable => Map.empty }
     val priorMedians: Map[String, Double] =
@@ -86,6 +97,12 @@ object Bench {
     // executors), give the unwind a grace period, then interrupt. A
     // stalled query records NO sample — during a host-side stall
     // episode the measurement describes the VM, not the code.
+    // Set when cancelJobGroup + interrupt BOTH failed to stop a timed
+    // body: the zombie thread's Spark jobs keep running alongside
+    // whatever is measured next, contaminating every later sample of
+    // the pass. runPass checks this and aborts the remainder of its
+    // pass rather than recording poisoned timings.
+    @volatile var runawayThread = false
     def timedRun(name: String, budgetSec: Double)(body: => Unit)
         : Either[String, Double] = {
       @volatile var err: Option[Throwable] = None
@@ -103,7 +120,14 @@ object Bench {
       if (th.isAlive) {
         spark.sparkContext.cancelJobGroup(group)
         th.join(30000)
-        if (th.isAlive) { th.interrupt(); th.join(5000) }
+        if (th.isAlive) {
+          th.interrupt(); th.join(5000)
+          if (th.isAlive) {
+            runawayThread = true
+            System.err.println(
+              s"[bench] $name survived cancel+interrupt — aborting pass")
+          }
+        }
         Left("stalled")
       } else err match {
         case Some(e) =>
@@ -164,22 +188,44 @@ object Bench {
     // every query still collects samples from the healthy passes.
     def runPass(pass: Int): Map[String, Double] = {
       val order = new scala.util.Random(2654435761L + pass).shuffle(queries)
-      order.iterator.takeWhile(_ => elapsedSec < deadline)
+      order.iterator
+        .takeWhile(_ => elapsedSec < deadline && !runawayThread)
         .flatMap { case (name, fn) =>
           // A failed query records NO sample (not its time-to-failure)
           // so the median never mixes crash timings with real
           // measurements; failed names surface in the JSON line.
-          val budget = math.min(clampFor(name),
+          val clamp = clampFor(name)
+          val budget = math.min(clamp,
             math.max(5.0, deadline - elapsedSec + 5))
-          timedRun(name, budget) {
+          val res = timedRun(name, budget) {
             fakeStall.get(name).foreach(s => Thread.sleep((s * 1000).toLong))
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          } match {
+          }
+          // Release persisted intermediates (winnow_pairs, the LM
+          // scores, curation_v2 pin multi-consumer frames): every
+          // invocation builds FRESH DataFrame objects, so blocks cached
+          // by a finished sample are unreachable garbage that would
+          // otherwise linger until the ContextCleaner notices — across
+          // 180 queries × 3 passes that is real memory/disk pressure on
+          // a stall-prone VM. Clearing here cannot distort timings:
+          // no later sample can reuse a previous invocation's cache.
+          spark.sharedState.cacheManager.clearCache()
+          res match {
             case Right(sec) => Some(name -> sec)
-            case Left("stalled") =>
+            case Left("stalled") if budget >= clamp =>
+              // clamp-triggered: the query ran past mult× its prior
+              // median inside ample budget — a genuine stall episode
               stallCount(name) = stallCount.getOrElse(name, 0) + 1
               System.err.println(
                 f"[bench] $name stalled: clamped at $budget%.1f s, no sample")
+              None
+            case Left("stalled") =>
+              // deadline-truncated: the remaining deadline, not the
+              // clamp, set the budget — ordinary clipping, NOT a stall
+              // (counting it as one would poison the stall triage
+              // signal every time a pass runs out of time mid-query)
+              System.err.println(
+                f"[bench] $name clipped by deadline after $budget%.1f s, no sample")
               None
             case Left(_) => errored += name; None
           }
