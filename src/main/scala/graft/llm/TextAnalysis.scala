@@ -717,6 +717,104 @@ object TextAnalysis {
         col("tokens"))
   }
 
+  /** Batched BPE tokenizer fit + apply — the scale path past
+    * [[bpeApply]]'s one-merge-per-round driver loop. Per round it
+    * computes the pair counts ONCE and selects up to `batch` merges
+    * by the dominance-disjoint rule: candidates are the top
+    * `4*batch` pairs by (count desc, a asc, b asc), and a candidate
+    * survives iff NO higher-ranked candidate (kept or discarded)
+    * shares a symbol with it. Survivor pairs are pairwise
+    * symbol-disjoint, and disjoint merges commute — a merge only
+    * fuses two adjacent symbols, it never creates or destroys an
+    * adjacency between OTHER symbols — so applying the batch
+    * left-to-right in rank order is faithful greedy BPE for every
+    * selected pair, and `ceil(merges/batch)` rounds replace
+    * `merges` driver round-trips (the wall-time becomes sub-linear
+    * in merges). Dominance (rather than greedy-vs-kept-only)
+    * filtering picks slightly fewer pairs per round but is a pure
+    * per-candidate predicate over the ranked top-C frame — one
+    * tiny anti-join, expressible identically in SQL, no sequential
+    * scan anywhere.
+    *
+    * The whole batch is applied in ONE higher-order fold over a
+    * broadcast merge array (the per-merge rewrite is [[bpeApply]]'s
+    * doubled-delimiter triple-replace, unchanged), so a round costs
+    * one pair aggregate + one TakeOrdered + one anti-join on ≤4·batch
+    * rows + one row-local rewrite of the vocabulary frame,
+    * `localCheckpoint` truncating lineage per round. Merge count per
+    * round is data-dependent (≤ batch); `rounds*batch` bounds the
+    * total. Word-grain boundary, same as [[bpeApply]]: merges are
+    * learned within lowercased whitespace-split words, not at byte
+    * grain across word boundaries — a production tokenizer would run
+    * the same loop over byte-level pre-tokens.
+    */
+  def bpeApplyBatched(df: DataFrame, text: String, id: String,
+      rounds: Int = 7, batch: Int = 8): DataFrame = {
+    require(rounds >= 0 && batch >= 1, "need rounds >= 0, batch >= 1")
+    val candCap = 4 * batch
+    val wordsOf = expr(
+      s"filter(split(lower($text), ' '), t -> t != '')")
+    var vocab = df.select(explode(wordsOf).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("repr", concat(lit(" "),
+        regexp_replace(col("word"), "([^ ])", "$1 ")))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val pairs = vocab
+        .select(col("cnt"),
+          expr("filter(split(repr, ' '), x -> x != '')").as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(__t) - 1),
+             i -> struct(element_at(__t, i) AS a,
+                         element_at(__t, i + 1) AS b))""")).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("cnt")).as("__c"))
+      // TakeOrdered top-C (no full-table single-partition window),
+      // then rank within the tiny C-row frame
+      val cand = pairs
+        .orderBy(col("__c").desc, col("a").asc, col("b").asc)
+        .limit(candCap)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__c").desc, col("a").asc, col("b").asc)))
+      val surv = cand.as("i").join(cand.select(
+          col("a").as("ja"), col("b").as("jb"), col("rk").as("jrk")),
+          col("jrk") < col("rk") &&
+            (col("ja") === col("a") || col("ja") === col("b") ||
+             col("jb") === col("a") || col("jb") === col("b")),
+          "left_anti")
+        .orderBy(col("rk").asc).limit(batch)
+      // one row, __ms = merges in rank order (empty array when the
+      // vocabulary has no mergeable pair left — the fold is then id)
+      val batchRow = surv
+        .agg(sort_array(collect_list(
+          struct(col("rk"), col("a"), col("b")))).as("__ms"))
+      vocab = vocab.crossJoin(broadcast(batchRow))
+        .withColumn("repr", expr(
+          """aggregate(__ms, repr, (acc, m) -> replace(
+               replace(
+                 replace(acc, ' ', '  '),
+                 concat(' ', m.a, '  ', m.b, ' '),
+                 concat(' ', m.a, m.b, ' ')),
+               '  ', ' '))"""))
+        .drop("__ms")
+        .localCheckpoint()
+    }
+    val perWord = vocab.select(col("word"),
+      expr("filter(split(repr, ' '), x -> x != '')").as("__toks"))
+    df.select(col(id), posexplode(wordsOf).as(Seq("__pos", "word")))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__toks"))))
+        .as("__o"))
+      .withColumn("tokens",
+        flatten(expr("transform(__o, s -> s.__toks)")))
+      .select(col(id),
+        size(col("tokens")).cast("long").as("n_bpe_tokens"),
+        col("tokens"))
+  }
+
   /** Bigram language-model quality score: per document, the mean
     * add-1-smoothed log-probability of its token bigrams under the
     * corpus's OWN bigram statistics, ln((C(ab)+1)/(C(a)+V)) — the

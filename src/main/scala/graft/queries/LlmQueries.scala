@@ -580,6 +580,16 @@ object LlmQueries {
           numMerges = 10))
         .orderBy("doc_id")
     }),
+    // batched BPE fit: up to 8 dominance-disjoint merges per round,
+    // 10 rounds — the scale path (one pair aggregate per ROUND, not
+    // per merge); oracle replays the identical per-round selection
+    // and fold
+    "bpe_apply_batched" -> ((s, d) => {
+      Canon.stringifyArrays(
+        TextAnalysis.bpeApplyBatched(t(s, d, "documents"), "text",
+          "doc_id", rounds = 10, batch = 8))
+        .orderBy("doc_id")
+    }),
     // repetition-ratio quality gate (duplicate-bigram fraction)
     "rep_ratio" -> ((s, d) => {
       t(s, d, "documents")
@@ -1116,6 +1126,66 @@ object LlmQueries {
        |  GROUP BY word),
        |$stages
        |dw AS (
+       |  SELECT doc_id, unnest(ws) AS word,
+       |         unnest(generate_series(1, len(ws))) AS pos
+       |  FROM (SELECT doc_id, list_filter(
+       |      string_split(lower(text), ' '), t -> t != '') AS ws
+       |    FROM documents))""".stripMargin
+  }
+
+  /** Replays [[TextAnalysis.bpeApplyBatched]]'s batched merge rounds:
+    * per round, `p$r` = pair counts, `c$r` = ranked top-4·batch
+    * candidates, `s$r` = dominance-disjoint survivors (NOT EXISTS a
+    * higher-ranked candidate sharing a symbol) capped at `batch`,
+    * `m$r` = the ordered merge list as chr(1)-joined strings (empty
+    * list when nothing merges), `w$r` = the vocabulary after the
+    * whole batch applied by one init-via-prepend `list_reduce` fold
+    * — the same left-to-right rank-order application as the Spark
+    * side's `aggregate` fold. Ends with `dw`; callers join `dw`
+    * against `w$rounds`.
+    */
+  private def duckBpeBatchedChain(rounds: Int, batch: Int): String = {
+    val candCap = 4 * batch
+    val stages = (1 to rounds).map { r =>
+      val p = s"bw${r - 1}"
+      s"""bp$r AS (
+         |  SELECT a, b, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS a,
+         |           unnest(list_slice(t, 2, len(t))) AS b, cnt
+         |    FROM (SELECT list_filter(string_split(repr, ' '),
+         |        x -> x != '') AS t, cnt FROM $p)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY a, b),
+         |bc$r AS (
+         |  SELECT a, b, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+         |  FROM (SELECT * FROM bp$r ORDER BY c DESC, a, b
+         |        LIMIT $candCap)),
+         |bs$r AS (
+         |  SELECT a, b, rk FROM bc$r i WHERE NOT EXISTS (
+         |    SELECT 1 FROM bc$r j WHERE j.rk < i.rk
+         |      AND (j.a IN (i.a, i.b) OR j.b IN (i.a, i.b)))
+         |  ORDER BY rk LIMIT $batch),
+         |bm$r AS (SELECT coalesce(list(a || chr(1) || b ORDER BY rk),
+         |  []) AS ml FROM bs$r),
+         |bw$r AS MATERIALIZED (
+         |  SELECT word, cnt, list_reduce(list_prepend(repr, ml),
+         |    (acc, m) -> replace(replace(replace(acc, ' ', '  '),
+         |      ' ' || string_split(m, chr(1))[1] || '  ' ||
+         |        string_split(m, chr(1))[2] || ' ',
+         |      ' ' || replace(m, chr(1), '') || ' '), '  ', ' '))
+         |    AS repr
+         |  FROM $p, bm$r),""".stripMargin
+    }.mkString("\n")
+    s"""bw0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt,
+       |    ' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g')
+       |      AS repr
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split(lower(text), ' '), t -> t != '')) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |$stages
+       |bdw AS (
        |  SELECT doc_id, unnest(ws) AS word,
        |         unnest(generate_series(1, len(ws))) AS pos
        |  FROM (SELECT doc_id, list_filter(
