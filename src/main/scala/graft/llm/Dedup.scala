@@ -140,21 +140,24 @@ object Dedup {
     */
   def winnowPairs(fps: DataFrame, id: String,
       minJaccard: Double = 0.7, maxDf: Int = 256): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val posting = fps.select(col(id), explode(col("fps")).as("fp"))
     // fingerprints are distinct within a doc, so count == df.
-    // PERSISTED: the filtered posting list feeds the pair stage and
-    // two size-lookup joins — without pinning, each consumer
-    // re-evaluates the per-document fingerprint HOF upstream
-    // (measured 20.4 s unpinned vs 0.8 s pinned at sf0.1)
+    // EAGERLY MATERIALIZED: the filtered posting list feeds the pair
+    // stage and two size-lookup joins. A lazy persist() does NOT
+    // protect a single cold action — the consumers' stages race and
+    // each re-evaluates the per-document fingerprint HOF upstream
+    // (measured 20.5 s cold with persist vs ~1 s with an eager
+    // localCheckpoint at sf0.1). localCheckpoint(eager=true) runs the
+    // materializing job BEFORE any consumer plan is built, so every
+    // consumer reads the checkpointed blocks.
     val keptLists = posting.groupBy(col("fp"))
       .agg(sort_array(collect_list(col(id))).as("__ids"))
       .filter(size(col("__ids")) <= maxDf)
-      .persist(mem)
+      .localCheckpoint()
     val sizes = keptLists
       .select(explode(col("__ids")).as(id))
       .groupBy(col(id)).agg(count(lit(1)).as("__n"))
-      .persist(mem)
+      .localCheckpoint()
     keptLists
       .filter(size(col("__ids")) > 1)
       .select(explode(expr(

@@ -431,9 +431,11 @@ object LlmQueries {
     // the composition
     "curation_v2" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // reps and lr each feed the survivor build AND the final
-      // attach — pinned so the stats / embedding corpus passes run
+      // attach — eagerly materialized (localCheckpoint, not a lazy
+      // persist: within one cold action the consumers' stages race
+      // and each re-runs the stats / LR corpus pass; measured 8.0 s
+      // cold with persist vs ~1 s checkpointed) so those passes run
       // once, not per consumer
       val reps = TextAnalysis.withStats(docs, "text")
         .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
@@ -441,10 +443,10 @@ object LlmQueries {
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("quality"), col("doc_id")).as("quality"))
         .select("doc_id", "quality")
-        .persist(mem)
+        .localCheckpoint()
       val lr = TextAnalysis.lrQualityGate(docs, "text", "doc_id")
         .filter(col("keep")).select(col("doc_id"), col("lr_score"))
-        .persist(mem)
+        .localCheckpoint()
       val survivors = reps.join(lr, Seq("doc_id"))
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       TextAnalysis.cdcScrub(
