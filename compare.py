@@ -84,30 +84,29 @@ for name, sql in sorted(oracles.items()):
         fails.append(name); continue
     a, b = canon(spark_df), canon(duck_df)
     if STRICT:
-        # dtype-pair normalization: DuckDB's pandas bridge often returns
-        # BIGINT sums as float64 (nullable) while the Spark dump keeps
-        # int64. A value-identical column must not hash-differ on
-        # rendering, so when exactly one side is float and every value
-        # in it is integral, cast that side to int64. A genuinely
-        # fractional value stays float and mismatches loudly.
-        import numpy as np
-        for c in a.columns:
-            pair = [a, b]
-            kinds = [d[c].dtype.kind for d in pair]
-            if sorted(kinds) == ["f", "i"]:
-                fd = pair[kinds.index("f")]
-                v = fd[c].values
-                if not np.isnan(v).any() and (v == np.floor(v)).all():
-                    fd[c] = fd[c].astype("int64")
+        # canon() has already reindexed BOTH frames to sorted column
+        # order, so itertuples below renders the two sides in the same
+        # canonical order (matching the driver's sort-columns-then-hash).
         def render(df):
-            import numpy as np, datetime
+            import numpy as np, datetime, math
             def cell(x):
                 if x is None or (isinstance(x, float) and np.isnan(x)):
                     return "<null>"
                 if isinstance(x, (list, np.ndarray)):
                     return "[" + ",".join(cell(i) for i in x) + "]"
                 if isinstance(x, (np.floating, float)):
-                    return repr(float(x))
+                    # dtype normalization at RENDER time: DuckDB's pandas
+                    # bridge returns BIGINT sums as float64 (nullable)
+                    # while the Spark dump keeps int64 — an integral
+                    # value must render identically from either dtype.
+                    # Per-cell (not a column astype) so a NaN elsewhere
+                    # in the column can't block it, and the 2^53 guard
+                    # keeps huge floats from a lossy int round-trip.
+                    f = float(x)
+                    if math.isfinite(f) and abs(f) < 2.0 ** 53 \
+                            and f == math.floor(f):
+                        return str(int(f))
+                    return repr(f)
                 if isinstance(x, np.integer):
                     return str(int(x))
                 if isinstance(x, (datetime.date, datetime.datetime)):

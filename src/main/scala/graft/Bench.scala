@@ -157,6 +157,20 @@ object Bench {
     // and aborts a pass mid-way if the deadline is already blown — a
     // partial artifact beats an rc=124 kill with none.
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Two-tier passes: pass 1 measures EVERY query (zero unmeasured);
+    // passes 2+ only revisit queries whose best sample so far is at or
+    // above `fastCut` seconds, plus anything still sample-less (stalled
+    // / clipped / failed in earlier passes). The sub-cut queries are
+    // ~45% of the set but <10% of its wall time (sf0.1 priors: 58 of
+    // 180 queries >= 1 s hold 105 of 159 s), so 3 passes of the
+    // expensive tail fit the 500 s driver deadline where 3 full passes
+    // (~160 s each) did not — round 10 degraded to a single-pass
+    // artifact with 100 queries unmeasured. min-of-1 for a fast query
+    // is self-correcting: if VM noise inflates its one sample past the
+    // cut, the inflated min puts it back in the next pass's revisit
+    // set. Set to 0 to force full passes.
+    val fastCut = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_FAST_CUT", "1.0").toDouble
     // Per-query statistic: median at >= 3 samples; MIN below that. This
     // VM stalls intermittently (measured 5-20x inflation on identical
     // code within one JVM — kernel_ma spread 2.0-38.0 s over 6
@@ -187,7 +201,12 @@ object Bench {
     // both the clip and the episode across different queries, so nearly
     // every query still collects samples from the healthy passes.
     def runPass(pass: Int): Map[String, Double] = {
-      val order = new scala.util.Random(2654435761L + pass).shuffle(queries)
+      val revisit = queries.filter { case (name, _) =>
+        pass == 0 || samples.flatMap(_.get(name)).minOption
+          .forall(_ >= fastCut)
+      }
+      val order =
+        new scala.util.Random(2654435761L + pass).shuffle(revisit)
       order.iterator
         .takeWhile(_ => elapsedSec < deadline && !runawayThread)
         .flatMap { case (name, fn) =>
@@ -254,7 +273,8 @@ object Bench {
       val medsJson = meds.map { case (k, v) =>
         "\"" + k + "\":" + f"$v%.3f"
       }.mkString("{", ",", "}")
-      f"""{"runs":${samples.size},"sf":"$sfDir","deadline_sec":$deadline,""" +
+      (if (runawayThread) """{"aborted":"runaway_thread",""" else "{") +
+        f""""runs":${samples.size},"sf":"$sfDir","deadline_sec":$deadline,""" +
         s""""stat":"median at >=3 samples, min below",""" +
         f""""total_median_sec":$total%.3f,"spread":$spread$stallsJson,""" +
         s""""medians":$medsJson}""" + "\n"
@@ -268,8 +288,12 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detailJson().getBytes("UTF-8"))
-      // another pass only if the slowest pass so far still fits
-      go = elapsedSec + passSec.max < deadline
+      // another pass only if the slowest pass so far still fits — and
+      // never after a runaway thread: its zombie Spark jobs contaminate
+      // every later sample, and with the takeWhile guard tripping
+      // instantly each extra pass would be an empty no-op that still
+      // bumps the reported run count
+      go = elapsedSec + passSec.max < deadline && !runawayThread
     }
     val runs = samples.size
     val results = queries.flatMap { case (name, _) =>

@@ -966,28 +966,30 @@ object TextAnalysis {
     * of all token occurrences covered by the vocabulary up to and
     * including it — the curve a tokenizer/vocab-size decision reads
     * ("how many tokens cover 95%?"). Scale shape: ONE map-side-
-    * combining groupBy on the token; the running sum's global window
-    * runs over the AGGREGATED vocabulary (≤ distinct tokens, never
-    * corpus rows), and the total is a broadcast 1-row cross.
+    * combining groupBy on the token; the top-k cut is a DISTRIBUTED
+    * `orderBy().limit(k)` (TakeOrderedAndProject), so the rank and
+    * running-sum windows run INSIDE the k-row frame — the prefix sum
+    * at rank r only ever involves ranks ≤ r ≤ k, so cutting first is
+    * exact — and the corpus total arrives as a broadcast 1-row cross
+    * (computed over the FULL counts frame, pre-cut).
     */
   def vocabCoverage(df: DataFrame, text: String, k: Int = 100)
       : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("cnt").desc, col("token").asc)
+    val w = ord.rowsBetween(Window.unboundedPreceding, 0)
     val counts = df.select(explode(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("__tot"))
-    counts.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+    counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("long"))
       .withColumn("coverage",
         round(sum(col("cnt")).over(w) / col("__tot"), 6))
-      .filter(col("rank") <= k)
       .select(col("token"), col("cnt"), col("rank"), col("coverage"))
   }
 
@@ -1059,28 +1061,30 @@ object TextAnalysis {
     * boosting low-resource sources. One tiny aggregate (rows =
     * sources) + a broadcast total — `boost = q/p` shows each
     * source's up/down-sampling factor directly.
+    *
+    * α is FIXED at 0.75 so that p^α never touches libm `pow`:
+    * n^0.75 = (n³)^(1/4) = sqrt(sqrt(n·n·n)). IEEE-754 requires
+    * multiply and sqrt to be CORRECTLY ROUNDED (pow carries no such
+    * guarantee and JVM Math.pow vs a foreign libm can differ by an
+    * ulp), so every engine computes the bit-identical double with no
+    * quantization step. The DECIMAL(28,6) cast then maps that same
+    * double to the same decimal everywhere — a binary double is
+    * never exactly on a 6dp half-tie, so half-up vs half-even cannot
+    * disagree — keeping the Σ p^α total order-independent and the
+    * downstream divisions (IEEE, exactly rounded) deterministic.
     */
-  def temperatureWeights(df: DataFrame, srcCol: String, text: String,
-      alpha: Double = 0.7): DataFrame = {
+  def temperatureWeights(df: DataFrame, srcCol: String,
+      text: String): DataFrame = {
     val perSrc = df.groupBy(col(srcCol))
       .agg(sum(size(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .cast("long")).as("n_tokens"))
-      // per-row p^α stabilizes through DECIMAL(28,6) BEFORE any
-      // arithmetic: pow is the ONLY libm-dependent value in this
-      // operator, and JVM Math.pow vs a foreign libm can differ by
-      // one ulp (~2.3e-13 at these ~2e3 magnitudes). A 12dp cast
-      // provably cannot absorb that — the 12dp rounding boundary
-      // sits 5e-13 from a grid point, the same order as the ulp —
-      // but at 6dp the boundary is 5e-7 away: six orders of margin.
-      // Once __pa is the same decimal on both engines, everything
-      // downstream is deterministic: a DECIMAL(28,6) value of this
-      // magnitude is value*1e6 < 2^53 so its double cast is exact,
-      // sums are decimal-exact/order-independent, and IEEE double
-      // division is exactly rounded — no further libm calls exist.
-      .withColumn("__pa",
-        pow(col("n_tokens").cast("double"), alpha)
-          .cast("decimal(28,6)"))
+      .withColumn("__pa", {
+        val x = col("n_tokens").cast("double")
+        // left-assoc (x*x)*x matches the oracle's evaluation order;
+        // each step exactly rounded, so identical even past 2^53
+        sqrt(sqrt(x * x * x)).cast("decimal(28,6)")
+      })
     val tot = perSrc.agg(sum(col("n_tokens")).as("__t"),
       sum(col("__pa")).as("__ta"))
     perSrc.crossJoin(broadcast(tot))
@@ -1097,10 +1101,13 @@ object TextAnalysis {
     * natural-language corpus fits slope ≈ −1; templated or synthetic
     * text bends the curve). Moment sums route through DECIMAL(28,6)
     * (the elasticity/corr_pairs recipe) so the fit is
-    * order-independent and engine-exact. The rank window runs over
-    * the VOCABULARY frame (one row per distinct token — orders of
-    * magnitude below corpus size; same documented trade as
-    * [[vocabCoverage]]), and only the top-k rows enter the fit.
+    * order-independent and engine-exact. The top-k cut is a
+    * DISTRIBUTED `orderBy().limit(k)` (TakeOrderedAndProject — each
+    * partition ships only its local top-k to the driver-side merge),
+    * and the rank window then runs INSIDE the k-row frame — the full
+    * vocabulary never funnels through one task (a web-scale corpus
+    * has ~1e8+ distinct tokens; an unpartitioned window over that
+    * frame is a single-task sort).
     */
   def zipfFit(df: DataFrame, text: String, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1109,10 +1116,11 @@ object TextAnalysis {
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val ranked = counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc))
         .cast("long"))
-      .filter(col("rank") <= k)
       .select(log(col("rank")).as("__x"), log(col("cnt")).as("__y"))
     def dsum(c: Column) = sum(c.cast("decimal(28,6)"))
     ranked.agg(

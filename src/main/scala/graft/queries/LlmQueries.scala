@@ -319,12 +319,13 @@ object LlmQueries {
         "doc_id", dim = 32)
         .orderBy("doc_id")
     }),
-    // temperature-scaled mixture weights (alpha = 0.7): the
-    // low-resource-boosting sampling recipe, with the up/down-sample
-    // factor per source
+    // temperature-scaled mixture weights (alpha = 0.75, the sqrt-
+    // composable temperature — p^α = sqrt(sqrt(p³)) avoids libm pow
+    // entirely): the low-resource-boosting sampling recipe, with the
+    // up/down-sample factor per source
     "mix_temperature" -> ((s, d) => {
       TextAnalysis.temperatureWeights(t(s, d, "documents"), "source",
-        "text", alpha = 0.7)
+        "text")
         .orderBy("source")
     }),
     // banded-LSH recall/precision vs exact all-pairs Jaccard truth on
@@ -1136,15 +1137,15 @@ object LlmQueries {
   }
 
   /** Replays [[TextAnalysis.bpeApplyBatched]]'s batched merge rounds:
-    * per round, `p$r` = pair counts, `c$r` = ranked top-4·batch
-    * candidates, `s$r` = dominance-disjoint survivors (NOT EXISTS a
+    * per round, `bp$r` = pair counts, `bc$r` = ranked top-4·batch
+    * candidates, `bs$r` = dominance-disjoint survivors (NOT EXISTS a
     * higher-ranked candidate sharing a symbol) capped at `batch`,
-    * `m$r` = the ordered merge list as chr(1)-joined strings (empty
-    * list when nothing merges), `w$r` = the vocabulary after the
+    * `bm$r` = the ordered merge list as chr(1)-joined strings (empty
+    * list when nothing merges), `bw$r` = the vocabulary after the
     * whole batch applied by one init-via-prepend `list_reduce` fold
     * — the same left-to-right rank-order application as the Spark
-    * side's `aggregate` fold. Ends with `dw`; callers join `dw`
-    * against `w$rounds`.
+    * side's `aggregate` fold. Ends with doc-word CTE `bdw`; callers
+    * join `bdw` against `bw$rounds`.
     */
   private def duckBpeBatchedChain(rounds: Int, batch: Int): String = {
     val candCap = 4 * batch
@@ -1834,16 +1835,21 @@ object LlmQueries {
       s"""WITH $duckLrChain
          |SELECT doc_id, round(z, 6) AS lr_score, z >= 0.0 AS keep
          |FROM lrz ORDER BY doc_id""".stripMargin,
+    // α = 0.75: p^α = sqrt(sqrt(n·n·n)) — multiply and sqrt are
+    // IEEE-correctly-rounded on every engine (pow is not), so pa is
+    // bit-identical before the decimal stabilization
     "mix_temperature" ->
-      """WITH s AS (
+      """WITH s0 AS (
         |  SELECT source,
         |    sum(CAST(len(list_filter(string_split(lower(text), ' '),
-        |      t -> t != '')) AS BIGINT)) AS n_tokens,
-        |    CAST(pow(CAST(sum(CAST(len(list_filter(
-        |      string_split(lower(text), ' '),
-        |      t -> t != '')) AS BIGINT)) AS DOUBLE), 0.7)
-        |      AS DECIMAL(28,6)) AS pa
+        |      t -> t != '')) AS BIGINT)) AS n_tokens
         |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT source, n_tokens,
+        |    CAST(sqrt(sqrt(CAST(n_tokens AS DOUBLE)
+        |      * CAST(n_tokens AS DOUBLE)
+        |      * CAST(n_tokens AS DOUBLE))) AS DECIMAL(28,6)) AS pa
+        |  FROM s0),
         |t AS (
         |  SELECT sum(n_tokens) AS tt, sum(pa) AS ta FROM s)
         |SELECT source, n_tokens,
@@ -2167,6 +2173,20 @@ object LlmQueries {
          |      list_filter(string_split(repr, ' '), x -> x != '')
          |      ORDER BY pos)) AS toks
          |  FROM dw JOIN w10 USING (word)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(toks, ',') AS tokens
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    // replays the batched chain (10 rounds × ≤8 dominance-disjoint
+    // merges) and tokenizes via the final bw10 vocabulary — the
+    // bpe_apply tok CTE at the batched grain
+    "bpe_apply_batched" ->
+      s"""WITH ${duckBpeBatchedChain(10, 8)},
+         |tok AS (
+         |  SELECT doc_id, flatten(list(
+         |      list_filter(string_split(repr, ' '), x -> x != '')
+         |      ORDER BY pos)) AS toks
+         |  FROM bdw JOIN bw10 USING (word)
          |  GROUP BY doc_id)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
          |  array_to_string(toks, ',') AS tokens

@@ -334,6 +334,31 @@ class LlmSpec extends AnyFunSuite {
     assert(packed === Array((0L, 5L), (1L, 3L)))
   }
 
+  test("bpeApplyBatched: batch=1 degenerates to greedy bpeApply; " +
+      "dominance defers symbol-sharing pairs") {
+    // batch=1 keeps only the rank-1 candidate per round — one merge
+    // per round with the same (count desc, a asc, b asc) tie-break —
+    // so rounds=N, batch=1 must reproduce bpeApply(numMerges=N)
+    // exactly on any corpus
+    val corpus = docs("aaab aaab ab", "aaa x", "banana band bandana")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[String](2).mkString(",")))
+    assert(dump(TextAnalysis.bpeApplyBatched(corpus, "text", "doc_id",
+        rounds = 4, batch = 1)) ===
+      dump(TextAnalysis.bpeApply(corpus, "text", "doc_id",
+        numMerges = 4)))
+    // deferral: pair counts (a,b)=5 > (d,e)=4 > (b,c)=3. (b,c)
+    // shares 'b' with the rank-1 candidate, so with batch=2 round 1
+    // merges ab and de but DEFERS bc even though the batch has room
+    val d2 = docs("abc abc abc ab ab de de de de")
+    val one = dump(TextAnalysis.bpeApplyBatched(d2, "text", "doc_id",
+      rounds = 1, batch = 2))
+    assert(one === Array((0L,
+      12L, "ab,c,ab,c,ab,c,ab,ab,de,de,de,de")))
+  }
+
   test("bigramLmScore: count lookups broadcast; salted fallback exact") {
     val df = docs("a b a b", "a a")
     // skew guard: the corpus-sized pair frame must never shuffle on
@@ -373,6 +398,25 @@ class LlmSpec extends AnyFunSuite {
         r.getDouble(3)))
     assert(out === Array(("a", 3L, 1L, 0.6), ("b", 1L, 2L, 0.8),
       ("c", 1L, 3L, 1.0)))
+  }
+
+  test("zipfFit/vocabCoverage: top-k cut is distributed, window runs " +
+      "inside the k-row frame") {
+    val df = docs("a a b c d e", "a b f g", "a h")
+    for (plan <- Seq(
+        TextAnalysis.zipfFit(df, "text", k = 4)
+          .queryExecution.executedPlan.toString,
+        TextAnalysis.vocabCoverage(df, "text", k = 4)
+          .queryExecution.executedPlan.toString)) {
+      // per-partition heaps + k-row driver merge — never a global
+      // sort of the whole vocabulary
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+      // the rank/prefix-sum window sits ABOVE the cut (tree strings
+      // print parents first), so it only ever sees k rows
+      val w = plan.indexOf("Window")
+      assert(w >= 0 && w < plan.indexOf("TakeOrderedAndProject"),
+        plan.take(800))
+    }
   }
 
   test("lengthGate: percentile band excludes exactly the tails") {
