@@ -104,18 +104,18 @@ object Dedup {
     * fingerprint, while only ~2/(w+1) of positions are retained — a
     * principled sample where the span-dedup family's posting list
     * keeps every position. Entirely ROW-LOCAL (native codegen'd
-    * shingle hashing + one HOF pass over the hash array), zero
-    * shuffle at any corpus size; all-integer arithmetic keeps the
-    * oracle hash-exact.
+    * shingle hashing + native monotonic-deque window minima — the
+    * equivalent HOF `transform(sequence, i -> array_min(slice(...)))`
+    * is O(n·w) interpreted-lambda work and alone cost ~28 s at sf0.1
+    * as the posting-list upstream; [[WinnowMins]] is O(n) compiled),
+    * zero shuffle at any corpus size; all-integer arithmetic keeps
+    * the oracle hash-exact.
     */
   def winnowFingerprints(df: DataFrame, text: String, id: String,
       w: Int = 5): DataFrame =
     df.withColumn("__hs", PolyHashColumns.shingleHashes(col(text)))
       .select(col(id),
-        expr(s"""array_sort(array_distinct(transform(
-             sequence(1, greatest(size(__hs) - ${w - 1}, 1)),
-             i -> array_min(slice(__hs, i, least($w, size(__hs)))))))""")
-          .as("fps"))
+        PolyHashColumns.winnowMins(col("__hs"), w).as("fps"))
 
   /** Winnow-fingerprint match pairs: posting-list self-join keyed on
     * the fingerprint hash, scored by JACCARD OVER THE FINGERPRINT

@@ -323,6 +323,76 @@ case class FeatureHashCountsExpr(child: Expression, dim: Int)
       : FeatureHashCountsExpr = copy(child = newChild)
 }
 
+object WinnowMins {
+  /** Sorted distinct sliding-window minima of a hash array in one
+    * pass — the native form of
+    * `array_sort(array_distinct(transform(sequence(1, greatest(n-w+1,
+    * 1)), i -> array_min(slice(hs, i, least(w, n))))))` (one window
+    * over the whole array when n < w, exactly like the HOF). The HOF
+    * walks O(n·w) interpreted-lambda steps and allocates a slice per
+    * position — it alone cost ~28 s at sf0.1 as the upstream of the
+    * winnow posting list; the monotonic-deque form is O(n) compiled
+    * code. Ties pop `>=` from the deque back, which keeps the latest
+    * index of an equal minimum — the VALUE (all that is emitted) is
+    * identical either way.
+    */
+  def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): GenericArrayData = {
+    val n = hashes.numElements()
+    val m = math.max(n - w + 1, 1)
+    val mins = new Array[Long](m)
+    if (n <= w) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i); if (h < mn) mn = h; i += 1
+      }
+      mins(0) = if (n == 0) 0L else mn
+    } else {
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0 // live indices in dq[head, tail), values increasing
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        while (tail > head && hashes.getLong(dq(tail - 1)) >= h)
+          tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) mins(i - w + 1) = hashes.getLong(dq(head))
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(mins)
+    var k = 0
+    var i = 1
+    while (i < m) {
+      if (mins(i) != mins(k)) { k += 1; mins(k) = mins(i) }
+      i += 1
+    }
+    val out = new Array[Long](k + 1)
+    System.arraycopy(mins, 0, out, 0, k + 1)
+    new GenericArrayData(out)
+  }
+}
+
+/** array<bigint> sorted distinct sliding-window-w minima of an
+  * array<bigint> of shingle hashes (the winnowing fingerprint set).
+  */
+case class WinnowMinsExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowMins.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.WinnowMins.compute($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowMinsExpr = copy(child = newChild)
+}
+
 /** bigint whole-string polynomial hash (fingerprint). */
 case class PolyHashString(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -351,4 +421,6 @@ object PolyHashColumns {
     column(TextClassStatsExpr(expression(c)))
   def featureHashCounts(c: Column, dim: Int): Column =
     column(FeatureHashCountsExpr(expression(c), dim))
+  def winnowMins(c: Column, w: Int): Column =
+    column(WinnowMinsExpr(expression(c), w))
 }

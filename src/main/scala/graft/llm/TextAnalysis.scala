@@ -1042,6 +1042,13 @@ object TextAnalysis {
     * classifier-based filtering. Dot product folds in bucket-index
     * order on both engines — IEEE ops in a fixed order are
     * bit-identical, so no rounding is needed before the threshold.
+    *
+    * CONSUMER NOTE: do not `.filter(col("keep"))` directly on this
+    * output inside a larger plan — the pushed-down predicate
+    * re-inlines the whole embedding chain (vec, norm, per-token hash
+    * HOF) and re-evaluates it per row (measured 13.0 s vs 1.4 s
+    * un-filtered at sf0.1). Materialize first (eager
+    * `localCheckpoint()`), then filter — see `curation_v2`.
     */
   def lrQualityGate(df: DataFrame, text: String, id: String,
       dim: Int = 32, bias: Double = 0.0): DataFrame = {

@@ -435,9 +435,8 @@ object LlmQueries {
       // reps and lr each feed the survivor build AND the final
       // attach — eagerly materialized (localCheckpoint, not a lazy
       // persist: within one cold action the consumers' stages race
-      // and each re-runs the stats / LR corpus pass; measured 8.0 s
-      // cold with persist vs ~1 s checkpointed) so those passes run
-      // once, not per consumer
+      // and each re-runs the stats / LR corpus pass) so those passes
+      // run once, not per consumer
       val reps = TextAnalysis.withStats(docs, "text")
         .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
         .groupBy(col("fingerprint"))
@@ -445,9 +444,15 @@ object LlmQueries {
           min_by(col("quality"), col("doc_id")).as("quality"))
         .select("doc_id", "quality")
         .localCheckpoint()
+      // CHECKPOINT BEFORE the keep-filter: filter(keep) pushed below
+      // the gate's projection re-inlines the full embedding chain
+      // (vec, norm, and the per-token hash HOF) into the predicate —
+      // measured 13.0 s vs 1.4 s for the same gate un-filtered at
+      // sf0.1. Materializing the 3-column gate output first makes the
+      // filter a trivial scan of checkpointed blocks.
       val lr = TextAnalysis.lrQualityGate(docs, "text", "doc_id")
-        .filter(col("keep")).select(col("doc_id"), col("lr_score"))
         .localCheckpoint()
+        .filter(col("keep")).select(col("doc_id"), col("lr_score"))
       val survivors = reps.join(lr, Seq("doc_id"))
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       TextAnalysis.cdcScrub(

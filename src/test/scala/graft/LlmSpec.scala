@@ -1231,6 +1231,33 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs === Array((0L, 1L, 1.0)))
   }
 
+  test("WinnowMins: native deque minima == HOF slice/array_min form " +
+      "on random and edge inputs") {
+    // the native expression replaced the interpreted
+    // transform(sequence, i -> array_min(slice(...))) — pin value
+    // equality against that exact HOF on varied shapes: shorter than
+    // w, equal to w, long with repeats/ties, strictly increasing and
+    // decreasing runs
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Seq(7L), Seq(3L, 3L, 3L), (1L to 4L).toSeq, (1L to 5L).toSeq,
+      (1L to 30L).toSeq, (1L to 30L).reverse.toSeq,
+      Seq.fill(40)(rnd.nextLong(100)),
+      Seq.fill(200)(rnd.nextLong(1000000)))
+    for (w <- Seq(2, 5, 8); xs <- cases) {
+      val df = Seq(Tuple1(xs)).toDF("hs")
+      val native = df.select(
+        graft.llm.PolyHashColumns.winnowMins(col("hs"), w).as("fps"))
+        .collect().head.getSeq[Long](0)
+      val hof = df.select(expr(
+        s"""array_sort(array_distinct(transform(
+            sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+            i -> array_min(slice(hs, i, least($w, size(hs)))))))""")
+        .as("fps")).collect().head.getSeq[Long](0)
+      assert(native === hof, s"w=$w xs=${xs.take(10)}...")
+    }
+  }
+
   test("trigramLmScore: stupid-backoff branch arithmetic exact on a " +
       "tiny train/score split") {
     // train: uni a=2,b=2,c=2 (tt=6, v=3); pairs ab=2,bc=2,ca=1;
