@@ -524,6 +524,20 @@ object LlmQueries {
         tokenCounts = Some(col("n_bpe_tokens")))
         .orderBy("source")
     }),
+    // the same reweighting billed at the BATCHED tokenizer grain
+    // (bpeApplyBatched's vocabulary, 10 rounds × ≤8 merges) — the
+    // scale-path tokenizer feeding the same accounting hook
+    "mix_weights_bpe_batched" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val withBpe = docs.join(
+        TextAnalysis.bpeApplyBatched(docs, "text", "doc_id",
+          rounds = 10, batch = 8)
+          .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+      TextAnalysis.mixtureWeights(withBpe, "text", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        tokenCounts = Some(col("n_bpe_tokens")))
+        .orderBy("source")
+    }),
     // per-source percentile-rank normalization of the quality score:
     // scores from different sources aren't comparable raw (each
     // source has its own score distribution) — rank-normalizing
@@ -2234,6 +2248,37 @@ object LlmQueries {
          |  SELECT source, count(*) AS n_docs,
          |    CAST(sum($duckNTokens) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
+         |j AS (
+         |  SELECT pd.source, n_docs, n_tokens, target_share
+         |  FROM pd JOIN tgt USING (source)),
+         |g AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |    min(CAST(n_tokens AS DOUBLE) / target_share) AS t_out
+         |  FROM j)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS natural_share,
+         |  target_share,
+         |  round(target_share * t_out / n_tokens, 6) AS sample_prob,
+         |  round(target_share * t_out, 6) AS expected_tokens
+         |FROM j, g ORDER BY source""".stripMargin,
+    // mix_weights billed at the batched-tokenizer grain: the batched
+    // merge-chain replay (bdw/bw10) feeding the mix_weights tail
+    "mix_weights_bpe_batched" ->
+      s"""WITH ${duckBpeBatchedChain(10, 8)},
+         |bt AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS n_bpe
+         |  FROM bdw JOIN bw10 USING (word)
+         |  GROUP BY doc_id),
+         |tgt(source, target_share) AS (
+         |  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         |         ('src1', CAST(0.3 AS DOUBLE)),
+         |         ('src2', CAST(0.2 AS DOUBLE))),
+         |pd AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+         |  FROM documents JOIN bt USING (doc_id) GROUP BY source),
          |j AS (
          |  SELECT pd.source, n_docs, n_tokens, target_share
          |  FROM pd JOIN tgt USING (source)),
