@@ -478,29 +478,33 @@ object Dedup {
              (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $P))"""
 
   /** Token (whitespace-split) polynomial hashes of a text column.
-    * Empty tokens (from consecutive/leading spaces) hash to 0L —
-    * matching the native [[PolyHashColumns.tokenHashes]] exactly.
+    * Empty tokens (from consecutive/leading spaces) hash to 0L.
+    * Native ([[PolyHashColumns.tokenHashes]]); the equivalent SQL HOF
+    * `transform(split(text, ' '), t -> fold-per-char)` is what the
+    * DuckDB oracles replay, value-pinned in LlmSpec.
     */
   def tokenHashesExpr(text: String): Column =
-    expr(hashTokensExpr(s"split($text, ' ')"))
+    PolyHashColumns.tokenHashes(col(text))
 
   /** Content-token hashes: lowercased, empty tokens dropped — the
     * token form [[decontaminate]] and corpus statistics share. Docs
-    * that are empty/whitespace-only yield an empty array.
+    * that are empty/whitespace-only yield an empty array. Native
+    * per-token hashing ([[PolyHashColumns.tokenHashesNonEmpty]]) —
+    * the SQL HOF form hashes each token through an interpreted
+    * per-character fold with a substring allocation per char.
     */
   def contentTokenHashesExpr(text: String): Column =
-    expr(hashTokensExpr(
-      s"filter(split(lower($text), ' '), t -> t != '')"))
+    PolyHashColumns.tokenHashesNonEmpty(lower(col(text)))
 
   /** Word n-gram hashes from a staged token-hash column: each n-token
     * window folds its token hashes ((acc*31 + h) mod P); documents
     * shorter than n contribute one whole-document window. Products
-    * stay < 2^35 (acc < P ≈ 2^30).
+    * stay < 2^35 (acc < P ≈ 2^30). Native
+    * ([[PolyHashColumns.ngramFoldHashes]]) — the HOF form is
+    * O(tokens·n) interpreted-lambda steps with a slice per window.
     */
   def ngramHashesFromTokenHashes(thCol: String, n: Int): Column =
-    expr(s"""transform(sequence(1, greatest(size($thCol) - ${n - 1}, 1)),
-             i -> aggregate(slice($thCol, i, least($n, size($thCol))),
-                  0L, (acc, h) -> (acc * 31 + h) % $P))""")
+    PolyHashColumns.ngramFoldHashes(col(thCol), n)
 
   /** Benchmark decontamination: drop every training document sharing
     * at least one word n-gram with the evaluation corpus — the
@@ -519,8 +523,7 @@ object Dedup {
     // "contaminated" by any other empty doc despite sharing no
     // content. (Mirrored in the DuckDB oracle.)
     def grams(df: DataFrame): DataFrame = df
-      .withColumn("__th", expr(hashTokensExpr(
-        s"filter(split(lower($text), ' '), t -> t != '')")))
+      .withColumn("__th", contentTokenHashesExpr(text))
       .filter(size(col("__th")) > 0)
       .select(col(id),
         explode(ngramHashesFromTokenHashes("__th", n)).as("gram"))
@@ -548,12 +551,9 @@ object Dedup {
     // hash fold once for the predicate and once for the output
     .filter(expr(
       s"size(filter(split(lower($text), ' '), t -> t != '')) >= $n"))
-    .withColumn("__th", expr(hashTokensExpr(
-      s"filter(split(lower($text), ' '), t -> t != '')")))
-    .select((col(id) +: carry.map(col)) :+ posexplode(expr(
-      s"""transform(sequence(1, size(__th) - ${n - 1}),
-          i -> aggregate(slice(__th, i, $n), 0L,
-               (acc, h) -> (acc * 31 + h) % $P))"""))
+    .withColumn("__th", contentTokenHashesExpr(text))
+    .select((col(id) +: carry.map(col)) :+
+      posexplode(ngramHashesFromTokenHashes("__th", n))
       .as(Seq("__p", "gram")): _*)
     .select((col(id) +: carry.map(col)) :+
       (col("__p") + 1).cast("long").as("win_start") :+
@@ -823,8 +823,7 @@ object Dedup {
   def contaminationReport(train: DataFrame, evalSet: DataFrame,
       text: String, id: String, n: Int = 8): DataFrame = {
     def docGrams(df: DataFrame): DataFrame = df
-      .withColumn("__th", expr(hashTokensExpr(
-        s"filter(split(lower($text), ' '), t -> t != '')")))
+      .withColumn("__th", contentTokenHashesExpr(text))
       .filter(size(col("__th")) > 0)
       .select(col(id),
         explode(ngramHashesFromTokenHashes("__th", n)).as("gram"))

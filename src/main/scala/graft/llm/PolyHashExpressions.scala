@@ -84,6 +84,96 @@ object PolyHash {
     val cps = codePoints(s)
     hashRange(cps, 0, cps.length)
   }
+
+  /** Hash of each NON-EMPTY ' '-separated token — the native form of
+    * `transform(filter(split(s, ' '), t -> t != ''), t ->
+    * polyhash(t))` (the content-token form every corpus-statistics /
+    * decontamination / embedding operator shares; lowercasing stays
+    * upstream as Spark's native `lower`). Distinct from
+    * [[tokenHashes]], which emits hash 0 for empty tokens.
+    */
+  def tokenHashesNonEmpty(s: UTF8String): GenericArrayData = {
+    val cps = codePoints(s)
+    val out = Array.newBuilder[Long]
+    var start = 0
+    var i = 0
+    while (i <= cps.length) {
+      if (i == cps.length || cps(i) == ' ') {
+        if (i > start) out += hashRange(cps, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+}
+
+object NgramFoldHashes {
+  private val P = HashConstants.P
+
+  /** Hash of every n-window of a token-hash array, folding
+    * ((acc*31 + h) mod P) left-to-right — the native form of
+    * `transform(sequence(1, greatest(size(th) - (n-1), 1)), i ->
+    * aggregate(slice(th, i, least(n, size(th))), 0L, (acc, h) ->
+    * (acc*31 + h) % P))` including its shorter-than-n whole-array
+    * window. The HOF walks O(tokens·n) interpreted-lambda steps with
+    * a slice per window; this is the same arithmetic compiled.
+    * Products stay < 2^35 (acc < P ≈ 2^30), no overflow.
+    */
+  def compute(th: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): GenericArrayData = {
+    val len = th.numElements()
+    val m = math.max(len - n + 1, 1)
+    val w = math.min(n, len)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < w) {
+        acc = (acc * 31 + th.getLong(i + j)) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<bigint> hashes of every n-window of an array<bigint> of
+  * token hashes (word n-gram hashes).
+  */
+case class NgramFoldHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    NgramFoldHashes.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.llm.NgramFoldHashes.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : NgramFoldHashesExpr = copy(child = newChild)
+}
+
+/** array<bigint> per-non-empty-token hashes (split on ' ', empties
+  * dropped).
+  */
+case class PolyHashTokensNonEmpty(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.tokenHashesNonEmpty(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.llm.PolyHash.tokenHashesNonEmpty($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyHashTokensNonEmpty = copy(child = newChild)
 }
 
 object TextClassStats {
@@ -423,4 +513,8 @@ object PolyHashColumns {
     column(FeatureHashCountsExpr(expression(c), dim))
   def winnowMins(c: Column, w: Int): Column =
     column(WinnowMinsExpr(expression(c), w))
+  def tokenHashesNonEmpty(c: Column): Column =
+    column(PolyHashTokensNonEmpty(expression(c)))
+  def ngramFoldHashes(c: Column, n: Int): Column =
+    column(NgramFoldHashesExpr(expression(c), n))
 }

@@ -1009,8 +1009,7 @@ object TextAnalysis {
     */
   def featureHashEmbed(df: DataFrame, text: String, id: String,
       dim: Int = 32): DataFrame = df
-    .withColumn("__th", expr(graft.llm.Dedup.hashTokensExpr(
-      s"filter(split(lower($text), ' '), t -> t != '')")))
+    .withColumn("__th", graft.llm.Dedup.contentTokenHashesExpr(text))
     .filter(size(col("__th")) > 0)
     .withColumn("__cnt",
       graft.llm.PolyHashColumns.featureHashCounts(col("__th"), dim))

@@ -508,13 +508,39 @@ class LlmSpec extends AnyFunSuite {
       .select(col("doc_id"), Dedup.shingleHashesExpr("__sh").as("h"))
       .orderBy("doc_id").collect().map(_.getSeq[Long](1))
     assert(nat.toSeq === sql2.toSeq)
-    // token hashes: native vs SQL split form
+    // token hashes: native vs the raw SQL HOF form (the oracle twin)
     val natT = df.select(
       graft.llm.PolyHashColumns.tokenHashes(col("text")).as("h"))
       .collect().map(_.getSeq[Long](0))
-    val sqlT = df.select(Dedup.tokenHashesExpr("text").as("h"))
+    val sqlT = df.select(expr(
+      Dedup.hashTokensExpr("split(text, ' ')")).as("h"))
       .collect().map(_.getSeq[Long](0))
     assert(natT.toSeq === sqlT.toSeq)
+    // content-token hashes (lower + drop-empty) native vs SQL HOF
+    val natC = df.select(
+      Dedup.contentTokenHashesExpr("text").as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val sqlC = df.select(expr(Dedup.hashTokensExpr(
+      "filter(split(lower(text), ' '), t -> t != '')")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(natC.toSeq === sqlC.toSeq)
+    // n-gram fold hashes native vs SQL HOF, incl. shorter-than-n docs
+    val gdf = docs("a b c d e f", "a b", "x")
+    for (n <- Seq(2, 4, 8)) {
+      val natG = gdf
+        .withColumn("__th", Dedup.contentTokenHashesExpr("text"))
+        .select(Dedup.ngramHashesFromTokenHashes("__th", n).as("g"))
+        .collect().map(_.getSeq[Long](0))
+      val sqlG = gdf
+        .withColumn("__th", Dedup.contentTokenHashesExpr("text"))
+        .select(expr(
+          s"""transform(sequence(1, greatest(size(__th) - ${n - 1}, 1)),
+              i -> aggregate(slice(__th, i, least($n, size(__th))),
+                   0L, (acc, h) -> (acc * 31 + h) % 1000000007L))""")
+          .as("g"))
+        .collect().map(_.getSeq[Long](0))
+      assert(natG.toSeq === sqlG.toSeq, s"n=$n")
+    }
     // whole-string: edge cases incl. multi-space and short strings
     val edges = docs("", "a", "a  b ", "ab")
     val natW = edges.select(
