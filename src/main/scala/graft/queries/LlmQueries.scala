@@ -294,6 +294,24 @@ object LlmQueries {
         .filter(col("cum_tokens") <= 75000)
         .orderBy("doc_id")
     }),
+    // the budget cut re-billed at the BATCHED tokenizer grain
+    // (bpeApplyBatched's vocabulary) — same distributed prefix sum.
+    // Budget 40000, not 75000: 80 batched merges compress the sf0.01
+    // corpus to ~61k tokens total, so the whitespace-grain budget
+    // would keep everything and never exercise the cut
+    "token_budget_cut_bpe_batched" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val stats = TextAnalysis.withStats(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      val bpe = TextAnalysis.bpeApplyBatched(docs, "text", "doc_id",
+          rounds = 10, batch = 8)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      graft.engine.Dist.prefixSum(stats.join(bpe, Seq("doc_id")),
+        Seq(col("quality").desc, col("doc_id")), "n_bpe_tokens",
+        "cum_tokens")
+        .filter(col("cum_tokens") <= 40000)
+        .orderBy("doc_id")
+    }),
     // intra-doc duplicate-line removal at token grain (this corpus
     // has no newlines; the operator's default sep is '\n') — one
     // row-local HOF projection, no shuffle
@@ -2238,6 +2256,32 @@ object LlmQueries {
          |SELECT doc_id, quality, n_bpe_tokens,
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 75000
+         |ORDER BY doc_id""".stripMargin,
+    // the same budget cut billed via the batched merge-chain replay
+    "token_budget_cut_bpe_batched" ->
+      s"""WITH ${duckBpeBatchedChain(10, 8)},
+         |bt AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |  FROM bdw JOIN bw10 USING (word)
+         |  GROUP BY doc_id),
+         |st AS (
+         |  SELECT doc_id,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, quality, n_bpe_tokens,
+         |    sum(n_bpe_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM st JOIN bt USING (doc_id))
+         |SELECT doc_id, quality, n_bpe_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 40000
          |ORDER BY doc_id""".stripMargin,
     "mix_weights" ->
       s"""WITH tgt(source, target_share) AS (
