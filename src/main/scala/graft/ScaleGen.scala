@@ -51,9 +51,13 @@ object ScaleGen {
         if (name == "events")
           graft.engine.Ingest.tableNanos(spark, src, name, Seq("ts"))
             // keep raw long nanos in the output file; tableNanos
-            // converts either representation on read
+            // converts either representation on read. The source ts
+            // may surface as TIMESTAMP_LTZ (nanos-as-long path) or
+            // TIMESTAMP_NTZ (micros file) — cast first: with the
+            // session timezone pinned UTC the NTZ wall time IS the
+            // UTC instant, so both cases yield the same micros.
             .withColumn("ts", expr(
-              "unix_micros(ts) * CAST(1000 AS BIGINT)"))
+              "unix_micros(cast(ts as timestamp)) * CAST(1000 AS BIGINT)"))
         else spark.read.parquet(s"$src/$name.parquet")
       val rep = keys.foldLeft(base.crossJoin(broadcast(reps))) {
         (d, k) => d.withColumn(k, col(k) * factor + col("__r"))
