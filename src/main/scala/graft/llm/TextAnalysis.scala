@@ -1050,15 +1050,37 @@ object TextAnalysis {
     * `localCheckpoint()`), then filter — see `curation_v2`.
     */
   def lrQualityGate(df: DataFrame, text: String, id: String,
-      dim: Int = 32, bias: Double = 0.0): DataFrame = {
+      dim: Int = 32, bias: Double = 0.0): DataFrame =
+    withLrGate(df, text, dim, bias)
+      .select(col(id), col("lr_score"), col("keep"))
+
+  /** Column-append form of [[lrQualityGate]]: the same embedding +
+    * dot-product chain (bit-identical expressions), keeping EVERY
+    * input column and appending `lr_score`/`keep` — join-free and
+    * row-local, so it drops into a streaming stage
+    * ([[graft.streaming.StreamingDedup.modelGateStage]]) or any plan
+    * that needs the gate alongside the original columns without a
+    * doc-id join. Docs with zero content tokens are dropped (the
+    * embedding is undefined), matching lrQualityGate.
+    */
+  def withLrGate(df: DataFrame, text: String, dim: Int = 32,
+      bias: Double = 0.0): DataFrame = {
     val ws = lrFixtureWeights(dim)
       .map(java.lang.Double.toString).mkString("array(", "D, ", "D)")
-    featureHashEmbed(df, text, id, dim)
+    df.withColumn("__th", graft.llm.Dedup.contentTokenHashesExpr(text))
+      .filter(size(col("__th")) > 0)
+      .withColumn("__cnt",
+        graft.llm.PolyHashColumns.featureHashCounts(col("__th"), dim))
+      .withColumn("__norm", expr(
+        "sqrt(aggregate(__cnt, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("vec",
+        expr("transform(__cnt, x -> round(x / __norm, 6))"))
       .withColumn("__z", expr(
         s"aggregate(zip_with(vec, $ws, (x, w) -> x * w), " +
           s"0D, (a, v) -> a + v) + ${java.lang.Double.toString(bias)}D"))
-      .select(col(id), round(col("__z"), 6).as("lr_score"),
-        (col("__z") >= 0.0).as("keep"))
+      .select(df.columns.map(col) :+
+        round(col("__z"), 6).as("lr_score") :+
+        (col("__z") >= 0.0).as("keep"): _*)
   }
 
   /** Temperature-scaled mixture weights (the multilingual-sampling

@@ -310,4 +310,23 @@ object StreamingDedup {
       .withColumn("redacted", TextAnalysis.redactPiiExpr(text))
       .filter(col("keep"))
       .drop(text)
+
+  /** Streaming MODEL gate: linear-classifier inference over the
+    * feature-hash embedding ([[TextAnalysis.withLrGate]]) as a
+    * live-feed stage. Entirely row-local and JOIN-FREE — token
+    * hashing, bucket counts, and the dot product are native/in-plan
+    * expressions and the weight vector rides as a literal — so the
+    * stage is streaming-safe in any output mode with zero state and
+    * no watermark, exactly like [[curationGate]]. This is the
+    * classifier filter a live corpus feed runs between the heuristic
+    * ingest gate and the stateful dedup stores. `keep` rides along
+    * un-filtered (one gate evaluation per row at the stage's own
+    * projection); a sink-side `.filter(col("keep"))` then operates
+    * on the stage's materialized output, not on a re-inlined
+    * embedding chain. Identical semantics on a batch frame
+    * (spec-pinned parity).
+    */
+  def modelGateStage(docs: DataFrame, text: String,
+      dim: Int = 32): DataFrame =
+    TextAnalysis.withLrGate(docs, text, dim)
 }

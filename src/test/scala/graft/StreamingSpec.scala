@@ -184,7 +184,13 @@ class StreamingSpec extends AnyFunSuite {
     val all = (1 to 40).map(i => DemandEvent("a", d0 + i, qty(i)))
     val dir = java.nio.file.Files.createTempDirectory("da_in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("da_ck").toString
-    all.take(30).toDS().write.mode("append").parquet(dir)
+    // coalesce(1): each append must become ONE parquet file — the
+    // operator's contract is time-ordered arrival across batches, and
+    // a multi-file append races the running trigger (a micro-batch
+    // can list a non-contiguous subset of part files mid-write, so a
+    // later day is processed before an earlier one lands — observed
+    // as a baseline-window parity flake at day 40)
+    all.take(30).toDS().coalesce(1).write.mode("append").parquet(dir)
     val stream = spark.readStream
       .schema(Seq.empty[DemandEvent].toDS().schema).parquet(dir)
       .as[DemandEvent]
@@ -193,7 +199,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     q.processAllAvailable()
-    all.drop(30).toDS().write.mode("append").parquet(dir)
+    all.drop(30).toDS().coalesce(1).write.mode("append").parquet(dir)
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("da_out").collect()
@@ -470,6 +476,49 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "redacted").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming model gate equals the batch LR gate; join-free " +
+      "and stateless") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("mg_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mg_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "retail units sold per store and week in region"),
+      (2L, "   "), // zero content tokens -> dropped by the gate
+      (3L, "plainly different vocabulary drives a different score"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.modelGateStage(stream, "text")
+      .writeStream.format("memory").queryName("mg_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((4L, "second micro batch arrives with more retail text"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mg_out")
+      .select("doc_id", "text", "lr_score", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    // zero-token doc dropped; original columns ride along
+    assert(streamed.map(_._1).toSeq === Seq(1L, 3L, 4L))
+    // batch parity: identical scores and keep decisions, and the
+    // scores agree with the id-keyed batch gate
+    val batch = StreamingDedup.modelGateStage(
+      spark.read.schema(docSchema).parquet(dir), "text")
+      .select("doc_id", "text", "lr_score", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    val gate = graft.llm.TextAnalysis.lrQualityGate(
+      spark.read.schema(docSchema).parquet(dir), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.forall { case (id, _, s, _) => gate(id) == s })
   }
 
   test("mapGroupsWithState running totals") {
