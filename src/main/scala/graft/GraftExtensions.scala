@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{FeatureHashCountsExpr, HashConstants, MinHashSigExpr, PolyHashShingles, PolyHashString, PolyHashTokens, SimHashPackExpr, TextClassStatsExpr}
+import graft.llm.{FeatureHashCountsExpr, HashConstants, MinHashSigExpr, NgramFoldHashesExpr, PolyHashShingles, PolyHashString, PolyHashTokens, PolyHashTokensNonEmpty, SimHashPackExpr, TextClassStatsExpr, WinnowMinsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -59,6 +59,22 @@ object GraftExtensions {
     "graft_feature_hash" -> { args =>
       val dim = if (args.length > 1) intArg(args(1), 32) else 32
       FeatureHashCountsExpr(args.head, dim)
+    },
+    // non-empty ' '-split token hashes (the content-token form —
+    // lowercase upstream with lower())
+    "graft_content_token_hashes" -> (args =>
+      PolyHashTokensNonEmpty(args.head)),
+    // winnowing fingerprints over an array<bigint> of shingle
+    // hashes; window optional (default 5)
+    "graft_winnow_mins" -> { args =>
+      val w = if (args.length > 1) intArg(args(1), 5) else 5
+      WinnowMinsExpr(args.head, w)
+    },
+    // word n-gram fold hashes over an array<bigint> of token hashes;
+    // n optional (default 8, the decontamination gram)
+    "graft_ngram_hashes" -> { args =>
+      val n = if (args.length > 1) intArg(args(1), 8) else 8
+      NgramFoldHashesExpr(args.head, n)
     })
 
   /** Register on an already-built session. */

@@ -855,7 +855,16 @@ object LlmQueries {
            |  graft_text_stats(text).n_punct AS n_punct,
            |  element_at(
            |    graft_feature_hash(graft_token_hashes(text), 8), 1)
-           |    AS fh0
+           |    AS fh0,
+           |  CAST(size(graft_content_token_hashes(lower(text)))
+           |    AS BIGINT) AS n_ctok,
+           |  CAST(size(graft_winnow_mins(
+           |    graft_shingle_hashes(text, 5), 5)) AS BIGINT) AS n_fps,
+           |  element_at(graft_winnow_mins(
+           |    graft_shingle_hashes(text, 5), 5), 1) AS wm_first,
+           |  element_at(graft_ngram_hashes(
+           |    graft_content_token_hashes(lower(text)), 8), 1)
+           |    AS g8_first
            |FROM parquet.`$d/documents.parquet`
            |ORDER BY doc_id""".stripMargin)
     }))
@@ -3006,6 +3015,19 @@ object LlmQueries {
          |  CAST(len(list_filter(
          |    list_transform(string_split(text, ' '),
          |      t -> ${duckPolyHash("t")}),
-         |    h -> h % 8 = 0)) AS DOUBLE) AS fh0
+         |    h -> h % 8 = 0)) AS DOUBLE) AS fh0,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> t != '')) AS BIGINT) AS n_ctok,
+         |  CAST(len(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(hashes) - 4, 1)),
+         |    i -> list_min(list_slice(hashes, i,
+         |      i + least(5, len(hashes)) - 1))))) AS BIGINT) AS n_fps,
+         |  list_min(hashes) AS wm_first,
+         |  list_reduce(list_prepend(0, list_slice(
+         |    list_transform(list_filter(string_split(lower(text), ' '),
+         |      t -> t != ''), t -> ${duckPolyHash("t")}),
+         |    1, least(8, len(list_filter(string_split(lower(text), ' '),
+         |      t -> t != ''))))),
+         |    (acc, h) -> (acc * 31 + h) % $P) AS g8_first
          |FROM s ORDER BY doc_id""".stripMargin)
 }
