@@ -292,8 +292,18 @@ object Bench {
       // never after a runaway thread: its zombie Spark jobs contaminate
       // every later sample, and with the takeWhile guard tripping
       // instantly each extra pass would be an empty no-op that still
-      // bumps the reported run count
-      go = elapsedSec + passSec.max < deadline && !runawayThread
+      // bumps the reported run count.
+      // The next pass is two-tier (revisit set only), so estimate ITS
+      // cost — sum of best samples over the queries it will actually
+      // run, plus retry budget for the sample-less — rather than the
+      // full pass-1 wall: gating on passSec.max would decline pass 2
+      // even when the cheap revisit pass fits the remaining deadline.
+      val nextPassEst = 1.15 * queries.iterator.map { case (name, _) =>
+        val xs = samples.flatMap(_.get(name))
+        if (xs.isEmpty) math.min(priorMedians.getOrElse(name, 5.0), 30.0)
+        else { val mn = xs.min; if (mn >= fastCut) mn else 0.0 }
+      }.sum + 5
+      go = elapsedSec + nextPassEst < deadline && !runawayThread
     }
     val runs = samples.size
     val results = queries.flatMap { case (name, _) =>
