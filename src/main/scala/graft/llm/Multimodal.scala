@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for uncompressed 24-bit BMP (`decodeBmp` — a
   * structured-bytes parser, no codec library involved: header, BGR
-  * order, bottom-up rows, 4-byte row padding, top-down variant) and
-  * for compressed PNG / baseline JPEG ([[decodeCompressed]], the
-  * JDK's built-in `javax.imageio` codecs — pure JVM, present in this
-  * environment), as are `resizeNearest` and the channel statistics;
-  * [[decode]] dispatches on the container magic and falls back to
-  * [[stubDecode]] for formats whose codecs genuinely don't exist
-  * here (audio/video — that boundary is the documented `???`
-  * replacement point).
+  * order, bottom-up rows, 4-byte row padding, top-down variant), for
+  * compressed PNG / baseline JPEG ([[decodeCompressed]], the JDK's
+  * built-in `javax.imageio` codecs — pure JVM, present in this
+  * environment), and for RIFF/WAVE PCM audio ([[decodeWav]] — a
+  * chunk-walking container parser, no codec library), as are
+  * `resizeNearest`, the channel statistics, and the audio features
+  * (RMS / peak / zero-crossings); [[decode]] dispatches on the
+  * container magic and falls back to [[stubDecode]] for formats
+  * whose codecs genuinely don't exist here (compressed audio and
+  * video — that boundary is the documented `???` replacement point).
   */
 object Multimodal {
 
@@ -313,6 +315,142 @@ object Multimodal {
       (docId, r, g, b, rr, ok)
     }.toDF("doc_id", "mean_r", "mean_g", "mean_b", "rs_mean_r",
       "roundtrip_ok")
+  }
+
+  /** Decoded PCM audio clip: mono 16-bit samples at `sampleRate`. */
+  case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Encode mono 16-bit PCM as a REAL RIFF/WAVE file — canonical
+    * 44-byte header (RIFF size, WAVE, fmt chunk: PCM=1, 1 channel,
+    * rate/byte-rate/block-align, 16 bits, data chunk) + little-endian
+    * samples. Byte-exact inverse of [[decodeWav]]; no codec library.
+    */
+  def encodeWav(audio: DecodedAudio): Array[Byte] = {
+    val n = audio.samples.length
+    val dataBytes = n * 2
+    val out = new Array[Byte](44 + dataBytes)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(i => out(off + i) = s.charAt(i).toByte)
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def put16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    putTag(0, "RIFF"); put32(4, 36 + dataBytes); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16)
+    put16(20, 1)                       // PCM
+    put16(22, 1)                       // mono
+    put32(24, audio.sampleRate)
+    put32(28, audio.sampleRate * 2)    // byte rate
+    put16(32, 2)                       // block align
+    put16(34, 16)                      // bits per sample
+    putTag(36, "data"); put32(40, dataBytes)
+    var i = 0
+    while (i < n) {
+      val s = audio.samples(i)
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL RIFF/WAVE parser: validates the RIFF/WAVE container, walks
+    * the chunk list generically (tolerates extra chunks before
+    * `data`), requires PCM / mono / 16-bit, and returns the decoded
+    * samples. None for anything malformed — wrong magic, truncated
+    * header or data, compressed or multi-channel streams.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes.length < 44) return None
+    def tag(off: Int): String =
+      new String(bytes.slice(off, off + 4), "US-ASCII")
+    def get32(off: Int): Int = (0 until 4).map(i =>
+      (bytes(off + i) & 0xff) << (8 * i)).sum
+    def get16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var ok = false
+    var data: Option[Array[Short]] = None
+    while (off + 8 <= bytes.length && data.isEmpty) {
+      val id = tag(off)
+      val len = get32(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val fmt = get16(off + 8)
+        val ch = get16(off + 10)
+        rate = get32(off + 12)
+        val bits = get16(off + 22)
+        ok = fmt == 1 && ch == 1 && bits == 16 && rate > 0
+      } else if (id == "data") {
+        if (!ok || len % 2 != 0) return None
+        val n = len / 2
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          s(i) = ((bytes(off + 8 + 2 * i) & 0xff) |
+            ((bytes(off + 9 + 2 * i) & 0xff) << 8)).toShort
+          i += 1
+        }
+        data = Some(s)
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    data.map(DecodedAudio(rate, _))
+  }
+
+  /** [[bmpPipeline]]'s AUDIO twin: the doc's first 64 codepoints
+    * become centered 16-bit PCM samples `(cp mod 256 - 128) * 256`,
+    * encoded to actual RIFF/WAVE bytes ([[encodeWav]]), decoded back
+    * with the real chunk-walking parser ([[decodeWav]]), then
+    * feature-extracted: RMS energy, peak amplitude, zero-crossing
+    * count, duration — the standard audio-curation gate inputs.
+    * Every feature is oracle-exact: sample values are integers, the
+    * squared-sum is < 2^36 (exact in double), /64 is a dyadic shift,
+    * and IEEE sqrt is correctly rounded — no rounding step needed.
+    * `roundtrip_ok` asserts decode∘encode identity per row (samples,
+    * rate, mono/16-bit acceptance) so the oracle's TRUE literal is
+    * backed by a real in-query check, exactly like the image twins.
+    */
+  def wavPipeline(df: DataFrame, text: String, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 64).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val s = Array.tabulate(64) { j =>
+        val v = if (j < cps.length) cps(j) % 256 else 0
+        ((v - 128) * 256).toShort
+      }
+      val wav = encodeWav(DecodedAudio(8000, s))
+      val dec = decodeWav(wav).get
+      var ss = 0L
+      var peak = 0L
+      var zc = 0L
+      var j = 0
+      while (j < 64) {
+        val x = dec.samples(j).toLong
+        ss += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (j > 0 && x * dec.samples(j - 1).toLong < 0) zc += 1
+        j += 1
+      }
+      val ok = dec.sampleRate == 8000 &&
+        java.util.Arrays.equals(dec.samples, s) &&
+        wav.length == 44 + 128
+      // duration is the constant 8.0 ms (64 samples at 8 kHz) —
+      // written as the literal: 64.0/8000*1000 rounds to
+      // 8.000000000000002 in IEEE and would hash-differ from the
+      // oracle's exact 8.0
+      (docId, wav.length.toLong, math.sqrt(ss / 64.0), peak, zc,
+        8.0, ok)
+    }.toDF("doc_id", "n_bytes", "rms", "peak", "zero_crossings",
+      "duration_ms", "roundtrip_ok")
   }
 
   /** Frame/sample selection analogue: deterministic stride sampling —

@@ -794,6 +794,15 @@ object LlmQueries {
       Multimodal.pngPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // AUDIO twin of the decode path: codepoint-derived 16-bit PCM →
+    // REAL RIFF/WAVE encode → real chunk-walking parser → RMS / peak
+    // / zero-crossing / duration features; the oracle recomputes
+    // every feature from the shared codepoint expression (integer
+    // samples, dyadic mean, IEEE sqrt — bit-exact, unrounded)
+    "multimodal_audio" -> ((s, d) => {
+      Multimodal.wavPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -2928,6 +2937,27 @@ object LlmQueries {
         |  list_sum(list_transform(range(0, 16),
         |    i -> CAST(v[3*(16*(i // 4) + 2*(i % 4)) + 1] AS DOUBLE)))
         |    / 16 AS rs_mean_r,
+        |  TRUE AS roundtrip_ok
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // s[j] = (codepoint_j mod 256 - 128) * 256: integer samples, so
+    // the squared sum is exact in double, /64 is dyadic, sqrt is
+    // IEEE-correctly-rounded — features compare unrounded
+    "multimodal_audio" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    CAST(((CASE WHEN j + 1 <= length(text)
+        |      THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |      ELSE 0 END) - 128) * 256 AS BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST(172 AS BIGINT) AS n_bytes,
+        |  sqrt(list_sum(list_transform(s, x -> CAST(x * x AS DOUBLE)))
+        |    / 64) AS rms,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+        |    AS peak,
+        |  CAST(list_sum(list_transform(range(1, 64), j ->
+        |    CASE WHEN s[j] * s[j + 1] < 0 THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(8.0 AS DOUBLE) AS duration_ms,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
     "pii_redact" ->

@@ -963,6 +963,36 @@ class LlmSpec extends AnyFunSuite {
     assert(decodeBmp("BMxxxx".getBytes) === None)
   }
 
+  test("multimodal: real WAV encode/decode round-trip, chunk walk, " +
+      "malformed rejection") {
+    import Multimodal._
+    val s = Array.tabulate(8)(i =>
+      ((i - 4) * 1000).toShort) // crosses zero between i=3 and i=5
+    val wav = encodeWav(DecodedAudio(8000, s))
+    assert(wav.length === 44 + 16)
+    val dec = decodeWav(wav).get
+    assert(dec.sampleRate === 8000)
+    assert(dec.samples.toSeq === s.toSeq)
+    // header fields: RIFF size, byte rate, block align
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    // parser walks unknown chunks: splice a 4-byte "LIST" chunk
+    // between fmt and data
+    val spliced = wav.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4) ++ wav.drop(36)
+    // fix the RIFF size field (chunk added 12 bytes)
+    val rs = (spliced.length - 8)
+    (0 until 4).foreach(i =>
+      spliced(4 + i) = ((rs >>> (8 * i)) & 0xff).toByte)
+    assert(decodeWav(spliced).get.samples.toSeq === s.toSeq)
+    // malformed: wrong magic, truncated data, stereo refused
+    assert(decodeWav("RIFFxxxxNOPE".getBytes) === None)
+    assert(decodeWav(wav.take(50)) === None)
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(decodeWav(stereo) === None)
+  }
+
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
     val df = Seq(
       (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
