@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-fold dot product of two double arrays (exact fold order —
-    * reproducible across engines).
+    * reproducible across engines). Native ([[DotProductExpr]]): the
+    * equivalent `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+    * (acc, v) -> acc + v)` HOF — which the DuckDB oracles replay —
+    * runs interpreted and allocates the zipped array per row; the
+    * native loop is the identical IEEE operation sequence compiled
+    * (value-pinned against the HOF in LlmSpec).
     */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  private def dot(a: Column, b: Column): Column =
+    VectorColumns.dot(a, b)
 
   /** Cosine similarity between two array<double> columns. */
   def cosineExpr(a: String, b: String): Column =
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    dot(col(a), col(b)) /
+      (sqrt(dot(col(a), col(a))) * sqrt(dot(col(b), col(b))))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Ties broken by candidate id for
@@ -262,7 +268,7 @@ object Similarity {
       lshBucketExpr(vec, planes).as("bucket"),
       col(id).as("__id"),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
-      .withColumn("__n", expr(s"sqrt(${dot("__v", "__v")})"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
     members
       .groupBy(col("bucket"))
       .agg(slice(sort_array(collect_list(
@@ -316,10 +322,10 @@ object Similarity {
 
   /** Exact left-fold squared-L2 between two array<double> columns —
     * fixed evaluation order, bit-reproducible across engines.
+    * Native ([[SqDistExpr]]), same contract as [[dot]].
     */
-  private def sqDistExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-        0D, (acc, v) -> acc + v)"""
+  private def sqDistExpr(a: String, b: String): Column =
+    VectorColumns.sqDist(col(a), col(b))
 
   /** One row per (id, subspace): the vector's `subDim`-wide slice.
     * Narrow explode — rows scale with m, never corpus² — and every
@@ -344,7 +350,7 @@ object Similarity {
     */
   def pqAssign(sub: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = sub.join(broadcast(centroids), Seq("subspace"))
-      .withColumn("__d", expr(sqDistExpr("sv", "cvec")))
+      .withColumn("__d", sqDistExpr("sv", "cvec"))
     scored.groupBy(col(sub.columns.head), col("subspace"))
       .agg(min_by(col("cell"), struct(col("__d"), col("cell")))
         .as("cell"))
@@ -421,7 +427,7 @@ object Similarity {
     subVectors(queries, id, vec, m, subDim)
       .withColumnRenamed(id, "query_id")
       .join(broadcast(centroids), Seq("subspace"))
-      .withColumn("__d", expr(sqDistExpr("sv", "cvec")))
+      .withColumn("__d", sqDistExpr("sv", "cvec"))
       .groupBy(col("query_id"), col("subspace"))
       .agg(expr(
         "map_from_entries(sort_array(collect_list(struct(cell, __d))))")
@@ -476,10 +482,7 @@ object Similarity {
     val scored = short
       .join(cv, Seq("cand_id"))
       .join(broadcast(qv), Seq("query_id"))
-      .withColumn("sim", round(expr(
-        s"""${dot("__qv", "__cv")} /
-            (sqrt(${dot("__qv", "__qv")}) * sqrt(${dot("__cv", "__cv")}))"""),
-        6))
+      .withColumn("sim", round(cosineExpr("__qv", "__cv"), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

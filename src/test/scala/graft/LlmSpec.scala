@@ -1314,6 +1314,35 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("VecOps: native dot/sqDist equal the HOF folds bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq(1.0), Seq(2.0)),
+      (Seq(0.0, 0.0), Seq(0.0, 0.0)),
+      (Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1)),
+      (Seq.fill(7)(rnd.nextDouble() * 1e6),
+        Seq.fill(7)(rnd.nextDouble() * 1e-6)))
+    for ((a, b) <- cases) {
+      val df = Seq((a, b)).toDF("a", "b")
+      val nat = df.select(
+        graft.llm.VectorColumns.dot(col("a"), col("b")).as("d"),
+        graft.llm.VectorColumns.sqDist(col("a"), col("b")).as("s"))
+        .collect().head
+      val hof = df.select(
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, " +
+          "(acc, v) -> acc + v)").as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, v) -> acc + v)").as("s"))
+        .collect().head
+      // exact bit equality — same IEEE op sequence, compiled
+      assert(java.lang.Double.doubleToLongBits(nat.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(hof.getDouble(0)))
+      assert(java.lang.Double.doubleToLongBits(nat.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(hof.getDouble(1)))
+    }
+  }
+
   test("trigramLmScore: stupid-backoff branch arithmetic exact on a " +
       "tiny train/score split") {
     // train: uni a=2,b=2,c=2 (tt=6, v=3); pairs ab=2,bc=2,ca=1;
