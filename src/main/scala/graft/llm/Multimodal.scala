@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * order, bottom-up rows, 4-byte row padding, top-down variant), for
   * compressed PNG / baseline JPEG ([[decodeCompressed]], the JDK's
   * built-in `javax.imageio` codecs — pure JVM, present in this
-  * environment), and for RIFF/WAVE PCM audio ([[decodeWav]] — a
-  * chunk-walking container parser, no codec library), as are
-  * `resizeNearest`, the channel statistics, and the audio features
-  * (RMS / peak / zero-crossings); [[decode]] dispatches on the
-  * container magic and falls back to [[stubDecode]] for formats
-  * whose codecs genuinely don't exist here (compressed audio and
-  * video — that boundary is the documented `???` replacement point).
+  * environment), for RIFF/WAVE PCM audio ([[decodeWav]] — a
+  * chunk-walking container parser, no codec library), and for
+  * animated GIF89a video ([[encodeGif]] hand-rolled lossless
+  * encoder / [[decodeGifFrame]] JDK-codec frame random access), as
+  * are `resizeNearest`, the channel statistics, and the audio
+  * features (RMS / peak / zero-crossings); [[decode]] dispatches on
+  * the container magic and falls back to [[stubDecode]] for formats
+  * whose codecs genuinely don't exist here (compressed audio/video
+  * codecs — that boundary is the documented `???` replacement
+  * point).
   */
 object Multimodal {
 
@@ -317,6 +320,124 @@ object Multimodal {
       "roundtrip_ok")
   }
 
+  /** Encode a frame sequence as a REAL animated GIF89a — header,
+    * logical screen descriptor, a global 256-color table built from
+    * the frames' sorted distinct colors (callers keep the combined
+    * palette ≤ 256, so encoding is LOSSLESS), Netscape loop
+    * extension, and per-frame graphic-control + image-descriptor +
+    * LZW-compressed indexed data. The LZW stream uses the standard
+    * "uncompressed emit" technique: literal palette indices at
+    * minimum code width with a CLEAR code before the dictionary
+    * would grow past the width — bigger bytes, zero codec logic,
+    * and every conformant decoder (including the JDK's) reads it.
+    * No library involved on the encode side; [[decodeGifFrame]]
+    * reads frames back through the REAL `javax.imageio` GIF codec
+    * with random frame access (the frame-seek shape of video
+    * sampling).
+    */
+  def encodeGif(frames: Seq[DecodedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGif: need at least one frame")
+    val w = frames.head.width
+    val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "encodeGif: frames must share dimensions")
+    val palette = frames.flatMap(_.pixels).distinct.sorted.toArray
+    require(palette.length <= 256,
+      s"encodeGif: ${palette.length} colors exceed the global table")
+    val index = palette.zipWithIndex.toMap
+    val out = new java.io.ByteArrayOutputStream()
+    def put8(v: Int): Unit = out.write(v & 0xff)
+    def put16(v: Int): Unit = { put8(v); put8(v >> 8) }
+    "GIF89a".foreach(c => put8(c))
+    put16(w); put16(h)
+    put8(0xf7)          // global table, 8 bits/px, 256 entries
+    put8(0); put8(0)    // background index, no aspect ratio
+    (0 until 256).foreach { i =>
+      val c = if (i < palette.length) palette(i) else 0
+      put8(c >> 16); put8(c >> 8); put8(c)
+    }
+    // Netscape looping extension (loop forever) — the marker that
+    // makes this an ANIMATION container, and a non-image chunk the
+    // decoder must skip (exercises real chunk walking)
+    put8(0x21); put8(0xff); put8(11)
+    "NETSCAPE2.0".foreach(c => put8(c))
+    put8(3); put8(1); put16(0); put8(0)
+    frames.foreach { f =>
+      put8(0x21); put8(0xf9); put8(4) // graphic control
+      put8(0)                         // no disposal, no transparency
+      put16(10)                       // 100 ms delay
+      put8(0); put8(0)
+      put8(0x2c)                      // image descriptor
+      put16(0); put16(0); put16(w); put16(h)
+      put8(0)                         // no local table, not interlaced
+      put8(8)                         // LZW minimum code size
+      // sub-block-buffered LZW: 9-bit codes, CLEAR(256) every 254
+      // literals so the code table never grows, EOI(257) at the end
+      val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
+      var cur = 0L
+      var nbits = 0
+      def emit(code: Int): Unit = {
+        cur |= (code.toLong & 0x1ff) << nbits
+        nbits += 9
+        while (nbits >= 8) {
+          bits += (cur & 0xff).toByte
+          cur >>>= 8
+          nbits -= 8
+        }
+      }
+      emit(256)
+      var since = 0
+      f.pixels.foreach { p =>
+        if (since == 254) { emit(256); since = 0 }
+        emit(index(p))
+        since += 1
+      }
+      emit(257)
+      if (nbits > 0) bits += (cur & 0xff).toByte
+      bits.grouped(255).foreach { blk =>
+        put8(blk.length)
+        blk.foreach(b => out.write(b))
+      }
+      put8(0) // block terminator
+    }
+    put8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Random-access decode of one animation frame through the JDK's
+    * real GIF codec. Frames written by [[encodeGif]] are full-screen
+    * replacements, so the reader's raw frame IS the logical frame.
+    * None for non-GIF bytes, out-of-range indices, or undecodable
+    * streams.
+    */
+  def decodeGifFrame(bytes: Array[Byte], frame: Int)
+      : Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 6 || bytes(0) != 'G' ||
+      bytes(1) != 'I' || bytes(2) != 'F') return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      if (frame < 0 || frame >= reader.getNumImages(true)) return None
+      val img = reader.read(frame)
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Int](w * h)
+      img.getRGB(0, 0, w, h, px, 0, w)
+      var i = 0
+      while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+      Some(DecodedImage(w, h, px))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** Decoded PCM audio clip: mono 16-bit samples at `sampleRate`. */
   case class DecodedAudio(sampleRate: Int, samples: Array[Short])
 
@@ -451,6 +572,46 @@ object Multimodal {
         8.0, ok)
     }.toDF("doc_id", "n_bytes", "rms", "peak", "zero_crossings",
       "duration_ms", "roundtrip_ok")
+  }
+
+  /** The VIDEO twin: the doc's first 768 codepoints become FOUR 8×8
+    * frames (the [[bmpPipeline]] raster rule per 192-codepoint
+    * slice), encoded as a REAL animated GIF89a ([[encodeGif]] — the
+    * combined 256-pixel frame set can never exceed the 256-entry
+    * global palette, so encoding is lossless), then FRAME-SAMPLED at
+    * stride 2 through the JDK's real GIF codec ([[decodeGifFrame]]
+    * random access — frames 0 and 2; the unsampled frames are never
+    * decoded, the point of stride sampling). Channel means of the
+    * decoded frames are k/64 dyadic rationals, bit-exact against the
+    * oracle recomputing from the codepoints; `roundtrip_ok` asserts
+    * decode∘encode identity of the sampled frames per row.
+    */
+  def gifPipeline(df: DataFrame, text: String, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 768).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val v = Array.tabulate(768)(j =>
+        if (j < cps.length) cps(j) % 256 else 0)
+      val frames = Array.tabulate(4)(f =>
+        DecodedImage(8, 8, Array.tabulate(64)(i =>
+          (v(192 * f + 3 * i) << 16) | (v(192 * f + 3 * i + 1) << 8) |
+            v(192 * f + 3 * i + 2))))
+      val gif = encodeGif(frames.toSeq)
+      val d0 = decodeGifFrame(gif, 0).get
+      val d2 = decodeGifFrame(gif, 2).get
+      val (r0, g0, b0) = channelMeans(d0)
+      val (r2, _, _) = channelMeans(d2)
+      val ok = java.util.Arrays.equals(d0.pixels, frames(0).pixels) &&
+        java.util.Arrays.equals(d2.pixels, frames(2).pixels) &&
+        decodeGifFrame(gif, 4).isEmpty
+      (docId, r0, g0, b0, r2, ok)
+    }.toDF("doc_id", "f0_mean_r", "f0_mean_g", "f0_mean_b",
+      "f2_mean_r", "roundtrip_ok")
   }
 
   /** Frame/sample selection analogue: deterministic stride sampling —

@@ -794,6 +794,15 @@ object LlmQueries {
       Multimodal.pngPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // VIDEO twin: four codepoint-derived 8×8 frames → REAL animated
+    // GIF89a (hand-rolled encoder, lossless 256-color palette) →
+    // stride-2 FRAME SAMPLING through the JDK's real GIF codec
+    // (random access — unsampled frames never decode); per-frame
+    // channel means recomputed by the oracle from the codepoints
+    "multimodal_video" -> ((s, d) => {
+      Multimodal.gifPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // AUDIO twin of the decode path: codepoint-derived 16-bit PCM →
     // REAL RIFF/WAVE encode → real chunk-walking parser → RMS / peak
     // / zero-crossing / duration features; the oracle recomputes
@@ -2937,6 +2946,26 @@ object LlmQueries {
         |  list_sum(list_transform(range(0, 16),
         |    i -> CAST(v[3*(16*(i // 4) + 2*(i % 4)) + 1] AS DOUBLE)))
         |    / 16 AS rs_mean_r,
+        |  TRUE AS roundtrip_ok
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // frame f pixel i reads codepoints 192f+3i..192f+3i+2 (mod 256,
+    // zero-padded) — frames 0 and 2 are the stride-2 sample
+    "multimodal_video" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(range(0, 768), j ->
+        |    CASE WHEN j + 1 <= length(text)
+        |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |    ELSE 0 END) AS v
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 1] AS DOUBLE))) / 64 AS f0_mean_r,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 2] AS DOUBLE))) / 64 AS f0_mean_g,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 3] AS DOUBLE))) / 64 AS f0_mean_b,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[384 + 3*i + 1] AS DOUBLE))) / 64 AS f2_mean_r,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
     // s[j] = (codepoint_j mod 256 - 128) * 256: integer samples, so

@@ -993,6 +993,32 @@ class LlmSpec extends AnyFunSuite {
     assert(decodeWav(stereo) === None)
   }
 
+  test("multimodal: hand-rolled animated GIF89a decodes losslessly " +
+      "through the JDK codec with frame random access") {
+    import Multimodal._
+    val f0 = DecodedImage(4, 2,
+      Array(0xff0000, 0x00ff00, 0x0000ff, 0x102030,
+        0x405060, 0x708090, 0xa0b0c0, 0x010203))
+    val f1 = DecodedImage(4, 2, f0.pixels.map(_ ^ 0x0f0f0f))
+    val f2 = DecodedImage(4, 2, f0.pixels.reverse)
+    val gif = encodeGif(Seq(f0, f1, f2))
+    assert(new String(gif.take(6), "US-ASCII") === "GIF89a")
+    // every frame decodes bit-exactly, in random-access order
+    assert(decodeGifFrame(gif, 2).get.pixels.toSeq === f2.pixels.toSeq)
+    assert(decodeGifFrame(gif, 0).get.pixels.toSeq === f0.pixels.toSeq)
+    assert(decodeGifFrame(gif, 1).get.pixels.toSeq === f1.pixels.toSeq)
+    // out-of-range frame, non-GIF bytes, truncated stream
+    assert(decodeGifFrame(gif, 3) === None)
+    assert(decodeGifFrame("not a gif at all".getBytes, 0) === None)
+    assert(decodeGifFrame(gif.take(40), 0) === None)
+    // a full-size frame (exercises the CLEAR-every-254 emit path:
+    // 4096 px >> 254) with 256 distinct colors
+    val big = DecodedImage(64, 64,
+      Array.tabulate(4096)(i => (i % 256) * 0x010101))
+    assert(decodeGifFrame(encodeGif(Seq(big)), 0).get.pixels.toSeq ===
+      big.pixels.toSeq)
+  }
+
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
     val df = Seq(
       (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
