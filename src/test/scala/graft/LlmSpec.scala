@@ -357,6 +357,12 @@ class LlmSpec extends AnyFunSuite {
       rounds = 1, batch = 2))
     assert(one === Array((0L,
       12L, "ab,c,ab,c,ab,c,ab,ab,de,de,de,de")))
+    // ...and the deferred pair merges in the NEXT round: after round
+    // 1 the only remaining adjacency is (ab,c), so round 2 fuses it
+    val two = dump(TextAnalysis.bpeApplyBatched(d2, "text", "doc_id",
+      rounds = 2, batch = 2))
+    assert(two === Array((0L,
+      9L, "abc,abc,abc,ab,ab,de,de,de,de")))
   }
 
   test("bigramLmScore: count lookups broadcast; salted fallback exact") {

@@ -511,4 +511,76 @@ class PropertySpec extends AnyFunSuite {
         s"pair ($ia, $ib) shares no fingerprint")
     }
   }
+
+  test("native expression kernels equal naive references on random " +
+      "inputs (WinnowMins, NgramFoldHashes, VecOps)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val P = 1000000007L
+    for (_ <- 1 to trials) {
+      val n = 1 + rnd.nextInt(200)
+      val w = 1 + rnd.nextInt(12)
+      val hs = Array.fill(n)(rnd.nextLong(P))
+      // winnow: naive O(n·w) window minima, distinct, sorted
+      val m = math.max(n - w + 1, 1)
+      val naive = (0 until m).map(i =>
+        hs.slice(i, math.min(i + w, n)).min).distinct.sorted
+      val nat = graft.llm.WinnowMins
+        .compute(new GenericArrayData(hs), w)
+        .toLongArray.toSeq
+      assert(nat === naive, s"winnow n=$n w=$w")
+      // n-gram fold: naive windowed fold incl. shorter-than-n case
+      val g = 1 + rnd.nextInt(10)
+      val gm = math.max(n - g + 1, 1)
+      val gw = math.min(g, n)
+      val gnaive = (0 until gm).map(i =>
+        (i until i + gw).foldLeft(0L)((acc, j) =>
+          (acc * 31 + hs(j)) % P))
+      val gnat = graft.llm.NgramFoldHashes
+        .compute(new GenericArrayData(hs), g)
+        .toLongArray.toSeq
+      assert(gnat === gnaive, s"ngram n=$n g=$g")
+      // vector folds: exact bit equality vs the left fold
+      val a = Array.fill(1 + rnd.nextInt(64))(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(a.length)(rnd.nextDouble() * 2 - 1)
+      val dotRef = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x * y
+      }
+      val sqRef = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x - y) * (x - y)
+      }
+      import java.lang.Double.doubleToLongBits
+      assert(doubleToLongBits(graft.llm.VecOps.dot(
+        new GenericArrayData(a), new GenericArrayData(b))) ===
+        doubleToLongBits(dotRef))
+      assert(doubleToLongBits(graft.llm.VecOps.sqDist(
+        new GenericArrayData(a), new GenericArrayData(b))) ===
+        doubleToLongBits(sqRef))
+    }
+  }
+
+  test("WAV and animated-GIF codecs round-trip random payloads") {
+    import graft.llm.Multimodal._
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(300)
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val rate = 1 + rnd.nextInt(48000)
+      val dec = decodeWav(encodeWav(DecodedAudio(rate, s))).get
+      assert(dec.sampleRate === rate)
+      assert(dec.samples.toSeq === s.toSeq)
+    }
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(12)
+      val nf = 1 + rnd.nextInt(4)
+      // palette budget: draw pixels from a ≤256-color pool
+      val pool = Array.fill(64)(rnd.nextInt(1 << 24))
+      val frames = Seq.fill(nf)(DecodedImage(w, h,
+        Array.fill(w * h)(pool(rnd.nextInt(pool.length)))))
+      val gif = encodeGif(frames)
+      val dec = decodeGifFrames(gif, frames.indices).get
+      frames.indices.foreach(i =>
+        assert(dec(i).pixels.toSeq === frames(i).pixels.toSeq,
+          s"frame $i of $nf, ${w}x$h"))
+    }
+  }
 }
