@@ -1095,11 +1095,21 @@ object TextAnalysis {
     * multiply and sqrt to be CORRECTLY ROUNDED (pow carries no such
     * guarantee and JVM Math.pow vs a foreign libm can differ by an
     * ulp), so every engine computes the bit-identical double with no
-    * quantization step. The DECIMAL(28,6) cast then maps that same
-    * double to the same decimal everywhere — a binary double is
-    * never exactly on a 6dp half-tie, so half-up vs half-even cannot
-    * disagree — keeping the Σ p^α total order-independent and the
-    * downstream divisions (IEEE, exactly rounded) deterministic.
+    * quantization step.
+    *
+    * The HASHED OUTPUT is engine-version-proof by construction: the
+    * ratios are emitted as integer parts-per-million (`p_ppm`,
+    * `q_ppm`, `boost_ppm` BIGINT), computed entirely in integer
+    * arithmetic. p^α is pinned to a micro-unit BIGINT via
+    * `floor(pa · 10⁶)` — multiply-by-10⁶ is one correctly-rounded
+    * IEEE op and `floor` is exact, so the integer is bit-identical
+    * on any conforming engine — and every division thereafter is
+    * INTEGER division of exact integer operands. No `round(DOUBLE)`,
+    * no double→decimal cast, no libm call appears anywhere in the
+    * hashed columns, so no engine-build difference in rounding or
+    * decimal-cast semantics can flip a cell. Numerators are widened
+    * to DECIMAL(38,0) (HUGEINT on the oracle side) so `n·10⁶` can't
+    * wrap even with ~10¹³-token sources (100 TB-corpus scale).
     */
   def temperatureWeights(df: DataFrame, srcCol: String,
       text: String): DataFrame = {
@@ -1107,21 +1117,23 @@ object TextAnalysis {
       .agg(sum(size(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .cast("long")).as("n_tokens"))
-      .withColumn("__pa", {
+      .withColumn("__pa_micro", {
         val x = col("n_tokens").cast("double")
         // left-assoc (x*x)*x matches the oracle's evaluation order;
         // each step exactly rounded, so identical even past 2^53
-        sqrt(sqrt(x * x * x)).cast("decimal(28,6)")
+        floor(sqrt(sqrt(x * x * x)) * lit(1000000.0d)).cast("long")
       })
     val tot = perSrc.agg(sum(col("n_tokens")).as("__t"),
-      sum(col("__pa")).as("__ta"))
+      sum(col("__pa_micro")).as("__ta"))
     perSrc.crossJoin(broadcast(tot))
-      .withColumn("p", round(col("n_tokens") / col("__t"), 6))
-      .withColumn("q", round(
-        col("__pa").cast("double") / col("__ta").cast("double"), 6))
-      .withColumn("boost", round(col("q") / col("p"), 6))
-      .select(col(srcCol), col("n_tokens"), col("p"), col("q"),
-        col("boost"))
+      .withColumn("p_ppm", expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div __t AS BIGINT)"))
+      .withColumn("q_ppm", expr(
+        "CAST((CAST(__pa_micro AS DECIMAL(38,0)) * 1000000) div __ta AS BIGINT)"))
+      .withColumn("boost_ppm", expr(
+        "CAST((CAST(q_ppm AS DECIMAL(38,0)) * 1000000) div p_ppm AS BIGINT)"))
+      .select(col(srcCol), col("n_tokens"), col("p_ppm"),
+        col("q_ppm"), col("boost_ppm"))
   }
 
   /** Zipf-law fit over the top-k token frequencies: the OLS slope and

@@ -1900,8 +1900,12 @@ object LlmQueries {
          |SELECT doc_id, round(z, 6) AS lr_score, z >= 0.0 AS keep
          |FROM lrz ORDER BY doc_id""".stripMargin,
     // α = 0.75: p^α = sqrt(sqrt(n·n·n)) — multiply and sqrt are
-    // IEEE-correctly-rounded on every engine (pow is not), so pa is
-    // bit-identical before the decimal stabilization
+    // IEEE-correctly-rounded on every engine (pow is not). The hashed
+    // columns are integer ppm computed in PURE INTEGER arithmetic:
+    // pa is pinned to a micro-unit BIGINT via floor(pa*1e6) (one
+    // correctly-rounded multiply + exact floor), then every division
+    // is integer division — no round(DOUBLE), no double→decimal
+    // cast, so no engine-build rounding semantics can flip a cell.
     "mix_temperature" ->
       """WITH s0 AS (
         |  SELECT source,
@@ -1910,18 +1914,24 @@ object LlmQueries {
         |  FROM documents GROUP BY 1),
         |s AS (
         |  SELECT source, n_tokens,
-        |    CAST(sqrt(sqrt(CAST(n_tokens AS DOUBLE)
+        |    CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE)
         |      * CAST(n_tokens AS DOUBLE)
-        |      * CAST(n_tokens AS DOUBLE))) AS DECIMAL(28,6)) AS pa
+        |      * CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |      AS pa_micro
         |  FROM s0),
         |t AS (
-        |  SELECT sum(n_tokens) AS tt, sum(pa) AS ta FROM s)
-        |SELECT source, n_tokens,
-        |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS p,
-        |  round(CAST(pa AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS q,
-        |  round(round(CAST(pa AS DOUBLE) / CAST(ta AS DOUBLE), 6)
-        |    / round(CAST(n_tokens AS DOUBLE) / tt, 6), 6) AS boost
-        |FROM s, t ORDER BY source""".stripMargin,
+        |  SELECT sum(n_tokens) AS tt, sum(pa_micro) AS ta FROM s),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tt
+        |      AS BIGINT) AS p_ppm,
+        |    CAST((CAST(pa_micro AS HUGEINT) * 1000000) // ta
+        |      AS BIGINT) AS q_ppm
+        |  FROM s, t)
+        |SELECT source, n_tokens, p_ppm, q_ppm,
+        |  CAST((CAST(q_ppm AS HUGEINT) * 1000000) // p_ppm
+        |    AS BIGINT) AS boost_ppm
+        |FROM r ORDER BY source""".stripMargin,
     "dedup_recall" ->
       s"""WITH sub AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
