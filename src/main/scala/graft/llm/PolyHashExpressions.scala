@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -145,7 +145,10 @@ object NgramFoldHashes {
   * token hashes (word n-gram hashes).
   */
 case class NgramFoldHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  // SQL-facing (graft_ngram_hashes): type-check at analysis, not a
+  // runtime ClassCastException from nullSafeEval/codegen
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -163,7 +166,8 @@ case class NgramFoldHashesExpr(child: Expression, n: Int)
   * dropped).
   */
 case class PolyHashTokensNonEmpty(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -243,7 +247,8 @@ object TextClassStats {
   * operator.
   */
 case class TextClassStatsExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = TextClassStats.schema
   override protected def nullSafeEval(input: Any): Any =
     TextClassStats.compute(input.asInstanceOf[UTF8String])
@@ -257,7 +262,8 @@ case class TextClassStatsExpr(child: Expression)
 
 /** array<bigint> of n-gram shingle hashes of a string column. */
 case class PolyHashShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.shingleHashes(input.asInstanceOf[UTF8String], n)
@@ -270,7 +276,9 @@ case class PolyHashShingles(child: Expression, n: Int)
 }
 
 /** array<bigint> of per-token hashes (split on ' '). */
-case class PolyHashTokens(child: Expression) extends UnaryExpression {
+case class PolyHashTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.tokenHashes(input.asInstanceOf[UTF8String])
@@ -317,7 +325,9 @@ object MinHashSig {
 /** array<bigint> K-wide MinHash signature of an array<bigint> of
   * shingle hashes.
   */
-case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+case class MinHashSigExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     MinHashSig.compute(
@@ -360,7 +370,9 @@ object SimHashPack {
 }
 
 /** bigint packed SimHash of an array<bigint> of token hashes. */
-case class SimHashPackExpr(child: Expression) extends UnaryExpression {
+case class SimHashPackExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     SimHashPack.compute(
@@ -398,7 +410,8 @@ object FeatureHashCounts {
 
 /** array<double> bucketed counts of an array<bigint> of hashes. */
 case class FeatureHashCountsExpr(child: Expression, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -429,6 +442,11 @@ object WinnowMins {
   def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
       w: Int): GenericArrayData = {
     val n = hashes.numElements()
+    // Empty in -> empty out: shingleHashes never produces an empty
+    // array, but graft_winnow_mins is SQL-facing and may receive any
+    // array<bigint>; fabricating a 0L fingerprint for no input would
+    // collide every empty document into one winnow bucket.
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val m = math.max(n - w + 1, 1)
     val mins = new Array[Long](m)
     if (n <= w) {
@@ -437,7 +455,7 @@ object WinnowMins {
       while (i < n) {
         val h = hashes.getLong(i); if (h < mn) mn = h; i += 1
       }
-      mins(0) = if (n == 0) 0L else mn
+      mins(0) = mn
     } else {
       val dq = new Array[Int](n)
       var head = 0
@@ -470,7 +488,8 @@ object WinnowMins {
   * array<bigint> of shingle hashes (the winnowing fingerprint set).
   */
 case class WinnowMinsExpr(child: Expression, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -484,7 +503,9 @@ case class WinnowMinsExpr(child: Expression, w: Int)
 }
 
 /** bigint whole-string polynomial hash (fingerprint). */
-case class PolyHashString(child: Expression) extends UnaryExpression {
+case class PolyHashString(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.whole(input.asInstanceOf[UTF8String])

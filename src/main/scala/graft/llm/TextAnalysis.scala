@@ -1065,22 +1065,34 @@ object TextAnalysis {
     */
   def withLrGate(df: DataFrame, text: String, dim: Int = 32,
       bias: Double = 0.0): DataFrame = {
+    // Collision-proof internals: withColumn would silently OVERWRITE
+    // an input column of the same name, and duplicate lr_score/keep
+    // in the final select — fail loudly instead (the "drops into any
+    // plan" streaming-stage contract).
+    val th = "__graft_lr_th"; val cnt = "__graft_lr_cnt"
+    val norm = "__graft_lr_norm"; val vec = "__graft_lr_vec"
+    val z = "__graft_lr_z"
+    val clash = (Seq(th, cnt, norm, vec, z, "lr_score", "keep"))
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withLrGate: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
     val ws = lrFixtureWeights(dim)
       .map(java.lang.Double.toString).mkString("array(", "D, ", "D)")
-    df.withColumn("__th", graft.llm.Dedup.contentTokenHashesExpr(text))
-      .filter(size(col("__th")) > 0)
-      .withColumn("__cnt",
-        graft.llm.PolyHashColumns.featureHashCounts(col("__th"), dim))
-      .withColumn("__norm", expr(
-        "sqrt(aggregate(__cnt, 0D, (acc, x) -> acc + x * x))"))
-      .withColumn("vec",
-        expr("transform(__cnt, x -> round(x / __norm, 6))"))
-      .withColumn("__z", expr(
-        s"aggregate(zip_with(vec, $ws, (x, w) -> x * w), " +
+    df.withColumn(th, graft.llm.Dedup.contentTokenHashesExpr(text))
+      .filter(size(col(th)) > 0)
+      .withColumn(cnt,
+        graft.llm.PolyHashColumns.featureHashCounts(col(th), dim))
+      .withColumn(norm, expr(
+        s"sqrt(aggregate($cnt, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn(vec,
+        expr(s"transform($cnt, x -> round(x / $norm, 6))"))
+      .withColumn(z, expr(
+        s"aggregate(zip_with($vec, $ws, (x, w) -> x * w), " +
           s"0D, (a, v) -> a + v) + ${java.lang.Double.toString(bias)}D"))
       .select(df.columns.map(col) :+
-        round(col("__z"), 6).as("lr_score") :+
-        (col("__z") >= 0.0).as("keep"): _*)
+        round(col(z), 6).as("lr_score") :+
+        (col(z) >= 0.0).as("keep"): _*)
   }
 
   /** Temperature-scaled mixture weights (the multilingual-sampling

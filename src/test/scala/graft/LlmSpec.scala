@@ -1346,6 +1346,44 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowMins: empty input yields an empty fingerprint set, " +
+      "not a fabricated 0") {
+    // graft_winnow_mins is SQL-facing and may receive any
+    // array<bigint>; a 0L fingerprint for no input would collide all
+    // empty documents into one winnow bucket
+    val df = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+    val out = df.select(
+      graft.llm.PolyHashColumns.winnowMins(col("hs"), 5).as("fps"))
+      .collect().head.getSeq[Long](0)
+    assert(out.isEmpty)
+  }
+
+  test("native hash/winnow/ngram SQL functions reject wrong-typed " +
+      "input at analysis time") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq((1L, Seq(1.5))).toDF("n", "v")
+    for (bad <- Seq("graft_winnow_mins(n)", "graft_ngram_hashes(v)",
+        "graft_content_token_hashes(n)", "graft_text_stats(n)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(bad).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"), bad)
+    }
+  }
+
+  test("withLrGate refuses input columns that collide with its " +
+      "internals or outputs") {
+    val base = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.withLrGate(
+        base.withColumn("keep", lit(true)), "text")
+    }
+    assert(e.getMessage.contains("keep"))
+    // clean input still appends exactly lr_score + keep
+    val out = TextAnalysis.withLrGate(base, "text")
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lr_score", "keep"))
+  }
+
   test("VecOps: native dot/sqDist equal the HOF folds bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val cases = Seq(
