@@ -794,6 +794,14 @@ object LlmQueries {
       Multimodal.pngPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // the LOSSY compressed codec: baseline JPEG encode → javax.imageio
+    // decode. Dimensions + true (codepoint-derived) channel means are
+    // exact; the real decode is gated by a ±16 mean-band boolean
+    // (measured worst-case 7.33 — see Multimodal.jpegPipeline)
+    "multimodal_jpeg" -> ((s, d) => {
+      Multimodal.jpegPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // VIDEO twin: four codepoint-derived 8×8 frames → REAL animated
     // GIF89a (hand-rolled encoder, lossless 256-color palette) →
     // stride-2 FRAME SAMPLING through the JDK's real GIF codec
@@ -2957,6 +2965,26 @@ object LlmQueries {
         |    i -> CAST(v[3*(16*(i // 4) + 2*(i % 4)) + 1] AS DOUBLE)))
         |    / 16 AS rs_mean_r,
         |  TRUE AS roundtrip_ok
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // lossy JPEG: exact columns are dimensions + TRUE means recomputed
+    // from codepoints; the decode quality gate is a Spark-side
+    // tolerance-band boolean the oracle pins TRUE
+    "multimodal_jpeg" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(range(0, 192), j ->
+        |    CASE WHEN j + 1 <= length(text)
+        |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |    ELSE 0 END) AS v
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 1] AS DOUBLE))) / 64 AS mean_r,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 2] AS DOUBLE))) / 64 AS mean_g,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 3] AS DOUBLE))) / 64 AS mean_b,
+        |  TRUE AS lossy_ok
         |FROM b ORDER BY doc_id""".stripMargin,
     // frame f pixel i reads codepoints 192f+3i..192f+3i+2 (mod 256,
     // zero-padded) — frames 0 and 2 are the stride-2 sample

@@ -583,4 +583,28 @@ class PropertySpec extends AnyFunSuite {
           s"frame $i of $nf, ${w}x$h"))
     }
   }
+
+  test("JPEG codec: dimensions exact, channel means inside the ±16 " +
+      "lossy band on random rasters") {
+    import graft.llm.Multimodal._
+    for (t <- 1 to 200) {
+      // alternate full-range noise (worst case for DCT) and ASCII-ish
+      val px = Array.fill(64)(
+        if (t % 2 == 0) rnd.nextInt(1 << 24)
+        else {
+          def c() = 32 + rnd.nextInt(95)
+          (c() << 16) | (c() << 8) | c()
+        })
+      val src = DecodedImage(8, 8, px)
+      val jpg = encodeJpeg(src)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+      val dec = decodeCompressed(jpg).get
+      assert(dec.width === 8); assert(dec.height === 8)
+      val (r0, g0, b0) = channelMeans(src)
+      val (r, g, b) = channelMeans(dec)
+      assert(math.abs(r - r0) <= 16.0, s"r $r vs $r0")
+      assert(math.abs(g - g0) <= 16.0, s"g $g vs $g0")
+      assert(math.abs(b - b0) <= 16.0, s"b $b vs $b0")
+    }
+  }
 }
