@@ -693,14 +693,21 @@ object TextAnalysis {
         .orderBy(col("__c").desc, col("a").asc, col("b").asc)
         .limit(1)
         .select(col("a"), col("b"))
-      vocab = vocab.crossJoin(broadcast(best))
-        .withColumn("repr", replace(
-          replace(
-            replace(col("repr"), lit(" "), lit("  ")),
-            concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
-            concat(lit(" "), col("a"), col("b"), lit(" "))),
-          lit("  "), lit(" ")))
-        .drop("a", "b")
+      // collect the winner into a 0/1-element array: when the
+      // vocabulary has no mergeable pair left the fold is the
+      // identity — a bare crossJoin against the then-EMPTY best
+      // frame would silently annihilate the whole vocabulary
+      val bestRow = best.agg(collect_list(
+        struct(col("a"), col("b"))).as("__ms"))
+      vocab = vocab.crossJoin(broadcast(bestRow))
+        .withColumn("repr", expr(
+          """aggregate(__ms, repr, (acc, m) -> replace(
+               replace(
+                 replace(acc, ' ', '  '),
+                 concat(' ', m.a, '  ', m.b, ' '),
+                 concat(' ', m.a, m.b, ' ')),
+               '  ', ' '))"""))
+        .drop("__ms")
         .localCheckpoint()
     }
     val perWord = vocab.select(col("word"),
@@ -750,6 +757,49 @@ object TextAnalysis {
     */
   def bpeApplyBatched(df: DataFrame, text: String, id: String,
       rounds: Int = 7, batch: Int = 8): DataFrame = {
+    val (vocab, _) = bpeFitVocab(df, text, rounds, batch)
+    val wordsOf = expr(
+      s"filter(split(lower($text), ' '), t -> t != '')")
+    val perWord = vocab.select(col("word"),
+      expr("filter(split(repr, ' '), x -> x != '')").as("__toks"))
+    df.select(col(id), posexplode(wordsOf).as(Seq("__pos", "word")))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__toks"))))
+        .as("__o"))
+      .withColumn("tokens",
+        flatten(expr("transform(__o, s -> s.__toks)")))
+      .select(col(id),
+        size(col("tokens")).cast("long").as("n_bpe_tokens"),
+        col("tokens"))
+  }
+
+  /** One fitted merge rule: fuse adjacent symbols `a b → ab`. */
+  case class BpeMerge(a: String, b: String)
+
+  /** Fit-only half of [[bpeApplyBatched]]: the ordered merge-rule
+    * table (round order, rank order within a round) — the tokenizer
+    * ARTIFACT a pipeline fits once on a reference corpus and then
+    * ships to any apply site: [[bpeApplyWithMerges]] in batch,
+    * [[graft.streaming.StreamingDedup.tokenizerStage]] on a live
+    * feed. ≤ rounds·batch tiny rows; merge tables are model metadata
+    * (like IVF centroids), broadcast-scale by construction.
+    */
+  def bpeFitMerges(df: DataFrame, text: String,
+      rounds: Int = 7, batch: Int = 8): Seq[BpeMerge] =
+    bpeFitVocab(df, text, rounds, batch)._2
+
+  /** Shared batched fit loop: per round, pair counts once →
+    * dominance-disjoint survivor batch → one HOF-fold vocabulary
+    * rewrite, `localCheckpoint` truncating lineage. Returns the
+    * rewritten per-word vocabulary AND the accumulated merge rules.
+    * The ≤batch survivor rows come to the driver each round — the
+    * previous `broadcast(batchRow)` collected the same rows
+    * driver-side anyway — which also enables an early exit once the
+    * vocabulary has no mergeable pair left.
+    */
+  private def bpeFitVocab(df: DataFrame, text: String,
+      rounds: Int, batch: Int): (DataFrame, Seq[BpeMerge]) = {
     require(rounds >= 0 && batch >= 1, "need rounds >= 0, batch >= 1")
     val candCap = 4 * batch
     val wordsOf = expr(
@@ -759,7 +809,10 @@ object TextAnalysis {
       .withColumn("repr", concat(lit(" "),
         regexp_replace(col("word"), "([^ ])", "$1 ")))
       .localCheckpoint()
-    for (_ <- 0 until rounds) {
+    val fitted = Seq.newBuilder[BpeMerge]
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
       val pairs = vocab
         .select(col("cnt"),
           expr("filter(split(repr, ' '), x -> x != '')").as("__t"))
@@ -785,24 +838,54 @@ object TextAnalysis {
              col("jb") === col("a") || col("jb") === col("b")),
           "left_anti")
         .orderBy(col("rk").asc).limit(batch)
-      // one row, __ms = merges in rank order (empty array when the
-      // vocabulary has no mergeable pair left — the fold is then id)
-      val batchRow = surv
-        .agg(sort_array(collect_list(
-          struct(col("rk"), col("a"), col("b")))).as("__ms"))
-      vocab = vocab.crossJoin(broadcast(batchRow))
-        .withColumn("repr", expr(
-          """aggregate(__ms, repr, (acc, m) -> replace(
+      val ms = surv.select(col("rk"), col("a"), col("b")).collect()
+        .sortBy(_.getInt(0))
+        .map(r => BpeMerge(r.getString(1), r.getString(2))).toSeq
+      if (ms.isEmpty) exhausted = true
+      else {
+        fitted ++= ms
+        // merges in rank order as a plan literal; the per-merge
+        // rewrite is bpeApply's doubled-delimiter triple-replace
+        vocab = vocab
+          .withColumn("__bpe_ms", typedlit(ms))
+          .withColumn("repr", expr(
+            """aggregate(__bpe_ms, repr, (acc, m) -> replace(
+                 replace(
+                   replace(acc, ' ', '  '),
+                   concat(' ', m.a, '  ', m.b, ' '),
+                   concat(' ', m.a, m.b, ' ')),
+                 '  ', ' '))"""))
+          .drop("__bpe_ms")
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    (vocab, fitted.result())
+  }
+
+  /** Apply-only half: tokenize with an ALREADY-FITTED merge table.
+    * The fold runs once per DISTINCT word (broadcast join back to
+    * the corpus — [[bpeApplyBatched]]'s apply shape); the merge
+    * rules ride as a plan literal, so there is no fit-side job at
+    * all. Same output contract as [[bpeApplyBatched]]: (id,
+    * n_bpe_tokens, tokens), zero-content-token docs dropped.
+    */
+  def bpeApplyWithMerges(df: DataFrame, text: String, id: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val wordsOf = expr(
+      s"filter(split(lower($text), ' '), t -> t != '')")
+    val perWord = df.select(explode(wordsOf).as("word")).distinct()
+      .withColumn("__bpe_ms", typedlit(merges))
+      .withColumn("__toks", expr(
+        """filter(split(aggregate(__bpe_ms,
+             concat(' ', regexp_replace(word, '([^ ])', '$1 ')),
+             (acc, m) -> replace(
                replace(
                  replace(acc, ' ', '  '),
                  concat(' ', m.a, '  ', m.b, ' '),
                  concat(' ', m.a, m.b, ' ')),
-               '  ', ' '))"""))
-        .drop("__ms")
-        .localCheckpoint()
-    }
-    val perWord = vocab.select(col("word"),
-      expr("filter(split(repr, ' '), x -> x != '')").as("__toks"))
+               '  ', ' ')), ' '), x -> x != '')"""))
+      .select(col("word"), col("__toks"))
     df.select(col(id), posexplode(wordsOf).as(Seq("__pos", "word")))
       .join(broadcast(perWord), Seq("word"))
       .groupBy(col(id))

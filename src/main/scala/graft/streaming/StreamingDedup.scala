@@ -329,4 +329,44 @@ object StreamingDedup {
   def modelGateStage(docs: DataFrame, text: String,
       dim: Int = 32): DataFrame =
     TextAnalysis.withLrGate(docs, text, dim)
+
+  /** Streaming TOKENIZER stage: apply an already-fitted BPE merge
+    * table ([[TextAnalysis.bpeFitMerges]], fitted offline on a
+    * reference corpus) to a live document feed, appending
+    * `bpe_tokens` + `n_bpe_tokens` — the tokenizer-grain accounting
+    * the batched mixture/budget family consumes. Entirely row-local
+    * and JOIN-FREE: the merge rules ride as a plan literal and the
+    * per-word fold runs in-plan per row (a stateless stream cannot
+    * shuffle-dedupe distinct words, so unlike the batch apply each
+    * occurrence folds its own word — the VALUES are identical), so
+    * the stage is streaming-safe in any output mode with zero state
+    * and no watermark, like [[modelGateStage]]. Docs with zero
+    * content tokens ride through with n_bpe_tokens = 0 (the batch
+    * apply DROPS them — a count hook must not drop rows).
+    */
+  def tokenizerStage(docs: DataFrame, text: String,
+      merges: Seq[TextAnalysis.BpeMerge]): DataFrame = {
+    val clash = Seq("__bpe_ms", "__bpe_words", "bpe_tokens",
+      "n_bpe_tokens").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"tokenizerStage: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    docs
+      .withColumn("__bpe_ms", typedlit(merges))
+      .withColumn("__bpe_words", expr(
+        s"filter(split(lower($text), ' '), t -> t != '')"))
+      .withColumn("bpe_tokens", flatten(expr(
+        """transform(__bpe_words, w -> filter(split(
+             aggregate(__bpe_ms,
+               concat(' ', regexp_replace(w, '([^ ])', '$1 ')),
+               (acc, m) -> replace(
+                 replace(
+                   replace(acc, ' ', '  '),
+                   concat(' ', m.a, '  ', m.b, ' '),
+                   concat(' ', m.a, m.b, ' ')),
+                 '  ', ' ')), ' '), x -> x != ''))""")))
+      .withColumn("n_bpe_tokens",
+        size(col("bpe_tokens")).cast("long"))
+      .drop("__bpe_ms", "__bpe_words")
+  }
 }

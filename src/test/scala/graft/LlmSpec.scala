@@ -363,6 +363,25 @@ class LlmSpec extends AnyFunSuite {
       rounds = 2, batch = 2))
     assert(two === Array((0L,
       9L, "abc,abc,abc,ab,ab,de,de,de,de")))
+    // CONVERGENCE THROUGH DEFERRAL: the same end state as pure greedy.
+    // Greedy spends 3 driver rounds (ab, then de, then ab+c); batched
+    // reaches it in 2 rounds with the bc-deferral in between — the
+    // deferred pair is delayed, never lost, and the batched vocab
+    // equals the greedy vocab exactly
+    assert(two === dump(TextAnalysis.bpeApply(d2, "text", "doc_id",
+      numMerges = 3)))
+    // ...and run to exhaustion on a corpus dense in symbol-sharing
+    // pairs (every candidate round has overlaps to defer): both
+    // tokenizers fully fuse every word to a single token — dominance
+    // deferral starves no pair permanently
+    val d3 = docs("banana band bandana", "ban banana bandana band")
+    val exhaustB = dump(TextAnalysis.bpeApplyBatched(
+      d3, "text", "doc_id", rounds = 8, batch = 3))
+    val exhaustG = dump(TextAnalysis.bpeApply(
+      d3, "text", "doc_id", numMerges = 24))
+    assert(exhaustB === exhaustG)
+    assert(exhaustB.forall { case (_, _, toks) =>
+      toks.split(",").forall(t => !t.contains(" ")) })
   }
 
   test("bigramLmScore: count lookups broadcast; salted fallback exact") {
@@ -422,6 +441,29 @@ class LlmSpec extends AnyFunSuite {
       val w = plan.indexOf("Window")
       assert(w >= 0 && w < plan.indexOf("TakeOrderedAndProject"),
         plan.take(800))
+    }
+  }
+
+  test("curation_v2 plan: keep-filter scans the checkpointed gate, " +
+      "never re-inlines the embedding chain") {
+    // enforces the withLrGate/lrQualityGate CONSUMER NOTE as a plan
+    // assert: filter(keep) pushed below the gate's projection would
+    // re-inline the whole embedding chain (per-token hash, bucket
+    // counts, norm, dot) into the predicate — measured 13.0 s vs
+    // 1.4 s at sf0.1 before the round-11 fix. A refactor that drops
+    // the localCheckpoint must fail here, not in a bench round.
+    val df = graft.SparkEntry.queries("curation_v2")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the gate output is materialized before filter(keep): the keep
+    // scan reads checkpointed blocks, not the embedding chain
+    assert(plan.contains("ExistingRDD"), plan.take(1000))
+    // and no Filter anywhere in the plan carries the chain's
+    // expressions in its predicate
+    for (line <- plan.linesIterator if line.contains("Filter ")) {
+      val l = line.toLowerCase
+      assert(!l.contains("featurehash") && !l.contains("polyhash") &&
+        !l.contains("aggregate("), line.take(300))
     }
   }
 

@@ -521,6 +521,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (id, _, s, _) => gate(id) == s })
   }
 
+  test("streaming tokenizer stage equals the batch BPE apply; " +
+      "join-free and stateless") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val corpus = Seq(
+      (1L, "abc abc abc ab ab de de de de"),
+      (2L, "banana band bandana"),
+      (3L, "   "), // zero content tokens -> rides with count 0
+      (4L, "ban banana de ab"))
+    // fit offline on the reference corpus; the stage ships only the
+    // merge table (the tokenizer artifact), never the fit corpus
+    val ref = corpus.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeFitMerges(ref, "text",
+      rounds = 3, batch = 2)
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("tok_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tok_ck").toString
+    def rows(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows(corpus.take(2))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.tokenizerStage(stream, "text", merges)
+      .writeStream.format("memory").queryName("tok_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows(corpus.drop(2)) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tok_out")
+      .select("doc_id", "n_bpe_tokens", "bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).mkString(",")))
+      .sortBy(_._1)
+    // zero-token doc rides with count 0 (an accounting stage must
+    // not drop rows)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(streamed.find(_._1 == 3L).get._2 === 0L)
+    // batch parity: per-doc counts and token sequences equal the
+    // batch apply with the same fitted merges AND the one-call
+    // batched fit+apply on the same corpus
+    val applied = TextAnalysis.bpeApplyWithMerges(
+      ref, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).mkString(","))).sortBy(_._1)
+    val batched = TextAnalysis.bpeApplyBatched(
+      ref, "text", "doc_id", rounds = 3, batch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).mkString(","))).sortBy(_._1)
+    assert(applied.toSeq === batched.toSeq)
+    assert(streamed.filter(_._1 != 3L).toSeq === applied.toSeq)
+  }
+
   test("mapGroupsWithState running totals") {
     val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
     val out = StreamingResample.runningTotals(ds).collect()
