@@ -414,13 +414,19 @@ object Similarity {
     * window moves data, and rank-pushdown (WindowGroupLimit) bounds
     * it at k rows per query per partition.
     */
-  /** Per-query ADC distance tables. The table is a subspace ->
-    * (cell -> distance) MAP, not a sorted array: an array lookup by
-    * `codes[j] + 1` silently misaligns whenever cell ids are sparse
-    * or not 0-based (externally-built centroids). Both map levels are
-    * tiny (m and k entries), so the linear-scan element_at costs m+k
-    * ops per subspace — noise next to the O(1) array read, and
-    * correct for any id space.
+  /** Per-query ADC distance tables. The GENERAL table is a subspace
+    * -> (cell -> distance) MAP: an array lookup by `codes[j] + 1`
+    * silently misaligns whenever cell ids are sparse or not 0-based
+    * (externally-built centroids). Both map levels are tiny (m and k
+    * entries), so the linear-scan element_at costs m+k ops per
+    * subspace — correct for ANY id space. When the cell ids are
+    * verifiably DENSE 0-based ([[cellsAreDense]] — the common case;
+    * [[pqCentroids]] always produces 0..k-1), the per-candidate
+    * lookups switch to the O(1) indexed-array form
+    * ([[adcTablesDense]]): the centroid frame is broadcast-scale, so
+    * the density check is one tiny driver action at plan-build time,
+    * and both paths sum the SAME distances in the same j = 1..m
+    * order — bit-identical `adist` either way (spec-pinned).
     */
   private def adcTables(queries: DataFrame, id: String, vec: String,
       centroids: DataFrame, m: Int, subDim: Int): DataFrame =
@@ -437,20 +443,73 @@ object Similarity {
         "map_from_entries(collect_list(struct(subspace, __row)))")
         .as("dtab"))
 
+  /** Dense-id fast path of [[adcTables]]: subspace-ordered array of
+    * cell-ordered distance arrays — `dtab[j][codes[j] + 1]` is two
+    * O(1) array reads. Only valid when every subspace's cell ids are
+    * exactly 0..k-1 (callers gate on [[cellsAreDense]]).
+    */
+  private def adcTablesDense(queries: DataFrame, id: String,
+      vec: String, centroids: DataFrame, m: Int, subDim: Int)
+      : DataFrame =
+    subVectors(queries, id, vec, m, subDim)
+      .withColumnRenamed(id, "query_id")
+      .join(broadcast(centroids), Seq("subspace"))
+      .withColumn("__d", sqDistExpr("sv", "cvec"))
+      .groupBy(col("query_id"), col("subspace"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(cell, __d))), s -> s.__d)")
+        .as("__row"))
+      .groupBy(col("query_id"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(subspace, __row))), s -> s.__row)")
+        .as("dtab"))
+
+  /** True iff every subspace's cell ids are exactly 0..n-1. One tiny
+    * aggregate over the broadcast-scale centroid frame (m·k rows).
+    */
+  private def cellsAreDense(centroids: DataFrame): Boolean = {
+    val stats = centroids.groupBy(col("subspace"))
+      .agg(min(col("cell").cast("long")).as("mn"),
+        max(col("cell").cast("long")).as("mx"),
+        count(lit(1)).as("n"),
+        countDistinct(col("cell")).as("nd"))
+      .collect()
+    stats.nonEmpty && stats.forall { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      r.getLong(r.fieldIndex("mn")) == 0L &&
+        r.getLong(r.fieldIndex("mx")) == n - 1 &&
+        r.getLong(r.fieldIndex("nd")) == n
+    }
+  }
+
+  /** The ADC distance sum for whichever table form `dense` selected.
+    * Both iterate j = 1..m (fixed subspace order) over the same
+    * distance values — bit-reproducible and path-independent.
+    */
+  private def adcSumExpr(m: Int, dense: Boolean): Column =
+    if (dense) expr(
+      s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
+          acc + element_at(element_at(dtab, j),
+                CAST(element_at(codes, j) + 1 AS INT)))""")
+    else expr(
+      s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
+          acc + element_at(element_at(dtab, j - 1),
+                element_at(codes, j)))""")
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, centroids: DataFrame, m: Int, subDim: Int,
       k: Int): DataFrame = {
     // The distance sum iterates j = 1..m, so it stays in fixed
     // subspace order (bit-reproducible).
-    val dtab = adcTables(queries, id, vec, centroids, m, subDim)
+    val dense = cellsAreDense(centroids)
+    val dtab =
+      if (dense) adcTablesDense(queries, id, vec, centroids, m, subDim)
+      else adcTables(queries, id, vec, centroids, m, subDim)
     val codes = pqEncode(corpus, id, vec, centroids, m, subDim)
       .withColumnRenamed(id, "cand_id")
     val scored = codes.crossJoin(broadcast(dtab))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("adist", round(expr(
-        s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
-            acc + element_at(element_at(dtab, j - 1),
-                  element_at(codes, j)))"""), 6))
+      .withColumn("adist", round(adcSumExpr(m, dense), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -516,17 +575,18 @@ object Similarity {
     val probed = probes.withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("cell"))
-    val dtab = adcTables(queries, id, vec, pqCentroids, m, subDim)
+    val dense = cellsAreDense(pqCentroids)
+    val dtab =
+      if (dense)
+        adcTablesDense(queries, id, vec, pqCentroids, m, subDim)
+      else adcTables(queries, id, vec, pqCentroids, m, subDim)
     val cands = ivfAssign(corpus, id, vec, ivfCentroids)
       .join(pqEncode(corpus, id, vec, pqCentroids, m, subDim), Seq(id))
       .select(col(id).as("cand_id"), col("cell"), col("codes"))
     val scored = cands.join(broadcast(probed), Seq("cell"))
       .join(broadcast(dtab), Seq("query_id"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("adist", round(expr(
-        s"""aggregate(sequence(1, $m), 0D, (acc, j) ->
-            acc + element_at(element_at(dtab, j - 1),
-                  element_at(codes, j)))"""), 6))
+      .withColumn("adist", round(adcSumExpr(m, dense), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

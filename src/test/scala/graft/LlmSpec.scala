@@ -145,6 +145,24 @@ class LlmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).sortBy(t => (t._1, t._4))
     assert(key(topSparse) === key(top))
+    // path selection: dense 0-based ids take the O(1) indexed-array
+    // ADC table; sparse ids fall back to the value-keyed map. Both
+    // sum the same distances in the same order (equality above).
+    // optimizedPlan, not executedPlan: AQE defers the broadcast
+    // subtree holding the ADC-table aggregate out of the physical
+    // string until runtime
+    val densePlan = Similarity.pqTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", cents,
+      m = 4, subDim = 16, k = 4)
+      .queryExecution.optimizedPlan.toString
+    val sparsePlan = Similarity.pqTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", sparse,
+      m = 4, subDim = 16, k = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!densePlan.contains("map_from_entries"),
+      densePlan.take(400))
+    assert(sparsePlan.contains("map_from_entries"),
+      sparsePlan.take(400))
   }
 
   test("span dedup: cross-doc and intra-doc repeats found, interval union exact") {
