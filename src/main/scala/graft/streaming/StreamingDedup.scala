@@ -369,4 +369,23 @@ object StreamingDedup {
         size(col("bpe_tokens")).cast("long"))
       .drop("__bpe_ms", "__bpe_words")
   }
+
+  /** Streaming MIXTURE ACCOUNTING: live per-(event-time window,
+    * source) token totals over [[tokenizerStage]]'s counts — the
+    * input the temperature/mixture reweighting and token-budget
+    * operators consume, maintained as the corpus feed arrives. One
+    * watermarked windowed aggregation over the stateless tokenizer
+    * stage: state is ONE running sum per (window, source) inside the
+    * watermark horizon (sources × windows rows — bounded, tiny),
+    * evicted as event time passes. Batch parity: the same
+    * `window()`/`sum` on a static frame (spec-pinned).
+    */
+  def mixAccountingStage(docs: DataFrame, text: String, ts: String,
+      source: String, merges: Seq[TextAnalysis.BpeMerge],
+      windowLen: String = "7 days",
+      watermark: String = "10 days"): DataFrame =
+    tokenizerStage(docs, text, merges)
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), windowLen).as("win"), col(source))
+      .agg(sum(col("n_bpe_tokens")).as("n_tokens"))
 }

@@ -578,6 +578,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_._1 != 3L).toSeq === applied.toSeq)
   }
 
+  test("streaming mixture accounting equals the batch windowed " +
+      "token sums") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      (1L, "web", t("2024-01-01 00:00:00"), "abc abc ab de de"),
+      (2L, "web", t("2024-01-02 00:00:00"), "banana band"),
+      (3L, "code", t("2024-01-01 12:00:00"), "ab de"),
+      (4L, "web", t("2024-01-09 00:00:00"), "bandana abc"),
+      (5L, "code", t("2024-01-10 00:00:00"), "de de de"))
+    val ref = corpus.toDF("doc_id", "source", "ts", "text")
+    val merges = TextAnalysis.bpeFitMerges(ref, "text",
+      rounds = 2, batch = 2)
+    val dir = java.nio.file.Files.createTempDirectory("mx_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mx_ck").toString
+    corpus.take(3).toDF("doc_id", "source", "ts", "text")
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.mixAccountingStage(stream, "text", "ts",
+      "source", merges)
+      .writeStream.format("memory").queryName("mx_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    corpus.drop(3).toDF("doc_id", "source", "ts", "text")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mx_out")
+      .select(col("win.start").cast("string"), col("source"),
+        col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted
+    val batch = StreamingDedup.tokenizerStage(ref, "text", merges)
+      .groupBy(window(col("ts"), "7 days").as("win"), col("source"))
+      .agg(sum(col("n_bpe_tokens")).as("n_tokens"))
+      .select(col("win.start").cast("string"), col("source"),
+        col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+    // state shape sanity: one row per (window, source)
+    assert(streamed.map(x => (x._1, x._2)).distinct.length ===
+      streamed.length)
+  }
+
   test("mapGroupsWithState running totals") {
     val ds = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDS()
     val out = StreamingResample.runningTotals(ds).collect()
