@@ -346,6 +346,20 @@ object LlmQueries {
         "text")
         .orderBy("source")
     }),
+    // diagnostic twin of mix_temperature carrying ONLY the integer
+    // token counts (no float op anywhere): if the driver ever
+    // disagrees on mix_temperature again, this row isolates whether
+    // the divergence is in the tokenization input or the arithmetic
+    "mix_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.groupBy(col("source"))
+        .agg(sum(size(expr(
+          "filter(split(lower(text), ' '), t -> t != '')"))
+          .cast("long")).as("n_tokens"),
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("source")
+    }),
     // banded-LSH recall/precision vs exact all-pairs Jaccard truth on
     // a fixed 200-doc sample — the text-side ann_recall: the two
     // numbers that justify the (bands × rows) configuration
@@ -1914,6 +1928,13 @@ object LlmQueries {
     // correctly-rounded multiply + exact floor), then every division
     // is integer division — no round(DOUBLE), no double→decimal
     // cast, so no engine-build rounding semantics can flip a cell.
+    "mix_tokens" ->
+      """SELECT source,
+        |  sum(CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t != '')) AS BIGINT)) AS n_tokens,
+        |  count(*) AS n_docs,
+        |  sum(CAST(length(text) AS BIGINT)) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "mix_temperature" ->
       """WITH s0 AS (
         |  SELECT source,
