@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -516,6 +516,57 @@ case class PolyHashString(child: Expression)
       : PolyHashString = copy(child = newChild)
 }
 
+object BpeFold {
+  /** The BPE merge fold — for each rule (a, b) in order, the
+    * doubled-delimiter triple-replace on the space-delimited symbol
+    * string: `replace(replace(replace(s, " ", "  "), " a  b ",
+    * " ab "), "  ", " ")`. Literal, non-overlapping, left-to-right
+    * replacement in every engine (Java String.replace, Spark
+    * StringReplace, DuckDB replace) — the native loop is
+    * string-identical to the SQL HOF fold the oracles replay, just
+    * compiled: the HOF walks an interpreted lambda per merge with
+    * three fresh column-expression evaluations per step, which made
+    * the fold the dominant cost of the BPE apply path.
+    */
+  def compute(repr: UTF8String,
+      ms: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    var s = repr.toString
+    val n = ms.numElements()
+    var i = 0
+    while (i < n) {
+      val m = ms.getStruct(i, 2)
+      val a = m.getUTF8String(0).toString
+      val b = m.getUTF8String(1).toString
+      s = s.replace(" ", "  ")
+        .replace(" " + a + "  " + b + " ", " " + a + b + " ")
+        .replace("  ", " ")
+      i += 1
+    }
+    UTF8String.fromString(s)
+  }
+}
+
+/** string BPE merge fold of a space-delimited symbol string over an
+  * array<struct<a:string,b:string>> of ordered merge rules.
+  */
+case class BpeFoldExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType,
+    ArrayType(StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))))
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(repr: Any, ms: Any): Any =
+    BpeFold.compute(repr.asInstanceOf[UTF8String],
+      ms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (r, m) => s"graft.llm.BpeFold.compute($r, $m)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BpeFoldExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object PolyHashColumns {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def shingleHashes(c: Column, n: Int = HashConstants.shingleSize): Column =
@@ -538,4 +589,6 @@ object PolyHashColumns {
     column(PolyHashTokensNonEmpty(expression(c)))
   def ngramFoldHashes(c: Column, n: Int): Column =
     column(NgramFoldHashesExpr(expression(c), n))
+  def bpeFold(repr: Column, ms: Column): Column =
+    column(BpeFoldExpr(expression(repr), expression(ms)))
 }

@@ -700,13 +700,8 @@ object TextAnalysis {
       val bestRow = best.agg(collect_list(
         struct(col("a"), col("b"))).as("__ms"))
       vocab = vocab.crossJoin(broadcast(bestRow))
-        .withColumn("repr", expr(
-          """aggregate(__ms, repr, (acc, m) -> replace(
-               replace(
-                 replace(acc, ' ', '  '),
-                 concat(' ', m.a, '  ', m.b, ' '),
-                 concat(' ', m.a, m.b, ' ')),
-               '  ', ' '))"""))
+        .withColumn("repr", graft.llm.PolyHashColumns
+          .bpeFold(col("repr"), col("__ms")))
         .drop("__ms")
         .localCheckpoint()
     }
@@ -848,13 +843,8 @@ object TextAnalysis {
         // rewrite is bpeApply's doubled-delimiter triple-replace
         vocab = vocab
           .withColumn("__bpe_ms", typedlit(ms))
-          .withColumn("repr", expr(
-            """aggregate(__bpe_ms, repr, (acc, m) -> replace(
-                 replace(
-                   replace(acc, ' ', '  '),
-                   concat(' ', m.a, '  ', m.b, ' '),
-                   concat(' ', m.a, m.b, ' ')),
-                 '  ', ' '))"""))
+          .withColumn("repr", graft.llm.PolyHashColumns
+            .bpeFold(col("repr"), col("__bpe_ms")))
           .drop("__bpe_ms")
           .localCheckpoint()
       }
@@ -876,15 +866,12 @@ object TextAnalysis {
       s"filter(split(lower($text), ' '), t -> t != '')")
     val perWord = df.select(explode(wordsOf).as("word")).distinct()
       .withColumn("__bpe_ms", typedlit(merges))
-      .withColumn("__toks", expr(
-        """filter(split(aggregate(__bpe_ms,
-             concat(' ', regexp_replace(word, '([^ ])', '$1 ')),
-             (acc, m) -> replace(
-               replace(
-                 replace(acc, ' ', '  '),
-                 concat(' ', m.a, '  ', m.b, ' '),
-                 concat(' ', m.a, m.b, ' ')),
-               '  ', ' ')), ' '), x -> x != '')"""))
+      .withColumn("__folded", graft.llm.PolyHashColumns.bpeFold(
+        concat(lit(" "),
+          regexp_replace(col("word"), "([^ ])", "$1 ")),
+        col("__bpe_ms")))
+      .withColumn("__toks",
+        expr("filter(split(__folded, ' '), x -> x != '')"))
       .select(col("word"), col("__toks"))
     df.select(col(id), posexplode(wordsOf).as(Seq("__pos", "word")))
       .join(broadcast(perWord), Seq("word"))

@@ -584,6 +584,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BpeFold: native merge fold == HOF triple-replace fold on " +
+      "random words and merge tables") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val syms = Seq("a", "b", "c", "ab", "bc", "na", "ban", "x")
+    for (_ <- 1 to 60) {
+      val word = Seq.fill(1 + rnd.nextInt(10))(
+        ('a' + rnd.nextInt(4)).toChar).mkString
+      val ms = Seq.fill(rnd.nextInt(6))(graft.llm.TextAnalysis
+        .BpeMerge(syms(rnd.nextInt(syms.length)),
+          syms(rnd.nextInt(syms.length))))
+      val df = Seq(Tuple1(word)).toDF("word")
+        .withColumn("__ms", typedlit(ms))
+        .withColumn("repr", concat(lit(" "),
+          regexp_replace(col("word"), "([^ ])", "$1 ")))
+      val native = df.select(graft.llm.PolyHashColumns
+        .bpeFold(col("repr"), col("__ms")).as("r"))
+        .collect().head.getString(0)
+      val hof = df.select(expr(
+        """aggregate(__ms, repr, (acc, m) -> replace(
+             replace(
+               replace(acc, ' ', '  '),
+               concat(' ', m.a, '  ', m.b, ' '),
+               concat(' ', m.a, m.b, ' ')),
+             '  ', ' '))""").as("r"))
+        .collect().head.getString(0)
+      assert(native === hof, s"word=$word ms=$ms")
+    }
+  }
+
   test("JPEG codec: dimensions exact, channel means inside the ±16 " +
       "lossy band on random rasters") {
     import graft.llm.Multimodal._
