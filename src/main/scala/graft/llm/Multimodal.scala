@@ -647,6 +647,209 @@ object Multimodal {
       "duration_ms", "roundtrip_ok")
   }
 
+  // ---- G.711 companded audio (μ-law / A-law) ---------------------
+
+  /** G.711 μ-law compress: 16-bit PCM → 8-bit logarithmic code (the
+    * ITU-T telephony codec; RIFF format tag 7). Pure integer
+    * arithmetic — clamp to 32635, add the 0x84 bias, locate the
+    * segment from the top set bit, keep a 4-bit mantissa,
+    * complement. 2:1 LOSSY compression whose quantizer is
+    * nevertheless fully deterministic integer math, which is what
+    * lets a lossy codec carry a BIT-EXACT oracle (contrast the
+    * DCT-based [[encodeJpeg]], whose contract is a tolerance band).
+    */
+  def muLawEncode(pcm: Short): Byte = {
+    val x = pcm.toInt
+    val sign = if (x < 0) 0x80 else 0
+    val m = math.min(math.abs(x), 32635) + 132
+    val exp = 31 - Integer.numberOfLeadingZeros(m) - 7
+    val mant = (m >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant) & 0xff).toByte
+  }
+
+  /** G.711 μ-law expand — the exact integer inverse-quantizer:
+    * `±(((8·mant+132)·2^exp)−132)`. encode∘decode is the identity on
+    * every code except 0x7F ("negative zero", which collapses to 0
+    * and re-encodes as 0xFF — a documented G.711 fact, spec-pinned).
+    */
+  def muLawDecode(code: Byte): Short = {
+    val c = ~code & 0xff
+    val exp = (c >> 4) & 0x07
+    val mant = c & 0x0f
+    val mag = (((mant << 3) + 132) << exp) - 132
+    (if ((c & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** G.711 A-law compress (RIFF format tag 6): 13-bit magnitude,
+    * 8-segment log quantizer, 0x55 even-bit toggle. Same
+    * deterministic-integer property as [[muLawEncode]].
+    */
+  def aLawEncode(pcm: Short): Byte = {
+    val x = pcm.toInt
+    val mask = if (x >= 0) 0xd5 else 0x55
+    val m = (if (x >= 0) x else -x - 1) >> 3
+    val seg =
+      if (m > 0xfff) 8
+      else if (m > 0x7ff) 7 else if (m > 0x3ff) 6
+      else if (m > 0x1ff) 5 else if (m > 0xff) 4
+      else if (m > 0x7f) 3 else if (m > 0x3f) 2
+      else if (m > 0x1f) 1 else 0
+    if (seg >= 8) ((0x7f ^ mask) & 0xff).toByte
+    else {
+      val aval = (seg << 4) |
+        (if (seg < 2) (m >> 1) & 0x0f else (m >> seg) & 0x0f)
+      ((aval ^ mask) & 0xff).toByte
+    }
+  }
+
+  /** G.711 A-law expand. Unlike μ-law, A-law has no ±0 collapse —
+    * encode∘decode is the identity on ALL 256 codes (spec-pinned).
+    */
+  def aLawDecode(code: Byte): Short = {
+    val c = (code ^ 0x55) & 0xff
+    val seg = (c & 0x70) >> 4
+    var t = (c & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= (seg - 1) }
+    (if ((c & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Encode mono PCM as a REAL COMPRESSED RIFF/WAVE file — format
+    * tag 7 (G.711 μ-law) or 6 (A-law): the 18-byte fmt chunk
+    * (cbSize=0) plus the `fact` chunk (decoded sample count) that
+    * non-PCM WAVE formats carry, then one code byte per sample —
+    * 2:1 compression vs [[encodeWav]]. Layout is fixed 58-byte
+    * header + n data bytes.
+    */
+  def encodeWavG711(audio: DecodedAudio, aLaw: Boolean = false): Array[Byte] = {
+    val n = audio.samples.length
+    val out = new Array[Byte](58 + n)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(i => out(off + i) = s.charAt(i).toByte)
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def put16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    putTag(0, "RIFF"); put32(4, 50 + n); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 18)
+    put16(20, if (aLaw) 6 else 7)      // WAVE_FORMAT_ALAW / MULAW
+    put16(22, 1)                       // mono
+    put32(24, audio.sampleRate)
+    put32(28, audio.sampleRate)        // byte rate (1 byte/sample)
+    put16(32, 1)                       // block align
+    put16(34, 8)                       // bits per code
+    put16(36, 0)                       // cbSize
+    putTag(38, "fact"); put32(42, 4); put32(46, n)
+    putTag(50, "data"); put32(54, n)
+    var i = 0
+    while (i < n) {
+      out(58 + i) =
+        if (aLaw) aLawEncode(audio.samples(i))
+        else muLawEncode(audio.samples(i))
+      i += 1
+    }
+    out
+  }
+
+  /** REAL parser for G.711-compressed RIFF/WAVE: same generic
+    * chunk walk as [[decodeWav]] but requires format tag 6 or 7,
+    * mono, 8-bit codes, and EXPANDS each code byte back to 16-bit
+    * PCM through the exact inverse quantizer. None for malformed or
+    * uncompressed-PCM input (that is [[decodeWav]]'s contract).
+    */
+  def decodeWavG711(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes.length < 46) return None
+    def tag(off: Int): String =
+      new String(bytes.slice(off, off + 4), "US-ASCII")
+    def get32(off: Int): Int = (0 until 4).map(i =>
+      (bytes(off + i) & 0xff) << (8 * i)).sum
+    def get16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var aLaw = false
+    var ok = false
+    var data: Option[Array[Short]] = None
+    while (off + 8 <= bytes.length && data.isEmpty) {
+      val id = tag(off)
+      val len = get32(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val fmt = get16(off + 8)
+        val ch = get16(off + 10)
+        rate = get32(off + 12)
+        val bits = get16(off + 22)
+        aLaw = fmt == 6
+        ok = (fmt == 6 || fmt == 7) && ch == 1 && bits == 8 && rate > 0
+      } else if (id == "data") {
+        if (!ok) return None
+        val s = new Array[Short](len)
+        var i = 0
+        while (i < len) {
+          s(i) =
+            if (aLaw) aLawDecode(bytes(off + 8 + i))
+            else muLawDecode(bytes(off + 8 + i))
+          i += 1
+        }
+        data = Some(s)
+      }
+      off += 8 + len + (len & 1)
+    }
+    data.map(DecodedAudio(rate, _))
+  }
+
+  /** The COMPRESSED-audio twin of [[wavPipeline]]: the same
+    * codepoint-derived 64-sample PCM clip, compressed 2:1 through the
+    * REAL G.711 μ-law WAVE codec ([[encodeWavG711]]), expanded back
+    * ([[decodeWavG711]]), then feature-extracted on the
+    * RECONSTRUCTED signal — energy, peak, zero crossings — plus the
+    * max/total quantization error vs the original. Every hashed
+    * column is a BIGINT computed in pure integer arithmetic on both
+    * engines (the μ-law quantizer is deterministic integer math), so
+    * this LOSSY codec carries a bit-exact oracle — no float enters
+    * the contract. `roundtrip_ok` asserts the lossy fixed point per
+    * row: re-encoding the reconstruction reproduces the compressed
+    * bytes exactly, and the parser accepted rate/format/layout.
+    */
+  def ulawPipeline(df: DataFrame, text: String, id: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 64).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val s = Array.tabulate(64) { j =>
+        val v = if (j < cps.length) cps(j) % 256 else 0
+        ((v - 128) * 256).toShort
+      }
+      val wav = encodeWavG711(DecodedAudio(8000, s))
+      val dec = decodeWavG711(wav).get
+      val rec = dec.samples
+      var ss = 0L; var peak = 0L; var zc = 0L
+      var maxErr = 0L; var sumErr = 0L
+      var j = 0
+      while (j < 64) {
+        val x = rec(j).toLong
+        ss += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (j > 0 && x * rec(j - 1).toLong < 0) zc += 1
+        val e = math.abs(x - s(j).toLong)
+        if (e > maxErr) maxErr = e
+        sumErr += e
+        j += 1
+      }
+      val again = encodeWavG711(DecodedAudio(dec.sampleRate, rec))
+      val ok = dec.sampleRate == 8000 && wav.length == 58 + 64 &&
+        java.util.Arrays.equals(again, wav)
+      (docId, wav.length.toLong, ss, peak, zc, maxErr, sumErr, ok)
+    }.toDF("doc_id", "n_bytes", "sumsq_recon", "peak_recon",
+      "zero_crossings", "max_abs_err", "sum_abs_err", "roundtrip_ok")
+  }
+
   /** The VIDEO twin: the doc's first 768 codepoints become FOUR 8×8
     * frames (the [[bmpPipeline]] raster rule per 192-codepoint
     * slice), encoded as a REAL animated GIF89a ([[encodeGif]] — the

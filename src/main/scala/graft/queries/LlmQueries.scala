@@ -834,6 +834,16 @@ object LlmQueries {
       Multimodal.wavPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // COMPRESSED-audio twin: the same PCM clip through the REAL
+    // G.711 μ-law WAVE codec (format tag 7, 2:1 lossy) and back;
+    // features on the reconstruction plus quantization error — every
+    // hashed column pure-integer BIGINT on both engines, so the
+    // lossy codec carries a bit-exact oracle (the μ-law quantizer is
+    // deterministic integer math, unlike DCT-based JPEG)
+    "multimodal_ulaw" -> ((s, d) => {
+      Multimodal.ulawPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -3048,6 +3058,45 @@ object LlmQueries {
         |  CAST(8.0 AS DOUBLE) AS duration_ms,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
+    // G.711 μ-law is deterministic INTEGER quantization, so the
+    // oracle replays the exact compress/expand chain: m = clamped
+    // magnitude + 132 bias, segment = top-set-bit CASE ladder,
+    // reconstruction ((8·mant+132)·2^seg)−132 — all BIGINT, no float
+    // anywhere in a hashed column (the mix_temperature lesson).
+    "multimodal_ulaw" ->
+      """WITH b AS (
+        |  SELECT doc_id, j,
+        |    CAST(((CASE WHEN j + 1 <= length(text)
+        |      THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |      ELSE 0 END) - 128) * 256 AS BIGINT) AS x
+        |  FROM documents, range(0, 64) r(j)),
+        |f AS (
+        |  SELECT doc_id, j, x, m,
+        |    CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |         WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |         WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |         WHEN m >= 256 THEN 1 ELSE 0 END AS seg
+        |  FROM (SELECT doc_id, j, x,
+        |          least(abs(x), 32635) + 132 AS m FROM b)),
+        |g AS (
+        |  SELECT doc_id, j, x,
+        |    (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+        |      * ((((m >> (seg + 3)) & 15) * 8 + 132) * (1 << seg)
+        |         - 132) AS rec
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, j, x, rec,
+        |    lag(rec) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |  FROM g)
+        |SELECT doc_id, CAST(122 AS BIGINT) AS n_bytes,
+        |  CAST(sum(rec * rec) AS BIGINT) AS sumsq_recon,
+        |  CAST(max(abs(rec)) AS BIGINT) AS peak_recon,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND rec * prev < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(rec - x)) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(abs(rec - x)) AS BIGINT) AS sum_abs_err,
+        |  TRUE AS roundtrip_ok
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (
          |  SELECT doc_id, $piiAugmentSql AS aug FROM documents)

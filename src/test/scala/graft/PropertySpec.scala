@@ -584,6 +584,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("G.711 codecs: code idempotency, error bounds, compressed-WAV " +
+      "container roundtrip") {
+    import graft.llm.Multimodal._
+    // μ-law: encode∘decode is the identity on every code except
+    // 0x7F (negative zero), which collapses to 0 → 0xFF
+    for (c <- 0 until 256 if c != 0x7f) {
+      val b = c.toByte
+      assert(muLawEncode(muLawDecode(b)) === b, f"ulaw code $c%02x")
+    }
+    assert(muLawDecode(0x7f.toByte) === 0.toShort)
+    assert(muLawEncode(0.toShort) === 0xff.toByte)
+    // public G.711 table anchors
+    assert(muLawDecode(0x00.toByte) === (-32124).toShort)
+    assert(muLawDecode(0x80.toByte) === 32124.toShort)
+    // A-law: no ±0 collapse — ALL 256 codes idempotent
+    for (c <- 0 until 256) {
+      val b = c.toByte
+      assert(aLawEncode(aLawDecode(b)) === b, f"alaw code $c%02x")
+    }
+    // quantization-error bounds over the entire 16-bit input range
+    var x = Short.MinValue.toInt
+    while (x <= Short.MaxValue) {
+      val s = x.toShort
+      assert(math.abs(muLawDecode(muLawEncode(s)) - x) <= 644,
+        s"ulaw err at $x")
+      assert(math.abs(aLawDecode(aLawEncode(s)) - x) <= 512,
+        s"alaw err at $x")
+      x += 1
+    }
+    // compressed-WAVE container: decode = per-code expansion, rate
+    // kept, and the lossy fixed point (re-encode == same bytes)
+    for (aLaw <- Seq(false, true); _ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(300)
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val rate = 1 + rnd.nextInt(48000)
+      val wav = encodeWavG711(DecodedAudio(rate, s), aLaw)
+      assert(wav.length === 58 + n)
+      val dec = decodeWavG711(wav).get
+      assert(dec.sampleRate === rate)
+      val expect = s.map(v =>
+        if (aLaw) aLawDecode(aLawEncode(v)) else muLawDecode(muLawEncode(v)))
+      assert(dec.samples.toSeq === expect.toSeq)
+      assert(encodeWavG711(DecodedAudio(rate, dec.samples), aLaw)
+        .toSeq === wav.toSeq)
+      // format firewalls: the PCM parser rejects G.711 and vice versa
+      assert(decodeWav(wav).isEmpty)
+      assert(decodeWavG711(encodeWav(DecodedAudio(rate, s))).isEmpty)
+    }
+  }
+
   test("BpeFold: native merge fold == HOF triple-replace fold on " +
       "random words and merge tables") {
     val spark = TestSpark.spark
