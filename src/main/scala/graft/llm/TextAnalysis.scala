@@ -583,6 +583,75 @@ object TextAnalysis {
       .drop("__cs", "__nt", "__awl", "__sym", "__swr")
   }
 
+  /** Gopher REPETITION signals — the within-document family the
+    * composite [[gopherRules]] gate does not cover (Rae et al. 2021,
+    * Table A1; the Dolma/RedPajama repetition filters): duplicate-
+    * line fraction, duplicate-line CHARACTER fraction, and the
+    * character coverage of the single most-repeated word 2-gram and
+    * 3-gram. Every hashed column is an integer — fractions ship as
+    * parts-per-million BIGINTs from pure integer division, so no
+    * float/rounding semantics enter the contract.
+    *
+    * Scale shape: line and n-gram occurrences EXPLODE to rows and
+    * aggregate by (doc_id, gram) — corpus-proportional with map-side
+    * combine, never the O(distinct×occurrences) per-row HOF scan a
+    * list-based form would cost on a long document. All four
+    * aggregates key on doc_id, so AQE reuses one hash partitioning
+    * for the joins. Coverage of the TOP gram is
+    * `max(count · nonspace_chars)` — deterministic without a
+    * cross-engine tiebreak on equal counts. (Union coverage of ALL
+    * duplicated n-grams at corpus grain is [[Dedup.spanDedupStats]];
+    * this is the row-grain Gopher gate input.)
+    */
+  def docRepetition(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val d = df.select(col(id).cast("long").as("doc_id"),
+      col(text).as("__t"))
+    val base = d.select(col("doc_id"))
+    val lines = d
+      .select(col("doc_id"), explode(expr(
+        "filter(split(__t, '\n'), l -> l != '')")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_lines"),
+        sum(col("c") - 1).as("n_dup"),
+        sum((col("c") - 1) * length(col("line"))).as("dup_chars"),
+        sum(col("c") * length(col("line"))).as("tot_chars"))
+    val toks = d.select(col("doc_id"),
+      expr("filter(split(lower(__t), ' '), t -> t != '')").as("tk"))
+    val wchars = toks.select(col("doc_id"),
+      expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("wchars"))
+    def topCover(n: Int) = toks
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= $n
+            THEN transform(sequence(1, size(tk) - ${n - 1}),
+                 i -> concat_ws(' ', slice(tk, i, $n)))
+            ELSE array() END""")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c") * (length(col("gram")) - (n - 1)))
+          .as(s"top${n}_cover"))
+    base
+      .join(lines, Seq("doc_id"), "left")
+      .join(wchars, Seq("doc_id"), "left")
+      .join(topCover(2), Seq("doc_id"), "left")
+      .join(topCover(3), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        expr("""CASE WHEN n_lines > 0
+                THEN n_dup * 1000000L div n_lines
+                ELSE 0L END""").as("dup_line_ppm"),
+        expr("""CASE WHEN tot_chars > 0
+                THEN dup_chars * 1000000L div tot_chars
+                ELSE 0L END""").as("dup_char_ppm"),
+        expr("""CASE WHEN wchars > 0 AND top2_cover IS NOT NULL
+                THEN top2_cover * 1000000L div wchars
+                ELSE 0L END""").as("top2_ppm"),
+        expr("""CASE WHEN wchars > 0 AND top3_cover IS NOT NULL
+                THEN top3_cover * 1000000L div wchars
+                ELSE 0L END""").as("top3_ppm"))
+  }
+
   /** Per-domain document cap: keep at most `n` rows per `domain`,
     * highest `priority` first (ties broken by ascending `id` for
     * determinism). The corpus-rebalancing stage that stops one crawl

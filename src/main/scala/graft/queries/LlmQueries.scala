@@ -884,6 +884,15 @@ object LlmQueries {
           "rule_symbols", "rule_stopwords", "keep")
         .orderBy("doc_id")
     }),
+    // Gopher REPETITION signals (the within-doc family gopher_rules
+    // doesn't cover): duplicate-line fraction/characters and top
+    // 2/3-gram character coverage — all-integer ppm contract,
+    // explode+aggregate shape (never a per-row O(distinct×n) HOF)
+    "doc_repetition" -> ((s, d) => {
+      TextAnalysis.docRepetition(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("doc_id")
+    }),
     // the SQL-extension surface end to end: every graft_* function
     // GraftExtensions registers, exercised through spark.sql over a
     // path-scoped table (no temp view — keeps the shared Verify/Bench
@@ -3142,6 +3151,60 @@ object LlmQueries {
          |  FROM q)
          |SELECT doc_id, source, quality FROM r WHERE rk <= 10
          |ORDER BY doc_id""".stripMargin,
+    // integer ppm mirror of docRepetition: every fraction is a
+    // BIGINT floor-division — no float in any hashed column
+    "doc_repetition" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(text, chr(10)), x -> x != '')) AS line
+        |  FROM d),
+        |lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+        |la AS (
+        |  SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup,
+        |    sum((c - 1) * length(line)) AS dup_chars,
+        |    sum(c * length(line)) AS tot_chars
+        |  FROM lc GROUP BY 1),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    t -> t != '') AS tk FROM d),
+        |w AS (
+        |  SELECT doc_id, list_sum(list_transform(tk, t -> length(t)))
+        |    AS wchars FROM tk),
+        |g2c AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS gram
+        |    FROM tk WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |g2a AS (SELECT doc_id, max(c * (length(gram) - 1)) AS top2
+        |  FROM g2c GROUP BY 1),
+        |g3c AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+        |      AS gram
+        |    FROM tk WHERE len(tk) >= 3) GROUP BY 1, 2),
+        |g3a AS (SELECT doc_id, max(c * (length(gram) - 2)) AS top3
+        |  FROM g3c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(CASE WHEN n_lines > 0
+        |    THEN n_dup * 1000000 // n_lines ELSE 0 END AS BIGINT)
+        |    AS dup_line_ppm,
+        |  CAST(CASE WHEN tot_chars > 0
+        |    THEN dup_chars * 1000000 // tot_chars ELSE 0 END AS BIGINT)
+        |    AS dup_char_ppm,
+        |  CAST(CASE WHEN wchars > 0 AND top2 IS NOT NULL
+        |    THEN top2 * 1000000 // wchars ELSE 0 END AS BIGINT)
+        |    AS top2_ppm,
+        |  CAST(CASE WHEN wchars > 0 AND top3 IS NOT NULL
+        |    THEN top3 * 1000000 // wchars ELSE 0 END AS BIGINT)
+        |    AS top3_ppm
+        |FROM d LEFT JOIN la USING (doc_id) LEFT JOIN w USING (doc_id)
+        |  LEFT JOIN g2a USING (doc_id) LEFT JOIN g3a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "gopher_rules" ->
       s"""WITH st AS (
          |  SELECT doc_id,

@@ -893,6 +893,29 @@ class LlmSpec extends AnyFunSuite {
     assert(!out(1).getBoolean(1) && !out(1).getBoolean(2))
   }
 
+  test("docRepetition: dup-line and top-gram ppm, hand-computed") {
+    val df = Seq(
+      (1L, "x y\nx y\nz"),      // "x y" duplicated: 1 of 3 lines
+      (2L, "ab ab ab cd"),      // "ab ab" ×2 covers 8 of 8 word chars
+      (3L, "hi"))               // no 2-grams at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docRepetition(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 1: n_dup=1/3 lines → 333333; dup chars 3 of 7 → 428571
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === 333333L)
+    assert(out(0).getLong(3) === 428571L)
+    // doc 2: top 2-gram "ab ab" c=2, 4 nonspace chars → 8/8 wchars;
+    // top 3-gram c=1, 6 chars → 6/8
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getLong(2) === 0L)
+    assert(out(1).getLong(4) === 1000000L)
+    assert(out(1).getLong(5) === 750000L)
+    // doc 3: no grams → ppm 0, not null
+    assert(out(2).getLong(4) === 0L)
+    assert(out(2).getLong(5) === 0L)
+  }
+
   test("capPerDomain keeps top-n by priority with deterministic ties") {
     val df = Seq(
       (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
