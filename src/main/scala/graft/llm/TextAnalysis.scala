@@ -652,6 +652,56 @@ object TextAnalysis {
                 ELSE 0L END""").as("top3_ppm"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each doc
+    * with the log-likelihood ratio `log p_target(x) − log p_raw(x)`
+    * under add-1-smoothed bag-of-hashed-token models fitted on the
+    * `domain == target` docs vs the rest of the corpus — the
+    * published hashed-n-gram data-selection recipe. Ranking by this
+    * score and resampling is the selection step
+    * ([[weightedSample]] is the reproducible resampling half).
+    *
+    * Scale shape: the FIT is one explode+aggregate pass (map-side
+    * combine on (side, bucket), 2×dim rows) collapsed to a single
+    * row that rides into the scoring projection as a BROADCAST
+    * scalar — so scoring is row-local and adds zero shuffle at any
+    * corpus size; refitting streams one aggregate over the corpus.
+    * The score folds buckets in index order on both engines and is
+    * rounded to 6dp — the established cross-engine `ln()` grain
+    * (bigram_lm_score precedent); counts and totals stay integers
+    * until the final division.
+    */
+  def dsirWeights(df: DataFrame, text: String, id: String,
+      domain: String, target: String, dim: Int = 32): DataFrame = {
+    val th = df
+      .select(col(id).cast("long").as("doc_id"),
+        (col(domain) === target).as("__is_t"),
+        Dedup.contentTokenHashesExpr(text).as("__th"))
+      .filter(size(col("__th")) > 0)
+      .withColumn("__cnt",
+        PolyHashColumns.featureHashCounts(col("__th"), dim))
+    val perBucket = th
+      .select(col("__is_t"), posexplode(col("__cnt")).as(Seq("b", "v")))
+      .groupBy("__is_t", "b").agg(sum(col("v")).cast("long").as("v"))
+    val fitted = perBucket.groupBy("__is_t").agg(
+      expr("transform(sort_array(collect_list(struct(b, v))), s -> s.v)")
+        .as("vs"),
+      sum(col("v")).as("tot"))
+    val consts = fitted.agg(
+      max(when(col("__is_t"), col("vs"))).as("tv"),
+      max(when(col("__is_t"), col("tot"))).as("tt"),
+      max(when(!col("__is_t"), col("vs"))).as("rv"),
+      max(when(!col("__is_t"), col("tot"))).as("rt"))
+    th.crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("__is_t").as("is_target"),
+        round(expr(
+          s"""aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE),
+              (acc, b) -> acc + element_at(__cnt, b + 1) *
+                (ln((element_at(tv, b + 1) + 1) / (tt + $dim))
+                 - ln((element_at(rv, b + 1) + 1) / (rt + $dim))))"""),
+          6).as("dsir_score"))
+  }
+
   /** Per-domain document cap: keep at most `n` rows per `domain`,
     * highest `priority` first (ties broken by ascending `id` for
     * determinism). The corpus-rebalancing stage that stops one crawl

@@ -893,6 +893,15 @@ object LlmQueries {
         "doc_id")
         .orderBy("doc_id")
     }),
+    // DSIR importance weights: log-likelihood ratio between add-1
+    // hashed-token models fitted on the src0 docs vs the rest — the
+    // published importance-resampling data-selection score; fit is
+    // one aggregate collapsed to a broadcast row, scoring row-local
+    "dsir_weights" -> ((s, d) => {
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "text", "doc_id",
+        "source", "src0")
+        .orderBy("doc_id")
+    }),
     // the SQL-extension surface end to end: every graft_* function
     // GraftExtensions registers, exercised through spark.sql over a
     // path-scoped table (no temp view — keeps the shared Verify/Bench
@@ -3151,6 +3160,42 @@ object LlmQueries {
          |  FROM q)
          |SELECT doc_id, source, quality FROM r WHERE rk <= 10
          |ORDER BY doc_id""".stripMargin,
+    // DSIR mirror: identical hash→bucket-count chain, per-side
+    // integer totals via zipped unnests, init-less list_reduce ==
+    // Spark's 0-seeded fold, round(…,6) as the ln() grain
+    "dsir_weights" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, source = 'src0' AS is_target,
+         |    list_transform(
+         |      list_filter(string_split(lower(text), ' '),
+         |        t -> t != ''),
+         |      t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, is_target, list_transform(range(0, 32),
+         |    b -> CAST(len(list_filter(th, h -> h % 32 = b))
+         |         AS BIGINT)) AS cnt
+         |  FROM th WHERE len(th) > 0),
+         |e AS (
+         |  SELECT is_target, b, sum(v) AS v FROM (
+         |    SELECT is_target, unnest(range(0, 32)) AS b,
+         |      unnest(cnt) AS v FROM c) GROUP BY 1, 2),
+         |f AS (
+         |  SELECT is_target, list(CAST(v AS BIGINT) ORDER BY b) AS vs,
+         |    CAST(sum(v) AS BIGINT) AS tot
+         |  FROM e GROUP BY 1),
+         |k AS (
+         |  SELECT max(CASE WHEN is_target THEN vs END) AS tv,
+         |    max(CASE WHEN is_target THEN tot END) AS tt,
+         |    max(CASE WHEN NOT is_target THEN vs END) AS rv,
+         |    max(CASE WHEN NOT is_target THEN tot END) AS rt
+         |  FROM f)
+         |SELECT doc_id, is_target,
+         |  round(list_reduce(list_transform(generate_series(1, 32),
+         |    b -> cnt[b] * (ln((tv[b] + 1) / (tt + 32))
+         |                   - ln((rv[b] + 1) / (rt + 32)))),
+         |    (a, x) -> a + x), 6) AS dsir_score
+         |FROM c, k ORDER BY doc_id""".stripMargin,
     // integer ppm mirror of docRepetition: every fraction is a
     // BIGINT floor-division — no float in any hashed column
     "doc_repetition" ->

@@ -916,6 +916,27 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2).getLong(5) === 0L)
   }
 
+  test("dsirWeights: target-typical docs outscore raw-typical docs") {
+    val df = Seq(
+      (1L, "t", "aaa aaa aaa"), (2L, "t", "aaa aaa"),
+      (3L, "r", "b b b"), (4L, "r", "b b"),
+      (5L, "r", "aaa aaa aaa")) // raw doc with target-typical content
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dsirWeights(df, "text", "doc_id",
+      "source", "t").orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(1)).toSeq ===
+      Seq(true, true, false, false, false))
+    val score = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // likelihood ratio tracks CONTENT, not the domain label: doc 5
+    // scores exactly like doc 1 despite carrying the raw label
+    assert(score(5L) === score(1L))
+    assert(score(1L) > score(3L))
+    assert(score(2L) > score(4L))
+    // more target-typical tokens → monotonically higher score
+    assert(score(1L) > score(2L))
+    assert(score(4L) > score(3L))
+  }
+
   test("capPerDomain keeps top-n by priority with deterministic ties") {
     val df = Seq(
       (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
