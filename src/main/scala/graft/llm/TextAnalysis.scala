@@ -673,21 +673,8 @@ object TextAnalysis {
     */
   def dsirWeights(df: DataFrame, text: String, id: String,
       domain: String, target: String, dim: Int = 32): DataFrame = {
-    val th = df
-      .select(col(id).cast("long").as("doc_id"),
-        (col(domain) === target).as("__is_t"),
-        Dedup.contentTokenHashesExpr(text).as("__th"))
-      .filter(size(col("__th")) > 0)
-      .withColumn("__cnt",
-        PolyHashColumns.featureHashCounts(col("__th"), dim))
-    val perBucket = th
-      .select(col("__is_t"), posexplode(col("__cnt")).as(Seq("b", "v")))
-      .groupBy("__is_t", "b").agg(sum(col("v")).cast("long").as("v"))
-    val fitted = perBucket.groupBy("__is_t").agg(
-      expr("transform(sort_array(collect_list(struct(b, v))), s -> s.v)")
-        .as("vs"),
-      sum(col("v")).as("tot"))
-    val consts = fitted.agg(
+    val th = dsirCounts(df, text, id, domain, target, dim)
+    val consts = dsirFitFrame(th).agg(
       max(when(col("__is_t"), col("vs"))).as("tv"),
       max(when(col("__is_t"), col("tot"))).as("tt"),
       max(when(!col("__is_t"), col("vs"))).as("rv"),
@@ -700,6 +687,93 @@ object TextAnalysis {
                 (ln((element_at(tv, b + 1) + 1) / (tt + $dim))
                  - ln((element_at(rv, b + 1) + 1) / (rt + $dim))))"""),
           6).as("dsir_score"))
+  }
+
+  /** (doc_id, __is_t, __cnt) hashed-bucket count frame shared by the
+    * in-plan [[dsirWeights]] and the collecting [[dsirFit]].
+    */
+  private def dsirCounts(df: DataFrame, text: String, id: String,
+      domain: String, target: String, dim: Int): DataFrame =
+    df.select(col(id).cast("long").as("doc_id"),
+        (col(domain) === target).as("__is_t"),
+        Dedup.contentTokenHashesExpr(text).as("__th"))
+      .filter(size(col("__th")) > 0)
+      .withColumn("__cnt",
+        PolyHashColumns.featureHashCounts(col("__th"), dim))
+      .drop("__th")
+
+  /** Per-side fitted totals: one row per side with the bucket-count
+    * vector (index order) and the grand total.
+    */
+  private def dsirFitFrame(counts: DataFrame): DataFrame =
+    counts
+      .select(col("__is_t"), posexplode(col("__cnt")).as(Seq("b", "v")))
+      .groupBy("__is_t", "b").agg(sum(col("v")).cast("long").as("v"))
+      .groupBy("__is_t").agg(
+        expr("transform(sort_array(collect_list(struct(b, v))), s -> s.v)")
+          .as("vs"),
+        sum(col("v")).as("tot"))
+
+  /** A fitted DSIR model: per-bucket totals + grand totals for the
+    * target and raw sides. 2×dim longs — a plan literal at any
+    * corpus size.
+    */
+  case class DsirModel(tv: Array[Long], tt: Long,
+      rv: Array[Long], rt: Long, dim: Int)
+
+  /** Fit the DSIR model and ship it driver-side (the "fit offline on
+    * a reference corpus" half — [[withDsirScore]] scores any frame,
+    * batch or streaming, with the result as plan literals). One
+    * explode+aggregate pass; collects exactly two rows.
+    */
+  def dsirFit(df: DataFrame, text: String, id: String,
+      domain: String, target: String, dim: Int = 32): DsirModel = {
+    val sides = dsirFitFrame(
+        dsirCounts(df, text, id, domain, target, dim))
+      .collect()
+      .map(r => r.getBoolean(0) ->
+        ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+    require(sides.contains(true) && sides.contains(false),
+      "dsirFit: corpus must contain both target and non-target docs")
+    val (tv, tt) = sides(true)
+    val (rv, rt) = sides(false)
+    DsirModel(tv, tt, rv, rt, dim)
+  }
+
+  /** Column-append scoring half of [[dsirWeights]]: the SAME
+    * embedding + index-order fold (bit-identical expression types, so
+    * scores equal the in-plan fit to the last bit), with the fitted
+    * totals as plan LITERALS — row-local and join-free, so it drops
+    * into a streaming stage
+    * ([[graft.streaming.StreamingDedup.dsirScoreStage]]) or any
+    * batch plan with zero shuffle and zero state. Docs with zero
+    * content tokens are dropped (the model is undefined on them),
+    * matching [[dsirWeights]].
+    */
+  def withDsirScore(df: DataFrame, text: String, model: DsirModel)
+      : DataFrame = {
+    val th = "__dsir_th"; val cnt = "__dsir_cnt"
+    val clash = Seq(th, cnt, "dsir_score").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withDsirScore: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val dim = model.dim
+    require(model.tv.length == dim && model.rv.length == dim,
+      s"withDsirScore: model arrays must have length $dim")
+    val tv = model.tv.mkString("array(", "L, ", "L)")
+    val rv = model.rv.mkString("array(", "L, ", "L)")
+    df.withColumn(th, Dedup.contentTokenHashesExpr(text))
+      .filter(size(col(th)) > 0)
+      .withColumn(cnt,
+        PolyHashColumns.featureHashCounts(col(th), dim))
+      .withColumn("dsir_score", round(expr(
+        s"""aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE),
+            (acc, b) -> acc + element_at($cnt, b + 1) *
+              (ln((element_at($tv, b + 1) + 1)
+                  / (${model.tt}L + $dim))
+               - ln((element_at($rv, b + 1) + 1)
+                    / (${model.rt}L + $dim))))"""), 6))
+      .drop(th, cnt)
   }
 
   /** Per-domain document cap: keep at most `n` rows per `domain`,

@@ -330,6 +330,20 @@ object StreamingDedup {
       dim: Int = 32): DataFrame =
     TextAnalysis.withLrGate(docs, text, dim)
 
+  /** Streaming DSIR-scoring stage: score a live document feed with an
+    * importance model already fitted offline on a reference corpus
+    * ([[TextAnalysis.dsirFit]]) — the data-selection analogue of
+    * [[tokenizerStage]]'s fitted-artifact pattern. The 2×dim fitted
+    * totals ride as plan literals and the bucket fold is row-local
+    * and join-free, so the stage is streaming-safe in any output
+    * mode with zero state and no watermark; scores are bit-identical
+    * to the batch [[TextAnalysis.dsirWeights]] fit on the same
+    * corpus (spec-pinned).
+    */
+  def dsirScoreStage(docs: DataFrame, text: String,
+      model: TextAnalysis.DsirModel): DataFrame =
+    TextAnalysis.withDsirScore(docs, text, model)
+
   /** Streaming TOKENIZER stage: apply an already-fitted BPE merge
     * table ([[TextAnalysis.bpeFitMerges]], fitted offline on a
     * reference corpus) to a live document feed, appending

@@ -937,6 +937,32 @@ class LlmSpec extends AnyFunSuite {
     assert(score(4L) > score(3L))
   }
 
+  test("dsirFit + withDsirScore == dsirWeights bitwise; clash guard") {
+    val df = Seq(
+      (1L, "t", "aaa aaa bbb retail units"), (2L, "t", "aaa ccc"),
+      (3L, "r", "b b zz qq"), (4L, "r", "b mixed aaa tokens"),
+      (5L, "r", ""))
+      .toDF("doc_id", "source", "text")
+    val batch = TextAnalysis.dsirWeights(df, "text", "doc_id",
+      "source", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val model = TextAnalysis.dsirFit(df, "text", "doc_id",
+      "source", "t")
+    assert(model.tv.length === 32 && model.rv.length === 32)
+    assert(model.tv.sum === model.tt && model.rv.sum === model.rt)
+    val scored = TextAnalysis.withDsirScore(df, "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // zero-token doc dropped on both paths; scores equal to the bit
+    assert(scored.keySet === batch.keySet)
+    assert(batch.keySet === Set(1L, 2L, 3L, 4L))
+    scored.foreach { case (id, s) => assert(batch(id) == s, s"doc $id") }
+    val clash = intercept[IllegalArgumentException] {
+      TextAnalysis.withDsirScore(df.withColumn("dsir_score", lit(1)),
+        "text", model)
+    }
+    assert(clash.getMessage.contains("dsir_score"))
+  }
+
   test("capPerDomain keeps top-n by priority with deterministic ties") {
     val df = Seq(
       (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),

@@ -521,6 +521,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (id, _, s, _) => gate(id) == s })
   }
 
+  test("streaming DSIR score stage equals the batch fit; join-free " +
+      "and stateless") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // fit offline on a labeled reference corpus...
+    val ref = Seq(
+      (101L, "t", "retail units sold per store and week"),
+      (102L, "t", "weekly retail demand by region"),
+      (103L, "r", "entirely unrelated vocabulary here"),
+      (104L, "r", "other raw crawl content words"))
+      .toDF("doc_id", "source", "text")
+    val model = TextAnalysis.dsirFit(ref, "text", "doc_id",
+      "source", "t")
+    // ...then score an UNLABELED live feed with the literal model
+    val dir = java.nio.file.Files.createTempDirectory("ds_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ds_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "retail units sold per store"),
+      (2L, "   "), // zero content tokens -> dropped
+      (3L, "unrelated vocabulary here"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.dsirScoreStage(stream, "text", model)
+      .writeStream.format("memory").queryName("ds_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((4L, "second micro batch with more retail units text"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ds_out")
+      .select("doc_id", "dsir_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 3L, 4L))
+    // batch parity over the same files, same literal model
+    val batch = StreamingDedup.dsirScoreStage(
+      spark.read.schema(docSchema).parquet(dir), "text", model)
+      .select("doc_id", "dsir_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    // target-typical feed doc outscores the raw-typical one
+    val s = streamed.toMap
+    assert(s(1L) > s(3L))
+  }
+
   test("streaming tokenizer stage equals the batch BPE apply; " +
       "join-free and stateless") {
     import graft.streaming.StreamingDedup
