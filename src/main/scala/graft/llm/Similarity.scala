@@ -291,6 +291,57 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): CLUSTER-then-
+    * prune — embeddings are Lloyd-clustered ([[kmeansCentroids]] +
+    * [[ivfAssign]]) and pairwise cosines are evaluated only WITHIN
+    * each fitted cell; a member with an earlier-id cell-mate at
+    * cosine ≥ `minCos` is marked a semantic duplicate
+    * (first-occurrence-wins — the paper's greedy ε-ball sweep
+    * relaxed to earlier-neighbor dominance, a pure pairwise
+    * predicate). [[dedupByCosine]] is the LSH-bucketed variant of
+    * this flow; SemDedup trades hash collisions for LEARNED cells —
+    * candidates are semantic neighbors by construction, which is
+    * what makes the prune effective at a loose threshold.
+    * Scale shape: centroids broadcast (assignment is one narrow
+    * corpus pass), members aggregate per cell with the deterministic
+    * `maxCell` lowest-id cap (the [[lshSimilarityJoin]] rule) so a
+    * hot cell cannot emit k²/2 pairs, and `cells` scales with the
+    * corpus (k ∝ n in the paper) keeping occupancy bounded.
+    */
+  def semDedup(df: DataFrame, id: String, vec: String,
+      cells: Int = 16, iters: Int = 2, minCos: Double = 0.35,
+      maxCell: Int = 4096): DataFrame = {
+    val cents = kmeansCentroids(df, id, vec, cells, iters)
+    val member = ivfAssign(df, id, vec, cents)
+      .join(df.select(col(id), expr(
+        s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v")), Seq(id))
+      .select(col(id).as("__id"), col("cell"), col("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val drops = member
+      .groupBy(col("cell"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("__id"), col("__v"), col("__n")))), 1, maxCell)
+        .as("__ms"))
+      .filter(size(col("__ms")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(__ms) - 1),
+            i -> transform(slice(__ms, i + 1, size(__ms) - i),
+                 y -> named_struct(
+                   'id2', y.__id,
+                   'sim', round(
+                     aggregate(zip_with(element_at(__ms, i).__v, y.__v,
+                       (p, q) -> p * q), 0D, (acc, v) -> acc + v)
+                     / (element_at(__ms, i).__n * y.__n), 6)))))"""))
+        .as("p"))
+      .filter(col("p.sim") >= minCos)
+      .select(col("p.id2").as("__dup_id")).distinct()
+    member
+      .join(drops, col("__id") === col("__dup_id"), "left")
+      .select(col("__id").as(id), col("cell"),
+        col("__dup_id").isNull.as("keep"))
+  }
+
   /** Semantic near-dup CLUSTERING over embeddings: transitive closure
     * of the LSH-bucketed cosine similarity graph. Where
     * [[dedupByCosine]] greedily drops the higher id of each similar

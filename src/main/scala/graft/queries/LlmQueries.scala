@@ -101,6 +101,14 @@ object LlmQueries {
         "embedding", planes = 6, minSim = 0.35)
         .orderBy("vec_id")
     }),
+    // SemDedup: k-means cluster-then-prune semantic dedup — pairwise
+    // cosine only within fitted cells, earlier-id member wins; the
+    // learned-cell counterpart of the LSH dedup_embed_cosine flow
+    "semdedup" -> ((s, d) => {
+      Similarity.semDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", cells = 16, iters = 2, minCos = 0.35)
+        .orderBy("vec_id")
+    }),
     "embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1658,6 +1666,34 @@ object LlmQueries {
          |        (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // SemDedup mirror: shared Lloyd chain (c2 centroids), same
+    // argmax-assignment tiebreak, within-cell pairs at round-6 cos
+    "semdedup" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |$duckKmeansChain,
+         |assign AS (
+         |  SELECT vec_id, cell
+         |  FROM (SELECT v.vec_id, c2.cell, row_number() OVER
+         |          (PARTITION BY v.vec_id ORDER BY
+         |           ${duckCos("v.vec", "c2.cvec")} DESC, c2.cell DESC) rn
+         |        FROM v, c2)
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT a.vec_id, a.cell, v.vec
+         |  FROM assign a JOIN v USING (vec_id)),
+         |capped AS (
+         |  SELECT vec_id, cell, vec FROM (
+         |    SELECT vec_id, cell, vec, row_number() OVER
+         |      (PARTITION BY cell ORDER BY vec_id) rk FROM m)
+         |  WHERE rk <= 4096),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM capped a JOIN capped b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35)
+         |SELECT m.vec_id, m.cell, d.vec_id IS NULL AS keep
+         |FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
     "ivf_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |$duckKmeansChain

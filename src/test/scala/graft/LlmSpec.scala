@@ -963,6 +963,28 @@ class LlmSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("dsir_score"))
   }
 
+  test("semDedup: within-cell near-dups drop, first occurrence wins") {
+    def v(hot: Int, tilt: Double = 0.0): Array[Double] = {
+      val a = Array.fill(64)(0.0)
+      a(hot) = 1.0
+      if (tilt != 0.0) a((hot + 7) % 64) = tilt
+      a
+    }
+    val df = Seq(
+      (0L, v(0)), (1L, v(1)),            // two orthogonal seeds
+      (2L, v(0, 0.05)),                  // near-dup of 0 (cos ~0.999)
+      (3L, v(1, 0.05)),                  // near-dup of 1
+      (4L, v(2)))                        // orthogonal to everything
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      cells = 2, iters = 1, minCos = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // earlier id kept, later near-dup dropped; orthogonal survives
+    assert(out(0L) && out(1L) && out(4L))
+    assert(!out(2L) && !out(3L))
+  }
+
   test("capPerDomain keeps top-n by priority with deterministic ties") {
     val df = Seq(
       (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
