@@ -310,9 +310,15 @@ object Bench {
       val p0 = elapsedSec
       samples :+= runPass(samples.size, revisit)
       passSec :+= elapsedSec - p0
-      // incremental write: even a killed run leaves a parseable artifact
+      // incremental write: even a killed run leaves a parseable
+      // artifact. Filtered (SPARK_GRAFT_BENCH_ONLY) runs write to a
+      // side file — a targeted timing probe must not clobber the
+      // committed full-coverage artifact the next session's priors
+      // read (burned twice in round 12).
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        java.nio.file.Paths.get(
+          if (only.isDefined) "BENCH_DETAIL_PARTIAL.json"
+          else "BENCH_DETAIL.json"),
         detailJson().getBytes("UTF-8"))
       // another pass only if the slowest pass so far still fits — and
       // never after a runaway thread: its zombie Spark jobs contaminate
