@@ -813,7 +813,17 @@ object Multimodal {
     * row: re-encoding the reconstruction reproduces the compressed
     * bytes exactly, and the parser accepted rate/format/layout.
     */
-  def ulawPipeline(df: DataFrame, text: String, id: String): DataFrame = {
+  def ulawPipeline(df: DataFrame, text: String, id: String): DataFrame =
+    g711Pipeline(df, text, id, aLaw = false)
+
+  /** A-law twin of [[ulawPipeline]] — same container, same all-BIGINT
+    * contract, the format-6 quantizer.
+    */
+  def alawPipeline(df: DataFrame, text: String, id: String): DataFrame =
+    g711Pipeline(df, text, id, aLaw = true)
+
+  private def g711Pipeline(df: DataFrame, text: String, id: String,
+      aLaw: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val derived = df
@@ -826,7 +836,7 @@ object Multimodal {
         val v = if (j < cps.length) cps(j) % 256 else 0
         ((v - 128) * 256).toShort
       }
-      val wav = encodeWavG711(DecodedAudio(8000, s))
+      val wav = encodeWavG711(DecodedAudio(8000, s), aLaw)
       val dec = decodeWavG711(wav).get
       val rec = dec.samples
       var ss = 0L; var peak = 0L; var zc = 0L
@@ -842,7 +852,7 @@ object Multimodal {
         sumErr += e
         j += 1
       }
-      val again = encodeWavG711(DecodedAudio(dec.sampleRate, rec))
+      val again = encodeWavG711(DecodedAudio(dec.sampleRate, rec), aLaw)
       val ok = dec.sampleRate == 8000 && wav.length == 58 + 64 &&
         java.util.Arrays.equals(again, wav)
       (docId, wav.length.toLong, ss, peak, zc, maxErr, sumErr, ok)

@@ -852,6 +852,12 @@ object LlmQueries {
       Multimodal.ulawPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // the A-law (format 6) half of the G.711 pair — same container
+    // and all-integer contract, the 13-bit 0x55-toggled quantizer
+    "multimodal_alaw" -> ((s, d) => {
+      Multimodal.alawPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -3112,6 +3118,45 @@ object LlmQueries {
         |  CAST(8.0 AS DOUBLE) AS duration_ms,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
+    // A-law mirror: 13-bit magnitude (negatives via -x-1), segment
+    // ladder on m13, reconstruction ((16·mant+264)·2^(seg−1)) with
+    // the seg-0 special case — all BIGINT, no float anywhere
+    "multimodal_alaw" ->
+      """WITH b AS (
+        |  SELECT doc_id, j,
+        |    CAST(((CASE WHEN j + 1 <= length(text)
+        |      THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |      ELSE 0 END) - 128) * 256 AS BIGINT) AS x
+        |  FROM documents, range(0, 64) r(j)),
+        |f AS (
+        |  SELECT doc_id, j, x, m,
+        |    CASE WHEN m >= 2048 THEN 7 WHEN m >= 1024 THEN 6
+        |         WHEN m >= 512 THEN 5 WHEN m >= 256 THEN 4
+        |         WHEN m >= 128 THEN 3 WHEN m >= 64 THEN 2
+        |         WHEN m >= 32 THEN 1 ELSE 0 END AS seg
+        |  FROM (SELECT doc_id, j, x,
+        |          (CASE WHEN x >= 0 THEN x ELSE -x - 1 END) // 8 AS m
+        |        FROM b)),
+        |g AS (
+        |  SELECT doc_id, j, x,
+        |    (CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+        |      * (CASE WHEN seg = 0 THEN ((m >> 1) & 15) * 16 + 8
+        |         ELSE (((m >> seg) & 15) * 16 + 264)
+        |              * (1 << (seg - 1)) END) AS rec
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, j, x, rec,
+        |    lag(rec) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |  FROM g)
+        |SELECT doc_id, CAST(122 AS BIGINT) AS n_bytes,
+        |  CAST(sum(rec * rec) AS BIGINT) AS sumsq_recon,
+        |  CAST(max(abs(rec)) AS BIGINT) AS peak_recon,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND rec * prev < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(rec - x)) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(abs(rec - x)) AS BIGINT) AS sum_abs_err,
+        |  TRUE AS roundtrip_ok
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G.711 μ-law is deterministic INTEGER quantization, so the
     // oracle replays the exact compress/expand chain: m = clamped
     // magnitude + 132 bias, segment = top-set-bit CASE ladder,
