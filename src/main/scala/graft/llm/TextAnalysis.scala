@@ -652,6 +652,74 @@ object TextAnalysis {
                 ELSE 0L END""").as("top3_ppm"))
   }
 
+  /** Column-append, ROW-LOCAL form of [[docRepetition]]: the same
+    * five repetition signals (identical integer ppm values) computed
+    * entirely in-row with HOFs, keeping every input column — so it
+    * drops into a streaming stage
+    * ([[graft.streaming.StreamingDedup.repetitionStage]]) or any
+    * plan with zero shuffle and zero state. The price of
+    * statelessness is the per-row O(distinct×occurrences) HOF scan
+    * the batch form's explode+aggregate deliberately avoids — fine
+    * for stream records (bounded docs), wrong for a batch corpus
+    * with pathologically long documents; use [[docRepetition]]
+    * there. Parity is exact: same integer arithmetic, spec-pinned
+    * against the batch form.
+    */
+  def withDocRepetition(df: DataFrame, text: String): DataFrame = {
+    val outs = Seq("n_lines", "dup_line_ppm", "dup_char_ppm",
+      "top2_ppm", "top3_ppm")
+    val internals = Seq("__rep_ls", "__rep_ld", "__rep_tk", "__rep_g2",
+      "__rep_g3", "__rep_nl", "__rep_nd", "__rep_dc", "__rep_tc",
+      "__rep_wc", "__rep_c2", "__rep_c3")
+    val clash = (outs ++ internals).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withDocRepetition: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    def gramCol(tk: String, n: Int) =
+      s"""CASE WHEN size($tk) >= $n
+          THEN transform(sequence(1, size($tk) - ${n - 1}),
+               i -> concat_ws(' ', slice($tk, i, $n)))
+          ELSE array() END"""
+    def coverCol(g: String, n: Int) =
+      s"""aggregate(array_distinct($g), 0L, (a, g) ->
+          greatest(a, (CAST(size(filter($g, x -> x = g)) AS BIGINT))
+                      * (length(g) - ${n - 1})))"""
+    df.withColumn("__rep_ls",
+        expr(s"filter(split($text, '\n'), l -> l != '')"))
+      .withColumn("__rep_ld", expr("array_distinct(__rep_ls)"))
+      .withColumn("__rep_nl", expr("CAST(size(__rep_ls) AS BIGINT)"))
+      .withColumn("__rep_nd",
+        expr("__rep_nl - CAST(size(__rep_ld) AS BIGINT)"))
+      .withColumn("__rep_dc", expr(
+        """aggregate(__rep_ld, 0L, (a, d) ->
+           a + (CAST(size(filter(__rep_ls, l -> l = d)) AS BIGINT) - 1)
+               * length(d))"""))
+      .withColumn("__rep_tc", expr(
+        "aggregate(__rep_ls, 0L, (a, l) -> a + length(l))"))
+      .withColumn("__rep_tk",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .withColumn("__rep_wc", expr(
+        "aggregate(__rep_tk, 0L, (a, t) -> a + length(t))"))
+      .withColumn("__rep_g2", expr(gramCol("__rep_tk", 2)))
+      .withColumn("__rep_g3", expr(gramCol("__rep_tk", 3)))
+      .withColumn("__rep_c2", expr(coverCol("__rep_g2", 2)))
+      .withColumn("__rep_c3", expr(coverCol("__rep_g3", 3)))
+      .withColumn("n_lines", col("__rep_nl"))
+      .withColumn("dup_line_ppm", expr(
+        """CASE WHEN __rep_nl > 0
+           THEN __rep_nd * 1000000L div __rep_nl ELSE 0L END"""))
+      .withColumn("dup_char_ppm", expr(
+        """CASE WHEN __rep_tc > 0
+           THEN __rep_dc * 1000000L div __rep_tc ELSE 0L END"""))
+      .withColumn("top2_ppm", expr(
+        """CASE WHEN __rep_wc > 0 AND __rep_c2 > 0
+           THEN __rep_c2 * 1000000L div __rep_wc ELSE 0L END"""))
+      .withColumn("top3_ppm", expr(
+        """CASE WHEN __rep_wc > 0 AND __rep_c3 > 0
+           THEN __rep_c3 * 1000000L div __rep_wc ELSE 0L END"""))
+      .drop(internals: _*)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each doc
     * with the log-likelihood ratio `log p_target(x) − log p_raw(x)`

@@ -330,6 +330,18 @@ object StreamingDedup {
       dim: Int = 32): DataFrame =
     TextAnalysis.withLrGate(docs, text, dim)
 
+  /** Streaming REPETITION-GATE stage: append the Gopher within-doc
+    * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
+    * columns) to a live feed — entirely row-local (per-record HOFs
+    * over the record's own lines/grams; a stream record is one
+    * bounded document, so the per-row scan the batch explode form
+    * avoids is the right trade here), zero state, any output mode.
+    * Values are integer-identical to the batch operator
+    * (spec-pinned).
+    */
+  def repetitionStage(docs: DataFrame, text: String): DataFrame =
+    TextAnalysis.withDocRepetition(docs, text)
+
   /** Streaming DSIR-scoring stage: score a live document feed with an
     * importance model already fitted offline on a reference corpus
     * ([[TextAnalysis.dsirFit]]) — the data-selection analogue of

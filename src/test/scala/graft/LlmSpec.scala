@@ -916,6 +916,29 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2).getLong(5) === 0L)
   }
 
+  test("withDocRepetition == docRepetition integer-exactly") {
+    val docs = Seq(
+      (1L, "x y\nx y\nz"), (2L, "ab ab ab cd"), (3L, "hi"),
+      (4L, "a a a a a\nb b\na a a a a"), (5L, ""))
+      .toDF("doc_id", "text")
+    val batch = TextAnalysis.docRepetition(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val appended = TextAnalysis.withDocRepetition(docs, "text")
+      .select("doc_id", "n_lines", "dup_line_ppm", "dup_char_ppm",
+        "top2_ppm", "top3_ppm")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(appended === batch)
+    val clash = intercept[IllegalArgumentException] {
+      TextAnalysis.withDocRepetition(
+        docs.withColumn("top2_ppm", lit(1)), "text")
+    }
+    assert(clash.getMessage.contains("top2_ppm"))
+  }
+
   test("dsirWeights: target-typical docs outscore raw-typical docs") {
     val df = Seq(
       (1L, "t", "aaa aaa aaa"), (2L, "t", "aaa aaa"),

@@ -521,6 +521,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (id, _, s, _) => gate(id) == s })
   }
 
+  test("streaming repetition stage equals the batch signals; " +
+      "row-local and stateless") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("rep_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rep_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "x y\nx y\nz"), (2L, "ab ab ab cd"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.repetitionStage(stream, "text")
+      .writeStream.format("memory").queryName("rep_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "one two\none two\none two"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rep_out")
+      .select("doc_id", "dup_line_ppm", "top2_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // batch parity over the same files
+    val batch = graft.llm.TextAnalysis.docRepetition(
+      spark.read.schema(docSchema).parquet(dir), "text", "doc_id")
+      .select("doc_id", "dup_line_ppm", "top2_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    // doc 3: 3 lines, 2 duplicated -> 666666 ppm
+    assert(streamed(2)._2 === 666666L)
+  }
+
   test("streaming DSIR score stage equals the batch fit; join-free " +
       "and stateless") {
     import graft.streaming.StreamingDedup
