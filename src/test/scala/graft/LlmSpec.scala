@@ -485,6 +485,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup plan: pair stage is an in-cell aggregate, never a " +
+      "corpus join; assignment broadcasts the centroids") {
+    val df = graft.SparkEntry.queries("semdedup")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // no all-pairs stage: the only cartesian-shaped operator allowed
+    // is the broadcast of the tiny centroid frame (assignment)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // pair expansion comes from the per-cell collect_list aggregate,
+    // not a shuffled self-join of the corpus
+    assert(plan.contains("collect_list"), plan.take(800))
+  }
+
   test("lengthGate: percentile band excludes exactly the tails") {
     val df = (1 to 20)
       .map(i => (i.toLong, (1 to i).map(_ => "w").mkString(" ")))

@@ -645,6 +645,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("docRepetition: batch explode form == row-local HOF form on " +
+      "random newline/space corpora") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cols = Seq("doc_id", "n_lines", "dup_line_ppm",
+      "dup_char_ppm", "top2_ppm", "top3_ppm")
+    val seps = Array(" ", " ", "\n", "  ", " \n")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(30))(
+        ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(2)))
+        .map(w => w + seps(rnd.nextInt(seps.length))).mkString.trim
+    for (_ <- 1 to 8) {
+      val docs = (1L to 25L).map(i => (i, doc())).toDF("doc_id", "text")
+      val batch = graft.llm.TextAnalysis
+        .docRepetition(docs, "text", "doc_id")
+        .select(cols.head, cols.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getLong))
+        .toMap
+      val local = graft.llm.TextAnalysis
+        .withDocRepetition(docs, "text")
+        .select(cols.head, cols.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getLong))
+        .toMap
+      assert(local === batch)
+    }
+  }
+
   test("BpeFold: native merge fold == HOF triple-replace fold on " +
       "random words and merge tables") {
     val spark = TestSpark.spark
