@@ -714,6 +714,161 @@ object Multimodal {
     (if ((c & 0x80) != 0) t else -t).toShort
   }
 
+  // ---- IMA ADPCM (predictive 4-bit, RIFF format tag 0x11) --------
+
+  /** The 89-entry IMA/DVI step-size table (public, from the IMA
+    * ADPCM reference algorithm).
+    */
+  val imaSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  private val imaIndexDelta = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM quantizer step from state (pred, idx): returns
+    * (code, newPred, newIdx). The reconstruction the decoder will
+    * produce for this step IS newPred — encoder and decoder share
+    * this state machine, which keeps them in lockstep.
+    */
+  def imaStep(sample: Int, pred: Int, idx: Int): (Int, Int, Int) = {
+    val st = imaSteps(idx)
+    val diff = sample - pred
+    val sign = if (diff < 0) 8 else 0
+    var ad = math.abs(diff)
+    var delta = 0
+    if (ad >= st) { delta = 4; ad -= st }
+    if (ad >= (st >> 1)) { delta |= 2; ad -= st >> 1 }
+    if (ad >= (st >> 2)) { delta |= 1 }
+    val diffq = (st >> 3) + (if ((delta & 4) != 0) st else 0) +
+      (if ((delta & 2) != 0) st >> 1 else 0) +
+      (if ((delta & 1) != 0) st >> 2 else 0)
+    val p1 = if (sign != 0) pred - diffq else pred + diffq
+    val p2 = math.max(-32768, math.min(32767, p1))
+    val i2 = math.max(0, math.min(88, idx + imaIndexDelta(delta)))
+    (sign | delta, p2, i2)
+  }
+
+  /** Decoder half of [[imaStep]]: the same reconstruction from a
+    * 4-bit code.
+    */
+  def imaDecodeStep(code: Int, pred: Int, idx: Int): (Int, Int) = {
+    val st = imaSteps(idx)
+    val delta = code & 7
+    val diffq = (st >> 3) + (if ((delta & 4) != 0) st else 0) +
+      (if ((delta & 2) != 0) st >> 1 else 0) +
+      (if ((delta & 1) != 0) st >> 2 else 0)
+    val p1 = if ((code & 8) != 0) pred - diffq else pred + diffq
+    val p2 = math.max(-32768, math.min(32767, p1))
+    val i2 = math.max(0, math.min(88, idx + imaIndexDelta(delta)))
+    (p2, i2)
+  }
+
+  /** Encode mono PCM as a REAL PREDICTIVE-compressed RIFF/WAVE file —
+    * format tag 0x11 (IMA ADPCM), ~4:1: 20-byte fmt chunk (cbSize=2,
+    * samplesPerBlock), fact chunk, ONE block with the canonical
+    * 4-byte state header (initial predictor int16 + step index +
+    * reserved) followed by one 4-bit code per sample, low nibble
+    * first. DOCUMENTED DIVERGENCE from the canonical WAV-IMA block
+    * rule: the initial state is always (0, 0) and EVERY sample goes
+    * through the quantizer (canonical blocks store sample 0 raw in
+    * the header) — keeping the whole clip on the predictive path is
+    * the contract the oracle replays step-by-step.
+    */
+  def encodeWavAdpcm(audio: DecodedAudio): Array[Byte] = {
+    val n = audio.samples.length
+    val nData = 4 + (n + 1) / 2
+    val out = new Array[Byte](60 + nData)
+    def putTag(off: Int, s: String): Unit =
+      (0 until 4).foreach(i => out(off + i) = s.charAt(i).toByte)
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def put16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    putTag(0, "RIFF"); put32(4, 52 + nData); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 20)
+    put16(20, 0x11)                       // WAVE_FORMAT_IMA_ADPCM
+    put16(22, 1)                          // mono
+    put32(24, audio.sampleRate)
+    put32(28, (audio.sampleRate + 1) / 2) // ~4 bits/sample byte rate
+    put16(32, nData)                      // block align: one block
+    put16(34, 4)                          // bits per code
+    put16(36, 2)                          // cbSize
+    put16(38, n)                          // samples per block
+    putTag(40, "fact"); put32(44, 4); put32(48, n)
+    putTag(52, "data"); put32(56, nData)
+    put16(60, 0); out(62) = 0; out(63) = 0 // state: pred 0, idx 0
+    var pred = 0; var idx = 0
+    var i = 0
+    while (i < n) {
+      val (code, p, ix) = imaStep(audio.samples(i), pred, idx)
+      pred = p; idx = ix
+      val off = 64 + i / 2
+      if (i % 2 == 0) out(off) = (code & 0x0f).toByte
+      else out(off) = (out(off) | ((code & 0x0f) << 4)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL parser for the IMA ADPCM WAVE layout [[encodeWavAdpcm]]
+    * writes: validates container/format, reads the block state
+    * header, walks the nibbles through the shared state machine.
+    */
+  def decodeWavAdpcm(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes.length < 64) return None
+    def tag(off: Int): String =
+      new String(bytes.slice(off, off + 4), "US-ASCII")
+    def get32(off: Int): Int = (0 until 4).map(i =>
+      (bytes(off + i) & 0xff) << (8 * i)).sum
+    def get16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var nSamples = -1
+    var ok = false
+    var data: Option[Array[Short]] = None
+    while (off + 8 <= bytes.length && data.isEmpty) {
+      val id = tag(off)
+      val len = get32(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 20) return None
+        val fmt = get16(off + 8)
+        val ch = get16(off + 10)
+        rate = get32(off + 12)
+        val bits = get16(off + 22)
+        nSamples = get16(off + 26)
+        ok = fmt == 0x11 && ch == 1 && bits == 4 && rate > 0 &&
+          nSamples >= 0
+      } else if (id == "data") {
+        if (!ok || len < 4 + (nSamples + 1) / 2) return None
+        var pred = (get16(off + 8) << 16) >> 16 // sign-extend int16
+        var idx = bytes(off + 10) & 0xff
+        if (idx > 88) return None
+        val s = new Array[Short](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          val b = bytes(off + 12 + i / 2) & 0xff
+          val code = if (i % 2 == 0) b & 0x0f else (b >> 4) & 0x0f
+          val (p, ix) = imaDecodeStep(code, pred, idx)
+          pred = p; idx = ix
+          s(i) = p.toShort
+          i += 1
+        }
+        data = Some(s)
+      }
+      off += 8 + len + (len & 1)
+    }
+    data.map(DecodedAudio(rate, _))
+  }
+
   /** Encode mono PCM as a REAL COMPRESSED RIFF/WAVE file — format
     * tag 7 (G.711 μ-law) or 6 (A-law): the 18-byte fmt chunk
     * (cbSize=0) plus the `fact` chunk (decoded sample count) that
@@ -821,6 +976,61 @@ object Multimodal {
     */
   def alawPipeline(df: DataFrame, text: String, id: String): DataFrame =
     g711Pipeline(df, text, id, aLaw = true)
+
+  /** PREDICTIVE-codec twin of [[ulawPipeline]]: IMA ADPCM, ~4:1. Same
+    * all-BIGINT contract — the adaptive quantizer is an integer
+    * state machine, so the oracle can replay it exactly (a recursive
+    * CTE stepping (pred, idx) through the same table). ADPCM has no
+    * byte-level fixed point (re-encoding a reconstruction re-adapts
+    * the state), so `roundtrip_ok` instead pins decode∘encode
+    * against the ENCODER's own reconstruction trace per row — the
+    * lockstep property that defines the codec — plus container
+    * acceptance.
+    */
+  def adpcmPipeline(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 64).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val s = Array.tabulate(64) { j =>
+        val v = if (j < cps.length) cps(j) % 256 else 0
+        ((v - 128) * 256).toShort
+      }
+      val wav = encodeWavAdpcm(DecodedAudio(8000, s))
+      val dec = decodeWavAdpcm(wav).get
+      val rec = dec.samples
+      val trace = new Array[Short](64)
+      var pred = 0; var idx = 0
+      var j = 0
+      while (j < 64) {
+        val (_, p, ix) = imaStep(s(j), pred, idx)
+        pred = p; idx = ix; trace(j) = p.toShort
+        j += 1
+      }
+      var ss = 0L; var peak = 0L; var zc = 0L
+      var maxErr = 0L; var sumErr = 0L
+      j = 0
+      while (j < 64) {
+        val x = rec(j).toLong
+        ss += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (j > 0 && x * rec(j - 1).toLong < 0) zc += 1
+        val e = math.abs(x - s(j).toLong)
+        if (e > maxErr) maxErr = e
+        sumErr += e
+        j += 1
+      }
+      val ok = dec.sampleRate == 8000 && wav.length == 96 &&
+        java.util.Arrays.equals(rec, trace)
+      (docId, wav.length.toLong, ss, peak, zc, maxErr, sumErr, ok)
+    }.toDF("doc_id", "n_bytes", "sumsq_recon", "peak_recon",
+      "zero_crossings", "max_abs_err", "sum_abs_err", "roundtrip_ok")
+  }
 
   private def g711Pipeline(df: DataFrame, text: String, id: String,
       aLaw: Boolean): DataFrame = {

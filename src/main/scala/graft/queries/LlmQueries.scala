@@ -858,6 +858,14 @@ object LlmQueries {
       Multimodal.alawPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // PREDICTIVE codec: IMA ADPCM (~4:1, format 0x11) — the third
+    // compression family (companding, transform, prediction); the
+    // oracle replays the adaptive integer state machine with a
+    // recursive CTE, all hashed columns BIGINT
+    "multimodal_adpcm" -> ((s, d) => {
+      Multimodal.adpcmPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -3118,6 +3126,76 @@ object LlmQueries {
         |  CAST(8.0 AS DOUBLE) AS duration_ms,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
+    // ADPCM mirror: the adaptive quantizer replayed EXACTLY — a
+    // recursive CTE steps the integer (pred, idx) state machine
+    // through the 89-entry step table, one nested-subquery cascade
+    // per bit decision; every hashed column BIGINT
+    "multimodal_adpcm" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, j,
+         |    CAST(((CASE WHEN j + 1 <= length(text)
+         |      THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+         |      ELSE 0 END) - 128) * 256 AS BIGINT) AS x
+         |  FROM documents, range(0, 64) r(j)),
+         |st(i, step) AS (
+         |  SELECT unnest(range(0, 89)),
+         |    unnest([${graft.llm.Multimodal.imaSteps.mkString(", ")}])),
+         |rec AS (
+         |  SELECT doc_id, CAST(-1 AS BIGINT) AS j,
+         |    CAST(0 AS BIGINT) AS pred, CAST(0 AS BIGINT) AS idx,
+         |    CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS rv
+         |  FROM (SELECT DISTINCT doc_id FROM b)
+         |  UNION ALL
+         |  SELECT t4.doc_id, t4.j,
+         |    greatest(-32768, least(32767,
+         |      t4.pred + t4.sgn * t4.diffq)) AS pred,
+         |    greatest(0, least(88, t4.idx
+         |      + CASE WHEN t4.delta < 4 THEN -1
+         |             ELSE (t4.delta - 3) * 2 END)) AS idx,
+         |    t4.x,
+         |    greatest(-32768, least(32767,
+         |      t4.pred + t4.sgn * t4.diffq)) AS rv
+         |  FROM (
+         |    SELECT t3.*, 4 * t3.d2 + 2 * t3.d1 + t3.d0 AS delta,
+         |      (t3.step // 8) + t3.d2 * t3.step
+         |        + t3.d1 * (t3.step // 2)
+         |        + t3.d0 * (t3.step // 4) AS diffq
+         |    FROM (
+         |      SELECT t2.*,
+         |        CASE WHEN t2.ad2 >= t2.step // 4 THEN 1 ELSE 0 END
+         |          AS d0
+         |      FROM (
+         |        SELECT t1.*,
+         |          CASE WHEN t1.ad1 >= t1.step // 2 THEN 1 ELSE 0 END
+         |            AS d1,
+         |          t1.ad1 - (CASE WHEN t1.ad1 >= t1.step // 2
+         |            THEN t1.step // 2 ELSE 0 END) AS ad2
+         |        FROM (
+         |          SELECT r.doc_id, b.j, b.x, r.pred, r.idx, s.step,
+         |            CASE WHEN b.x - r.pred < 0 THEN -1 ELSE 1 END
+         |              AS sgn,
+         |            CASE WHEN abs(b.x - r.pred) >= s.step
+         |              THEN 1 ELSE 0 END AS d2,
+         |            abs(b.x - r.pred)
+         |              - (CASE WHEN abs(b.x - r.pred) >= s.step
+         |                 THEN s.step ELSE 0 END) AS ad1
+         |          FROM rec r
+         |          JOIN b ON b.doc_id = r.doc_id AND b.j = r.j + 1
+         |          JOIN st s ON s.i = r.idx
+         |          WHERE r.j < 63) t1) t2) t3) t4),
+         |f AS (
+         |  SELECT doc_id, j, x, rv,
+         |    lag(rv) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+         |  FROM rec WHERE j >= 0)
+         |SELECT doc_id, CAST(96 AS BIGINT) AS n_bytes,
+         |  CAST(sum(rv * rv) AS BIGINT) AS sumsq_recon,
+         |  CAST(max(abs(rv)) AS BIGINT) AS peak_recon,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND rv * prev < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |  CAST(max(abs(rv - x)) AS BIGINT) AS max_abs_err,
+         |  CAST(sum(abs(rv - x)) AS BIGINT) AS sum_abs_err,
+         |  TRUE AS roundtrip_ok
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // A-law mirror: 13-bit magnitude (negatives via -x-1), segment
     // ladder on m13, reconstruction ((16·mant+264)·2^(seg−1)) with
     // the seg-0 special case — all BIGINT, no float anywhere

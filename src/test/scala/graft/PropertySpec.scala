@@ -645,6 +645,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IMA ADPCM: decoder locksteps the encoder trace, zero-signal " +
+      "silence, container firewalls") {
+    import graft.llm.Multimodal._
+    // zero signal: diff 0 at step 7 quantizes to diffq 0 — perfect
+    // silence roundtrip, codes all 0
+    val z = encodeWavAdpcm(DecodedAudio(8000, Array.fill(64)(0: Short)))
+    assert(decodeWavAdpcm(z).get.samples.forall(_ == 0))
+    assert(z.drop(64).forall(_ == 0))
+    for (_ <- 1 to 40) {
+      val n = 1 + rnd.nextInt(300)
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val rate = 1 + rnd.nextInt(48000)
+      val wav = encodeWavAdpcm(DecodedAudio(rate, s))
+      assert(wav.length === 60 + 4 + (n + 1) / 2)
+      val dec = decodeWavAdpcm(wav).get
+      assert(dec.sampleRate === rate)
+      // the lockstep property that defines ADPCM: the decoder's
+      // output IS the encoder's internal reconstruction trace
+      var pred = 0; var idx = 0
+      val trace = s.map { v =>
+        val (_, p, ix) = imaStep(v, pred, idx); pred = p; idx = ix
+        p.toShort
+      }
+      assert(dec.samples.toSeq === trace.toSeq)
+      // format firewalls, all directions
+      assert(decodeWav(wav).isEmpty)
+      assert(decodeWavG711(wav).isEmpty)
+      assert(decodeWavAdpcm(encodeWav(DecodedAudio(rate, s))).isEmpty)
+      assert(decodeWavAdpcm(
+        encodeWavG711(DecodedAudio(rate, s))).isEmpty)
+    }
+  }
+
   test("docRepetition: batch explode form == row-local HOF form on " +
       "random newline/space corpora") {
     val spark = TestSpark.spark
