@@ -521,6 +521,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (id, _, s, _) => gate(id) == s })
   }
 
+  test("streaming audio-feature stage equals the batch codec " +
+      "pipelines; row-local and stateless") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("au_in").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "retail units sold per store and week"),
+      (2L, "zz" * 40))
+    for (codec <- Seq("ulaw", "adpcm")) {
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        s"au_ck_$codec").toString
+      val stream = spark.readStream.schema(docSchema).parquet(dir)
+      val q = StreamingDedup.audioFeatureStage(stream, "text",
+        "doc_id", codec)
+        .writeStream.format("memory").queryName(s"au_out_$codec")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      if (codec == "ulaw") rows((3L, "a third doc arrives"))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(s"au_out_$codec")
+        .select("doc_id", "sumsq_recon", "max_abs_err",
+          "roundtrip_ok").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).sortBy(_._1)
+      val batch = StreamingDedup.audioFeatureStage(
+        spark.read.schema(docSchema).parquet(dir), "text", "doc_id",
+        codec)
+        .select("doc_id", "sumsq_recon", "max_abs_err",
+          "roundtrip_ok").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq, codec)
+      assert(streamed.forall(_._4), codec)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDedup.audioFeatureStage(
+        spark.read.schema(docSchema).parquet(dir), "text", "doc_id",
+        "mp3")
+    }
+  }
+
   test("streaming repetition stage equals the batch signals; " +
       "row-local and stateless") {
     import graft.streaming.StreamingDedup
