@@ -349,6 +349,23 @@ object StreamingDedup {
         "(pcm | ulaw | alaw | adpcm)")
   }
 
+  /** Streaming IMAGE/VIDEO-FEATURE stage: the visual twin of
+    * [[audioFeatureStage]] — BMP (lossless raster), PNG (lossless
+    * compressed), JPEG (lossy DCT, tolerance-gated), or animated-GIF
+    * frame sampling, each a row-local typed map that applies to a
+    * streaming frame unchanged; this named stage routes the codec.
+    */
+  def imageFeatureStage(docs: DataFrame, text: String, id: String,
+      codec: String = "png"): DataFrame = codec match {
+    case "bmp" => graft.llm.Multimodal.bmpPipeline(docs, text, id)
+    case "png" => graft.llm.Multimodal.pngPipeline(docs, text, id)
+    case "jpeg" => graft.llm.Multimodal.jpegPipeline(docs, text, id)
+    case "gif" => graft.llm.Multimodal.gifPipeline(docs, text, id)
+    case other => throw new IllegalArgumentException(
+      s"imageFeatureStage: unknown codec '$other' " +
+        "(bmp | png | jpeg | gif)")
+  }
+
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc
     * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
     * columns) to a live feed — entirely row-local (per-record HOFs

@@ -568,6 +568,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming image-feature stage equals the batch codec " +
+      "pipelines (png lossless, gif frame-sampled)") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("im_in").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "retail units sold per store and week in region nine"),
+      (2L, "zq" * 400))
+    for (codec <- Seq("png", "gif")) {
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        s"im_ck_$codec").toString
+      val stream = spark.readStream.schema(docSchema).parquet(dir)
+      val q = StreamingDedup.imageFeatureStage(stream, "text",
+        "doc_id", codec)
+        .writeStream.format("memory").queryName(s"im_out_$codec")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val cols = Seq("doc_id", "roundtrip_ok")
+      val streamed = spark.table(s"im_out_$codec")
+        .select(cols.head, cols.tail: _*).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+      val batch = StreamingDedup.imageFeatureStage(
+        spark.read.schema(docSchema).parquet(dir), "text", "doc_id",
+        codec)
+        .select(cols.head, cols.tail: _*).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq, codec)
+      assert(streamed.map(_._1).toSeq === Seq(1L, 2L), codec)
+      assert(streamed.forall(_._2), codec)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDedup.imageFeatureStage(
+        spark.read.schema(docSchema).parquet(dir), "text", "doc_id",
+        "webp")
+    }
+  }
+
   test("streaming repetition stage equals the batch signals; " +
       "row-local and stateless") {
     import graft.streaming.StreamingDedup
