@@ -534,6 +534,51 @@ object Dedup {
     train.select(col(id)).join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Fit half of the STREAMING decontamination stage: the eval set's
+    * distinct n-gram hashes folded into a bloom filter — a
+    * driver-side artifact like a fitted tokenizer
+    * ([[graft.llm.TextAnalysis.bpeFitMerges]] pattern). The bloom has
+    * NO false negatives by construction, so gating on it can never
+    * leak an eval n-gram; `fpp` only over-flags — the conservative
+    * direction for decontamination.
+    */
+  def decontamBloom(evalSet: DataFrame, text: String, n: Int = 8,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter =
+    evalSet.withColumn("__th", contentTokenHashesExpr(text))
+      .filter(size(col("__th")) > 0)
+      .select(explode(ngramHashesFromTokenHashes("__th", n)).as("__g"))
+      .distinct()
+      .stat.bloomFilter("__g", expectedItems, fpp)
+
+  /** Column-append scoring half: flag every doc that shares an
+    * n-gram with the fitted eval bloom. Entirely ROW-LOCAL — the
+    * probe is the native [[BloomMightContainExpr]] inside an EXISTS
+    * over the doc's own gram hashes, the filter rides the plan as a
+    * reference object — so it drops into a streaming stage
+    * ([[graft.streaming.StreamingDedup.decontamStage]]) or any batch
+    * plan with zero shuffle and zero state. Guarantee vs the exact
+    * [[decontaminate]]: every doc the exact join drops is flagged
+    * (no false negatives); an `fpp` fraction of clean docs may
+    * over-flag. Zero-token docs are clean (they produce no grams —
+    * the same sentinel rule as the exact form).
+    */
+  def withContaminationFlag(df: DataFrame, text: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int = 8)
+      : DataFrame = {
+    val th = "__dc_th"
+    val clash = Seq(th, "contaminated").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withContaminationFlag: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df.withColumn(th, contentTokenHashesExpr(text))
+      .withColumn("contaminated",
+        size(col(th)) > 0 &&
+          exists(ngramHashesFromTokenHashes(th, n),
+            g => SketchColumns.bloomMightContain(g, bloom)))
+      .drop(th)
+  }
+
   /** Every n-token window of every document, with its 1-based start
     * position: (id, win_start, gram). Tokens are the non-empty
     * lowercased words; documents shorter than n contribute nothing

@@ -349,6 +349,22 @@ object StreamingDedup {
         "(pcm | ulaw | alaw | adpcm)")
   }
 
+  /** Streaming DECONTAMINATION stage: flag live-feed docs that share
+    * an n-gram with a held-out eval set, with the eval set fitted
+    * offline into a bloom filter ([[graft.llm.Dedup.decontamBloom]])
+    * that rides the plan as a reference object — the fitted-artifact
+    * pattern ([[tokenizerStage]], [[dsirScoreStage]]). Row-local,
+    * join-free, zero state, any output mode; the bloom's no-false-
+    * negative guarantee means the stage can never PASS a
+    * contaminated doc (it may conservatively over-flag an `fpp`
+    * fraction). Spec-pinned: flags ⊇ the exact batch
+    * [[graft.llm.Dedup.decontaminate]] drop set, batch≡stream parity.
+    */
+  def decontamStage(docs: DataFrame, text: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int = 8)
+      : DataFrame =
+    graft.llm.Dedup.withContaminationFlag(docs, text, bloom, n)
+
   /** Streaming IMAGE/VIDEO-FEATURE stage: the visual twin of
     * [[audioFeatureStage]] — BMP (lossless raster), PNG (lossless
     * compressed), JPEG (lossy DCT, tolerance-gated), or animated-GIF

@@ -953,6 +953,33 @@ class LlmSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("top2_ppm"))
   }
 
+  test("withContaminationFlag: superset of exact decontaminate drops, " +
+      "clean fixture unflagged") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the eval 8-gram verbatim -> exact drop + flagged
+      (1L, "prefix words the quick brown fox jumps over the lazy " +
+        "dog tonight suffix"),
+      (2L, "entirely unrelated retail demand forecasting sentence " +
+        "with many distinct tokens here"),
+      (3L, "   ")) // zero tokens -> clean by the sentinel rule
+      .toDF("doc_id", "text")
+    val bloom = Dedup.decontamBloom(evalSet, "text")
+    val flagged = Dedup.withContaminationFlag(train, "text", bloom)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val keptExact = Dedup.decontaminate(train, evalSet, "text",
+      "doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives: every exact drop is flagged
+    val droppedExact = Set(1L, 2L, 3L) -- keptExact
+    assert(droppedExact === Set(1L))
+    droppedExact.foreach(id => assert(flagged(id), s"doc $id"))
+    // deterministic fixture: the clean docs stay unflagged
+    assert(!flagged(2L) && !flagged(3L))
+  }
+
   test("dsirWeights: target-typical docs outscore raw-typical docs") {
     val df = Seq(
       (1L, "t", "aaa aaa aaa"), (2L, "t", "aaa aaa"),

@@ -646,6 +646,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(2)._2 === 666666L)
   }
 
+  test("streaming decontamination stage equals the batch flag; " +
+      "join-free and stateless") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.decontamBloom(evalSet, "text")
+    val dir = java.nio.file.Files.createTempDirectory("dc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dc_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "see the quick brown fox jumps over the lazy dog " +
+      "tonight again"),
+      (2L, "unrelated clean retail content with distinct words"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.decontamStage(stream, "text", bloom)
+      .writeStream.format("memory").queryName("dc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "second batch also mentions the quick brown fox jumps " +
+      "over the lazy dog tonight"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dc_out")
+      .select("doc_id", "contaminated").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(streamed.map(_._2).toSeq === Seq(true, false, true))
+    val batch = StreamingDedup.decontamStage(
+      spark.read.schema(docSchema).parquet(dir), "text", bloom)
+      .select("doc_id", "contaminated").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming DSIR score stage equals the batch fit; join-free " +
       "and stateless") {
     import graft.streaming.StreamingDedup
