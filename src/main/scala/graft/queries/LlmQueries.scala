@@ -503,6 +503,33 @@ object LlmQueries {
           col("scrubbed"), col("scrubbed_len"))
         .orderBy("doc_id")
     }),
+    // curation_v3: the round-12 recipe composed end to end — Gopher
+    // rule gate ∧ repetition gate → exact dedup → decontaminate vs
+    // the held-out half → DSIR importance ranking → budgeted top-50.
+    // Every stage is an independently-oracled operator; this pins
+    // that they COMPOSE (joins on doc_id, one broadcast DSIR model)
+    "curation_v3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val evalSet = docs.filter(col("doc_id") % 2 === 1)
+      val gated = TextAnalysis.gopherRules(corpus, "text",
+          minTokens = 40, maxTokens = 1000)
+        .filter(col("keep")).select(col("doc_id"), col("text"))
+        .join(TextAnalysis.docRepetition(corpus, "text", "doc_id")
+          .filter(col("top2_ppm") <= 150000).select("doc_id"),
+          Seq("doc_id"))
+      val reps = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val kept = Dedup.decontaminate(gated.join(reps, Seq("doc_id")),
+        evalSet, "text", "doc_id")
+      val scored = TextAnalysis.dsirWeights(docs, "text", "doc_id",
+        "source", "src0").select(col("doc_id"), col("dsir_score"))
+      kept.join(scored, Seq("doc_id"))
+        .orderBy(col("dsir_score").desc, col("doc_id").asc)
+        .limit(50)
+        .orderBy("doc_id")
+    }),
     "multimodal_meta" -> ((s, d) => {
       Canon.stringifyArrays(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
@@ -2973,6 +3000,111 @@ object LlmQueries {
          |  arg_min(n_tokens, doc_id) AS n_tokens,
          |  arg_min(quality, doc_id) AS quality
          |FROM kept GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+    // curation_v3 mirror: gate CTEs (gopher + repetition ppm), exact
+    // dedup, the decontaminate gram chain, the DSIR chain, rank cut
+    "curation_v3" ->
+      s"""WITH gt AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      $duckNTokens AS nt,
+         |      CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |        AS DOUBLE) / $duckNTokens AS awl,
+         |      CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+         |        'g')) AS DOUBLE) / length(text) AS sym,
+         |      CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens AS swr
+         |    FROM documents WHERE doc_id % 2 = 0)
+         |  WHERE nt >= 40 AND nt <= 1000 AND awl >= 2.0
+         |    AND awl <= 12.0 AND sym <= 0.1 AND swr >= 0.0),
+         |rtk AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |    t -> t != '') AS tk
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |rw AS (
+         |  SELECT doc_id, list_sum(list_transform(tk, t -> length(t)))
+         |    AS wchars FROM rtk),
+         |rg2 AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS gram
+         |    FROM rtk WHERE len(tk) >= 2) GROUP BY 1, 2),
+         |rga AS (
+         |  SELECT doc_id, max(c * (length(gram) - 1)) AS top2
+         |  FROM rg2 GROUP BY 1),
+         |rep AS (
+         |  SELECT r.doc_id FROM rtk r
+         |  LEFT JOIN rw USING (doc_id) LEFT JOIN rga USING (doc_id)
+         |  WHERE (CASE WHEN rw.wchars > 0 AND rga.top2 IS NOT NULL
+         |    THEN rga.top2 * 1000000 // rw.wchars ELSE 0 END)
+         |    <= 150000),
+         |gated AS (
+         |  SELECT gt.doc_id, gt.text FROM gt JOIN rep USING (doc_id)),
+         |drep AS (
+         |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+         |surv AS (
+         |  SELECT g.doc_id, g.text FROM gated g JOIN drep USING (doc_id)),
+         |dth AS (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split(lower(text), ' '), t -> t != ''),
+         |    t -> ${duckPolyHash("t")}) AS th
+         |  FROM (SELECT doc_id, text FROM surv
+         |        UNION ALL
+         |        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+         |  WHERE len(list_filter(string_split(lower(text), ' '),
+         |        t -> t != '')) > 0),
+         |dgr AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(th) - 7, 1)),
+         |    i -> list_reduce(
+         |           list_slice(th, i, i + least(8, len(th)) - 1),
+         |           (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |  FROM dth),
+         |bad AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM dgr tr JOIN dgr ev ON tr.gram = ev.gram
+         |  WHERE tr.doc_id % 2 = 0 AND ev.doc_id % 2 = 1),
+         |kept AS (
+         |  SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |sth AS (
+         |  SELECT doc_id, source = 'src0' AS is_target,
+         |    list_transform(
+         |      list_filter(string_split(lower(text), ' '),
+         |        t -> t != ''),
+         |      t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents),
+         |sc0 AS (
+         |  SELECT doc_id, is_target, list_transform(range(0, 32),
+         |    b -> CAST(len(list_filter(th, h -> h % 32 = b))
+         |         AS BIGINT)) AS cnt
+         |  FROM sth WHERE len(th) > 0),
+         |se AS (
+         |  SELECT is_target, b, sum(v) AS v FROM (
+         |    SELECT is_target, unnest(range(0, 32)) AS b,
+         |      unnest(cnt) AS v FROM sc0) GROUP BY 1, 2),
+         |sf2 AS (
+         |  SELECT is_target, list(CAST(v AS BIGINT) ORDER BY b) AS vs,
+         |    CAST(sum(v) AS BIGINT) AS tot
+         |  FROM se GROUP BY 1),
+         |sk AS (
+         |  SELECT max(CASE WHEN is_target THEN vs END) AS tv,
+         |    max(CASE WHEN is_target THEN tot END) AS tt,
+         |    max(CASE WHEN NOT is_target THEN vs END) AS rv,
+         |    max(CASE WHEN NOT is_target THEN tot END) AS rt
+         |  FROM sf2),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(list_reduce(list_transform(generate_series(1, 32),
+         |      b -> cnt[b] * (ln((tv[b] + 1) / (tt + 32))
+         |                     - ln((rv[b] + 1) / (rt + 32)))),
+         |      (a, x) -> a + x), 6) AS dsir_score
+         |  FROM sc0, sk),
+         |topk AS (
+         |  SELECT k.doc_id, s.dsir_score, row_number() OVER
+         |    (ORDER BY s.dsir_score DESC, k.doc_id) AS rk
+         |  FROM kept k JOIN sc s ON k.doc_id = s.doc_id)
+         |SELECT doc_id, dsir_score FROM topk WHERE rk <= 50
+         |ORDER BY doc_id""".stripMargin,
     // composition pin: heuristic gates + exact-dedup reps (the
     // curation_pipeline chain) ∩ LR-gate keeps, then the CDC scrub
     // replayed over the survivor set
