@@ -652,6 +652,47 @@ object TextAnalysis {
                 ELSE 0L END""").as("top3_ppm"))
   }
 
+  /** Character-bigram Shannon entropy per document (nats, 6dp) — the
+    * compressibility/templatedness signal (low entropy = repetitive
+    * boilerplate; the cheap stand-in for the gzip-ratio gate some
+    * curation stacks run, computable EXACTLY on both engines unlike
+    * a codec ratio). H = ln N − (Σ c·ln c)/N over adjacent-codepoint
+    * pairs. Cross-engine determinism: a distributed SUM of doubles
+    * is order-nondeterministic, so the Σ c·ln c fold runs over the
+    * per-doc counts COLLECTED AND SORTED by bigram (binary UTF-8
+    * order on both engines) — the same fixed-order-fold discipline
+    * as the DSIR/LR scores. Shape: one explode + two doc-keyed
+    * aggregates, map-side combining; per-doc state ≤ distinct
+    * bigrams ≤ min(doc length, alphabet²).
+    */
+  def charEntropy(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val d = df.select(col(id).cast("long").as("doc_id"),
+      col(text).as("__t"))
+    val counts = d
+      .select(col("doc_id"), expr("split(__t, '')").as("__cs"))
+      .filter(size(col("__cs")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(__cs) - 1),
+           i -> concat(element_at(__cs, i),
+                       element_at(__cs, i + 1)))""")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val ent = counts.groupBy("doc_id")
+      .agg(expr("sort_array(collect_list(struct(bg, c)))").as("__bc"),
+        sum(col("c")).as("__n"))
+      .select(col("doc_id"), col("__n").cast("long").as("n_bigrams"),
+        round(expr(
+          """ln(CAST(__n AS DOUBLE)) -
+             aggregate(__bc, CAST(0 AS DOUBLE),
+               (a, s) -> a + s.c * ln(CAST(s.c AS DOUBLE))) / __n"""),
+          6).as("entropy"))
+    d.select(col("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
   /** Column-append, ROW-LOCAL form of [[docRepetition]]: the same
     * five repetition signals (identical integer ppm values) computed
     * entirely in-row with HOFs, keeping every input column — so it

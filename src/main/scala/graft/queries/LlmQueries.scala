@@ -933,6 +933,12 @@ object LlmQueries {
           "rule_symbols", "rule_stopwords", "keep")
         .orderBy("doc_id")
     }),
+    // character-bigram Shannon entropy: the templatedness /
+    // compressibility gate, fixed-order fold (sorted per-doc counts)
+    "char_entropy" -> ((s, d) => {
+      TextAnalysis.charEntropy(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Gopher REPETITION signals (the within-doc family gopher_rules
     // doesn't cover): duplicate-line fraction/characters and top
     // 2/3-gram character coverage — all-integer ppm contract,
@@ -3487,6 +3493,35 @@ object LlmQueries {
          |                   - ln((rv[b] + 1) / (rt + 32)))),
          |    (a, x) -> a + x), 6) AS dsir_score
          |FROM c, k ORDER BY doc_id""".stripMargin,
+    // entropy mirror: identical bigram counts, identical SORTED-fold
+    // order (binary UTF-8 both engines), init-less list_reduce ==
+    // Spark's 0-seeded fold, round(…,6) as the ln() grain
+    "char_entropy" ->
+      """WITH cs AS (
+        |  SELECT doc_id, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) >= 2),
+        |bgc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(cs) - 1),
+        |      i -> cs[i] || cs[i + 1])) AS bg
+        |    FROM cs) GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    list(CAST(c AS BIGINT) ORDER BY bg) AS cl
+        |  FROM bgc GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id, n,
+        |    round(ln(CAST(n AS DOUBLE)) -
+        |      list_reduce(list_transform(cl,
+        |        x -> x * ln(CAST(x AS DOUBLE))),
+        |        (p, q) -> p + q) / n, 6) AS entropy
+        |  FROM a)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(e.n, 0) AS BIGINT) AS n_bigrams,
+        |  coalesce(e.entropy, CAST(0 AS DOUBLE)) AS entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // integer ppm mirror of docRepetition: every fraction is a
     // BIGINT floor-division — no float in any hashed column
     "doc_repetition" ->

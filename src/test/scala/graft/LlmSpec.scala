@@ -953,6 +953,21 @@ class LlmSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("top2_ppm"))
   }
 
+  test("charEntropy: hand-computed values, templated floor at zero") {
+    val df = Seq((1L, "abab"), (2L, "aaaa"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // "abab": counts {ab:2, ba:1}, H = ln3 − (2·ln2)/3 = 0.636514
+    assert(out(0) === ((1L, 3L, 0.636514)))
+    // perfectly templated: single repeated bigram → zero entropy
+    assert(out(1) === ((2L, 3L, 0.0)))
+    // too short for a bigram → 0 bigrams, entropy 0 (not null)
+    assert(out(2) === ((3L, 0L, 0.0)))
+    assert(out(3) === ((4L, 0L, 0.0)))
+  }
+
   test("withContaminationFlag: superset of exact decontaminate drops, " +
       "clean fixture unflagged") {
     val evalSet = Seq(
