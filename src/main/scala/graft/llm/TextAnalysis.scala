@@ -693,6 +693,44 @@ object TextAnalysis {
         coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
+  /** Column-append, ROW-LOCAL form of [[charEntropy]] (same
+    * n_bigrams/entropy values to the bit: the per-row fold visits
+    * distinct bigrams in the same sorted order as the batch form's
+    * sorted collect) — drops into a streaming stage
+    * ([[graft.streaming.StreamingDedup.entropyStage]]) or any plan
+    * with zero shuffle. Same per-row O(distinct×occurrences) trade
+    * as [[withDocRepetition]]: right for bounded stream records, use
+    * the batch explode form over a corpus.
+    */
+  def withCharEntropy(df: DataFrame, text: String): DataFrame = {
+    val internals = Seq("__ce_cs", "__ce_bg", "__ce_d", "__ce_n")
+    val clash = (internals ++ Seq("n_bigrams", "entropy"))
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withCharEntropy: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df.withColumn("__ce_cs", expr(s"split($text, '')"))
+      .withColumn("__ce_bg", expr(
+        """CASE WHEN size(__ce_cs) >= 2
+           THEN transform(sequence(1, size(__ce_cs) - 1),
+                i -> concat(element_at(__ce_cs, i),
+                            element_at(__ce_cs, i + 1)))
+           ELSE array() END"""))
+      .withColumn("__ce_d", expr("array_sort(array_distinct(__ce_bg))"))
+      .withColumn("__ce_n", expr("CAST(size(__ce_bg) AS BIGINT)"))
+      .withColumn("n_bigrams", col("__ce_n"))
+      .withColumn("entropy", expr(
+        """CASE WHEN __ce_n > 0 THEN
+             round(ln(CAST(__ce_n AS DOUBLE)) -
+               aggregate(__ce_d, CAST(0 AS DOUBLE),
+                 (a, g) -> a +
+                   CAST(size(filter(__ce_bg, x -> x = g)) AS BIGINT)
+                   * ln(CAST(size(filter(__ce_bg, x -> x = g))
+                        AS DOUBLE))) / __ce_n, 6)
+           ELSE CAST(0 AS DOUBLE) END"""))
+      .drop(internals: _*)
+  }
+
   /** Column-append, ROW-LOCAL form of [[docRepetition]]: the same
     * five repetition signals (identical integer ppm values) computed
     * entirely in-row with HOFs, keeping every input column — so it

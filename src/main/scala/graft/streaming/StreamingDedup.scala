@@ -349,6 +349,14 @@ object StreamingDedup {
         "(pcm | ulaw | alaw | adpcm)")
   }
 
+  /** Streaming ENTROPY stage: append the char-bigram templatedness
+    * signal ([[TextAnalysis.charEntropy]]'s columns, bit-identical
+    * values) row-locally — zero shuffle, zero state, any output
+    * mode; the quality-gate family's cheapest member.
+    */
+  def entropyStage(docs: DataFrame, text: String): DataFrame =
+    TextAnalysis.withCharEntropy(docs, text)
+
   /** Streaming DECONTAMINATION stage: flag live-feed docs that share
     * an n-gram with a held-out eval set, with the eval set fitted
     * offline into a bloom filter ([[graft.llm.Dedup.decontamBloom]])

@@ -968,6 +968,20 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3) === ((4L, 0L, 0.0)))
   }
 
+  test("withCharEntropy == charEntropy to the bit") {
+    val df = Seq((1L, "abab"), (2L, "aaaa"), (3L, "x"), (4L, ""),
+      (5L, "the quick brown fox fox fox"))
+      .toDF("doc_id", "text")
+    val batch = TextAnalysis.charEntropy(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val local = TextAnalysis.withCharEntropy(df, "text")
+      .select("doc_id", "n_bigrams", "entropy")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(local === batch)
+  }
+
   test("withContaminationFlag: superset of exact decontaminate drops, " +
       "clean fixture unflagged") {
     val evalSet = Seq(
