@@ -645,6 +645,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup: keep set equals the brute-force within-cell " +
+      "dominance reference on random vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to 3) {
+      // every third vector is a jittered copy of its predecessor, so
+      // the >=0.6 band is populated (random 64-dim cosines alone
+      // concentrate near 0 and would make the check vacuous)
+      val vb = scala.collection.mutable.Map.empty[Long, Array[Double]]
+      (0L until 40L).foreach { i =>
+        vb(i) =
+          if (i % 3 == 2)
+            vb(i - 1).map(_ + (rnd.nextDouble() - 0.5) * 0.1)
+          else Array.fill(64)(rnd.nextDouble() - 0.5)
+      }
+      val vecs = vb.toMap
+      val df = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+      val out = graft.llm.Similarity.semDedup(df, "vec_id",
+        "embedding", cells = 4, iters = 1, minCos = 0.6)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(out.size === 40)
+      val cellOf = out.view.mapValues(_._1).toMap
+      vecs.keys.foreach { id =>
+        val expectDrop = vecs.keys.exists(o => o < id &&
+          cellOf(o) == cellOf(id) &&
+          r6(cos(vecs(o), vecs(id))) >= 0.6)
+        assert(out(id)._2 === !expectDrop, s"vec $id")
+      }
+    }
+  }
+
   test("IMA ADPCM: decoder locksteps the encoder trace, zero-signal " +
       "silence, container firewalls") {
     import graft.llm.Multimodal._
