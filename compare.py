@@ -21,8 +21,47 @@ import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
 
-argv = [a for a in sys.argv[1:] if a != "--strict-hash"]
+argv = [a for a in sys.argv[1:] if a not in ("--strict-hash", "--lenient-int")]
 STRICT = "--strict-hash" in sys.argv
+# Round-12 postmortem: strict mode used to coerce integral floats to int
+# strings at render time, which silently forgave the exact divergence the
+# driver detects (DuckDB HUGEINT -> pandas float64 "1435.0" vs Spark
+# LongType "1435") and masked the mix_temperature bug for five rounds.
+# The coercion is now OFF by default; --lenient-int restores it.
+LENIENT_INT = "--lenient-int" in sys.argv
+
+# Allowed ORACLE OUTPUT column types (driver-hash-safe). DuckDB returns
+# HUGEINT for top-level sum(BIGINT) and DECIMAL for sum(DECIMAL)/avg on
+# decimals; both cross the pandas bridge as float64/object and flip the
+# driver's value hash against Spark's exact integer rendering. Any oracle
+# whose final SELECT emits one of those is a latent hash bomb — fail it
+# here at authoring time, not five rounds later.
+_SAFE_BASE = {"VARCHAR", "BIGINT", "DOUBLE", "DATE", "TIMESTAMP",
+              "TIMESTAMP WITH TIME ZONE", "BOOLEAN", "INTEGER", "FLOAT"}
+
+def dtype_audit(con, name, sql):
+    """DESCRIBE the oracle query; return list of (col, type) violations."""
+    try:
+        # DESCRIBE rows are (column_name, column_type, null, key, default,
+        # extra) — keep just the first two.
+        desc = [(r[0], r[1]) for r in
+                con.execute(f"DESCRIBE ({sql})").fetchall()]
+    except Exception:
+        try:
+            desc = [(d[0], None) for d in con.execute(
+                f"SELECT * FROM ({sql}) LIMIT 0").description]
+        except Exception as e:
+            return [("<describe-error>", str(e))]
+    bad = []
+    for col, typ in desc:
+        if typ is None:
+            continue
+        t = typ.strip().upper()
+        while t.endswith("[]"):  # LIST of safe base type is safe
+            t = t[:-2].strip()
+        if t not in _SAFE_BASE:
+            bad.append((col, typ))
+    return bad
 sf, out = argv[0], argv[1]
 only = set(argv[2:])
 con = duckdb.connect()
@@ -65,6 +104,12 @@ fails = []
 for name, sql in sorted(oracles.items()):
     if only and name not in only:
         continue
+    bad_types = dtype_audit(con, name, sql)
+    if bad_types:
+        print(f"FAIL {name}: unsafe oracle output dtype(s) {bad_types} — "
+              f"wrap in CAST(... AS BIGINT/DOUBLE); HUGEINT/DECIMAL cross "
+              f"the pandas bridge as float64 and flip the driver hash")
+        fails.append(name); continue
     pdir = f"{out}/{name}"
     if not os.path.isdir(pdir):
         print(f"FAIL {name}: no spark dump"); fails.append(name); continue
@@ -95,16 +140,16 @@ for name, sql in sorted(oracles.items()):
                 if isinstance(x, (list, np.ndarray)):
                     return "[" + ",".join(cell(i) for i in x) + "]"
                 if isinstance(x, (np.floating, float)):
-                    # dtype normalization at RENDER time: DuckDB's pandas
-                    # bridge returns BIGINT sums as float64 (nullable)
-                    # while the Spark dump keeps int64 — an integral
-                    # value must render identically from either dtype.
-                    # Per-cell (not a column astype) so a NaN elsewhere
-                    # in the column can't block it, and the 2^53 guard
-                    # keeps huge floats from a lossy int round-trip.
+                    # Driver-faithful: NO integral-float coercion here.
+                    # The driver hashes "1435.0" (DuckDB HUGEINT via the
+                    # pandas float64 bridge) differently from Spark's
+                    # "1435"; strict mode must reproduce that, so the
+                    # oracle author is forced to CAST integer sums to
+                    # BIGINT. --lenient-int restores the old forgiving
+                    # render for debugging only.
                     f = float(x)
-                    if math.isfinite(f) and abs(f) < 2.0 ** 53 \
-                            and f == math.floor(f):
+                    if LENIENT_INT and math.isfinite(f) \
+                            and abs(f) < 2.0 ** 53 and f == math.floor(f):
                         return str(int(f))
                     return repr(f)
                 if isinstance(x, np.integer):

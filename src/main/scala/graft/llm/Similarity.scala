@@ -308,13 +308,44 @@ object Similarity {
     * `maxCell` lowest-id cap (the [[lshSimilarityJoin]] rule) so a
     * hot cell cannot emit k²/2 pairs, and `cells` scales with the
     * corpus (k ∝ n in the paper) keeping occupancy bounded.
+    *
+    * `cells <= 0` (the default) derives k = max(16, ceil(sqrt(n)))
+    * from a corpus count — the committed sf1 k-scaling study's rule:
+    * a FIXED k goes quadratic at 10x data (229 s at k=16/sf1 vs 37 s
+    * at k=500, <2% change in the drop set), so auto-scaling is the
+    * scale-safe default and a fixed k must be an explicit opt-in
+    * (the oracle pins cells=16 for determinism). Note `maxCell` is a
+    * pair-explosion guard, not a correctness knob: members of an
+    * overfull cell beyond the cap are EXEMPT from dedup (always
+    * kept), which is another reason k must grow with n.
+    *
+    * Zero-norm embeddings have no defined cosine; they are excluded
+    * from pair generation (never dropped, never drop others) rather
+    * than relying on NaN (Spark) / NULL-division (DuckDB) comparison
+    * semantics that only coincidentally agree on keep.
     */
+  def autoCells(n: Long): Int =
+    math.max(16L, math.min(Int.MaxValue.toLong,
+      math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
+
   def semDedup(df: DataFrame, id: String, vec: String,
-      cells: Int = 16, iters: Int = 2, minCos: Double = 0.35,
+      cells: Int = 0, iters: Int = 2, minCos: Double = 0.35,
       maxCell: Int = 4096): DataFrame = {
-    val cents = kmeansCentroids(df, id, vec, cells, iters)
-    val member = ivfAssign(df, id, vec, cents)
-      .join(df.select(col(id), expr(
+    // Split zero-norm vectors out BEFORE clustering: under ANSI mode
+    // a zero vector crashes cosineExpr (DIVIDE_BY_ZERO) inside
+    // ivfAssign/kmeans, and a zero SEED (id < cells) would poison its
+    // whole cell. They come back as always-kept rows with cell = -1.
+    // Note seeding stays id-based (seedCentroids: id < cells), so a
+    // corpus whose LOW ids are zero vectors seeds fewer cells.
+    val dv = expr(s"transform($vec, x -> CAST(x AS DOUBLE))")
+    val normed = df.withColumn("__n0", sqrt(dot(dv, dv)))
+    val nz = normed.filter(col("__n0") > 0).drop("__n0")
+    val zeros = normed.filter(!(col("__n0") > 0))
+      .select(col(id), lit(-1L).as("cell"), lit(true).as("keep"))
+    val k = if (cells > 0) cells else autoCells(nz.count())
+    val cents = kmeansCentroids(nz, id, vec, k, iters)
+    val member = ivfAssign(nz, id, vec, cents)
+      .join(nz.select(col(id), expr(
         s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v")), Seq(id))
       .select(col(id).as("__id"), col("cell"), col("__v"))
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
@@ -340,6 +371,7 @@ object Similarity {
       .join(drops, col("__id") === col("__dup_id"), "left")
       .select(col("__id").as(id), col("cell"),
         col("__dup_id").isNull.as("keep"))
+      .unionByName(zeros)
   }
 
   /** Semantic near-dup CLUSTERING over embeddings: transitive closure

@@ -664,6 +664,16 @@ object TextAnalysis {
     * as the DSIR/LR scores. Shape: one explode + two doc-keyed
     * aggregates, map-side combining; per-doc state ≤ distinct
     * bigrams ≤ min(doc length, alphabet²).
+    *
+    * ENCODING ASSUMPTION (BMP-only bit parity): Spark's
+    * `split(text, '')` splits on UTF-16 code units while the DuckDB
+    * mirror's `string_split(text, '')` is codepoint-based, so on
+    * non-BMP characters (surrogate pairs: emoji, rare CJK) the
+    * bigram sets — and therefore the 6dp entropy — diverge between
+    * engines. The test corpus is pure ASCII so the parity contract
+    * holds exactly; for a non-ASCII corpus, normalize both engines
+    * to codepoints (Spark: bigram over `Dedup.codepointsExpr`-style
+    * arrays) before trusting cross-engine hashes.
     */
   def charEntropy(df: DataFrame, text: String, id: String)
       : DataFrame = {
@@ -826,6 +836,15 @@ object TextAnalysis {
       max(when(col("__is_t"), col("tot"))).as("tt"),
       max(when(!col("__is_t"), col("vs"))).as("rv"),
       max(when(!col("__is_t"), col("tot"))).as("rt"))
+      // a corpus with only one side makes the other side's
+      // max(when(...)) NULL and every score silently NULL — fail
+      // loudly instead, like dsirFit's require, but in-plan (the
+      // guard rides the single broadcast row; no extra job)
+      .select(
+        when(col("tt").isNotNull && col("rt").isNotNull, col("tv"))
+          .otherwise(raise_error(lit("dsirWeights: corpus must " +
+            "contain both target and non-target docs"))).as("tv"),
+        col("tt"), col("rv"), col("rt"))
     th.crossJoin(broadcast(consts))
       .select(col("doc_id"), col("__is_t").as("is_target"),
         round(expr(

@@ -1147,7 +1147,7 @@ object CoreQueries {
         |                     ELSE o_orderstatus END AS VARCHAR), '[]')
         |    AS status_str,
         |  (o_totalprice - 150000) > 0 AS need_reorder,
-        |  0.0 AS rmse
+        |  CAST(0.0 AS DOUBLE) AS rmse
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "b7_round_int" ->
       """SELECT l_orderkey, l_linenumber,

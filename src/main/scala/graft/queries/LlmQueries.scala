@@ -518,8 +518,11 @@ object LlmQueries {
         .join(TextAnalysis.docRepetition(corpus, "text", "doc_id")
           .filter(col("top2_ppm") <= 150000).select("doc_id"),
           Seq("doc_id"))
-      val reps = gated.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      // digest-keyed reps (md5, the dedup_exact_hash contract): the
+      // shuffle carries a 16-byte key instead of the full document
+      // body — the oracle's GROUP BY text is unchanged because the
+      // groups are identical absent an md5 collision
+      val reps = Dedup.exactReps(gated, "text", "doc_id")
         .select("doc_id")
       val kept = Dedup.decontaminate(gated.join(reps, Seq("doc_id")),
         evalSet, "text", "doc_id")
@@ -891,6 +894,15 @@ object LlmQueries {
     // recursive CTE, all hashed columns BIGINT
     "multimodal_adpcm" -> ((s, d) => {
       Multimodal.adpcmPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // TRANSFORM codec: fixed-point MDCT subband coding (the MP3/AAC
+    // skeleton: overlap + window + DCT + quantize + low-pass keep) —
+    // completes the codec-family triangle with a BIT-EXACT oracle:
+    // the Q15 window/basis tables are injected into the SQL as
+    // integer literals and every step is floor-div long arithmetic
+    "multimodal_mdct" -> ((s, d) => {
+      Multimodal.mdctPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
@@ -2039,18 +2051,22 @@ object LlmQueries {
     // correctly-rounded multiply + exact floor), then every division
     // is integer division — no round(DOUBLE), no double→decimal
     // cast, so no engine-build rounding semantics can flip a cell.
+    // DuckDB's top-level sum(BIGINT) yields HUGEINT, which its pandas
+    // bridge renders as float64 ("1435.0") and flips the driver's value
+    // hash vs Spark's LongType "1435" — every integer sum that reaches
+    // the final SELECT must be CAST(... AS BIGINT) (round-12 verdict).
     "mix_tokens" ->
       """SELECT source,
-        |  sum(CAST(len(list_filter(string_split(lower(text), ' '),
-        |    t -> t != '')) AS BIGINT)) AS n_tokens,
+        |  CAST(sum(CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t != '')) AS BIGINT)) AS BIGINT) AS n_tokens,
         |  count(*) AS n_docs,
-        |  sum(CAST(length(text) AS BIGINT)) AS n_chars
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "mix_temperature" ->
       """WITH s0 AS (
         |  SELECT source,
-        |    sum(CAST(len(list_filter(string_split(lower(text), ' '),
-        |      t -> t != '')) AS BIGINT)) AS n_tokens
+        |    CAST(sum(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t != '')) AS BIGINT)) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1),
         |s AS (
         |  SELECT source, n_tokens,
@@ -3334,6 +3350,65 @@ object LlmQueries {
          |  CAST(sum(abs(rv - x)) AS BIGINT) AS sum_abs_err,
          |  TRUE AS roundtrip_ok
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // MDCT transform codec replay: the Q15 window/basis tables are
+    // INJECTED as integer literals (generated once in the JVM — the
+    // imaSteps discipline), so both engines run the identical
+    // integer MAC; every normalize/quantize is a floor-division with
+    // a half-step offset (DuckDB `//` floors like Math.floorDiv).
+    // Every output column is CAST AS BIGINT (sum(BIGINT) is HUGEINT
+    // — the round-12 hash-bomb lesson).
+    "multimodal_mdct" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, j,
+         |    CAST(((CASE WHEN j + 1 <= length(text)
+         |      THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+         |      ELSE 0 END) - 128) * 256 AS BIGINT) AS x
+         |  FROM documents, range(0, 64) r(j)),
+         |wt(n, wv) AS (
+         |  SELECT unnest(range(0, 32)),
+         |    unnest([${graft.llm.Multimodal.mdctWin.mkString(", ")}])),
+         |ct0(i, cv) AS (
+         |  SELECT unnest(range(0, 512)),
+         |    unnest([${graft.llm.Multimodal.mdctCos.mkString(", ")}])),
+         |ct AS (SELECT i // 32 AS k, i % 32 AS n, cv FROM ct0),
+         |coef AS (
+         |  SELECT b.doc_id, rf.f, ct.k,
+         |    ((CAST(sum(b.x * wt.wv * ct.cv) AS BIGINT) + 536870912)
+         |      // 1073741824 + 32) // 64 AS q
+         |  FROM range(0, 5) rf(f), wt, ct, b
+         |  WHERE ct.n = wt.n AND ct.k < 8
+         |    AND b.j = rf.f * 16 + wt.n - 16
+         |  GROUP BY b.doc_id, rf.f, ct.k),
+         |recon AS (
+         |  SELECT b2.doc_id, b2.j, b2.x,
+         |    greatest(-32768, least(32767,
+         |      (CAST(sum(q.q * 64 * ct.cv * wt.wv) AS BIGINT)
+         |        + 4294967296) // 8589934592)) AS rv
+         |  FROM coef q, wt, ct, b b2
+         |  WHERE ct.n = wt.n AND ct.k = q.k
+         |    AND b2.doc_id = q.doc_id
+         |    AND b2.j = q.f * 16 + wt.n - 16
+         |  GROUP BY b2.doc_id, b2.j, b2.x),
+         |h AS (
+         |  SELECT doc_id, j, x, rv,
+         |    lag(rv) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+         |  FROM recon),
+         |ck AS (
+         |  SELECT doc_id,
+         |    CAST(sum(q * (f * 16 + k + 1)) AS BIGINT) AS coef_checksum
+         |  FROM coef GROUP BY doc_id)
+         |SELECT h.doc_id, CAST(92 AS BIGINT) AS n_bytes,
+         |  CAST(sum(rv * rv) AS BIGINT) AS sumsq_recon,
+         |  CAST(max(abs(rv)) AS BIGINT) AS peak_recon,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND rv * prev < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |  CAST(max(abs(rv - x)) AS BIGINT) AS max_abs_err,
+         |  CAST(sum(abs(rv - x)) AS BIGINT) AS sum_abs_err,
+         |  ck.coef_checksum AS coef_checksum,
+         |  TRUE AS roundtrip_ok
+         |FROM h JOIN ck ON ck.doc_id = h.doc_id
+         |GROUP BY h.doc_id, ck.coef_checksum
+         |ORDER BY h.doc_id""".stripMargin,
     // A-law mirror: 13-bit magnitude (negatives via -x-1), segment
     // ladder on m13, reconstruction ((16·mant+264)·2^(seg−1)) with
     // the seg-0 special case — all BIGINT, no float anywhere

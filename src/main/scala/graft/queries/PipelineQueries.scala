@@ -511,7 +511,7 @@ object PipelineQueries {
       |    CAST(round_even(fc_total_raw, 0) AS INT) AS Forecast_Total,
       |    CAST(2 AS INT) AS Forecast_Weeks,
       |    qty_raw > 0 AS Need_Reorder,
-      |    0.0 AS RMSE,
+      |    CAST(0.0 AS DOUBLE) AS RMSE,
       |    CAST(round_even(ss_raw, 0) AS INT) AS Safety_Stock,
       |    CAST(round_even(rop_raw, 0) AS INT) AS Reorder_Point,
       |    CAST(round_even(qty_raw, 0) AS INT) AS Qty_to_Order,

@@ -331,12 +331,13 @@ object StreamingDedup {
     TextAnalysis.withLrGate(docs, text, dim)
 
   /** Streaming AUDIO-FEATURE stage: run one of the real audio codec
-    * pipelines (PCM WAV / G.711 μ-law / A-law / IMA ADPCM) over a
-    * live feed — each is a row-local typed map (encode → parse →
-    * decode → integer features per record, no shuffle, no state), so
-    * the BATCH pipeline applies to a streaming frame unchanged; this
-    * named stage only routes the codec choice. Emits the per-doc
-    * feature frame (doc_id + features), batch-parity spec-pinned.
+    * pipelines (PCM WAV / G.711 μ-law / A-law / IMA ADPCM / MDCT
+    * transform) over a live feed — each is a row-local typed map
+    * (encode → parse → decode → integer features per record, no
+    * shuffle, no state), so the BATCH pipeline applies to a
+    * streaming frame unchanged; this named stage only routes the
+    * codec choice. Emits the per-doc feature frame (doc_id +
+    * features), batch-parity spec-pinned.
     */
   def audioFeatureStage(docs: DataFrame, text: String, id: String,
       codec: String = "adpcm"): DataFrame = codec match {
@@ -344,9 +345,10 @@ object StreamingDedup {
     case "ulaw" => graft.llm.Multimodal.ulawPipeline(docs, text, id)
     case "alaw" => graft.llm.Multimodal.alawPipeline(docs, text, id)
     case "adpcm" => graft.llm.Multimodal.adpcmPipeline(docs, text, id)
+    case "mdct" => graft.llm.Multimodal.mdctPipeline(docs, text, id)
     case other => throw new IllegalArgumentException(
       s"audioFeatureStage: unknown codec '$other' " +
-        "(pcm | ulaw | alaw | adpcm)")
+        "(pcm | ulaw | alaw | adpcm | mdct)")
   }
 
   /** Streaming ENTROPY stage: append the char-bigram templatedness

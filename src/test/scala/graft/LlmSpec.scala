@@ -1078,6 +1078,79 @@ class LlmSpec extends AnyFunSuite {
     assert(!out(2L) && !out(3L))
   }
 
+  test("semDedup: default cells auto-scales as max(16, ceil(sqrt(n)))") {
+    // the committed sf1 k-study's rule — a fixed k goes quadratic at
+    // 10x data, so the default must derive k from the corpus size
+    assert(Similarity.autoCells(0L) === 16)
+    assert(Similarity.autoCells(200L) === 16)   // sqrt(200) < 16
+    assert(Similarity.autoCells(1000000L) === 1000)
+    assert(Similarity.autoCells(100000000L) === 10000)
+    // end-to-end with the auto default: 18 vectors -> k = 16 (floor
+    // dominates), seeds are ids 0..15 on 16 distinct axes; ids 16/17
+    // are exact copies of seeds 0/7 so they land in those seeds'
+    // cells (cos = 1.0) and dedup deterministically
+    def v(hot: Int): Array[Double] = {
+      val a = Array.fill(16)(0.0); a(hot) = 1.0; a
+    }
+    val df = ((0 until 16).map(i => (i.toLong, v(i))) ++
+      Seq((16L, v(0)), (17L, v(7))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      minCos = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert((0 until 16).forall(i => out(i.toLong)))
+    assert(!out(16L) && !out(17L))
+  }
+
+  test("semDedup: zero-norm vectors are excluded from pair generation") {
+    // a zero embedding has no defined cosine — it must always be
+    // kept and must never suppress a real near-dup pair, explicitly
+    // (not via NaN/NULL comparison accidents)
+    def v(hot: Int, tilt: Double = 0.0): Array[Double] = {
+      val a = Array.fill(16)(0.0); a(hot) = 1.0
+      if (tilt != 0.0) a((hot + 3) % 16) = tilt
+      a
+    }
+    val df = Seq(
+      (0L, v(0)), (1L, v(0, 0.05)),      // real near-dup pair
+      (2L, Array.fill(16)(0.0)),         // zero vectors: no defined
+      (3L, Array.fill(16)(0.0)))         //   cosine, always kept
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      cells = 1, iters = 1, minCos = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(2L) === ((-1L, true)) && out(3L) === ((-1L, true)))
+    assert(out(0L)._2 && !out(1L)._2)    // pair still dedups
+  }
+
+  test("dsirWeights fails loudly when a corpus side is missing") {
+    val df = Seq((1L, "alpha beta gamma", "src0"),
+        (2L, "delta epsilon zeta", "src0"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      TextAnalysis.dsirWeights(df, "text", "doc_id",
+        "source", "src0").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains(
+      "both target and non-target")), msgs(e).mkString(" | "))
+  }
+
+  test("encodeWavAdpcm rejects clips over the 16-bit block header") {
+    import Multimodal._
+    val e = intercept[IllegalArgumentException] {
+      encodeWavAdpcm(DecodedAudio(8000, new Array[Short](0x10000)))
+    }
+    assert(e.getMessage.contains("65535"))
+    // boundary clip still encodes and round-trips its length
+    val ok = encodeWavAdpcm(DecodedAudio(8000, new Array[Short](0xffff)))
+    assert(decodeWavAdpcm(ok).get.samples.length === 0xffff)
+  }
+
   test("capPerDomain keeps top-n by priority with deterministic ties") {
     val df = Seq(
       (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
@@ -1268,6 +1341,45 @@ class LlmSpec extends AnyFunSuite {
       Array.tabulate(4096)(i => (i % 256) * 0x010101))
     assert(decodeGifFrame(encodeGif(Seq(big)), 0).get.pixels.toSeq ===
       big.pixels.toSeq)
+  }
+
+  test("multimodal: MDCT codec — container round-trip exact, " +
+      "low-pass tone reconstructs, truncating-shift parity") {
+    import Multimodal._
+    // Q15 tables have the expected shape and bounds
+    assert(mdctWin.length === 32 && mdctCos.length === 512)
+    assert(mdctWin.forall(w => w >= 0 && w <= 32767))
+    assert(mdctCos.forall(c => math.abs(c) <= 32767))
+    // the rounding primitive matches DuckDB `//` (truncation, not
+    // floor): (-33 + 32) / 64 must be 0, not -1
+    assert((-33L + 32L) / 64L === 0L)
+    // a slow cosine tone (well inside the kept low band) survives
+    // the 8-of-16 coefficient cut with small relative error
+    val tone = Array.tabulate(64)(j =>
+      (8000 * math.cos(2 * math.Pi * j / 32)).toInt.toShort)
+    val bytes = encodeMdct(DecodedAudio(8000, tone))
+    assert(bytes.length === 12 + 5 * 8 * 2)
+    val (rate, n, coefs) = decodeMdct(bytes).get
+    assert(rate === 8000 && n === 64)
+    // container round-trip of the quantized coefficients is BIT-exact
+    val direct = mdctCoefficients(tone)
+    assert(coefs.indices.forall(f =>
+      coefs(f).sameElements(direct(f).take(mdctKept))))
+    val rec = mdctReconstruct(n, coefs)
+    // interior samples (edge frames are half-windowed): relative
+    // error of the lossy path stays modest for an in-band tone
+    val interior = (16 until 48)
+    val num = interior.map(j => math.abs(rec(j) - tone(j)).toLong).sum
+    val den = interior.map(j => math.abs(tone(j)).toLong).sum
+    assert(num.toDouble / den < 0.15,
+      s"relative L1 error ${num.toDouble / den}")
+    // corrupt magic / truncated payload rejected
+    assert(decodeMdct("XXXX".getBytes ++ bytes.drop(4)).isEmpty)
+    assert(decodeMdct(bytes.dropRight(1)).isEmpty)
+    // oversized / unaligned clips fail loudly
+    intercept[IllegalArgumentException] {
+      mdctCoefficients(new Array[Short](17))
+    }
   }
 
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {

@@ -533,7 +533,7 @@ class StreamingSpec extends AnyFunSuite {
         .write.mode("append").parquet(dir)
     rows((1L, "retail units sold per store and week"),
       (2L, "zz" * 40))
-    for (codec <- Seq("ulaw", "adpcm")) {
+    for (codec <- Seq("ulaw", "adpcm", "mdct")) {
       val ckpt = java.nio.file.Files.createTempDirectory(
         s"au_ck_$codec").toString
       val stream = spark.readStream.schema(docSchema).parquet(dir)
