@@ -1314,6 +1314,271 @@ object Multimodal {
       "coef_checksum", "roundtrip_ok")
   }
 
+  // ---- Motion-compensated video codec (MP4/H.26x-class toy) -----
+
+  /** The PREDICTION-ACROSS-FRAMES member that completes the codec
+    * family: G.711 = companding, ADPCM = prediction across samples,
+    * MDCT = transform, and this = motion-compensated inter-frame
+    * prediction — the H.26x/MPEG skeleton (block motion search +
+    * residual quantization) minus the DCT and entropy coder. Like
+    * every codec here it is ALL-INTEGER with explicitly-ordered
+    * arithmetic: frame 0 is intra (stored raw), each later frame is
+    * predicted per 4×4 block from the previous RECONSTRUCTED frame
+    * (never the source — the decoder only has reconstructions, and
+    * using the source would silently accumulate drift the oracle
+    * could not replay) by exhaustive ±2 motion search with edge
+    * clamping, deterministic tiebreak (lowest candidate code on
+    * equal SAD), and the residual quantized to 5 bits by a
+    * floor-division kept on non-negative operands so Scala `/` and
+    * DuckDB `//` (both truncating) agree everywhere. The DuckDB
+    * oracle replays the full encode recursion as three unrolled
+    * CTE steps (search → argmin → quantize → reconstruct), the
+    * ADPCM recursive-CTE discipline applied across frames instead
+    * of samples.
+    */
+  val mcvW = 8
+  val mcvFrames = 4
+  val mcvBlock = 4
+  val mcvSearch = 2 // ±2 ⇒ 25 candidates, code c = (dy+2)*5 + (dx+2)
+
+  /** One inter-frame step: exhaustive block motion search against the
+    * previous reconstruction, residual quantization, reconstruction.
+    * Returns (mv code per block, quantized residuals per (block,
+    * pixel-in-block), reconstructed frame). Pixels are [0, 255] ints;
+    * blocks scan row-major (b = (row/4)*2 + col/4), pixels-in-block
+    * row-major (u = (row%4)*4 + col%4).
+    *
+    * Quantizer: q = floor((r + 4) / 8) computed as (r + 260)/8 − 32 —
+    * the +260 bias keeps the dividend non-negative for every
+    * r ∈ [−255, 255], where truncating (Scala `/`, DuckDB `//`) and
+    * floor division coincide — clamped to [−15, 15] (5-bit).
+    */
+  def mcvStep(prev: Array[Int], cur: Array[Int])
+      : (Array[Int], Array[Array[Int]], Array[Int]) = {
+    val w = mcvW
+    val nb = (w / mcvBlock) * (w / mcvBlock)
+    val mvs = new Array[Int](nb)
+    val qs = Array.ofDim[Int](nb, mcvBlock * mcvBlock)
+    val rec = new Array[Int](w * w)
+    var b = 0
+    while (b < nb) {
+      val bi = (b / (w / mcvBlock)) * mcvBlock
+      val bj = (b % (w / mcvBlock)) * mcvBlock
+      var bestC = 0
+      var bestSad = Long.MaxValue
+      var c = 0
+      while (c < (2 * mcvSearch + 1) * (2 * mcvSearch + 1)) {
+        val dy = c / (2 * mcvSearch + 1) - mcvSearch
+        val dx = c % (2 * mcvSearch + 1) - mcvSearch
+        var sad = 0L
+        var u = 0
+        while (u < mcvBlock * mcvBlock) {
+          val row = bi + u / mcvBlock
+          val col = bj + u % mcvBlock
+          val pr = math.max(0, math.min(w - 1, row + dy))
+          val pc = math.max(0, math.min(w - 1, col + dx))
+          sad += math.abs(cur(row * w + col) - prev(pr * w + pc))
+          u += 1
+        }
+        if (sad < bestSad) { bestSad = sad; bestC = c } // ties: lowest c
+        c += 1
+      }
+      mvs(b) = bestC
+      val dy = bestC / (2 * mcvSearch + 1) - mcvSearch
+      val dx = bestC % (2 * mcvSearch + 1) - mcvSearch
+      var u = 0
+      while (u < mcvBlock * mcvBlock) {
+        val row = bi + u / mcvBlock
+        val col = bj + u % mcvBlock
+        val pr = math.max(0, math.min(w - 1, row + dy))
+        val pc = math.max(0, math.min(w - 1, col + dx))
+        val pred = prev(pr * w + pc)
+        val r = cur(row * w + col) - pred
+        val q = math.max(-15, math.min(15, (r + 260) / 8 - 32))
+        qs(b)(u) = q
+        rec(row * w + col) = math.max(0, math.min(255, pred + 8 * q))
+        u += 1
+      }
+      b += 1
+    }
+    (mvs, qs, rec)
+  }
+
+  /** Full encode pass over grayscale frames: frame 0 copied (intra),
+    * each later frame [[mcvStep]]'d against the previous
+    * reconstruction. Returns (per-inter-frame mv codes, per-inter-
+    * frame quantized residuals, ALL reconstructed frames — index 0 is
+    * the intra copy).
+    */
+  def mcvAnalyze(frames: Array[Array[Int]])
+      : (Array[Array[Int]], Array[Array[Array[Int]]],
+         Array[Array[Int]]) = {
+    require(frames.nonEmpty && frames.forall(_.length == mcvW * mcvW),
+      s"mcvAnalyze: frames must be ${mcvW}x$mcvW grayscale")
+    val rec = new Array[Array[Int]](frames.length)
+    rec(0) = frames(0).clone()
+    val mvs = new Array[Array[Int]](frames.length - 1)
+    val qs = new Array[Array[Array[Int]]](frames.length - 1)
+    var f = 1
+    while (f < frames.length) {
+      val (mv, q, r) = mcvStep(rec(f - 1), frames(f))
+      mvs(f - 1) = mv; qs(f - 1) = q; rec(f) = r
+      f += 1
+    }
+    (mvs, qs, rec)
+  }
+
+  /** Container: "GMV1", u8 width, u8 height, u8 frame count, u8 block
+    * size, frame 0 raw (w·h bytes), then per inter frame per block:
+    * 1 mv-code byte + 16 residual bytes (q as signed int8). 4 frames
+    * of 64 B raw (256 B) → 276 B container; the compression is the
+    * point of the residual path, not the byte count at this toy size.
+    */
+  def encodeMcv(frames: Array[Array[Int]]): Array[Byte] = {
+    val (mvs, qs, _) = mcvAnalyze(frames)
+    val w = mcvW
+    val nb = (w / mcvBlock) * (w / mcvBlock)
+    val bpf = nb * (1 + mcvBlock * mcvBlock)
+    val out = new Array[Byte](8 + w * w + (frames.length - 1) * bpf)
+    "GMV1".zipWithIndex.foreach { case (ch, i) => out(i) = ch.toByte }
+    out(4) = w.toByte; out(5) = w.toByte
+    out(6) = frames.length.toByte; out(7) = mcvBlock.toByte
+    var i = 0
+    while (i < w * w) { out(8 + i) = frames(0)(i).toByte; i += 1 }
+    var f = 0
+    while (f < frames.length - 1) {
+      var b = 0
+      while (b < nb) {
+        val off = 8 + w * w + f * bpf + b * (1 + mcvBlock * mcvBlock)
+        out(off) = mvs(f)(b).toByte
+        var u = 0
+        while (u < mcvBlock * mcvBlock) {
+          out(off + 1 + u) = qs(f)(b)(u).toByte
+          u += 1
+        }
+        b += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** REAL parser + decoder for the [[encodeMcv]] container: validates
+    * magic / dimensions / length, then runs the decoder recursion —
+    * motion-compensated prediction from the previous reconstruction
+    * plus the dequantized residual, the exact arithmetic of
+    * [[mcvStep]]'s reconstruction half. Returns all frames.
+    */
+  def decodeMcv(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (bytes.length < 8 ||
+      new String(bytes.slice(0, 4), "US-ASCII") != "GMV1") return None
+    val w = bytes(4) & 0xff
+    val h = bytes(5) & 0xff
+    val nf = bytes(6) & 0xff
+    val bs = bytes(7) & 0xff
+    if (w != mcvW || h != mcvW || bs != mcvBlock || nf < 1) return None
+    val nb = (w / bs) * (w / bs)
+    val bpf = nb * (1 + bs * bs)
+    if (bytes.length != 8 + w * w + (nf - 1) * bpf) return None
+    val rec = new Array[Array[Int]](nf)
+    rec(0) = Array.tabulate(w * w)(i => bytes(8 + i) & 0xff)
+    var f = 1
+    while (f < nf) {
+      val prev = rec(f - 1)
+      val out = new Array[Int](w * w)
+      var b = 0
+      while (b < nb) {
+        val off = 8 + w * w + (f - 1) * bpf + b * (1 + bs * bs)
+        val c = bytes(off) & 0xff
+        val dy = c / (2 * mcvSearch + 1) - mcvSearch
+        val dx = c % (2 * mcvSearch + 1) - mcvSearch
+        val bi = (b / (w / bs)) * bs
+        val bj = (b % (w / bs)) * bs
+        var u = 0
+        while (u < bs * bs) {
+          val row = bi + u / bs
+          val col = bj + u % bs
+          val pr = math.max(0, math.min(w - 1, row + dy))
+          val pc = math.max(0, math.min(w - 1, col + dx))
+          val q = bytes(off + 1 + u).toInt // signed int8
+          out(row * w + col) =
+            math.max(0, math.min(255, prev(pr * w + pc) + 8 * q))
+          u += 1
+        }
+        b += 1
+      }
+      rec(f) = out
+      f += 1
+    }
+    Some(rec)
+  }
+
+  /** Motion-compensated codec pipeline: the doc's first 256
+    * codepoints become four 8×8 GRAYSCALE frames (codepoint mod 256,
+    * zero-padded — the raster rule every multimodal oracle shares),
+    * encoded to the real [[encodeMcv]] container, decoded back with
+    * the real [[decodeMcv]] recursion, features computed from the
+    * DECODED reconstruction. `roundtrip_ok` pins decode∘encode
+    * against the encoder's own reconstruction trace (the ADPCM
+    * lockstep property — a codec whose decoder drifts from the
+    * encoder's prediction loop is broken even if each half "works").
+    * Row-local like every codec stage; the oracle replays the
+    * encode recursion as three unrolled CTE steps.
+    */
+  def mcvPipeline(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, mcvFrames * mcvW * mcvW).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val v = Array.tabulate(mcvFrames * mcvW * mcvW)(j =>
+        if (j < cps.length) cps(j) % 256 else 0)
+      val frames = Array.tabulate(mcvFrames)(f =>
+        Array.tabulate(mcvW * mcvW)(p => v(mcvW * mcvW * f + p)))
+      val (mvs, qs, recTrace) = mcvAnalyze(frames)
+      val bytes = encodeMcv(frames)
+      val dec = decodeMcv(bytes).get
+      var ss = 0L; var maxErr = 0L; var sumErr = 0L
+      var mvCk = 0L; var qCk = 0L
+      var f = 0
+      while (f < mcvFrames) {
+        var p = 0
+        while (p < mcvW * mcvW) {
+          val rv = dec(f)(p).toLong
+          ss += rv * rv
+          val e = math.abs(rv - frames(f)(p).toLong)
+          if (e > maxErr) maxErr = e
+          sumErr += e
+          p += 1
+        }
+        f += 1
+      }
+      f = 0
+      while (f < mcvFrames - 1) {
+        var b = 0
+        while (b < 4) {
+          mvCk += mvs(f)(b).toLong * ((f + 1) * 4 + b + 1)
+          var u = 0
+          while (u < 16) {
+            qCk += qs(f)(b)(u).toLong * ((f + 1) * 64 + b * 16 + u + 1)
+            u += 1
+          }
+          b += 1
+        }
+        f += 1
+      }
+      val ok = dec.length == mcvFrames &&
+        dec.indices.forall(i => java.util.Arrays.equals(dec(i),
+          recTrace(i)))
+      (docId, bytes.length.toLong, ss, maxErr, sumErr, mvCk, qCk, ok)
+    }.toDF("doc_id", "n_bytes", "sumsq_recon", "max_abs_err",
+      "sum_abs_err", "mv_checksum", "q_checksum", "roundtrip_ok")
+  }
+
   /** Frame/sample selection analogue: deterministic stride sampling —
     * every `stride`-th codepoint of the source content as a small
     * fixed-width preview array (the shape of video frame-sampling,

@@ -905,6 +905,15 @@ object LlmQueries {
       Multimodal.mdctPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // MOTION-COMPENSATED video codec: the H.26x/MPEG skeleton (per-
+    // block ±2 motion search on the previous RECONSTRUCTED frame +
+    // 5-bit residual quantization) — the prediction-across-frames
+    // member completing the codec family; all-integer, so the oracle
+    // replays the full encode recursion as three unrolled CTE steps
+    "multimodal_mcvideo" -> ((s, d) => {
+      Multimodal.mcvPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -1526,6 +1535,56 @@ object LlmQueries {
        |  FROM sw),
        |sdup AS (
        |  SELECT gram FROM sgrams GROUP BY gram HAVING count(*) >= 2)""".stripMargin
+
+  /** One unrolled encode step of the motion-compensated video codec
+    * (frame `f` predicted from CTE `rec{f-1}`): exhaustive ±2 block
+    * motion search (SAD over the 16 block pixels, 25 candidates,
+    * ties → lowest candidate code), residual quantization with the
+    * +260-biased division that keeps every dividend non-negative
+    * (where DuckDB's truncating `//` coincides with floor and with
+    * the Scala side), reconstruction clamp — the ADPCM recursive-CTE
+    * discipline applied across FRAMES instead of samples, unrolled
+    * because the frame count is a codec constant (4).
+    * Mirrors `Multimodal.mcvStep`.
+    */
+  private def mcvStepSql(f: Int): String = {
+    // block b row-major over 2×2 blocks of 4×4; pixel-in-block u
+    // row-major; candidate c = (dy+2)*5 + (dx+2)
+    val curP = "((gb.b // 2) * 4 + gu.u // 4) * 8 " +
+      "+ (gb.b % 2) * 4 + gu.u % 4"
+    def predP(c: String) =
+      s"""greatest(0, least(7,
+         |      (gb.b // 2) * 4 + gu.u // 4 + $c // 5 - 2)) * 8
+         |    + greatest(0, least(7,
+         |      (gb.b % 2) * 4 + gu.u % 4 + $c % 5 - 2))""".stripMargin
+    s"""sad$f AS (
+       |  SELECT x.doc_id, gb.b, gc.c, sum(abs(x.x - r.rv)) AS sad
+       |  FROM range(0, 4) gb(b), range(0, 25) gc(c),
+       |       range(0, 16) gu(u), px x, rec${f - 1} r
+       |  WHERE x.f = $f AND x.doc_id = r.doc_id
+       |    AND x.p = $curP
+       |    AND r.p = ${predP("gc.c")}
+       |  GROUP BY x.doc_id, gb.b, gc.c),
+       |best$f AS (
+       |  SELECT s.doc_id, s.b, min(s.c) AS c
+       |  FROM sad$f s
+       |  JOIN (SELECT doc_id, b, min(sad) AS ms
+       |        FROM sad$f GROUP BY doc_id, b) m
+       |    ON m.doc_id = s.doc_id AND m.b = s.b AND s.sad = m.ms
+       |  GROUP BY s.doc_id, s.b),
+       |res$f AS (
+       |  SELECT x.doc_id, gb.b, gu.u, x.p, x.x, r.rv AS pv,
+       |    greatest(-15, least(15, (x.x - r.rv + 260) // 8 - 32)) AS q
+       |  FROM range(0, 4) gb(b), range(0, 16) gu(u),
+       |       best$f bv, px x, rec${f - 1} r
+       |  WHERE bv.b = gb.b AND x.f = $f AND x.doc_id = bv.doc_id
+       |    AND r.doc_id = bv.doc_id
+       |    AND x.p = $curP
+       |    AND r.p = ${predP("bv.c")}),
+       |rec$f AS (
+       |  SELECT doc_id, p, greatest(0, least(255, pv + 8 * q)) AS rv
+       |  FROM res$f)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -3409,6 +3468,63 @@ object LlmQueries {
          |FROM h JOIN ck ON ck.doc_id = h.doc_id
          |GROUP BY h.doc_id, ck.coef_checksum
          |ORDER BY h.doc_id""".stripMargin,
+    // Motion-compensated video replay: frame 0 is the intra copy,
+    // frames 1-3 are three UNROLLED encode steps (search → argmin →
+    // quantize → reconstruct — `mcvStepSql`); every division's
+    // dividend is non-negative so truncating `//` == floor == the
+    // Scala side, and every hashed column is CAST AS BIGINT
+    "multimodal_mcvideo" ->
+      s"""WITH px AS (
+         |  SELECT doc_id, f, p,
+         |    CAST((CASE WHEN 64 * f + p + 1 <= length(text)
+         |      THEN ascii(substring(text,
+         |        CAST(64 * f + p + 1 AS INT), 1)) % 256
+         |      ELSE 0 END) AS BIGINT) AS x
+         |  FROM documents, range(0, 4) rf(f), range(0, 64) rp(p)),
+         |rec0 AS (SELECT doc_id, p, x AS rv FROM px WHERE f = 0),
+         |${mcvStepSql(1)},
+         |${mcvStepSql(2)},
+         |${mcvStepSql(3)},
+         |allrec AS (
+         |  SELECT doc_id, rv FROM rec0
+         |  UNION ALL SELECT doc_id, rv FROM rec1
+         |  UNION ALL SELECT doc_id, rv FROM rec2
+         |  UNION ALL SELECT doc_id, rv FROM rec3),
+         |allres AS (
+         |  SELECT 1 AS f, * FROM res1
+         |  UNION ALL SELECT 2 AS f, * FROM res2
+         |  UNION ALL SELECT 3 AS f, * FROM res3),
+         |allbest AS (
+         |  SELECT 1 AS f, * FROM best1
+         |  UNION ALL SELECT 2 AS f, * FROM best2
+         |  UNION ALL SELECT 3 AS f, * FROM best3),
+         |agg_rec AS (
+         |  SELECT doc_id, sum(rv * rv) AS ss
+         |  FROM allrec GROUP BY doc_id),
+         |agg_err AS (
+         |  SELECT doc_id, max(e) AS mx, sum(e) AS sm
+         |  FROM (SELECT doc_id,
+         |          abs(greatest(0, least(255, pv + 8 * q)) - x) AS e
+         |        FROM allres)
+         |  GROUP BY doc_id),
+         |agg_mv AS (
+         |  SELECT doc_id, sum(c * (f * 4 + b + 1)) AS ck
+         |  FROM allbest GROUP BY doc_id),
+         |agg_q AS (
+         |  SELECT doc_id, sum(q * (f * 64 + b * 16 + u + 1)) AS ck
+         |  FROM allres GROUP BY doc_id)
+         |SELECT r.doc_id, CAST(276 AS BIGINT) AS n_bytes,
+         |  CAST(r.ss AS BIGINT) AS sumsq_recon,
+         |  CAST(e.mx AS BIGINT) AS max_abs_err,
+         |  CAST(e.sm AS BIGINT) AS sum_abs_err,
+         |  CAST(m.ck AS BIGINT) AS mv_checksum,
+         |  CAST(q.ck AS BIGINT) AS q_checksum,
+         |  TRUE AS roundtrip_ok
+         |FROM agg_rec r
+         |JOIN agg_err e ON e.doc_id = r.doc_id
+         |JOIN agg_mv m ON m.doc_id = r.doc_id
+         |JOIN agg_q q ON q.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin,
     // A-law mirror: 13-bit magnitude (negatives via -x-1), segment
     // ladder on m13, reconstruction ((16·mant+264)·2^(seg−1)) with
     // the seg-0 special case — all BIGINT, no float anywhere

@@ -1382,6 +1382,61 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: MC video codec — translation predicts exactly, " +
+      "decode matches encoder trace, container rejects corruption") {
+    import Multimodal._
+    // a pure translation inside the ±2 search window reconstructs
+    // EXACTLY: residuals are 0 and the mv code points at the shift
+    val base = Array.tabulate(64) { p =>
+      val row = p / 8; val col = p % 8
+      (row * 31 + col * 7) % 256
+    }
+    // shift content right 1, down 1 (prediction must look UP-LEFT:
+    // dy = -1, dx = -1 → code (-1+2)*5 + (-1+2) = 6); interior
+    // pixels of every block are exact matches, and the clamped edge
+    // extension makes even border pixels findable for this raster
+    val shifted = Array.tabulate(64) { p =>
+      val row = p / 8; val col = p % 8
+      base(math.max(0, row - 1) * 8 + math.max(0, col - 1))
+    }
+    val (mvs, qs, rec) = mcvStep(base, shifted)
+    assert(mvs.toSeq === Seq(6, 6, 6, 6))
+    assert(qs.flatten.forall(_ == 0))
+    assert(rec.toSeq === shifted.toSeq)
+    // identical frames → zero motion is the SAD=0 tiebreak winner
+    // among all zero-SAD candidates only if it has the lowest code —
+    // it does not (code 12); a uniform frame makes EVERY candidate
+    // SAD 0, so the deterministic tiebreak must pick code 0
+    val flat = Array.fill(64)(77)
+    val (mvs2, qs2, rec2) = mcvStep(flat, flat)
+    assert(mvs2.toSeq === Seq(0, 0, 0, 0))
+    assert(qs2.flatten.forall(_ == 0) && rec2.toSeq === flat.toSeq)
+    // quantizer: the +260-biased truncating division IS
+    // floorDiv(r + 4, 8) for the whole residual range
+    for (r <- -255 to 255)
+      assert((r + 260) / 8 - 32 === math.floorDiv(r + 4, 8), s"r=$r")
+    // full pipeline: decode∘encode equals the encoder's own
+    // reconstruction trace on a pseudorandom 4-frame clip
+    val rnd = new scala.util.Random(42)
+    val frames = Array.fill(mcvFrames)(Array.fill(64)(rnd.nextInt(256)))
+    val bytes = encodeMcv(frames)
+    assert(bytes.length === 8 + 64 + 3 * 4 * 17)
+    val dec = decodeMcv(bytes).get
+    val (_, _, trace) = mcvAnalyze(frames)
+    assert(dec.length === mcvFrames)
+    assert(dec.indices.forall(i =>
+      java.util.Arrays.equals(dec(i), trace(i))))
+    // frame 0 is intra-lossless; inter frames stay within the
+    // quantizer's worst-case bound |err| <= 255 (clamp) and the
+    // per-pixel dequant step bound where unclamped
+    assert(dec(0).toSeq === frames(0).toSeq)
+    // corrupt magic / truncated / wrong block size rejected
+    assert(decodeMcv("XXXX".getBytes ++ bytes.drop(4)).isEmpty)
+    assert(decodeMcv(bytes.dropRight(1)).isEmpty)
+    val badBlock = bytes.clone(); badBlock(7) = 5
+    assert(decodeMcv(badBlock).isEmpty)
+  }
+
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
     val df = Seq(
       (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
