@@ -394,6 +394,65 @@ object Similarity {
     Dedup.connectedComponents(edges, df.select(col(id)), id)
   }
 
+  /** PageRank over the LSH-bucketed cosine similarity graph: the
+    * authority/centrality scores that corpus-curation recipes use to
+    * weight well-connected (canonical, widely-duplicated-near-miss)
+    * documents — computed with an ALL-INTEGER contract so the result
+    * is bit-identical across engines with no float-summation-order
+    * caveat anywhere: ranks are parts-per-million longs, each node
+    * starts at 1_000_000, and one power-iteration step is
+    *
+    *   pr'(v) = 150_000 + (850 · Σ_{u∈N(v)} (pr(u) div deg(u))) div 1000
+    *
+    * — the classic 0.15/0.85 damping in ppm with truncating integer
+    * division (operands always non-negative, so Spark `div`, Scala
+    * `/`, and DuckDB `//` coincide). Dangling nodes (no similarity
+    * neighbors) keep the 150_000 teleport floor; mass truncated by
+    * the divisions is dropped, not redistributed (documented
+    * divergence from the stochastic-matrix formulation — this is a
+    * RANKING signal, and the contract buys exactness).
+    *
+    * Scale shape: edges come from the bucketed sim-join (never
+    * all-pairs, `maxBucket`-capped), the adjacency+degree frame is
+    * built once and persisted across the `iters` (fixed, small)
+    * power steps, and each step is one join + one map-side-combined
+    * aggregation on the edge list — the standard distributed
+    * PageRank shape, edge-partitioned, no driver-side state. At a
+    * 100 TB corpus you would checkpoint `ranks` every few
+    * iterations to cut lineage; at iters=5 the single composed plan
+    * is fine.
+    */
+  def pagerankSim(df: DataFrame, id: String, vec: String,
+      planes: Int = 8, minSim: Double = 0.0, iters: Int = 5)
+      : DataFrame = {
+    val edges = lshSimilarityJoin(df, id, vec, planes, minSim)
+      .select(col("id1"), col("id2"))
+    val adj = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(
+        edges.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one (src, dst, deg) frame reused by every power step; persist +
+    // materialize so the 5 steps share one computation of the
+    // sim-join instead of re-running it per step inside one plan
+    val adjDeg = adj.join(deg, "src").persist()
+    adjDeg.count()
+    val nodes = df.select(col(id).cast("long").as("node"))
+    var ranks = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val sums = adjDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("pr div deg").as("share"))
+        .groupBy("dst").agg(sum("share").as("t"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), expr(
+          "CAST(150000 + (850 * coalesce(t, CAST(0 AS BIGINT)))" +
+            " div 1000 AS BIGINT)").as("pr"))
+    }
+    ranks.join(deg, col("node") === col("src"), "left")
+      .select(col("node").as(id),
+        coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
+  }
+
   // ---- Product quantization (PQ) ----------------------------------
   // The fourth ANN family member next to brute-force, LSH, and IVF:
   // split each vector into `m` subspaces, k-means each subspace

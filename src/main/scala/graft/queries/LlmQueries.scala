@@ -109,6 +109,15 @@ object LlmQueries {
         "embedding", cells = 16, iters = 2, minCos = 0.35)
         .orderBy("vec_id")
     }),
+    // PageRank centrality over the same similarity graph — the
+    // authority signal for canonical-document weighting; all-integer
+    // ppm contract (teleport 150000, damping 850/1000, truncating
+    // div), 5 unrolled power steps in the oracle
+    "pagerank_sim" -> ((s, d) => {
+      Similarity.pagerankSim(t(s, d, "embeddings"), "vec_id",
+        "embedding", planes = 6, minSim = 0.35)
+        .orderBy("vec_id")
+    }),
     "embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1586,6 +1595,24 @@ object LlmQueries {
        |  FROM res$f)""".stripMargin
   }
 
+  /** One unrolled integer-PageRank power step: r{i} from r{i-1} over
+    * the `adj`/`dg` edge CTEs — pr'(v) = 150000 + (850 · Σ (pr(u) //
+    * deg(u))) // 1000, all operands non-negative so DuckDB's
+    * truncating `//` coincides with Spark's `div`.
+    * Mirrors `Similarity.pagerankSim`.
+    */
+  private def prStepSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.node,
+       |    CAST(150000 + (850 * coalesce(s.t, 0)) // 1000 AS BIGINT)
+       |      AS pr
+       |  FROM n LEFT JOIN (
+       |    SELECT a.dst AS node, sum(rp.pr // dg.deg) AS t
+       |    FROM adj a
+       |    JOIN r${i - 1} rp ON rp.node = a.src
+       |    JOIN dg ON dg.src = a.src
+       |    GROUP BY a.dst) s ON s.node = n.node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper, count(*) AS dup_count
@@ -1771,6 +1798,37 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    // Integer-PageRank mirror: the simjoin edge chain (same bucket
+    // cap and round-6 cosine threshold as embed_lsh_simjoin), then 5
+    // unrolled power steps in ppm longs — no float anywhere
+    "pagerank_sim" ->
+      s"""WITH v0 AS (
+         |  SELECT vec_id, $duckVec AS vec,
+         |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT v0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM v0)
+         |  WHERE rn <= 4096),
+         |e0 AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM v a JOIN v b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35),
+         |adj AS (
+         |  SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2 AS src, id1 AS dst FROM e0),
+         |dg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+         |n AS (SELECT vec_id AS node FROM embeddings),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |${(1 to 5).map(prStepSql).mkString(",\n")}
+         |SELECT n.node AS vec_id,
+         |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+         |  CAST(r5.pr AS BIGINT) AS pr
+         |FROM n JOIN r5 ON r5.node = n.node
+         |LEFT JOIN dg ON dg.src = n.node
+         |ORDER BY vec_id""".stripMargin,
     "ivf_assign" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec

@@ -1437,6 +1437,28 @@ class LlmSpec extends AnyFunSuite {
     assert(decodeMcv(badBlock).isEmpty)
   }
 
+  test("pagerankSim: symmetric clique is the 1e6 ppm fixed point, " +
+      "isolated node keeps the teleport floor") {
+    // K3 of identical vectors: deg = 2 everywhere, and one power
+    // step maps 1e6 -> 150000 + (850 * (2 * (1e6 div 2))) div 1000
+    // = 1e6 — the integer contract's exact fixed point, so any
+    // drift (wrong damping, wrong div order, float sneaking in)
+    // breaks this pin. The anti-parallel vector shares no edge
+    // (cos = -1 < minSim) and must sit at the 150000 teleport floor.
+    val e1 = Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    val df = Seq(
+      (0L, e1), (1L, e1), (2L, e1), (3L, e1.map(-_)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pagerankSim(df, "vec_id", "embedding",
+      planes = 6, minSim = 0.35)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(0L) === ((2L, 1000000L)))
+    assert(out(1L) === ((2L, 1000000L)))
+    assert(out(2L) === ((2L, 1000000L)))
+    assert(out(3L) === ((0L, 150000L)))
+  }
+
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
     val df = Seq(
       (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
