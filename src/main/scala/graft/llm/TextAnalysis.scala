@@ -1718,4 +1718,71 @@ object TextAnalysis {
         round(col("target_share") * col("__t_out"), 6)
           .as("expected_tokens"))
   }
+
+  /** BM25 lexical retrieval — the sparse/keyword counterpart of the
+    * embedding ANN family (brute-force/LSH/IVF/PQ), completing the
+    * hybrid-retrieval pair every RAG-style pipeline needs. Documents
+    * are scored with Okapi BM25 (k1 = 1.2, b = 0.75) against
+    * `nTerms` single-term queries picked deterministically from the
+    * corpus itself (highest document frequency among terms of at
+    * least `minTermLen` characters, ties by term — a self-contained
+    * oracle-checkable query set); top `k` docs per term by
+    * (score DESC, doc_id ASC).
+    *
+    * Cross-engine exactness WITHOUT integer scaling: the classic
+    * BM25 idf is ln((N−df+0.5)/(df+0.5)+1), but ln is a libm call
+    * whose last ulp differs across engines — so this uses the
+    * RATIONAL Robertson idf (N−df+0.5)/(df+0.5) un-logged.
+    * Every remaining operation is IEEE +,−,×,÷ (correctly rounded,
+    * engine-independent) over exact integers and the shared
+    * literals, and the expression tree is written identically on
+    * both sides — so the double scores are bit-identical, not
+    * tolerance-banded. Un-logging idf changes absolute scores but
+    * is rank-equivalent per single-term query (monotone transform),
+    * which is what a retrieval operator is for.
+    *
+    * Scale shape: tf/df/len are three shuffled aggregations of the
+    * exploded token list (map-side combined); the query-term table,
+    * document-frequency row, and corpus totals are BROADCAST; the
+    * final per-term top-k is a window partitioned by term — the
+    * `topk_per_group` shape, a handful of partitions. At a 100 TB
+    * corpus with thousands of query terms you would swap the window
+    * for the two-phase per-executor top-k (the heavy-hitters
+    * pattern); at retrieval fan-outs the partitioned window is the
+    * right plan.
+    */
+  def bm25TopK(df: DataFrame, text: String, id: String,
+      nTerms: Int = 5, k: Int = 10, minTermLen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id).cast("long").as("doc_id"),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    val lens = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("len"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(count(lit(1)).as("n"), sum("len").as("tot"))
+    val qterms = dfreq.filter(length(col("term")) >= minTermLen)
+      .orderBy(col("df").desc, col("term").asc).limit(nTerms)
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      // written as ONE expression, the same parse tree as the oracle:
+      // rational idf × saturating tf with the avgdl length norm
+      // expanded to len·N/tot (one division, no separate avgdl
+      // value). The D suffixes matter: Spark parses a bare 0.5 as
+      // DECIMAL(1,1) (DuckDB as DOUBLE) and the whole tree would
+      // silently go decimal-typed with different rounding.
+      .withColumn("score", expr(
+        "((n - df + 0.5D) / (df + 0.5D)) * ((tf * 2.2D) / " +
+          "(tf + 0.3D + 0.9D * (len * 1.0D * n / tot)))"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("term")
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        col("score"))
+  }
 }

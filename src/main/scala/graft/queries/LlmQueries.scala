@@ -118,6 +118,15 @@ object LlmQueries {
         "embedding", planes = 6, minSim = 0.35)
         .orderBy("vec_id")
     }),
+    // BM25 lexical retrieval — the sparse counterpart of the ANN
+    // family; rational (un-logged) Robertson idf keeps every score a
+    // pure IEEE +,-,*,/ expression over exact integers, so the
+    // doubles are bit-identical across engines (rank-equivalent to
+    // the ln form per single-term query)
+    "bm25_topk" -> ((s, d) => {
+      TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("term", "rank")
+    }),
     "embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1798,6 +1807,48 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    // BM25 mirror: identical expression tree (rational idf, expanded
+    // len·N/tot length norm) — the doubles must match bit-for-bit,
+    // no rounding on either side. The e0 literal notation matters:
+    // a bare 0.5 is DECIMAL in DuckDB (as in Spark, where the query
+    // uses the D suffix) and the decimal division path is one ulp
+    // off the IEEE double path.
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '')
+        |      AS ts
+        |  FROM documents),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len) AS BIGINT) AS tot
+        |  FROM lens),
+        |q AS (
+        |  SELECT term, df FROM dfreq WHERE length(term) >= 5
+        |  ORDER BY df DESC, term ASC LIMIT 5),
+        |scored AS (
+        |  SELECT q.term, tf.doc_id, tf.tf,
+        |    ((t.n - q.df + 0.5e0) / (q.df + 0.5e0)) * ((tf.tf * 2.2e0)
+        |      / (tf.tf + 0.3e0
+        |         + 0.9e0 * (l.len * 1.0e0 * t.n / t.tot))) AS score
+        |  FROM tf
+        |  JOIN q ON q.term = tf.term
+        |  JOIN lens l ON l.doc_id = tf.doc_id, tot t),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY term
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
+        |ORDER BY term, rank""".stripMargin,
     // Integer-PageRank mirror: the simjoin edge chain (same bucket
     // cap and round-6 cosine threshold as embed_lsh_simjoin), then 5
     // unrolled power steps in ppm longs — no float anywhere

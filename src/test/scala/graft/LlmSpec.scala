@@ -1459,6 +1459,33 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 150000L)))
   }
 
+  test("bm25TopK: tf dominance orders docs, scores match the exact " +
+      "double formula, query pick is deterministic") {
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta beta"),
+      (3L, "gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      nTerms = 2, k = 3, minTermLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // df: alpha=beta=gamma=2, rest 1; top-2 by (df DESC, term ASC)
+    // must pick alpha, beta — gamma excluded only by the tiebreak
+    assert(out.keys.map(_._1).toSet === Set("alpha", "beta"))
+    // tf dominance at equal doc length: doc 1 has alpha twice
+    assert(out(("alpha", 1L))._1 === 1L)
+    assert(out(("alpha", 2L))._1 === 2L)
+    assert(out(("beta", 1L))._1 === 2L)
+    assert(out(("beta", 2L))._1 === 1L) // doc 3 contains no beta
+    // exact double contract: same IEEE op sequence as the engine
+    def score(tf: Long, df: Long, len: Long, n: Long, tot: Long) =
+      ((n - df + 0.5) / (df + 0.5)) * ((tf * 2.2) /
+        (tf + 0.3 + 0.9 * (len * 1.0 * n / tot)))
+    assert(out(("alpha", 1L))._3 === score(2, 2, 4, 3, 16))
+    assert(out(("beta", 2L))._3 === score(1, 2, 4, 3, 16))
+  }
+
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
     val df = Seq(
       (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
