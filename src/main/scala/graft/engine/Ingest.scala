@@ -142,11 +142,19 @@ object Ingest {
     * integer shifts, exact on any engine.
     */
   def zValueExpr(a: String, b: String, bits: Int = 16)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    // UNROLLED flat sum, not an aggregate() HOF fold: the lambda is
+    // interpreted (no whole-stage codegen) and the z-value is
+    // evaluated several times per row on the write path
+    // (repartitionByRange's range sampling + the shuffle + the
+    // within-partition sort) — the constant-length unroll keeps the
+    // whole thing inside codegen. Same arithmetic, same values.
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"shiftleft(shiftright(CAST($a AS BIGINT), $i) & 1, ${2 * i})",
+      s"shiftleft(shiftright(CAST($b AS BIGINT), $i) & 1, ${2 * i + 1})"))
     org.apache.spark.sql.functions.expr(
-      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-          acc + shiftleft(shiftright(CAST($a AS BIGINT), i) & 1, 2 * i)
-              + shiftleft(shiftright(CAST($b AS BIGINT), i) & 1, 2 * i + 1))""")
+      terms.mkString("(", " + ", ")"))
+  }
 
   /** Z-ordered parquet layout on two keys: range-partition + sort on
     * the interleaved Z-value. Any later predicate constraining EITHER

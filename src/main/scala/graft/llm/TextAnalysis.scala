@@ -1751,6 +1751,53 @@ object TextAnalysis {
     * pattern); at retrieval fan-outs the partitioned window is the
     * right plan.
     */
+  /** Collocation mining — top word pairs by PMI-style LIFT, the
+    * phrase/multi-word-expression detector corpus analysis uses to
+    * find terms that should be treated as units ("new york",
+    * "machine learning"). PMI is log(p(ab)/(p(a)p(b))); the log is a
+    * libm call, so this emits the UN-LOGGED lift p(ab)/(p(a)·p(b)) =
+    * c_ab·T²/(B·c_a·c_b) — a monotone transform, rank-identical,
+    * and computable as a fixed IEEE +,×,÷ tree over exact integer
+    * counts (the BM25 discipline: bit-identical doubles, no
+    * tolerance band). Count floors keep the classic PMI
+    * rare-pair blow-up out of the ranking.
+    *
+    * Scale shape: adjacent-pair explosion is row-local (zipped
+    * slices), both count tables are map-side-combined aggregations,
+    * the totals row is broadcast, and the final top-k is a global
+    * `orderBy().limit(k)` — distributed TakeOrdered, no window.
+    */
+  def collocationsTopK(df: DataFrame, text: String, id: String,
+      k: Int = 20, minPair: Long = 5, minWord: Long = 10): DataFrame = {
+    val toks = df.select(col(id).cast("long").as("doc_id"),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """arrays_zip(slice(toks, 1, size(toks) - 1),
+                      slice(toks, 2, size(toks) - 1))""")).as("p"))
+      .select(col("p.0").as("a"), col("p.1").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum("c").as("t"))
+      .crossJoin(pairs.agg(sum("c_ab").as("bt")))
+    pairs
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .filter(col("c_ab") >= minPair &&
+        col("c_a") >= minWord && col("c_b") >= minWord)
+      // fixed IEEE tree (D literal forces DOUBLE; Spark parses bare
+      // decimals as DECIMAL — the BM25 lesson)
+      .withColumn("lift", expr(
+        "((c_ab * 1.0D) * t / c_a) * ((t * 1.0D) / c_b) / bt"))
+      .select(col("a"), col("b"), col("c_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   def bm25TopK(df: DataFrame, text: String, id: String,
       nTerms: Int = 5, k: Int = 10, minTermLen: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

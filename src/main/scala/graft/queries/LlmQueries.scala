@@ -127,6 +127,13 @@ object LlmQueries {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id")
         .orderBy("term", "rank")
     }),
+    // collocation mining: top adjacent-word pairs by un-logged PMI
+    // lift c_ab·T²/(B·c_a·c_b) — rank-identical to PMI, bit-exact
+    // doubles (no libm), count floors against the rare-pair blow-up
+    "collocations" -> ((s, d) => {
+      TextAnalysis.collocationsTopK(t(s, d, "documents"), "text",
+        "doc_id")
+    }),
     "embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1849,6 +1856,35 @@ object LlmQueries {
         |  FROM scored)
         |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
         |ORDER BY term, rank""".stripMargin,
+    // Collocation mirror: zipped equal-length slice unnests make the
+    // adjacent pairs; identical IEEE lift tree (e0 literals — the
+    // BM25 decimal-literal lesson)
+    "collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '')
+        |      AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |pairs AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM (SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS a,
+        |               unnest(list_slice(ts, 2, len(ts))) AS b
+        |        FROM toks WHERE len(ts) >= 2)
+        |  GROUP BY a, b),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t,
+        |         (SELECT CAST(sum(c_ab) AS BIGINT) FROM pairs) AS bt)
+        |SELECT p.a, p.b, p.c_ab,
+        |  ((p.c_ab * 1.0e0) * t.t / ua.c) * ((t.t * 1.0e0) / ub.c)
+        |    / t.bt AS lift
+        |FROM pairs p
+        |JOIN uni ua ON ua.w = p.a
+        |JOIN uni ub ON ub.w = p.b, tot t
+        |WHERE p.c_ab >= 5 AND ua.c >= 10 AND ub.c >= 10
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
     // Integer-PageRank mirror: the simjoin edge chain (same bucket
     // cap and round-6 cosine threshold as embed_lsh_simjoin), then 5
     // unrolled power steps in ppm longs — no float anywhere

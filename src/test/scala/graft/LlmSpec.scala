@@ -1486,6 +1486,31 @@ class LlmSpec extends AnyFunSuite {
     assert(out(("beta", 2L))._3 === score(1, 2, 4, 3, 16))
   }
 
+  test("collocationsTopK: lifts match the exact rational formula, " +
+      "ties break lexicographically") {
+    // corpus: T = 32 tokens, B = 20 adjacent pairs
+    //   8 docs "a b c"/"a b d" -> (a,b) x8, (b,c) x4, (b,d) x4
+    //   4 docs "c e"           -> (c,e) x4
+    // unigrams: a=8 b=8 c=8 d=4 e=4
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "a b c")) ++
+      (5 to 8).map(i => (i.toLong, "a b d")) ++
+      (9 to 12).map(i => (i.toLong, "c e"))).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsTopK(docs, "text", "doc_id",
+      k = 5, minPair = 2, minWord = 4)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    def lift(cab: Long, ca: Long, cb: Long, t: Long, bt: Long) =
+      ((cab * 1.0) * t / ca) * ((t * 1.0) / cb) / bt
+    // three pairs tie at lift 6.4; (b,c) trails at 3.2 — the
+    // (lift DESC, a, b) order is fully deterministic
+    assert(out.toSeq === Seq(
+      ("a", "b", 8L, lift(8, 8, 8, 32, 20)),
+      ("b", "d", 4L, lift(4, 8, 4, 32, 20)),
+      ("c", "e", 4L, lift(4, 8, 4, 32, 20)),
+      ("b", "c", 4L, lift(4, 8, 8, 32, 20))))
+  }
+
   test("dedupLinesIntra: first occurrence kept, order preserved, newline sep") {
     val df = Seq(
       (1L, "nav bar\ncontent A\nnav bar\ncontent B\nnav bar"),
