@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   * animated GIF89a video ([[encodeGif]] hand-rolled lossless
   * encoder / [[decodeGifFrame]] JDK-codec frame random access), as
   * are `resizeNearest`, the channel statistics, and the audio
-  * features (RMS / peak / zero-crossings); [[decode]] dispatches on
-  * the container magic and falls back to [[stubDecode]] for formats
-  * whose codecs genuinely don't exist here (compressed audio/video
-  * codecs — that boundary is the documented `???` replacement
-  * point).
+  * features (RMS / peak / zero-crossings). The COMPRESSION-FAMILY
+  * quartet is real end-to-end too, each with a bit-exact integer
+  * oracle: companding (G.711 μ/A-law), prediction-across-samples
+  * (IMA ADPCM), transform (fixed-point MDCT), and prediction-
+  * across-frames (motion-compensated video, [[mcvPipeline]]).
+  * [[decode]] dispatches on the container magic and falls back to
+  * [[stubDecode]] only for FOREIGN payloads this environment has no
+  * codec for (e.g. MP3/MP4 bytes produced elsewhere) — that
+  * boundary is the documented `???` replacement point where a JNI
+  * decoder or model forward pass would slot in.
   */
 object Multimodal {
 

@@ -387,9 +387,10 @@ object StreamingDedup {
     case "png" => graft.llm.Multimodal.pngPipeline(docs, text, id)
     case "jpeg" => graft.llm.Multimodal.jpegPipeline(docs, text, id)
     case "gif" => graft.llm.Multimodal.gifPipeline(docs, text, id)
+    case "mcv" => graft.llm.Multimodal.mcvPipeline(docs, text, id)
     case other => throw new IllegalArgumentException(
       s"imageFeatureStage: unknown codec '$other' " +
-        "(bmp | png | jpeg | gif)")
+        "(bmp | png | jpeg | gif | mcv)")
   }
 
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc

@@ -580,7 +580,7 @@ class StreamingSpec extends AnyFunSuite {
         .write.mode("append").parquet(dir)
     rows((1L, "retail units sold per store and week in region nine"),
       (2L, "zq" * 400))
-    for (codec <- Seq("png", "gif")) {
+    for (codec <- Seq("png", "gif", "mcv")) {
       val ckpt = java.nio.file.Files.createTempDirectory(
         s"im_ck_$codec").toString
       val stream = spark.readStream.schema(docSchema).parquet(dir)
