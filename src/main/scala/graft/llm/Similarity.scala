@@ -275,19 +275,23 @@ object Similarity {
         struct(col("__id"), col("__v"), col("__n")))), 1, maxBucket)
         .as("__ms"))
       .filter(size(col("__ms")) > 1)
+      // the pair lambda only PAIRS members — the 64-dim dot product
+      // happens AFTER the explode through the native codegen'd
+      // [[dot]] expression. Computing the cosine inside the HOF
+      // lambda (the previous form) ran a 64-step interpreted
+      // zip_with/aggregate fold per candidate pair, which dominated
+      // the whole sim-join family; the native dot is spec-pinned
+      // bit-identical to that fold, so values are unchanged.
       .select(col("bucket"), explode(expr(
         s"""flatten(transform(sequence(1, size(__ms) - 1),
             i -> transform(slice(__ms, i + 1, size(__ms) - i),
                  y -> named_struct(
-                   'id1', element_at(__ms, i).__id,
-                   'id2', y.__id,
-                   'sim', round(
-                     aggregate(zip_with(element_at(__ms, i).__v, y.__v,
-                       (p, q) -> p * q), 0D, (acc, v) -> acc + v)
-                     / (element_at(__ms, i).__n * y.__n), 6)))))"""))
+                   'x', element_at(__ms, i), 'y', y))))"""))
         .as("p"))
-      .select(col("bucket"), col("p.id1").as("id1"),
-        col("p.id2").as("id2"), col("p.sim").as("sim"))
+      .select(col("bucket"),
+        col("p.x.__id").as("id1"), col("p.y.__id").as("id2"),
+        round(dot(col("p.x.__v"), col("p.y.__v")) /
+          (col("p.x.__n") * col("p.y.__n")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
@@ -349,6 +353,9 @@ object Similarity {
         s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v")), Seq(id))
       .select(col(id).as("__id"), col("cell"), col("__v"))
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    // pair-then-native-dot, the [[lshSimilarityJoin]] restructure:
+    // the lambda only pairs cell-mates; the cosine runs codegen'd
+    // after the explode (bit-identical to the HOF fold, spec-pinned)
     val drops = member
       .groupBy(col("cell"))
       .agg(slice(sort_array(collect_list(
@@ -359,14 +366,13 @@ object Similarity {
         s"""flatten(transform(sequence(1, size(__ms) - 1),
             i -> transform(slice(__ms, i + 1, size(__ms) - i),
                  y -> named_struct(
-                   'id2', y.__id,
-                   'sim', round(
-                     aggregate(zip_with(element_at(__ms, i).__v, y.__v,
-                       (p, q) -> p * q), 0D, (acc, v) -> acc + v)
-                     / (element_at(__ms, i).__n * y.__n), 6)))))"""))
+                   'x', element_at(__ms, i), 'y', y))))"""))
         .as("p"))
-      .filter(col("p.sim") >= minCos)
-      .select(col("p.id2").as("__dup_id")).distinct()
+      .select(col("p.y.__id").as("__dup_id"),
+        round(dot(col("p.x.__v"), col("p.y.__v")) /
+          (col("p.x.__n") * col("p.y.__n")), 6).as("__sim"))
+      .filter(col("__sim") >= minCos)
+      .select(col("__dup_id")).distinct()
     member
       .join(drops, col("__id") === col("__dup_id"), "left")
       .select(col("__id").as(id), col("cell"),
