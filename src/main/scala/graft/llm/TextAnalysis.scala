@@ -1751,6 +1751,57 @@ object TextAnalysis {
     * pattern); at retrieval fan-outs the partitioned window is the
     * right plan.
     */
+  /** Deterministic token-level data augmentation (EDA-style dropout +
+    * duplication): each token position draws a per-(doc, position)
+    * hash gate in [0, 1000) — NO RNG, the `sampleBucketExpr`
+    * discipline, so the augmentation is reproducible run-to-run,
+    * engine-to-engine, and under retries (a nondeterministic augment
+    * stage re-executes differently when a task retries, silently
+    * corrupting exactly-once sinks) — and the gate decides: below
+    * `dropPermille` the token is dropped, in the next `dupPermille`
+    * band it is emitted twice, otherwise once. Row-local HOFs over
+    * the row's own tokens (the text-ops shape): corpus-linear, no
+    * shuffle, any output mode under streaming.
+    */
+  def augmentTokens(df: DataFrame, text: String, id: String,
+      dropPermille: Int = 100, dupPermille: Int = 50,
+      seed: Long = 7L): DataFrame = {
+    require(dropPermille >= 0 && dupPermille >= 0 &&
+      dropPermille + dupPermille <= 1000,
+      "augmentTokens: permille bands must fit in [0, 1000]")
+    // gate in [0, 1000): operands stay non-negative and < 2^62, so
+    // % is pmod and identical in Spark and DuckDB. The L suffix
+    // matters: sequence() yields INT positions and a bare 1315423911
+    // parses as INT, so the product would overflow INT under ANSI.
+    def g(i: String) =
+      s"((($id % 1073741824) * 2654435761 + $i * 1315423911L + $seed)" +
+        s" % $P) % 1000"
+    def copies(i: String) =
+      s"""CASE WHEN ${g(i)} < $dropPermille THEN 0
+          WHEN ${g(i)} < ${dropPermille + dupPermille} THEN 2
+          ELSE 1 END"""
+    df.select(col(id).cast("long").as("doc_id"),
+        expr(s"filter(split($text, ' '), t -> t != '')").as("__ts"))
+      // sequence(1, 0) DESCENDS in Spark — guard the empty-token row
+      .withColumn("__aug", expr(
+        s"""CASE WHEN size(__ts) < 1 THEN __ts
+            ELSE flatten(zip_with(__ts, sequence(1, size(__ts)),
+              (t, i) -> slice(array(t, t), 1, ${copies("i")}))) END"""))
+      .select(col("doc_id"),
+        expr("array_join(__aug, ' ')").as("aug_text"),
+        expr("CAST(size(__ts) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(__aug) AS BIGINT)").as("n_aug"),
+        expr(s"""CAST(CASE WHEN size(__ts) < 1 THEN 0 ELSE
+          size(filter(sequence(1, size(__ts)),
+            i -> ${g("i")} < $dropPermille)) END AS BIGINT)""")
+          .as("n_dropped"),
+        expr(s"""CAST(CASE WHEN size(__ts) < 1 THEN 0 ELSE
+          size(filter(sequence(1, size(__ts)),
+            i -> ${g("i")} >= $dropPermille AND
+                 ${g("i")} < ${dropPermille + dupPermille})) END
+          AS BIGINT)""").as("n_dupped"))
+  }
+
   /** Collocation mining — top word pairs by PMI-style LIFT, the
     * phrase/multi-word-expression detector corpus analysis uses to
     * find terms that should be treated as units ("new york",

@@ -127,6 +127,14 @@ object LlmQueries {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id")
         .orderBy("term", "rank")
     }),
+    // deterministic token augmentation: per-(doc, position) hash
+    // gates decide drop / duplicate / keep — reproducible under task
+    // retries (no RNG), row-local, oracle replays the same gates
+    "augment_tokens" -> ((s, d) => {
+      TextAnalysis.augmentTokens(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("doc_id")
+    }),
     // collocation mining: top adjacent-word pairs by un-logged PMI
     // lift c_ab·T²/(B·c_a·c_b) — rank-identical to PMI, bit-exact
     // doubles (no libm), count floors against the rare-pair blow-up
@@ -1856,6 +1864,38 @@ object LlmQueries {
         |  FROM scored)
         |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
         |ORDER BY term, rank""".stripMargin,
+    // Augmentation mirror: the same integer hash gates (non-negative
+    // operands, % == pmod on both engines) drive the identical
+    // drop/duplicate/keep decision per (doc, position)
+    "augment_tokens" -> {
+      def g(i: String) =
+        s"(((doc_id % 1073741824) * 2654435761 + $i * 1315423911 + 7)" +
+          s" % ${graft.llm.HashConstants.P}) % 1000"
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t != '') AS ts
+         |  FROM documents),
+         |aug AS (
+         |  SELECT doc_id, ts,
+         |    CASE WHEN len(ts) < 1 THEN ts
+         |    ELSE flatten(list_transform(generate_series(1, len(ts)),
+         |      i -> list_slice([ts[i], ts[i]], 1,
+         |        CASE WHEN ${g("i")} < 100 THEN 0
+         |             WHEN ${g("i")} < 150 THEN 2 ELSE 1 END)))
+         |    END AS au
+         |  FROM toks)
+         |SELECT doc_id, array_to_string(au, ' ') AS aug_text,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(au) AS BIGINT) AS n_aug,
+         |  CAST(CASE WHEN len(ts) < 1 THEN 0 ELSE
+         |    len(list_filter(generate_series(1, len(ts)),
+         |      i -> ${g("i")} < 100)) END AS BIGINT) AS n_dropped,
+         |  CAST(CASE WHEN len(ts) < 1 THEN 0 ELSE
+         |    len(list_filter(generate_series(1, len(ts)),
+         |      i -> ${g("i")} >= 100 AND ${g("i")} < 150)) END
+         |    AS BIGINT) AS n_dupped
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
     // Collocation mirror: zipped equal-length slice unnests make the
     // adjacent pairs; identical IEEE lift tree (e0 literals — the
     // BM25 decimal-literal lesson)

@@ -393,6 +393,18 @@ object StreamingDedup {
         "(bmp | png | jpeg | gif | mcv)")
   }
 
+  /** Streaming AUGMENTATION stage: deterministic hash-gated token
+    * dropout/duplication ([[graft.llm.TextAnalysis.augmentTokens]])
+    * over a live feed — row-local, zero state, any output mode, and
+    * reproducible under micro-batch retries precisely because the
+    * gates are per-(doc, position) hashes, not RNG (a random augment
+    * stage replays differently on retry and corrupts exactly-once
+    * sinks).
+    */
+  def augmentStage(docs: DataFrame, text: String, id: String)
+      : DataFrame =
+    graft.llm.TextAnalysis.augmentTokens(docs, text, id)
+
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc
     * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
     * columns) to a live feed — entirely row-local (per-record HOFs

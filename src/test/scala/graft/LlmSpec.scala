@@ -1486,6 +1486,44 @@ class LlmSpec extends AnyFunSuite {
     assert(out(("beta", 2L))._3 === score(1, 2, 4, 3, 16))
   }
 
+  test("augmentTokens: identity at zero bands, full-drop empties, " +
+      "counts reconcile, empty-doc guard") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, " "), (3L, "x"))
+      .toDF("doc_id", "text")
+    // zero bands -> byte-identical passthrough (the augmentation is
+    // a no-op, not a re-tokenization)
+    val idPass = TextAnalysis.augmentTokens(docs, "text", "doc_id",
+      dropPermille = 0, dupPermille = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(idPass(1L) === "a b c d e f g h")
+    assert(idPass(2L) === "") // only-spaces doc: no tokens, no crash
+    assert(idPass(3L) === "x")
+    // full drop -> empty output, n_dropped accounts for every token
+    val drop = TextAnalysis.augmentTokens(docs, "text", "doc_id",
+      dropPermille = 1000, dupPermille = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(drop(1L) === (("", 8L, 8L)))
+    assert(drop(2L) === (("", 0L, 0L)))
+    // default bands: the count identity n_aug = n_tokens - n_dropped
+    // + n_dupped holds row by row, and the gates are deterministic
+    // (two invocations agree exactly)
+    val a = TextAnalysis.augmentTokens(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    a.foreach { case (_, _, nt, na, nd, nu) =>
+      assert(na === nt - nd + nu)
+    }
+    val b = TextAnalysis.augmentTokens(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.augmentTokens(docs, "text", "doc_id",
+        dropPermille = 900, dupPermille = 200)
+    }
+  }
+
   test("collocationsTopK: lifts match the exact rational formula, " +
       "ties break lexicographically") {
     // corpus: T = 32 tokens, B = 20 adjacent pairs

@@ -611,6 +611,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming augmentation stage equals the batch operator " +
+      "across micro-batches; hash gates make it retry-safe") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("aug_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("aug_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "retail units sold per store and week in region nine"),
+      (2L, "a b c d e f g h i j k l m n o p"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.augmentStage(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("aug_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "late arrival gets the same deterministic gates"))
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("doc_id", "aug_text", "n_aug", "n_dropped")
+    val streamed = spark.table("aug_out")
+      .select(cols.head, cols.tail: _*).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val batch = graft.llm.TextAnalysis.augmentTokens(
+      spark.read.schema(docSchema).parquet(dir), "text", "doc_id")
+      .select(cols.head, cols.tail: _*).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming repetition stage equals the batch signals; " +
       "row-local and stateless") {
     import graft.streaming.StreamingDedup
