@@ -1751,6 +1751,50 @@ object TextAnalysis {
     * pattern); at retrieval fan-outs the partitioned window is the
     * right plan.
     */
+  /** Deterministic mixture-interleave SCHEDULE: turn per-source
+    * curated shards into one global training order where sources
+    * appear at their target ratios — the step between mixture
+    * WEIGHTS (how much of each source) and an actual data loader
+    * (in what order). Each source is deterministically shuffled
+    * (per-doc hash key, no RNG — the [[augmentTokens]] argument:
+    * reproducible across runs/engines/retries), ranked within its
+    * source, and assigned virtual time r/w (rank over weight — the
+    * weighted-fair-queueing schedule: a source with weight 0.5 fires
+    * every 2 ticks, 0.2 every 5). The global position is a
+    * DISTRIBUTED PREFIX SUM under the (vtime, source, doc_id) total
+    * order — graft.engine.Dist.prefixSum, 32 range partitions, never
+    * a global unpartitioned window.
+    *
+    * Per-source ranking uses a window partitioned by source (the
+    * `topk_per_group`/`quality_pct_rank` shape — source fan-out is
+    * small); at extreme per-source cardinality swap it for a second
+    * prefix sum per source.
+    */
+  def interleaveSchedule(df: DataFrame, id: String, source: String,
+      weights: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(source, "w")
+    val keyed = df.select(col(id).cast("long").as("doc_id"),
+        col(source))
+      .join(broadcast(w), Seq(source))
+      .withColumn("__k", expr(
+        s"((doc_id % 1073741824) * 2654435761) % $P"))
+    val ranked = keyed.withColumn("src_rank",
+      row_number().over(Window.partitionBy(col(source))
+        .orderBy(col("__k"), col("doc_id"))).cast("long"))
+    // virtual time: fixed IEEE tree (D literal — the decimal lesson)
+    val timed = ranked
+      .withColumn("vtime", expr("src_rank * 1.0D / w"))
+      .withColumn("__one", lit(1L))
+    graft.engine.Dist.prefixSum(timed,
+      Seq(col("vtime"), col(source), col("doc_id")), "__one",
+      "sched_pos")
+      .select(col("doc_id"), col(source), col("src_rank"),
+        col("vtime"), col("sched_pos"))
+  }
+
   /** Deterministic token-level data augmentation (EDA-style dropout +
     * duplication): each token position draws a per-(doc, position)
     * hash gate in [0, 1000) — NO RNG, the `sampleBucketExpr`

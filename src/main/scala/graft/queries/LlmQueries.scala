@@ -127,6 +127,14 @@ object LlmQueries {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id")
         .orderBy("term", "rank")
     }),
+    // mixture-interleave schedule: per-source deterministic shuffle
+    // + weighted-fair-queueing virtual time + distributed-prefix-sum
+    // global position — the training-order step after mix_weights
+    "interleave_schedule" -> ((s, d) => {
+      TextAnalysis.interleaveSchedule(t(s, d, "documents"), "doc_id",
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy("sched_pos")
+    }),
     // deterministic token augmentation: per-(doc, position) hash
     // gates decide drop / duplicate / keep — reproducible under task
     // retries (no RNG), row-local, oracle replays the same gates
@@ -1864,6 +1872,30 @@ object LlmQueries {
         |  FROM scored)
         |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
         |ORDER BY term, rank""".stripMargin,
+    // Interleave mirror: same hash shuffle key, same r/w virtual
+    // time (e0 double literals), global position as a row_number
+    // over the identical total order
+    "interleave_schedule" ->
+      s"""WITH w(source, w) AS (VALUES
+         |    ('src0', 0.5e0), ('src1', 0.3e0), ('src2', 0.2e0)),
+         |k AS (
+         |  SELECT d.doc_id, d.source, w.w,
+         |    ((d.doc_id % 1073741824) * 2654435761)
+         |      % ${graft.llm.HashConstants.P} AS k
+         |  FROM documents d JOIN w ON w.source = d.source),
+         |r AS (
+         |  SELECT doc_id, source, w,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY k, doc_id) AS BIGINT) AS src_rank
+         |  FROM k),
+         |t AS (
+         |  SELECT doc_id, source, src_rank,
+         |    src_rank * 1.0e0 / w AS vtime
+         |  FROM r)
+         |SELECT doc_id, source, src_rank, vtime,
+         |  CAST(row_number() OVER (ORDER BY vtime, source, doc_id)
+         |    AS BIGINT) AS sched_pos
+         |FROM t ORDER BY sched_pos""".stripMargin,
     // Augmentation mirror: the same integer hash gates (non-negative
     // operands, % == pmod on both engines) drive the identical
     // drop/duplicate/keep decision per (doc, position)

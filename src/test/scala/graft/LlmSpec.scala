@@ -1486,6 +1486,37 @@ class LlmSpec extends AnyFunSuite {
     assert(out(("beta", 2L))._3 === score(1, 2, 4, 3, 16))
   }
 
+  test("interleaveSchedule: positions are a gapless 1..n prefix sum " +
+      "and any prefix honors the target ratios (WFQ property)") {
+    val docs = (1 to 30).map(i => (i.toLong, s"src${(i - 1) % 3}"))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.interleaveSchedule(docs, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("sched_pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(4)))
+    // the distributed prefix sum must produce the gapless 1..n order
+    assert(out.map(_._4).toSeq === (1L to 30L))
+    // weighted fair queueing: virtual times r/w put source s at every
+    // 1/w-th tick, so the 10-prefix of a 0.5/0.3/0.2 mix is EXACTLY
+    // 5/3/2 (vtimes <= 10: src0 {2,4,6,8,10}, src1 {3.3,6.7,10},
+    // src2 {5,10})
+    val first10 = out.take(10).groupBy(_._2).view.mapValues(_.length)
+    assert(first10("src0") === 5)
+    assert(first10("src1") === 3)
+    assert(first10("src2") === 2)
+    // per-source ranks are each gapless 1..10
+    for (s <- Seq("src0", "src1", "src2"))
+      assert(out.filter(_._2 == s).map(_._3).sorted.toSeq === (1L to 10L))
+    // deterministic: a second invocation is identical
+    val again = TextAnalysis.interleaveSchedule(docs, "doc_id",
+      "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("sched_pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(4)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("augmentTokens: identity at zero bands, full-drop empties, " +
       "counts reconcile, empty-doc guard") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, " "), (3L, "x"))
