@@ -463,6 +463,76 @@ object Similarity {
         coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
   }
 
+  /** Top-principal-direction projection (uncentered PCA / top
+    * singular direction) over an embedding corpus — the standard
+    * embedding-analytics primitive for drift dashboards, coarse
+    * 1-D curriculum ordering, and explained-variance telemetry.
+    * Bit-reproducible by construction:
+    *
+    *  1. Each coordinate is quantized x·2^18 → BIGINT via the
+    *     DECIMAL(28,12) `bround`/`round_even` rule [[quantizeInt8]]
+    *     established (×2^18 is a power of two, so the double product
+    *     is EXACT and the decimal tie-round is engine-identical).
+    *  2. The 64×64 second-moment (Gram) matrix is summed in
+    *     DECIMAL(38,0) — exact integer arithmetic, order-independent
+    *     (products ≤ 2^42; exact up to ~2^20 rows at this scale —
+    *     at a larger corpus widen the quantization step).
+    *  3. The 2080-cell upper triangle is collected (the DSIR-fit
+    *     small-collect pattern), each cell cast to double once
+    *     (correctly rounded in both engines), and `iters` power
+    *     steps run driver-side from v0 = 1/8·1 with LEFT-FOLD sums
+    *     in index order and IEEE sqrt — every step engine-exact, so
+    *     the DuckDB oracle replays the iteration as unrolled CTEs
+    *     with ordered list_reduce folds.
+    *  4. Every document's pc1 score is the native fixed-order [[dot]]
+    *     against the fitted direction riding the plan as a literal.
+    *
+    * The CONTRACT is "`iters` power steps from v0", not "the
+    * converged eigenvector" — deterministic whether or not the
+    * iteration has converged; uncentered (Gram, not covariance)
+    * avoids the mean-division rounding a centered fit would need.
+    * Scale shape: one narrow corpus pass for the moment sums
+    * (map-side combined to 2080 groups), a 2080-row collect, one
+    * row-local projection pass — the two-pass fit/apply shape every
+    * fitted operator here shares.
+    */
+  def pcaProject(df: DataFrame, id: String, vec: String,
+      iters: Int = 10): DataFrame = {
+    val dim = 64
+    val q = df.select(
+      expr(s"""transform($vec, x -> CAST(bround(CAST(
+           CAST(x AS DOUBLE) * 262144.0D AS DECIMAL(28,12)), 0)
+           AS BIGINT))""").as("qv"))
+    val cells = q.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+             transform(sequence(i, ${dim - 1}), j ->
+               named_struct('i', i, 'j', j,
+                 'p', CAST(element_at(qv, i + 1) *
+                      element_at(qv, j + 1) AS DECIMAL(38,0))))))"""))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("m"))
+      .collect() // 2080 rows — the sanctioned fit-collect pattern
+    val mat = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val d = r.getDecimal(2).doubleValue()
+      mat(i)(j) = d; mat(j)(i) = d
+    }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to iters) {
+      // left folds in index order — the oracle's ordered list_reduce
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => mat(i)(j) * v(j)).reduceLeft(_ + _))
+      val norm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+      v = w.map(_ / norm)
+    }
+    val vCol = array(v.map(lit).toIndexedSeq: _*)
+    df.select(col(id).cast("long").as("vec_id"),
+      dot(expr(s"transform($vec, x -> CAST(x AS DOUBLE))"), vCol)
+        .as("pc1"))
+  }
+
   // ---- Product quantization (PQ) ----------------------------------
   // The fourth ANN family member next to brute-force, LSH, and IVF:
   // split each vector into `m` subspaces, k-means each subspace

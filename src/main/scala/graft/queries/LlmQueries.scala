@@ -127,6 +127,14 @@ object LlmQueries {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id")
         .orderBy("term", "rank")
     }),
+    // top-principal-direction projection: exact decimal moment sums,
+    // driver-side 10-step power iteration (deterministic by
+    // construction), native fixed-order projection
+    "pca_project" -> ((s, d) => {
+      Similarity.pcaProject(t(s, d, "embeddings"), "vec_id",
+        "embedding")
+        .orderBy("vec_id")
+    }),
     // mixture-interleave schedule: per-source deterministic shuffle
     // + weighted-fair-queueing virtual time + distributed-prefix-sum
     // global position — the training-order step after mix_weights
@@ -1627,6 +1635,32 @@ object LlmQueries {
        |  FROM res$f)""".stripMargin
   }
 
+  /** One unrolled PCA power step: p{k} from p{k-1} over the `gm`
+    * full-matrix CTE — matvec and norm as ORDERED list_reduce left
+    * folds (init-less list_reduce == the 0-seeded fold for + on
+    * doubles: 0+x is exact), IEEE sqrt, division — every op
+    * correctly rounded and engine-identical.
+    * Mirrors the driver-side loop in `Similarity.pcaProject`.
+    */
+  private def pcaStepSql(k: Int): String =
+    // w$k MUST be MATERIALIZED: n$k and p$k both reference it, so an
+    // inlining planner doubles the evaluated tree per step — 2^10 by
+    // p10 (measured: p6 0.9 s, p8 10 s, p10 times out; materialized,
+    // the whole chain is milliseconds)
+    s"""w$k AS MATERIALIZED (
+       |  SELECT gm.i,
+       |    list_reduce(list(gm.m * p.val ORDER BY gm.j),
+       |      (a, b) -> a + b) AS wv
+       |  FROM gm JOIN p${k - 1} p ON p.i = gm.j
+       |  GROUP BY gm.i),
+       |n$k AS (
+       |  SELECT sqrt(list_reduce(list(wv * wv ORDER BY i),
+       |    (a, b) -> a + b)) AS nv
+       |  FROM w$k),
+       |p$k AS MATERIALIZED (
+       |  SELECT w.i, w.wv / n.nv AS val FROM w$k w, n$k n)"""
+      .stripMargin
+
   /** One unrolled integer-PageRank power step: r{i} from r{i-1} over
     * the `adj`/`dg` edge CTEs — pr'(v) = 150000 + (850 · Σ (pr(u) //
     * deg(u))) // 1000, all operands non-negative so DuckDB's
@@ -1872,6 +1906,32 @@ object LlmQueries {
         |  FROM scored)
         |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
         |ORDER BY term, rank""".stripMargin,
+    // PCA mirror: same 2^18 decimal quantization, exact DECIMAL(38,0)
+    // moment sums, 10 unrolled power steps with ordered folds, native
+    // fixed-order projection — doubles bit-identical end to end
+    "pca_project" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, list_transform(vec, x ->
+         |    CAST(round_even(CAST(x * 262144.0e0 AS DECIMAL(28,12)),
+         |      0) AS BIGINT)) AS qv
+         |  FROM v),
+         |cells AS (
+         |  SELECT ri.i, rj.j,
+         |    CAST(sum(CAST(qv[ri.i + 1] * qv[rj.j + 1]
+         |      AS DECIMAL(38,0))) AS DOUBLE) AS m
+         |  FROM q, range(0, 64) ri(i), range(0, 64) rj(j)
+         |  WHERE ri.i <= rj.j
+         |  GROUP BY ri.i, rj.j),
+         |gm AS MATERIALIZED (
+         |  SELECT i, j, m FROM cells
+         |  UNION ALL SELECT j AS i, i AS j, m FROM cells WHERE i < j),
+         |p0 AS (SELECT r.i, 0.125e0 AS val FROM range(0, 64) r(i)),
+         |${(1 to 10).map(pcaStepSql).mkString(",\n")}
+         |SELECT v.vec_id,
+         |  list_reduce(list(v.vec[p.i + 1] * p.val ORDER BY p.i),
+         |    (a, b) -> a + b) AS pc1
+         |FROM v, p10 p GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
     // Interleave mirror: same hash shuffle key, same r/w virtual
     // time (e0 double literals), global position as a row_number
     // over the identical total order

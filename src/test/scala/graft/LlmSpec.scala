@@ -1486,6 +1486,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out(("beta", 2L))._3 === score(1, 2, 4, 3, 16))
   }
 
+  test("pcaProject: a single-axis corpus recovers the axis exactly — " +
+      "scores equal the coefficients bit-for-bit") {
+    // all mass on e1: the Gram matrix is c*e1*e1ᵀ, one power step
+    // from the uniform v0 lands exactly on (1, 0, ..., 0), and the
+    // projection of t*e1 is t with NO rounding anywhere (integer
+    // coefficients survive the 2^18 quantization exactly)
+    val docs = Seq((1L, 3.0), (2L, -1.0), (3L, 2.0), (4L, 5.0))
+      .map { case (id, t) =>
+        (id, Seq.tabulate(64)(i => if (i == 0) t else 0.0))
+      }.toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(docs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 3.0)
+    assert(out(2L) === -1.0)
+    assert(out(3L) === 2.0)
+    assert(out(4L) === 5.0)
+  }
+
   test("interleaveSchedule: positions are a gapless 1..n prefix sum " +
       "and any prefix honors the target ratios (WFQ property)") {
     val docs = (1 to 30).map(i => (i.toLong, s"src${(i - 1) % 3}"))
