@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a lexical (BM25) arm and a dense (cosine)
+  * arm with reciprocal-rank fusion — the standard RAG-retriever
+  * composition (Cormack/Clarke/Buettcher RRF, SIGIR'09).
+  *
+  * Engine-determinism contract: every cross-engine-hashed value is a
+  * BIGINT. Per-term BM25 weights are the same rational no-libm double
+  * tree as [[TextAnalysis.bm25TopK]] (only +,-,*,/ — each IEEE
+  * correctly rounded, so bit-identical on any engine), pinned to
+  * exact micro-unit longs via floor(w*1e6) BEFORE the per-document
+  * sum — the distributed aggregation is then order-independent
+  * integer arithmetic. Dense similarities come from the native
+  * fixed-order dot ([[VectorExpressions]]) rounded to 6 decimals
+  * before ranking. Fusion scores are truncating integer division:
+  * rrf_ppm = Σ_arms 1_000_000 div (rrfK + rank) — no double ever
+  * crosses the fusion stage.
+  *
+  * Scale shape (100 TB posture): the query side (nQueries · terms,
+  * nQueries · vectors) is broadcast; the corpus is scanned once per
+  * arm (tf/df with map-side combine; one pass for the dense scores
+  * against broadcast query vectors); each arm emits a per-query
+  * shortlist of m rows, so the fusion full-outer join and final
+  * top-k touch O(nQueries · m) rows — query-proportional, never
+  * corpus-proportional.
+  */
+object Retrieval {
+
+  /** Query-by-example hybrid top-k: each query id must exist in both
+    * `docs` (its text drives the lexical arm) and `emb` (its vector
+    * drives the dense arm). Returns one row per (query_id, rank≤k):
+    * `query_id, rank, doc_id, rrf_ppm, dense_rank, lex_rank` — all
+    * BIGINT; a 0 rank means the doc was outside that arm's shortlist.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      text: String = "text", docId: String = "doc_id",
+      vecId: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 50, k: Int = 10, rrfK: Int = 60,
+      minTermLen: Int = 5): DataFrame = {
+    require(m >= k && k >= 1, "need m >= k >= 1")
+    val qSet = queryIds.map(lit(_))
+
+    // ---- lexical arm: BM25 over the query doc's distinct terms ----
+    val toks = docs.select(col(docId).cast("long").as("doc_id"),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    val lens = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("len"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(count(lit(1)).as("n"), sum("len").as("tot"))
+    // query terms (distinct per query doc), enriched with df: join the
+    // corpus-sized df frame against the tiny query-term set, then the
+    // small RESULT is what gets broadcast into the corpus tf scan
+    val qterms = tf.filter(col("doc_id").isin(qSet: _*))
+      .filter(length(col("term")) >= minTermLen)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val qtermsDf = dfreq.join(broadcast(qterms), Seq("term"))
+      .select("query_id", "term", "df")
+    // same rational Robertson tree as bm25TopK (D suffixes pin DOUBLE:
+    // a bare 0.5 parses as DECIMAL and the tree would change type),
+    // pinned to micro-longs before the order-sensitive sum
+    val scoredTerms = tf
+      .join(broadcast(qtermsDf), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w", expr(
+        "CAST(floor(((n - df + 0.5D) / (df + 0.5D)) * ((tf * 2.2D) / " +
+          "(tf + 0.3D + 0.9D * (len * 1.0D * n / tot))) * 1000000.0D) " +
+          "AS BIGINT)"))
+    val lex = scoredTerms.groupBy("query_id", "doc_id")
+      .agg(sum("w").as("lex_micro"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("lex_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("lex_rank") <= m)
+      .select("query_id", "doc_id", "lex_rank")
+
+    // ---- dense arm: brute-force cosine shortlist (self excluded) ----
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col(vecId).isin(qSet: _*)), vecId, vecCol, m)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("cand_id").cast("long").as("doc_id"),
+        col("rank").as("dense_rank"))
+
+    // ---- RRF fusion over the union of the two shortlists ----
+    dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .na.fill(0L, Seq("dense_rank", "lex_rank"))
+      .withColumn("rrf_ppm", expr(
+        s"CAST(CASE WHEN dense_rank > 0 THEN ${1000000}L DIV " +
+          s"(${rrfK}L + dense_rank) ELSE 0L END + " +
+          s"CASE WHEN lex_rank > 0 THEN ${1000000}L DIV " +
+          s"(${rrfK}L + lex_rank) ELSE 0L END AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_ppm").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_ppm",
+        "dense_rank", "lex_rank")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, HashConstants, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, HashConstants, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,15 @@ object LlmQueries {
     "bm25_topk" -> ((s, d) => {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id")
         .orderBy("term", "rank")
+    }),
+    // hybrid query-by-example retrieval: BM25 lexical arm ∥ dense
+    // cosine arm → reciprocal-rank fusion, pure-integer ppm contract
+    // (per-term weights micro-pinned before the per-doc sum, fusion
+    // is truncating integer division) — the RAG-retriever composition
+    "hybrid_rrf" -> ((s, d) => {
+      Retrieval.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+        queryIds = 0L until 8L)
+        .orderBy("query_id", "rank")
     }),
     // top-principal-direction projection: exact decimal moment sums,
     // driver-side 10-step power iteration (deterministic by
@@ -1906,6 +1915,88 @@ object LlmQueries {
         |  FROM scored)
         |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
         |ORDER BY term, rank""".stripMargin,
+    // hybrid RRF mirror: same rational BM25 tree micro-pinned to
+    // longs before the per-doc sum, same round-6 cosine shortlists,
+    // same truncating-integer-division fusion — every hashed column
+    // BIGINT
+    "hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), t -> t != '')
+         |      AS ts
+         |  FROM documents),
+         |lens AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len) AS BIGINT) AS tot
+         |  FROM lens),
+         |qt AS (
+         |  SELECT doc_id AS query_id, term FROM tf
+         |  WHERE doc_id < 8 AND length(term) >= 5),
+         |lexw AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(((t.n - d.df + 0.5e0) / (d.df + 0.5e0))
+         |      * ((tf.tf * 2.2e0) / (tf.tf + 0.3e0
+         |         + 0.9e0 * (l.len * 1.0e0 * t.n / t.tot)))
+         |      * 1000000.0e0) AS BIGINT) AS w
+         |  FROM tf
+         |  JOIN qt ON qt.term = tf.term
+         |  JOIN dfreq d ON d.term = tf.term
+         |  JOIN lens l ON l.doc_id = tf.doc_id, tot t
+         |  WHERE tf.doc_id != qt.query_id),
+         |lex AS (
+         |  SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS lexm
+         |  FROM lexw GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY lexm DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lex),
+         |v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id AS query_id, vec AS qvec FROM v
+         |  WHERE vec_id < 8),
+         |dns AS (
+         |  SELECT qv.query_id, v.vec_id AS doc_id,
+         |    round(${duckCos("v.vec", "qv.qvec")}, 6) AS sim
+         |  FROM v, qv WHERE v.vec_id != qv.query_id),
+         |dnr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, doc_id) AS BIGINT) AS dense_rank
+         |  FROM dns),
+         |fused AS (
+         |  SELECT coalesce(dd.query_id, ll.query_id) AS query_id,
+         |    coalesce(dd.doc_id, ll.doc_id) AS doc_id,
+         |    coalesce(dd.dense_rank, 0) AS dense_rank,
+         |    coalesce(ll.lex_rank, 0) AS lex_rank
+         |  FROM (SELECT * FROM dnr WHERE dense_rank <= 50) dd
+         |  FULL OUTER JOIN (SELECT * FROM lexr WHERE lex_rank <= 50) ll
+         |    ON dd.query_id = ll.query_id AND dd.doc_id = ll.doc_id),
+         |sc AS (
+         |  SELECT query_id, doc_id, dense_rank, lex_rank,
+         |    CAST((CASE WHEN dense_rank > 0
+         |          THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+         |      + (CASE WHEN lex_rank > 0
+         |          THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+         |      AS BIGINT) AS rrf_ppm
+         |  FROM fused),
+         |fin AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
+         |    doc_id, rrf_ppm, dense_rank, lex_rank
+         |  FROM sc)
+         |SELECT * FROM fin WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // PCA mirror: same 2^18 decimal quantization, exact DECIMAL(38,0)
     // moment sums, 10 unrolled power steps with ordered folds, native
     // fixed-order projection — doubles bit-identical end to end

@@ -2032,4 +2032,36 @@ class LlmSpec extends AnyFunSuite {
       assert(keep === (z >= 0.0))
     }
   }
+
+  test("hybridRrf: exact integer RRF fusion of the two arms, self " +
+      "excluded, absent-arm docs carry rank 0") {
+    // lexical: query 0's terms are {alpha, bravo}; doc 1 (alpha x3)
+    // outranks doc 2 (bravo x1); doc 3 shares no term.
+    // dense: doc 3 = e1 = query (cos 1) > doc 2 (cos 1/sqrt2) >
+    // doc 1 = e2 (cos 0).
+    val docs = Seq(
+      (0L, "alpha bravo alpha"),
+      (1L, "alpha alpha alpha"),
+      (2L, "bravo charlie delta"),
+      (3L, "xray yankee zulu")).toDF("doc_id", "text")
+    def v(c: Int => Double) = Seq.tabulate(64)(c)
+    val emb = Seq(
+      (0L, v(i => if (i == 0) 1.0 else 0.0)),
+      (1L, v(i => if (i == 1) 1.0 else 0.0)),
+      (2L, v(i => if (i <= 1) 1.0 else 0.0)),
+      (3L, v(i => if (i == 0) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Retrieval.hybridRrf(docs, emb, Seq(0L), k = 4)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(!out.contains(0L)) // self never retrieved
+    // dense ranks: 3 -> 1, 2 -> 2, 1 -> 3; lex ranks: 1 -> 1, 2 -> 2
+    // RRF ppm: doc1 = 1e6//63 + 1e6//61 = 15873 + 16393 = 32266
+    //          doc2 = 1e6//62 + 1e6//62 = 16129 + 16129 = 32258
+    //          doc3 = 1e6//61 = 16393 (lexical-absent: lex_rank 0)
+    assert(out(1L) === ((1L, 32266L, 3L, 1L)))
+    assert(out(2L) === ((2L, 32258L, 2L, 2L)))
+    assert(out(3L) === ((3L, 16393L, 1L, 0L)))
+  }
 }
