@@ -1927,4 +1927,47 @@ object TextAnalysis {
       .select(col("term"), col("rank"), col("doc_id"), col("tf"),
         col("score"))
   }
+
+  /** Length-bucketed batch assignment for training loaders: documents
+    * go into power-of-two token-length buckets (fixed CASE ladder
+    * 16..4096, else 8192 — identical integer tree on both engines),
+    * are ordered length-DESCENDING inside each bucket (adjacent
+    * lengths share a batch, the padding-minimizing loader order), and
+    * batch ids are dealt `batchSize` at a time. `pad_tokens` is the
+    * per-doc padding the loader would emit: batch-max length minus
+    * own length.
+    *
+    * Scale shape: the global order (bucket, len DESC, id) runs
+    * through [[graft.engine.Dist.prefixSum]] — range partitioning +
+    * broadcast offsets, every sort partition-local, NO single-
+    * partition window. Bucket starts are a ≤10-row broadcast; the
+    * batch-max attach is a keyed join against a corpus/batchSize-row
+    * aggregate. All-integer contract end to end.
+    */
+  def lengthBucketBatches(df: DataFrame, text: String, id: String,
+      batchSize: Int = 8): DataFrame = {
+    require(batchSize >= 1, "need batchSize >= 1")
+    val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val ladder = caps.map(c => s"WHEN n_tokens <= $c THEN ${c}L")
+      .mkString("CASE ", " ", " ELSE 8192L END")
+    val sized = df.select(col(id).cast("long").as("doc_id"),
+        expr(s"CAST(size(filter(split(lower($text), ' '), " +
+          "t -> t != '')) AS BIGINT)").as("n_tokens"))
+      .withColumn("bucket", expr(ladder))
+      .withColumn("__one", lit(1L))
+    val pos = graft.engine.Dist.prefixSum(sized,
+      Seq(col("bucket"), col("n_tokens").desc, col("doc_id")),
+      "__one", "__gpos")
+    val starts = pos.groupBy("bucket")
+      .agg(min(col("__gpos")).as("__b0"))
+    val batched = pos
+      .join(broadcast(starts), Seq("bucket"))
+      .withColumn("batch_id",
+        expr(s"(__gpos - __b0) DIV ${batchSize}L"))
+    val batchMax = batched.groupBy("bucket", "batch_id")
+      .agg(max(col("n_tokens")).as("__bmax"))
+    batched.join(batchMax, Seq("bucket", "batch_id"))
+      .withColumn("pad_tokens", col("__bmax") - col("n_tokens"))
+      .select("doc_id", "n_tokens", "bucket", "batch_id", "pad_tokens")
+  }
 }

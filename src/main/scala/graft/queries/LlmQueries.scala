@@ -136,6 +136,15 @@ object LlmQueries {
         queryIds = 0L until 8L)
         .orderBy("query_id", "rank")
     }),
+    // length-bucketed training batches: pow-2 buckets, length-desc
+    // order inside each bucket (padding-minimizing loader order),
+    // batch ids dealt 8 at a time via the distributed prefix sum —
+    // per-doc padding accounting, all-integer contract
+    "length_buckets" -> ((s, d) => {
+      TextAnalysis.lengthBucketBatches(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("doc_id")
+    }),
     // top-principal-direction projection: exact decimal moment sums,
     // driver-side 10-step power iteration (deterministic by
     // construction), native fixed-order projection
@@ -1997,6 +2006,44 @@ object LlmQueries {
          |  FROM sc)
          |SELECT * FROM fin WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // length-bucket mirror: the oracle's global row_number stands in
+    // for the engine's distributed prefix sum (same total order)
+    "length_buckets" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN n_tokens <= 16 THEN 16
+        |      WHEN n_tokens <= 32 THEN 32
+        |      WHEN n_tokens <= 64 THEN 64
+        |      WHEN n_tokens <= 128 THEN 128
+        |      WHEN n_tokens <= 256 THEN 256
+        |      WHEN n_tokens <= 512 THEN 512
+        |      WHEN n_tokens <= 1024 THEN 1024
+        |      WHEN n_tokens <= 2048 THEN 2048
+        |      WHEN n_tokens <= 4096 THEN 4096
+        |      ELSE 8192 END AS BIGINT) AS bucket
+        |  FROM sized),
+        |p AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    CAST(row_number() OVER (ORDER BY bucket, n_tokens DESC,
+        |      doc_id) AS BIGINT) AS gpos
+        |  FROM b),
+        |s AS (SELECT bucket, min(gpos) AS b0 FROM p GROUP BY bucket),
+        |a AS (
+        |  SELECT p.doc_id, p.n_tokens, p.bucket,
+        |    CAST((p.gpos - s.b0) // 8 AS BIGINT) AS batch_id
+        |  FROM p JOIN s USING (bucket)),
+        |m AS (
+        |  SELECT bucket, batch_id, max(n_tokens) AS bmax
+        |  FROM a GROUP BY 1, 2)
+        |SELECT a.doc_id, a.n_tokens, a.bucket, a.batch_id,
+        |  CAST(m.bmax - a.n_tokens AS BIGINT) AS pad_tokens
+        |FROM a JOIN m USING (bucket, batch_id)
+        |ORDER BY doc_id""".stripMargin,
     // PCA mirror: same 2^18 decimal quantization, exact DECIMAL(38,0)
     // moment sums, 10 unrolled power steps with ordered folds, native
     // fixed-order projection — doubles bit-identical end to end

@@ -2064,4 +2064,27 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 32258L, 2L, 2L)))
     assert(out(3L) === ((3L, 16393L, 1L, 0L)))
   }
+
+  test("lengthBucketBatches: pow-2 buckets, length-desc deal, exact " +
+      "per-doc padding against the batch max") {
+    def mk(id: Long, n: Int) = (id, Seq.fill(n)("tok").mkString(" "))
+    // token counts: 20, 18, 17 (bucket 32); 10, 5 (bucket 16); 100
+    // (bucket 128); batchSize 2
+    val d = Seq(mk(1, 20), mk(2, 18), mk(3, 17), mk(4, 10), mk(5, 5),
+      mk(6, 100)).toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBucketBatches(d, "text", "doc_id",
+      batchSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // bucket 16: order (10, 5) -> one batch, max 10 -> pads 0, 5
+    assert(out(4L) === ((10L, 16L, 0L, 0L)))
+    assert(out(5L) === ((5L, 16L, 0L, 5L)))
+    // bucket 32: order (20, 18 | 17) -> batch 0 max 20, batch 1 max 17
+    assert(out(1L) === ((20L, 32L, 0L, 0L)))
+    assert(out(2L) === ((18L, 32L, 0L, 2L)))
+    assert(out(3L) === ((17L, 32L, 1L, 0L)))
+    // bucket 128: singleton batch, zero pad
+    assert(out(6L) === ((100L, 128L, 0L, 0L)))
+  }
 }
