@@ -1970,4 +1970,60 @@ object TextAnalysis {
       .withColumn("pad_tokens", col("__bmax") - col("n_tokens"))
       .select("doc_id", "n_tokens", "bucket", "batch_id", "pad_tokens")
   }
+
+  /** Stratified sample with EXACT global size `n`: per-stratum quotas
+    * by Hamilton (largest-remainder) apportionment — floor(n·c/T)
+    * each, the n − Σfloor leftover seats to the largest remainders
+    * (ties by stratum name) — then a deterministic hash-ranked pick
+    * inside each stratum. Rate-based samplers (`sampleBucketExpr`)
+    * only hit n in expectation; training-data builds that promise "n
+    * documents, source-proportional" need the apportionment exact.
+    *
+    * All-integer contract: quotas compare n·c mod T (no fractions);
+    * the in-stratum order is the LCG id scramble. Requires n·c_s to
+    * fit in a long. If n exceeds the corpus size the whole corpus is
+    * returned (quotas cap at stratum counts).
+    *
+    * Scale shape: stratum counts / quotas live on a ≤|strata|-row
+    * frame (its unpartitioned remainder-rank window is over that tiny
+    * frame only — the Dist subtotal-frame class); per-stratum ranks
+    * come from [[graft.engine.Dist.prefixSum]] positions minus a
+    * broadcast per-stratum start, so no corpus-sized window partition
+    * exists even with 2-3 strata.
+    */
+  def quotaSample(df: DataFrame, id: String, source: String,
+      n: Long): DataFrame = {
+    require(n >= 0, "need n >= 0")
+    val keyed = df.select(col(id).cast("long").as("doc_id"),
+        col(source))
+      .withColumn("__k", expr(
+        s"((doc_id % 1073741824) * 2654435761) % $P"))
+      .withColumn("__one", lit(1L))
+    val counts = keyed.groupBy(source).agg(count(lit(1)).as("c"))
+    val withTot = counts.crossJoin(
+      broadcast(counts.agg(sum("c").as("tt"))))
+    val q0 = withTot
+      .withColumn("base", expr(s"(${n}L * c) DIV tt"))
+      .withColumn("rem", expr(s"(${n}L * c) % tt"))
+    val leftover = q0.agg((lit(n) - sum("base")).as("leftover"))
+    // remainder-rank window: unpartitioned but over the ≤|strata|-row
+    // quota frame, never the corpus
+    val quotas = q0
+      .withColumn("__rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col(source).asc)).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .withColumn("quota", expr(
+        "CAST(base + (CASE WHEN __rr <= leftover THEN 1 ELSE 0 END) " +
+          "AS BIGINT)"))
+      .select(col(source), col("quota"))
+    val pos = graft.engine.Dist.prefixSum(keyed,
+      Seq(col(source), col("__k"), col("doc_id")), "__one", "__gpos")
+    val starts = pos.groupBy(source).agg(min(col("__gpos")).as("__s0"))
+    pos.join(broadcast(starts), Seq(source))
+      .withColumn("src_rank", col("__gpos") - col("__s0") + lit(1L))
+      .join(broadcast(quotas), Seq(source))
+      .filter(col("src_rank") <= col("quota"))
+      .select(col(source), col("doc_id"), col("src_rank"), col("quota"))
+  }
 }

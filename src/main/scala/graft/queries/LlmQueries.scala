@@ -136,6 +136,15 @@ object LlmQueries {
         queryIds = 0L until 8L)
         .orderBy("query_id", "rank")
     }),
+    // exact-n stratified sample: Hamilton largest-remainder quotas
+    // per source, deterministic LCG-ranked pick inside each — the
+    // "exactly n docs, source-proportional" training-data contract
+    // that rate-based sampling only meets in expectation
+    "quota_sample" -> ((s, d) => {
+      TextAnalysis.quotaSample(t(s, d, "documents"), "doc_id",
+        "source", 200L)
+        .orderBy("source", "src_rank")
+    }),
     // length-bucketed training batches: pow-2 buckets, length-desc
     // order inside each bucket (padding-minimizing loader order),
     // batch ids dealt 8 at a time via the distributed prefix sum —
@@ -2044,6 +2053,43 @@ object LlmQueries {
         |  CAST(m.bmax - a.n_tokens AS BIGINT) AS pad_tokens
         |FROM a JOIN m USING (bucket, batch_id)
         |ORDER BY doc_id""".stripMargin,
+    // quota-sample mirror: identical integer Hamilton apportionment
+    // (n·c DIV/MOD T — no fractions) and the same LCG in-stratum order
+    "quota_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    ((doc_id % 1073741824) * 2654435761) % $P AS kk
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c),
+         |q0 AS (
+         |  SELECT source, c,
+         |    CAST((200 * c) // tt AS BIGINT) AS base,
+         |    CAST((200 * c) % tt AS BIGINT) AS rem
+         |  FROM c, t),
+         |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover
+         |      FROM q0),
+         |q1 AS (
+         |  SELECT source, base, rem,
+         |    CAST(row_number() OVER (ORDER BY rem DESC, source)
+         |      AS BIGINT) AS rr
+         |  FROM q0),
+         |q AS (
+         |  SELECT source,
+         |    CAST(base + (CASE WHEN rr <= l.leftover THEN 1 ELSE 0
+         |      END) AS BIGINT) AS quota
+         |  FROM q1, l),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY kk, doc_id) AS BIGINT) AS src_rank
+         |  FROM k)
+         |SELECT r.source, r.doc_id, r.src_rank, q.quota
+         |FROM r JOIN q USING (source)
+         |WHERE r.src_rank <= q.quota
+         |ORDER BY source, src_rank""".stripMargin,
     // PCA mirror: same 2^18 decimal quantization, exact DECIMAL(38,0)
     // moment sums, 10 unrolled power steps with ordered folds, native
     // fixed-order projection — doubles bit-identical end to end

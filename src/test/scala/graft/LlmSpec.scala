@@ -2087,4 +2087,33 @@ class LlmSpec extends AnyFunSuite {
     // bucket 128: singleton batch, zero pad
     assert(out(6L) === ((100L, 128L, 0L, 0L)))
   }
+
+  test("quotaSample: Hamilton quotas sum EXACTLY to n, respect " +
+      "largest remainders, and the pick is deterministic") {
+    // strata sizes 7 / 5 / 3 (T=15), n=10: exact shares 4.67/3.33/2
+    // -> floors 4/3/2 (sum 9), remainders 10/5/0 -> the 1 leftover
+    // seat goes to srcA: quotas 5/3/2
+    val d = ((1 to 7).map(i => (i.toLong, "srcA")) ++
+      (8 to 12).map(i => (i.toLong, "srcB")) ++
+      (13 to 15).map(i => (i.toLong, "srcC"))).toDF("doc_id", "source")
+    val out = TextAnalysis.quotaSample(d, "doc_id", "source", 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length === 10)
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc === Map("srcA" -> 5, "srcB" -> 3, "srcC" -> 2))
+    assert(out.filter(_._1 == "srcA").forall(_._4 == 5L))
+    assert(out.filter(_._1 == "srcB").forall(_._4 == 3L))
+    // ranks inside each stratum are gapless 1..quota
+    assert(out.filter(_._1 == "srcA").map(_._3).sorted.toSeq ===
+      (1L to 5L))
+    // determinism: an independent run returns the identical id set
+    val again = TextAnalysis.quotaSample(d, "doc_id", "source", 10L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(again === out.map(_._2).toSet)
+    // n >= corpus: everything comes back, no phantom rows
+    assert(TextAnalysis.quotaSample(d, "doc_id", "source", 50L)
+      .count() === 15L)
+  }
 }
