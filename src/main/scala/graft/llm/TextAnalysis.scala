@@ -1971,6 +1971,89 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "bucket", "batch_id", "pad_tokens")
   }
 
+  /** A fitted BM25 retrieval model: the query terms with their
+    * document frequencies, plus the corpus size / total token count
+    * the length norm needs. nTerms+2 longs and nTerms strings — a
+    * plan literal at any corpus size (the [[DsirModel]] pattern).
+    */
+  case class Bm25Model(terms: Seq[(String, Long)], n: Long, tot: Long)
+
+  /** Fit the BM25 scoring model offline: pick the same query-term set
+    * as [[bm25TopK]] (top `nTerms` by document frequency, df DESC /
+    * term ASC tiebreak, length ≥ `minTermLen`) and capture (df, n,
+    * tot). Collects exactly nTerms + 1 tiny rows — the sanctioned
+    * fit-collect class ([[dsirFit]]).
+    */
+  def bm25Fit(df: DataFrame, text: String,
+      nTerms: Int = 5, minTermLen: Int = 5): Bm25Model = {
+    val toks = df.select(
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    // id BEFORE the explode: in the same projection as explode, a
+    // monotonically_increasing_id would mint one id PER TOKEN and df
+    // would silently become a total term count
+    val tf = toks.withColumn("__rid", monotonically_increasing_id())
+      .select(col("__rid"), explode(col("toks")).as("term"))
+      .groupBy("__rid", "term").agg(count(lit(1)).as("tf"))
+    val terms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(length(col("term")) >= minTermLen)
+      .orderBy(col("df").desc, col("term").asc).limit(nTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val totals = toks.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("tot"))
+      .collect()(0)
+    Bm25Model(terms, totals.getLong(0), totals.getLong(1))
+  }
+
+  /** Row-local BM25 scoring against a fitted [[Bm25Model]]: appends
+    * `bm25_micro` (sum of per-term Robertson weights, each pinned to
+    * micro-longs via floor(w·1e6) BEFORE the sum so the total is
+    * order-independent integer arithmetic — the
+    * [[graft.llm.Retrieval]] discipline) and `bm25_hits` (matched
+    * query terms). The per-term weight is the SAME rational no-libm
+    * IEEE tree as [[bm25TopK]] with the fitted (df, n, tot) as plan
+    * literals; tf is the row's own token count of the term — no
+    * join, no shuffle, no state, so the stage drops into a stream
+    * ([[graft.streaming.StreamingDedup.bm25ScoreStage]]) unchanged.
+    */
+  def withBm25Score(df: DataFrame, text: String,
+      model: Bm25Model): DataFrame = {
+    val clash = Seq("__toks", "__len", "__tfs", "bm25_micro",
+      "bm25_hits").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withBm25Score: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    def lit0(s: String) = s.replace("'", "''")
+    // stage ALL per-term tfs as ONE array column referenced (as a
+    // cheap attribute) by both outputs — the winsorize-bounds lesson:
+    // inlining the interpreted filter() into every tf reference would
+    // re-scan the token array ~3× per term per row
+    val tfArr = model.terms
+      .map { case (term, _) => s"'${lit0(term)}'" }
+      .mkString(
+        "transform(array(", ", ",
+        "), t -> CAST(size(filter(__toks, x -> x = t)) AS BIGINT))")
+    val perTerm = model.terms.zipWithIndex.map {
+      case ((_, dfreq), i) =>
+        val tf = s"element_at(__tfs, ${i + 1})"
+        val w = s"((${model.n}L - ${dfreq}L + 0.5D) / " +
+          s"(${dfreq}L + 0.5D)) * (($tf * 2.2D) / ($tf + 0.3D + " +
+          s"0.9D * (__len * 1.0D * ${model.n}L / ${model.tot}L)))"
+        (s"CAST(floor($w * 1000000.0D) AS BIGINT)",
+          s"(CASE WHEN $tf > 0 THEN 1L ELSE 0L END)")
+    }
+    df.withColumn("__toks",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .withColumn("__len",
+        expr("CAST(size(__toks) AS BIGINT)"))
+      .withColumn("__tfs", expr(tfArr))
+      .withColumn("bm25_micro",
+        expr(perTerm.map(_._1).mkString("CAST(", " + ", " AS BIGINT)")))
+      .withColumn("bm25_hits",
+        expr(perTerm.map(_._2).mkString("CAST(", " + ", " AS BIGINT)")))
+      .drop("__toks", "__len", "__tfs")
+  }
+
   /** Stratified sample with EXACT global size `n`: per-stratum quotas
     * by Hamilton (largest-remainder) apportionment — floor(n·c/T)
     * each, the n − Σfloor leftover seats to the largest remainders

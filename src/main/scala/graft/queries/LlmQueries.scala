@@ -136,6 +136,16 @@ object LlmQueries {
         queryIds = 0L until 8L)
         .orderBy("query_id", "rank")
     }),
+    // fitted-model BM25 corpus scoring: the bm25Fit/withBm25Score
+    // fit/apply split (tiny term-table collect → plan literals →
+    // row-local integer-pinned scoring) — the shape that streams
+    "bm25_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = TextAnalysis.bm25Fit(docs, "text")
+      TextAnalysis.withBm25Score(docs, "text", model)
+        .select("doc_id", "bm25_micro", "bm25_hits")
+        .orderBy("doc_id")
+    }),
     // exact-n stratified sample: Hamilton largest-remainder quotas
     // per source, deterministic LCG-ranked pick inside each — the
     // "exactly n docs, source-proportional" training-data contract
@@ -2053,6 +2063,49 @@ object LlmQueries {
         |  CAST(m.bmax - a.n_tokens AS BIGINT) AS pad_tokens
         |FROM a JOIN m USING (bucket, batch_id)
         |ORDER BY doc_id""".stripMargin,
+    // bm25_score mirror: recompute the fitted artifacts (top-5 term
+    // table, corpus stats) in-query, then the same micro-pinned
+    // per-term weights summed as integers per doc — a zero-tf term
+    // contributes an exact 0 on both engines
+    "bm25_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '')
+        |      AS ts
+        |  FROM documents),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len) AS BIGINT) AS tot
+        |  FROM lens),
+        |q AS (
+        |  SELECT term, df FROM dfreq WHERE length(term) >= 5
+        |  ORDER BY df DESC, term ASC LIMIT 5),
+        |grid AS (
+        |  SELECT l.doc_id, l.len, q.term, q.df,
+        |    coalesce(tf.tf, 0) AS tf
+        |  FROM lens l
+        |  CROSS JOIN q
+        |  LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.term = q.term),
+        |w AS (
+        |  SELECT g.doc_id,
+        |    CAST(floor(((t.n - g.df + 0.5e0) / (g.df + 0.5e0))
+        |      * ((g.tf * 2.2e0) / (g.tf + 0.3e0
+        |         + 0.9e0 * (g.len * 1.0e0 * t.n / t.tot)))
+        |      * 1000000.0e0) AS BIGINT) AS wm,
+        |    CASE WHEN g.tf > 0 THEN 1 ELSE 0 END AS hit
+        |  FROM grid g, tot t)
+        |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS bm25_micro,
+        |  CAST(sum(hit) AS BIGINT) AS bm25_hits
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // quota-sample mirror: identical integer Hamilton apportionment
     // (n·c DIV/MOD T — no fractions) and the same LCG in-stratum order
     "quota_sample" ->

@@ -431,6 +431,18 @@ object StreamingDedup {
       model: TextAnalysis.DsirModel): DataFrame =
     TextAnalysis.withDsirScore(docs, text, model)
 
+  /** Streaming BM25-scoring stage: score a live feed against a
+    * retrieval model fitted offline ([[TextAnalysis.bm25Fit]]) — the
+    * fitted (term, df) pairs and corpus stats ride as plan literals,
+    * tf comes from the row's own tokens, and the per-term weights are
+    * micro-pinned longs summed in-row, so the stage is row-local,
+    * join-free, zero-state, any output mode; scores are bit-identical
+    * to the batch [[TextAnalysis.withBm25Score]] (spec-pinned).
+    */
+  def bm25ScoreStage(docs: DataFrame, text: String,
+      model: TextAnalysis.Bm25Model): DataFrame =
+    TextAnalysis.withBm25Score(docs, text, model)
+
   /** Streaming TOKENIZER stage: apply an already-fitted BPE merge
     * table ([[TextAnalysis.bpeFitMerges]], fitted offline on a
     * reference corpus) to a live document feed, appending

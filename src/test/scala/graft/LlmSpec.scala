@@ -2116,4 +2116,28 @@ class LlmSpec extends AnyFunSuite {
     assert(TextAnalysis.quotaSample(d, "doc_id", "source", 50L)
       .count() === 15L)
   }
+
+  test("bm25Fit/withBm25Score: fitted literals reproduce the exact " +
+      "per-term micro weights; zero-tf terms contribute exact zero") {
+    val d = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta beta"),
+      (3L, "gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bm25Fit(d, "text", nTerms = 2, minTermLen = 4)
+    // same pick as bm25TopK: df alpha=beta=gamma=2, tiebreak term ASC
+    assert(m.terms === Seq(("alpha", 2L), ("beta", 2L)))
+    assert(m.n === 3L && m.tot === 16L)
+    val out = TextAnalysis.withBm25Score(d, "text", m)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def w(tf: Long, df: Long, len: Long) = math.floor(
+      ((3L - df + 0.5) / (df + 0.5)) * ((tf * 2.2) /
+        (tf + 0.3 + 0.9 * (len * 1.0 * 3L / 16L))) * 1000000.0).toLong
+    // doc 1: alpha tf 2, beta tf 1; doc 2: alpha 1, beta 3;
+    // doc 3: neither (hits 0, micro exactly 0)
+    assert(out(1L) === ((w(2, 2, 4) + w(1, 2, 4), 2L)))
+    assert(out(2L) === ((w(1, 2, 4) + w(3, 2, 4), 2L)))
+    assert(out(3L) === ((0L, 0L)))
+  }
 }

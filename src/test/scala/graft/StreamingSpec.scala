@@ -772,6 +772,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(s(1L) > s(3L))
   }
 
+  test("streaming BM25 score stage equals the batch apply; " +
+      "join-free and stateless") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val ref = Seq(
+      (101L, "alpha alpha beta gamma words"),
+      (102L, "alpha beta beta beta words"),
+      (103L, "gamma delta epsilon zeta words"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bm25Fit(ref, "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "alpha beta fresh words"), (2L, ""),
+      (3L, "no query terms at all"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.bm25ScoreStage(stream, "text", model)
+      .writeStream.format("memory").queryName("bm_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((4L, "second batch alpha alpha alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bm_out")
+      .select("doc_id", "bm25_micro", "bm25_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // stateless stage: every row rides through, empty text included
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    val batch = StreamingDedup.bm25ScoreStage(
+      spark.read.schema(docSchema).parquet(dir), "text", model)
+      .select("doc_id", "bm25_micro", "bm25_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    val s = streamed.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(s(2L) === ((0L, 0L)) && s(3L) === ((0L, 0L)))
+    assert(s(4L)._1 > s(1L)._1) // tf saturation still orders
+  }
+
   test("streaming tokenizer stage equals the batch BPE apply; " +
       "join-free and stateless") {
     import graft.streaming.StreamingDedup
