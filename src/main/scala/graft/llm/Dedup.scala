@@ -884,6 +884,51 @@ object Dedup {
         round(col("n_hits") / col("n_grams"), 6))
   }
 
+  /** Cross-source n-gram overlap matrix: for every source pair, the
+    * distinct word-n-gram sets' intersection size and Jaccard (ppm,
+    * truncating integer division) — the leakage dashboard between
+    * corpus slices (crawl snapshots, vendors, mirrored dumps) that
+    * decides which pairs need cross-source dedup at all.
+    *
+    * Scale shape: each document reduces to distinct (source, gram)
+    * integer keys; pairs come from ONE further groupBy(gram) whose
+    * sorted source-set explodes its own ≤C(|S|,2) combinations
+    * row-locally — no gram self-join, no doc×doc work, and the count
+    * aggregation map-side combines. Pair scaffolding (so empty
+    * intersections still report 0) is a |S|²-row broadcast.
+    */
+  def sourceOverlapMatrix(df: DataFrame, text: String, source: String,
+      n: Int = 8): DataFrame = {
+    val grams = df
+      .withColumn("__th", contentTokenHashesExpr(text))
+      .filter(size(col("__th")) > 0)
+      .select(col(source).as("src"),
+        explode(ngramHashesFromTokenHashes("__th", n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val common = grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val scaffold = sizes.as("a").join(sizes.as("b"),
+        col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        col("a.n_grams").as("grams_a"), col("b.n_grams").as("grams_b"))
+    // broadcast the RIGHT (build) side: common's aggregate result is
+    // ≤C(|S|,2) rows however big the corpus is
+    scaffold.join(broadcast(common), Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("jaccard_ppm", expr(
+        "CAST((n_common * 1000000L) DIV " +
+          "(grams_a + grams_b - n_common) AS BIGINT)"))
+      .select("src_a", "src_b", "grams_a", "grams_b", "n_common",
+        "jaccard_ppm")
+  }
+
   /** Corpus snapshot diff by content fingerprint: how many distinct
     * normalized contents were added, removed, and carried over
     * between two corpus versions — the data-versioning summary every

@@ -833,6 +833,14 @@ object LlmQueries {
         "text", "doc_id", n = 8)
         .orderBy("doc_id")
     }),
+    // cross-source n-gram overlap matrix: which corpus slices share
+    // content (the pre-dedup leakage dashboard) — distinct-gram
+    // Jaccard per source pair, zero-overlap pairs reported as 0
+    "source_overlap" -> ((s, d) => {
+      Dedup.sourceOverlapMatrix(t(s, d, "documents"), "text",
+        "source", n = 8)
+        .orderBy("src_a", "src_b")
+    }),
     // corpus snapshot diff by content fingerprint: added / removed /
     // unchanged distinct contents between two corpus versions
     "corpus_diff" -> ((s, d) => {
@@ -3374,6 +3382,50 @@ object LlmQueries {
          |    AS overlap_ratio
          |FROM tr t LEFT JOIN eg e ON t.gram = e.gram
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // source-overlap mirror: same token/gram hash chain keyed by
+    // source; the oracle takes the straightforward gram self-join
+    // (the engine's source-set combination explode is plan shape,
+    // not semantics)
+    "source_overlap" ->
+      s"""WITH th AS (
+         |  SELECT source,
+         |    list_transform(
+         |      list_filter(string_split(lower(text), ' '),
+         |        t -> t != ''),
+         |      t -> ${duckPolyHash("t")}) AS th
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(lower(text), ' '),
+         |        t -> t != '')) > 0),
+         |grams AS (
+         |  SELECT DISTINCT source AS src, gram FROM (
+         |    SELECT source,
+         |      unnest(list_transform(
+         |        generate_series(1, greatest(len(th) - 7, 1)),
+         |        i -> list_reduce(
+         |               list_slice(th, i, i + least(8, len(th)) - 1),
+         |               (acc, h) -> (acc * 31 + h) % $P))) AS gram
+         |    FROM th)),
+         |sizes AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS n FROM grams
+         |  GROUP BY src),
+         |common AS (
+         |  SELECT a.src AS src_a, b.src AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM grams a JOIN grams b
+         |    ON a.gram = b.gram AND a.src < b.src
+         |  GROUP BY 1, 2),
+         |scaffold AS (
+         |  SELECT a.src AS src_a, b.src AS src_b,
+         |    a.n AS grams_a, b.n AS grams_b
+         |  FROM sizes a JOIN sizes b ON a.src < b.src)
+         |SELECT s.src_a, s.src_b, s.grams_a, s.grams_b,
+         |  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST((coalesce(c.n_common, 0) * 1000000)
+         |    // (s.grams_a + s.grams_b - coalesce(c.n_common, 0))
+         |    AS BIGINT) AS jaccard_ppm
+         |FROM scaffold s LEFT JOIN common c
+         |  ON c.src_a = s.src_a AND c.src_b = s.src_b
+         |ORDER BY s.src_a, s.src_b""".stripMargin,
     "corpus_diff" ->
       s"""WITH f1 AS (
          |  SELECT DISTINCT ${duckPolyHash("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")}

@@ -2140,4 +2140,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) === ((w(1, 2, 4) + w(3, 2, 4), 2L)))
     assert(out(3L) === ((0L, 0L)))
   }
+
+  test("sourceOverlapMatrix: exact pair Jaccard on crafted overlap, " +
+      "zero-overlap pairs still reported") {
+    // 2-grams (n=2): A has {ab, bc}; B shares exactly {ab} (plus its
+    // own {bx}); C shares nothing
+    val d = Seq(
+      ("A", "a b c"), ("B", "a b x"), ("C", "p q r"))
+      .toDF("source", "text")
+    val out = graft.llm.Dedup
+      .sourceOverlapMatrix(d, "text", "source", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // complete upper-triangle matrix over 3 sources
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // A: {ab, bc}; B: {ab, bx}; common {ab} -> jaccard 1/3
+    assert(out(("A", "B")) === ((2L, 2L, 1L, 1000000L / 3L)))
+    // disjoint pairs surface with n_common = 0, jaccard 0
+    assert(out(("A", "C")) === ((2L, 2L, 0L, 0L)))
+    assert(out(("B", "C")) === ((2L, 2L, 0L, 0L)))
+  }
 }
