@@ -815,4 +815,63 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "adist", "rank")
   }
+
+  /** Late-interaction (ColBERT MaxSim) retrieval: each vector is
+    * viewed as `nSub` sub-vectors (the multi-vector stand-in — with
+    * real per-token embeddings the identical plan applies to an
+    * array-of-vectors column) and
+    * score(q, d) = Σ_i max_j cos(q_i, d_j) — each query sub-vector
+    * matches its best candidate sub-vector, the soft-alignment
+    * scoring dual-encoder cosines can't express.
+    *
+    * Determinism contract: per-pair cosines use the native
+    * fixed-order dot over staged sub-vector slices, round-6 before
+    * the max; `greatest` is an exact max; the outer sum is the
+    * unrolled left fold i = 0..nSub-1 — every double bit-identical
+    * across engines. Zero-norm sub-vectors score 0 on both engines
+    * (no NaN/NULL divergence).
+    *
+    * Scale shape: sub-vectors and norms are staged ONCE per row (the
+    * winsorize-bounds lesson: per-pair references are cheap
+    * element_at attribute reads, never re-sliced); the query side is
+    * broadcast and the corpus scanned once; per-pair work is the
+    * inherent O(nSub²) of late interaction — at index scale an ANN
+    * arm shortlists first and this re-ranks.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    def staged(df: DataFrame, idAs: String): DataFrame = {
+      val v = expr(s"transform($vec, x -> CAST(x AS DOUBLE))")
+      val subs = array((0 until nSub).map(i =>
+        slice(v, i * subDim + 1, subDim)): _*)
+      val base = df.select(col(id).as(idAs), subs.as("__subs"))
+      val norms = array((0 until nSub).map(i =>
+        sqrt(dot(element_at(col("__subs"), i + 1),
+          element_at(col("__subs"), i + 1)))): _*)
+      base.select(col(idAs), col("__subs"), norms.as("__sn"))
+    }
+    val q = staged(queries, "query_id")
+      .withColumnRenamed("__subs", "__qsubs")
+      .withColumnRenamed("__sn", "__qsn")
+    val c = staged(corpus, "cand_id")
+    val cosIJ = (i: Int, j: Int) => {
+      val d = dot(element_at(col("__qsubs"), i + 1),
+        element_at(col("__subs"), j + 1))
+      val qn = element_at(col("__qsn"), i + 1)
+      val cn = element_at(col("__sn"), j + 1)
+      round(when(qn > lit(0.0) && cn > lit(0.0), d / (qn * cn))
+        .otherwise(lit(0.0)), 6)
+    }
+    val maxsim = (0 until nSub).map { i =>
+      greatest((0 until nSub).map(j => cosIJ(i, j)): _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("maxsim", maxsim)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "maxsim")
+  }
 }

@@ -201,6 +201,16 @@ object LlmQueries {
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    // late-interaction (ColBERT MaxSim) retrieval: Σ_i max_j
+    // cos(q_i, d_j) over 8×8-dim sub-vectors — soft alignment a
+    // single dual-encoder cosine can't express; round-6 sub-cosines,
+    // exact max, unrolled fixed-order sum
+    "maxsim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "embed_lsh_buckets" -> ((s, d) => {
       Similarity.lshBuckets(t(s, d, "embeddings"), "vec_id", "embedding")
         .withColumn("bucket", col("bucket").cast("long"))
@@ -1353,6 +1363,13 @@ object LlmQueries {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** 8-dim init-less left-fold dot (the sub-vector grain maxsim_topk
+    * scores at) — bit-identical to the native dot on an 8-slice.
+    */
+  private def duckDot8(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 9),
+        i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+
   private val duckVec =
     "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
@@ -1951,6 +1968,44 @@ object LlmQueries {
         |  FROM scored)
         |SELECT term, rank, doc_id, tf, score FROM r WHERE rank <= 10
         |ORDER BY term, rank""".stripMargin,
+    // maxsim mirror: same staged sub-vectors/norms, round-6
+    // sub-cosines, exact GREATEST, left-assoc 8-term sum
+    "maxsim_topk" -> {
+      def sl(v: String, i: Int) =
+        s"list_slice($v, ${i * 8 + 1}, ${i * 8 + 8})"
+      val subs = (0 until 8).map(i => sl("vec", i)).mkString("[", ", ", "]")
+      val sn = (0 until 8)
+        .map(i => s"sqrt(${duckDot8(sl("vec", i), sl("vec", i))})")
+        .mkString("[", ", ", "]")
+      def cos(i: Int, j: Int) =
+        s"round(CASE WHEN q.qsn[${i + 1}] > 0.0 AND c.sn[${j + 1}] > 0.0 " +
+          s"THEN ${duckDot8(s"q.qsubs[${i + 1}]", s"c.subs[${j + 1}]")} " +
+          s"/ (q.qsn[${i + 1}] * c.sn[${j + 1}]) ELSE 0.0 END, 6)"
+      val maxsim = (0 until 8).map { i =>
+        (0 until 8).map(j => cos(i, j))
+          .mkString("GREATEST(", ", ", ")")
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, $subs AS subs, $sn AS sn
+         |  FROM v),
+         |q AS (
+         |  SELECT vec_id AS query_id, subs AS qsubs, sn AS qsn
+         |  FROM s WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, subs, sn FROM s),
+         |p AS (
+         |  SELECT q.query_id, c.cand_id,
+         |    $maxsim AS maxsim
+         |  FROM c, q WHERE c.cand_id != q.query_id),
+         |r AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, cand_id) AS BIGINT) AS rank,
+         |    cand_id, maxsim
+         |  FROM p)
+         |SELECT * FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // hybrid RRF mirror: same rational BM25 tree micro-pinned to
     // longs before the per-doc sum, same round-6 cosine shortlists,
     // same truncating-integer-division fusion — every hashed column

@@ -2161,4 +2161,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out(("A", "C")) === ((2L, 2L, 0L, 0L)))
     assert(out(("B", "C")) === ((2L, 2L, 0L, 0L)))
   }
+
+  test("maxSimTopK: soft alignment scores a permuted-subvector match " +
+      "that whole-vector cosine misses; zero-norm subvectors score 0") {
+    // 4-dim vectors as 2 sub-vectors of 2 dims. Query q = (e1 | e2).
+    // A = (e2 | e1): every q sub-vector finds a PERMUTED perfect
+    // match -> maxsim 2, while whole-vector cos(q, A) = 0.
+    // B = (e1 | 0): second sub-vector has zero norm -> contributes 0.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(emb,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 5, nSub = 2, subDim = 2)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(!out.contains(0L)) // self excluded
+    assert(out(1L) === ((1L, 2.0)))
+    assert(out(2L) === ((2L, 1.0)))
+  }
 }
