@@ -1971,6 +1971,74 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "bucket", "batch_id", "pad_tokens")
   }
 
+  /** Data-constrained mixture planner (the Muennighoff-style "you
+    * asked for this mix, the data supports that much" fit): given a
+    * token budget B, target mixture weights (ppm), and a per-source
+    * repetition cap of `epochsCap` epochs, allocate B across sources
+    * by greedy waterfilling — sources whose target share exceeds
+    * their cap saturate at cap·tokens, and their unused share
+    * redistributes proportionally among the unsaturated rest. Budget
+    * that no positive-weight source can absorb stays UNALLOCATED
+    * (the honest data-constrained outcome, surfaced as
+    * Σ alloc < B).
+    *
+    * Exact integer contract: the scan processes positive-weight
+    * sources in saturation-pressure order (key (cap·1e6) div w_ppm,
+    * source asc — both engines use the truncated key, so they agree
+    * by construction) carrying (budget-left, weight-left) state;
+    * allocations are cap or (R·w) div W. Products stay in BIGINT for
+    * per-source caps up to ~9·10¹² tokens — beyond any single
+    * source's token mass at the 100 TB design point.
+    *
+    * Scale shape: the corpus pass is the per-source token sum
+    * (map-side combine); the planner runs on the collected
+    * ≤|sources|-row counts (the sanctioned tiny-fit collect class)
+    * and its DuckDB mirror replays the identical recurrence as a
+    * recursive CTE.
+    */
+  def mixBudgetFit(df: DataFrame, text: String, source: String,
+      weightsPpm: Map[String, Long], epochsCap: Long,
+      budget: Option[Long] = None,
+      budgetPpm: Long = 1000000L): DataFrame = {
+    require(epochsCap >= 1, "need epochsCap >= 1")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(source).as("src"),
+        expr(s"CAST(size(filter(split(lower($text), ' '), " +
+          "t -> t != '')) AS BIGINT)").as("n"))
+      .groupBy("src").agg(sum("n").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    // absolute budget wins; otherwise budgetPpm of the corpus total
+    // (scale-invariant: the saturation pattern survives a 10× corpus)
+    val b = budget.getOrElse(
+      counts.map(_._2).sum * budgetPpm / 1000000L)
+    val active = counts
+      .map { case (s, c) =>
+        (s, c, weightsPpm.getOrElse(s, 0L), epochsCap * c)
+      }
+      .filter(_._3 > 0)
+      .sortBy { case (s, _, w, cap) => ((cap * 1000000L) / w, s) }
+    var r = b
+    var wRem = active.map(_._3).sum
+    val alloc = scala.collection.mutable.Map.empty[String, Long]
+    active.foreach { case (s, _, w, cap) =>
+      val a = if (cap * wRem <= r * w) cap else (r * w) / wRem
+      alloc(s) = a
+      r -= a
+      wRem -= w
+    }
+    counts.map { case (s, c) =>
+      val w = weightsPpm.getOrElse(s, 0L)
+      val a = alloc.getOrElse(s, 0L)
+      (s, c, w, epochsCap * c, a,
+        if (c > 0) a * 1000000L / c else 0L)
+    }.toSeq.toDF("source", "n_tokens", "w_ppm", "cap_tokens",
+      "alloc_tokens", "epochs_ppm")
+  }
+
   /** A fitted BM25 retrieval model: the query terms with their
     * document frequencies, plus the corpus size / total token count
     * the length norm needs. nTerms+2 longs and nTerms strings — a

@@ -136,6 +136,16 @@ object LlmQueries {
         queryIds = 0L until 8L)
         .orderBy("query_id", "rank")
     }),
+    // data-constrained mixture planner: a 50/30/20 target over three
+    // sources vs a 4-epoch repetition cap at a half-corpus token
+    // budget — src0's share saturates at cap, src1/src2 split the
+    // residual proportionally, the 17 zero-weight sources allocate 0
+    "mix_budget_fit" -> ((s, d) => {
+      TextAnalysis.mixBudgetFit(t(s, d, "documents"), "text",
+        "source", Map("src0" -> 500000L, "src1" -> 300000L,
+          "src2" -> 200000L), epochsCap = 4L, budgetPpm = 500000L)
+        .orderBy("source")
+    }),
     // fitted-model BM25 corpus scoring: the bm25Fit/withBm25Score
     // fit/apply split (tiny term-table collect → plan literals →
     // row-local integer-pinned scoring) — the shape that streams
@@ -2126,6 +2136,63 @@ object LlmQueries {
         |  CAST(m.bmax - a.n_tokens AS BIGINT) AS pad_tokens
         |FROM a JOIN m USING (bucket, batch_id)
         |ORDER BY doc_id""".stripMargin,
+    // mix_budget_fit mirror: the planner recurrence replayed as a
+    // recursive CTE (the ADPCM state-machine discipline) — same
+    // truncated saturation-pressure order, same (R, W) carry, pure
+    // BIGINT throughout
+    "mix_budget_fit" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(len(list_filter(string_split(lower(text),
+        |      ' '), t -> t != '')) AS BIGINT)) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |wt AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(500000 AS BIGINT)),
+        |  ('src1', CAST(300000 AS BIGINT)),
+        |  ('src2', CAST(200000 AS BIGINT))) AS t(source, w_ppm)),
+        |tot AS (
+        |  SELECT CAST((CAST(sum(c) AS BIGINT) * 500000) // 1000000
+        |    AS BIGINT) AS b
+        |  FROM s0),
+        |j AS (
+        |  SELECT s0.source, s0.c,
+        |    CAST(coalesce(wt.w_ppm, 0) AS BIGINT) AS w_ppm,
+        |    CAST(4 * s0.c AS BIGINT) AS cap
+        |  FROM s0 LEFT JOIN wt USING (source)),
+        |act AS (
+        |  SELECT source, c, w_ppm, cap,
+        |    CAST(row_number() OVER (ORDER BY (cap * 1000000) // w_ppm,
+        |      source) AS BIGINT) AS rn
+        |  FROM j WHERE w_ppm > 0),
+        |w0 AS (SELECT CAST(sum(w_ppm) AS BIGINT) AS w0 FROM act),
+        |scan(rn, alloc, r_after, w_after) AS (
+        |  SELECT a.rn,
+        |    CASE WHEN a.cap * w0.w0 <= t.b * a.w_ppm THEN a.cap
+        |         ELSE (t.b * a.w_ppm) // w0.w0 END,
+        |    t.b - (CASE WHEN a.cap * w0.w0 <= t.b * a.w_ppm
+        |           THEN a.cap ELSE (t.b * a.w_ppm) // w0.w0 END),
+        |    w0.w0 - a.w_ppm
+        |  FROM act a, w0, tot t WHERE a.rn = 1
+        |  UNION ALL
+        |  SELECT a.rn,
+        |    CASE WHEN a.cap * s.w_after <= s.r_after * a.w_ppm
+        |         THEN a.cap
+        |         ELSE (s.r_after * a.w_ppm) // s.w_after END,
+        |    s.r_after - (CASE WHEN a.cap * s.w_after
+        |             <= s.r_after * a.w_ppm THEN a.cap
+        |           ELSE (s.r_after * a.w_ppm) // s.w_after END),
+        |    s.w_after - a.w_ppm
+        |  FROM scan s JOIN act a ON a.rn = s.rn + 1),
+        |al AS (
+        |  SELECT a.source, s.alloc FROM scan s JOIN act a USING (rn))
+        |SELECT j.source, j.c AS n_tokens, j.w_ppm,
+        |  j.cap AS cap_tokens,
+        |  CAST(coalesce(al.alloc, 0) AS BIGINT) AS alloc_tokens,
+        |  CAST(CASE WHEN j.c > 0
+        |    THEN (coalesce(al.alloc, 0) * 1000000) // j.c
+        |    ELSE 0 END AS BIGINT) AS epochs_ppm
+        |FROM j LEFT JOIN al USING (source)
+        |ORDER BY source""".stripMargin,
     // bm25_score mirror: recompute the fitted artifacts (top-5 term
     // table, corpus stats) in-query, then the same micro-pinned
     // per-term weights summed as integers per doc — a zero-tf term

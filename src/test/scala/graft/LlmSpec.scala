@@ -2182,4 +2182,34 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L) === ((1L, 2.0)))
     assert(out(2L) === ((2L, 1.0)))
   }
+
+  test("mixBudgetFit: saturated / proportional / zero-weight regimes " +
+      "allocate exactly; leftover budget stays unallocated") {
+    // sources of 10 tokens each; budget 30; caps 2 epochs = 20
+    def doc(id: Long, src: String) =
+      (id, src, Seq.fill(10)("tok").mkString(" "))
+    val d = Seq(doc(1, "a"), doc(2, "b"), doc(3, "c"), doc(4, "z"))
+      .toDF("doc_id", "source", "text")
+    // weights a=80%, b=10%, c=10%: a wants 24 > cap 20 -> saturates;
+    // residual 10 splits evenly over b and c (5 each, caps 20 loose)
+    val out = TextAnalysis.mixBudgetFit(d, "text", "source",
+      Map("a" -> 800000L, "b" -> 100000L, "c" -> 100000L),
+      epochsCap = 2L, budget = Some(30L))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("a") === ((10L, 800000L, 20L, 20L, 2000000L)))
+    assert(out("b") === ((10L, 100000L, 20L, 5L, 500000L)))
+    assert(out("c") === ((10L, 100000L, 20L, 5L, 500000L)))
+    assert(out("z") === ((10L, 0L, 20L, 0L, 0L)))
+    // budget fully used here: 20 + 5 + 5 = 30
+    // now a budget beyond every cap: all positive-weight sources
+    // saturate, the rest stays honestly unallocated
+    val capped = TextAnalysis.mixBudgetFit(d, "text", "source",
+      Map("a" -> 500000L, "b" -> 500000L), epochsCap = 2L,
+      budget = Some(100L))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(capped("a") === 20L && capped("b") === 20L)
+    assert(capped.values.sum === 40L) // 60 of 100 unallocatable
+  }
 }
