@@ -639,6 +639,32 @@ object LlmQueries {
         .limit(50)
         .orderBy("doc_id")
     }),
+    // curation_v4: the LOADER-PREP flagship — quality gate → digest
+    // dedup → exact-n source-proportional sample → length-bucketed
+    // padded batches: corpus in, training batches out, one plan, every
+    // stage an independently-oracled operator
+    "curation_v4" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val gated = TextAnalysis.gopherRules(docs, "text",
+          minTokens = 40, maxTokens = 1000)
+        .filter(col("keep")).select("doc_id")
+      val gdocs = docs.join(gated, Seq("doc_id"))
+      val reps = Dedup.exactReps(
+        gdocs.select("doc_id", "text"), "text", "doc_id")
+        .select("doc_id")
+      val surv = gdocs.join(reps, Seq("doc_id"))
+      val sampled = TextAnalysis.quotaSample(surv, "doc_id",
+        "source", 100L)
+      val withText = sampled.select("doc_id")
+        .join(surv.select("doc_id", "text"), Seq("doc_id"))
+      TextAnalysis.lengthBucketBatches(withText, "text", "doc_id",
+          batchSize = 8)
+        .join(sampled.select("doc_id", "source", "src_rank"),
+          Seq("doc_id"))
+        .select("doc_id", "source", "src_rank", "n_tokens", "bucket",
+          "batch_id", "pad_tokens")
+        .orderBy("doc_id")
+    }),
     "multimodal_meta" -> ((s, d) => {
       Canon.stringifyArrays(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
@@ -2136,6 +2162,93 @@ object LlmQueries {
         |  CAST(m.bmax - a.n_tokens AS BIGINT) AS pad_tokens
         |FROM a JOIN m USING (bucket, batch_id)
         |ORDER BY doc_id""".stripMargin,
+    // curation_v4 mirror: gopher gate CTE (curation_v3's, full
+    // corpus) → min-id text dedup → Hamilton quota + LCG rank →
+    // pow-2 bucket/batch/pad chain
+    "curation_v4" ->
+      s"""WITH gt AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      $duckNTokens AS nt,
+         |      CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |        AS DOUBLE) / $duckNTokens AS awl,
+         |      CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+         |        'g')) AS DOUBLE) / length(text) AS sym,
+         |      CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens AS swr
+         |    FROM documents)
+         |  WHERE nt >= 40 AND nt <= 1000 AND awl >= 2.0
+         |    AND awl <= 12.0 AND sym <= 0.1 AND swr >= 0.0),
+         |g2 AS (
+         |  SELECT gt.doc_id, gt.text, d.source
+         |  FROM gt JOIN documents d USING (doc_id)),
+         |drep AS (SELECT min(doc_id) AS doc_id FROM g2 GROUP BY text),
+         |surv AS (SELECT g2.* FROM g2 JOIN drep USING (doc_id)),
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS c FROM surv
+         |  GROUP BY source),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c),
+         |q0 AS (
+         |  SELECT source, c,
+         |    CAST((100 * c) // tt AS BIGINT) AS base,
+         |    CAST((100 * c) % tt AS BIGINT) AS rem
+         |  FROM c, tt),
+         |l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover
+         |      FROM q0),
+         |q1 AS (
+         |  SELECT source, base, rem,
+         |    CAST(row_number() OVER (ORDER BY rem DESC, source)
+         |      AS BIGINT) AS rr
+         |  FROM q0),
+         |q AS (
+         |  SELECT source,
+         |    CAST(base + (CASE WHEN rr <= l.leftover THEN 1 ELSE 0
+         |      END) AS BIGINT) AS quota
+         |  FROM q1, l),
+         |r AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ((doc_id % 1073741824) * 2654435761) % $P,
+         |        doc_id) AS BIGINT) AS src_rank
+         |  FROM surv),
+         |sam AS (
+         |  SELECT r.* FROM r JOIN q USING (source)
+         |  WHERE r.src_rank <= q.quota),
+         |sized AS (
+         |  SELECT doc_id, source, src_rank,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM sam),
+         |bkt AS (
+         |  SELECT *,
+         |    CAST(CASE WHEN n_tokens <= 16 THEN 16
+         |      WHEN n_tokens <= 32 THEN 32
+         |      WHEN n_tokens <= 64 THEN 64
+         |      WHEN n_tokens <= 128 THEN 128
+         |      WHEN n_tokens <= 256 THEN 256
+         |      WHEN n_tokens <= 512 THEN 512
+         |      WHEN n_tokens <= 1024 THEN 1024
+         |      WHEN n_tokens <= 2048 THEN 2048
+         |      WHEN n_tokens <= 4096 THEN 4096
+         |      ELSE 8192 END AS BIGINT) AS bucket
+         |  FROM sized),
+         |p AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (ORDER BY bucket, n_tokens DESC,
+         |      doc_id) AS BIGINT) AS gpos
+         |  FROM bkt),
+         |b0 AS (SELECT bucket, min(gpos) AS b0 FROM p GROUP BY bucket),
+         |a AS (
+         |  SELECT p.*, CAST((p.gpos - b0.b0) // 8 AS BIGINT)
+         |    AS batch_id
+         |  FROM p JOIN b0 USING (bucket)),
+         |m AS (
+         |  SELECT bucket, batch_id, max(n_tokens) AS bmax
+         |  FROM a GROUP BY 1, 2)
+         |SELECT a.doc_id, a.source, a.src_rank, a.n_tokens, a.bucket,
+         |  a.batch_id, CAST(m.bmax - a.n_tokens AS BIGINT)
+         |    AS pad_tokens
+         |FROM a JOIN m USING (bucket, batch_id)
+         |ORDER BY a.doc_id""".stripMargin,
     // mix_budget_fit mirror: the planner recurrence replayed as a
     // recursive CTE (the ADPCM state-machine discipline) — same
     // truncated saturation-pressure order, same (R, W) carry, pure
