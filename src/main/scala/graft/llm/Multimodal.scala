@@ -304,6 +304,62 @@ object Multimodal {
       "rs_mean_r", "roundtrip_ok")
   }
 
+  /** ViT-style patch extraction over the REAL decoded image: the
+    * codepoint-derived 8×8 raster goes through the actual BMP
+    * encode→decode roundtrip ([[bmpPipeline]]'s codec path), then the
+    * DECODED pixels split into the 2×2 grid of 4×4 patches —
+    * vision-model prep's patchify step. Per patch: exact integer
+    * channel sums (16 pixels, BIGINT — no rounding anywhere) and a
+    * patch fingerprint folding the 48 channel bytes row-major through
+    * the corpus-wide poly hash ((acc·31 + x) mod P, 0-seed ≡ DuckDB's
+    * init-less list_reduce) — the content key patch-level dedup or
+    * caching would bucket on. 4 rows per document, row-local
+    * (flatMap), streaming-safe.
+    */
+  def patchifyPipeline(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val P = graft.llm.HashConstants.P
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 192).as("__pfx"))
+      .as[(Long, String)]
+    derived.flatMap { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val v = Array.tabulate(192)(j =>
+        if (j < cps.length) cps(j) % 256 else 0)
+      val pixels = Array.tabulate(64)(i =>
+        (v(3 * i) << 16) | (v(3 * i + 1) << 8) | v(3 * i + 2))
+      val dec = decodeBmp(encodeBmp(DecodedImage(8, 8, pixels))).get
+      val ok = dec.width == 8 && dec.height == 8 &&
+        java.util.Arrays.equals(dec.pixels, pixels)
+      (0 until 4).map { p =>
+        val pr0 = (p / 2) * 4
+        val pc0 = (p % 2) * 4
+        var sr = 0L; var sg = 0L; var sb = 0L; var fp = 0L
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val px = dec.pixels((pr0 + r) * 8 + (pc0 + c))
+            val rr = (px >> 16) & 0xff
+            val gg = (px >> 8) & 0xff
+            val bb = px & 0xff
+            sr += rr; sg += gg; sb += bb
+            fp = (fp * 31 + rr) % P
+            fp = (fp * 31 + gg) % P
+            fp = (fp * 31 + bb) % P
+            c += 1
+          }
+          r += 1
+        }
+        (docId, p.toLong, sr, sg, sb, fp, ok)
+      }
+    }.toDF("doc_id", "patch_id", "sum_r", "sum_g", "sum_b",
+      "patch_fp", "roundtrip_ok")
+  }
+
   /** [[bmpPipeline]]'s twin over a REAL COMPRESSED payload: the same
     * codepoint-derived 8×8 raster is encoded to actual PNG bytes
     * ([[encodePng]] — zlib-compressed, real IHDR/IDAT chunks), decoded

@@ -986,6 +986,14 @@ object LlmQueries {
       Multimodal.pngPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // ViT patchify over the REAL decoded raster: 2×2 grid of 4×4
+    // patches, exact integer channel sums + poly-hash patch
+    // fingerprints from the decoded pixels — vision-prep's tokenize
+    "multimodal_patchify" -> ((s, d) => {
+      Multimodal.patchifyPipeline(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("doc_id", "patch_id")
+    }),
     // the LOSSY compressed codec: baseline JPEG encode → javax.imageio
     // decode. Dimensions + true (codepoint-derived) channel means are
     // exact; the real decode is gated by a ±16 mean-band boolean
@@ -4079,6 +4087,36 @@ object LlmQueries {
         |    / 16 AS rs_mean_r,
         |  TRUE AS roundtrip_ok
         |FROM b ORDER BY doc_id""".stripMargin,
+    // patchify mirror: patch p covers rows (p//2)*4.., cols
+    // (p%2)*4..; within-patch pixel q walks row-major; the fp fold's
+    // init-less list_reduce equals the engine's 0-seeded fold (first
+    // element < P)
+    "multimodal_patchify" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_transform(range(0, 192), j ->
+         |    CASE WHEN j + 1 <= length(text)
+         |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+         |    ELSE 0 END) AS v
+         |  FROM documents),
+         |pp AS (
+         |  SELECT doc_id, v, unnest(range(0, 4)) AS p FROM b)
+         |SELECT doc_id, CAST(p AS BIGINT) AS patch_id,
+         |  CAST(list_sum(list_transform(range(0, 16), q ->
+         |    v[3*(((p // 2)*4 + q // 4)*8 + ((p % 2)*4 + q % 4)) + 1]))
+         |    AS BIGINT) AS sum_r,
+         |  CAST(list_sum(list_transform(range(0, 16), q ->
+         |    v[3*(((p // 2)*4 + q // 4)*8 + ((p % 2)*4 + q % 4)) + 2]))
+         |    AS BIGINT) AS sum_g,
+         |  CAST(list_sum(list_transform(range(0, 16), q ->
+         |    v[3*(((p // 2)*4 + q // 4)*8 + ((p % 2)*4 + q % 4)) + 3]))
+         |    AS BIGINT) AS sum_b,
+         |  CAST(list_reduce(list_transform(range(0, 48), k ->
+         |    CAST(v[3*(((p // 2)*4 + (k // 3) // 4)*8
+         |      + ((p % 2)*4 + (k // 3) % 4)) + (k % 3) + 1]
+         |      AS BIGINT)),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS BIGINT) AS patch_fp,
+         |  TRUE AS roundtrip_ok
+         |FROM pp ORDER BY doc_id, patch_id""".stripMargin,
     // lossy JPEG: exact columns are dimensions + TRUE means recomputed
     // from codepoints; the decode quality gate is a Spark-side
     // tolerance-band boolean the oracle pins TRUE

@@ -2212,4 +2212,29 @@ class LlmSpec extends AnyFunSuite {
     assert(capped("a") === 20L && capped("b") === 20L)
     assert(capped.values.sum === 40L) // 60 of 100 unallocatable
   }
+
+  test("patchifyPipeline: real codec roundtrip holds, patch sums are " +
+      "exact, and identical patches share fingerprints") {
+    // 192 identical codepoints -> all 4 patches are the same solid
+    // color: fingerprints collide BY CONSTRUCTION; a different doc
+    // must not collide with them
+    val d = Seq(
+      (1L, "A" * 192),
+      (2L, "A" * 192),
+      (3L, "z" * 192)).toDF("doc_id", "text")
+    val out = Multimodal.patchifyPipeline(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(out.size === 12) // 4 patches per doc
+    assert(out.values.forall(_._5), "codec roundtrip must hold")
+    // 'A' = 65 everywhere: each channel sums 16 * 65 = 1040
+    assert(out((1L, 0L))._1 === 1040L)
+    assert(out((1L, 3L))._3 === 1040L)
+    // same content -> same fp, across patches and docs
+    val fpA = out((1L, 0L))._4
+    assert((0L to 3L).forall(p => out((1L, p))._4 === fpA))
+    assert((0L to 3L).forall(p => out((2L, p))._4 === fpA))
+    assert(out((3L, 0L))._4 !== fpA)
+  }
 }
