@@ -360,6 +360,34 @@ object Multimodal {
       "patch_fp", "roundtrip_ok")
   }
 
+  /** Patch-grain image near-dup pairs: documents sharing at least
+    * `minShared` distinct patch fingerprints (from
+    * [[patchifyPipeline]]'s real-decode fps) — the visual analogue of
+    * shingle-overlap text dedup, catching crops/recompositions that
+    * whole-image hashing misses. The fp is the bucket key: per-fp
+    * membership is capped at `maxBucket` (lowest doc_id wins, the
+    * candidate-pair cap discipline) so a degenerate fp (solid-color
+    * patches) cannot go quadratic; pairs then count shared fps with
+    * map-side combine. Never doc×doc.
+    */
+  def patchDedupPairs(df: DataFrame, text: String, id: String,
+      minShared: Int = 2, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = patchifyPipeline(df, text, id)
+      .select(col("doc_id"), col("patch_fp")).distinct()
+    val capped = fps
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("patch_fp").orderBy("doc_id")))
+      .filter(col("__rk") <= maxBucket)
+      .select("doc_id", "patch_fp")
+    capped.as("a").join(capped.as("b"),
+        col("a.patch_fp") === col("b.patch_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** [[bmpPipeline]]'s twin over a REAL COMPRESSED payload: the same
     * codepoint-derived 8×8 raster is encoded to actual PNG bytes
     * ([[encodePng]] — zlib-compressed, real IHDR/IDAT chunks), decoded

@@ -994,6 +994,14 @@ object LlmQueries {
         "doc_id")
         .orderBy("doc_id", "patch_id")
     }),
+    // patch-grain image near-dup pairs: shared decoded-patch
+    // fingerprints with the capped-bucket pair discipline — crops /
+    // recompositions whole-image hashing misses
+    "patch_dedup" -> ((s, d) => {
+      Multimodal.patchDedupPairs(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("id1", "id2")
+    }),
     // the LOSSY compressed codec: baseline JPEG encode → javax.imageio
     // decode. Dimensions + true (codepoint-derived) channel means are
     // exact; the real decode is gated by a ±16 mean-band boolean
@@ -4117,6 +4125,37 @@ object LlmQueries {
          |    (acc, x) -> (acc * 31 + x) % $P) AS BIGINT) AS patch_fp,
          |  TRUE AS roundtrip_ok
          |FROM pp ORDER BY doc_id, patch_id""".stripMargin,
+    // patch_dedup mirror: same fp chain from codepoints, same
+    // per-fp cap window, same pair counting
+    "patch_dedup" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_transform(range(0, 192), j ->
+         |    CASE WHEN j + 1 <= length(text)
+         |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+         |    ELSE 0 END) AS v
+         |  FROM documents),
+         |pp AS (
+         |  SELECT doc_id, v, unnest(range(0, 4)) AS p FROM b),
+         |fps AS (
+         |  SELECT DISTINCT doc_id,
+         |    list_reduce(list_transform(range(0, 48), k ->
+         |      CAST(v[3*(((p // 2)*4 + (k // 3) // 4)*8
+         |        + ((p % 2)*4 + (k // 3) % 4)) + (k % 3) + 1]
+         |        AS BIGINT)),
+         |      (acc, x) -> (acc * 31 + x) % $P) AS patch_fp
+         |  FROM pp),
+         |capped AS (
+         |  SELECT doc_id, patch_fp FROM (
+         |    SELECT doc_id, patch_fp, row_number() OVER
+         |      (PARTITION BY patch_fp ORDER BY doc_id) AS rk
+         |    FROM fps)
+         |  WHERE rk <= 64)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM capped a JOIN capped b
+         |  ON a.patch_fp = b.patch_fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id1, id2""".stripMargin,
     // lossy JPEG: exact columns are dimensions + TRUE means recomputed
     // from codepoints; the decode quality gate is a Spark-side
     // tolerance-band boolean the oracle pins TRUE

@@ -2237,4 +2237,20 @@ class LlmSpec extends AnyFunSuite {
     assert((0L to 3L).forall(p => out((2L, p))._4 === fpA))
     assert(out((3L, 0L))._4 !== fpA)
   }
+
+  test("patchDedupPairs: docs sharing a left half pair on exactly " +
+      "their 2 common patches; unrelated docs pair with nothing") {
+    // pixel (r, c) chars: left half varies by row (so the two left
+    // patches have DISTINCT fps), right half differs per doc
+    def mk(rightBase: Char): String =
+      (0 until 192).map { j =>
+        val i = j / 3; val r = i / 8; val c = i % 8
+        if (c < 4) ('A' + r).toChar else (rightBase + r).toChar
+      }.mkString
+    val d = Seq((1L, mk('a')), (2L, mk('b')), (3L, "z" * 192))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.patchDedupPairs(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 2L)))
+  }
 }
