@@ -816,6 +816,52 @@ object Similarity {
       .select("query_id", "cand_id", "adist", "rank")
   }
 
+  /** Contrastive triplet mining for embedding-model training: per
+    * anchor, the strongest same-bucket neighbor at cos ≥ `posMin` is
+    * the POSITIVE and the weakest at cos ≤ `negMax` the HARD
+    * NEGATIVE — same-bucket-but-dissimilar is exactly the "looks
+    * related, isn't" pair a contrastive loss learns most from
+    * (random negatives are trivially separable). Anchors missing
+    * either side emit nothing (an inner join — a triplet needs both).
+    *
+    * Determinism: round-6 native cosines, id tiebreaks on both rank
+    * windows; posMin > negMax guarantees the two sides are distinct
+    * partners. Scale shape: candidate pairs come from the capped
+    * banded LSH join (bucket-bounded, never n²); the pair list is
+    * pinned (localCheckpoint) before the two-direction symmetrize so
+    * the sim join runs once (the pagerank edge-frame lesson); both
+    * rank windows partition by anchor over bucket-bounded rows.
+    */
+  def tripletMine(df: DataFrame, id: String, vec: String,
+      planes: Int = 6, posMin: Double = 0.35,
+      negMax: Double = 0.1): DataFrame = {
+    require(posMin > negMax,
+      "tripletMine: posMin must exceed negMax")
+    val pairs = lshSimilarityJoin(df, id, vec, planes,
+        minSim = -1.0)
+      .select("id1", "id2", "sim")
+      .localCheckpoint()
+    val sym = pairs
+      .select(col("id1").as("anchor"), col("id2").as("other"),
+        col("sim"))
+      .unionByName(pairs.select(col("id2").as("anchor"),
+        col("id1").as("other"), col("sim")))
+    val byAnchor = Window.partitionBy("anchor")
+    val ranked = sym
+      .withColumn("__pr", row_number().over(
+        byAnchor.orderBy(col("sim").desc, col("other").asc)))
+      .withColumn("__nr", row_number().over(
+        byAnchor.orderBy(col("sim").asc, col("other").asc)))
+    val pos = ranked.filter(col("__pr") === 1 && col("sim") >= posMin)
+      .select(col("anchor"), col("other").as("pos_id"),
+        col("sim").as("pos_sim"))
+    val neg = ranked.filter(col("__nr") === 1 && col("sim") <= negMax)
+      .select(col("anchor"), col("other").as("neg_id"),
+        col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor"))
+      .select("anchor", "pos_id", "pos_sim", "neg_id", "neg_sim")
+  }
+
   /** Late-interaction (ColBERT MaxSim) retrieval: each vector is
     * viewed as `nSub` sub-vectors (the multi-vector stand-in — with
     * real per-token embeddings the identical plan applies to an

@@ -232,6 +232,15 @@ object LlmQueries {
         .withColumn("bucket", col("bucket").cast("long"))
         .orderBy("id1", "id2")
     }),
+    // contrastive triplet mining: per anchor the strongest
+    // same-bucket neighbor (cos ≥ 0.35) as positive and the weakest
+    // (cos ≤ 0.1) as hard negative — embedding-training data the
+    // LSH buckets mine for free
+    "triplet_mine" -> ((s, d) => {
+      Similarity.tripletMine(t(s, d, "embeddings"), "vec_id",
+        "embedding")
+        .orderBy("anchor")
+    }),
     "ivf_assign" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfAssign(emb, "vec_id", "embedding",
@@ -1978,6 +1987,43 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    // triplet mirror: the sim-join chain (no minSim floor), both
+    // directions, two rank windows, inner join of the two sides
+    "triplet_mine" ->
+      s"""WITH v0 AS (
+         |  SELECT vec_id, $duckVec AS vec,
+         |    CAST(${duckLshBucket(duckVec, 6)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT v0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM v0)
+         |  WHERE rn <= 4096),
+         |e AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |  FROM v a JOIN v b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sym AS (
+         |  SELECT id1 AS anchor, id2 AS other, sim FROM e
+         |  UNION ALL
+         |  SELECT id2 AS anchor, id1 AS other, sim FROM e),
+         |rk AS (
+         |  SELECT anchor, other, sim,
+         |    row_number() OVER (PARTITION BY anchor
+         |      ORDER BY sim DESC, other) AS pr,
+         |    row_number() OVER (PARTITION BY anchor
+         |      ORDER BY sim ASC, other) AS nr
+         |  FROM sym),
+         |pos AS (
+         |  SELECT anchor, other AS pos_id, sim AS pos_sim FROM rk
+         |  WHERE pr = 1 AND sim >= 0.35),
+         |neg AS (
+         |  SELECT anchor, other AS neg_id, sim AS neg_sim FROM rk
+         |  WHERE nr = 1 AND sim <= 0.1)
+         |SELECT p.anchor, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         |FROM pos p JOIN neg n USING (anchor)
+         |ORDER BY p.anchor""".stripMargin,
     // BM25 mirror: identical expression tree (rational idf, expanded
     // len·N/tot length norm) — the doubles must match bit-for-bit,
     // no rounding on either side. The e0 literal notation matters:

@@ -2253,4 +2253,30 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq === Seq((1L, 2L, 2L)))
   }
+
+  test("tripletMine: anchors emit (best positive, hardest negative) " +
+      "only when both thresholds are met") {
+    // planes = 0 -> one bucket, all pairs candidates. a ≈ b (high
+    // cos), c ⊥ both (cos 0 ≤ negMax). d alone would have no
+    // negative partner were it not ⊥ to a and b too.
+    def v(parts: (Int, Double)*) = {
+      val arr = Array.fill(64)(0.0)
+      parts.foreach { case (i, x) => arr(i) = x }
+      arr.toSeq
+    }
+    val emb = Seq(
+      (1L, v(0 -> 1.0)),
+      (2L, v(0 -> 1.0, 1 -> 0.2)), // cos(1,2) ≈ 0.98
+      (3L, v(2 -> 1.0)))           // ⊥ to both
+      .toDF("vec_id", "embedding")
+    val out = Similarity.tripletMine(emb, "vec_id", "embedding",
+      planes = 0, posMin = 0.5, negMax = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    // anchors 1 and 2: positive = each other, negative = 3
+    assert(out(1L) === ((2L, 3L)))
+    assert(out(2L) === ((1L, 3L)))
+    // anchor 3 has no positive (max cos 0 < 0.5) -> no triplet
+    assert(!out.contains(3L))
+  }
 }
