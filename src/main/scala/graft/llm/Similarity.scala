@@ -816,6 +816,34 @@ object Similarity {
       .select("query_id", "cand_id", "adist", "rank")
   }
 
+  /** IVF index-health telemetry: per-cell occupancy with uniformity
+    * skew — `skew_ppm` = n·cells·1e6 div total (1e6 = perfectly
+    * balanced; a hot cell's probe cost scales with its occupancy, so
+    * this is the number an index operator alerts on). Empty cells
+    * surface with 0 via the broadcast centroid scaffold — a silently
+    * dead cell is exactly what the dashboard must show. One
+    * broadcast-assign corpus pass + a cells-sized aggregate.
+    */
+  def ivfBalance(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame = {
+    val occ = ivfAssign(df, id, vec, centroids)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val cells = centroids.select(col("cell")).distinct()
+    val nCells = broadcast(cells.agg(count(lit(1)).as("__k")))
+    val total = broadcast(occ.agg(
+      sum(col("n_members")).as("__tot")))
+    // both sides are cells-sized aggregates; the occupancy side is
+    // the build side (a broadcast LEFT side would be ignored)
+    cells.join(broadcast(occ), Seq("cell"), "left")
+      .na.fill(0L, Seq("n_members"))
+      .crossJoin(nCells).crossJoin(total)
+      .withColumn("share_ppm",
+        expr("CAST((n_members * 1000000L) DIV __tot AS BIGINT)"))
+      .withColumn("skew_ppm",
+        expr("CAST((n_members * __k * 1000000L) DIV __tot AS BIGINT)"))
+      .select("cell", "n_members", "share_ppm", "skew_ppm")
+  }
+
   /** Contrastive triplet mining for embedding-model training: per
     * anchor, the strongest same-bucket neighbor at cos ≥ `posMin` is
     * the POSITIVE and the weakest at cos ≤ `negMax` the HARD

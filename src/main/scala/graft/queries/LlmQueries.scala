@@ -247,6 +247,14 @@ object LlmQueries {
         Similarity.seedCentroids(emb, "vec_id", "embedding", 16))
         .orderBy("vec_id")
     }),
+    // IVF occupancy / skew telemetry: the index-health dashboard —
+    // empty cells surface as 0, skew_ppm 1e6 = perfectly balanced
+    "ivf_balance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfBalance(emb, "vec_id", "embedding",
+        Similarity.seedCentroids(emb, "vec_id", "embedding", 16))
+        .orderBy("cell")
+    }),
     "ivf_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Canon.stringifyArrays(
@@ -2603,6 +2611,36 @@ object LlmQueries {
          |        (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // ivf_balance mirror: the ivf_assign chain + occupancy counts
+    // over a centroid scaffold (empty cells 0)
+    "ivf_balance" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
+         |         FROM v WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, cent.cell,
+         |    ${duckCos("v.vec", "cent.cvec")} AS sim
+         |  FROM v, cent),
+         |assign AS (
+         |  SELECT vec_id, cell
+         |  FROM (SELECT vec_id, cell, row_number() OVER
+         |          (PARTITION BY vec_id ORDER BY sim DESC, cell DESC)
+         |          rn
+         |        FROM scored)
+         |  WHERE rn = 1),
+         |occ AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM assign GROUP BY cell),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cent),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM assign)
+         |SELECT c.cell,
+         |  CAST(coalesce(o.n_members, 0) AS BIGINT) AS n_members,
+         |  CAST((coalesce(o.n_members, 0) * 1000000) // tt.tot
+         |    AS BIGINT) AS share_ppm,
+         |  CAST((coalesce(o.n_members, 0) * k.k * 1000000) // tt.tot
+         |    AS BIGINT) AS skew_ppm
+         |FROM cent c LEFT JOIN occ o USING (cell), k, tt
+         |ORDER BY c.cell""".stripMargin,
     // SemDedup mirror: shared Lloyd chain (c2 centroids), same
     // argmax-assignment tiebreak, within-cell pairs at round-6 cos
     "semdedup" ->

@@ -388,9 +388,13 @@ object StreamingDedup {
     case "jpeg" => graft.llm.Multimodal.jpegPipeline(docs, text, id)
     case "gif" => graft.llm.Multimodal.gifPipeline(docs, text, id)
     case "mcv" => graft.llm.Multimodal.mcvPipeline(docs, text, id)
+    // patchify is a stateless flatMap (4 rows per record) — still
+    // streaming-safe in any output mode, like the 1:1 stages
+    case "patchify" =>
+      graft.llm.Multimodal.patchifyPipeline(docs, text, id)
     case other => throw new IllegalArgumentException(
       s"imageFeatureStage: unknown codec '$other' " +
-        "(bmp | png | jpeg | gif | mcv)")
+        "(bmp | png | jpeg | gif | mcv | patchify)")
   }
 
   /** Streaming AUGMENTATION stage: deterministic hash-gated token

@@ -611,6 +611,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming patchify stage (flatMap, 4 rows/record) equals the " +
+      "batch pipeline across micro-batches") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("pf_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pf_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "retail units sold per store and week in region nine"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.imageFeatureStage(stream, "text", "doc_id",
+        "patchify")
+      .writeStream.format("memory").queryName("pf_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((2L, "zq" * 400))
+    q.processAllAvailable()
+    q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "patch_id", "sum_r", "sum_g", "sum_b",
+        "patch_fp", "roundtrip_ok")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(t => (t._1, t._2))
+    val streamed = snap(spark.table("pf_out"))
+    val batch = snap(StreamingDedup.imageFeatureStage(
+      spark.read.schema(docSchema).parquet(dir), "text", "doc_id",
+      "patchify"))
+    assert(streamed.length === 8) // 2 docs x 4 patches
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming augmentation stage equals the batch operator " +
       "across micro-batches; hash gates make it retry-safe") {
     import graft.streaming.StreamingDedup
