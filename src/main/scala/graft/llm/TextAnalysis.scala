@@ -1928,6 +1928,38 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Inverted-index build (the search-sink half of the BM25 family):
+    * for the top `topTerms` document-frequency terms, the sorted
+    * posting list of documents containing the term, capped at
+    * `maxPostings` ids (lowest ids win) with an explicit `truncated`
+    * flag — silent caps read as full coverage (the no-silent-caps
+    * rule). The cap applies through a rank-limit window BEFORE any
+    * collect (Spark's WindowGroupLimit prefilters per partition, so
+    * a web-scale stopword's postings never materialize in one task).
+    */
+  def invertedIndex(df: DataFrame, text: String, id: String,
+      topTerms: Int = 50, minTermLen: Int = 5,
+      maxPostings: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id).cast("long").as("doc_id"),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tops = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(length(col("term")) >= minTermLen)
+      .orderBy(col("df").desc, col("term").asc).limit(topTerms)
+    tf.join(broadcast(tops), Seq("term"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("__rk") <= maxPostings)
+      .groupBy("term")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .withColumn("truncated", col("df") > maxPostings)
+      .select("term", "df", "postings", "truncated")
+  }
+
   /** Length-bucketed batch assignment for training loaders: documents
     * go into power-of-two token-length buckets (fixed CASE ladder
     * 16..4096, else 8192 — identical integer tree on both engines),

@@ -146,6 +146,14 @@ object LlmQueries {
           "src2" -> 200000L), epochsCap = 4L, budgetPpm = 500000L)
         .orderBy("source")
     }),
+    // inverted-index build: capped sorted posting lists for the top
+    // df terms, truncation surfaced explicitly (no silent caps)
+    "inverted_index" -> ((s, d) => {
+      Canon.stringifyArrays(
+        TextAnalysis.invertedIndex(t(s, d, "documents"), "text",
+          "doc_id"))
+        .orderBy("term")
+    }),
     // fitted-model BM25 corpus scoring: the bm25Fit/withBm25Score
     // fit/apply split (tiny term-table collect → plan literals →
     // row-local integer-pinned scoring) — the shape that streams
@@ -1995,6 +2003,34 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    // inverted-index mirror: same tf/df chain, same id-ranked cap
+    // before the ordered list aggregate
+    "inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '')
+        |      AS ts
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |q AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term
+        |  HAVING length(term) >= 5
+        |  ORDER BY df DESC, term ASC LIMIT 50),
+        |r AS (
+        |  SELECT tf.term, tf.doc_id, q.df,
+        |    row_number() OVER (PARTITION BY tf.term
+        |      ORDER BY tf.doc_id) AS rk
+        |  FROM tf JOIN q USING (term))
+        |SELECT term, CAST(df AS BIGINT) AS df,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',')
+        |    AS postings,
+        |  df > 100 AS truncated
+        |FROM r WHERE rk <= 100
+        |GROUP BY term, df ORDER BY term""".stripMargin,
     // triplet mirror: the sim-join chain (no minSim floor), both
     // directions, two rank windows, inner join of the two sides
     "triplet_mine" ->
