@@ -1928,6 +1928,70 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Surprise-boundary semantic chunking: split a document before
+    * token i when the corpus bigram model finds the continuation
+    * rare — `(c(a,b) + 1) · K < c(a) + V`, i.e. add-1 conditional
+    * probability below 1/K. This is RAG-style semantic chunking with
+    * a PURE-INTEGER boundary rule: the same statistic as
+    * [[bigramLmScore]]'s add-1 log-probability, but compared in
+    * integer cross-multiplied form so no libm log (and no float
+    * threshold knife-edge) ever enters the contract.
+    *
+    * Output: one row per chunk — (doc_id, chunk_id, start_pos,
+    * end_pos, n_tokens), 1-based token positions, chunks covering
+    * the document exactly. Docs with < 2 tokens are one chunk.
+    *
+    * Scale shape: the count tables are the bigram family's
+    * vocabulary-scaled aggregates, broadcast into the
+    * corpus-position frame; boundary positions reduce per doc
+    * (sorted collect of a boundary subset — bounded by tokens/doc),
+    * and spans explode row-locally from the bounds array.
+    */
+  def surpriseChunks(df: DataFrame, text: String, id: String,
+      k: Long = 64L): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val toks = df
+      .select(col(id).cast("long").as("doc_id"),
+        expr(s"filter(split(lower($text), ' '), t -> t != '')")
+          .as("__t"))
+      .withColumn("__n", expr("CAST(size(__t) AS BIGINT)"))
+      .filter(col("__n") >= 1)
+    val pairs = toks.filter(col("__n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(__t)),
+           i -> named_struct('i', CAST(i AS BIGINT),
+                             'a', element_at(__t, i - 1),
+                             'b', element_at(__t, i)))""")).as("__p"))
+      .select(col("doc_id"), col("__p.i").as("i"),
+        col("__p.a").as("a"), col("__p.b").as("b"))
+    val uni = toks.select(explode(col("__t")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val bset = pairs
+      .join(broadcast(big), Seq("a", "b"))
+      .join(broadcast(uni), Seq("a"))
+      .crossJoin(broadcast(voc))
+      .filter(expr(s"(cab + 1L) * ${k}L < ca + v"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("__bps"))
+    toks.join(bset, Seq("doc_id"), "left")
+      .withColumn("__bounds", expr(
+        "concat(array(1L), coalesce(__bps, " +
+          "CAST(array() AS ARRAY<BIGINT>)), array(__n + 1L))"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(__bounds) - 1),
+           j -> named_struct('chunk_id', CAST(j AS BIGINT),
+             'start_pos', element_at(__bounds, j),
+             'end_pos', element_at(__bounds, j + 1) - 1L))"""))
+        .as("__c"))
+      .select(col("doc_id"), col("__c.chunk_id").as("chunk_id"),
+        col("__c.start_pos").as("start_pos"),
+        col("__c.end_pos").as("end_pos"))
+      .withColumn("n_tokens",
+        col("end_pos") - col("start_pos") + lit(1L))
+  }
+
   /** Inverted-index build (the search-sink half of the BM25 family):
     * for the top `topTerms` document-frequency terms, the sorted
     * posting list of documents containing the term, capped at

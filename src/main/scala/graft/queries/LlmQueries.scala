@@ -146,6 +146,15 @@ object LlmQueries {
           "src2" -> 200000L), epochsCap = 4L, budgetPpm = 500000L)
         .orderBy("source")
     }),
+    // surprise-boundary semantic chunking: split where the corpus
+    // bigram model finds the continuation rare — integer
+    // cross-multiplied add-1 probability, no libm, chunks cover
+    // every doc exactly
+    "surprise_chunks" -> ((s, d) => {
+      TextAnalysis.surpriseChunks(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    }),
     // inverted-index build: capped sorted posting lists for the top
     // df terms, truncation surfaced explicitly (no silent caps)
     "inverted_index" -> ((s, d) => {
@@ -2003,6 +2012,49 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    // surprise-chunk mirror: same integer boundary rule over the
+    // same corpus bigram counts; bounds list -> span unnest
+    "surprise_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '')
+        |      AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM toks
+        |  WHERE len(ts) >= 1),
+        |pp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    ts[i - 1] AS a, ts[i] AS b
+        |  FROM (SELECT doc_id, ts, unnest(range(2, len(ts) + 1)) AS i
+        |        FROM tk)),
+        |uni AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS ca FROM (
+        |    SELECT unnest(ts) AS a FROM tk) GROUP BY a),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |big AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        |  FROM pp GROUP BY a, b),
+        |bd AS (
+        |  SELECT pp.doc_id, pp.i
+        |  FROM pp JOIN big USING (a, b) JOIN uni USING (a), voc
+        |  WHERE (big.cab + 1) * 64 < uni.ca + voc.v),
+        |bs AS (
+        |  SELECT doc_id, list(i ORDER BY i) AS bps FROM bd
+        |  GROUP BY doc_id),
+        |bn AS (
+        |  SELECT tk.doc_id,
+        |    list_concat(list_concat([CAST(1 AS BIGINT)],
+        |      coalesce(bs.bps, [])), [tk.n + 1]) AS bounds
+        |  FROM tk LEFT JOIN bs USING (doc_id)),
+        |sp AS (
+        |  SELECT doc_id, bounds, unnest(range(1, len(bounds))) AS j
+        |  FROM bn)
+        |SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+        |  CAST(bounds[j] AS BIGINT) AS start_pos,
+        |  CAST(bounds[j + 1] - 1 AS BIGINT) AS end_pos,
+        |  CAST(bounds[j + 1] - bounds[j] AS BIGINT) AS n_tokens
+        |FROM sp ORDER BY doc_id, chunk_id""".stripMargin,
     // inverted-index mirror: same tf/df chain, same id-ranked cap
     // before the ordered list aggregate
     "inverted_index" ->

@@ -2279,4 +2279,21 @@ class LlmSpec extends AnyFunSuite {
     // anchor 3 has no positive (max cos 0 < 0.5) -> no triplet
     assert(!out.contains(3L))
   }
+
+  test("surpriseChunks: integer boundary rule splits exactly at the " +
+      "rare continuation; chunks tile each doc") {
+    // uni: x=5, y=4, q=1; V=3; big: (x,y)=4, (y,x)=3, (x,q)=1.
+    // k=2: p(q|x) = 2/8 < 1/2 -> boundary; p(y|x) = 5/8, p(x|y) =
+    // 4/7 both >= 1/2 -> no split
+    val d = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "x q")).toDF("doc_id", "text")
+    val out = TextAnalysis.surpriseChunks(d, "text", "doc_id", k = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 8L, 8L),
+      (2L, 1L, 1L, 1L, 1L),
+      (2L, 2L, 2L, 2L, 1L)))
+  }
 }
