@@ -2051,9 +2051,14 @@ object TextAnalysis {
           "t -> t != '')) AS BIGINT)").as("n_tokens"))
       .withColumn("bucket", expr(ladder))
       .withColumn("__one", lit(1L))
+    // pin the positions before the three-way fan-out (starts /
+    // batch deal / batch max) — otherwise every consumer re-runs the
+    // post-checkpoint rank window and its full-data exchange (the
+    // pagerank edge-frame lesson)
     val pos = graft.engine.Dist.prefixSum(sized,
       Seq(col("bucket"), col("n_tokens").desc, col("doc_id")),
       "__one", "__gpos")
+      .localCheckpoint()
     val starts = pos.groupBy("bucket")
       .agg(min(col("__gpos")).as("__b0"))
     val batched = pos
@@ -2264,8 +2269,10 @@ object TextAnalysis {
         "CAST(base + (CASE WHEN __rr <= leftover THEN 1 ELSE 0 END) " +
           "AS BIGINT)"))
       .select(col(source), col("quota"))
+    // pinned before the starts/pick fan-out — see lengthBucketBatches
     val pos = graft.engine.Dist.prefixSum(keyed,
       Seq(col(source), col("__k"), col("doc_id")), "__one", "__gpos")
+      .localCheckpoint()
     val starts = pos.groupBy(source).agg(min(col("__gpos")).as("__s0"))
     pos.join(broadcast(starts), Seq(source))
       .withColumn("src_rank", col("__gpos") - col("__s0") + lit(1L))
