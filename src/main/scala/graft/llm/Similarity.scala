@@ -816,6 +816,57 @@ object Similarity {
       .select("query_id", "cand_id", "adist", "rank")
   }
 
+  /** The [[planeCoef]] LCG coefficient as a Scala double — the exact
+    * value the SQL expression produces (integer ops exact, one
+    * correctly-rounded division, exact subtraction), so Spark-side
+    * literals and the DuckDB mirror agree bit-for-bit.
+    */
+  def planeCoefValue(j: Int, i: Int): Double =
+    (((j * 64 + i).toLong * 2654435761L) % 2147483647L).toDouble /
+      2147483647.0 - 0.5
+
+  /** Johnson–Lindenstrauss random projection to `dims` dimensions
+    * using the SAME deterministic LCG hyperplanes as the LSH family
+    * (here keeping the real-valued dots instead of sign bits) — the
+    * cheap-ANN path: distances survive approximately, index cost
+    * drops 4×. Each output coordinate is a native fixed-order dot
+    * against a literal coefficient array — codegen'd, row-local,
+    * broadcast-free.
+    */
+  def rpProject(df: DataFrame, id: String, vec: String,
+      dims: Int = 16): DataFrame = {
+    val v = expr(s"transform($vec, x -> CAST(x AS DOUBLE))")
+    val pcols = (0 until dims).map { j =>
+      dot(v, array((0 until 64).map(i =>
+        lit(planeCoefValue(j, i))): _*))
+    }
+    df.select(col(id), array(pcols: _*).as("pvec"))
+  }
+
+  /** Projection-quality telemetry: recall@k of brute-force cosine
+    * top-k in the [[rpProject]]ed space against the exact 64-d top-k
+    * — the number that decides whether the 4×-cheaper index is good
+    * enough. Pure-integer output (hits, recall ppm).
+    */
+  def rpRecall(df: DataFrame, id: String, vec: String,
+      k: Int = 5, dims: Int = 16): DataFrame = {
+    val q = df.filter(col(id) < 8)
+    val exact = bruteForceTopK(df, q, id, vec, k)
+      .select("query_id", "cand_id")
+    val proj = rpProject(df, id, vec, dims)
+    val approx = bruteForceTopK(proj, proj.filter(col(id) < 8),
+      id, "pvec", k).select("query_id", "cand_id")
+    val hits = exact.join(approx, Seq("query_id", "cand_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    q.select(col(id).cast("long").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall_ppm",
+        expr(s"CAST((hits * 1000000L) DIV ${k}L AS BIGINT)"))
+      .select("query_id", "hits", "recall_ppm")
+  }
+
   /** IVF index-health telemetry: per-cell occupancy with uniformity
     * skew — `skew_ppm` = n·cells·1e6 div total (1e6 = perfectly
     * balanced; a hot cell's probe cost scales with its occupancy, so

@@ -264,6 +264,14 @@ object LlmQueries {
         Similarity.seedCentroids(emb, "vec_id", "embedding", 16))
         .orderBy("vec_id")
     }),
+    // JL random-projection recall telemetry: brute top-k in the
+    // 16-d LCG-projected space vs the exact 64-d top-k — the
+    // dimension-reduction quality gate, integer ppm output
+    "rp_recall" -> ((s, d) => {
+      Similarity.rpRecall(t(s, d, "embeddings"), "vec_id",
+        "embedding")
+        .orderBy("query_id")
+    }),
     // IVF occupancy / skew telemetry: the index-health dashboard —
     // empty cells surface as 0, skew_ppm 1e6 = perfectly balanced
     "ivf_balance" -> ((s, d) => {
@@ -2699,6 +2707,57 @@ object LlmQueries {
          |        (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // rp_recall mirror: same LCG plane coefficients, init-less fold
+    // dots, round-6 cosines in both spaces, same rank/semi-join
+    "rp_recall" -> {
+      def pj(j: Int) =
+        s"""list_reduce(list_transform(range(0, 64),
+            i -> vec[i + 1] * ${Similarity.planeCoef(j, "i")}),
+            (x, y) -> x + y)"""
+      val pvec = (0 until 16).map(pj).mkString("[", ", ", "]")
+      def dot16(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 17),
+            i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+      def cos16(a: String, b: String) =
+        s"${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)}))"
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |bfs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${duckCos("q.vec", "c.vec")}, 6) AS sim
+         |  FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |bf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |      AS rank
+         |    FROM bfs)
+         |  WHERE rank <= 5),
+         |pv AS (SELECT vec_id, $pvec AS pvec FROM v),
+         |rsim AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${cos16("q.pvec", "c.pvec")}, 6) AS sim
+         |  FROM pv q JOIN pv c
+         |    ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |rp AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |      AS rank
+         |    FROM rsim)
+         |  WHERE rank <= 5),
+         |h AS (
+         |  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM bf JOIN rp ON bf.query_id = rp.query_id
+         |    AND bf.cand_id = rp.cand_id
+         |  GROUP BY bf.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST((coalesce(h.hits, 0) * 1000000) // 5 AS BIGINT)
+         |    AS recall_ppm
+         |FROM v q LEFT JOIN h ON h.query_id = q.vec_id
+         |WHERE q.vec_id < 8
+         |ORDER BY query_id""".stripMargin
+    },
     // ivf_balance mirror: the ivf_assign chain + occupancy counts
     // over a centroid scaffold (empty cells 0)
     "ivf_balance" ->

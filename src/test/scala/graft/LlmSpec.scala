@@ -2280,6 +2280,28 @@ class LlmSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("rpProject/rpRecall: projection is exactly linear under " +
+      "power-of-two scaling and recall telemetry is bounded") {
+    val base = Seq.tabulate(64)(i => (i % 7) - 3.0)
+    val emb = Seq((1L, base), (2L, base.map(_ * 2.0)))
+      .toDF("vec_id", "embedding")
+    val pv = Similarity.rpProject(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(pv(1L).length === 16)
+    // x2 input -> exactly x2 projection (every product and partial
+    // sum doubles exactly in IEEE arithmetic)
+    assert(pv(2L) === pv(1L).map(_ * 2.0))
+    // recall telemetry: 8 query rows, hits within [0, k]
+    val emb500 = (0L until 40L).map(i =>
+      (i, Seq.tabulate(64)(d => math.sin(i * 64.0 + d))))
+      .toDF("vec_id", "embedding")
+    val rec = Similarity.rpRecall(emb500, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rec.length === 8)
+    assert(rec.forall(t => t._2 >= 0 && t._2 <= 5))
+    assert(rec.forall(t => t._3 === t._2 * 1000000L / 5L))
+  }
+
   test("surpriseChunks: integer boundary rule splits exactly at the " +
       "rare continuation; chunks tile each doc") {
     // uni: x=5, y=4, q=1; V=3; big: (x,y)=4, (y,x)=3, (x,q)=1.
