@@ -2223,6 +2223,44 @@ object TextAnalysis {
       .drop("__toks", "__len", "__tfs")
   }
 
+  /** Loader packing-efficiency report: the padding waste of
+    * [[lengthBucketBatches]] (length-sorted pow-2 buckets) against
+    * the naive id-ordered deal at the same batch size — the number
+    * that justifies (or rejects) the bucketed loader. One row per
+    * strategy: docs, real tokens, pad tokens, and waste as ppm of
+    * loader slots (pad / (tokens + pad)).
+    */
+  def packingStats(df: DataFrame, text: String, id: String,
+      batchSize: Int = 8): DataFrame = {
+    val bucketed = lengthBucketBatches(df, text, id, batchSize)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("pad_tokens").as("pad_tokens"))
+      .withColumn("strategy", lit("length_bucketed"))
+    val sized = df.select(col(id).cast("long").as("doc_id"),
+        expr(s"CAST(size(filter(split(lower($text), ' '), " +
+          "t -> t != '')) AS BIGINT)").as("n_tokens"))
+      .withColumn("__one", lit(1L))
+    val naivePos = graft.engine.Dist.prefixSum(sized,
+      Seq(col("doc_id")), "__one", "__gpos")
+      .withColumn("batch_id",
+        expr(s"(__gpos - 1L) DIV ${batchSize}L"))
+      .localCheckpoint() // pinned before the self/max fan-out
+    val naive = naivePos
+      .join(naivePos.groupBy("batch_id")
+        .agg(max(col("n_tokens")).as("__bmax")), Seq("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(col("__bmax") - col("n_tokens")).as("pad_tokens"))
+      .withColumn("strategy", lit("naive_id_order"))
+    bucketed.unionByName(naive)
+      .withColumn("waste_ppm", expr(
+        "CAST((pad_tokens * 1000000L) DIV (sum_tokens + pad_tokens) " +
+          "AS BIGINT)"))
+      .select("strategy", "n_docs", "sum_tokens", "pad_tokens",
+        "waste_ppm")
+  }
+
   /** Stratified sample with EXACT global size `n`: per-stratum quotas
     * by Hamilton (largest-remainder) apportionment — floor(n·c/T)
     * each, the n − Σfloor leftover seats to the largest remainders

@@ -182,6 +182,14 @@ object LlmQueries {
         "source", 200L)
         .orderBy("source", "src_rank")
     }),
+    // loader packing-efficiency report: bucketed vs naive padding
+    // waste at batch size 8 — the number that justifies the
+    // bucketed loader
+    "packing_stats" -> ((s, d) => {
+      TextAnalysis.packingStats(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("strategy")
+    }),
     // length-bucketed training batches: pow-2 buckets, length-desc
     // order inside each bucket (padding-minimizing loader order),
     // batch ids dealt 8 at a time via the distributed prefix sum —
@@ -2515,6 +2523,65 @@ object LlmQueries {
         |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS bm25_micro,
         |  CAST(sum(hit) AS BIGINT) AS bm25_hits
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // packing_stats mirror: the length_buckets chain aggregated +
+    // the naive doc_id-ordered deal, one row per strategy
+    "packing_stats" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN n_tokens <= 16 THEN 16
+        |      WHEN n_tokens <= 32 THEN 32
+        |      WHEN n_tokens <= 64 THEN 64
+        |      WHEN n_tokens <= 128 THEN 128
+        |      WHEN n_tokens <= 256 THEN 256
+        |      WHEN n_tokens <= 512 THEN 512
+        |      WHEN n_tokens <= 1024 THEN 1024
+        |      WHEN n_tokens <= 2048 THEN 2048
+        |      WHEN n_tokens <= 4096 THEN 4096
+        |      ELSE 8192 END AS BIGINT) AS bucket
+        |  FROM sized),
+        |p AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    CAST(row_number() OVER (ORDER BY bucket, n_tokens DESC,
+        |      doc_id) AS BIGINT) AS gpos
+        |  FROM b),
+        |s AS (SELECT bucket, min(gpos) AS b0 FROM p GROUP BY bucket),
+        |a AS (
+        |  SELECT p.doc_id, p.n_tokens, p.bucket,
+        |    CAST((p.gpos - s.b0) // 8 AS BIGINT) AS batch_id
+        |  FROM p JOIN s USING (bucket)),
+        |m AS (
+        |  SELECT bucket, batch_id, max(n_tokens) AS bmax
+        |  FROM a GROUP BY 1, 2),
+        |buck AS (
+        |  SELECT 'length_bucketed' AS strategy,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(a.n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(m.bmax - a.n_tokens) AS BIGINT) AS pad_tokens
+        |  FROM a JOIN m USING (bucket, batch_id)),
+        |np AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST((row_number() OVER (ORDER BY doc_id) - 1) // 8
+        |      AS BIGINT) AS batch_id
+        |  FROM sized),
+        |nm AS (
+        |  SELECT batch_id, max(n_tokens) AS bmax FROM np
+        |  GROUP BY batch_id),
+        |nv AS (
+        |  SELECT 'naive_id_order' AS strategy,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(np.n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(nm.bmax - np.n_tokens) AS BIGINT) AS pad_tokens
+        |  FROM np JOIN nm USING (batch_id)),
+        |u AS (SELECT * FROM buck UNION ALL SELECT * FROM nv)
+        |SELECT strategy, n_docs, sum_tokens, pad_tokens,
+        |  CAST((pad_tokens * 1000000) // (sum_tokens + pad_tokens)
+        |    AS BIGINT) AS waste_ppm
+        |FROM u ORDER BY strategy""".stripMargin,
     // quota-sample mirror: identical integer Hamilton apportionment
     // (n·c DIV/MOD T — no fractions) and the same LCG in-stratum order
     "quota_sample" ->
