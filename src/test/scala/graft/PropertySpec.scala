@@ -802,4 +802,115 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(b - b0) <= 16.0, s"b $b vs $b0")
     }
   }
+
+  test("quotaSample property: quotas sum to min(n, corpus) and never " +
+      "exceed stratum sizes, over random strata shapes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 8).foreach { _ =>
+      val nStrata = 2 + rnd.nextInt(4)
+      val sizes = Seq.fill(nStrata)(1 + rnd.nextInt(12))
+      val docs = sizes.zipWithIndex.flatMap { case (sz, s) =>
+        (0 until sz).map(i => (s.toLong * 100 + i, s"s$s"))
+      }.toDF("doc_id", "source")
+      val total = sizes.sum.toLong
+      val n = 1L + rnd.nextInt(sizes.sum + 10)
+      val out = graft.llm.TextAnalysis
+        .quotaSample(docs, "doc_id", "source", n)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(out.length === math.min(n, total))
+      val perSrc = out.groupBy(_._1).view.mapValues(_.size).toMap
+      sizes.zipWithIndex.foreach { case (sz, s) =>
+        assert(perSrc.getOrElse(s"s$s", 0) <= sz)
+      }
+      // deterministic: no duplicate picks
+      assert(out.map(_._2).distinct.length === out.length)
+    }
+  }
+
+  test("lengthBucketBatches property: batches stay within buckets, " +
+      "within size, pads are exact batch-max deltas") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val docs = (0 until 60).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(300))("t").mkString(" ")))
+        .toDF("doc_id", "text")
+      val b = 1 + rnd.nextInt(7)
+      val out = graft.llm.TextAnalysis
+        .lengthBucketBatches(docs, "text", "doc_id", b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.length === 60)
+      out.groupBy(t => (t._3, t._4)).foreach { case (_, batch) =>
+        assert(batch.length <= b)
+        val mx = batch.map(_._2).max
+        batch.foreach { t =>
+          assert(t._2 <= t._3) // token count within bucket cap
+          assert(t._5 === mx - t._2) // pad = batch max - own length
+        }
+      }
+    }
+  }
+
+  test("surpriseChunks property: chunks tile every document exactly " +
+      "for random corpora and thresholds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val vocab = Seq("a", "b", "c", "d", "e")
+      val docs = (0 until 25).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(30))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val k = Seq(2L, 8L, 64L)(rnd.nextInt(3))
+      val out = graft.llm.TextAnalysis
+        .surpriseChunks(docs, "text", "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).groupBy(_._1)
+      assert(out.size === 25)
+      out.foreach { case (_, chunks) =>
+        val sorted = chunks.sortBy(_._2)
+        assert(sorted.head._3 === 1L) // first chunk starts at 1
+        sorted.sliding(2).foreach { w =>
+          if (w.length == 2) assert(w(1)._3 === w(0)._4 + 1) // contiguous
+        }
+        assert(sorted.map(c => c._4 - c._3 + 1).sum ===
+          sorted.last._4) // spans tile 1..n
+      }
+    }
+  }
+
+  test("mixBudgetFit property: allocations never exceed caps, the " +
+      "total never exceeds the budget, and saturation is monotone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 8).foreach { _ =>
+      val nSrc = 2 + rnd.nextInt(3)
+      val docs = (0 until nSrc).flatMap { s =>
+        (0 until 1 + rnd.nextInt(4)).map(i =>
+          (s.toLong * 10 + i, s"s$s",
+            Seq.fill(5 + rnd.nextInt(30))("t").mkString(" ")))
+      }.toDF("doc_id", "source", "text")
+      val weights = (0 until nSrc)
+        .map(s => s"s$s" -> (rnd.nextInt(3) match {
+          case 0 => 0L
+          case _ => (1 + rnd.nextInt(500)) * 1000L
+        })).toMap
+      if (weights.values.exists(_ > 0)) {
+        val e = 1L + rnd.nextInt(3)
+        val b = 1L + rnd.nextInt(2000)
+        val out = graft.llm.TextAnalysis.mixBudgetFit(docs, "text",
+          "source", weights, epochsCap = e, budget = Some(b))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+        out.foreach { case (_, _, w, cap, alloc) =>
+          assert(alloc <= cap)
+          assert(alloc >= 0)
+          if (w == 0) assert(alloc === 0)
+        }
+        assert(out.map(_._5).sum <= b)
+      }
+    }
+  }
 }
