@@ -128,6 +128,19 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         fails.append(name); continue
     a, b = canon(spark_df), canon(duck_df)
+    # Negative-zero audit (round-13 lesson): DuckDB round() preserves
+    # the sign of zero (-1e-9 -> -0.0) while Spark's BigDecimal round
+    # normalizes to +0.0, so a rounded sign-indefinite output column
+    # is a data-dependent hash bomb — repr(-0.0) != repr(0.0). Flag
+    # the oracle side proactively so the author adds `+ 0.0`.
+    import numpy as _np
+    for _c in b.columns:
+        if b[_c].dtype.kind == "f":
+            _vals = b[_c].to_numpy()
+            if ((_vals == 0.0) & _np.signbit(_vals)).any():
+                print(f"WARN {name}: oracle column '{_c}' contains "
+                      f"-0.0 — add `+ 0.0` to the oracle expression "
+                      f"(Spark round never emits -0.0)")
     if STRICT:
         # canon() has already reindexed BOTH frames to sorted column
         # order, so itertuples below renders the two sides in the same

@@ -1285,7 +1285,7 @@ object CoreQueries {
          |  FROM dense)
          |SELECT l_returnflag, week, units,
          |  CASE WHEN prev > 0
-         |       THEN round((units - prev) / prev, 6) END AS growth
+         |       THEN round((units - prev) / prev, 6) + 0.0 END AS growth
          |FROM lagged ORDER BY l_returnflag, week""".stripMargin,
     "pivot_returns" ->
       """SELECT l_returnflag,
@@ -1464,19 +1464,19 @@ object CoreQueries {
         |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
         |    round(CAST(n * sp_qe - s_q * s_e AS DOUBLE) /
         |      sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE) *
-        |           CAST(n * ss_e - s_e * s_e AS DOUBLE)), 6) AS r
+        |           CAST(n * ss_e - s_e * s_e AS DOUBLE)), 6) + 0.0 AS r
         |  FROM m
         |  UNION ALL
         |  SELECT 'l_quantity', 'l_discount',
         |    round(CAST(n * sp_qd - s_q * s_d AS DOUBLE) /
         |      sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE) *
-        |           CAST(n * ss_d - s_d * s_d AS DOUBLE)), 6)
+        |           CAST(n * ss_d - s_d * s_d AS DOUBLE)), 6) + 0.0
         |  FROM m
         |  UNION ALL
         |  SELECT 'l_extendedprice', 'l_discount',
         |    round(CAST(n * sp_ed - s_e * s_d AS DOUBLE) /
         |      sqrt(CAST(n * ss_e - s_e * s_e AS DOUBLE) *
-        |           CAST(n * ss_d - s_d * s_d AS DOUBLE)), 6)
+        |           CAST(n * ss_d - s_d * s_d AS DOUBLE)), 6) + 0.0
         |  FROM m
         |) ORDER BY col_x, col_y""".stripMargin,
     "heavy_hitters" ->
@@ -1771,7 +1771,7 @@ object CoreQueries {
         |  CAST(n_base AS BIGINT) AS n_base,
         |  round(q_promo / n_promo, 6) AS avg_qty_promo,
         |  round(q_base / n_base, 6) AS avg_qty_base,
-        |  round((q_promo / n_promo / (q_base / n_base) - 1) * 100, 6)
+        |  round((q_promo / n_promo / (q_base / n_base) - 1) * 100, 6) + 0.0
         |    AS uplift_pct
         |FROM c ORDER BY p_brand""".stripMargin,
     "forecast_reconcile" ->
@@ -1886,7 +1886,7 @@ object CoreQueries {
         |SELECT l_partkey, week, units,
         |  round(med, 6) AS med, round(mad, 6) AS mad,
         |  CASE WHEN mad > 0
-        |    THEN round(0.6745 * (units - med) / mad, 6) END AS mz
+        |    THEN round(0.6745 * (units - med) / mad, 6) + 0.0 END AS mz
         |FROM j
         |WHERE (mad > 0 AND abs(0.6745 * (units - med) / mad) > 3.5)
         |   OR (mad = 0 AND units != med)
@@ -2042,7 +2042,7 @@ object CoreQueries {
         |  FROM j GROUP BY 1)
         |SELECT p_brand, CAST(n AS BIGINT) AS n_obs,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS elasticity
         |FROM m ORDER BY p_brand""".stripMargin,
     "equidepth_hist" ->
       """WITH b AS (
@@ -2081,7 +2081,7 @@ object CoreQueries {
         |  CASE WHEN n >= 7 THEN round(mean, 6) END AS base_mean,
         |  CASE WHEN n >= 7 THEN round(std, 6) END AS base_std,
         |  CASE WHEN n >= 7 AND std > 0
-        |    THEN round((qty - mean) / std, 6) END AS z,
+        |    THEN round((qty - mean) / std, 6) + 0.0 END AS z,
         |  coalesce(abs(CASE WHEN n >= 7 AND std > 0
         |    THEN round((qty - mean) / std, 6) END) > 3.0, FALSE)
         |    AS is_anomaly

@@ -1654,7 +1654,7 @@ object LlmQueries {
        |  FROM assign a JOIN v ON a.vec_id = v.vec_id),
        |joined AS (
        |  SELECT p.query_id, c.cand_id,
-       |    round(${duckCos("qv.vec", "c.cvec2")}, 6) AS sim
+       |    round(${duckCos("qv.vec", "c.cvec2")}, 6) + 0.0 AS sim
        |  FROM cands c JOIN probes p ON c.cell = p.cell
        |  JOIN v qv ON qv.vec_id = p.query_id
        |  WHERE c.cand_id != p.query_id)
@@ -1999,7 +1999,7 @@ object LlmQueries {
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    round(${duckCos("q.vec", "c.vec")}, 6) AS sim
+         |    round(${duckCos("q.vec", "c.vec")}, 6) + 0.0 AS sim
          |  FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
          |ranked AS (
          |  SELECT query_id, cand_id, sim,
@@ -2023,7 +2023,7 @@ object LlmQueries {
          |      ORDER BY vec_id) AS rn FROM v0)
          |  WHERE rn <= 4096)
          |SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2,
-         |  round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |  round(${duckCos("a.vec", "b.vec")}, 6) + 0.0 AS sim
          |FROM v a JOIN v b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
@@ -2113,7 +2113,7 @@ object LlmQueries {
          |  WHERE rn <= 4096),
          |e AS (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |    round(${duckCos("a.vec", "b.vec")}, 6) + 0.0 AS sim
          |  FROM v a JOIN v b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |sym AS (
@@ -2205,7 +2205,7 @@ object LlmQueries {
          |c AS (SELECT vec_id AS cand_id, subs, sn FROM s),
          |p AS (
          |  SELECT q.query_id, c.cand_id,
-         |    $maxsim AS maxsim
+         |    ($maxsim) + 0.0 AS maxsim
          |  FROM c, q WHERE c.cand_id != q.query_id),
          |r AS (
          |  SELECT query_id,
@@ -2267,7 +2267,7 @@ object LlmQueries {
          |  WHERE vec_id < 8),
          |dns AS (
          |  SELECT qv.query_id, v.vec_id AS doc_id,
-         |    round(${duckCos("v.vec", "qv.qvec")}, 6) AS sim
+         |    round(${duckCos("v.vec", "qv.qvec")}, 6) + 0.0 AS sim
          |  FROM v, qv WHERE v.vec_id != qv.query_id),
          |dnr AS (
          |  SELECT query_id, doc_id,
@@ -2790,7 +2790,7 @@ object LlmQueries {
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |bfs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    round(${duckCos("q.vec", "c.vec")}, 6) AS sim
+         |    round(${duckCos("q.vec", "c.vec")}, 6) + 0.0 AS sim
          |  FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
          |bf AS (
          |  SELECT query_id, cand_id FROM (
@@ -2802,7 +2802,7 @@ object LlmQueries {
          |pv AS (SELECT vec_id, $pvec AS pvec FROM v),
          |rsim AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    round(${cos16("q.pvec", "c.pvec")}, 6) AS sim
+         |    round(${cos16("q.pvec", "c.pvec")}, 6) + 0.0 AS sim
          |  FROM pv q JOIN pv c
          |    ON q.vec_id < 8 AND c.vec_id != q.vec_id),
          |rp AS (
@@ -2995,7 +2995,7 @@ object LlmQueries {
          |  WHERE srk <= 20),
          |ex AS (
          |  SELECT s.query_id, s.cand_id,
-         |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |    round(${duckCos("a.vec", "b.vec")}, 6) + 0.0 AS sim
          |  FROM sl s
          |  JOIN v a ON a.vec_id = s.query_id
          |  JOIN v b ON b.vec_id = s.cand_id),
@@ -3020,7 +3020,7 @@ object LlmQueries {
          |$duckKmeansChain,
          |bfs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    round(${duckCos("q.vec", "c.vec")}, 6) AS sim
+         |    round(${duckCos("q.vec", "c.vec")}, 6) + 0.0 AS sim
          |  FROM v q JOIN v c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
          |bf AS (
          |  SELECT query_id, cand_id FROM (
@@ -3047,7 +3047,7 @@ object LlmQueries {
          |  FROM iassign a JOIN v ON a.vec_id = v.vec_id),
          |ijoined AS (
          |  SELECT p.query_id, c.cand_id,
-         |    round(${duckCos("qv.vec", "c.cvec2")}, 6) AS sim
+         |    round(${duckCos("qv.vec", "c.cvec2")}, 6) + 0.0 AS sim
          |  FROM icands c JOIN iprobes p ON c.cell = p.cell
          |  JOIN v qv ON qv.vec_id = p.query_id
          |  WHERE c.cand_id != p.query_id),
@@ -3172,7 +3172,7 @@ object LlmQueries {
     // output grain) and the keep gate compares the RAW logit on both
     "quality_lr_gate" ->
       s"""WITH $duckLrChain
-         |SELECT doc_id, round(z, 6) AS lr_score, z >= 0.0 AS keep
+         |SELECT doc_id, round(z, 6) + 0.0 AS lr_score, z >= 0.0 AS keep
          |FROM lrz ORDER BY doc_id""".stripMargin,
     // α = 0.75: p^α = sqrt(sqrt(n·n·n)) — multiply and sqrt are
     // IEEE-correctly-rounded on every engine (pow is not). The hashed
@@ -4328,7 +4328,7 @@ object LlmQueries {
          |  FROM ckept GROUP BY fingerprint),
          |$duckLrChain,
          |lrk AS (
-         |  SELECT doc_id, round(z, 6) AS lr_score
+         |  SELECT doc_id, round(z, 6) + 0.0 AS lr_score
          |  FROM lrz WHERE z >= 0.0),
          |sv AS (
          |  SELECT r.doc_id, d.text, r.quality, l.lr_score
