@@ -884,6 +884,23 @@ object Dedup {
         round(col("n_hits") / col("n_grams"), 6))
   }
 
+  /** Soft dedup: instead of DROPPING duplicates, keep the lowest-id
+    * representative with its copy count and a training-loss
+    * downweight (1e6 div n_copies ppm) — repetition-aware loss
+    * weighting preserves the information that a document was common
+    * (often a quality signal) without letting it dominate training.
+    * Same md5-digest grouping as [[exactReps]]: the shuffle carries
+    * a 16-byte key, never the document body.
+    */
+  def softDedupWeights(df: DataFrame, text: String, id: String)
+      : DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("__md5"))
+      .agg(min(col(id)).as("doc_id"),
+        count(lit(1)).as("n_copies"))
+      .withColumn("weight_ppm",
+        expr("CAST(1000000L DIV n_copies AS BIGINT)"))
+      .select("doc_id", "n_copies", "weight_ppm")
+
   /** Cross-source n-gram overlap matrix: for every source pair, the
     * distinct word-n-gram sets' intersection size and Jaccard (ppm,
     * truncating integer division) — the leakage dashboard between

@@ -24,6 +24,12 @@ object LlmQueries {
       Dedup.exactDedupByHash(t(s, d, "documents"), "text", "doc_id")
         .orderBy("keeper")
     }),
+    // soft dedup: keep the representative, DOWNWEIGHT instead of
+    // drop — repetition-aware loss weighting (1e6/n_copies ppm)
+    "dedup_soft_weights" -> ((s, d) => {
+      Dedup.softDedupWeights(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "minhash_signature" -> ((s, d) => {
       Canon.stringifyArrays(
         Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id"))
@@ -1851,6 +1857,13 @@ object LlmQueries {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
         |  count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    // soft-dedup mirror: same md5 grouping, integer ppm downweight
+    "dedup_soft_weights" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(1000000 // count(*) AS BIGINT) AS weight_ppm
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
     "minhash_signature" ->
       s"""WITH $sigCte
          |SELECT doc_id, array_to_string(sig, ',') AS sig
