@@ -1928,6 +1928,46 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Pseudo-relevance feedback term expansion (RM3-lite): for each
+    * BM25 query term, retrieve its top-`k` documents, then rank the
+    * OTHER long terms occurring in that feedback set by their total
+    * occurrence count — the classic query-expansion step between
+    * first-pass retrieval and a second round. Pure-integer contract
+    * (occurrence counts, id/term tiebreaks).
+    *
+    * Scale shape: rides [[bm25TopK]]'s plan (aggregates + broadcast
+    * query terms + WindowGroupLimit rank); the feedback set is
+    * nTerms·k doc ids joined back against the tf table (tf is
+    * doc-keyed — an equi-join, never a scan per term), and the
+    * expansion rank window partitions by query term over
+    * feedback-bounded rows.
+    */
+  def prfExpansion(df: DataFrame, text: String, id: String,
+      nTerms: Int = 5, k: Int = 10, nExpand: Int = 3,
+      minTermLen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fb = bm25TopK(df, text, id, nTerms, k, minTermLen)
+      .select(col("term").as("q_term"), col("doc_id"))
+    val toks = df.select(col(id).cast("long").as("doc_id"),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .filter(length(col("term")) >= minTermLen)
+    fb.join(tf, Seq("doc_id"))
+      .filter(col("term") =!= col("q_term"))
+      .groupBy("q_term", "term")
+      .agg(sum("tf").as("exp_count"))
+      .withColumn("exp_rank", row_number().over(
+        Window.partitionBy("q_term")
+          .orderBy(col("exp_count").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("exp_rank") <= nExpand)
+      .select(col("q_term"), col("exp_rank"),
+        col("term").as("exp_term"),
+        expr("CAST(exp_count AS BIGINT)").as("exp_count"))
+  }
+
   /** Surprise-boundary semantic chunking: split a document before
     * token i when the corpus bigram model finds the continuation
     * rare — `(c(a,b) + 1) · K < c(a) + V`, i.e. add-1 conditional

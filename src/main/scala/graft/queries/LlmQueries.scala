@@ -161,6 +161,14 @@ object LlmQueries {
         "doc_id")
         .orderBy("doc_id", "chunk_id")
     }),
+    // pseudo-relevance feedback expansion (RM3-lite): per BM25 query
+    // term, the top co-occurring long terms from its top-10 feedback
+    // docs — the query-expansion step between retrieval rounds
+    "prf_expansion" -> ((s, d) => {
+      TextAnalysis.prfExpansion(t(s, d, "documents"), "text",
+        "doc_id")
+        .orderBy("q_term", "exp_rank")
+    }),
     // inverted-index build: capped sorted posting lists for the top
     // df terms, truncation surfaced explicitly (no silent caps)
     "inverted_index" -> ((s, d) => {
@@ -2084,6 +2092,59 @@ object LlmQueries {
         |  CAST(bounds[j + 1] - 1 AS BIGINT) AS end_pos,
         |  CAST(bounds[j + 1] - bounds[j] AS BIGINT) AS n_tokens
         |FROM sp ORDER BY doc_id, chunk_id""".stripMargin,
+    // PRF mirror: the bm25_topk chain feeds the feedback doc set;
+    // expansion counts sum integer tfs with id/term tiebreaks
+    "prf_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '')
+        |      AS ts
+        |  FROM documents),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len) AS BIGINT) AS tot
+        |  FROM lens),
+        |q AS (
+        |  SELECT term, df FROM dfreq WHERE length(term) >= 5
+        |  ORDER BY df DESC, term ASC LIMIT 5),
+        |scored AS (
+        |  SELECT q.term, tf.doc_id,
+        |    ((t.n - q.df + 0.5e0) / (q.df + 0.5e0)) * ((tf.tf * 2.2e0)
+        |      / (tf.tf + 0.3e0
+        |         + 0.9e0 * (l.len * 1.0e0 * t.n / t.tot))) AS score
+        |  FROM tf
+        |  JOIN q ON q.term = tf.term
+        |  JOIN lens l ON l.doc_id = tf.doc_id, tot t),
+        |r AS (
+        |  SELECT term, doc_id, CAST(row_number() OVER (PARTITION BY
+        |    term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored),
+        |fb AS (SELECT term AS q_term, doc_id FROM r WHERE rank <= 10),
+        |ltf AS (
+        |  SELECT doc_id, term, tf FROM tf WHERE length(term) >= 5),
+        |e AS (
+        |  SELECT fb.q_term, ltf.term,
+        |    CAST(sum(ltf.tf) AS BIGINT) AS exp_count
+        |  FROM fb JOIN ltf USING (doc_id)
+        |  WHERE ltf.term != fb.q_term
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT q_term, term, exp_count,
+        |    CAST(row_number() OVER (PARTITION BY q_term
+        |      ORDER BY exp_count DESC, term) AS BIGINT) AS exp_rank
+        |  FROM e)
+        |SELECT q_term, exp_rank, term AS exp_term, exp_count
+        |FROM x WHERE exp_rank <= 3
+        |ORDER BY q_term, exp_rank""".stripMargin,
     // inverted-index mirror: same tf/df chain, same id-ranked cap
     // before the ordered list aggregate
     "inverted_index" ->
