@@ -2302,6 +2302,33 @@ class LlmSpec extends AnyFunSuite {
     assert(rec.forall(t => t._3 === t._2 * 1000000L / 5L))
   }
 
+  test("invertedIndex: posting lists cap at maxPostings with the " +
+      "truncation flag raised; short terms excluded") {
+    val d = ((1 to 6).map(i => (i.toLong, "alpha common")) ++
+      Seq((7L, "alpha only here"))).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, "text", "doc_id",
+      topTerms = 2, minTermLen = 5, maxPostings = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2), r.getBoolean(3)))).toMap
+    // df: alpha=7, common=6; "only"/"here" are 4 chars -> excluded
+    assert(out.keySet === Set("alpha", "common"))
+    val (dfA, postA, truncA) = out("alpha")
+    assert(dfA === 7L && truncA)
+    assert(postA === Seq(1L, 2L, 3L, 4L)) // lowest ids win the cap
+    val (dfC, postC, truncC) = out("common")
+    assert(dfC === 6L && truncC && postC === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("softDedupWeights: copies collapse to the lowest id with an " +
+      "exact ppm downweight; uniques keep weight 1e6") {
+    val d = Seq((5L, "dup"), (2L, "dup"), (9L, "dup"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.softDedupWeights(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(2L -> ((3L, 333333L)), 3L -> ((1L, 1000000L))))
+  }
+
   test("surpriseChunks: integer boundary rule splits exactly at the " +
       "rare continuation; chunks tile each doc") {
     // uni: x=5, y=4, q=1; V=3; big: (x,y)=4, (y,x)=3, (x,q)=1.
