@@ -18,6 +18,7 @@ sort-columns-then-hash-values compare. Use it when chasing cross-libm
 tie bugs that the tolerant compare hides."""
 import json, sys, glob, os, hashlib
 import duckdb
+import numpy as _np
 import pyarrow.parquet as pq
 import pyarrow as pa
 
@@ -133,14 +134,23 @@ for name, sql in sorted(oracles.items()):
     # normalizes to +0.0, so a rounded sign-indefinite output column
     # is a data-dependent hash bomb — repr(-0.0) != repr(0.0). Flag
     # the oracle side proactively so the author adds `+ 0.0`.
-    import numpy as _np
+    # In STRICT mode this is a named FAILURE, not a warn: the driver
+    # hashes repr(-0.0) != repr(0.0), so letting the run continue
+    # just defers to a less actionable repr-mismatch later.
+    _negzero = []
     for _c in b.columns:
         if b[_c].dtype.kind == "f":
             _vals = b[_c].to_numpy()
             if ((_vals == 0.0) & _np.signbit(_vals)).any():
-                print(f"WARN {name}: oracle column '{_c}' contains "
-                      f"-0.0 — add `+ 0.0` to the oracle expression "
-                      f"(Spark round never emits -0.0)")
+                _negzero.append(_c)
+    if _negzero:
+        msg = (f"{name}: oracle column(s) {_negzero} contain -0.0 — "
+               f"add `+ 0.0` to the oracle expression "
+               f"(Spark round never emits -0.0)")
+        if STRICT:
+            print(f"FAIL negative-zero {msg}")
+            fails.append(name); continue
+        print(f"WARN {msg}")
     if STRICT:
         # canon() has already reindexed BOTH frames to sorted column
         # order, so itertuples below renders the two sides in the same

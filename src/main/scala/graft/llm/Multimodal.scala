@@ -331,8 +331,19 @@ object Multimodal {
         if (j < cps.length) cps(j) % 256 else 0)
       val pixels = Array.tabulate(64)(i =>
         (v(3 * i) << 16) | (v(3 * i + 1) << 8) | v(3 * i + 2))
-      val dec = decodeBmp(encodeBmp(DecodedImage(8, 8, pixels))).get
-      val ok = dec.width == 8 && dec.height == 8 &&
+      // A codec failure must surface through the roundtrip_ok flag
+      // the row already carries — a bare .get would throw
+      // NoSuchElementException in the executor and kill the whole
+      // job/stream for one bad row. On None, patch stats come from
+      // the pre-encode pixels (still well-defined content keys) with
+      // roundtrip_ok = false, mirroring how the flag already reports
+      // pixel mismatches.
+      val (dec, decoded) =
+        decodeBmp(encodeBmp(DecodedImage(8, 8, pixels))) match {
+          case Some(d) => (d, true)
+          case None => (DecodedImage(8, 8, pixels), false)
+        }
+      val ok = decoded && dec.width == 8 && dec.height == 8 &&
         java.util.Arrays.equals(dec.pixels, pixels)
       (0 until 4).map { p =>
         val pr0 = (p / 2) * 4

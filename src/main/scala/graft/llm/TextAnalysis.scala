@@ -2143,6 +2143,12 @@ object TextAnalysis {
       budgetPpm: Long = 1000000L): DataFrame = {
     require(epochsCap >= 1, "need epochsCap >= 1")
     require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
+    // ppm weights are shares of ONE budget: a sum over 1e6 would
+    // both be semantically meaningless and defeat the overflow
+    // bounds below (they rely on w <= wRem <= 1e6)
+    require(weightsPpm.values.sum <= 1000000L,
+      s"mixBudgetFit: weightsPpm must sum to <= 1e6 " +
+        s"(got ${weightsPpm.values.sum})")
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
@@ -2156,6 +2162,22 @@ object TextAnalysis {
     // (scale-invariant: the saturation pattern survives a 10× corpus)
     val b = budget.getOrElse(
       counts.map(_._2).sum * budgetPpm / 1000000L)
+    // Exact-integer contract enforcement (was a docstring assumption):
+    // every product below is bounded by X * 1e6 with X in
+    // {cap, r <= b, w <= 1e6}, so capping cap and b at MaxValue/1e6
+    // makes cap*wRem, r*w, and the (cap*1e6) div w sort key all
+    // provably overflow-free instead of silently wrapping and
+    // mis-allocating on both engines.
+    val maxSafe = Long.MaxValue / 1000000L
+    counts.foreach { case (s, c) =>
+      require(c <= maxSafe / epochsCap,
+        s"mixBudgetFit: cap = epochsCap * tokens overflows the " +
+          s"exact-integer contract for source '$s' " +
+          s"($epochsCap * $c > ${maxSafe})")
+    }
+    require(b <= maxSafe,
+      s"mixBudgetFit: budget $b exceeds the exact-integer bound " +
+        s"$maxSafe (products r * w_ppm must stay in BIGINT)")
     val active = counts
       .map { case (s, c) =>
         (s, c, weightsPpm.getOrElse(s, 0L), epochsCap * c)
@@ -2232,6 +2254,14 @@ object TextAnalysis {
     require(clash.isEmpty,
       s"withBm25Score: input already contains column(s) " +
         s"${clash.mkString(", ")}")
+    // An empty term set (bm25Fit on a corpus with no term >=
+    // minTermLen) must degrade to an all-zero score, not an analysis
+    // exception: the concatenated per-term expressions would render
+    // as `CAST( AS BIGINT)` and `transform(array(), ...)` cannot
+    // resolve an element type.
+    if (model.terms.isEmpty)
+      return df.withColumn("bm25_micro", lit(0L))
+        .withColumn("bm25_hits", lit(0L))
     def lit0(s: String) = s.replace("'", "''")
     // stage ALL per-term tfs as ONE array column referenced (as a
     // cheap attribute) by both outputs — the winsorize-bounds lesson:

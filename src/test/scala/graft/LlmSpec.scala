@@ -2213,6 +2213,45 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.values.sum === 40L) // 60 of 100 unallocatable
   }
 
+  test("mixBudgetFit rejects weight sums over 1e6 ppm and products " +
+      "that would overflow the exact-integer contract") {
+    val d = Seq((1L, "a", "tok tok"), (2L, "b", "tok"))
+      .toDF("doc_id", "source", "text")
+    // ppm weights are shares of one budget — a 150% ask is malformed
+    val eW = intercept[IllegalArgumentException] {
+      TextAnalysis.mixBudgetFit(d, "text", "source",
+        Map("a" -> 900000L, "b" -> 600000L), epochsCap = 2L)
+    }
+    assert(eW.getMessage.contains("1e6"))
+    // epochsCap * tokens past MaxValue/1e6 would silently wrap in
+    // the (cap * 1e6) div w sort key — must fail loudly instead
+    val eC = intercept[IllegalArgumentException] {
+      TextAnalysis.mixBudgetFit(d, "text", "source",
+        Map("a" -> 500000L), epochsCap = Long.MaxValue / 1000000L)
+    }
+    assert(eC.getMessage.contains("overflow"))
+    // an absolute budget past the same bound breaks r * w_ppm
+    val eB = intercept[IllegalArgumentException] {
+      TextAnalysis.mixBudgetFit(d, "text", "source",
+        Map("a" -> 500000L), epochsCap = 2L,
+        budget = Some(Long.MaxValue / 1000L))
+    }
+    assert(eB.getMessage.contains("exact-integer"))
+  }
+
+  test("withBm25Score degrades to zero scores on an empty fitted " +
+      "term set instead of an analysis exception") {
+    val d = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    // every token is shorter than minTermLen -> zero fitted terms
+    val m = TextAnalysis.bm25Fit(d, "text", nTerms = 3,
+      minTermLen = 5)
+    assert(m.terms.isEmpty)
+    val out = TextAnalysis.withBm25Score(d, "text", m)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
+  }
+
   test("patchifyPipeline: real codec roundtrip holds, patch sums are " +
       "exact, and identical patches share fingerprints") {
     // 192 identical codepoints -> all 4 patches are the same solid
