@@ -42,11 +42,25 @@ object Schemas {
     StructField("sale_amount", DoubleType)))
 }
 
+object PipelineConfig {
+  /** Upper bound on a series' first-to-last-week span, in weeks
+    * (50 years). The densify step scatters one cell per calendar
+    * week of span, so ONE corrupted timestamp (year 9999) would
+    * amplify a single series into ~400k gap-zero cells — at a 100 TB
+    * fine grain that is executor-OOM territory multiplied across
+    * thousands of series. Real retail history is calendar-bounded
+    * far below this; a series past it is data corruption and fails
+    * loudly instead of silently inflating memory.
+    */
+  val DefaultMaxSpanWeeks = 2600
+}
+
 /** Query parameters of the flagship pipeline (ref: PRACTICA3.py:35-40). */
 case class PipelineConfig(
     horizonWeeks: Int = 4,
     minWeeks: Int = 12,
     minTotalSales: Double = 10.0,
+    maxSpanWeeks: Int = PipelineConfig.DefaultMaxSpanWeeks,
     serviceLevelZ: Double = 1.645,
     leadTimeWeeks: Double = 0.4285,
     // model toggles (the reference gates Prophet on import availability,

@@ -48,7 +48,9 @@ object Kernel {
     * (pandas `resample("W-SUN").sum().fillna(0)`, ref: PRACTICA3.py:94).
     * Entries must already be W-SUN labeled and sorted.
     */
-  def densify(entries0: Seq[SeriesEntry]): Array[Double] = {
+  def densify(entries0: Seq[SeriesEntry],
+      maxSpanWeeks: Int = PipelineConfig.DefaultMaxSpanWeeks)
+      : Array[Double] = {
     val entries = entries0.filter(_.week != null) // pandas NaT-drop
     if (entries.isEmpty) return Array.empty
     val first = entries.head.week.toLocalDate
@@ -56,6 +58,12 @@ object Kernel {
     val byWeek = entries.map(e => e.week.toLocalDate -> e.units).toMap
     val nWeeks = (java.time.temporal.ChronoUnit.DAYS
       .between(first, last) / 7).toInt + 1
+    // same calendar bound as the relational form (e2eSlice): one
+    // corrupted timestamp must not inflate a series into ~400k
+    // gap-zero cells on an executor
+    require(nWeeks <= maxSpanWeeks,
+      s"densify: series span $nWeeks weeks exceeds maxSpanWeeks=" +
+        s"$maxSpanWeeks ($first..$last) — corrupted timestamps?")
     Array.tabulate(nWeeks)(i => byWeek.getOrElse(first.plusDays(7L * i), 0.0))
   }
 
@@ -140,7 +148,8 @@ object Kernel {
         .as("entries"))
       .as[SeriesRow]
     perSeries.flatMap { row =>
-      processSeries(row.sku, row.store, densify(row.entries), cfg)
+      processSeries(row.sku, row.store,
+        densify(row.entries, cfg.maxSpanWeeks), cfg)
     }
   }
 }

@@ -97,6 +97,22 @@ object PipelineQueries {
       // they apply on the collapsed sparse row before any densification
       .filter((datediff(col("w1"), col("w0")) / 7 + 1) >= cfg.minWeeks &&
         col("__total") >= cfg.minTotalSales)
+      // Span bound (PLANS.md "remains UNBOUNDED" close-out): the
+      // scatter below emits one cell per calendar week of span, so a
+      // single corrupted timestamp would amplify one series into
+      // ~400k gap-zero cells. Assert the calendar bound in-plan —
+      // the guard rides the existing projection (no extra pass) and
+      // a pathological series fails loudly instead of inflating
+      // executor memory. Normal data is untouched: the testdata
+      // span is ~350 weeks vs the 2600-week (50 yr) default.
+      .withColumn("__ent", when(
+        datediff(col("w1"), col("w0")) < lit(7 * cfg.maxSpanWeeks),
+        col("__ent"))
+        .otherwise(raise_error(concat(
+          lit(s"e2eSlice: series span exceeds maxSpanWeeks=" +
+            s"${cfg.maxSpanWeeks} for "),
+          col("sku"), lit("/"), col("store"),
+          lit(" — corrupted timestamps?")))))
       // E2 densify as an array SCATTER over the week-sorted entries:
       // each entry emits its units followed by (gap-1) zeros up to the
       // next observed week. O(total cells), unlike an element_at(map)

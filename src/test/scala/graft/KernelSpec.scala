@@ -35,6 +35,23 @@ class KernelSpec extends AnyFunSuite {
     assert(dense.toSeq === Seq(5.0))
   }
 
+  test("densify rejects a pathological multi-decade span instead of " +
+      "inflating memory (one corrupted timestamp)") {
+    // 2 sale weeks 75 years apart: ~3900 gap cells — over the 2600
+    // (50 yr) calendar bound, so this is corruption, not history
+    val bad = Seq(e("2024-01-07", 5.0), e("2099-01-04", 3.0))
+    val ex = intercept[IllegalArgumentException](Kernel.densify(bad))
+    assert(ex.getMessage.contains("maxSpanWeeks"))
+    // an explicitly raised bound restores the old behavior unchanged
+    val dense = Kernel.densify(bad, maxSpanWeeks = 10000)
+    assert(dense.length === 3914 && dense.sum === 8.0)
+    // and a span exactly AT the bound passes (boundary inclusive)
+    val edge = Seq(e("2024-01-07", 1.0),
+      e(java.time.LocalDate.parse("2024-01-07").plusWeeks(2599)
+        .toString, 1.0))
+    assert(Kernel.densify(edge).length === 2600)
+  }
+
   test("MIN_WEEKS gate counts gap-filled zero weeks") {
     // 2 sale weeks spanning 13 weeks -> densified length 13 >= 12 passes
     val series = Array(5.0) ++ Array.fill(11)(0.0) ++ Array(6.0)

@@ -50,6 +50,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("e2eSliceFrom fails loudly on a pathological multi-decade " +
+      "span instead of scattering ~100k gap cells") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a real series plus one corrupted timestamp 60 years out: span
+    // ~3100 weeks > the 2600-week calendar bound. 20 sale weeks keep
+    // the series past the C4 gates so the guard is what trips.
+    val rows = (0 until 20).map { i =>
+      ("s1", "st1", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 2, 0, 0).plusWeeks(i)),
+        5.0)
+    } :+ (("s1", "st1", java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2084, 1, 2, 0, 0)), 5.0))
+    val sales = rows.toDF("sku", "store", "ts", "units")
+    val ex = intercept[Exception] {
+      graft.queries.PipelineQueries.e2eSliceFrom(sales).collect()
+    }
+    assert(ex.getMessage.contains("maxSpanWeeks") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxSpanWeeks")))
+    // a raised bound restores the old behavior: the series densifies
+    // through the corrupt gap and still produces its one row
+    val out = graft.queries.PipelineQueries.e2eSliceFrom(sales,
+      PipelineConfig(maxSpanWeeks = 10000)).collect()
+    assert(out.length === 1)
+  }
+
   test("array-form e2e slice equals the windowed-operator composition") {
     // the round-5 restructure pin: e2eSliceFrom (per-series array
     // expressions, dense grid never materialized as rows) must equal
