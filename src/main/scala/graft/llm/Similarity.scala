@@ -843,6 +843,41 @@ object Similarity {
     df.select(col(id), array(pcols: _*).as("pvec"))
   }
 
+  /** Declared recall floor (ppm) for the planted-cluster telemetry
+    * queries: on [[plantedEmbeddings]] data, every query's exact
+    * top-5 is its 5 cluster-mates by construction, and both the JL
+    * projection and the IVF probe must recover at least 4 of 5.
+    * Spec-pinned; the oracle queries report the actual per-query
+    * number (1e6 on the committed fixtures).
+    */
+  val RecallFloorPpm = 800000L
+
+  /** Deterministic PLANTED-cluster embedding derivation — the recall
+    * -telemetry fixture. The corpus `embeddings` table is
+    * near-isotropic synthetic noise, so an "exact top-k" of it is
+    * itself noise and recall against it validates plumbing, not
+    * quality (the round-13 honest-caveat finding). This derives,
+    * from ids alone, a frame with RECOVERABLE structure:
+    * consecutive ids form micro-clusters of `clusterSize` (default
+    * 6 = one query + exactly k=5 mates), each cluster at a
+    * hash-derived centroid (component range ±10, inter-centroid
+    * cosine ≈ 0) plus integer noise of ±1e-4 — so every query's
+    * exact cosine top-5 IS its cluster-mates by construction
+    * (mates round-6 to cos 1.000000, everything else is far), and
+    * any index worth shipping recovers them. All-integer
+    * arithmetic with ONE final constant division: bit-identical
+    * across engines at any SF, no stored fixture needed.
+    */
+  def plantedEmbeddings(df: DataFrame, id: String,
+      clusterSize: Int = 6, dim: Int = 64): DataFrame =
+    df.select(col(id).cast("long").as("vec_id"))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+           |  CAST(((vec_id DIV $clusterSize * 2654435761L
+           |           + i * 40503L) % 2001L - 1000L) * 1000L
+           |       + (vec_id * 1103515245L + i * 12345L) % 21L - 10L
+           |       AS DOUBLE) / 100000.0D)""".stripMargin))
+
   /** Projection-quality telemetry: recall@k of brute-force cosine
     * top-k in the [[rpProject]]ed space against the exact 64-d top-k
     * — the number that decides whether the 4×-cheaper index is good

@@ -288,10 +288,16 @@ object LlmQueries {
     }),
     // JL random-projection recall telemetry: brute top-k in the
     // 16-d LCG-projected space vs the exact 64-d top-k — the
-    // dimension-reduction quality gate, integer ppm output
+    // dimension-reduction quality gate, integer ppm output. Runs on
+    // the PLANTED-cluster fixture (round-14): the raw embeddings are
+    // isotropic noise whose exact top-k is unrecoverable by any
+    // projection, so recall on them measured nothing; on planted
+    // micro-clusters the exact top-5 is recoverable by construction
+    // and the telemetry is spec-pinned >= Similarity.RecallFloorPpm
     "rp_recall" -> ((s, d) => {
-      Similarity.rpRecall(t(s, d, "embeddings"), "vec_id",
-        "embedding")
+      Similarity.rpRecall(
+        Similarity.plantedEmbeddings(t(s, d, "embeddings"), "vec_id"),
+        "vec_id", "embedding")
         .orderBy("query_id")
     }),
     // IVF occupancy / skew telemetry: the index-health dashboard —
@@ -388,9 +394,12 @@ object LlmQueries {
     }),
     // ANN quality telemetry: recall@5 of the IVF index against the
     // brute-force ground truth, per query — the evaluation loop any
-    // production ANN deployment runs on a sampled query set
+    // production ANN deployment runs on a sampled query set. On the
+    // planted-cluster fixture (see rp_recall note): recall here is a
+    // real quality number, spec-pinned >= Similarity.RecallFloorPpm
     "ann_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Similarity.plantedEmbeddings(
+        t(s, d, "embeddings"), "vec_id")
       val q = emb.filter(col("vec_id") < 8)
       val bf = Similarity.bruteForceTopK(emb, q, "vec_id",
         "embedding", k = 5).select("query_id", "cand_id")
@@ -1488,6 +1497,19 @@ object LlmQueries {
 
   private val duckVec =
     "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** [[graft.llm.Similarity.plantedEmbeddings]] mirror: the planted
+    * micro-cluster v CTE (clusterSize 6, dim 64) — all-integer hash
+    * arithmetic with one final constant division, bit-identical to
+    * the Spark derivation.
+    */
+  private val duckPlantedV =
+    """v AS (SELECT vec_id, list_transform(range(0, 64), i ->
+      |  CAST(((vec_id // 6 * 2654435761 + i * 40503) % 2001 - 1000)
+      |         * 1000
+      |       + (vec_id * 1103515245 + i * 12345) % 21 - 10
+      |       AS DOUBLE) / 100000.0) AS vec
+      |  FROM embeddings)""".stripMargin
 
   private def duckLshBucket(vec: String, planes: Int): String = {
     val bits = (0 until planes).map { j =>
@@ -2861,7 +2883,7 @@ object LlmQueries {
             i -> $a[i] * $b[i]), (x, y) -> x + y)"""
       def cos16(a: String, b: String) =
         s"${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)}))"
-      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+      s"""WITH $duckPlantedV,
          |bfs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    round(${duckCos("q.vec", "c.vec")}, 6) + 0.0 AS sim
@@ -3090,7 +3112,7 @@ object LlmQueries {
          |$duckKmeansChain,
          |${duckIvfTopkTail("c2")}""".stripMargin,
     "ann_recall" ->
-      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+      s"""WITH $duckPlantedV,
          |$duckKmeansChain,
          |bfs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -2341,6 +2341,43 @@ class LlmSpec extends AnyFunSuite {
     assert(rec.forall(t => t._3 === t._2 * 1000000L / 5L))
   }
 
+  test("plantedEmbeddings: recall telemetry recovers the planted " +
+      "top-5 above the declared floor on both index paths") {
+    // 600 ids -> 100 micro-clusters of 6; every query's exact cosine
+    // top-5 is its 5 cluster-mates by construction
+    val ids = (0L until 600L).map(Tuple1(_)).toDF("vec_id")
+    val emb = Similarity.plantedEmbeddings(ids, "vec_id")
+    // ground truth really is the cluster: exact top-5 of query 0 is
+    // ids 1..5, of query 7 is {6, 8, 9, 10, 11}
+    val bf = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bf(0L) === Set(1L, 2L, 3L, 4L, 5L))
+    assert(bf(7L) === Set(6L, 8L, 9L, 10L, 11L))
+    // JL-projection path: recall >= the declared floor per query
+    val rp = Similarity.rpRecall(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rp.length === 8)
+    rp.foreach { case (q, ppm) =>
+      assert(ppm >= Similarity.RecallFloorPpm,
+        s"rp recall for query $q: $ppm ppm under the floor")
+    }
+    // IVF path (fitted cells, nprobe 2): same floor
+    val cents = Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", cells = 16, iters = 2)
+    val ivf = Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cents, k = 5, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 8L).foreach { q =>
+      val hits = ivf.getOrElse(q, Set.empty) & bf(q)
+      assert(hits.size * 1000000L / 5L >= Similarity.RecallFloorPpm,
+        s"ivf recall for query $q: ${hits.size}/5 under the floor")
+    }
+  }
+
   test("invertedIndex: posting lists cap at maxPostings with the " +
       "truncation flag raised; short terms excluded") {
     val d = ((1 to 6).map(i => (i.toLong, "alpha common")) ++
