@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / host-grain curation operators — the CommonCrawl-recipe
+  * stage UPSTREAM of the per-source rebalancers: real crawl corpora
+  * carry a `url` column, not a clean `source` label, so domain-level
+  * dedup/caps/stats first need host extraction and
+  * registered-domain folding (`a.b.example.co.uk` →
+  * `example.co.uk`), with ports, userinfo, IP hosts, and case all
+  * normalized away.
+  *
+  * Everything is composed from codegen'd string expressions (no
+  * UDFs) with a DuckDB-mirrorable contract: regex extraction per
+  * RFC 3986's authority grammar, leftmost-match semantics identical
+  * across engines (spec-pinned), and the registered-domain rule is
+  * a documented PUBLIC-SUFFIX SUBSET — the common two-label
+  * suffixes (`co.uk`-class) every crawl pipeline special-cases,
+  * embedded as a plan literal rather than the full (and
+  * fast-moving) PSL file. Scale shape: all parsing is row-local
+  * projection; the only shuffles are whatever the downstream
+  * cap/stat aggregates on (registered_domain — a low-cardinality,
+  * naturally-skewed key; the cap uses a rank window per domain,
+  * WindowGroupLimit-prunable).
+  */
+object UrlOps {
+
+  /** Two-label public suffixes folded as a unit (PSL subset — the
+    * high-traffic country-code suffixes; extend as needed). Under
+    * these, the registered domain keeps THREE labels.
+    */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.mx", "com.ar", "com.cn", "com.sg", "com.tr",
+    "co.in", "co.nz", "co.kr", "co.za")
+
+  private def suffixSqlList: String =
+    multiPartSuffixes.map(s => s"'$s'").mkString(", ")
+
+  /** Append parsed URL columns: `scheme` (lowercased, '' when
+    * absent), `host` (lowercased, userinfo/port stripped, IPv6
+    * brackets removed), `port` (-1 when absent), `path` ('' when
+    * absent), `is_ip` (IPv4 dotted-quad or bracketed-IPv6 literal),
+    * `registered_domain` (host folded to its registrable suffix;
+    * the host itself for IPs and single-label hosts).
+    * Row-local, codegen'd, streaming-safe.
+    */
+  def withUrlParts(df: DataFrame, url: String): DataFrame = {
+    val clash = Seq("scheme", "host", "port", "path", "is_ip",
+      "registered_domain", "__auth", "__hp", "__labels")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withUrlParts: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df
+      .withColumn("scheme", expr(
+        s"lower(regexp_extract($url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"))
+      // authority = between :// and the first /, ? or #
+      .withColumn("__auth", expr(
+        s"regexp_extract($url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"))
+      // strip userinfo: everything after the LAST @ (leftmost match
+      // of ([^@]*)$ — engine-identical, spec-pinned)
+      .withColumn("__hp", expr("regexp_extract(__auth, '([^@]*)$', 1)"))
+      .withColumn("host", expr(
+        """lower(CASE WHEN __hp LIKE '[%'
+          |  THEN regexp_extract(__hp, '^\\[([^\\]]+)\\]', 1)
+          |  ELSE regexp_extract(__hp, '^([^:]*)', 1) END)"""
+          .stripMargin))
+      .withColumn("port", expr(
+        """CASE WHEN __hp LIKE '[%'
+          |  THEN CASE WHEN regexp_extract(__hp, '\\]:([0-9]+)$', 1) = ''
+          |    THEN -1L
+          |    ELSE CAST(regexp_extract(__hp, '\\]:([0-9]+)$', 1) AS BIGINT) END
+          |  WHEN regexp_extract(__hp, ':([0-9]+)$', 1) = '' THEN -1L
+          |  ELSE CAST(regexp_extract(__hp, ':([0-9]+)$', 1) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("path", expr(
+        s"regexp_extract($url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"))
+      .withColumn("is_ip", expr(
+        """host RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$'
+          |  OR __hp LIKE '[%'""".stripMargin))
+      // NOTE: plain (non-interpolated) triple-quote on purpose — the
+      // s-interpolator processes escape sequences, which would
+      // collapse the '\\.' split regex into a match-anything '.'
+      .withColumn("registered_domain", expr(
+        """CASE
+          |  WHEN is_ip OR size(split(host, '\\.')) <= 2 THEN host
+          |  WHEN concat(element_at(split(host, '\\.'), -2), '.',
+          |              element_at(split(host, '\\.'), -1))
+          |       IN (SUFFIXES)
+          |    THEN concat(element_at(split(host, '\\.'), -3), '.',
+          |                element_at(split(host, '\\.'), -2), '.',
+          |                element_at(split(host, '\\.'), -1))
+          |  ELSE concat(element_at(split(host, '\\.'), -2), '.',
+          |              element_at(split(host, '\\.'), -1))
+          |END""".stripMargin.replace("SUFFIXES", suffixSqlList)))
+      .drop("__auth", "__hp")
+  }
+
+  /** Host-grain corpus stats: per registered domain, document count,
+    * distinct full hosts under it, and corpus share in ppm — the
+    * crawl-frequency table a mix planner reads before capping. One
+    * aggregate over the parsed projection (map-side combine on a
+    * low-cardinality key); the total rides in as one broadcast row.
+    */
+  def hostStats(df: DataFrame, url: String, id: String): DataFrame = {
+    val parsed = withUrlParts(df, url)
+      .select(col(id), col("host"), col("registered_domain"))
+    // share denominator via an unpartitioned window OVER THE
+    // AGGREGATED frame (cardinality = #registered domains, not
+    // corpus rows) — a broadcast-total crossJoin would re-derive the
+    // aggregate subtree and scan the corpus twice (plan-audited)
+    parsed.groupBy("registered_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("host")).as("n_hosts"))
+      .withColumn("share_ppm", expr(
+        "CAST((n_docs * 1000000L) DIV (sum(n_docs) OVER ()) AS BIGINT)"))
+      .select("registered_domain", "n_docs", "n_hosts", "share_ppm")
+  }
+
+  /** Per-registered-domain document cap — [[TextAnalysis.capPerDomain]]
+    * keyed on the FOLDED domain instead of a clean source label:
+    * keep the `n` highest-`priority` docs per registrable domain
+    * (id tiebreak), so one crawl host family cannot dominate the
+    * mix even when it spans subdomains and ports.
+    */
+  def capPerRegisteredDomain(df: DataFrame, url: String,
+      priority: Column, id: String, n: Int): DataFrame =
+    TextAnalysis.capPerDomain(withUrlParts(df, url),
+      "registered_domain", priority, id, n)
+}

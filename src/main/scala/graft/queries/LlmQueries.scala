@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, HashConstants, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Dedup, HashConstants, Multimodal, Retrieval, Similarity, TextAnalysis, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,29 @@ object LlmQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic synthetic URL per document — the fixture the
+    * URL-grain curation queries run on (the corpus has a clean
+    * `source` label, not a crawl url, so the edge shapes a real
+    * crawl contains — subdomain chains, two-label public suffixes,
+    * ports, userinfo, IPv4 hosts, mixed case — are derived from
+    * (doc_id, source) identically on both engines).
+    */
+  private val syntheticUrl =
+    """CASE CAST(doc_id % 5 AS INT)
+      |  WHEN 0 THEN concat('https://www.', source, '.com/p/',
+      |                     CAST(doc_id AS STRING))
+      |  WHEN 1 THEN concat('http://a', CAST(doc_id % 3 AS STRING),
+      |                     '.cdn.', source, '.CO.UK:8080/x/',
+      |                     CAST(doc_id AS STRING))
+      |  WHEN 2 THEN concat('https://user:pw@', source, '.org/d/',
+      |                     CAST(doc_id AS STRING))
+      |  WHEN 3 THEN concat('http://10.', CAST(doc_id % 200 AS STRING),
+      |                     '.0.', CAST(doc_id % 7 AS STRING),
+      |                     ':8000/raw')
+      |  ELSE concat('https://M.', source, '.NET/a?id=',
+      |              CAST(doc_id AS STRING))
+      |END""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => {
@@ -1175,6 +1198,40 @@ object LlmQueries {
         .select("doc_id", "source", "quality")
         .orderBy("doc_id")
     }),
+    // URL-grain curation (round-14): real crawl corpora carry a url,
+    // not a clean source label. The CommonCrawl-recipe stage
+    // upstream of domain_cap: parse scheme/host/port/path, fold the
+    // host to its registrable domain (PSL-subset rule), then key
+    // stats and caps on the folded domain so subdomain/port variants
+    // of one host family count as one. Fixture urls derive from
+    // (doc_id, source) identically on both engines (syntheticUrl).
+    "url_parse" -> ((s, d) => {
+      UrlOps.withUrlParts(
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", expr(syntheticUrl)), "url")
+        .select("doc_id", "url", "scheme", "host", "port", "path",
+          "is_ip", "registered_domain")
+        .orderBy("doc_id")
+    }),
+    // crawl-frequency table at the registered-domain grain: doc
+    // count, distinct hosts under the domain, corpus share ppm
+    "host_stats" -> ((s, d) => {
+      UrlOps.hostStats(
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", expr(syntheticUrl)), "url", "doc_id")
+        .orderBy("registered_domain")
+    }),
+    // domain_cap's URL-native form: cap per FOLDED domain, so one
+    // host family spanning subdomains and ports cannot dominate
+    "host_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("url", expr(syntheticUrl))
+        .withColumn("quality", TextAnalysis.qualityScoreExpr("text"))
+      UrlOps.capPerRegisteredDomain(docs, "url", col("quality"),
+        "doc_id", 10)
+        .select("doc_id", "registered_domain", "quality")
+        .orderBy("doc_id")
+    }),
     // Gopher-style rule gate: per-rule booleans + the conjunction
     "gopher_rules" -> ((s, d) => {
       TextAnalysis.gopherRules(t(s, d, "documents"), "text",
@@ -1503,6 +1560,67 @@ object LlmQueries {
     * arithmetic with one final constant division, bit-identical to
     * the Spark derivation.
     */
+  /** [[graft.llm.UrlOps.withUrlParts]] mirror over the
+    * [[syntheticUrl]] fixture: same derivation, same RFC-3986
+    * authority regexes (leftmost-match identical), same PSL-subset
+    * folding. Ends with CTE `pr` (doc_id, url, scheme, host, port,
+    * path, is_ip, registered_domain).
+    */
+  private val duckUrlChain =
+    """uu AS (
+      |  SELECT doc_id, source,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN concat('https://www.', source, '.com/p/',
+      |                         CAST(doc_id AS VARCHAR))
+      |      WHEN 1 THEN concat('http://a', CAST(doc_id % 3 AS VARCHAR),
+      |                         '.cdn.', source, '.CO.UK:8080/x/',
+      |                         CAST(doc_id AS VARCHAR))
+      |      WHEN 2 THEN concat('https://user:pw@', source, '.org/d/',
+      |                         CAST(doc_id AS VARCHAR))
+      |      WHEN 3 THEN concat('http://10.', CAST(doc_id % 200 AS VARCHAR),
+      |                         '.0.', CAST(doc_id % 7 AS VARCHAR),
+      |                         ':8000/raw')
+      |      ELSE concat('https://M.', source, '.NET/a?id=',
+      |                  CAST(doc_id AS VARCHAR))
+      |    END AS url
+      |  FROM documents),
+      |pa AS (
+      |  SELECT *,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(regexp_extract(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '([^@]*)$', 1) AS hp,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM uu),
+      |ph AS (
+      |  SELECT *,
+      |    lower(CASE WHEN hp LIKE '[%'
+      |      THEN regexp_extract(hp, '^\[([^\]]+)\]', 1)
+      |      ELSE regexp_extract(hp, '^([^:]*)', 1) END) AS host,
+      |    CASE WHEN hp LIKE '[%' THEN
+      |      (CASE WHEN regexp_extract(hp, '\]:([0-9]+)$', 1) = ''
+      |        THEN CAST(-1 AS BIGINT)
+      |        ELSE CAST(regexp_extract(hp, '\]:([0-9]+)$', 1) AS BIGINT) END)
+      |      WHEN regexp_extract(hp, ':([0-9]+)$', 1) = ''
+      |        THEN CAST(-1 AS BIGINT)
+      |      ELSE CAST(regexp_extract(hp, ':([0-9]+)$', 1) AS BIGINT)
+      |    END AS port
+      |  FROM pa),
+      |pi AS (
+      |  SELECT *,
+      |    (regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$')
+      |      OR hp LIKE '[%') AS is_ip,
+      |    string_split(host, '.') AS ls
+      |  FROM ph),
+      |pr AS (
+      |  SELECT doc_id, url, scheme, host, port, path, is_ip,
+      |    CASE WHEN is_ip OR len(ls) <= 2 THEN host
+      |      WHEN (ls[-2] || '.' || ls[-1]) IN (SUFFIXES)
+      |        THEN (ls[-3] || '.' || ls[-2] || '.' || ls[-1])
+      |      ELSE (ls[-2] || '.' || ls[-1]) END AS registered_domain
+      |  FROM pi)""".stripMargin
+      .replace("SUFFIXES",
+        UrlOps.multiPartSuffixes.map(x => s"'$x'").mkString(", "))
+
   private val duckPlantedV =
     """v AS (SELECT vec_id, list_transform(range(0, 64), i ->
       |  CAST(((vec_id // 6 * 2654435761 + i * 40503) % 2001 - 1000)
@@ -4905,6 +5023,36 @@ object LlmQueries {
         |SELECT gram, CAST(count(*) AS BIGINT) AS df
         |FROM g GROUP BY gram HAVING count(*) >= 3
         |ORDER BY df DESC, gram""".stripMargin,
+    "url_parse" ->
+      s"""WITH $duckUrlChain
+         |SELECT doc_id, url, scheme, host, port, path, is_ip,
+         |  registered_domain
+         |FROM pr ORDER BY doc_id""".stripMargin,
+    "host_stats" ->
+      s"""WITH $duckUrlChain
+         |SELECT registered_domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST((count(*) * 1000000) // (SELECT count(*) FROM pr)
+         |    AS BIGINT) AS share_ppm
+         |FROM pr GROUP BY registered_domain
+         |ORDER BY registered_domain""".stripMargin,
+    "host_cap" ->
+      s"""WITH $duckUrlChain,
+         |q AS (
+         |  SELECT pr.doc_id, pr.registered_domain,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM pr JOIN documents USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, registered_domain, quality,
+         |    row_number() OVER (PARTITION BY registered_domain
+         |      ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT doc_id, registered_domain, quality FROM r
+         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "domain_cap" ->
       s"""WITH q AS (
          |  SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, UrlOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -2376,6 +2376,65 @@ class LlmSpec extends AnyFunSuite {
       assert(hits.size * 1000000L / 5L >= Similarity.RecallFloorPpm,
         s"ivf recall for query $q: ${hits.size}/5 under the floor")
     }
+  }
+
+  test("withUrlParts: ports, subdomains, userinfo, IP hosts, case, " +
+      "and PSL-subset folding all normalize correctly") {
+    val urls = Seq(
+      (1L, "https://www.Example.COM/path/x?q=1#f"),
+      (2L, "http://a.b.Example.co.uk:8080/p"),
+      (3L, "http://user:pw@deep.sub.example.com/x"),
+      (4L, "ftp://192.168.0.1:21/f"),
+      (5L, "https://[2001:db8::1]:443/x"),
+      (6L, "https://localhost"),
+      (7L, "https://example.org")).toDF("doc_id", "url")
+    val out = UrlOps.withUrlParts(urls, "url")
+      .select("doc_id", "scheme", "host", "port", "path", "is_ip",
+        "registered_domain")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3),
+          r.getString(4), r.getBoolean(5), r.getString(6)))).toMap
+    // case-folded host, port absent -> -1, query/fragment not in path
+    assert(out(1L) === (("https", "www.example.com", -1L, "/path/x",
+      false, "example.com")))
+    // subdomain chain under a two-label public suffix keeps 3 labels
+    assert(out(2L) === (("http", "a.b.example.co.uk", 8080L, "/p",
+      false, "example.co.uk")))
+    // userinfo stripped; deep subdomain folds to the 2-label domain
+    assert(out(3L) === (("http", "deep.sub.example.com", -1L, "/x",
+      false, "example.com")))
+    // IPv4 host: is_ip, registered domain is the address itself
+    assert(out(4L) === (("ftp", "192.168.0.1", 21L, "/f", true,
+      "192.168.0.1")))
+    // bracketed IPv6 with port: brackets stripped, dots-in-host rule
+    // must not fold it
+    assert(out(5L) === (("https", "2001:db8::1", 443L, "/x", true,
+      "2001:db8::1")))
+    // single-label host and empty path
+    assert(out(6L) === (("https", "localhost", -1L, "", false,
+      "localhost")))
+    assert(out(7L) === (("https", "example.org", -1L, "", false,
+      "example.org")))
+  }
+
+  test("hostStats + capPerRegisteredDomain aggregate at the folded " +
+      "domain grain across subdomains and ports") {
+    val urls = Seq(
+      (1L, "https://a.shop.example.com/1", 5.0),
+      (2L, "https://b.shop.example.com:8443/2", 4.0),
+      (3L, "https://example.com/3", 3.0),
+      (4L, "https://other.org/4", 9.0)).toDF("doc_id", "url", "q")
+    val stats = UrlOps.hostStats(urls, "url", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 3 docs over 3 distinct hosts fold into one registered domain
+    assert(stats("example.com") === ((3L, 3L, 750000L)))
+    assert(stats("other.org") === ((1L, 1L, 250000L)))
+    val capped = UrlOps.capPerRegisteredDomain(urls, "url",
+        col("q"), "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // example.com keeps its 2 highest-q docs (1, 2); doc 3 is capped
+    assert(capped === Set(1L, 2L, 4L))
   }
 
   test("invertedIndex: posting lists cap at maxPostings with the " +
