@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   * oracle: companding (G.711 μ/A-law), prediction-across-samples
   * (IMA ADPCM), transform (fixed-point MDCT), and prediction-
   * across-frames (motion-compensated video, [[mcvPipeline]]).
-  * [[decode]] dispatches on the container magic and falls back to
-  * [[stubDecode]] only for FOREIGN payloads this environment has no
-  * codec for (e.g. MP3/MP4 bytes produced elsewhere) — that
-  * boundary is the documented `???` replacement point where a JNI
-  * decoder or model forward pass would slot in.
+  * [[decode]] dispatches on the container magic across the WHOLE
+  * codec family; a FOREIGN payload this environment has no codec
+  * for (e.g. MP3/MP4 bytes produced elsewhere) surfaces honestly as
+  * kind "unknown" with an empty feature vector — a JNI decoder or
+  * model forward pass slots in as one more dispatcher branch, with
+  * the partition/batch plumbing unchanged.
   */
 object Multimodal {
 
@@ -192,13 +193,105 @@ object Multimodal {
     * genuinely decode (BMP structured-bytes; PNG/JPEG via
     * `javax.imageio`), deterministic stub features otherwise.
     */
-  def decode(bytes: Array[Byte]): Array[Double] =
-    decodeBmp(bytes).orElse(decodeCompressed(bytes)) match {
-      case Some(img) =>
-        val (r, g, b) = channelMeans(img)
-        Array(img.width.toDouble, img.height.toDouble, r, g, b)
-      case None => stubDecode(bytes)
+  /** Image-payload dispatch on container magic: BMP, PNG, baseline
+    * JPEG, GIF89a (first frame). None for anything else — the
+    * image-side half of [[decode]]'s dispatcher, shared with
+    * [[resizePayload]].
+    */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 6) return None
+    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+    if (b0 == 'B' && b1 == 'M') decodeBmp(bytes)
+    else if ((b0 == 0x89 && b1 == 'P') || (b0 == 0xff && b1 == 0xd8))
+      decodeCompressed(bytes)
+    else if (b0 == 'G' && b1 == 'I' && (bytes(2) & 0xff) == 'F')
+      decodeGifFrame(bytes, 0)
+    else None
+  }
+
+  /** Full real-codec dispatch over a payload's container magic —
+    * the round-14 stub retirement: every branch is a REAL parser
+    * from this file's codec family, and a foreign payload this
+    * environment has no codec for surfaces honestly as
+    * `("unknown", empty)` instead of a deterministic fake vector.
+    *
+    * Returns (kind, features): BMP/PNG/JPEG/GIF → `[width, height,
+    * meanR, meanG, meanB]`; RIFF/WAVE (PCM, G.711 μ/A-law, IMA
+    * ADPCM — selected by the fmt tag the sub-parsers validate) →
+    * `[sampleRate, nSamples, rms, peak, zeroCrossings]`; GMD1 MDCT
+    * → `[sampleRate, nSamples, nFrames, kept, sumAbsCoef]`; GMV1
+    * motion-compensated video → `[width, height, nFrames,
+    * meanFirstFrame, meanLastFrame]`.
+    */
+  def decode(bytes: Array[Byte]): (String, Array[Double]) = {
+    val unknown = ("unknown", Array.empty[Double])
+    def imageFeat(kind: String, img: DecodedImage) = {
+      val (r, g, b) = channelMeans(img)
+      (kind, Array(img.width.toDouble, img.height.toDouble, r, g, b))
     }
+    def audioFeat(kind: String, a: DecodedAudio) = {
+      var ss = 0L; var peak = 0L; var zc = 0L; var j = 0
+      val n = a.samples.length
+      while (j < n) {
+        val x = a.samples(j).toLong
+        ss += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (j > 0 && x * a.samples(j - 1).toLong < 0) zc += 1
+        j += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(ss.toDouble / n)
+      (kind, Array(a.sampleRate.toDouble, n.toDouble, rms,
+        peak.toDouble, zc.toDouble))
+    }
+    if (bytes == null || bytes.length < 6) return unknown
+    def tag4 = new String(bytes.slice(0, 4), "US-ASCII")
+    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+    if (b0 == 'B' && b1 == 'M')
+      decodeBmp(bytes).map(imageFeat("bmp", _)).getOrElse(unknown)
+    else if (b0 == 0x89 && b1 == 'P')
+      decodeCompressed(bytes).map(imageFeat("png", _))
+        .getOrElse(unknown)
+    else if (b0 == 0xff && b1 == 0xd8)
+      decodeCompressed(bytes).map(imageFeat("jpeg", _))
+        .getOrElse(unknown)
+    else if (b0 == 'G' && b1 == 'I' && (bytes(2) & 0xff) == 'F')
+      decodeGifFrame(bytes, 0).map(imageFeat("gif", _))
+        .getOrElse(unknown)
+    else if (bytes.length >= 12 && tag4 == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      decodeWav(bytes).map(audioFeat("wav_pcm", _))
+        .orElse(decodeWavG711(bytes).map(audioFeat("wav_g711", _)))
+        .orElse(decodeWavAdpcm(bytes).map(audioFeat("wav_adpcm", _)))
+        .getOrElse(unknown)
+    else if (tag4 == "GMD1")
+      decodeMdct(bytes).map { case (rate, n, coefs) =>
+        ("mdct", Array(rate.toDouble, n.toDouble,
+          coefs.length.toDouble,
+          coefs.headOption.map(_.length).getOrElse(0).toDouble,
+          coefs.iterator.map(_.iterator.map(math.abs).sum)
+            .sum.toDouble))
+      }.getOrElse(unknown)
+    else if (tag4 == "GMV1")
+      decodeMcv(bytes).map { frames =>
+        def mean(f: Array[Int]): Double =
+          if (f.isEmpty) 0.0 else f.map(_.toLong).sum.toDouble / f.length
+        ("mcv", Array(mcvW.toDouble, mcvW.toDouble,
+          frames.length.toDouble, mean(frames.head),
+          mean(frames.last)))
+      }.getOrElse(unknown)
+    else unknown
+  }
+
+  /** Real resize over an IMAGE payload: dispatch-decode
+    * ([[decodeImage]]), nearest-neighbor resample, re-encode as
+    * uncompressed BMP (the interchange sink every decoder here
+    * reads back). None for non-image or malformed payloads —
+    * replaces the retired byte-stream resample stub with the actual
+    * decode → resample → encode path.
+    */
+  def resizePayload(bytes: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] =
+    decodeImage(bytes).map(img => encodeBmp(resizeNearest(img, w, h)))
 
   /** Attach a binary payload column + typed metadata struct to a text
     * corpus (here the payload is the UTF-8 encoding of the document —
@@ -212,41 +305,15 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("checksum")))
 
-  case class MediaFeatures(doc_id: Long, n_bytes: Long,
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, kind: String,
       feat: Array[Double])
 
-  /** STUB decode — deterministic fake feature extraction standing in
-    * for a real codec (??? replacement point). Consumes the payload
-    * bytes, returns a fixed-width "embedding": byte-value histogram
-    * moments. Replace the body with e.g. a JNI image decoder + model
-    * forward pass; the partition/batch plumbing stays identical.
-    */
-  def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here; deterministic fake below
-    if (bytes == null || bytes.isEmpty) return Array.fill(4)(0.0)
-    val n = bytes.length.toDouble
-    val mean = bytes.map(_ & 0xff).sum / n
-    val varr = bytes.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
-    val first = (bytes.head & 0xff).toDouble
-    Array(n, mean, math.sqrt(varr), first)
-  }
-
-  /** STUB resize — deterministic stand-in for an image resize: nearest
-    * -neighbor downsample of the payload byte stream to `target`
-    * bytes (??? replacement point for a real decoder+resampler; the
-    * batch shape and output schema are what a codec swap would keep).
-    */
-  def stubResize(bytes: Array[Byte], target: Int): Array[Byte] = {
-    // ??? <- real decode + resample goes here; deterministic fake below
-    if (bytes == null || bytes.isEmpty || target <= 0)
-      return Array.emptyByteArray
-    if (bytes.length <= target) return bytes
-    Array.tabulate(target)(i =>
-      bytes((i.toLong * bytes.length / target).toInt))
-  }
-
   /** Batch feature extraction over partitions: the mapInPandas-shaped
-    * stage. Input must have (doc_id: long, payload: binary).
+    * stage, now routed through the REAL codec dispatcher ([[decode]]
+    * — BMP/PNG/JPEG/GIF/WAVE-PCM/G.711/ADPCM/MDCT/MCV by container
+    * magic). Input must have (doc_id: long, payload: binary);
+    * payloads no codec claims come back as kind "unknown" with an
+    * empty feature vector — never a fake one.
     */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -256,8 +323,9 @@ object Multimodal {
       .mapPartitions { batch =>
         // one pass per partition — amortizes any codec/session init
         batch.map { case (id, bytes) =>
-          MediaFeatures(id, if (bytes == null) 0L else bytes.length.toLong,
-            stubDecode(bytes))
+          val (kind, feat) = decode(bytes)
+          MediaFeatures(id,
+            if (bytes == null) 0L else bytes.length.toLong, kind, feat)
         }
       }
   }

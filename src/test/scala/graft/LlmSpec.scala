@@ -1226,25 +1226,69 @@ class LlmSpec extends AnyFunSuite {
     assert(q(1).getSeq[Int](2) === Seq(0, 0, 0))
   }
 
-  test("multimodal: payload metadata + batch feature extraction stub") {
+  test("multimodal: payload metadata + real-codec batch extraction " +
+      "with honest unknown-payload handling") {
     val df = Multimodal.withBinaryPayload(docs("abcd", "wxyz longer"),
       "text")
     val m = df.select("meta.n_bytes", "meta.mime").orderBy("n_bytes")
       .collect()
     assert(m(0).getLong(0) === 4L)
     assert(m(0).getString(1).startsWith("text/plain"))
+    // plain-text payloads match no codec: kind unknown, EMPTY
+    // features — never a fake vector
     val feats = Multimodal.extractFeatures(df).collect()
       .sortBy(_.doc_id)
-    assert(feats(0).feat.length === 4)
-    assert(feats(0).feat(0) === 4.0) // n bytes
-    assert(feats(0).feat(3) === 'a'.toInt.toDouble) // first byte
+    assert(feats(0).n_bytes === 4L)
+    assert(feats.forall(f => f.kind == "unknown" && f.feat.isEmpty))
     val samp = df.select(Multimodal.sampleExpr("text", 2, 3)).collect()
     assert(samp(0).getSeq[Int](0) === Seq('a'.toInt, 'c'.toInt, 0))
-    // resize stub: deterministic downsample, identity when small
-    assert(Multimodal.stubResize("abcdefgh".getBytes, 4).toSeq
-      === "aceg".getBytes.toSeq)
-    assert(Multimodal.stubResize("ab".getBytes, 4).toSeq
-      === "ab".getBytes.toSeq)
+  }
+
+  test("decode dispatcher routes every container to its real codec " +
+      "and extractFeatures carries the kind through") {
+    import Multimodal._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val img = DecodedImage(3, 2, Array(0xff0000, 0x00ff00, 0x0000ff,
+      0x102030, 0x405060, 0x708090))
+    val audio = DecodedAudio(8000,
+      Array.tabulate(64)(i => ((i % 16 - 8) * 256).toShort))
+    val payloads = Seq[(Long, Array[Byte], String)](
+      (1L, encodeBmp(img), "bmp"),
+      (2L, encodePng(img), "png"),
+      (3L, encodeGif(Seq(img, img)), "gif"),
+      (4L, encodeWav(audio), "wav_pcm"),
+      (5L, encodeWavG711(audio), "wav_g711"),
+      (6L, encodeWavAdpcm(audio), "wav_adpcm"),
+      (7L, encodeMdct(audio), "mdct"),
+      (8L, "not a media file".getBytes("UTF-8"), "unknown"))
+    payloads.foreach { case (_, bytes, kind) =>
+      assert(decode(bytes)._1 === kind, s"dispatch for $kind")
+    }
+    // image branches agree on dimensions + channel means (PNG/GIF
+    // are lossless, so features match BMP's exactly)
+    val bmpFeat = decode(encodeBmp(img))._2
+    assert(bmpFeat.take(2).toSeq === Seq(3.0, 2.0))
+    assert(decode(encodePng(img))._2.toSeq === bmpFeat.toSeq)
+    assert(decode(encodeGif(Seq(img)))._2.toSeq === bmpFeat.toSeq)
+    // PCM audio: [rate, n, rms, peak, zc] from the real parser
+    val af = decode(encodeWav(audio))._2
+    assert(af(0) === 8000.0 && af(1) === 64.0 && af(3) === 2048.0)
+    // the Dataset stage carries kind + features end to end
+    val dsIn = payloads.map { case (id, b, _) => (id, b) }
+      .toDF("doc_id", "payload")
+    val out = extractFeatures(dsIn).collect().map(f =>
+      f.doc_id -> ((f.kind, f.feat.length))).toMap
+    assert(out(1L) === (("bmp", 5)))
+    assert(out(4L) === (("wav_pcm", 5)))
+    assert(out(8L) === (("unknown", 0)))
+    // real resize: decode -> nearest resample -> BMP re-encode, for
+    // ANY image container; non-image payloads decline
+    val rz = resizePayload(encodePng(img), 2, 1).get
+    val rimg = decodeBmp(rz).get
+    assert(rimg.width === 2 && rimg.height === 1)
+    assert(rimg.pixels.toSeq === resizeNearest(img, 2, 1).pixels.toSeq)
+    assert(resizePayload("junk".getBytes, 2, 2).isEmpty)
   }
 
   test("multimodal: real BMP encode/decode round-trip, padding, resize, dispatch") {
@@ -1278,10 +1322,11 @@ class LlmSpec extends AnyFunSuite {
     val (r, g, b) = channelMeans(DecodedImage(2, 1,
       Array(0x204060, 0x608020)))
     assert((r, g, b) === ((64.0, 96.0, 64.0)))
-    // dispatcher: BMP -> real 5-feature path; non-BMP -> 4-feature stub
-    assert(decode(bmp).length === 5)
-    assert(decode(bmp).take(2).toSeq === Seq(3.0, 2.0))
-    assert(decode("not a bitmap".getBytes).length === 4)
+    // dispatcher: BMP -> real 5-feature path; unclaimed -> unknown
+    assert(decode(bmp)._2.length === 5)
+    assert(decode(bmp)._2.take(2).toSeq === Seq(3.0, 2.0))
+    val nb = decode("not a bitmap".getBytes)
+    assert(nb._1 === "unknown" && nb._2.isEmpty)
     // malformed/truncated BMPs refuse rather than guess
     assert(decodeBmp(bmp.take(53)) === None)
     assert(decodeBmp("BMxxxx".getBytes) === None)
@@ -1743,10 +1788,11 @@ class LlmSpec extends AnyFunSuite {
     assert(dec.get.width === 8 && dec.get.height === 8)
     assert(dec.get.pixels.toSeq === px.toSeq) // lossless
     // dispatcher routes PNG through the imageio path
-    assert(decode(png).toSeq ===
+    assert(decode(png)._1 === "png")
+    assert(decode(png)._2.toSeq ===
       Seq(8.0, 8.0, channelMeans(img)._1, channelMeans(img)._2,
         channelMeans(img)._3))
-    // non-image bytes fall through to the stub, and BMP still wins
+    // non-image bytes are refused, and BMP still wins
     assert(decodeCompressed("not an image".getBytes).isEmpty)
     assert(decodeBmp(encodeBmp(img)).get.pixels.toSeq === px.toSeq)
     // corrupt stream behind valid PNG magic: ImageIO readers throw
