@@ -64,6 +64,157 @@ object TextAnalysis {
     expr(s"CASE $best ELSE 'und' END")
   }
 
+  /** Seed corpus for [[langIdFit]] — a few plain-ASCII sentences per
+    * language (composed commonplace text; accent-free so the
+    * char-grain statistics, not diacritics, carry the signal).
+    * Ordered map: the sequence is the deterministic tie/priority
+    * order of the classifier.
+    */
+  val langIdSeeds: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "this is the house that we built together last summer",
+      "she said that the weather would be fine and the children could play outside",
+      "a government of the people by the people for the people",
+      "what time is it and where are you going this evening",
+      "reading books in the library is one of the things that i enjoy the most",
+      "we went to the market in the morning and bought bread and cheese",
+      "the children are playing with their friends in the garden near the river",
+      "he could not remember where he had put the keys to the house",
+      "there is nothing better than a cup of tea on a cold winter day",
+      "they have been working on this project for more than three years",
+      "my brother lives in a small town in the north of the country"),
+    "es" -> Seq(
+      "el rapido zorro marron salta sobre el perro perezoso",
+      "esta es la casa que construimos juntos el verano pasado",
+      "ella dijo que el tiempo estaria bien y que los ninos podrian jugar afuera",
+      "un gobierno del pueblo por el pueblo y para el pueblo",
+      "que hora es y adonde vas esta noche",
+      "leer libros en la biblioteca es una de las cosas que mas disfruto",
+      "fuimos al mercado por la manana y compramos pan y queso",
+      "los ninos estan jugando con sus amigos en el jardin cerca del rio",
+      "no podia recordar donde habia puesto las llaves de la casa",
+      "no hay nada mejor que una taza de te en un dia frio de invierno",
+      "han estado trabajando en este proyecto durante mas de tres anos",
+      "mi hermano vive en un pueblo pequeno en el norte del pais"),
+    "fr" -> Seq(
+      "le renard brun rapide saute par dessus le chien paresseux",
+      "ceci est la maison que nous avons construite ensemble l ete dernier",
+      "elle a dit que le temps serait beau et que les enfants pourraient jouer dehors",
+      "un gouvernement du peuple par le peuple et pour le peuple",
+      "quelle heure est il et ou vas tu ce soir",
+      "lire des livres a la bibliotheque est une des choses que j aime le plus",
+      "nous sommes alles au marche le matin et avons achete du pain et du fromage",
+      "les enfants jouent avec leurs amis dans le jardin pres de la riviere",
+      "il ne se souvenait plus ou il avait mis les cles de la maison",
+      "il n y a rien de mieux qu une tasse de the par une froide journee d hiver",
+      "ils travaillent sur ce projet depuis plus de trois ans",
+      "mon frere habite dans une petite ville dans le nord du pays"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt uber den faulen hund",
+      "das ist das haus das wir letzten sommer zusammen gebaut haben",
+      "sie sagte dass das wetter schon sein wurde und die kinder draussen spielen konnten",
+      "eine regierung des volkes durch das volk und fur das volk",
+      "wie spat ist es und wohin gehst du heute abend",
+      "bucher in der bibliothek zu lesen ist eines der dinge die ich am meisten geniesse",
+      "wir gingen am morgen auf den markt und kauften brot und kase",
+      "die kinder spielen mit ihren freunden im garten in der nahe des flusses",
+      "er konnte sich nicht erinnern wo er die schlussel des hauses hingelegt hatte",
+      "es gibt nichts besseres als eine tasse tee an einem kalten wintertag",
+      "sie arbeiten seit mehr als drei jahren an diesem projekt",
+      "mein bruder wohnt in einer kleinen stadt im norden des landes"))
+
+  /** Fitted char-ngram language classifier: per-language L2-normalized
+    * centroid over `dim` hashed char-bigram buckets, 6dp — a
+    * model-sized table that rides into the plan as literals (the
+    * [[DsirModel]]/[[Bm25Model]] broadcast-table pattern).
+    */
+  case class LangIdModel(langs: Seq[String], dim: Int, n: Int,
+      centroids: Map[String, Array[Double]])
+
+  /** Fit the fastText-style language classifier OFFLINE from the
+    * embedded seeds (no Spark involved — the model is tiny):
+    * char-`n`-gram poly-hashes ([[PolyHash.hashRange]] — the same
+    * arithmetic the native scoring expression runs) bucketed into
+    * `dim` counts per language, L2-normalized, rounded 6dp so the
+    * plan literals and the oracle literals are the same finite
+    * decimals. In production the seeds would be a real per-language
+    * training set; the operator shape — hash, bucket, dot with a
+    * broadcast weight table, argmax — is identical.
+    */
+  def langIdFit(dim: Int = 256, n: Int = 3): LangIdModel = {
+    val cents = langIdSeeds.map { case (lang, seeds) =>
+      val counts = new Array[Double](dim)
+      seeds.foreach { s =>
+        val cps = s.toLowerCase.codePoints().toArray
+        val w = math.min(n, cps.length)
+        val m = math.max(cps.length - n + 1, 1)
+        var i = 0
+        while (i < m) {
+          val h = graft.llm.PolyHash.hashRange(cps, i, w)
+          counts(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1.0
+          i += 1
+        }
+      }
+      val norm = math.sqrt(counts.map(x => x * x).sum)
+      lang -> counts.map(x =>
+        new java.math.BigDecimal(x / norm)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    }
+    LangIdModel(langIdSeeds.map(_._1), dim, n, cents.toMap)
+  }
+
+  /** Multilingual language ID — [[langIdExpr]]'s model-based upgrade
+    * (round-14): cosine of the doc's hashed char-bigram profile
+    * against each language centroid of a fitted [[LangIdModel]],
+    * argmax with the model's deterministic priority order on ties,
+    * `und` when the best score is at or below `minScore` (no bigram
+    * overlap with any language profile). Entirely ROW-LOCAL: bigram
+    * hashing and bucketing are native codegen'd expressions
+    * ([[PolyHashColumns.shingleHashes]]/`featureHashCounts`), the
+    * centroids are plan literals, every dot folds in bucket-index
+    * order — zero shuffle at any corpus size, streaming-safe.
+    * Scores are compared RAW (bit-identical across engines) and
+    * displayed at 6dp, the [[withLrGate]] discipline.
+    */
+  def withLangId(df: DataFrame, text: String,
+      model: LangIdModel = langIdFit(),
+      minScore: Double = 0.25): DataFrame = {
+    val clash = (Seq("__lh", "__lcnt", "__lnorm", "__lvec",
+      "pred_lang") ++ model.langs.map(l => s"score_$l"))
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withLangId: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    def centLit(l: String): String = model.centroids(l)
+      .map(x => new java.math.BigDecimal(x).toPlainString)
+      .mkString("array(", "D, ", "D)")
+    val scored = df
+      .withColumn("__lh",
+        PolyHashColumns.shingleHashes(lower(col(text)), model.n))
+      .withColumn("__lcnt",
+        PolyHashColumns.featureHashCounts(col("__lh"), model.dim))
+      .withColumn("__lnorm", expr(
+        "sqrt(aggregate(__lcnt, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("__lvec",
+        expr("transform(__lcnt, x -> round(x / __lnorm, 6))"))
+    val withScores = model.langs.foldLeft(scored) { (acc, l) =>
+      acc.withColumn(s"__z_$l", expr(
+        s"aggregate(zip_with(__lvec, ${centLit(l)}, " +
+          s"(x, w) -> x * w), 0D, (a, v) -> a + v)"))
+    }
+    val best = model.langs.map { l =>
+      val others = model.langs.filterNot(_ == l)
+        .map(o => s"__z_$l >= __z_$o").mkString(" AND ")
+      s"WHEN $others AND __z_$l > ${minScore}D THEN '$l'"
+    }.mkString(" ")
+    withScores
+      .withColumn("pred_lang", expr(s"CASE $best ELSE 'und' END"))
+      .select(df.columns.map(col) ++
+        model.langs.map(l => round(col(s"__z_$l"), 6).as(s"score_$l"))
+        :+ col("pred_lang"): _*)
+  }
+
   /** Composite quality score in [0, 1]: enough tokens, low punctuation
     * noise, natural stopword density.
     */

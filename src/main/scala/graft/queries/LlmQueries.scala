@@ -1232,6 +1232,18 @@ object LlmQueries {
         .select("doc_id", "registered_domain", "quality")
         .orderBy("doc_id")
     }),
+    // model-based multilingual language ID (round-14): cosine of the
+    // doc's hashed char-trigram profile against per-language seed
+    // centroids (fastText-style hash-bucket linear model, centroids
+    // as plan literals), argmax + und floor — langIdExpr's upgrade
+    "lang_id" -> ((s, d) => {
+      TextAnalysis.withLangId(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text")
+        .select("doc_id", "score_en", "score_es", "score_fr",
+          "score_de", "pred_lang")
+        .orderBy("doc_id")
+    }),
     // Gopher-style rule gate: per-rule booleans + the conjunction
     "gopher_rules" -> ((s, d) => {
       TextAnalysis.gopherRules(t(s, d, "documents"), "text",
@@ -1620,6 +1632,61 @@ object LlmQueries {
       |  FROM pi)""".stripMargin
       .replace("SUFFIXES",
         UrlOps.multiPartSuffixes.map(x => s"'$x'").mkString(", "))
+
+  /** [[graft.llm.TextAnalysis.withLangId]] mirror: same char-trigram
+    * poly-hash buckets, same 6dp-normalized profile, init-less
+    * product folds against the SAME 6dp centroid literals (generated
+    * from the one fitted model), same argmax/und floor.
+    */
+  private def duckLangIdSql: String = {
+    val m = TextAnalysis.langIdFit()
+    def cent(l: String): String = m.centroids(l)
+      .map(x => new java.math.BigDecimal(x).toPlainString)
+      .mkString("[", ", ", "]")
+    val dim = m.dim
+    val zCols = m.langs.map { l =>
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> v[i] * (${cent(l)})[i]), (a, b) -> a + b)
+         |      AS z_$l""".stripMargin
+    }.mkString(",\n    ")
+    val pred = m.langs.map { l =>
+      val others = m.langs.filterNot(_ == l)
+        .map(o => s"z_$l >= z_$o").mkString(" AND ")
+      s"WHEN $others AND z_$l > 0.25 THEN '$l'"
+    }.mkString(" ")
+    val scoreSel = m.langs
+      .map(l => s"round(z_$l, 6) AS score_$l").mkString(", ")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(lower(text)) >= ${m.n} THEN
+       |      list_transform(list_transform(
+       |        generate_series(1, length(lower(text)) - ${m.n - 1}),
+       |        j -> substring(lower(text), j, ${m.n})),
+       |        g -> ${duckPolyHash("g")})
+       |    ELSE [${duckPolyHash("lower(text)")}] END AS hs
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, list_transform(range(0, $dim), b ->
+       |    CAST(len(list_filter(hs, h -> h % $dim = b)) AS DOUBLE))
+       |    AS cnt
+       |  FROM hs),
+       |nv AS (
+       |  SELECT doc_id, cnt,
+       |    sqrt(list_reduce(list_transform(cnt, y -> y * y),
+       |      (a, b) -> a + b)) AS nrm
+       |  FROM c),
+       |v AS (
+       |  SELECT doc_id, list_transform(cnt, x -> round(x / nrm, 6))
+       |    AS v
+       |  FROM nv),
+       |z AS (
+       |  SELECT doc_id,
+       |    $zCols
+       |  FROM v)
+       |SELECT doc_id, $scoreSel,
+       |  CASE $pred ELSE 'und' END AS pred_lang
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
 
   private val duckPlantedV =
     """v AS (SELECT vec_id, list_transform(range(0, 64), i ->
@@ -5053,6 +5120,7 @@ object LlmQueries {
          |  FROM q)
          |SELECT doc_id, registered_domain, quality FROM r
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    "lang_id" -> duckLangIdSql,
     "domain_cap" ->
       s"""WITH q AS (
          |  SELECT doc_id, source,

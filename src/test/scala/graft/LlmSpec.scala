@@ -2424,6 +2424,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("withLangId classifies held-out sentences in all four " +
+      "languages and falls back to und") {
+    val held = Seq(
+      (1L, "Where did you put the keys to the old car", "en"),
+      (2L, "Los estudiantes estaban leyendo en el jardin de la escuela", "es"),
+      (3L, "Les oiseaux chantent dans le jardin pres de la riviere", "fr"),
+      (4L, "Die studenten lesen ihre bucher in dem garten der schule", "de"),
+      (5L, "zzz qqq xxx 0101 ###", "und"))
+    val df = held.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df, "text")
+      .select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    held.foreach { case (id, s, want) =>
+      assert(out(id) === want, s"for '$s'")
+    }
+    // scores are monotone evidence: the winning score column tops
+    // the others for a clearly-English sentence
+    val row = TextAnalysis.withLangId(df, "text")
+      .filter(col("doc_id") === 1L)
+      .select("score_en", "score_es", "score_fr", "score_de")
+      .collect()(0)
+    assert((1 to 3).forall(i => row.getDouble(0) > row.getDouble(i)))
+  }
+
   test("withUrlParts: ports, subdomains, userinfo, IP hosts, case, " +
       "and PSL-subset folding all normalize correctly") {
     val urls = Seq(
