@@ -106,4 +106,64 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "rrf_ppm",
         "dense_rank", "lex_rank")
   }
+
+  /** One fitted query term with its corpus document frequency. */
+  case class QTerm(t: String, df: Long)
+
+  /** One fitted hybrid query: its BM25 term table and dense vector. */
+  case class HybridQuery(query_id: Long, terms: Seq[QTerm],
+      vec: Seq[Double])
+
+  /** Fitted hybrid-retrieval model: per-query term tables + vectors
+    * plus the corpus stats the BM25 length norm needs — queries ×
+    * (terms + dims) scalars, a plan literal at any corpus size (the
+    * [[graft.llm.TextAnalysis.Bm25Model]] fit/apply pattern).
+    */
+  case class HybridModel(queries: Seq[HybridQuery], n: Long, tot: Long)
+
+  /** Fit [[hybridRrf]]'s query-side state OFFLINE so a live feed can
+    * be scored against it ([[graft.streaming.StreamingDedup
+    * .hybridScoreStage]]): per query, the distinct terms (length ≥
+    * `minTermLen`) of its document with their corpus-wide df, and
+    * its dense vector; plus (n, tot). Collects only query-term and
+    * query-vector rows — the sanctioned fit-collect class.
+    */
+  def hybridFit(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      text: String = "text", docId: String = "doc_id",
+      vecId: String = "vec_id", vecCol: String = "embedding",
+      minTermLen: Int = 5): HybridModel = {
+    val qSet = queryIds.map(lit(_))
+    val toks = docs.select(col(docId).cast("long").as("doc_id"),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("toks"))
+    val totals = toks
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("tot"))
+      .collect()(0)
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qterms = tf.filter(col("doc_id").isin(qSet: _*))
+      .filter(length(col("term")) >= minTermLen)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qtd = dfreq.join(broadcast(qterms), Seq("term"))
+      .select("query_id", "term", "df")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val vecs = emb.filter(col(vecId).isin(qSet: _*))
+      .select(col(vecId).cast("long"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val queries = queryIds.sorted.map { qid =>
+      HybridQuery(qid,
+        qtd.getOrElse(qid, Array.empty[(Long, String, Long)])
+          .map { case (_, t, df) => QTerm(t, df) }.sortBy(_.t).toSeq,
+        vecs.getOrElse(qid,
+          throw new IllegalArgumentException(
+            s"hybridFit: query $qid has no embedding")))
+    }
+    HybridModel(queries, totals.getLong(0), totals.getLong(1))
+  }
 }

@@ -505,4 +505,136 @@ object StreamingDedup {
       .withWatermark(ts, watermark)
       .groupBy(window(col(ts), windowLen).as("win"), col(source))
       .agg(sum(col("n_bpe_tokens")).as("n_tokens"))
+
+  /** One live-feed hybrid score: a document against one fitted
+    * query, both arms. `lex_hits` = 0 means the doc shares no term
+    * with the query (excluded from the lexical shortlist, exactly
+    * the batch inner-join semantics).
+    */
+  case class HybridScoreRow(query_id: Long, doc_id: Long,
+      lex_micro: Long, lex_hits: Long, dense_sim: Double)
+
+  /** Per-query hybrid shortlist state: top-m (score, doc) per arm. */
+  case class HybridArmState(lexDocs: Seq[Long], lexMicros: Seq[Long],
+      denseDocs: Seq[Long], denseSims: Seq[Double])
+
+  /** One fused ranking row — the [[graft.llm.Retrieval.hybridRrf]]
+    * output schema. */
+  case class HybridRankRow(query_id: Long, rank: Long, doc_id: Long,
+      rrf_ppm: Long, dense_rank: Long, lex_rank: Long)
+
+  /** Streaming HYBRID-RETRIEVAL scoring stage: score a live document
+    * feed (rows carry text + embedding) against an offline-fitted
+    * [[graft.llm.Retrieval.HybridModel]] — the composition of the
+    * fitted-BM25 stage with a dense literal-vector arm. Entirely
+    * ROW-LOCAL and join-free: the per-query term tables and vectors
+    * ride as ONE plan literal (`typedlit`), the per-(doc, query)
+    * lexical score is the identical rational Robertson micro-long
+    * tree as [[graft.llm.Retrieval.hybridRrf]] (terms with tf = 0
+    * contribute floor(0) = exact 0, so summing ALL fitted terms
+    * equals the batch matched-terms sum), and the dense arm is the
+    * same native fixed-order cosine rounded to 6dp. Zero state, any
+    * output mode. Emits one row per (doc × fitted query), self
+    * pairs excluded.
+    */
+  def hybridScoreStage(docs: DataFrame, text: String, id: String,
+      vec: String,
+      model: graft.llm.Retrieval.HybridModel): DataFrame = {
+    val clash = Seq("__hq", "__toks", "__len", "__qtf", "__dv",
+      "__qv", "query_id", "lex_micro", "lex_hits", "dense_sim")
+      .filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"hybridScoreStage: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val n = model.n; val tot = model.tot
+    docs
+      .withColumn("__hq", explode(typedlit(model.queries)))
+      .filter(col(id).cast("long") =!= col("__hq.query_id"))
+      .withColumn("__toks",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .withColumn("__len", expr("CAST(size(__toks) AS BIGINT)"))
+      .withColumn("__qtf", expr(
+        "transform(__hq.terms, t -> " +
+          "CAST(size(filter(__toks, x -> x = t.t)) AS BIGINT))"))
+      .withColumn("lex_micro", expr(
+        s"""aggregate(zip_with(__hq.terms, __qtf, (t, tf) ->
+           |  CAST(floor(((${n}L - t.df + 0.5D) / (t.df + 0.5D)) *
+           |    ((tf * 2.2D) / (tf + 0.3D + 0.9D *
+           |      (__len * 1.0D * ${n}L / ${tot}L))) * 1000000.0D)
+           |    AS BIGINT)),
+           |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("lex_hits", expr(
+        """aggregate(__qtf, CAST(0 AS BIGINT),
+          |  (a, x) -> a + CASE WHEN x > 0 THEN 1L ELSE 0L END)"""
+          .stripMargin))
+      .withColumn("__dv", expr(s"transform($vec, x -> CAST(x AS DOUBLE))"))
+      .withColumn("__qv", expr("transform(__hq.vec, x -> CAST(x AS DOUBLE))"))
+      .withColumn("dense_sim",
+        round(graft.llm.Similarity.cosineExpr("__dv", "__qv"), 6))
+      .select(col("__hq.query_id").as("query_id"),
+        col(id).cast("long").as("doc_id"),
+        col("lex_micro"), col("lex_hits"), col("dense_sim"))
+  }
+
+  /** The STATEFUL back half of streaming hybrid retrieval: maintain,
+    * per query, the top-`m` shortlist of each arm across
+    * micro-batches and emit the current RRF-fused top-`k` on every
+    * trigger — a live retrieval index over an unbounded feed.
+    *
+    * State is 2·m (score, doc) pairs per query — bounded by the
+    * model, never the feed: a doc that falls outside an arm's top-m
+    * can be forgotten safely because per-doc scores are static, so
+    * anything it could ever outrank is already ahead of it. Rank,
+    * fusion (integer 1e6 div (rrfK + rank) per arm), and tiebreaks
+    * replicate [[graft.llm.Retrieval.hybridRrf]] exactly: once the
+    * whole corpus has streamed through, the last emission per query
+    * IS the batch result (spec-pinned).
+    */
+  def hybridTopKStage(scores: Dataset[HybridScoreRow], m: Int = 50,
+      k: Int = 10, rrfK: Int = 60): Dataset[HybridRankRow] = {
+    import scores.sparkSession.implicits._
+    require(m >= k && k >= 1, "need m >= k >= 1")
+    scores.groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[HybridScoreRow],
+            state: GroupState[HybridArmState]) => {
+          val st = state.getOption
+            .getOrElse(HybridArmState(Nil, Nil, Nil, Nil))
+          val lex = scala.collection.mutable.Map(
+            st.lexDocs.zip(st.lexMicros): _*)
+          val den = scala.collection.mutable.Map(
+            st.denseDocs.zip(st.denseSims): _*)
+          rows.foreach { r =>
+            if (r.lex_hits > 0) lex(r.doc_id) = r.lex_micro
+            else lex.remove(r.doc_id)
+            den(r.doc_id) = r.dense_sim
+          }
+          // batch tiebreaks: score desc, doc_id asc; keep top-m
+          val lexTop = lex.toSeq
+            .sortBy { case (d, s) => (-s, d) }.take(m)
+          val denTop = den.toSeq
+            .sortBy { case (d, s) => (-s, d) }.take(m)
+          state.update(HybridArmState(
+            lexTop.map(_._1), lexTop.map(_._2),
+            denTop.map(_._1), denTop.map(_._2)))
+          val lexRank = lexTop.zipWithIndex
+            .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+          val denRank = denTop.zipWithIndex
+            .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+          val fused = (lexRank.keySet ++ denRank.keySet).toSeq
+            .map { d =>
+              val lr = lexRank.getOrElse(d, 0L)
+              val dr = denRank.getOrElse(d, 0L)
+              val ppm = (if (dr > 0) 1000000L / (rrfK + dr) else 0L) +
+                (if (lr > 0) 1000000L / (rrfK + lr) else 0L)
+              (d, ppm, dr, lr)
+            }
+            .sortBy { case (d, ppm, _, _) => (-ppm, d) }.take(k)
+          fused.iterator.zipWithIndex.map {
+            case ((d, ppm, dr, lr), i) =>
+              HybridRankRow(qid, i + 1L, d, ppm, dr, lr)
+          }
+        })
+  }
 }

@@ -1189,4 +1189,69 @@ class StreamingSpec extends AnyFunSuite {
     // and the near-dup's realigned tail was deduplicated too
     assert(streamed.filter(_._1 == 1L).exists(!_._3))
   }
+
+  test("streaming hybrid retrieval: fitted score stage + stateful " +
+      "top-k equals batch hybridRrf once the corpus streams through") {
+    import graft.llm.Retrieval
+    import graft.streaming.StreamingDedup
+    val corpus = Seq(
+      (1L, "apples bananas cherries", Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, "window filter stream", Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, "apples bananas grapes", Seq(0.9, 0.1, 0.0, 0.0)),
+      (4L, "apples melons", Seq(0.8, 0.0, 0.2, 0.0)),
+      (5L, "window filter sorting", Seq(0.1, 0.9, 0.0, 0.0)),
+      (6L, "stream window filter extra tokens here",
+        Seq(0.0, 0.7, 0.3, 0.0)),
+      (7L, "nothing matching whatsoever", Seq(0.0, 0.0, 1.0, 0.0)),
+      (8L, "bananas window", Seq(0.5, 0.5, 0.0, 0.0)))
+    val docs = corpus.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val emb = corpus.map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    val qids = Seq(1L, 2L)
+    def rowTuple(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val batch = Retrieval.hybridRrf(docs, emb, qids, m = 5, k = 3)
+      .collect().map(rowTuple).toSet
+    assert(batch.nonEmpty)
+    // fit the query-side model offline on the same corpus snapshot
+    val model = Retrieval.hybridFit(docs, emb, qids)
+    assert(model.queries.map(_.query_id) === qids)
+    val dir = java.nio.file.Files
+      .createTempDirectory("hybrid_in").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hybrid_ckpt").toString
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def write(rows: Seq[(Long, String, Seq[Double])]): Unit =
+      rows.toDF("doc_id", "text", "embedding")
+        .write.mode("append").parquet(dir)
+    write(corpus.take(4))
+    val stream = spark.readStream.schema(sch).parquet(dir)
+    val scored = StreamingDedup.hybridScoreStage(stream, "text",
+        "doc_id", "embedding", model)
+      .as[StreamingDedup.HybridScoreRow]
+    val ranked = StreamingDedup.hybridTopKStage(scored, m = 5, k = 3)
+    @volatile var last = Array.empty[(Long, Long, Long, Long, Long,
+      Long)]
+    val q = ranked.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[
+           StreamingDedup.HybridRankRow], _: Long) =>
+          val rows = df.collect().map(h => (h.query_id, h.rank,
+            h.doc_id, h.rrf_ppm, h.dense_rank, h.lex_rank))
+          if (rows.nonEmpty) last = rows
+      }.start()
+    q.processAllAvailable()
+    // mid-stream: a valid current top-k exists for both queries
+    assert(last.map(_._1).toSet === Set(1L, 2L))
+    write(corpus.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    // once the whole corpus has streamed through, the live ranking
+    // IS the batch hybridRrf result, rank for rank
+    assert(last.toSet === batch)
+  }
 }
