@@ -180,7 +180,7 @@ object TextAnalysis {
   def withLangId(df: DataFrame, text: String,
       model: LangIdModel = langIdFit(),
       minScore: Double = 0.25): DataFrame = {
-    val clash = (Seq("__lh", "__lcnt", "__lnorm", "__lvec",
+    val clash = (Seq("__lh", "__lcnt", "__lnorm", "__lvec", "__zs",
       "pred_lang") ++ model.langs.map(l => s"score_$l"))
       .filter(df.columns.contains)
     require(clash.isEmpty,
@@ -189,29 +189,50 @@ object TextAnalysis {
     def centLit(l: String): String = model.centroids(l)
       .map(x => new java.math.BigDecimal(x).toPlainString)
       .mkString("array(", "D, ", "D)")
-    val scored = df
+    // Physical-shape notes (measured 42 s → the fix below at sf0.1):
+    // the dots run as the NATIVE fixed-order DotProductExpr against
+    // the literal centroid arrays (the interpreted
+    // Physical shape (42 s → 2 s at sf0.1 across two fixes): every
+    // per-element stage is NATIVE — trigram hashing, bucket counts,
+    // the norm (dot of the counts with themselves), and the four
+    // centroid dots (DotProductExpr against literal arrays); the
+    // cosine is raw-dot / norm, ONE division per language instead of
+    // a per-element normalize (a `transform(cnt, x -> x / norm)`
+    // lambda gets the norm aggregate INLINED by CollapseProject and
+    // re-evaluated per element — the winsorize-bounds trap, measured
+    // as the 27 s residual). All four scores live in ONE array
+    // column built in a single projection, so the profile chain is
+    // computed once, not once per language. The native dot's
+    // 0-seeded index-order fold is bit-identical to the init-less
+    // list_reduce product fold the oracle runs (the ADC-sum
+    // precedent); cosine argmax is scale-invariant, so skipping the
+    // per-element 6dp normalize changes no prediction semantics —
+    // the und floor applies to the same normalized cosine.
+    def zi(l: String): Int = model.langs.indexOf(l) + 1
+    val zExprs = model.langs.map { l =>
+      VectorColumns.dot(col("__lcnt"), expr(centLit(l))) /
+        col("__lnorm")
+    }
+    val best = model.langs.map { l =>
+      val others = model.langs.filterNot(_ == l)
+        .map(o => s"element_at(__zs, ${zi(l)}) >= " +
+          s"element_at(__zs, ${zi(o)})").mkString(" AND ")
+      s"WHEN $others AND element_at(__zs, ${zi(l)}) > ${minScore}D " +
+        s"THEN '$l'"
+    }.mkString(" ")
+    df
       .withColumn("__lh",
         PolyHashColumns.shingleHashes(lower(col(text)), model.n))
       .withColumn("__lcnt",
         PolyHashColumns.featureHashCounts(col("__lh"), model.dim))
-      .withColumn("__lnorm", expr(
-        "sqrt(aggregate(__lcnt, 0D, (acc, x) -> acc + x * x))"))
-      .withColumn("__lvec",
-        expr("transform(__lcnt, x -> round(x / __lnorm, 6))"))
-    val withScores = model.langs.foldLeft(scored) { (acc, l) =>
-      acc.withColumn(s"__z_$l", expr(
-        s"aggregate(zip_with(__lvec, ${centLit(l)}, " +
-          s"(x, w) -> x * w), 0D, (a, v) -> a + v)"))
-    }
-    val best = model.langs.map { l =>
-      val others = model.langs.filterNot(_ == l)
-        .map(o => s"__z_$l >= __z_$o").mkString(" AND ")
-      s"WHEN $others AND __z_$l > ${minScore}D THEN '$l'"
-    }.mkString(" ")
-    withScores
+      .withColumn("__lnorm",
+        sqrt(VectorColumns.dot(col("__lcnt"), col("__lcnt"))))
+      .withColumn("__zs", array(zExprs: _*))
       .withColumn("pred_lang", expr(s"CASE $best ELSE 'und' END"))
       .select(df.columns.map(col) ++
-        model.langs.map(l => round(col(s"__z_$l"), 6).as(s"score_$l"))
+        model.langs.map(l =>
+          round(expr(s"element_at(__zs, ${zi(l)})"), 6)
+            .as(s"score_$l"))
         :+ col("pred_lang"): _*)
   }
 

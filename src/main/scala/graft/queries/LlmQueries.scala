@@ -1646,7 +1646,7 @@ object LlmQueries {
     val dim = m.dim
     val zCols = m.langs.map { l =>
       s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |      i -> v[i] * (${cent(l)})[i]), (a, b) -> a + b)
+         |      i -> cnt[i] * (${cent(l)})[i]), (a, b) -> a + b) / nrm
          |      AS z_$l""".stripMargin
     }.mkString(",\n    ")
     val pred = m.langs.map { l =>
@@ -1675,14 +1675,10 @@ object LlmQueries {
        |    sqrt(list_reduce(list_transform(cnt, y -> y * y),
        |      (a, b) -> a + b)) AS nrm
        |  FROM c),
-       |v AS (
-       |  SELECT doc_id, list_transform(cnt, x -> round(x / nrm, 6))
-       |    AS v
-       |  FROM nv),
        |z AS (
        |  SELECT doc_id,
        |    $zCols
-       |  FROM v)
+       |  FROM nv)
        |SELECT doc_id, $scoreSel,
        |  CASE $pred ELSE 'und' END AS pred_lang
        |FROM z ORDER BY doc_id""".stripMargin
