@@ -761,6 +761,31 @@ object LlmQueries {
           "batch_id", "pad_tokens")
         .orderBy("doc_id")
     }),
+    // curation_v5 (round-14): the CRAWL-NATIVE curation flagship —
+    // what the corpus looks like when it arrives with urls instead
+    // of clean source labels. Synthetic urls → RFC-3986 parse +
+    // registered-domain fold → model langId gate (drop und) → exact
+    // dedup (digest keeper) → quality-ranked cap per FOLDED domain.
+    // Every stage is an individually-oracled operator; this pins
+    // their composition in one plan.
+    "curation_v5" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("url", expr(syntheticUrl))
+      val parsed = UrlOps.withUrlParts(docs, "url")
+        .select("doc_id", "text", "registered_domain")
+      val langed = TextAnalysis.withLangId(parsed, "text")
+        .filter(col("pred_lang") =!= "und")
+        .select("doc_id", "text", "registered_domain", "pred_lang")
+      val reps = Dedup.exactReps(
+        langed.select("doc_id", "text"), "text", "doc_id")
+        .select("doc_id")
+      val surv = langed.join(reps, Seq("doc_id"))
+        .withColumn("quality", TextAnalysis.qualityScoreExpr("text"))
+      TextAnalysis.capPerDomain(surv, "registered_domain",
+        col("quality"), "doc_id", 10)
+        .select("doc_id", "registered_domain", "pred_lang", "quality")
+        .orderBy("doc_id")
+    }),
     "multimodal_meta" -> ((s, d) => {
       Canon.stringifyArrays(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
@@ -1656,7 +1681,33 @@ object LlmQueries {
     }.mkString(" ")
     val scoreSel = m.langs
       .map(l => s"round(z_$l, 6) AS score_$l").mkString(", ")
-    s"""WITH hs AS (
+    s"""WITH $duckLangIdChain
+       |SELECT doc_id, $scoreSel,
+       |  CASE $pred ELSE 'und' END AS pred_lang
+       |FROM lz ORDER BY doc_id""".stripMargin
+  }
+
+  /** The lang-id CTE chain alone (ends with `lz` carrying per-doc
+    * z_&lt;lang&gt; scores and `lp` carrying `pred_lang`), for
+    * composition into flagship oracles.
+    */
+  private def duckLangIdChain: String = {
+    val m = TextAnalysis.langIdFit()
+    def cent(l: String): String = m.centroids(l)
+      .map(x => new java.math.BigDecimal(x).toPlainString)
+      .mkString("[", ", ", "]")
+    val dim = m.dim
+    val zCols = m.langs.map { l =>
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> cnt[i] * (${cent(l)})[i]), (a, b) -> a + b) / nrm
+         |      AS z_$l""".stripMargin
+    }.mkString(",\n    ")
+    val pred = m.langs.map { l =>
+      val others = m.langs.filterNot(_ == l)
+        .map(o => s"z_$l >= z_$o").mkString(" AND ")
+      s"WHEN $others AND z_$l > 0.25 THEN '$l'"
+    }.mkString(" ")
+    s"""lhs AS (
        |  SELECT doc_id,
        |    CASE WHEN length(lower(text)) >= ${m.n} THEN
        |      list_transform(list_transform(
@@ -1665,23 +1716,23 @@ object LlmQueries {
        |        g -> ${duckPolyHash("g")})
        |    ELSE [${duckPolyHash("lower(text)")}] END AS hs
        |  FROM documents),
-       |c AS (
+       |lc AS (
        |  SELECT doc_id, list_transform(range(0, $dim), b ->
        |    CAST(len(list_filter(hs, h -> h % $dim = b)) AS DOUBLE))
        |    AS cnt
-       |  FROM hs),
-       |nv AS (
+       |  FROM lhs),
+       |lnv AS (
        |  SELECT doc_id, cnt,
        |    sqrt(list_reduce(list_transform(cnt, y -> y * y),
        |      (a, b) -> a + b)) AS nrm
-       |  FROM c),
-       |z AS (
+       |  FROM lc),
+       |lz AS (
        |  SELECT doc_id,
        |    $zCols
-       |  FROM nv)
-       |SELECT doc_id, $scoreSel,
-       |  CASE $pred ELSE 'und' END AS pred_lang
-       |FROM z ORDER BY doc_id""".stripMargin
+       |  FROM lnv),
+       |lp AS (
+       |  SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang
+       |  FROM lz)""".stripMargin
   }
 
   private val duckPlantedV =
@@ -5117,6 +5168,32 @@ object LlmQueries {
          |SELECT doc_id, registered_domain, quality FROM r
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "lang_id" -> duckLangIdSql,
+    "curation_v5" ->
+      s"""WITH $duckUrlChain,
+         |$duckLangIdChain,
+         |lng AS (
+         |  SELECT doc_id, pred_lang FROM lp WHERE pred_lang != 'und'),
+         |base AS (
+         |  SELECT pr.doc_id, pr.registered_domain, lng.pred_lang,
+         |    d.text
+         |  FROM pr JOIN lng USING (doc_id)
+         |  JOIN documents d USING (doc_id)),
+         |reps AS (
+         |  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+         |q AS (
+         |  SELECT base.doc_id, registered_domain, pred_lang,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM base JOIN reps USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, registered_domain, pred_lang, quality,
+         |    row_number() OVER (PARTITION BY registered_domain
+         |      ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT doc_id, registered_domain, pred_lang, quality FROM r
+         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "domain_cap" ->
       s"""WITH q AS (
          |  SELECT doc_id, source,
