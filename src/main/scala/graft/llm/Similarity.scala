@@ -878,6 +878,56 @@ object Similarity {
            |       + (vec_id * 1103515245L + i * 12345L) % 21L - 10L
            |       AS DOUBLE) / 100000.0D)""".stripMargin))
 
+  /** 1-bit (sign) quantization: a 64-dim embedding packs into ONE
+    * BIGINT (bit i set ⇔ component i > 0) — a 32× memory cut over
+    * float32 and the aggressive end of the quantization ladder
+    * ([[quantizeInt8]] is the 4× rung). At 100 TB this is the
+    * difference between an index that fits executor memory and one
+    * that doesn't; Hamming distance over the packed words
+    * ([[hammingTopK]]) is a single xor+popcount per candidate.
+    * All-integer: bit-identical on both engines (the shiftleft/or
+    * fold runs in index order; bit 63 lands in the BIGINT sign bit
+    * identically).
+    */
+  def binaryQuantize(df: DataFrame, id: String, vec: String)
+      : DataFrame =
+    df.select(col(id),
+      expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+           |  (acc, i) -> acc | CASE
+           |    WHEN CAST(element_at($vec, i + 1) AS DOUBLE) > 0D
+           |    THEN shiftleft(CAST(1 AS BIGINT), i)
+           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        .as("sig"))
+
+  /** Hamming top-k over [[binaryQuantize]]d signatures: per query,
+    * the k candidates with the fewest differing sign bits
+    * (bit_count(xor), distance asc, id-asc ties), self excluded.
+    * Scale shape: the query signatures broadcast; the corpus is one
+    * scan emitting (query, cand, dist) with WindowGroupLimit
+    * truncating to k per query map-side — the brute-force-cosine
+    * plan with the per-candidate cost cut from 64 multiplies to one
+    * xor+popcount and the scan payload cut 32×.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val c = binaryQuantize(corpus, id, vec)
+      .select(col(id).cast("long").as("cand_id"),
+        col("sig").as("__cs"))
+    val q = binaryQuantize(queries, id, vec)
+      .select(col(id).cast("long").as("query_id"),
+        col("sig").as("__qs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("dist",
+        expr("CAST(bit_count(__cs ^ __qs) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
+  }
+
   /** Projection-quality telemetry: recall@k of brute-force cosine
     * top-k in the [[rpProject]]ed space against the exact 64-d top-k
     * — the number that decides whether the 4×-cheaper index is good

@@ -323,6 +323,19 @@ object LlmQueries {
         "vec_id", "embedding")
         .orderBy("query_id")
     }),
+    // 1-bit binary quantization + Hamming top-k (round-14): 64 dims
+    // pack into ONE BIGINT (32x memory cut); per-candidate cost is a
+    // single xor+popcount. On the planted fixture every query's 5
+    // cluster-mates share its exact sign pattern (dist 0), so the
+    // aggressive-quantization rung provably recovers the planted
+    // top-5 — spec-pinned alongside the rp/ivf recall floors
+    "hamming_topk" -> ((s, d) => {
+      val emb = Similarity.plantedEmbeddings(
+        t(s, d, "embeddings"), "vec_id")
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // IVF occupancy / skew telemetry: the index-health dashboard —
     // empty cells surface as 0, skew_ppm 1e6 = perfectly balanced
     "ivf_balance" -> ((s, d) => {
@@ -3343,6 +3356,31 @@ object LlmQueries {
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |$duckKmeansChain,
          |${duckIvfTopkTail("c2")}""".stripMargin,
+    // hamming_topk mirror: same planted v, same index-order
+    // shiftleft/or sign-pack fold, xor+bit_count distance
+    "hamming_topk" ->
+      s"""WITH $duckPlantedV,
+         |sg AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_transform(range(0, 64),
+         |      i -> CASE WHEN vec[i + 1] > 0
+         |        THEN (CASE WHEN i = 63
+         |          THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+         |          ELSE (CAST(1 AS BIGINT) << i) END)
+         |        ELSE CAST(0 AS BIGINT) END),
+         |      (a, b) -> a | b) AS sig
+         |  FROM v),
+         |d AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(bit_count(xor(c.sig, q.sig)) AS BIGINT) AS dist
+         |  FROM sg c JOIN sg q
+         |    ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |SELECT query_id, cand_id, dist, rank FROM (
+         |  SELECT query_id, cand_id, dist, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC)
+         |    AS BIGINT) AS rank
+         |  FROM d)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_recall" ->
       s"""WITH $duckPlantedV,
          |$duckKmeansChain,

@@ -2409,6 +2409,17 @@ class LlmSpec extends AnyFunSuite {
       assert(ppm >= Similarity.RecallFloorPpm,
         s"rp recall for query $q: $ppm ppm under the floor")
     }
+    // 1-bit Hamming path: planted mates share the exact sign
+    // pattern (dist 0, id tiebreak), so even the 32x-compressed
+    // signature recovers the planted top-5 completely
+    val ham = Similarity.hammingTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    assert(ham(0L).map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(ham(0L).forall(_._2 === 0L)) // mates at distance zero
+    assert(ham(7L).map(_._1).toSet === Set(6L, 8L, 9L, 10L, 11L))
     // IVF path (fitted cells, nprobe 2): same floor
     val cents = Similarity.kmeansCentroids(emb, "vec_id",
       "embedding", cells = 16, iters = 2)
