@@ -928,6 +928,33 @@ object Similarity {
       .select("query_id", "cand_id", "dist", "rank")
   }
 
+  /** The binary-quantization SERVING path ([[pqRerank]]'s twin on
+    * the 1-bit rung): a Hamming top-`shortlist` scan over the packed
+    * signatures (one xor+popcount per candidate, 32×-smaller scan
+    * payload) followed by exact cosine re-rank of just the shortlist
+    * — full vectors are fetched for O(queries × shortlist) rows,
+    * never scanned corpus-wide.
+    */
+  def hammingRerank(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k && k >= 1, "need shortlist >= k >= 1")
+    val short = hammingTopK(corpus, queries, id, vec, shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val cv = corpus.select(col(id).cast("long").as("cand_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__cv"))
+    val qv = queries.select(col(id).cast("long").as("query_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
+    val scored = short
+      .join(cv, Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("sim", round(cosineExpr("__qv", "__cv"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** Projection-quality telemetry: recall@k of brute-force cosine
     * top-k in the [[rpProject]]ed space against the exact 64-d top-k
     * — the number that decides whether the 4×-cheaper index is good

@@ -323,6 +323,63 @@ object TextAnalysis {
           .as("est_distinct"))
   }
 
+  /** HyperLogLog distinct-count estimate per group (Flajolet,
+    * Fusy, Gandouet, Meunier 2007) over the same 60-bit uniform
+    * content hash as [[kmvDistinct]]: bucket = h mod 2^b, register
+    * M_j = max leading-zero rank of the remaining 60-b bits.
+    * Versus KMV (k longs of state, window pass): HLL state is m=2^b
+    * SMALL INTEGERS per group mergeable by max — the shuffle carries
+    * (group, bucket, max-rho) with full map-side combine and no
+    * window, which is why it is the cardinality sketch every
+    * warehouse ships; error ~1.04/√m.
+    *
+    * Determinism contract: the hash is the engine-portable md5
+    * prefix; rho is integer (bin()-length on both engines); the
+    * register fold runs bucket-sorted with 1/2^M as exact
+    * power-of-two divisions — no libm anywhere on the raw-estimate
+    * path; only the small-range linear-counting branch touches
+    * ln(), rounded at the established 6dp grain.
+    */
+  def hllDistinct(df: DataFrame, group: String, text: String,
+      b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, "need 4 <= b <= 16")
+    val m = 1 << b
+    val maxRho = 60 - b + 1
+    val regs = df
+      .select(col(group).as("__grp"), uniformHash60(text).as("__h"))
+      .withColumn("__bkt", expr(s"__h % ${m}L"))
+      .withColumn("__w", expr(s"__h DIV ${m}L"))
+      .withColumn("__rho", expr(
+        s"CASE WHEN __w = 0 THEN $maxRho " +
+          s"ELSE $maxRho - length(bin(__w)) END"))
+      .groupBy(col("__grp"), col("__bkt"))
+      .agg(max(col("__rho")).as("M"))
+    val exact = df
+      .select(col(group).as("__grp"), col(text).as("__t"))
+      .groupBy("__grp")
+      .agg(count_distinct(col("__t")).as("n_exact"))
+    regs.groupBy("__grp")
+      .agg(count(lit(1)).as("__present"),
+        expr(
+          """aggregate(sort_array(collect_list(struct(__bkt, M))),
+            |  CAST(0.0 AS DOUBLE),
+            |  (acc, e) ->
+            |    acc + 1.0D / shiftleft(CAST(1 AS BIGINT), e.M))"""
+            .stripMargin).as("__zp"))
+      .withColumn("__z",
+        col("__zp") + (lit(m) - col("__present")).cast("double"))
+      .withColumn("__raw", expr(
+        s"(0.7213D / (1.0D + 1.079D / ${m}.0D)) * " +
+          s"${m}.0D * ${m}.0D / __z"))
+      .withColumn("__zeros", lit(m.toLong) - col("__present"))
+      .join(exact, Seq("__grp"))
+      .select(col("__grp").as(group), col("n_exact"),
+        round(expr(
+          s"""CASE WHEN __raw <= ${2.5 * m}D AND __zeros > 0
+             |THEN ${m}.0D * ln(${m}.0D / __zeros)
+             |ELSE __raw END""".stripMargin), 6).as("n_est"))
+  }
+
   /** Deterministic WEIGHTED sample without replacement per group
     * (Efraimidis-Spirakis A-ES in its exponential-race form): each
     * row gets e = -ln(u)/w with u the content-hash uniform and w its

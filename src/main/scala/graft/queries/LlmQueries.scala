@@ -336,6 +336,15 @@ object LlmQueries {
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // the binary-quantization serving path: Hamming shortlist (20)
+    // over packed signatures, exact cosine re-rank of just those
+    "hamming_rerank" -> ((s, d) => {
+      val emb = Similarity.plantedEmbeddings(
+        t(s, d, "embeddings"), "vec_id")
+      Similarity.hammingRerank(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", shortlist = 20, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // IVF occupancy / skew telemetry: the index-health dashboard —
     // empty cells surface as 0, skew_ppm 1e6 = perfectly balanced
     "ivf_balance" -> ((s, d) => {
@@ -1269,6 +1278,15 @@ object LlmQueries {
         "doc_id", 10)
         .select("doc_id", "registered_domain", "quality")
         .orderBy("doc_id")
+    }),
+    // HyperLogLog per-source distinct-text estimate (round-14): the
+    // mergeable fixed-memory cardinality sketch (m=256 registers,
+    // max-combinable — no window pass, unlike kmv_sample's order
+    // statistic), exact vs estimate side by side
+    "hll_distinct" -> ((s, d) => {
+      TextAnalysis.hllDistinct(t(s, d, "documents"), "source",
+        "text")
+        .orderBy("source")
     }),
     // model-based multilingual language ID (round-14): cosine of the
     // doc's hashed char-trigram profile against per-language seed
@@ -3381,6 +3399,43 @@ object LlmQueries {
          |    AS BIGINT) AS rank
          |  FROM d)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hamming_rerank mirror: the hamming_topk chain at shortlist 20,
+    // then exact round-6 cosine over just the shortlist
+    "hamming_rerank" ->
+      s"""WITH $duckPlantedV,
+         |sg AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_transform(range(0, 64),
+         |      i -> CASE WHEN vec[i + 1] > 0
+         |        THEN (CASE WHEN i = 63
+         |          THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+         |          ELSE (CAST(1 AS BIGINT) << i) END)
+         |        ELSE CAST(0 AS BIGINT) END),
+         |      (a, b) -> a | b) AS sig
+         |  FROM v),
+         |hd AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(bit_count(xor(c.sig, q.sig)) AS BIGINT) AS dist
+         |  FROM sg c JOIN sg q
+         |    ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |sl AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC)
+         |      AS hrank
+         |    FROM hd)
+         |  WHERE hrank <= 20),
+         |rr AS (
+         |  SELECT sl.query_id, sl.cand_id,
+         |    round(${duckCos("qv.vec", "cv.vec")}, 6) + 0.0 AS sim
+         |  FROM sl JOIN v qv ON qv.vec_id = sl.query_id
+         |  JOIN v cv ON cv.vec_id = sl.cand_id)
+         |SELECT query_id, cand_id, sim, rank FROM (
+         |  SELECT query_id, cand_id, sim, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC)
+         |    AS BIGINT) AS rank
+         |  FROM rr)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_recall" ->
       s"""WITH $duckPlantedV,
          |$duckKmeansChain,
@@ -5206,6 +5261,46 @@ object LlmQueries {
          |SELECT doc_id, registered_domain, quality FROM r
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "lang_id" -> duckLangIdSql,
+    // hllDistinct mirror: same md5-prefix hash, bin()-length rho,
+    // bucket-sorted register fold with exact 1/2^M divisions;
+    // literals ::DOUBLE-cast (bare 0.7213 parses as DECIMAL)
+    "hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)
+         |      AS h,
+         |    text
+         |  FROM documents),
+         |bx AS (
+         |  SELECT source, h % 256 AS bkt, h // 256 AS w FROM h),
+         |r AS (
+         |  SELECT source, bkt,
+         |    max(CASE WHEN w = 0 THEN 53
+         |      ELSE 53 - length(bin(w)) END) AS M
+         |  FROM bx GROUP BY 1, 2),
+         |f AS (
+         |  SELECT source, count(*) AS present,
+         |    list_reduce(list_transform(list(M ORDER BY bkt),
+         |      mm -> 1.0::DOUBLE / (CAST(1 AS BIGINT) << mm)),
+         |      (a, b) -> a + b) AS zp
+         |  FROM r GROUP BY source),
+         |e AS (
+         |  SELECT source, CAST(count(DISTINCT text) AS BIGINT)
+         |    AS n_exact
+         |  FROM h GROUP BY source),
+         |s AS (
+         |  SELECT f.source, e.n_exact,
+         |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+         |      / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE
+         |      / (zp + (256 - present)) AS raw,
+         |    256 - present AS zeros
+         |  FROM f JOIN e USING (source))
+         |SELECT source, n_exact,
+         |  round(CASE WHEN raw <= 640.0::DOUBLE AND zeros > 0
+         |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / zeros)
+         |    ELSE raw END, 6) AS n_est
+         |FROM s ORDER BY source""".stripMargin,
     "curation_v5" ->
       s"""WITH $duckUrlChain,
          |$duckLangIdChain,

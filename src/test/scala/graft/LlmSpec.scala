@@ -2435,6 +2435,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("hllDistinct: estimate lands in the sketch's error band, " +
+      "duplicates never inflate, small range takes linear counting") {
+    val rows = (1 to 2000).map(i =>
+      ("big", s"unique document text number $i")) ++
+      (1 to 12).map(i => ("small", s"tiny $i")) ++
+      (1 to 50).map(_ => ("small", "tiny 1")) // pure duplicates
+    val df = rows.toDF("source", "text")
+    val out = TextAnalysis.hllDistinct(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val (bn, be) = out("big")
+    assert(bn === 2000L)
+    // m=256 -> ~6.5% standard error; 15% = ~2.3 sigma on this one
+    // fixed deterministic draw
+    assert(math.abs(be - 2000.0) / 2000.0 < 0.15, s"estimate $be")
+    val (sn, se) = out("small")
+    assert(sn === 12L)
+    assert(math.abs(se - 12.0) < 5.0, s"estimate $se")
+  }
+
   test("withLangId classifies held-out sentences in all four " +
       "languages and falls back to und") {
     val held = Seq(
