@@ -506,6 +506,29 @@ object StreamingDedup {
       .groupBy(window(col(ts), windowLen).as("win"), col(source))
       .agg(sum(col("n_bpe_tokens")).as("n_tokens"))
 
+  /** Streaming LANGUAGE-ID stage: classify a live document feed
+    * against an offline-fitted [[TextAnalysis.LangIdModel]] — the
+    * centroids ride as plan literals, every per-element step is a
+    * native expression, so the stage is row-local, join-free,
+    * zero-state, any output mode; predictions are bit-identical to
+    * the batch [[TextAnalysis.withLangId]] (spec-pinned).
+    */
+  def langIdStage(docs: DataFrame, text: String,
+      model: TextAnalysis.LangIdModel = TextAnalysis.langIdFit())
+      : DataFrame =
+    TextAnalysis.withLangId(docs, text, model)
+
+  /** Streaming URL-PARSE stage: scheme/host/port/path extraction +
+    * registered-domain folding on a live crawl feed
+    * ([[graft.llm.UrlOps.withUrlParts]] — regex projections and a
+    * literal suffix table, so row-local/zero-state like the other
+    * stateless stages). The host-grain caps/stats downstream are
+    * batch rebalancers; this stage gives the stream the keys they
+    * need.
+    */
+  def urlParseStage(docs: DataFrame, url: String): DataFrame =
+    graft.llm.UrlOps.withUrlParts(docs, url)
+
   /** One live-feed hybrid score: a document against one fitted
     * query, both arms. `lex_hits` = 0 means the doc shares no term
     * with the query (excluded from the lexical shortlist, exactly

@@ -1190,6 +1190,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_._1 == 1L).exists(!_._3))
   }
 
+  test("streaming langId and urlParse stages equal their batch " +
+      "forms; stateless, every row rides through") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("url", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("li_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("li_ck").toString
+    def rows(docs: (Long, String, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text", "url")
+        .write.mode("append").parquet(dir)
+    rows(
+      (1L, "where did you put the keys to the old car",
+        "https://a.b.Example.co.uk:8080/p"),
+      (2L, "los estudiantes estaban leyendo en el jardin",
+        "http://user:pw@www.Site.COM/x"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val staged = StreamingDedup.urlParseStage(
+      StreamingDedup.langIdStage(stream, "text"), "url")
+    val q = staged.writeStream.format("memory").queryName("li_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "les oiseaux chantent dans le jardin", "ftp://10.0.0.1:21/f"))
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5))
+    val cols = Seq("doc_id", "pred_lang", "host", "port", "is_ip",
+      "registered_domain")
+    val streamed = spark.table("li_out")
+      .selectExpr(cols: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, "en"), (2L, "es"), (3L, "fr")))
+    assert(streamed(0)._3 === "a.b.example.co.uk")
+    assert(streamed(0)._4 === 8080L)
+    assert(streamed(0)._6 === "example.co.uk")
+    assert(streamed(2)._5 === true)
+    val batch = StreamingDedup.urlParseStage(
+        StreamingDedup.langIdStage(
+          spark.read.schema(docSchema).parquet(dir), "text"), "url")
+      .selectExpr(cols: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming hybrid retrieval: fitted score stage + stateful " +
       "top-k equals batch hybridRrf once the corpus streams through") {
     import graft.llm.Retrieval
