@@ -795,9 +795,16 @@ object LlmQueries {
         .withColumn("url", expr(syntheticUrl))
       val parsed = UrlOps.withUrlParts(docs, "url")
         .select("doc_id", "text", "registered_domain")
+      // pin BEFORE the und filter: predicate pushdown substitutes
+      // pred_lang's CASE into the Filter with the __zs array expr
+      // inlined PER REFERENCE (~17x the whole trigram+count+dot
+      // chain per row — the lrQualityGate consumer note; measured
+      // 22 s vs 2.4 s at sf0.1). The pin also serves both downstream
+      // consumers (reps build + surv join) from one evaluation.
       val langed = TextAnalysis.withLangId(parsed, "text")
-        .filter(col("pred_lang") =!= "und")
         .select("doc_id", "text", "registered_domain", "pred_lang")
+        .localCheckpoint()
+        .filter(col("pred_lang") =!= "und")
       val reps = Dedup.exactReps(
         langed.select("doc_id", "text"), "text", "doc_id")
         .select("doc_id")
