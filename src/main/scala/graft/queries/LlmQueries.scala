@@ -1286,6 +1286,25 @@ object LlmQueries {
         .select("doc_id", "registered_domain", "quality")
         .orderBy("doc_id")
     }),
+    // per-language corpus composition (round-14): the table every
+    // multilingual pipeline reports before picking mixture weights —
+    // docs / tokens / chars / share per PREDICTED language (model
+    // langId, not a trusted label). Row-local scoring + one tiny
+    // aggregate on pred_lang
+    "lang_stats" -> ((s, d) => {
+      TextAnalysis.withLangId(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text")
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(size(filter(split(lower(text), ' '), " +
+            "t -> t != '')) AS BIGINT)")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("doc_share_ppm", expr(
+          "CAST((n_docs * 1000000L) DIV (sum(n_docs) OVER ()) " +
+            "AS BIGINT)"))
+        .orderBy("pred_lang")
+    }),
     // HyperLogLog per-source distinct-text estimate (round-14): the
     // mergeable fixed-memory cardinality sketch (m=256 registers,
     // max-combinable — no window pass, unlike kmv_sample's order
@@ -5268,6 +5287,20 @@ object LlmQueries {
          |SELECT doc_id, registered_domain, quality FROM r
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "lang_id" -> duckLangIdSql,
+    "lang_stats" ->
+      s"""WITH $duckLangIdChain,
+         |j AS (
+         |  SELECT lp.pred_lang, d.text
+         |  FROM lp JOIN documents d USING (doc_id))
+         |SELECT pred_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(len(list_filter(string_split(lower(text),
+         |    ' '), t -> t != '')) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT)
+         |    AS n_chars,
+         |  CAST((count(*) * 1000000) //
+         |    (SELECT count(*) FROM j) AS BIGINT) AS doc_share_ppm
+         |FROM j GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
     // hllDistinct mirror: same md5-prefix hash, bin()-length rho,
     // bucket-sorted register fold with exact 1/2^M divisions;
     // literals ::DOUBLE-cast (bare 0.7213 parses as DECIMAL)
