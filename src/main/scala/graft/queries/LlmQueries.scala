@@ -1267,6 +1267,23 @@ object LlmQueries {
           "is_ip", "registered_domain")
         .orderBy("doc_id")
     }),
+    // domain-level quality prior (round-14): mean doc quality per
+    // registered domain with a blocklist flag — the domain-grain
+    // filtering stage (one bad host family gates thousands of docs
+    // at once). Decimal-routed mean: order-independent on any
+    // partitioning (the lang_centroid discipline)
+    "domain_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("url", expr(syntheticUrl))
+      UrlOps.withUrlParts(docs, "url")
+        .withColumn("quality", TextAnalysis.qualityScoreExpr("text"))
+        .groupBy("registered_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("quality").cast("decimal(28,10)"))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"))
+        .withColumn("blocklisted", col("mean_quality") < 0.3)
+        .orderBy("registered_domain")
+    }),
     // crawl-frequency table at the registered-domain grain: doc
     // count, distinct hosts under the domain, corpus share ppm
     "host_stats" -> ((s, d) => {
@@ -5261,6 +5278,24 @@ object LlmQueries {
          |SELECT doc_id, url, scheme, host, port, path, is_ip,
          |  registered_domain
          |FROM pr ORDER BY doc_id""".stripMargin,
+    "domain_quality" ->
+      s"""WITH $duckUrlChain,
+         |q AS (
+         |  SELECT pr.registered_domain,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      AS quality
+         |  FROM pr JOIN documents USING (doc_id)),
+         |g AS (
+         |  SELECT registered_domain,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    round(CAST(sum(CAST(quality AS DECIMAL(28,10)))
+         |      AS DOUBLE) / count(*), 6) AS mean_quality
+         |  FROM q GROUP BY registered_domain)
+         |SELECT registered_domain, n_docs, mean_quality,
+         |  mean_quality < 0.3 AS blocklisted
+         |FROM g ORDER BY registered_domain""".stripMargin,
     "host_stats" ->
       s"""WITH $duckUrlChain
          |SELECT registered_domain,
