@@ -1303,6 +1303,33 @@ object LlmQueries {
         .select("doc_id", "registered_domain", "quality")
         .orderBy("doc_id")
     }),
+    // context-window fit report (round-14): per candidate window
+    // size, how many docs fit whole, how many truncate, and the
+    // token share lost to truncation — the number that picks the
+    // training context length for a corpus. One scan, the window
+    // sizes explode from a 3-element literal array
+    "context_fit" -> ((s, d) => {
+      val sized = t(s, d, "documents")
+        .select(expr("CAST(size(filter(split(lower(text), ' '), " +
+          "t -> t != '')) AS BIGINT)").as("n_tokens"))
+        // window sizes are parameters; these are fixture-matched so
+        // the report exercises both fit and truncation regimes (real
+        // runs would pass 2048/4096/8192)
+        .withColumn("win",
+          explode(expr("array(64L, 128L, 256L)")))
+      sized.groupBy("win")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") <= col("win"), 1L).otherwise(0L))
+            .as("n_fit"),
+          sum("n_tokens").as("total_tokens"),
+          sum(when(col("n_tokens") > col("win"),
+            col("n_tokens") - col("win")).otherwise(0L))
+            .as("lost_tokens"))
+        .withColumn("lost_ppm", expr(
+          "CAST((lost_tokens * 1000000L) DIV total_tokens AS BIGINT)"))
+        .select("win", "n_docs", "n_fit", "lost_tokens", "lost_ppm")
+        .orderBy("win")
+    }),
     // per-language corpus composition (round-14): the table every
     // multilingual pipeline reports before picking mixture weights —
     // docs / tokens / chars / share per PREDICTED language (model
@@ -5322,6 +5349,25 @@ object LlmQueries {
          |SELECT doc_id, registered_domain, quality FROM r
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "lang_id" -> duckLangIdSql,
+    "context_fit" ->
+      s"""WITH sized AS (
+         |  SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |x AS (
+         |  SELECT n_tokens, unnest([CAST(64 AS BIGINT),
+         |    CAST(128 AS BIGINT), CAST(256 AS BIGINT)]) AS win
+         |  FROM sized)
+         |SELECT win,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tokens <= win THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fit,
+         |  CAST(sum(CASE WHEN n_tokens > win THEN n_tokens - win
+         |    ELSE 0 END) AS BIGINT) AS lost_tokens,
+         |  CAST((sum(CASE WHEN n_tokens > win THEN n_tokens - win
+         |    ELSE 0 END) * 1000000) // sum(n_tokens) AS BIGINT)
+         |    AS lost_ppm
+         |FROM x GROUP BY win ORDER BY win""".stripMargin,
     "lang_stats" ->
       s"""WITH $duckLangIdChain,
          |j AS (
