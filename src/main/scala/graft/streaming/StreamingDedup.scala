@@ -529,6 +529,79 @@ object StreamingDedup {
   def urlParseStage(docs: DataFrame, url: String): DataFrame =
     graft.llm.UrlOps.withUrlParts(docs, url)
 
+  /** One (group, bucket, rho) HLL observation from the stateless
+    * front half of [[hllStage]]. */
+  case class HllEvent(grp: String, bkt: Long, rho: Int)
+
+  /** Live distinct-count estimate for one group. */
+  case class HllEstimate(grp: String, n_est: Double)
+
+  /** Streaming HyperLogLog: maintain, per group, the m = 2^b
+    * max-combinable registers across micro-batches and emit the
+    * current cardinality estimate every trigger — the textbook
+    * mergeable streaming sketch (state is m SMALL INTEGERS per
+    * group, independent of the feed length; registers only ever
+    * ratchet up, so late/duplicate arrivals are harmless by
+    * construction). The stateless front half computes (bucket, rho)
+    * with the same portable-hash expressions as the batch
+    * [[TextAnalysis.hllDistinct]]; the estimator replays the
+    * identical bucket-sorted fold / alpha arithmetic / 6dp rounding
+    * in Scala, so once the corpus has streamed through, the final
+    * emission per group equals the batch `n_est` to the bit
+    * (spec-pinned).
+    */
+  def hllStage(docs: DataFrame, group: String, text: String,
+      b: Int = 8): Dataset[HllEstimate] = {
+    import docs.sparkSession.implicits._
+    require(b >= 4 && b <= 16, "need 4 <= b <= 16")
+    val m = 1 << b
+    val maxRho = 60 - b + 1
+    val events = docs
+      .select(col(group).cast("string").as("grp"),
+        TextAnalysis.uniformHash60(text).as("__h"))
+      .withColumn("bkt", expr(s"__h % ${m}L"))
+      .withColumn("rho", expr(
+        s"CASE WHEN __h DIV ${m}L = 0 THEN $maxRho " +
+          s"ELSE $maxRho - length(bin(__h DIV ${m}L)) END")
+        .cast("int"))
+      .select("grp", "bkt", "rho")
+      .as[HllEvent]
+    events.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, rows: Iterator[HllEvent],
+            state: GroupState[Map[Long, Int]]) => {
+          val regs = scala.collection.mutable.Map[Long, Int]() ++
+            state.getOption.getOrElse(Map.empty[Long, Int])
+          rows.foreach { e =>
+            if (regs.getOrElse(e.bkt, 0) < e.rho) regs(e.bkt) = e.rho
+          }
+          state.update(regs.toMap)
+          // the batch estimator, replayed: bucket-sorted 0.0-seeded
+          // fold of exact 1/2^M divisions, then the same alpha /
+          // linear-counting arithmetic and HALF_UP 6dp rounding
+          val present = regs.size
+          val zp = regs.toSeq.sortBy(_._1).foldLeft(0.0) {
+            case (acc, (_, rho)) => acc + 1.0 / (1L << rho)
+          }
+          val z = zp + (m - present).toDouble
+          val raw = (0.7213 / (1.0 + 1.079 / m.toDouble)) *
+            m.toDouble * m.toDouble / z
+          val zeros = m - present
+          val est =
+            if (raw <= 2.5 * m && zeros > 0)
+              m.toDouble * math.log(m.toDouble / zeros)
+            else raw
+          // valueOf (toString-based), matching Spark's Round-on-
+          // double path (scala BigDecimal(d) wraps valueOf) — the
+          // exact-binary constructor can flip a .5 boundary
+          Iterator.single(HllEstimate(grp,
+            java.math.BigDecimal.valueOf(est)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue))
+        })
+  }
+
   /** One live-feed hybrid score: a document against one fitted
     * query, both arms. `lex_hits` = 0 means the doc shares no term
     * with the query (excluded from the lexical shortlist, exactly

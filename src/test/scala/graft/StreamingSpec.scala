@@ -1190,6 +1190,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_._1 == 1L).exists(!_._3))
   }
 
+  test("streaming HLL registers merge across micro-batches and the " +
+      "final estimate equals the batch sketch to the bit") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    val batch1 = (1 to 900).map(i => ("big", s"doc number $i")) ++
+      (1 to 6).map(i => ("small", s"tiny $i"))
+    val batch2 = (700 to 1600).map(i => ("big", s"doc number $i")) ++
+      (1 to 40).map(_ => ("small", "tiny 1")) // dups must not inflate
+    val dir = java.nio.file.Files.createTempDirectory("hll_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_ck").toString
+    def write(rows: Seq[(String, String)]): Unit =
+      rows.toDF("source", "text").write.mode("append").parquet(dir)
+    write(batch1)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    @volatile var last = Map.empty[String, Double]
+    val q = StreamingDedup.hllStage(stream, "source", "text")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[
+           StreamingDedup.HllEstimate], _: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty)
+            last = last ++ rows.map(e => e.grp -> e.n_est)
+      }.start()
+    q.processAllAvailable()
+    val mid = last
+    write(batch2)
+    q.processAllAvailable()
+    q.stop()
+    // registers only ratchet up: the estimate is monotone under new
+    // distincts, flat under pure duplicates
+    assert(last("big") >= mid("big"))
+    // bit parity with the batch sketch over the accumulated corpus
+    val batchEst = TextAnalysis.hllDistinct(
+        spark.read.schema(docSchema).parquet(dir), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batchEst("big")._1 === 1600L)
+    assert(last("big") === batchEst("big")._2)
+    assert(last("small") === batchEst("small")._2)
+    // the sketch is in its error band on the accumulated stream too
+    assert(math.abs(last("big") - 1600.0) / 1600.0 < 0.15)
+  }
+
   test("streaming langId and urlParse stages equal their batch " +
       "forms; stateless, every row rides through") {
     import graft.streaming.StreamingDedup
