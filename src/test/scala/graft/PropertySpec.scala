@@ -939,4 +939,61 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("urlParts property: assembled URLs round-trip every component " +
+      "and the registered-domain rule holds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val schemes = Seq("http", "https", "ftp")
+    val labels = Seq("alpha", "Beta", "GAMMA", "x9", "cdn", "www")
+    val suffix2 = Seq("com", "org", "net", "io")
+    val multi = graft.llm.UrlOps.multiPartSuffixes
+    (1 to 3).foreach { _ =>
+      val cases = (0 until 120).map { i =>
+        val scheme = schemes(rnd.nextInt(schemes.length))
+        val nSub = rnd.nextInt(3)
+        val isIp = rnd.nextInt(5) == 0
+        val (host, expReg) =
+          if (isIp) {
+            val ip = s"${rnd.nextInt(256)}.${rnd.nextInt(256)}" +
+              s".${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+            (ip, ip)
+          } else {
+            val base = labels(rnd.nextInt(labels.length))
+            val useMulti = rnd.nextBoolean()
+            val sfx =
+              if (useMulti) multi(rnd.nextInt(multi.length))
+              else suffix2(rnd.nextInt(suffix2.length))
+            val subs = Seq.fill(nSub)(
+              labels(rnd.nextInt(labels.length)))
+            val h = (subs :+ base :+ sfx).mkString(".")
+            (h, s"$base.$sfx".toLowerCase)
+          }
+        val userinfo = if (rnd.nextInt(4) == 0) "user:pw@" else ""
+        val port = if (rnd.nextBoolean()) rnd.nextInt(65536) else -1
+        val portS = if (port >= 0) s":$port" else ""
+        val path = if (rnd.nextBoolean()) s"/p/$i" else ""
+        val qf = if (rnd.nextInt(3) == 0) "?q=1#frag" else ""
+        (i.toLong, s"$scheme://$userinfo$host$portS$path$qf",
+          scheme, host.toLowerCase, port.toLong, path, isIp, expReg)
+      }
+      val df = cases.map(c => (c._1, c._2)).toDF("doc_id", "url")
+      val out = graft.llm.UrlOps.withUrlParts(df, "url")
+        .select("doc_id", "scheme", "host", "port", "path", "is_ip",
+          "registered_domain")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getLong(3),
+            r.getString(4), r.getBoolean(5), r.getString(6)))).toMap
+      cases.foreach { c =>
+        val (scheme, host, port, path, isIp, reg) = out(c._1)
+        assert(scheme === c._3, c._2)
+        assert(host === c._4, c._2)
+        assert(port === c._5, c._2)
+        assert(path === c._6, c._2)
+        assert(isIp === c._7, c._2)
+        assert(reg === c._8, c._2)
+      }
+    }
+  }
 }
