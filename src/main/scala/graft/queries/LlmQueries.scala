@@ -815,6 +815,43 @@ object LlmQueries {
         .select("doc_id", "registered_domain", "pred_lang", "quality")
         .orderBy("doc_id")
     }),
+    // the round-14 real-codec dispatcher oracled END TO END over a
+    // MIXED payload corpus: every third doc becomes real BMP bytes,
+    // real WAV bytes, or raw text (no codec claims it) — one
+    // extractFeatures pass must route each to its codec and emit
+    // that codec's features, with unknowns honestly empty
+    "media_dispatch" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val payloads = t(s, d, "documents")
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 192).as("__pfx"))
+        .as[(Long, String)]
+        .map { case (id, pfx) =>
+          val cps = pfx.codePoints().toArray
+          val payload = (id % 3) match {
+            case 0 =>
+              val v = Array.tabulate(192)(j =>
+                if (j < cps.length) cps(j) % 256 else 0)
+              val pixels = Array.tabulate(64)(i =>
+                (v(3 * i) << 16) | (v(3 * i + 1) << 8) | v(3 * i + 2))
+              Multimodal.encodeBmp(Multimodal.DecodedImage(8, 8,
+                pixels))
+            case 1 =>
+              val ss = Array.tabulate(64)(j =>
+                (((if (j < cps.length) cps(j) % 256 else 0) - 128)
+                  * 256).toShort)
+              Multimodal.encodeWav(Multimodal.DecodedAudio(8000, ss))
+            case _ => pfx.getBytes("UTF-8")
+          }
+          (id, payload)
+        }.toDF("doc_id", "payload")
+      Canon.stringifyArrays(
+        Multimodal.extractFeatures(payloads).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("kind"),
+            col("feat")))
+        .orderBy("doc_id")
+    }),
     "multimodal_meta" -> ((s, d) => {
       Canon.stringifyArrays(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text")
@@ -4846,6 +4883,54 @@ object LlmQueries {
         |         THEN ascii(substring(text, CAST(i * 16 + 1 AS INT), 1))
         |         ELSE 0 END), ',') AS sample
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // media_dispatch mirror: expected features recomputed from the
+    // codepoints per payload class (the multimodal_decode and
+    // multimodal_audio mirrors, CASE-selected by doc_id % 3)
+    "media_dispatch" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(0, 192), j ->
+        |      CASE WHEN j + 1 <= length(text)
+        |      THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |      ELSE 0 END) AS v,
+        |    list_transform(range(0, 64), j ->
+        |      CAST(((CASE WHEN j + 1 <= length(text)
+        |        THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |        ELSE 0 END) - 128) * 256 AS BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN CAST(246 AS BIGINT)
+        |    WHEN 1 THEN CAST(172 AS BIGINT)
+        |    ELSE CAST(least(length(text), 192) AS BIGINT)
+        |  END AS n_bytes,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav_pcm'
+        |    ELSE 'unknown' END AS kind,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN array_to_string(list_transform([
+        |      8.0,
+        |      8.0,
+        |      list_sum(list_transform(range(0, 64),
+        |        i -> CAST(v[3*i + 1] AS DOUBLE))) / 64,
+        |      list_sum(list_transform(range(0, 64),
+        |        i -> CAST(v[3*i + 2] AS DOUBLE))) / 64,
+        |      list_sum(list_transform(range(0, 64),
+        |        i -> CAST(v[3*i + 3] AS DOUBLE))) / 64],
+        |      x -> printf('%.6f', x + 0.0)), ',')
+        |    WHEN 1 THEN array_to_string(list_transform([
+        |      8000.0,
+        |      64.0,
+        |      sqrt(list_sum(list_transform(s,
+        |        x -> CAST(x * x AS DOUBLE))) / 64),
+        |      CAST(list_max(list_transform(s, x -> abs(x)))
+        |        AS DOUBLE),
+        |      CAST(list_sum(list_transform(range(1, 64), j ->
+        |        CASE WHEN s[j] * s[j + 1] < 0 THEN 1 ELSE 0 END))
+        |        AS DOUBLE)],
+        |      x -> printf('%.6f', x + 0.0)), ',')
+        |    ELSE '' END AS feat
+        |FROM b ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """WITH b AS (
         |  SELECT doc_id, list_transform(range(0, 192), j ->
