@@ -380,6 +380,108 @@ object TextAnalysis {
              |ELSE __raw END""".stripMargin), 6).as("n_est"))
   }
 
+  /** Count-Min sketch frequency estimation over the corpus token
+    * stream, with exact top-k side-by-side: d=4 pairwise-independent
+    * rows of w counters; estimate(x) = min over rows of
+    * counter[h_i(x)] — always an OVERestimate (collisions only add),
+    * error ≤ εN with ε = e/w at δ = e^-d. The sketch is the
+    * mergeable fixed-memory answer to "how often does this token
+    * appear in 100 TB" — d·w integers of state regardless of corpus
+    * or vocabulary size, vs the vocabulary-sized exact aggregate.
+    *
+    * Scale shape: the token explode fans each occurrence into d
+    * (depth, cell) increments, but the groupBy is on the
+    * d·w-cardinality cell key with FULL map-side combine — the
+    * shuffle carries at most d·w rows per map partition, so sketch
+    * build cost is one corpus scan. The candidate side (exact top-k
+    * here, for the estimate-vs-truth report) is a map-side-combined
+    * token aggregate cut by a distributed TakeOrdered; estimation
+    * joins the k candidates to the BROADCAST sketch.
+    *
+    * Determinism: the row hashes are affine maps of the md5-based
+    * token fingerprint masked to 2^30 (products stay < 2^62 — no
+    * ANSI overflow), all arithmetic integer, mirrored verbatim by
+    * the oracle.
+    */
+  def cmsTopK(df: DataFrame, text: String, k: Int = 20,
+      w: Int = 2048, d: Int = 4): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16, "need 1 <= d <= 8, w >= 16")
+    // fixed odd multipliers / offsets per depth (published CW-trick
+    // style a*x+b mod p family; any fixed odd a works)
+    val as = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L,
+      374761393L, 2654435789L, 2246822579L, 3266489941L)
+    val bs = Seq(7L, 1013904223L, 1664525L, 22695477L,
+      69069L, 1103515245L, 12345L, 1013904243L)
+    def cellExpr(i: Int, fp: String): String =
+      s"pmod(${as(i)}L * pmod($fp, 1073741824) + ${bs(i)}L, $P) % $w"
+    val toks = df.select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
+    val fp = toks.withColumn("__fp", uniformHash60("tok"))
+    val sketch = fp
+      .select(explode(expr(
+        (0 until d).map(i =>
+          s"named_struct('depth', $i, 'cell', ${cellExpr(i, "__fp")})")
+          .mkString("array(", ", ", ")"))).as("__dc"))
+      .groupBy(col("__dc.depth").as("depth"),
+        col("__dc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = fp.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"), first(col("__fp")).as("__fp"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+      .limit(k)
+    val est = (0 until d).foldLeft(top) { (acc, i) =>
+      acc.withColumn(s"__c$i", expr(cellExpr(i, "__fp")))
+        .join(broadcast(sketch.filter(col("depth") === i)
+          .select(col("cell").as(s"__c$i"), col("cnt").as(s"__n$i"))),
+          Seq(s"__c$i"), "left")
+    }
+    est.select(col("tok"), col("n_exact"),
+        expr((0 until d).map(i => s"coalesce(__n$i, 0L)")
+          .mkString("least(", ", ", ")")).as("n_est"))
+      .withColumn("err_ppm", expr(
+        "CAST(((n_est - n_exact) * 1000000L) DIV n_exact AS BIGINT)"))
+  }
+
+  /** N-gram diversity / self-repetition report per group: unigram
+    * type-token ratio and distinct-bigram / distinct-trigram ppm —
+    * the corpus-health metrics that catch template farms and
+    * synthetic-data mode collapse (low distinct-n = the corpus keeps
+    * saying the same thing). Scale shape: one tokenize projection,
+    * three map-side-combined aggregates on (group) with two-phase
+    * distinct on the gram key; no window, no collect. Docs shorter
+    * than n contribute zero n-grams (guarded — Spark's descending
+    * `sequence(1, 0)` trap).
+    */
+  def ngramDiversity(df: DataFrame, text: String, group: String)
+      : DataFrame = {
+    val toked = df.select(col(group).as("grp"), expr(
+      s"filter(split(lower($text), ' '), t -> t != '')").as("__t"))
+    def gramStats(n: Int, nm: String) = {
+      val base =
+        if (n == 1) toked.select(col("grp"), explode(col("__t")).as("g"))
+        else toked.filter(size(col("__t")) >= n)
+          .select(col("grp"), explode(expr(
+            s"""transform(sequence(1, size(__t) - ${n - 1}),
+                i -> concat_ws(' ', slice(__t, i, $n)))""")).as("g"))
+      base.groupBy("grp")
+        .agg(count(lit(1)).as(s"n_$nm"),
+          count_distinct(col("g")).as(s"d_$nm"))
+    }
+    gramStats(1, "uni")
+      .join(gramStats(2, "bi"), Seq("grp"), "left")
+      .join(gramStats(3, "tri"), Seq("grp"), "left")
+      .select(col("grp").as(group),
+        col("n_uni").as("n_tokens"),
+        expr("CAST((d_uni * 1000000L) DIV n_uni AS BIGINT)")
+          .as("ttr_ppm"),
+        expr("""CAST(CASE WHEN n_bi IS NULL THEN NULL
+          |  ELSE (d_bi * 1000000L) DIV n_bi END AS BIGINT)"""
+          .stripMargin).as("distinct2_ppm"),
+        expr("""CAST(CASE WHEN n_tri IS NULL THEN NULL
+          |  ELSE (d_tri * 1000000L) DIV n_tri END AS BIGINT)"""
+          .stripMargin).as("distinct3_ppm"))
+  }
+
   /** Deterministic WEIGHTED sample without replacement per group
     * (Efraimidis-Spirakis A-ES in its exponential-race form): each
     * row gets e = -ln(u)/w with u the content-hash uniform and w its

@@ -131,4 +131,60 @@ object UrlOps {
       priority: Column, id: String, n: Int): DataFrame =
     TextAnalysis.capPerDomain(withUrlParts(df, url),
       "registered_domain", priority, id, n)
+
+  /** Query-string parameter keys stripped during canonicalization:
+    * the cross-site tracking decorations every crawl dedup
+    * normalizes away (they vary per click, not per resource).
+    */
+  val trackingParamRegex: String =
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)$"
+
+  /** URL canonicalization — the crawl-dedup step UPSTREAM of
+    * url-grain exact dedup: two fetches of the same resource
+    * usually differ only in tracking params, default ports, case,
+    * fragments, or a trailing slash, so url-keyed dedup without
+    * canonicalization silently under-merges. Rules (each one a
+    * documented, engine-mirrorable string rewrite):
+    *   - scheme and host lowercased; userinfo stripped
+    *     (via [[withUrlParts]]);
+    *   - default ports dropped (http:80, https:443); others kept;
+    *   - ONE trailing `/` stripped from the path (so `/a/` = `/a`,
+    *     and the bare root `/` folds to the empty path);
+    *   - fragment dropped;
+    *   - query params: tracking keys ([[trackingParamRegex]])
+    *     removed, survivors SORTED bytewise and re-joined — param
+    *     order is not semantic, so `?b=2&a=1` = `?a=1&b=2`.
+    * Appends `canon_url` plus `n_params_dropped`. Row-local
+    * codegen'd projection — no shuffle, streaming-safe; whatever
+    * the caller groups the canon key by is the only exchange.
+    */
+  def canonicalizeUrl(df: DataFrame, url: String): DataFrame = {
+    val parsed = withUrlParts(df, url)
+    parsed
+      .withColumn("__qs", expr(
+        s"regexp_extract($url, '\\\\?([^#]*)', 1)"))
+      .withColumn("__pairs", expr(
+        """filter(split(__qs, '&'), p -> p != '' AND NOT
+          |  regexp_extract(p, '^([^=]*)', 1)
+          |    RLIKE 'TRACKRE')""".stripMargin
+          .replace("TRACKRE", trackingParamRegex)))
+      .withColumn("n_params_dropped", expr(
+        """CAST(size(filter(split(__qs, '&'), p -> p != ''))
+          |  - size(__pairs) AS BIGINT)""".stripMargin))
+      .withColumn("__portc", expr(
+        """CASE WHEN port = -1
+          |    OR (scheme = 'http' AND port = 80)
+          |    OR (scheme = 'https' AND port = 443) THEN ''
+          |  ELSE concat(':', CAST(port AS STRING)) END"""
+          .stripMargin))
+      .withColumn("__pathc",
+        expr("regexp_replace(path, '/$', '')"))
+      .withColumn("__qc", expr(
+        """CASE WHEN size(__pairs) = 0 THEN ''
+          |  ELSE concat('?', array_join(array_sort(__pairs), '&'))
+          |END""".stripMargin))
+      .withColumn("canon_url", expr(
+        "concat(scheme, '://', host, __portc, __pathc, __qc)"))
+      .drop("__qs", "__pairs", "__portc", "__pathc", "__qc")
+  }
 }

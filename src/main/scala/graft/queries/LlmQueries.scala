@@ -38,6 +38,34 @@ object LlmQueries {
       |              CAST(doc_id AS STRING))
       |END""".stripMargin
 
+  /** Messier synthetic URL fixture for the canonicalization query:
+    * tracking params, fragments, DEFAULT ports, trailing slashes,
+    * unsorted params, and mixed case — built so variants 0/1 and
+    * 2/3 COLLIDE after canonicalization (same resource fetched two
+    * ways, the case url-exact dedup misses), via the doc_id % 40
+    * path fold.
+    */
+  private val syntheticUrlMessy =
+    """CASE CAST(doc_id % 6 AS INT)
+      |  WHEN 0 THEN concat('https://WWW.', source, '.Com:443/p/',
+      |    CAST(doc_id % 40 AS STRING), '/?utm_source=feed&id=',
+      |    CAST(doc_id % 40 AS STRING), '#frag')
+      |  WHEN 1 THEN concat('https://www.', source, '.com/p/',
+      |    CAST(doc_id % 40 AS STRING), '?id=',
+      |    CAST(doc_id % 40 AS STRING), '&utm_campaign=x')
+      |  WHEN 2 THEN concat('http://a', CAST(doc_id % 3 AS STRING),
+      |    '.cdn.', source, '.CO.UK:80/x/', CAST(doc_id % 40 AS STRING),
+      |    '?b=2&a=1')
+      |  WHEN 3 THEN concat('http://a', CAST(doc_id % 3 AS STRING),
+      |    '.cdn.', source, '.co.uk/x/', CAST(doc_id % 40 AS STRING),
+      |    '?a=1&b=2&fbclid=XYZ')
+      |  WHEN 4 THEN concat('https://user:pw@', source, '.org/d/',
+      |    CAST(doc_id % 40 AS STRING), '/')
+      |  ELSE concat('http://10.', CAST(doc_id % 200 AS STRING),
+      |    '.0.', CAST(doc_id % 7 AS STRING), ':8000/raw?gclid=g',
+      |    CAST(doc_id % 5 AS STRING), '&z=1')
+      |END""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
@@ -1395,6 +1423,95 @@ object LlmQueries {
         "text")
         .orderBy("source")
     }),
+    // Count-Min sketch token-frequency estimates vs exact truth
+    // (round-14): d=4 × w=2048 counters built in ONE corpus scan
+    // with full map-side combine (shuffle = sketch-sized), exact
+    // top-20 via TakeOrdered, estimates by broadcast-sketch join —
+    // the mergeable "how hot is this token in 100 TB" answer
+    "cms_topk" -> ((s, d) => {
+      TextAnalysis.cmsTopK(t(s, d, "documents"), "text", k = 20)
+        .orderBy(col("n_exact").desc, col("tok").asc)
+    }),
+    // n-gram diversity per source (round-14): type-token ratio and
+    // distinct-2/3-gram ppm — the mode-collapse / template-farm
+    // detector; three map-side-combined aggregates, no window
+    "ngram_diversity" -> ((s, d) => {
+      TextAnalysis.ngramDiversity(t(s, d, "documents"), "text",
+        "source")
+        .orderBy("source")
+    }),
+    // URL canonicalization (round-14): tracking params stripped,
+    // survivors sorted, default ports/fragments/trailing slash/case
+    // folded — then url-grain dup accounting on the canon key (the
+    // merge url-exact dedup silently misses without this stage)
+    "url_canon" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("canon_url"))
+      UrlOps.canonicalizeUrl(
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", expr(syntheticUrlMessy)), "url")
+        .withColumn("n_same_canon",
+          count(lit(1)).over(w).cast("long"))
+        .withColumn("is_keeper", col("doc_id") === min("doc_id").over(w))
+        .select("doc_id", "url", "canon_url", "n_params_dropped",
+          "n_same_canon", "is_keeper")
+        .orderBy("doc_id")
+    }),
+    // tokenizer fertility per predicted language (round-14): BPE
+    // tokens per word and chars per BPE token — the tokenizer-bias
+    // report (a tokenizer that fragments one language 3× inflates
+    // its training cost 3×); fitted-BPE token counts join the
+    // langId projection, one tiny per-lang aggregate
+    "tokenizer_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = TextAnalysis.bpeApplyBatched(docs, "text", "doc_id",
+        rounds = 10, batch = 8)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      TextAnalysis.withLangId(
+        docs.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("pred_lang"),
+          expr("CAST(size(filter(split(lower(text), ' '), " +
+            "t -> t != '')) AS BIGINT)").as("__w"),
+          length(col("text")).cast("long").as("__c"))
+        .join(bpe, Seq("doc_id"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe"),
+          sum(col("__c")).as("n_chars"))
+        .withColumn("fertility_ppm", expr(
+          "CAST((n_bpe * 1000000L) DIV n_words AS BIGINT)"))
+        .withColumn("chars_per_tok_ppm", expr(
+          "CAST((n_chars * 1000000L) DIV n_bpe AS BIGINT)"))
+        .orderBy("pred_lang")
+    }),
+    // CCNet-style perplexity buckets (round-14): per predicted
+    // language, docs split into head/middle/tail thirds by the
+    // held-slice trigram-LM score — ntile(3) on the ROUNDED score
+    // (count-based tertiles: no percentile interpolation to
+    // diverge cross-engine), decimal-routed per-bucket means
+    "ppl_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.trigramLmScore(docs,
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      val langed = TextAnalysis.withLangId(
+        docs.select(col("doc_id"), col("text")), "text")
+        .select("doc_id", "pred_lang")
+      val w = Window.partitionBy(col("pred_lang"))
+        .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+      scored.join(langed, Seq("doc_id"))
+        .withColumn("__n", ntile(3).over(w))
+        .withColumn("bucket", expr("CASE __n WHEN 1 THEN 'head' " +
+          "WHEN 2 THEN 'middle' ELSE 'tail' END"))
+        .groupBy("pred_lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_logprob").cast("decimal(28,10)"))
+            .cast("double") / count(lit(1)), 6).as("mean_logprob"),
+          min(col("avg_logprob")).as("min_logprob"),
+          max(col("avg_logprob")).as("max_logprob"))
+        .orderBy("pred_lang", "bucket")
+    }),
     // model-based multilingual language ID (round-14): cosine of the
     // doc's hashed char-trigram profile against per-language seed
     // centroids (fastText-style hash-bucket linear model, centroids
@@ -1872,6 +1989,78 @@ object LlmQueries {
        |  SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang
        |  FROM lz)""".stripMargin
   }
+
+  /** [[syntheticUrlMessy]] + [[graft.llm.UrlOps.canonicalizeUrl]]
+    * mirror: same authority grammar regexes as [[duckUrlChain]],
+    * plus query-string extraction, tracking-key filter, bytewise
+    * param sort, default-port/trailing-slash/fragment folds.
+    * Final CTE `cu`: doc_id, url, canon_url, n_params_dropped.
+    */
+  private val duckCanonChain =
+    """mu AS (
+      |  SELECT doc_id, source,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN concat('https://WWW.', source, '.Com:443/p/',
+      |        CAST(doc_id % 40 AS VARCHAR), '/?utm_source=feed&id=',
+      |        CAST(doc_id % 40 AS VARCHAR), '#frag')
+      |      WHEN 1 THEN concat('https://www.', source, '.com/p/',
+      |        CAST(doc_id % 40 AS VARCHAR), '?id=',
+      |        CAST(doc_id % 40 AS VARCHAR), '&utm_campaign=x')
+      |      WHEN 2 THEN concat('http://a', CAST(doc_id % 3 AS VARCHAR),
+      |        '.cdn.', source, '.CO.UK:80/x/',
+      |        CAST(doc_id % 40 AS VARCHAR), '?b=2&a=1')
+      |      WHEN 3 THEN concat('http://a', CAST(doc_id % 3 AS VARCHAR),
+      |        '.cdn.', source, '.co.uk/x/',
+      |        CAST(doc_id % 40 AS VARCHAR), '?a=1&b=2&fbclid=XYZ')
+      |      WHEN 4 THEN concat('https://user:pw@', source, '.org/d/',
+      |        CAST(doc_id % 40 AS VARCHAR), '/')
+      |      ELSE concat('http://10.', CAST(doc_id % 200 AS VARCHAR),
+      |        '.0.', CAST(doc_id % 7 AS VARCHAR), ':8000/raw?gclid=g',
+      |        CAST(doc_id % 5 AS VARCHAR), '&z=1')
+      |    END AS url
+      |  FROM documents),
+      |ca AS (
+      |  SELECT *,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(regexp_extract(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '([^@]*)$', 1) AS hp,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+      |  FROM mu),
+      |ch AS (
+      |  SELECT *,
+      |    lower(CASE WHEN hp LIKE '[%'
+      |      THEN regexp_extract(hp, '^\[([^\]]+)\]', 1)
+      |      ELSE regexp_extract(hp, '^([^:]*)', 1) END) AS host,
+      |    CASE WHEN hp LIKE '[%' THEN
+      |      (CASE WHEN regexp_extract(hp, '\]:([0-9]+)$', 1) = ''
+      |        THEN CAST(-1 AS BIGINT)
+      |        ELSE CAST(regexp_extract(hp, '\]:([0-9]+)$', 1) AS BIGINT) END)
+      |      WHEN regexp_extract(hp, ':([0-9]+)$', 1) = ''
+      |        THEN CAST(-1 AS BIGINT)
+      |      ELSE CAST(regexp_extract(hp, ':([0-9]+)$', 1) AS BIGINT)
+      |    END AS port
+      |  FROM ca),
+      |cq AS (
+      |  SELECT *, list_filter(string_split(qs, '&'), p -> p != '') AS allp
+      |  FROM ch),
+      |cp AS (
+      |  SELECT *, list_filter(allp, p -> NOT regexp_matches(
+      |    regexp_extract(p, '^([^=]*)', 1), 'TRACKRE')) AS pairs
+      |  FROM cq),
+      |cu AS (
+      |  SELECT doc_id, url,
+      |    concat(scheme, '://', host,
+      |      CASE WHEN port = -1 OR (scheme = 'http' AND port = 80)
+      |        OR (scheme = 'https' AND port = 443) THEN ''
+      |        ELSE concat(':', CAST(port AS VARCHAR)) END,
+      |      regexp_replace(path, '/$', ''),
+      |      CASE WHEN len(pairs) = 0 THEN ''
+      |        ELSE concat('?', array_to_string(list_sort(pairs), '&')) END)
+      |      AS canon_url,
+      |    CAST(len(allp) - len(pairs) AS BIGINT) AS n_params_dropped
+      |  FROM cp)""".stripMargin
+      .replace("TRACKRE", UrlOps.trackingParamRegex)
 
   private val duckPlantedV =
     """v AS (SELECT vec_id, list_transform(range(0, 64), i ->
@@ -5507,6 +5696,194 @@ object LlmQueries {
          |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / zeros)
          |    ELSE raw END, 6) AS n_est
          |FROM s ORDER BY source""".stripMargin,
+    // cmsTopK mirror: same md5-prefix fingerprint, same affine
+    // (a*x+b) mod P mod w row hashes, sketch as 4 unioned cell
+    // aggregates, estimate = least over the 4 matched counters
+    "cms_topk" ->
+      """WITH tkc AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t != '')) AS tok
+        |  FROM documents),
+        |fpc AS MATERIALIZED (
+        |  SELECT tok,
+        |    CAST(('0x' || substring(md5(lower(regexp_replace(trim(tok),
+        |      '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM tkc),
+        |skc AS MATERIALIZED (
+        |  SELECT 0 AS depth, (2654435761 * (fp % 1073741824) + 7)
+        |      % 1000000007 % 2048 AS cell, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM fpc GROUP BY 2
+        |  UNION ALL
+        |  SELECT 1, (2246822519 * (fp % 1073741824) + 1013904223)
+        |      % 1000000007 % 2048, CAST(count(*) AS BIGINT)
+        |    FROM fpc GROUP BY 2
+        |  UNION ALL
+        |  SELECT 2, (3266489917 * (fp % 1073741824) + 1664525)
+        |      % 1000000007 % 2048, CAST(count(*) AS BIGINT)
+        |    FROM fpc GROUP BY 2
+        |  UNION ALL
+        |  SELECT 3, (668265263 * (fp % 1073741824) + 22695477)
+        |      % 1000000007 % 2048, CAST(count(*) AS BIGINT)
+        |    FROM fpc GROUP BY 2),
+        |exc AS MATERIALIZED (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, min(fp) AS fp
+        |  FROM fpc GROUP BY tok
+        |  ORDER BY n_exact DESC, tok LIMIT 20)
+        |SELECT exc.tok, exc.n_exact,
+        |  least(s0.cnt, s1.cnt, s2.cnt, s3.cnt) AS n_est,
+        |  CAST(((least(s0.cnt, s1.cnt, s2.cnt, s3.cnt) - exc.n_exact)
+        |    * 1000000) // exc.n_exact AS BIGINT) AS err_ppm
+        |FROM exc
+        |JOIN skc s0 ON s0.depth = 0 AND s0.cell =
+        |  (2654435761 * (exc.fp % 1073741824) + 7) % 1000000007 % 2048
+        |JOIN skc s1 ON s1.depth = 1 AND s1.cell =
+        |  (2246822519 * (exc.fp % 1073741824) + 1013904223)
+        |    % 1000000007 % 2048
+        |JOIN skc s2 ON s2.depth = 2 AND s2.cell =
+        |  (3266489917 * (exc.fp % 1073741824) + 1664525)
+        |    % 1000000007 % 2048
+        |JOIN skc s3 ON s3.depth = 3 AND s3.cell =
+        |  (668265263 * (exc.fp % 1073741824) + 22695477)
+        |    % 1000000007 % 2048
+        |ORDER BY n_exact DESC, tok""".stripMargin,
+    // ngramDiversity mirror: unnested 1/2/3-gram frames, two-phase
+    // COUNT(DISTINCT), integer ppm ratios; short docs guarded by
+    // the len(t) >= n WHERE (no grams contributed either way)
+    "ngram_diversity" ->
+      """WITH ndt AS MATERIALIZED (
+        |  SELECT source AS grp, list_filter(string_split(lower(text),
+        |    ' '), t -> t != '') AS t
+        |  FROM documents),
+        |ndu AS (
+        |  SELECT grp, count(*) AS n_uni, count(DISTINCT g) AS d_uni
+        |  FROM (SELECT grp, unnest(t) AS g FROM ndt) GROUP BY grp),
+        |ndb AS (
+        |  SELECT grp, count(*) AS n_bi, count(DISTINCT g) AS d_bi
+        |  FROM (
+        |    SELECT grp, unnest(list_transform(
+        |      generate_series(1, len(t) - 1),
+        |      i -> concat(t[i], ' ', t[i + 1]))) AS g
+        |    FROM ndt WHERE len(t) >= 2) GROUP BY grp),
+        |ndr AS (
+        |  SELECT grp, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+        |  FROM (
+        |    SELECT grp, unnest(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))) AS g
+        |    FROM ndt WHERE len(t) >= 3) GROUP BY grp)
+        |SELECT ndu.grp AS source, CAST(n_uni AS BIGINT) AS n_tokens,
+        |  CAST((d_uni * 1000000) // n_uni AS BIGINT) AS ttr_ppm,
+        |  CAST((d_bi * 1000000) // n_bi AS BIGINT) AS distinct2_ppm,
+        |  CAST((d_tri * 1000000) // n_tri AS BIGINT) AS distinct3_ppm
+        |FROM ndu LEFT JOIN ndb USING (grp) LEFT JOIN ndr USING (grp)
+        |ORDER BY source""".stripMargin,
+    "url_canon" ->
+      s"""WITH $duckCanonChain
+         |SELECT doc_id, url, canon_url, n_params_dropped,
+         |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+         |    AS n_same_canon,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+         |    AS is_keeper
+         |FROM cu ORDER BY doc_id""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""WITH ${duckBpeBatchedChain(10, 8)},
+         |$duckLangIdChain,
+         |tfb AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS n_bpe
+         |  FROM bdw JOIN bw10 USING (word)
+         |  GROUP BY doc_id),
+         |tfm AS (
+         |  SELECT lp.pred_lang,
+         |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+         |      t -> t != '')) AS BIGINT) AS w,
+         |    CAST(length(d.text) AS BIGINT) AS c,
+         |    tfb.n_bpe
+         |  FROM lp JOIN documents d USING (doc_id)
+         |  JOIN tfb USING (doc_id)),
+         |tfg AS (
+         |  SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS n_words,
+         |    CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |    CAST(sum(c) AS BIGINT) AS n_chars
+         |  FROM tfm GROUP BY pred_lang)
+         |SELECT pred_lang, n_docs, n_words, n_bpe, n_chars,
+         |  CAST((n_bpe * 1000000) // n_words AS BIGINT)
+         |    AS fertility_ppm,
+         |  CAST((n_chars * 1000000) // n_bpe AS BIGINT)
+         |    AS chars_per_tok_ppm
+         |FROM tfg ORDER BY pred_lang""".stripMargin,
+    // trigram-LM chain copied p-prefixed (verbatim arithmetic from
+    // the green trigram_lm_score mirror), then ntile(3) per
+    // predicted language on the ROUNDED score — count-based
+    // tertiles, no cross-engine percentile interpolation
+    "ppl_buckets" ->
+      s"""WITH $duckLangIdChain,
+         |ptok AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |    t -> t != '') AS t
+         |  FROM documents),
+         |pt3 AS (SELECT doc_id, t FROM ptok WHERE len(t) >= 3),
+         |ptr AS (SELECT doc_id, t FROM pt3 WHERE doc_id % 2 = 0),
+         |pcu AS MATERIALIZED (
+         |  SELECT w, count(*) AS cw
+         |  FROM (SELECT unnest(t) AS w FROM ptr) GROUP BY w),
+         |pk AS (
+         |  SELECT CAST(sum(cw) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM pcu),
+         |pcb AS MATERIALIZED (
+         |  SELECT x, y, count(*) AS cxy FROM (
+         |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS x,
+         |           unnest(list_slice(t, 2, len(t))) AS y
+         |    FROM ptr) GROUP BY x, y),
+         |pct AS MATERIALIZED (
+         |  SELECT a, b, c, count(*) AS cabc FROM (
+         |    SELECT unnest(list_slice(t, 1, len(t) - 2)) AS a,
+         |           unnest(list_slice(t, 2, len(t) - 1)) AS b,
+         |           unnest(list_slice(t, 3, len(t))) AS c
+         |    FROM ptr) GROUP BY a, b, c),
+         |pg AS (
+         |  SELECT doc_id,
+         |    unnest(list_slice(t, 1, len(t) - 2)) AS a,
+         |    unnest(list_slice(t, 2, len(t) - 1)) AS b,
+         |    unnest(list_slice(t, 3, len(t))) AS c
+         |  FROM pt3),
+         |psc AS (
+         |  SELECT pg.doc_id,
+         |    CASE WHEN pct.cabc IS NOT NULL
+         |           THEN ln(CAST(pct.cabc AS DOUBLE) / ab.cxy)
+         |         WHEN bc.cxy IS NOT NULL
+         |           THEN ln(0.4 * bc.cxy / ub.cw)
+         |         ELSE ln(0.16 * (coalesce(uc.cw, 0) + 1.0)
+         |           / (pk.tt + pk.v)) END AS lp
+         |  FROM pg
+         |  LEFT JOIN pcb ab ON ab.x = pg.a AND ab.y = pg.b
+         |  LEFT JOIN pcb bc ON bc.x = pg.b AND bc.y = pg.c
+         |  LEFT JOIN pcu ub ON ub.w = pg.b
+         |  LEFT JOIN pcu uc ON uc.w = pg.c
+         |  LEFT JOIN pct ON pct.a = pg.a AND pct.b = pg.b
+         |    AND pct.c = pg.c
+         |  CROSS JOIN pk),
+         |pdc AS (
+         |  SELECT doc_id, round(sum(lp) / count(*), 6) AS avg_logprob
+         |  FROM psc GROUP BY doc_id),
+         |pnt AS (
+         |  SELECT lp.pred_lang, pdc.doc_id, pdc.avg_logprob,
+         |    ntile(3) OVER (PARTITION BY lp.pred_lang
+         |      ORDER BY pdc.avg_logprob DESC, pdc.doc_id ASC) AS nt
+         |  FROM pdc JOIN lp USING (doc_id))
+         |SELECT pred_lang,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(avg_logprob AS DECIMAL(28,10)))
+         |    AS DOUBLE) / count(*), 6) AS mean_logprob,
+         |  min(avg_logprob) AS min_logprob,
+         |  max(avg_logprob) AS max_logprob
+         |FROM pnt GROUP BY 1, 2
+         |ORDER BY pred_lang, bucket""".stripMargin,
     "curation_v5" ->
       s"""WITH $duckUrlChain,
          |$duckLangIdChain,
