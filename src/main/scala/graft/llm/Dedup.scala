@@ -314,6 +314,46 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** Directional shingle-set CONTAINMENT over LSH candidate pairs —
+    * the near-SUBSET detector symmetric Jaccard misses: a short doc
+    * fully embedded in a long one has containment(short→long) ≈ 1
+    * but Jaccard ≈ |short|/|long|, far below any symmetric
+    * threshold. Containment(A→B) = |S(A) ∩ S(B)| / |S(A)|, in exact
+    * integer ppm over distinct shingle-hash sets (same hash both
+    * engines, bit-exact oracle parity).
+    *
+    * Returns (id1 < id2) pairs with both directions, the Jaccard for
+    * contrast, and `near_subset` = true when a direction clears the
+    * threshold but the symmetric Jaccard does NOT — exactly the
+    * pairs a Jaccard-τ dedup leaves behind. Same scale shape as
+    * [[verifiedPairs]]: exact-reps collapse first, candidates
+    * LSH-bounded and capped, set algebra only on candidate pairs.
+    */
+  def containmentPairs(df: DataFrame, text: String, id: String,
+      minPpm: Long = 800000L): DataFrame = {
+    val reps = exactReps(df, text, id)
+    val pairs = candidatePairs(
+      lshBuckets(minhashSignatures(reps, text, id), id), id)
+    val withSh = reps.select(col(id),
+      array_distinct(PolyHashColumns.shingleHashes(col(text)))
+        .as("__sh"))
+    pairs
+      .join(withSh.select(col(id).as("id1"), col("__sh").as("__sh1")),
+        "id1")
+      .join(withSh.select(col(id).as("id2"), col("__sh").as("__sh2")),
+        "id2")
+      .withColumn("__i",
+        size(array_intersect(col("__sh1"), col("__sh2"))).cast("long"))
+      .select(col("id1"), col("id2"),
+        expr("__i * 1000000L DIV size(__sh1)").as("c12_ppm"),
+        expr("__i * 1000000L DIV size(__sh2)").as("c21_ppm"),
+        expr("""__i * 1000000L DIV
+          | (size(__sh1) + size(__sh2) - __i)""".stripMargin)
+          .as("jaccard_ppm"))
+      .filter(greatest(col("c12_ppm"), col("c21_ppm")) >= minPpm)
+      .withColumn("near_subset", col("jaccard_ppm") < minPpm)
+  }
+
   /** Connected components over an (id1, id2) edge list by min-label
     * propagation WITH pointer-jumping: each round every vertex takes
     * the minimum of (its label, its neighbors' labels), then shortcuts

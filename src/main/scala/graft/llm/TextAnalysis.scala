@@ -403,28 +403,51 @@ object TextAnalysis {
     * ANSI overflow), all arithmetic integer, mirrored verbatim by
     * the oracle.
     */
-  def cmsTopK(df: DataFrame, text: String, k: Int = 20,
+  /** Fixed odd multipliers / offsets per CMS depth (published
+    * CW-trick style a*x+b mod p family; any fixed odd a works).
+    * Public so the streaming stage replays the identical row hashes.
+    */
+  val cmsAs: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L,
+    668265263L, 374761393L, 2654435789L, 2246822579L, 3266489941L)
+  val cmsBs: Seq[Long] = Seq(7L, 1013904223L, 1664525L, 22695477L,
+    69069L, 1103515245L, 12345L, 1013904243L)
+
+  /** Row-i cell index of a 60-bit fingerprint column, as SQL: affine
+    * map of the fingerprint masked to 2^30 (products stay < 2^62 —
+    * no ANSI overflow), mod P, mod w.
+    */
+  def cmsCellSql(i: Int, fp: String, w: Int): String =
+    s"pmod(${cmsAs(i)}L * pmod($fp, 1073741824) + ${cmsBs(i)}L, $P) % $w"
+
+  /** The (depth, cell) → count sketch frame itself — the mergeable
+    * d·w-integer state [[cmsTopK]] estimates from and the streaming
+    * stage accumulates incrementally. One corpus scan; the groupBy
+    * key has at most d·w values so the shuffle after map-side
+    * combine is sketch-sized regardless of corpus size.
+    */
+  def cmsSketch(df: DataFrame, text: String,
       w: Int = 2048, d: Int = 4): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16, "need 1 <= d <= 8, w >= 16")
-    // fixed odd multipliers / offsets per depth (published CW-trick
-    // style a*x+b mod p family; any fixed odd a works)
-    val as = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L,
-      374761393L, 2654435789L, 2246822579L, 3266489941L)
-    val bs = Seq(7L, 1013904223L, 1664525L, 22695477L,
-      69069L, 1103515245L, 12345L, 1013904243L)
-    def cellExpr(i: Int, fp: String): String =
-      s"pmod(${as(i)}L * pmod($fp, 1073741824) + ${bs(i)}L, $P) % $w"
     val toks = df.select(explode(expr(
         s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
-    val fp = toks.withColumn("__fp", uniformHash60("tok"))
-    val sketch = fp
+    toks.withColumn("__fp", uniformHash60("tok"))
       .select(explode(expr(
         (0 until d).map(i =>
-          s"named_struct('depth', $i, 'cell', ${cellExpr(i, "__fp")})")
+          s"named_struct('depth', $i, 'cell', ${cmsCellSql(i, "__fp", w)})")
           .mkString("array(", ", ", ")"))).as("__dc"))
       .groupBy(col("__dc.depth").as("depth"),
         col("__dc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  def cmsTopK(df: DataFrame, text: String, k: Int = 20,
+      w: Int = 2048, d: Int = 4): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16, "need 1 <= d <= 8, w >= 16")
+    def cellExpr(i: Int, fp: String): String = cmsCellSql(i, fp, w)
+    val toks = df.select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
+    val fp = toks.withColumn("__fp", uniformHash60("tok"))
+    val sketch = cmsSketch(df, text, w, d)
     val top = fp.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_exact"), first(col("__fp")).as("__fp"))
       .orderBy(col("n_exact").desc, col("tok").asc)
@@ -480,6 +503,94 @@ object TextAnalysis {
         expr("""CAST(CASE WHEN n_tri IS NULL THEN NULL
           |  ELSE (d_tri * 1000000L) DIV n_tri END AS BIGINT)"""
           .stripMargin).as("distinct3_ppm"))
+  }
+
+  /** Curriculum ordering: equal-count quality bands + a
+    * deterministic intra-band shuffle key — the "easy-to-hard with
+    * shuffled lessons" loader order, WITHOUT a global window.
+    *
+    * Band assignment is the `equidepth_hist` pattern at the 6dp-rounded
+    * quality-value grain: aggregate exact counts per distinct
+    * quality value (map-side combine; cardinality ≤ 1e6 by the
+    * rounding), rank values by quality DESC on the AGGREGATED frame
+    * (value-count rows, not corpus rows), band(v) =
+    * (cum_before · nBands) DIV total + 1 — every row sharing a
+    * quality value shares a band (count-based banding, no
+    * interpolation, ties never straddle engines). The value→band
+    * map broadcasts back; the shuffle key is the row-local content
+    * hash. NO corpus-sized sort or window anywhere — the caller
+    * sorts by (band, shuffle_key) at write/read time, which is
+    * Spark's distributed range sort, not this operator's problem.
+    */
+  def curriculumOrder(df: DataFrame, text: String, id: String,
+      nBands: Int = 10): DataFrame = {
+    require(nBands >= 2 && nBands <= 1000, "need 2 <= nBands <= 1000")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(id),
+      qualityScoreExpr(text).as("quality"),
+      uniformHash60(text).as("shuffle_key"))
+    val hist = scored.groupBy(col("quality"))
+      .agg(count(lit(1)).as("__n"))
+    // value-grain frame: window is over #distinct-quality rows only
+    val wv = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bands = hist
+      .withColumn("__cum", coalesce(sum(col("__n")).over(wv), lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.partitionBy()))
+      .select(col("quality"),
+        (expr(s"__cum * $nBands DIV __tot") + lit(1L)).as("band"))
+    scored.join(broadcast(bands), Seq("quality"))
+      .select(col(id), col("quality"), col("band"), col("shuffle_key"))
+  }
+
+  /** Size-stratified output-shard plan: assign every document to one
+    * of `nShards` output files so that each shard receives a
+    * statistically equal mix of EVERY size class — the layout step
+    * before a big write, where plain hash sharding leaves fat-tailed
+    * size distributions with one shard holding two whale documents.
+    *
+    * Entirely row-local assignment (log2 size bucket + content-hash
+    * spread within the bucket) — no global sort, no window, works
+    * identically on a stream. Returns the per-shard report: doc
+    * count, total payload chars, the shard's deviation from the
+    * ideal mean in signed ppm, and its largest single document (the
+    * whale check).
+    */
+  def shardPlan(df: DataFrame, text: String, id: String,
+      nShards: Int = 16): DataFrame = {
+    require(nShards >= 2 && nShards <= 100000,
+      "need 2 <= nShards <= 100000")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = df.select(col(id),
+        length(col(text)).cast("long").as("__sz"),
+        uniformHash60(text).as("__h"))
+      // log2 size class: whales and shrimps stratify separately, so
+      // every shard draws uniformly from each class
+      .withColumn("__cls", expr(
+        "CASE WHEN __sz <= 0 THEN 0 ELSE length(bin(__sz)) END"))
+      .withColumn("shard", expr(s"pmod(__h + __cls, $nShards)"))
+    val per = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("total_chars"),
+        max(col("__sz")).as("max_doc_chars"))
+    // deviation vs the all-shard mean: window over nShards rows
+    // only. Integer ppm is exact under the same ~9.2e12 BIGINT
+    // headroom contract as mixBudgetFit (|total - mean| · 1e6 must
+    // fit a long — true for any remotely balanced sharding; the
+    // greatest(_, 1) guards the degenerate all-empty corpus)
+    // signed division routed through abs: Spark DIV truncates toward
+    // zero while DuckDB // floors, so negative deviations must never
+    // hit the integer divide directly
+    per.withColumn("__mean_chars",
+        expr(s"greatest(sum(total_chars) OVER () DIV $nShards, 1L)"))
+      .select(col("shard"), col("n_docs"), col("total_chars"),
+        col("max_doc_chars"),
+        expr("""CAST(CASE WHEN total_chars >= __mean_chars
+          |  THEN (total_chars - __mean_chars) * 1000000L
+          |    DIV __mean_chars
+          |  ELSE -((__mean_chars - total_chars) * 1000000L
+          |    DIV __mean_chars) END AS BIGINT)""".stripMargin)
+          .as("dev_ppm"))
   }
 
   /** Deterministic WEIGHTED sample without replacement per group

@@ -132,6 +132,43 @@ object UrlOps {
     TextAnalysis.capPerDomain(withUrlParts(df, url),
       "registered_domain", priority, id, n)
 
+  /** Domain-grain LINK GRAPH from embedded hrefs — the crawl-native
+    * authority signal: extract every `href="…"` from the document
+    * body, fold source and target hosts to registered domains, drop
+    * self-links, and aggregate per TARGET domain: in-link count,
+    * distinct referring domains, and an out-degree-normalized
+    * authority score (Σ over in-edges of 1e6 DIV outdeg(src) — one
+    * PageRank push from a uniform prior, in exact integer ppm).
+    *
+    * Scale shape: href extraction and both URL parses are row-local
+    * regex projections; `explode` fans to one row per LINK (bounded
+    * by payload size, the same class as the token explode). The
+    * aggregates and the outdeg join all key on registered_domain —
+    * low-cardinality, naturally Zipfian; map-side combine collapses
+    * each partition to its domain set before any shuffle, and the
+    * outdeg frame (one row per SOURCE domain) broadcasts. No
+    * corpus×corpus join anywhere; a hot domain costs its edge count
+    * once.
+    */
+  def linkGraph(df: DataFrame, text: String, url: String): DataFrame = {
+    val src = withUrlParts(df, url)
+      .select(col("registered_domain").as("src_dom"), col(text))
+    val edges = src
+      .select(col("src_dom"), explode(expr(
+        s"""regexp_extract_all($text, 'href="([^"]+)"', 1)"""))
+        .as("__href"))
+    val parsed = withUrlParts(edges, "__href")
+      .select(col("src_dom"), col("registered_domain").as("dst_dom"))
+      .filter(col("dst_dom") =!= col("src_dom"))
+    val outdeg = parsed.groupBy(col("src_dom"))
+      .agg(count(lit(1)).as("__outdeg"))
+    parsed.join(broadcast(outdeg), Seq("src_dom"))
+      .groupBy(col("dst_dom"))
+      .agg(count(lit(1)).as("in_links"),
+        count_distinct(col("src_dom")).as("n_src_domains"),
+        sum(expr("1000000L DIV __outdeg")).as("authority_ppm"))
+  }
+
   /** Query-string parameter keys stripped during canonicalization:
     * the cross-site tracking decorations every crawl dedup
     * normalizes away (they vary per click, not per resource).

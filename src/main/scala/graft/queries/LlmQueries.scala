@@ -66,6 +66,27 @@ object LlmQueries {
       |    CAST(doc_id % 5 AS STRING), '&z=1')
       |END""".stripMargin
 
+  /** Synthetic document body with embedded hrefs for the link-graph
+    * query: one cross-domain link (absent for doc_id % 5 = 1 — some
+    * pages link nowhere), and either a SELF link (doc_id % 4 = 0 —
+    * exercises the self-edge drop) or a second cross-domain link
+    * into a `co.uk` multi-part-suffix family.
+    */
+  private val syntheticLinkText =
+    """concat(
+      |  CASE WHEN doc_id % 5 = 1 THEN 'no links here'
+      |    ELSE concat('see <a href="https://w',
+      |      CAST(doc_id % 3 AS STRING), '.dom',
+      |      CAST(doc_id % 23 AS STRING), '.com/a/',
+      |      CAST(doc_id AS STRING), '">t</a>') END,
+      |  ' mid ',
+      |  CASE WHEN doc_id % 4 = 0 THEN concat('<a href="', SELFURL,
+      |      '">self</a>')
+      |    ELSE concat('<a href="http://m.dom',
+      |      CAST(doc_id % 7 AS STRING), '.co.uk/b?x=',
+      |      CAST(doc_id % 11 AS STRING), '">u</a>') END)"""
+      .stripMargin.replace("SELFURL", s"($syntheticUrl)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
@@ -1512,6 +1533,66 @@ object LlmQueries {
           max(col("avg_logprob")).as("max_logprob"))
         .orderBy("pred_lang", "bucket")
     }),
+    // heuristic-vs-model language-ID confusion matrix (round-14):
+    // where the stopword heuristic and the trigram-centroid model
+    // disagree — the classifier-upgrade audit table; two row-local
+    // scorers, one tiny (heur, pred) aggregate, share window over
+    // the AGGREGATED frame (<= 25 rows)
+    "lang_confusion" -> ((s, d) => {
+      TextAnalysis.withLangId(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        .withColumn("heur_lang", TextAnalysis.langIdExpr("text"))
+        .groupBy("heur_lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_ppm", expr(
+          """CAST(n_docs * 1000000L DIV
+            | sum(n_docs) OVER (PARTITION BY heur_lang) AS BIGINT)"""
+            .stripMargin))
+        .orderBy("heur_lang", "pred_lang")
+    }),
+    // curriculum ordering (round-14): equal-count quality bands from
+    // the value-grain equidepth map (broadcast back), row-local
+    // hash shuffle key — NO corpus-sized window; loader sorts by
+    // (band, shuffle_key) as a distributed range sort
+    "curriculum_order" -> ((s, d) => {
+      TextAnalysis.curriculumOrder(t(s, d, "documents"), "text",
+        "doc_id", nBands = 5)
+        .orderBy("band", "shuffle_key", "doc_id")
+    }),
+    // size-stratified output-shard plan (round-14): row-local
+    // (log2-class + content hash) shard assignment, per-shard
+    // balance report with signed abs-routed ppm deviation
+    "shard_plan" -> ((s, d) => {
+      TextAnalysis.shardPlan(t(s, d, "documents"), "text", "doc_id",
+        nShards = 8)
+        .orderBy("shard")
+    }),
+    // domain-grain link graph (round-14): hrefs extracted from the
+    // body, both ends folded to registered domains, self-links
+    // dropped; per-target in-links, distinct referrers, and one
+    // integer PageRank push (1e6 DIV outdeg summed over in-edges)
+    "link_graph" -> ((s, d) => {
+      UrlOps.linkGraph(
+        t(s, d, "documents").select(col("doc_id"),
+          expr(syntheticUrl).as("url"),
+          expr(syntheticLinkText).as("ltext")),
+        "ltext", "url")
+        .orderBy("dst_dom")
+    }),
+    // directional containment over LSH candidates (round-14): the
+    // near-SUBSET detector — excerpt fixture plants truncated
+    // copies whose Jaccard sits below τ but containment ≈ 1
+    "containment_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = t(s, d, "documents")
+        .filter(col("doc_id") % 10 === 3 && length(col("text")) >= 40)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("substring(text, 1, CAST(length(text) DIV 2 AS INT))")
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts), "text",
+        "doc_id")
+        .orderBy("id1", "id2")
+    }),
     // model-based multilingual language ID (round-14): cosine of the
     // doc's hashed char-trigram profile against per-language seed
     // centroids (fastText-style hash-bucket linear model, centroids
@@ -2061,6 +2142,60 @@ object LlmQueries {
       |    CAST(len(allp) - len(pairs) AS BIGINT) AS n_params_dropped
       |  FROM cp)""".stripMargin
       .replace("TRACKRE", UrlOps.trackingParamRegex)
+
+  /** [[syntheticUrl]]'s VARCHAR form as a standalone expression
+    * (duckUrlChain inlines the same derivation in its `uu` CTE).
+    */
+  private val duckSyntheticUrl =
+    """(CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN concat('https://www.', source, '.com/p/',
+      |                         CAST(doc_id AS VARCHAR))
+      |      WHEN 1 THEN concat('http://a', CAST(doc_id % 3 AS VARCHAR),
+      |                         '.cdn.', source, '.CO.UK:8080/x/',
+      |                         CAST(doc_id AS VARCHAR))
+      |      WHEN 2 THEN concat('https://user:pw@', source, '.org/d/',
+      |                         CAST(doc_id AS VARCHAR))
+      |      WHEN 3 THEN concat('http://10.', CAST(doc_id % 200 AS VARCHAR),
+      |                         '.0.', CAST(doc_id % 7 AS VARCHAR),
+      |                         ':8000/raw')
+      |      ELSE concat('https://M.', source, '.NET/a?id=',
+      |                  CAST(doc_id AS VARCHAR))
+      |    END)""".stripMargin
+
+  /** Registered-domain-only URL parse chain over an arbitrary source
+    * CTE — [[duckUrlChain]]'s authority/host/PSL-fold stages,
+    * parameterized: `srcCte` must expose the `keep` columns plus
+    * `urlCol`. Emits `${pfx}r` (keep columns, registered_domain).
+    */
+  private def duckParse(srcCte: String, urlCol: String, keep: String,
+      pfx: String): String =
+    s"""${pfx}a AS (
+       |  SELECT $keep,
+       |    regexp_extract(regexp_extract($urlCol,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+       |      '([^@]*)$$', 1) AS hp
+       |  FROM $srcCte),
+       |${pfx}h AS (
+       |  SELECT *,
+       |    lower(CASE WHEN hp LIKE '[%'
+       |      THEN regexp_extract(hp, '^\\[([^\\]]+)\\]', 1)
+       |      ELSE regexp_extract(hp, '^([^:]*)', 1) END) AS host
+       |  FROM ${pfx}a),
+       |${pfx}i AS (
+       |  SELECT *,
+       |    (regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
+       |      OR hp LIKE '[%') AS is_ip,
+       |    string_split(host, '.') AS ls
+       |  FROM ${pfx}h),
+       |${pfx}r AS (
+       |  SELECT $keep,
+       |    CASE WHEN is_ip OR len(ls) <= 2 THEN host
+       |      WHEN (ls[-2] || '.' || ls[-1]) IN (SUFFIXES)
+       |        THEN (ls[-3] || '.' || ls[-2] || '.' || ls[-1])
+       |      ELSE (ls[-2] || '.' || ls[-1]) END AS registered_domain
+       |  FROM ${pfx}i)""".stripMargin
+      .replace("SUFFIXES",
+        UrlOps.multiPartSuffixes.map(x => s"'$x'").mkString(", "))
 
   private val duckPlantedV =
     """v AS (SELECT vec_id, list_transform(range(0, 64), i ->
@@ -5884,6 +6019,171 @@ object LlmQueries {
          |  max(avg_logprob) AS max_logprob
          |FROM pnt GROUP BY 1, 2
          |ORDER BY pred_lang, bucket""".stripMargin,
+    // heuristic stopword-argmax CASE mirrored in priority order
+    // (en > es > fr > de on ties, und floor), joined to the model
+    // chain; share window over the tiny aggregated frame
+    "lang_confusion" ->
+      s"""WITH $duckLangIdChain,
+         |lch AS (
+         |  SELECT doc_id,
+         |    CAST(${duckHits("en")} AS BIGINT) AS h_en,
+         |    CAST(${duckHits("es")} AS BIGINT) AS h_es,
+         |    CAST(${duckHits("fr")} AS BIGINT) AS h_fr,
+         |    CAST(${duckHits("de")} AS BIGINT) AS h_de
+         |  FROM documents),
+         |lcx AS (
+         |  SELECT doc_id, CASE
+         |    WHEN h_en >= greatest(h_es, h_fr, h_de) AND h_en > 0
+         |      THEN 'en'
+         |    WHEN h_es >= greatest(h_en, h_fr, h_de) AND h_es > 0
+         |      THEN 'es'
+         |    WHEN h_fr >= greatest(h_en, h_es, h_de) AND h_fr > 0
+         |      THEN 'fr'
+         |    WHEN h_de >= greatest(h_en, h_es, h_fr) AND h_de > 0
+         |      THEN 'de'
+         |    ELSE 'und' END AS heur_lang
+         |  FROM lch),
+         |lcg AS (
+         |  SELECT heur_lang, pred_lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM lcx JOIN lp USING (doc_id) GROUP BY 1, 2)
+         |SELECT heur_lang, pred_lang, n_docs,
+         |  CAST(n_docs * 1000000 // CAST(sum(n_docs) OVER
+         |    (PARTITION BY heur_lang) AS BIGINT) AS BIGINT)
+         |    AS share_ppm
+         |FROM lcg ORDER BY heur_lang, pred_lang""".stripMargin,
+    // value-grain equidepth band map (cum-before × nBands DIV total
+    // + 1), joined back on the 6dp quality value; no corpus window
+    "curriculum_order" ->
+      s"""WITH cqv AS (
+         |  SELECT doc_id,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text,
+         |          '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE)
+         |        / $duckNTokens * 4.0, 1.0) * 0.3, 6) AS quality,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)
+         |      AS shuffle_key
+         |  FROM documents),
+         |cqh AS (SELECT quality, count(*) AS n FROM cqv
+         |        GROUP BY quality),
+         |cqt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cqh),
+         |cqb AS (
+         |  SELECT quality,
+         |    CAST(COALESCE(SUM(n) OVER (ORDER BY quality DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) * 5 // tot + 1 AS band
+         |  FROM cqh, cqt)
+         |SELECT v.doc_id, v.quality, CAST(b.band AS BIGINT) AS band,
+         |  v.shuffle_key
+         |FROM cqv v JOIN cqb b USING (quality)
+         |ORDER BY band, shuffle_key, doc_id""".stripMargin,
+    // row-local log2-class + hash shard assignment; per-shard report
+    // with the abs-routed signed ppm deviation (// == DIV on the
+    // non-negative operands both branches feed it)
+    "shard_plan" ->
+      s"""WITH shd AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS sz,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |shc AS (
+         |  SELECT *, CASE WHEN sz <= 0 THEN 0
+         |    ELSE length(format('{:b}', sz)) END AS cls
+         |  FROM shd),
+         |shg AS (
+         |  SELECT (h + cls) % 8 AS shard,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(sz) AS BIGINT) AS total_chars,
+         |    CAST(max(sz) AS BIGINT) AS max_doc_chars
+         |  FROM shc GROUP BY 1),
+         |shm AS (SELECT greatest(CAST(sum(total_chars) AS BIGINT)
+         |  // 8, 1) AS mean FROM shg)
+         |SELECT shard, n_docs, total_chars, max_doc_chars,
+         |  CAST(CASE WHEN total_chars >= mean
+         |    THEN (total_chars - mean) * 1000000 // mean
+         |    ELSE -((mean - total_chars) * 1000000 // mean) END
+         |    AS BIGINT) AS dev_ppm
+         |FROM shg, shm ORDER BY shard""".stripMargin,
+    // href extraction + the parameterized registered-domain chain on
+    // BOTH ends; one integer PageRank push per in-edge
+    "link_graph" ->
+      s"""WITH lgd AS (
+         |  SELECT doc_id, source, $duckSyntheticUrl AS u,
+         |    concat(
+         |      CASE WHEN doc_id % 5 = 1 THEN 'no links here'
+         |        ELSE concat('see <a href="https://w',
+         |          CAST(doc_id % 3 AS VARCHAR), '.dom',
+         |          CAST(doc_id % 23 AS VARCHAR), '.com/a/',
+         |          CAST(doc_id AS VARCHAR), '">t</a>') END,
+         |      ' mid ',
+         |      CASE WHEN doc_id % 4 = 0 THEN concat('<a href="',
+         |          $duckSyntheticUrl, '">self</a>')
+         |        ELSE concat('<a href="http://m.dom',
+         |          CAST(doc_id % 7 AS VARCHAR), '.co.uk/b?x=',
+         |          CAST(doc_id % 11 AS VARCHAR), '">u</a>') END)
+         |      AS ltext
+         |  FROM documents),
+         |${duckParse("lgd", "u", "doc_id", "lgs")},
+         |lgh AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(ltext,
+         |    'href="([^"]+)"', 1)) AS h
+         |  FROM lgd),
+         |${duckParse("lgh", "h", "doc_id, h", "lgt")},
+         |lge AS (
+         |  SELECT s.registered_domain AS src_dom,
+         |    t.registered_domain AS dst_dom
+         |  FROM lgsr s JOIN lgtr t USING (doc_id)
+         |  WHERE t.registered_domain != s.registered_domain),
+         |lgo AS (SELECT src_dom, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM lge GROUP BY src_dom)
+         |SELECT dst_dom, CAST(count(*) AS BIGINT) AS in_links,
+         |  CAST(count(DISTINCT e.src_dom) AS BIGINT) AS n_src_domains,
+         |  CAST(sum(1000000 // o.outdeg) AS BIGINT) AS authority_ppm
+         |FROM lge e JOIN lgo o ON e.src_dom = o.src_dom
+         |GROUP BY dst_dom ORDER BY dst_dom""".stripMargin,
+    // union corpus (+ half-length excerpts), exact-reps collapse,
+    // the shared sig/band/cap chain, then integer-ppm containment
+    "containment_pairs" ->
+      s"""WITH ccorp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000,
+         |    substring(text, 1, CAST(length(text) // 2 AS INT))
+         |  FROM documents
+         |  WHERE doc_id % 10 = 3 AND length(text) >= 40),
+         |reps AS (SELECT min(doc_id) AS doc_id, text FROM ccorp
+         |         GROUP BY text),
+         |${sigCteFrom("reps")},
+         |$bandCte,
+         |${cappedCte()},
+         |cpp AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |csh AS (SELECT doc_id,
+         |          list_distinct(${duckHashes(duckShingles)}) AS sh
+         |        FROM reps),
+         |cint AS (
+         |  SELECT p.id1, p.id2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         |    CAST(len(a.sh) AS BIGINT) AS s1,
+         |    CAST(len(b.sh) AS BIGINT) AS s2
+         |  FROM cpp p
+         |  JOIN csh a ON a.doc_id = p.id1
+         |  JOIN csh b ON b.doc_id = p.id2)
+         |SELECT id1, id2,
+         |  i * 1000000 // s1 AS c12_ppm,
+         |  i * 1000000 // s2 AS c21_ppm,
+         |  i * 1000000 // (s1 + s2 - i) AS jaccard_ppm,
+         |  (i * 1000000 // (s1 + s2 - i)) < 800000 AS near_subset
+         |FROM cint
+         |WHERE greatest(i * 1000000 // s1, i * 1000000 // s2)
+         |  >= 800000
+         |ORDER BY id1, id2""".stripMargin,
     "curation_v5" ->
       s"""WITH $duckUrlChain,
          |$duckLangIdChain,

@@ -531,6 +531,52 @@ object StreamingDedup {
 
   /** One (group, bucket, rho) HLL observation from the stateless
     * front half of [[hllStage]]. */
+  /** One Count-Min increment: a token occurrence mapped to one
+    * (depth, cell) counter. */
+  case class CmsEvent(depth: Int, cell: Long)
+
+  /** One live sketch counter. */
+  case class CmsCell(depth: Int, cell: Long, cnt: Long)
+
+  /** Streaming COUNT-MIN SKETCH stage: accumulate the
+    * [[TextAnalysis.cmsSketch]] counters over a document feed and
+    * emit each touched counter's current value every trigger. The
+    * stateless front half replays the batch hashes exactly — token
+    * split, 60-bit md5 fingerprint, the same [[TextAnalysis
+    * .cmsCellSql]] affine row hashes — so once the corpus has
+    * streamed through, the (depth, cell, cnt) state equals the
+    * batch sketch frame row-for-row (spec-pinned). State is ONE
+    * LONG per touched counter, hard-capped at d·w keys total
+    * regardless of feed length; counters only ever increase, so
+    * duplicate delivery is the only hazard (at-least-once sinks
+    * overcount — run exactly-once or idempotent-keyed sinks, same
+    * contract as any additive streaming aggregate).
+    */
+  def cmsStage(docs: DataFrame, text: String,
+      w: Int = 2048, d: Int = 4): Dataset[CmsCell] = {
+    import docs.sparkSession.implicits._
+    require(d >= 1 && d <= 8 && w >= 16, "need 1 <= d <= 8, w >= 16")
+    val events = docs
+      .select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
+      .withColumn("__fp", TextAnalysis.uniformHash60("tok"))
+      .select(explode(expr(
+        (0 until d).map(i => s"named_struct('depth', $i, 'cell', " +
+          TextAnalysis.cmsCellSql(i, "__fp", w) + ")")
+          .mkString("array(", ", ", ")"))).as("__dc"))
+      .select(col("__dc.depth").as("depth"), col("__dc.cell").as("cell"))
+      .as[CmsEvent]
+    events.groupByKey(e => (e.depth, e.cell))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[CmsEvent],
+            state: GroupState[Long]) => {
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          Iterator.single(CmsCell(key._1, key._2, next))
+        })
+  }
+
   case class HllEvent(grp: String, bkt: Long, rho: Int)
 
   /** Live distinct-count estimate for one group. */

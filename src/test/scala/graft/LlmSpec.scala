@@ -2581,4 +2581,175 @@ class LlmSpec extends AnyFunSuite {
       (2L, 1L, 1L, 1L, 1L),
       (2L, 2L, 2L, 2L, 1L)))
   }
+
+  test("canonicalizeUrl: tracking params stripped, survivors sorted, " +
+      "default ports/fragments/trailing slash/case folded; variants " +
+      "of one resource collide") {
+    val urls = Seq(
+      (1L, "https://WWW.Example.Com:443/p/3/?utm_source=feed&id=3#f"),
+      (2L, "https://www.example.com/p/3?id=3&utm_campaign=x"),
+      (3L, "http://Example.org:80/x?b=2&a=1"),
+      (4L, "http://example.org/x?a=1&b=2&fbclid=Z"),
+      (5L, "http://example.org:8080/x"), // non-default port KEPT
+      (6L, "https://user:pw@example.net/d/"),
+      (7L, "https://example.net/only?gclid=g1")).toDF("doc_id", "url")
+    val out = UrlOps.canonicalizeUrl(urls, "url")
+      .select("doc_id", "canon_url", "n_params_dropped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // variants 1/2 fold to the same resource: scheme+host lowercased,
+    // :443 dropped, trailing slash stripped, utm_* dropped, fragment
+    // gone, surviving ?id=3 kept
+    assert(out(1L) === (("https://www.example.com/p/3?id=3", 1L)))
+    assert(out(2L) === out(1L))
+    // variants 3/4: :80 dropped, params SORTED, fbclid dropped
+    assert(out(3L) === (("http://example.org/x?a=1&b=2", 0L)))
+    assert(out(4L) === (("http://example.org/x?a=1&b=2", 1L)))
+    // non-default port survives canonicalization
+    assert(out(5L) === (("http://example.org:8080/x", 0L)))
+    // userinfo stripped, trailing slash folded
+    assert(out(6L) === (("https://example.net/d", 0L)))
+    // all params tracking -> empty query, no dangling '?'
+    assert(out(7L) === (("https://example.net/only", 1L)))
+  }
+
+  test("cmsTopK: estimates are never below exact counts and match " +
+      "exactly when the sketch is collision-free") {
+    val d = docs(
+      "apple apple apple banana banana cherry",
+      "apple banana date elderberry fig grape",
+      "apple cherry cherry kiwi lemon mango")
+    val out = TextAnalysis.cmsTopK(d, "text", k = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // 10 distinct tokens exist; k = 12 asks for more than there are
+    assert(out.length === 10)
+    // CMS is a pure overestimate: collisions only ADD counts
+    assert(out.forall { case (_, exact, est, err) =>
+      est >= exact && err >= 0L })
+    // 12 distinct tokens in 4×2048 counters: no collisions, so every
+    // estimate is exact and the top token is recovered exactly
+    assert(out.forall { case (_, exact, est, _) => est === exact })
+    val byTok = out.map(t => t._1 -> t._2).toMap
+    assert(byTok("apple") === 5L && byTok("banana") === 3L &&
+      byTok("cherry") === 3L)
+  }
+
+  test("ngramDiversity: hand-computed TTR and distinct-gram ppm; " +
+      "short docs contribute no higher grams") {
+    val d = Seq(
+      // grp a "x y x y z z": 6 tokens, 3 distinct;
+      //   bigrams x_y y_x x_y y_z z_z = 5 total, 4 distinct;
+      //   trigrams x_y_x y_x_y x_y_z y_z_z = 4 total, 4 distinct
+      ("a", "x y x y z z"),
+      // grp b: a 2-token doc and a 1-token doc -> bigram from the
+      //   first only, NO trigrams anywhere in the group
+      ("b", "p q"),
+      ("b", "r")).toDF("source", "text")
+    val out = TextAnalysis.ngramDiversity(d, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L
+          else r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(out("a") === ((6L, 3L * 1000000L / 6L, 4L * 1000000L / 5L,
+      1000000L)))
+    // grp b: 3 tokens all distinct; 1 bigram; trigram side NULL
+    assert(out("b") === ((3L, 1000000L, 1000000L, -1L)))
+  }
+
+  test("linkGraph: hrefs fold to registered domains, self-links drop, " +
+      "authority splits 1e6 by the referrer's out-degree") {
+    val d = Seq(
+      // a.com links to b.com and c.co.uk (outdeg 2)
+      (1L, """x <a href="https://x.b.com/1">t</a> y
+             <a href="http://c.co.uk/2">u</a>""",
+        "https://www.a.com/home"),
+      // b.com links to c.co.uk and ITSELF (self dropped, outdeg 1)
+      (2L, """<a href="https://sub.c.co.uk/3">v</a>
+             <a href="https://B.com/self">w</a>""",
+        "https://b.com/page"),
+      // d.org has no links at all
+      (3L, "plain text, nothing here", "https://d.org/")
+    ).toDF("doc_id", "text", "url")
+    val out = graft.llm.UrlOps.linkGraph(d, "text", "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // b.com: one in-link from a.com (outdeg 2) -> authority 500000
+    assert(out("b.com") === ((1L, 1L, 500000L)))
+    // c.co.uk: from a.com (1e6/2) + b.com (1e6/1) = 1500000
+    assert(out("c.co.uk") === ((2L, 2L, 1500000L)))
+    assert(!out.contains("a.com") && !out.contains("d.org"))
+  }
+
+  test("containmentPairs: a half-length excerpt is a near-subset — " +
+      "containment clears the bar, Jaccard does not") {
+    // 70% prefix: deep enough that the fixed minhash family lands a
+    // band collision (verified deterministic for this fixture), short
+    // enough that Jaccard stays under the 0.8 bar
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val excerpt = base.substring(0, (base.length * 7) / 10)
+    val d = Seq((1L, base), (2L, excerpt),
+      (3L, "a totally unrelated short document about other things"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, "text", "doc_id",
+      minPpm = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // the excerpt pair must be caught (identical prefix shingles →
+    // many shared minhash rows) and flagged near_subset
+    val (c12, c21, j, ns) = out((1L, 2L))
+    // containment of the EXCERPT in the base is ~1: id1=1 is the
+    // base (larger set), so c21 (excerpt side) is the high one
+    assert(c21 >= 800000L && j < 800000L && ns)
+    assert(c12 < 800000L)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
+  test("curriculumOrder: equal-count bands at the value grain; every " +
+      "row of one quality value shares a band; bands ordered " +
+      "high-quality-first") {
+    // 4 quality classes of 5 docs each via token count (the quality
+    // score is monotone in tokens below 100)
+    val d = (0 until 20).map { i =>
+      (i.toLong, (s"tok$i " * (5 + (i % 4) * 20)).trim)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.curriculumOrder(d, "text", "doc_id",
+      nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length === 20)
+    val byBand = out.groupBy(_._3)
+    assert(byBand.keySet === Set(1L, 2L, 3L, 4L))
+    assert(byBand.values.forall(_.length === 5))
+    // band 1 = highest quality; quality never increases across bands
+    val bandQ = byBand.map { case (b, rows) =>
+      b -> rows.map(_._2).distinct }
+    assert(bandQ.forall { case (_, qs) => qs.length === 1 })
+    val ordered = (1L to 4L).map(b => bandQ(b).head)
+    assert(ordered === ordered.sorted.reverse)
+  }
+
+  test("shardPlan: every doc lands in exactly one shard, totals add " +
+      "up, and dev_ppm signs around the mean") {
+    val d = (0 until 200).map { i =>
+      (i.toLong, s"document body number $i " * (1 + i % 13))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.shardPlan(d, "text", "doc_id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    assert(out.map(_._2).sum === 200L)
+    val totalChars = d.select(sum(length(col("text")))).collect()(0)
+      .getLong(0)
+    assert(out.map(_._3).sum === totalChars)
+    // signed deviations: at least one side of the mean each, and
+    // magnitudes consistent with the totals
+    val mean = totalChars / 4
+    out.foreach { case (_, _, tc, _, dev) =>
+      val expected =
+        if (tc >= mean) (tc - mean) * 1000000L / mean
+        else -((mean - tc) * 1000000L / mean)
+      assert(dev === expected)
+    }
+  }
 }

@@ -1349,4 +1349,54 @@ class StreamingSpec extends AnyFunSuite {
     // IS the batch hybridRrf result, rank for rank
     assert(last.toSet === batch)
   }
+
+  test("streaming Count-Min counters accumulate across micro-batches " +
+      "and the final state equals the batch sketch row-for-row") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(StructField("text", StringType)))
+    val batch1 = (1 to 60).map(i => s"alpha beta token$i")
+    val batch2 = (30 to 90).map(i => s"alpha gamma token$i")
+    val dir = java.nio.file.Files.createTempDirectory("cms_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ck").toString
+    def write(rows: Seq[String]): Unit =
+      rows.toDF("text").write.mode("append").parquet(dir)
+    write(batch1)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    @volatile var last = Map.empty[(Int, Long), Long]
+    val q = StreamingDedup.cmsStage(stream, "text", w = 64, d = 3)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingDedup.CmsCell],
+            _: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty)
+            last = last ++ rows.map(c => (c.depth, c.cell) -> c.cnt)
+      }.start()
+    q.processAllAvailable()
+    val mid = last
+    write(batch2)
+    q.processAllAvailable()
+    q.stop()
+    // counters only grow: every mid-stream value is <= its final
+    assert(mid.forall { case (k, v) => last(k) >= v })
+    // row-for-row parity with the batch sketch over the full corpus
+    val batch = TextAnalysis.cmsSketch(
+        spark.read.schema(docSchema).parquet(dir), "text",
+        w = 64, d = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(last === batch)
+    // 'alpha' appeared in all 121 docs: its d cells each hold >= 121
+    val fp = spark.sql(
+      "SELECT CAST(conv(substring(md5('alpha'), 1, 15), 16, 10) " +
+        "AS BIGINT) AS fp").collect()(0).getLong(0)
+    (0 until 3).foreach { i =>
+      val cell = spark.sql(
+        s"SELECT ${TextAnalysis.cmsCellSql(i, s"${fp}L", 64)}")
+        .collect()(0).getLong(0)
+      assert(last((i, cell)) >= 121L)
+    }
+  }
 }
