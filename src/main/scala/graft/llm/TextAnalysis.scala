@@ -426,41 +426,69 @@ object TextAnalysis {
     * combine is sketch-sized regardless of corpus size.
     */
   def cmsSketch(df: DataFrame, text: String,
-      w: Int = 2048, d: Int = 4): DataFrame = {
+      w: Int = 2048, d: Int = 4): DataFrame =
+    cmsSketchFromVocab(
+      df.select(explode(expr(
+          s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
+        .withColumn("__fp", uniformHash60("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("__c"), first(col("__fp")).as("__fp")),
+      w, d)
+
+  /** Sketch counters derived from a (tok, __c, __fp) VOCABULARY
+    * frame: every occurrence of a token lands in the same d cells,
+    * so cell counts are exactly the per-cell sums of token counts —
+    * identical to the occurrence-grain fold, but computed over the
+    * vocab-sized frame instead of the token stream.
+    */
+  private def cmsSketchFromVocab(vocab: DataFrame,
+      w: Int, d: Int): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16, "need 1 <= d <= 8, w >= 16")
-    val toks = df.select(explode(expr(
-        s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
-    toks.withColumn("__fp", uniformHash60("tok"))
-      .select(explode(expr(
+    vocab
+      .select(col("__c"), explode(expr(
         (0 until d).map(i =>
           s"named_struct('depth', $i, 'cell', ${cmsCellSql(i, "__fp", w)})")
           .mkString("array(", ", ", ")"))).as("__dc"))
       .groupBy(col("__dc.depth").as("depth"),
         col("__dc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__c")).as("cnt"))
   }
 
   def cmsTopK(df: DataFrame, text: String, k: Int = 20,
       w: Int = 2048, d: Int = 4): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 16, "need 1 <= d <= 8, w >= 16")
-    def cellExpr(i: Int, fp: String): String = cmsCellSql(i, fp, w)
-    val toks = df.select(explode(expr(
+    // ONE corpus scan: the vocabulary aggregate (map-side combined)
+    // is pinned and feeds BOTH consumers — the sketch counters are
+    // derived at vocab grain (all occurrences of a token share its
+    // d cells, so per-cell sums of token counts equal the
+    // occurrence-grain fold exactly) and fit-collected as
+    // MODEL-sized literal arrays (d·w longs — 16k at the default,
+    // independent of corpus size; the sanctioned fit-frame collect
+    // class), and the exact top-k is a TakeOrdered over the same
+    // pinned frame. The first cut joined the sketch frame back once
+    // per depth and Catalyst re-derived the whole subtree each time
+    // — five corpus scans for d = 4. With the literals, estimation
+    // is a row-local projection over the k-row top frame.
+    val vocab = df.select(explode(expr(
         s"filter(split(lower($text), ' '), t -> t != '')")).as("tok"))
-    val fp = toks.withColumn("__fp", uniformHash60("tok"))
-    val sketch = cmsSketch(df, text, w, d)
-    val top = fp.groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_exact"), first(col("__fp")).as("__fp"))
+      .withColumn("__fp", uniformHash60("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("__c"), first(col("__fp")).as("__fp"))
+      .localCheckpoint()
+    val counters = Array.fill(d)(Array.fill(w)(0L))
+    cmsSketchFromVocab(vocab, w, d).collect().foreach { r =>
+      counters(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val top = vocab.select(col("tok"), col("__c").as("n_exact"),
+        col("__fp"))
       .orderBy(col("n_exact").desc, col("tok").asc)
       .limit(k)
-    val est = (0 until d).foldLeft(top) { (acc, i) =>
-      acc.withColumn(s"__c$i", expr(cellExpr(i, "__fp")))
-        .join(broadcast(sketch.filter(col("depth") === i)
-          .select(col("cell").as(s"__c$i"), col("cnt").as(s"__n$i"))),
-          Seq(s"__c$i"), "left")
-    }
-    est.select(col("tok"), col("n_exact"),
-        expr((0 until d).map(i => s"coalesce(__n$i, 0L)")
-          .mkString("least(", ", ", ")")).as("n_est"))
+    val perDepth = (0 until d).map(i =>
+      element_at(typedlit(counters(i).toSeq),
+        (expr(cmsCellSql(i, "__fp", w)) + lit(1L)).cast("int")))
+    val nEst = if (perDepth.size == 1) perDepth.head
+      else least(perDepth: _*)
+    top.select(col("tok"), col("n_exact"), nEst.as("n_est"))
       .withColumn("err_ppm", expr(
         "CAST(((n_est - n_exact) * 1000000L) DIV n_exact AS BIGINT)"))
   }
@@ -479,20 +507,34 @@ object TextAnalysis {
       : DataFrame = {
     val toked = df.select(col(group).as("grp"), expr(
       s"filter(split(lower($text), ' '), t -> t != '')").as("__t"))
-    def gramStats(n: Int, nm: String) = {
-      val base =
-        if (n == 1) toked.select(col("grp"), explode(col("__t")).as("g"))
-        else toked.filter(size(col("__t")) >= n)
-          .select(col("grp"), explode(expr(
-            s"""transform(sequence(1, size(__t) - ${n - 1}),
-                i -> concat_ws(' ', slice(__t, i, $n)))""")).as("g"))
-      base.groupBy("grp")
-        .agg(count(lit(1)).as(s"n_$nm"),
-          count_distinct(col("g")).as(s"d_$nm"))
-    }
-    gramStats(1, "uni")
-      .join(gramStats(2, "bi"), Seq("grp"), "left")
-      .join(gramStats(3, "tri"), Seq("grp"), "left")
+    // ONE corpus scan: all three gram orders explode together as
+    // (order, gram) structs (the first cut ran three separate
+    // explode+aggregate subtrees — three scans of the same corpus),
+    // then distinct-counting is the exact two-phase form: (grp, o,
+    // g) pre-aggregate with map-side combine, per-(grp, o) rollup,
+    // and a conditional pivot on the tiny per-order frame. The CASE
+    // guards keep short docs out of higher orders WITHOUT the
+    // descending-`sequence(1, 0)` trap.
+    val emptyG = "CAST(array() AS ARRAY<STRUCT<o: INT, g: STRING>>)"
+    def orderN(n: Int): String =
+      if (n == 1) "transform(__t, t -> named_struct('o', 1, 'g', t))"
+      else s"""CASE WHEN size(__t) >= $n THEN
+           transform(sequence(1, size(__t) - ${n - 1}),
+             i -> named_struct('o', $n, 'g',
+               concat_ws(' ', slice(__t, i, $n))))
+           ELSE $emptyG END"""
+    val perGram = toked
+      .select(col("grp"), explode(expr(
+        s"concat(${orderN(1)}, ${orderN(2)}, ${orderN(3)})")).as("og"))
+      .groupBy(col("grp"), col("og.o").as("o"), col("og.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val perOrder = perGram.groupBy(col("grp"), col("o"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("dd"))
+    def pick(o: Int, c: String) = sum(when(col("o") === o, col(c)))
+    perOrder.groupBy(col("grp"))
+      .agg(pick(1, "n").as("n_uni"), pick(1, "dd").as("d_uni"),
+        pick(2, "n").as("n_bi"), pick(2, "dd").as("d_bi"),
+        pick(3, "n").as("n_tri"), pick(3, "dd").as("d_tri"))
       .select(col("grp").as(group),
         col("n_uni").as("n_tokens"),
         expr("CAST((d_uni * 1000000L) DIV n_uni AS BIGINT)")

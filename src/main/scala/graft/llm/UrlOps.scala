@@ -157,9 +157,17 @@ object UrlOps {
       .select(col("src_dom"), explode(expr(
         s"""regexp_extract_all($text, 'href="([^"]+)"', 1)"""))
         .as("__href"))
+    // materialize the edge list ONCE (the pagerank_sim discipline):
+    // it feeds both the outdeg aggregate and the target-grain
+    // aggregate, so without the pin the whole extract+parse chain
+    // runs twice — and the chain inlined into the aggregates' KEY
+    // expressions blows the generated hashAgg method past Janino's
+    // limit (observed: codegen fallback to interpreted on the
+    // synthetic-fixture form)
     val parsed = withUrlParts(edges, "__href")
       .select(col("src_dom"), col("registered_domain").as("dst_dom"))
       .filter(col("dst_dom") =!= col("src_dom"))
+      .localCheckpoint()
     val outdeg = parsed.groupBy(col("src_dom"))
       .agg(count(lit(1)).as("__outdeg"))
     parsed.join(broadcast(outdeg), Seq("src_dom"))

@@ -1572,11 +1572,16 @@ object LlmQueries {
     // dropped; per-target in-links, distinct referrers, and one
     // integer PageRank push (1e6 DIV outdeg summed over in-edges)
     "link_graph" -> ((s, d) => {
-      UrlOps.linkGraph(
-        t(s, d, "documents").select(col("doc_id"),
-          expr(syntheticUrl).as("url"),
-          expr(syntheticLinkText).as("ltext")),
-        "ltext", "url")
+      // fixture pin: the synthetic url+body CASEs are plan-literal
+      // bloat a real crawl column doesn't have — materialized here
+      // so the operator's own parse/aggregate spans stay compiled
+      // (unpinned, the fixture inlined per-href blew the projection
+      // span past Janino's method limit → interpreted fallback)
+      val fx = t(s, d, "documents").select(col("doc_id"),
+        expr(syntheticUrl).as("url"),
+        expr(syntheticLinkText).as("ltext"))
+        .localCheckpoint()
+      UrlOps.linkGraph(fx, "ltext", "url")
         .orderBy("dst_dom")
     }),
     // directional containment over LSH candidates (round-14): the
