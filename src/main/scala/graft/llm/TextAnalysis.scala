@@ -599,19 +599,29 @@ object TextAnalysis {
     * ideal mean in signed ppm, and its largest single document (the
     * whale check).
     */
-  def shardPlan(df: DataFrame, text: String, id: String,
-      nShards: Int = 16): DataFrame = {
+  /** The row-local assignment half of [[shardPlan]]: append `shard`
+    * (plus internal `__sz`) to the input — log2 size class offsets
+    * the content hash so whales and shrimps stratify separately.
+    * Pure projection; streaming-safe.
+    */
+  def withShard(df: DataFrame, text: String, id: String,
+      nShards: Int): DataFrame = {
     require(nShards >= 2 && nShards <= 100000,
       "need 2 <= nShards <= 100000")
-    import org.apache.spark.sql.expressions.Window
-    val assigned = df.select(col(id),
-        length(col(text)).cast("long").as("__sz"),
-        uniformHash60(text).as("__h"))
+    df.withColumn("__sz", length(col(text)).cast("long"))
+      .withColumn("__h", uniformHash60(text))
       // log2 size class: whales and shrimps stratify separately, so
       // every shard draws uniformly from each class
       .withColumn("__cls", expr(
         "CASE WHEN __sz <= 0 THEN 0 ELSE length(bin(__sz)) END"))
       .withColumn("shard", expr(s"pmod(__h + __cls, $nShards)"))
+      .drop("__h", "__cls")
+  }
+
+  def shardPlan(df: DataFrame, text: String, id: String,
+      nShards: Int = 16): DataFrame = {
+    val assigned = withShard(df.select(col(id), col(text)), text, id,
+      nShards)
     val per = assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("total_chars"),
         max(col("__sz")).as("max_doc_chars"))

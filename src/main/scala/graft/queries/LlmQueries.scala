@@ -839,6 +839,40 @@ object LlmQueries {
     // dedup (digest keeper) → quality-ranked cap per FOLDED domain.
     // Every stage is an individually-oracled operator; this pins
     // their composition in one plan.
+    // curation_v6 (round-14): the crawl-to-corpus flagship over the
+    // MESSY url fixture — canonicalize (tracking strip, param sort,
+    // port/slash/fragment/case folds) → URL-GRAIN merge on the
+    // canon key (the dedup url-exact merging misses) → model langId
+    // gate (pinned before the filter, the v5 discipline) →
+    // value-grain equidepth curriculum bands → row-local
+    // size-stratified shard assignment. One corpus-grain chain:
+    // canon projection is row-local, the merge shuffles the
+    // (canon_url)-keyed slim frame, langId is row-local, bands come
+    // from a broadcast value map, shards from a projection.
+    "curation_v6" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .withColumn("url", expr(syntheticUrlMessy))
+      val canon = UrlOps.canonicalizeUrl(docs, "url")
+        .select("doc_id", "text", "registered_domain", "canon_url")
+      val keeper = canon.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val merged = canon.join(keeper, Seq("canon_url", "doc_id"))
+      val langed = TextAnalysis.withLangId(merged, "text")
+        .select("doc_id", "text", "registered_domain", "canon_url",
+          "pred_lang")
+        .localCheckpoint()
+        .filter(col("pred_lang") =!= "und")
+      val banded = TextAnalysis.curriculumOrder(langed, "text",
+        "doc_id", nBands = 4)
+        .select("doc_id", "quality", "band")
+      TextAnalysis.withShard(
+        langed.join(banded, Seq("doc_id")), "text", "doc_id",
+        nShards = 8)
+        .select("doc_id", "registered_domain", "pred_lang",
+          "quality", "band", "shard")
+        .orderBy("doc_id")
+    }),
     "curation_v5" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("url", expr(syntheticUrl))
@@ -6189,6 +6223,47 @@ object LlmQueries {
          |WHERE greatest(i * 1000000 // s1, i * 1000000 // s2)
          |  >= 800000
          |ORDER BY id1, id2""".stripMargin,
+    // v6: canon chain -> min-id merge on canon_url -> langId gate ->
+    // registered_domain re-derived by parsing the canon key itself
+    // (same folded host, proven identical) -> equidepth band map ->
+    // (hash + log2 class) % 8 shard
+    "curation_v6" ->
+      s"""WITH $duckCanonChain,
+         |$duckLangIdChain,
+         |v6k AS (SELECT canon_url, min(doc_id) AS doc_id FROM cu
+         |        GROUP BY canon_url),
+         |v6l AS (
+         |  SELECT k.doc_id, k.canon_url, lp.pred_lang
+         |  FROM v6k k JOIN lp USING (doc_id)
+         |  WHERE lp.pred_lang != 'und'),
+         |${duckParse("v6l", "canon_url", "doc_id, pred_lang", "v6d")},
+         |v6q AS (
+         |  SELECT r.doc_id, r.pred_lang, r.registered_domain,
+         |    round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text,
+         |          '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE)
+         |        / $duckNTokens * 4.0, 1.0) * 0.3, 6) AS quality,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS h,
+         |    CAST(length(text) AS BIGINT) AS sz
+         |  FROM v6dr r JOIN documents d USING (doc_id)),
+         |v6h AS (SELECT quality, count(*) AS n FROM v6q
+         |        GROUP BY quality),
+         |v6t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM v6h),
+         |v6b AS (
+         |  SELECT quality,
+         |    CAST(COALESCE(SUM(n) OVER (ORDER BY quality DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) * 4 // tot + 1 AS band
+         |  FROM v6h, v6t)
+         |SELECT q.doc_id, q.registered_domain, q.pred_lang,
+         |  q.quality, CAST(b.band AS BIGINT) AS band,
+         |  (q.h + CASE WHEN q.sz <= 0 THEN 0
+         |    ELSE length(format('{:b}', q.sz)) END) % 8 AS shard
+         |FROM v6q q JOIN v6b b USING (quality)
+         |ORDER BY doc_id""".stripMargin,
     "curation_v5" ->
       s"""WITH $duckUrlChain,
          |$duckLangIdChain,
