@@ -529,6 +529,30 @@ object StreamingDedup {
   def urlParseStage(docs: DataFrame, url: String): DataFrame =
     graft.llm.UrlOps.withUrlParts(docs, url)
 
+  /** Streaming URL-CANONICALIZATION stage: tracking-param strip,
+    * bytewise param sort, default-port/fragment/trailing-slash/case
+    * folds on a live crawl feed ([[graft.llm.UrlOps
+    * .canonicalizeUrl]] — string-rewrite projections only, so
+    * row-local/zero-state). Feed `canon_url` into the
+    * watermark-bounded content dedup ([[dedupByContent]] keyed on
+    * the canon key instead of the body) for the streaming form of
+    * the url-grain merge.
+    */
+  def urlCanonStage(docs: DataFrame, url: String): DataFrame =
+    graft.llm.UrlOps.canonicalizeUrl(docs, url)
+
+  /** Streaming SHARD-ASSIGNMENT stage: [[TextAnalysis.withShard]]'s
+    * row-local (log2 size class + content hash) assignment on a
+    * live feed — the partitionBy("shard") key for a streaming
+    * parquet sink, so each micro-batch appends into the same
+    * size-stratified layout the batch [[TextAnalysis.shardPlan]]
+    * reports on. Zero state, any output mode, bit-identical to the
+    * batch assignment (spec-pinned).
+    */
+  def shardStage(docs: DataFrame, text: String, id: String,
+      nShards: Int): DataFrame =
+    TextAnalysis.withShard(docs, text, id, nShards)
+
   /** One (group, bucket, rho) HLL observation from the stateless
     * front half of [[hllStage]]. */
   /** One Count-Min increment: a token occurrence mapped to one

@@ -1350,6 +1350,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.toSet === batch)
   }
 
+  test("streaming urlCanon and shard stages equal their batch forms; " +
+      "stateless, two canon variants collide on the stream too") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("url", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("uc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("uc_ck").toString
+    def rows(docs: (Long, String, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text", "url")
+        .write.mode("append").parquet(dir)
+    rows(
+      (1L, "some body text for doc one",
+        "https://WWW.Shop.Com:443/p/1/?utm_source=x&id=1#f"),
+      (2L, "a different and rather longer body text for doc two",
+        "https://www.shop.com/p/1?id=1"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val staged = StreamingDedup.shardStage(
+      StreamingDedup.urlCanonStage(stream, "url"), "text", "doc_id",
+      nShards = 8)
+    val q = staged.writeStream.format("memory").queryName("uc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "third doc body", "http://other.org:8080/x?b=2&a=1&gclid=g"))
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("doc_id", "canon_url", "n_params_dropped", "shard")
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("uc_out")
+      .selectExpr(cols: _*).collect().map(tup).sortBy(_._1)
+    // the two variants of one resource collide on the live feed
+    assert(streamed(0)._2 === "https://www.shop.com/p/1?id=1")
+    assert(streamed(0)._2 === streamed(1)._2)
+    assert(streamed(0)._3 === 1L && streamed(1)._3 === 0L)
+    // non-default port kept, params sorted, tracking key dropped
+    assert(streamed(2)._2 === "http://other.org:8080/x?a=1&b=2")
+    val batch = StreamingDedup.shardStage(
+        StreamingDedup.urlCanonStage(
+          spark.read.schema(docSchema).parquet(dir), "url"),
+        "text", "doc_id", nShards = 8)
+      .selectExpr(cols: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming Count-Min counters accumulate across micro-batches " +
       "and the final state equals the batch sketch row-for-row") {
     import graft.streaming.StreamingDedup
