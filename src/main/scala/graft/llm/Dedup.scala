@@ -1054,6 +1054,65 @@ object Dedup {
     .groupBy(col("gram")).agg(count(lit(1)).as("df"))
     .filter(col("df") >= minDocs)
 
+  /** SITE-template detector — [[boilerplateNgrams]] at the
+    * registered-domain grain, which is how real template removal
+    * works: a navigation header on every page of ONE site never
+    * clears a corpus-wide df threshold proportionally, but covers
+    * ~100% of its own domain's pages. A word n-gram is template
+    * when it appears (doc-distinct) in ≥ `minDocs` documents AND in
+    * ≥ `minSharePpm` of the domain's pages.
+    *
+    * Scale shape: one gram explode (doc-distinct per doc — a page
+    * repeating its own chrome counts once), one map-side-combined
+    * (domain, gram) aggregate, the per-domain doc counts broadcast.
+    * The domain key is naturally Zipfian; a hot domain costs its
+    * gram volume once, and the `minDocs` filter prunes the unique-
+    * gram long tail before the share join.
+    */
+  def siteBoilerplate(df: DataFrame, text: String, id: String,
+      domain: String, n: Int = 8, minSharePpm: Long = 500000L,
+      minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .withColumn("__toks",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(domain).as("__dom"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+            i -> array_join(slice(__toks, i, $n), ' ')))""")).as("gram"))
+    val perDom = df.groupBy(col(domain).as("__dom"))
+      .agg(count(lit(1)).as("n_docs_domain"))
+    grams.groupBy(col("__dom"), col("gram"))
+      .agg(count(lit(1)).as("df_dom"))
+      .filter(col("df_dom") >= minDocs)
+      .join(broadcast(perDom), Seq("__dom"))
+      .withColumn("share_ppm",
+        expr("df_dom * 1000000L DIV n_docs_domain"))
+      .filter(col("share_ppm") >= minSharePpm)
+      .select(col("__dom").as(domain), col("gram"), col("df_dom"),
+        col("n_docs_domain"), col("share_ppm"))
+  }
+
+  /** Normalization-gain report: how many exact-dup classes does
+    * text normalization (lowercase, punctuation → space, whitespace
+    * collapse, trim) merge that raw byte-equality misses — the
+    * measurement that decides whether the normalize-then-dedup
+    * stage pays for itself on a corpus. One scan, two md5
+    * projections, one global aggregate of constant width.
+    */
+  def normDedupGain(df: DataFrame, text: String, id: String)
+      : DataFrame =
+    df.select(
+        md5(col(text).cast("binary")).as("__raw"),
+        md5(expr(s"""trim(regexp_replace(regexp_replace(
+            lower($text), '[^a-z0-9 ]', ' '), ' +', ' '))""")
+          .cast("binary")).as("__norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__raw")).as("raw_classes"),
+        count_distinct(col("__norm")).as("norm_classes"))
+      .withColumn("classes_merged",
+        expr("raw_classes - norm_classes"))
+      .withColumn("dup_rows_norm", expr("n_docs - norm_classes"))
+
   /** N-gram novelty score: the fraction of a document's DISTINCT
     * word n-grams whose corpus-wide FIRST occurrence (min doc id) is
     * this document — 1.0 means entirely new content, ~0 means the

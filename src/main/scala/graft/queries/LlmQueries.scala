@@ -87,6 +87,10 @@ object LlmQueries {
       |      CAST(doc_id % 11 AS STRING), '">u</a>') END)"""
       .stripMargin.replace("SELFURL", s"($syntheticUrl)")
 
+  /** Planted per-site template header tail for site_boilerplate. */
+  private val siteHeaderTail =
+    "portal navigation menu home about contact search login"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
@@ -1353,6 +1357,39 @@ object LlmQueries {
         }
         .select("doc_id", "redacted", "n_email", "n_ip", "n_phone")
         .orderBy("doc_id")
+    }),
+    // SITE-template removal stage (round-14): word 8-grams covering
+    // >= 50% of ONE registered domain's pages — the per-site form
+    // real template scrubbing needs (a nav header on every page of
+    // one site never clears a corpus-df bar proportionally); the
+    // fixture plants a per-source header on 2/3 of docs
+    "site_boilerplate" -> ((s, d) => {
+      // fixture pin (the link_graph discipline): url-parse chain +
+      // planted-header CASE are plan-literal bloat a real corpus
+      // column doesn't have — materialized so the operator's spans
+      // compile
+      val docs = t(s, d, "documents")
+        .withColumn("url", expr(syntheticUrl))
+        .withColumn("ltext", expr(
+          "CASE WHEN doc_id % 3 = 0 THEN text ELSE concat(" +
+            s"'welcome to ', source, ' $siteHeaderTail ', text) END"))
+      val parsed = UrlOps.withUrlParts(docs, "url")
+        .select("doc_id", "registered_domain", "ltext")
+        .localCheckpoint()
+      Dedup.siteBoilerplate(parsed,
+        "ltext", "doc_id", "registered_domain", n = 8)
+        .orderBy("registered_domain", "gram")
+    }),
+    // normalization-gain report (round-14): exact-dup classes before
+    // vs after lowercase/punct/whitespace normalization; the fixture
+    // plants shouting "!!" copies that only normalized equality merges
+    "norm_dedup_gain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val variants = t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      Dedup.normDedupGain(docs.unionByName(variants), "text", "doc_id")
     }),
     // corpus-level boilerplate scan: word 8-grams present in >= 3
     // distinct documents (repeated chrome/header detection)
@@ -5733,6 +5770,62 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(aug, '${TextAnalysis.phoneRe}'))
          |    AS BIGINT) AS n_phone
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // domain-grain template detector over the planted header fixture
+    // (url chain gives the registered domain; gram arithmetic is the
+    // boilerplate_ngrams mirror at (dom, gram) grain; doc-share ppm
+    // against the domain's FULL page count)
+    "site_boilerplate" ->
+      s"""WITH $duckUrlChain,
+         |sbd AS (
+         |  SELECT p.doc_id, p.registered_domain AS dom,
+         |    CASE WHEN d.doc_id % 3 = 0 THEN d.text
+         |      ELSE concat('welcome to ', d.source,
+         |        ' $siteHeaderTail ', d.text) END AS ltext
+         |  FROM pr p JOIN documents d USING (doc_id)),
+         |sbt AS (
+         |  SELECT doc_id, dom,
+         |    list_filter(string_split(lower(ltext), ' '),
+         |      t -> t != '') AS tk
+         |  FROM sbd),
+         |sbg AS (
+         |  SELECT dom, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))))
+         |    AS gram
+         |  FROM sbt WHERE len(tk) >= 8),
+         |sbn AS (SELECT dom, CAST(count(*) AS BIGINT)
+         |          AS n_docs_domain
+         |        FROM sbd GROUP BY dom),
+         |sbf AS (
+         |  SELECT dom, gram, CAST(count(*) AS BIGINT) AS df_dom
+         |  FROM sbg GROUP BY dom, gram HAVING count(*) >= 2)
+         |SELECT f.dom AS registered_domain, f.gram, f.df_dom,
+         |  n.n_docs_domain,
+         |  df_dom * 1000000 // n_docs_domain AS share_ppm
+         |FROM sbf f JOIN sbn n USING (dom)
+         |WHERE df_dom * 1000000 // n_docs_domain >= 500000
+         |ORDER BY registered_domain, gram""".stripMargin,
+    // union with shouting "!!" variants; md5-class counts raw vs
+    // normalized (lower, punct→space 'g', collapse 'g', trim)
+    "norm_dedup_gain" ->
+      """WITH ndg AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, upper(text) || '!!'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |ndh AS (
+        |  SELECT md5(text) AS r,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nm
+        |  FROM ndg)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT r) AS BIGINT) AS raw_classes,
+        |  CAST(count(DISTINCT nm) AS BIGINT) AS norm_classes,
+        |  CAST(count(DISTINCT r) - count(DISTINCT nm) AS BIGINT)
+        |    AS classes_merged,
+        |  CAST(count(*) - count(DISTINCT nm) AS BIGINT)
+        |    AS dup_rows_norm
+        |FROM ndh""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -2729,6 +2729,36 @@ class LlmSpec extends AnyFunSuite {
     assert(ordered === ordered.sorted.reverse)
   }
 
+  test("siteBoilerplate: a header shared by a domain's pages is " +
+      "template; per-page repeats count once; singleton domains " +
+      "never qualify") {
+    val d = Seq(
+      (1L, "a.com", "nav menu home about unique one"),
+      (2L, "a.com", "nav menu home about nav menu home about other"),
+      (3L, "a.com", "totally different page body here"),
+      (4L, "b.org", "nav menu home about alone on this site"))
+      .toDF("doc_id", "dom", "text")
+    val out = Dedup.siteBoilerplate(d, "text", "doc_id", "dom",
+      n = 4, minSharePpm = 500000L, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 'nav menu home about' covers 2/3 of a.com (doc 2's internal
+    // repeat counted ONCE); b.org's single page can't qualify
+    assert(out(("a.com", "nav menu home about")) ===
+      ((2L, 3L, 666666L)))
+    assert(out.keySet.forall(_._1 == "a.com"))
+  }
+
+  test("normDedupGain: case/punct/whitespace variants merge only " +
+      "under normalized equality") {
+    val d = Seq((1L, "Hello World"), (2L, "hello world!!"),
+      (3L, "hello  world"), (4L, "unique text"))
+      .toDF("doc_id", "text")
+    val r = Dedup.normDedupGain(d, "text", "doc_id").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((4L, 4L, 2L, 2L, 2L)))
+  }
+
   test("shardPlan: every doc lands in exactly one shard, totals add " +
       "up, and dev_ppm signs around the mean") {
     val d = (0 until 200).map { i =>
