@@ -996,4 +996,57 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("canonicalizeUrl property: idempotent on assembled URLs — " +
+      "canonicalizing a canon_url is the identity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val schemes = Seq("http", "https")
+    val labels = Seq("alpha", "Beta", "www", "cdn")
+    val sfx = Seq("com", "org", "co.uk")
+    val trackKeys = Seq("utm_source", "utm_campaign", "fbclid",
+      "gclid", "ref")
+    val realKeys = Seq("id", "q", "page", "a", "b")
+    val cases = (0 until 150).map { i =>
+      val host = (Seq.fill(rnd.nextInt(2))(
+        labels(rnd.nextInt(labels.length))) :+
+        labels(rnd.nextInt(labels.length)) :+
+        sfx(rnd.nextInt(sfx.length))).mkString(".")
+      val scheme = schemes(rnd.nextInt(2))
+      val port = rnd.nextInt(4) match {
+        case 0 => ":443"
+        case 1 => ":80"
+        case 2 => s":${1024 + rnd.nextInt(5000)}"
+        case _ => ""
+      }
+      val path = rnd.nextInt(3) match {
+        case 0 => s"/p/$i/"
+        case 1 => s"/p/$i"
+        case _ => "/"
+      }
+      val nq = rnd.nextInt(4)
+      val qs = (0 until nq).map { j =>
+        val k = if (rnd.nextBoolean()) trackKeys(rnd.nextInt(5))
+        else realKeys(rnd.nextInt(5))
+        s"$k=${rnd.nextInt(9)}"
+      }.mkString("&")
+      val frag = if (rnd.nextInt(3) == 0) "#sec" else ""
+      val q = if (qs.isEmpty) "" else s"?$qs"
+      (i.toLong, s"$scheme://$host$port$path$q$frag")
+    }
+    val df = cases.toDF("doc_id", "url")
+    val once = graft.llm.UrlOps.canonicalizeUrl(df, "url")
+      .select("doc_id", "canon_url")
+    val twice = graft.llm.UrlOps.canonicalizeUrl(
+        once.withColumnRenamed("canon_url", "url"), "url")
+      .selectExpr("doc_id", "url AS c1", "canon_url AS c2",
+        "n_params_dropped")
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}")
+      // a canon_url carries no tracking params to drop
+      assert(r.getLong(3) === 0L)
+    }
+  }
 }
