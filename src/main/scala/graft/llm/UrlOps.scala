@@ -177,6 +177,62 @@ object UrlOps {
         sum(expr("1000000L DIV __outdeg")).as("authority_ppm"))
   }
 
+  /** Anchor-text table — the OTHER signal the link graph carries:
+    * what referring pages CALL the target ("the description written
+    * by someone other than the author", the classic web-retrieval /
+    * pretraining-augmentation signal). Extracts whole `<a …>` tags,
+    * splits each into (href, anchor), folds the target to its
+    * registered domain, and keeps each domain's top-`k` anchors by
+    * link count (rank window is WindowGroupLimit-prunable).
+    * Extraction and parsing are row-local; the aggregate keys on
+    * (domain, anchor) with map-side combine.
+    */
+  def anchorTexts(df: DataFrame, text: String, k: Int = 5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df
+      .select(explode(expr(
+        s"""regexp_extract_all($text,
+            '<a href="[^"]*">[^<]*</a>', 0)""")).as("__tag"))
+      .select(
+        expr("""regexp_extract(__tag, '<a href="([^"]*)">', 1)""")
+          .as("__href"),
+        expr("lower(regexp_extract(__tag, '>([^<]*)</a>', 1))")
+          .as("anchor"))
+    val w = Window.partitionBy(col("dst_dom"))
+      .orderBy(col("n_links").desc, col("anchor").asc)
+    withUrlParts(pairs, "__href")
+      .groupBy(col("registered_domain").as("dst_dom"), col("anchor"))
+      .agg(count(lit(1)).as("n_links"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Politeness-aware crawl schedule: fetch slot per URL such that
+    * each host is hit at most `perSlot` times per slot — the
+    * frontier-scheduling step of a crawler. The slot is the
+    * 0-based position of the URL in its host's deterministic
+    * (id-ordered) queue, divided by `perSlot`. Hosts are
+    * independent, so the per-host rank window parallelizes across
+    * hosts; a mega-host pays one sort of ITS urls, which is the
+    * semantic (politeness serializes a host) — not an artifact.
+    * Also emits each host's makespan (its last slot) for frontier
+    * capacity planning.
+    */
+  def crawlSchedule(df: DataFrame, url: String, id: String,
+      perSlot: Int = 1): DataFrame = {
+    require(perSlot >= 1, "perSlot >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col(id))
+    withUrlParts(df, url)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("slot",
+        expr(s"CAST((__rk - 1) DIV $perSlot AS BIGINT)"))
+      .withColumn("host_makespan",
+        max(col("slot")).over(Window.partitionBy(col("host"))))
+      .select(col(id), col("host"), col("slot"), col("host_makespan"))
+  }
+
   /** Query-string parameter keys stripped during canonicalization:
     * the cross-site tracking decorations every crawl dedup
     * normalizes away (they vary per click, not per resource).

@@ -91,6 +91,22 @@ object LlmQueries {
   private val siteHeaderTail =
     "portal navigation menu home about contact search login"
 
+  /** Anchor-tag fixture with VARIED anchor texts (the anchor-table
+    * signal needs more than one label per target).
+    */
+  private val syntheticAnchorText =
+    """concat('<a href="https://w', CAST(doc_id % 3 AS STRING),
+      |  '.dom', CAST(doc_id % 23 AS STRING), '.com/a/',
+      |  CAST(doc_id AS STRING), '">',
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'home page'
+      |    WHEN 1 THEN concat('review of product ',
+      |      CAST(doc_id % 5 AS STRING))
+      |    WHEN 2 THEN 'click here' ELSE 'best deals' END,
+      |  '</a> filler <a href="http://m.dom',
+      |  CAST(doc_id % 7 AS STRING), '.co.uk/b">',
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'news'
+      |    ELSE 'sports section' END, '</a>')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
@@ -1356,6 +1372,26 @@ object LlmQueries {
           case (df, (name, c)) => df.withColumn(name, c)
         }
         .select("doc_id", "redacted", "n_email", "n_ip", "n_phone")
+        .orderBy("doc_id")
+    }),
+    // anchor-text table (round-14): what referring pages CALL each
+    // target domain — tag extraction + (domain, anchor) counts +
+    // top-5 rank per domain (WindowGroupLimit); fixture pinned
+    "anchor_text" -> ((s, d) => {
+      val fx = t(s, d, "documents")
+        .select(col("doc_id"), expr(syntheticAnchorText).as("ltext"))
+        .localCheckpoint()
+      UrlOps.anchorTexts(fx, "ltext", k = 5)
+        .orderBy("dst_dom", "rank")
+    }),
+    // politeness-aware crawl schedule (round-14): per-host fetch
+    // slots (2 per slot) + host makespan; per-host rank window,
+    // hosts independent; fixture pinned
+    "crawl_schedule" -> ((s, d) => {
+      val fx = t(s, d, "documents")
+        .select(col("doc_id"), expr(syntheticUrl).as("url"))
+        .localCheckpoint()
+      UrlOps.crawlSchedule(fx, "url", "doc_id", perSlot = 2)
         .orderBy("doc_id")
     }),
     // SITE-template removal stage (round-14): word 8-grams covering
@@ -5770,6 +5806,56 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(aug, '${TextAnalysis.phoneRe}'))
          |    AS BIGINT) AS n_phone
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // tag extraction + (href, anchor) split + registered-domain fold
+    // + top-5 rank per target domain
+    "anchor_text" ->
+      s"""WITH axd AS (
+         |  SELECT doc_id,
+         |    concat('<a href="https://w', CAST(doc_id % 3 AS VARCHAR),
+         |      '.dom', CAST(doc_id % 23 AS VARCHAR), '.com/a/',
+         |      CAST(doc_id AS VARCHAR), '">',
+         |      CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'home page'
+         |        WHEN 1 THEN concat('review of product ',
+         |          CAST(doc_id % 5 AS VARCHAR))
+         |        WHEN 2 THEN 'click here' ELSE 'best deals' END,
+         |      '</a> filler <a href="http://m.dom',
+         |      CAST(doc_id % 7 AS VARCHAR), '.co.uk/b">',
+         |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'news'
+         |        ELSE 'sports section' END, '</a>') AS ltext
+         |  FROM documents),
+         |axt AS (
+         |  SELECT unnest(regexp_extract_all(ltext,
+         |    '<a href="[^"]*">[^<]*</a>', 0)) AS tag
+         |  FROM axd),
+         |axp AS (
+         |  SELECT regexp_extract(tag, '<a href="([^"]*)">', 1) AS h,
+         |    lower(regexp_extract(tag, '>([^<]*)</a>', 1)) AS anchor
+         |  FROM axt),
+         |${duckParse("axp", "h", "anchor", "axr")},
+         |axg AS (
+         |  SELECT registered_domain AS dst_dom, anchor,
+         |    CAST(count(*) AS BIGINT) AS n_links
+         |  FROM axrr GROUP BY 1, 2),
+         |axk AS (
+         |  SELECT dst_dom, anchor, n_links,
+         |    CAST(row_number() OVER (PARTITION BY dst_dom
+         |      ORDER BY n_links DESC, anchor ASC) AS BIGINT) AS rank
+         |  FROM axg)
+         |SELECT dst_dom, anchor, n_links, rank FROM axk
+         |WHERE rank <= 5 ORDER BY dst_dom, rank""".stripMargin,
+    // per-host fetch slots from the shared url-parse chain; slot =
+    // (host rank - 1) // 2, makespan = max slot per host
+    "crawl_schedule" ->
+      s"""WITH $duckUrlChain,
+         |css AS (
+         |  SELECT doc_id, host,
+         |    CAST((row_number() OVER (PARTITION BY host
+         |      ORDER BY doc_id) - 1) // 2 AS BIGINT) AS slot
+         |  FROM pr)
+         |SELECT doc_id, host, slot,
+         |  CAST(max(slot) OVER (PARTITION BY host) AS BIGINT)
+         |    AS host_makespan
+         |FROM css ORDER BY doc_id""".stripMargin,
     // domain-grain template detector over the planted header fixture
     // (url chain gives the registered domain; gram arithmetic is the
     // boilerplate_ngrams mirror at (dom, gram) grain; doc-share ppm

@@ -2681,6 +2681,43 @@ class LlmSpec extends AnyFunSuite {
     assert(!out.contains("a.com") && !out.contains("d.org"))
   }
 
+  test("anchorTexts: tags split into (target-domain, anchor) counts " +
+      "with a top-k rank; anchors lowercased") {
+    val d = Seq(
+      (1L, """see <a href="https://x.b.com/1">Home Page</a> and
+             <a href="https://y.b.com/2">home page</a>"""),
+      (2L, """<a href="https://z.b.com/3">reviews</a>
+             <a href="http://c.co.uk/4">news</a> no tag here"""),
+      (3L, """<a href="https://b.com/5">reviews</a>"""))
+      .toDF("doc_id", "text")
+    val out = graft.llm.UrlOps.anchorTexts(d, "text", k = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // b.com: 'home page' x2 (case folded) beats 'reviews' x2? both
+    // have 2 — tie broken by anchor asc -> 'home page' wins rank 1
+    assert(out("b.com") === (("home page", 2L, 1L)))
+    assert(out("c.co.uk") === (("news", 1L, 1L)))
+  }
+
+  test("crawlSchedule: per-host slots fill perSlot at a time in id " +
+      "order; makespan is the host's last slot") {
+    val d = Seq(
+      (1L, "https://a.com/1"), (2L, "https://a.com/2"),
+      (3L, "https://a.com/3"), (4L, "https://b.org/1"),
+      (5L, "https://A.com/4"))
+      .toDF("doc_id", "url")
+    val out = graft.llm.UrlOps.crawlSchedule(d, "url", "doc_id",
+      perSlot = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // a.com (case-folded, 4 urls): slots 0,0,1,1; makespan 1
+    assert(out(1L) === (("a.com", 0L, 1L)))
+    assert(out(2L) === (("a.com", 0L, 1L)))
+    assert(out(3L) === (("a.com", 1L, 1L)))
+    assert(out(5L) === (("a.com", 1L, 1L)))
+    assert(out(4L) === (("b.org", 0L, 0L)))
+  }
+
   test("containmentPairs: a half-length excerpt is a near-subset — " +
       "containment clears the bar, Jaccard does not") {
     // 70% prefix: deep enough that the fixed minhash family lands a
