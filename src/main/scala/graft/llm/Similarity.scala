@@ -295,6 +295,66 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk 2019 ratio
+    * margin; the CCMatrix/LASER recipe): find cross-side embedding
+    * pairs whose cosine stands OUT relative to each end's own
+    * neighborhood — margin(x, y) = cos(x, y) / ((mean top-k NN
+    * cos of x + mean top-k NN cos of y) / 2). Raw-cosine thresholds
+    * fail on hubness (some vectors are near everything); the margin
+    * normalizes by local density, which is what made mined bitext
+    * usable as training data.
+    *
+    * Candidates come from [[lshSimilarityJoin]] (bucketed, capped —
+    * never n²); pairs repeated across buckets collapse first. The
+    * NN-mean denominators are computed from the SAME candidate set
+    * (the standard approximation at scale — exact k-NN would need
+    * the search this operator replaces). After the 6dp cosine,
+    * everything is EXACT integer ppm: sim_ppm from a decimal cast,
+    * means as `sum DIV count`, margin as `sim·2e6 DIV (ma + mb)` —
+    * bit-identical across engines. Emits each side-0 id's best
+    * match by margin (deterministic tiebreak) above
+    * `minMarginPpm`.
+    */
+  def bitextMine(df: DataFrame, id: String, vec: String,
+      side: String, planes: Int = 6, k: Int = 4,
+      minMarginPpm: Long = 1050000L, maxBucket: Int = 4096)
+      : DataFrame = {
+    val sides = df.select(col(id).as("__sid"), col(side).as("__side"))
+    val cands = lshSimilarityJoin(df, id, vec, planes, 0.0, maxBucket)
+      .groupBy(col("id1"), col("id2")).agg(max(col("sim")).as("sim"))
+    val lab = cands
+      .join(sides.select(col("__sid").as("id1"),
+        col("__side").as("__s1")), "id1")
+      .join(sides.select(col("__sid").as("id2"),
+        col("__side").as("__s2")), "id2")
+      .filter(col("__s1") =!= col("__s2"))
+      .select(
+        when(col("__s1") === 0, col("id1")).otherwise(col("id2"))
+          .as("a"),
+        when(col("__s1") === 0, col("id2")).otherwise(col("id1"))
+          .as("b"),
+        expr("CAST(CAST(sim AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("sim_ppm"))
+    def nnMean(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("sim_ppm").desc, col(other).asc)
+      lab.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col(key))
+        .agg(expr("sum(sim_ppm) DIV count(1)").as(out))
+    }
+    val best = Window.partitionBy(col("a"))
+      .orderBy(col("margin_ppm").desc, col("b").asc)
+    lab.join(nnMean("a", "b", "nn_a_ppm"), Seq("a"))
+      .join(nnMean("b", "a", "nn_b_ppm"), Seq("b"))
+      .withColumn("margin_ppm", expr(
+        "sim_ppm * 2000000L DIV greatest(nn_a_ppm + nn_b_ppm, 1L)"))
+      .withColumn("__bk", row_number().over(best))
+      .filter(col("__bk") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select(col("a"), col("b"), col("sim_ppm"), col("nn_a_ppm"),
+        col("nn_b_ppm"), col("margin_ppm"))
+  }
+
   /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): CLUSTER-then-
     * prune — embeddings are Lloyd-clustered ([[kmeansCentroids]] +

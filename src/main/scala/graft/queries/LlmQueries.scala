@@ -363,6 +363,35 @@ object LlmQueries {
         .withColumn("bucket", col("bucket").cast("long"))
         .orderBy("id1", "id2")
     }),
+    // margin-based bitext mining (round-14): ratio margin over
+    // LSH-bucketed cross-side candidates on a TWO-TIER planted
+    // fixture — per 6-cluster, odd id %6=1 is the true mate (tight
+    // jitter) and %6=3,5 are distractors (wide jitter), except
+    // every 5th cluster whose odds are ALL distractors (no true
+    // pair). The margin gate must keep exactly the true-pair
+    // clusters: candidates-only margins sit at ~1.0 without the
+    // distractor contrast, which is why plantedEmbeddings alone
+    // cannot exercise this operator. All-integer ppm after the 6dp
+    // cosine.
+    "bitext_mine" -> ((s, d) => {
+      val planted = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .withColumn("__j", expr(
+          """CASE WHEN vec_id % 2 = 1 AND (vec_id % 6 != 1
+            |  OR (vec_id DIV 6) % 5 = 0) THEN 400001L
+            |ELSE 21L END""".stripMargin))
+        .withColumn("embedding", expr(
+          """transform(sequence(0, 63), i ->
+            |  CAST(((vec_id DIV 6 * 2654435761L + i * 40503L
+            |          + vec_id DIV 6 * i * i * 97003L)
+            |          % 2001L - 1000L) * 1000L
+            |       + (vec_id * 1103515245L + i * 12345L) % __j
+            |       - __j DIV 2 AS DOUBLE) / 100000.0D)"""
+            .stripMargin))
+        .withColumn("side", expr("CAST(vec_id % 2 AS INT)"))
+      Similarity.bitextMine(planted, "vec_id", "embedding", "side")
+        .orderBy("a")
+    }),
     // contrastive triplet mining: per anchor the strongest
     // same-bucket neighbor (cos ≥ 0.35) as positive and the weakest
     // (cos ≤ 0.1) as hard negative — embedding-training data the
@@ -2877,6 +2906,73 @@ object LlmQueries {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0
          |ORDER BY id1, id2""".stripMargin,
+    // bitext-mine mirror: planted v, the embed_lsh_simjoin candidate
+    // chain, cross-bucket dedupe, parity orientation, integer-ppm
+    // NN means and ratio margin, best-per-a
+    "bitext_mine" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(range(0, 64), i ->
+         |    CAST(((vec_id // 6 * 2654435761 + i * 40503
+         |            + vec_id // 6 * i * i * 97003)
+         |            % 2001 - 1000) * 1000
+         |         + (vec_id * 1103515245 + i * 12345) %
+         |           (CASE WHEN vec_id % 2 = 1 AND (vec_id % 6 != 1
+         |              OR (vec_id // 6) % 5 = 0)
+         |            THEN 400001 ELSE 21 END)
+         |         - (CASE WHEN vec_id % 2 = 1 AND (vec_id % 6 != 1
+         |              OR (vec_id // 6) % 5 = 0)
+         |            THEN 400001 ELSE 21 END) // 2
+         |         AS DOUBLE) / 100000.0) AS vec
+         |  FROM embeddings),
+         |bx0 AS (
+         |  SELECT vec_id, vec,
+         |    CAST(${duckLshBucket("vec", 6)} AS BIGINT) AS bucket
+         |  FROM v),
+         |bxv AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT bx0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM bx0)
+         |  WHERE rn <= 4096),
+         |bxp AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(${duckCos("a.vec", "b.vec")}, 6) + 0.0 AS sim
+         |  FROM bxv a JOIN bxv b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0),
+         |bxd AS (SELECT id1, id2, max(sim) AS sim FROM bxp
+         |        GROUP BY id1, id2),
+         |bxl AS (
+         |  SELECT CASE WHEN id1 % 2 = 0 THEN id1 ELSE id2 END AS a,
+         |    CASE WHEN id1 % 2 = 0 THEN id2 ELSE id1 END AS b,
+         |    CAST(CAST(sim AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS sim_ppm
+         |  FROM bxd WHERE id1 % 2 != id2 % 2),
+         |bxa AS (
+         |  SELECT a, CAST(sum(sim_ppm) AS BIGINT) // count(*)
+         |      AS nn_a_ppm
+         |  FROM (SELECT a, b, sim_ppm, row_number() OVER
+         |      (PARTITION BY a ORDER BY sim_ppm DESC, b ASC) AS rk
+         |    FROM bxl)
+         |  WHERE rk <= 4 GROUP BY a),
+         |bxb AS (
+         |  SELECT b, CAST(sum(sim_ppm) AS BIGINT) // count(*)
+         |      AS nn_b_ppm
+         |  FROM (SELECT a, b, sim_ppm, row_number() OVER
+         |      (PARTITION BY b ORDER BY sim_ppm DESC, a ASC) AS rk
+         |    FROM bxl)
+         |  WHERE rk <= 4 GROUP BY b),
+         |bxm AS (
+         |  SELECT l.a, l.b, l.sim_ppm, bxa.nn_a_ppm, bxb.nn_b_ppm,
+         |    l.sim_ppm * 2000000 //
+         |      greatest(bxa.nn_a_ppm + bxb.nn_b_ppm, 1) AS margin_ppm
+         |  FROM bxl l JOIN bxa USING (a) JOIN bxb USING (b)),
+         |bxw AS (
+         |  SELECT *, row_number() OVER (PARTITION BY a
+         |    ORDER BY margin_ppm DESC, b ASC) AS bk FROM bxm)
+         |SELECT a, b, sim_ppm, nn_a_ppm, nn_b_ppm,
+         |  CAST(margin_ppm AS BIGINT) AS margin_ppm
+         |FROM bxw WHERE bk = 1 AND margin_ppm >= 1050000
+         |ORDER BY a""".stripMargin,
     // surprise-chunk mirror: same integer boundary rule over the
     // same corpus bigram counts; bounds list -> span unnest
     "surprise_chunks" ->

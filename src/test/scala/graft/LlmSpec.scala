@@ -2766,6 +2766,31 @@ class LlmSpec extends AnyFunSuite {
     assert(ordered === ordered.sorted.reverse)
   }
 
+  test("bitextMine: the ratio margin keeps the true mate and drops " +
+      "the hub that raw-cosine thresholds would mine") {
+    // 64-dim crafted directions: e1 ⟂ e2 ⟂ e3 via disjoint support.
+    // q1 (side 0) has a true mate m1 = e1 (cos 1); h is a HUB at
+    // cos .9 to q1 AND cos .9 to q2; q2 has no true mate. Margin
+    // must keep (q1, m1) and refuse (q2, h) — the hub's own
+    // neighborhood is as good as its best offer.
+    def mix(a: Double, b: Double, c: Double): Seq[Double] =
+      (0 until 64).map { i =>
+        if (i < 22) a * 3.0 else if (i < 43) b * 3.0 else c * 3.0 }
+    val s9 = math.sqrt(1 - 0.81)
+    val rows = Seq(
+      (0L, mix(1, 0, 0), 0),            // q1
+      (1L, mix(1, 0, 0), 1),            // m1 = true mate of q1
+      (3L, mix(0.9, s9, 0), 1),         // hub
+      (2L, mix(0.81, 0.9 * s9, s9), 0)) // q2: cos .9 to hub
+    val df = rows.toDF("vec_id", "embedding", "side")
+    val out = Similarity.bitextMine(df, "vec_id", "embedding",
+      "side", planes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(out.length === 1)
+    val (a, b, margin) = out(0)
+    assert(a === 0L && b === 1L && margin >= 1050000L)
+  }
+
   test("siteBoilerplate: a header shared by a domain's pages is " +
       "template; per-page repeats count once; singleton domains " +
       "never qualify") {
