@@ -1397,6 +1397,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("urlCanonStage feeding watermark dedup keyed on canon_url " +
+      "keeps one fetch per resource across micro-batches") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("url", StringType),
+      StructField("ts", TimestampType)))
+    val dir = java.nio.file.Files.createTempDirectory("cd_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cd_ck").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    def rows(docs: (Long, String, Int)*): Unit =
+      docs.toSeq.map { case (i, u, m) => (i, u, ts(m)) }
+        .toDF("doc_id", "url", "ts")
+        .write.mode("append").parquet(dir)
+    rows(
+      (1L, "https://Shop.com:443/p/9/?utm_source=a&id=9", 1),
+      (2L, "https://other.org/x", 2))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val staged = StreamingDedup.dedupByContent(
+      StreamingDedup.urlCanonStage(stream, "url"),
+      "canon_url", "ts")
+    val q = staged.writeStream.format("memory").queryName("cd_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a later re-fetch of resource 9 in a DIFFERENT surface form —
+    // same canon key, must NOT re-emit
+    rows((3L, "https://shop.com/p/9?id=9&gclid=g", 3),
+      (4L, "https://third.net/y", 3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cd_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("streaming Count-Min counters accumulate across micro-batches " +
       "and the final state equals the batch sketch row-for-row") {
     import graft.streaming.StreamingDedup
