@@ -331,7 +331,10 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, text: String, id: String,
       minPpm: Long = 800000L): DataFrame = {
-    val reps = exactReps(df, text, id)
+    // pin the reps collapse: it feeds the signature build AND both
+    // shingle-set joins — unpinned, Catalyst re-derives the
+    // scan+groupBy three times inside one action
+    val reps = exactReps(df, text, id).localCheckpoint()
     val pairs = candidatePairs(
       lshBuckets(minhashSignatures(reps, text, id), id), id)
     val withSh = reps.select(col(id),
