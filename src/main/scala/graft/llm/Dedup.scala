@@ -273,7 +273,10 @@ object Dedup {
     */
   def dedupNearDup(df: DataFrame, text: String, id: String,
       minJaccard: Double): DataFrame = {
-    val reps = exactReps(df, text, id)
+    // reps pin (the containmentPairs discipline): four consumers
+    // (signatures, both shingle joins, the left_anti) re-derive the
+    // collapse unpinned
+    val reps = exactReps(df, text, id).localCheckpoint()
     val drops = verifiedPairs(reps, text, id, minJaccard)
       .select(col("id2").as(id)).distinct()
     reps.select(col(id)).join(drops, Seq(id), "left_anti")
@@ -439,7 +442,7 @@ object Dedup {
     */
   def dedupClusters(df: DataFrame, text: String, id: String,
       minJaccard: Double): DataFrame = {
-    val reps = exactReps(df, text, id)
+    val reps = exactReps(df, text, id).localCheckpoint()
     val edges = verifiedPairs(reps, text, id, minJaccard)
     connectedComponents(edges, reps.select(col(id)), id)
   }
