@@ -187,9 +187,11 @@ object UrlOps {
     * Extraction and parsing are row-local; the aggregate keys on
     * (domain, anchor) with map-side combine.
     */
-  def anchorTexts(df: DataFrame, text: String, k: Int = 5)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The row-local half of [[anchorTexts]]: one row per `<a>` tag —
+    * (dst_dom, anchor). Pure regex/parse projection after the tag
+    * explode; zero state, streaming-safe.
+    */
+  def anchorPairs(df: DataFrame, text: String): DataFrame = {
     val pairs = df
       .select(explode(expr(
         s"""regexp_extract_all($text,
@@ -199,10 +201,17 @@ object UrlOps {
           .as("__href"),
         expr("lower(regexp_extract(__tag, '>([^<]*)</a>', 1))")
           .as("anchor"))
+    withUrlParts(pairs, "__href")
+      .select(col("registered_domain").as("dst_dom"), col("anchor"))
+  }
+
+  def anchorTexts(df: DataFrame, text: String, k: Int = 5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("dst_dom"))
       .orderBy(col("n_links").desc, col("anchor").asc)
-    withUrlParts(pairs, "__href")
-      .groupBy(col("registered_domain").as("dst_dom"), col("anchor"))
+    anchorPairs(df, text)
+      .groupBy(col("dst_dom"), col("anchor"))
       .agg(count(lit(1)).as("n_links"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -541,6 +541,15 @@ object StreamingDedup {
   def urlCanonStage(docs: DataFrame, url: String): DataFrame =
     graft.llm.UrlOps.canonicalizeUrl(docs, url)
 
+  /** Streaming ANCHOR-EXTRACTION stage: one (dst_dom, anchor) row
+    * per `<a>` tag on a live feed ([[graft.llm.UrlOps.anchorPairs]]
+    * — regex projections + the literal suffix table, row-local,
+    * zero-state). The per-domain top-k table downstream is a batch
+    * rebalancer over this stream's output.
+    */
+  def anchorStage(docs: DataFrame, text: String): DataFrame =
+    graft.llm.UrlOps.anchorPairs(docs, text)
+
   /** Streaming SHARD-ASSIGNMENT stage: [[TextAnalysis.withShard]]'s
     * row-local (log2 size class + content hash) assignment on a
     * live feed — the partitionBy("shard") key for a streaming

@@ -1397,6 +1397,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("anchorStage equals batch anchorPairs; stateless, one row " +
+      "per tag") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("an_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("an_ck").toString
+    def rows(texts: String*): Unit =
+      texts.toSeq.toDF("text").write.mode("append").parquet(dir)
+    rows("""x <a href="https://a.b.com/1">First Link</a> y
+           <a href="http://c.co.uk/2">second</a>""")
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.anchorStage(stream, "text")
+      .writeStream.format("memory").queryName("an_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows("""<a href="https://z.b.com/3">first link</a> plain""")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("an_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    // c.co.uk sits under the co.uk multi-part suffix -> the
+    // registrable domain keeps three labels
+    assert(streamed.toSeq === Seq(("b.com", "first link"),
+      ("b.com", "first link"), ("c.co.uk", "second")))
+    val batch = graft.llm.UrlOps.anchorPairs(
+        spark.read.schema(docSchema).parquet(dir), "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("urlCanonStage feeding watermark dedup keyed on canon_url " +
       "keeps one fetch per resource across micro-batches") {
     import graft.streaming.StreamingDedup
