@@ -949,16 +949,28 @@ object Similarity {
     * fold runs in index order; bit 63 lands in the BIGINT sign bit
     * identically).
     */
-  def binaryQuantize(df: DataFrame, id: String, vec: String)
-      : DataFrame =
+  def binaryQuantize(df: DataFrame, id: String, vec: String,
+      dim: Int = 64): DataFrame = {
+    // One packed word holds at most 64 sign bits; a vector SHORTER
+    // than `dim` would read past its end — null bits (silent wrong
+    // signatures) in non-ANSI mode, a confusing ANSI throw otherwise.
+    // Fail loudly with the actual size instead; hammingTopK /
+    // hammingRerank inherit the guard.
+    require(dim >= 1 && dim <= 64,
+      s"binaryQuantize: dim must be in [1, 64], got $dim")
     df.select(col(id),
       expr(
-        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-           |  (acc, i) -> acc | CASE
-           |    WHEN CAST(element_at($vec, i + 1) AS DOUBLE) > 0D
-           |    THEN shiftleft(CAST(1 AS BIGINT), i)
-           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        s"""CASE WHEN size($vec) >= $dim THEN
+           |  aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT),
+           |    (acc, i) -> acc | CASE
+           |      WHEN CAST(element_at($vec, i + 1) AS DOUBLE) > 0D
+           |      THEN shiftleft(CAST(1 AS BIGINT), i)
+           |      ELSE CAST(0 AS BIGINT) END)
+           |ELSE raise_error(concat('binaryQuantize: vector has ',
+           |  CAST(size($vec) AS STRING), ' dims, need >= $dim'))
+           |END""".stripMargin)
         .as("sig"))
+  }
 
   /** Hamming top-k over [[binaryQuantize]]d signatures: per query,
     * the k candidates with the fewest differing sign bits

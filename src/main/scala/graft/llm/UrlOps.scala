@@ -269,10 +269,21 @@ object UrlOps {
     * the caller groups the canon key by is the only exchange.
     */
   def canonicalizeUrl(df: DataFrame, url: String): DataFrame = {
+    val clash = Seq("canon_url", "n_params_dropped",
+      "__qs", "__pairs", "__portc", "__pathc", "__qc")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"canonicalizeUrl: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
     val parsed = withUrlParts(df, url)
     parsed
+      // query string = after the first '?' that precedes any '#':
+      // anchoring past '^[^#?]*' keeps a '?' INSIDE the fragment
+      // (SPA routes like '#/route?utm_source=x') from resurrecting
+      // fragment content as query params — the fragment is dropped
+      // wholesale per the rules above
       .withColumn("__qs", expr(
-        s"regexp_extract($url, '\\\\?([^#]*)', 1)"))
+        s"regexp_extract($url, '^[^#?]*\\\\?([^#]*)', 1)"))
       .withColumn("__pairs", expr(
         """filter(split(__qs, '&'), p -> p != '' AND NOT
           |  regexp_extract(p, '^([^=]*)', 1)

@@ -42,8 +42,13 @@ object LlmQueries {
     * tracking params, fragments, DEFAULT ports, trailing slashes,
     * unsorted params, and mixed case — built so variants 0/1 and
     * 2/3 COLLIDE after canonicalization (same resource fetched two
-    * ways, the case url-exact dedup misses), via the doc_id % 40
-    * path fold.
+    * ways, the case url-exact dedup misses). Variants 0/1 fold on
+    * the doc_id % 40 path; variants 2/3 key subdomain, site label,
+    * AND path off doc_id DIV 6 (doc_id % 6 = 2 forces doc_id even
+    * while % 6 = 3 forces it odd, and source is doc_id % 20, so any
+    * doc_id-residue key would make the 2-vs-3 cross-variant merge
+    * unsatisfiable — the round-14 fixture bug; DIV 6 makes each
+    * consecutive (6q+2, 6q+3) pair a genuine cross-variant dup).
     */
   private val syntheticUrlMessy =
     """CASE CAST(doc_id % 6 AS INT)
@@ -53,12 +58,12 @@ object LlmQueries {
       |  WHEN 1 THEN concat('https://www.', source, '.com/p/',
       |    CAST(doc_id % 40 AS STRING), '?id=',
       |    CAST(doc_id % 40 AS STRING), '&utm_campaign=x')
-      |  WHEN 2 THEN concat('http://a', CAST(doc_id % 3 AS STRING),
-      |    '.cdn.', source, '.CO.UK:80/x/', CAST(doc_id % 40 AS STRING),
-      |    '?b=2&a=1')
-      |  WHEN 3 THEN concat('http://a', CAST(doc_id % 3 AS STRING),
-      |    '.cdn.', source, '.co.uk/x/', CAST(doc_id % 40 AS STRING),
-      |    '?a=1&b=2&fbclid=XYZ')
+      |  WHEN 2 THEN concat('http://a', CAST(doc_id DIV 6 % 3 AS STRING),
+      |    '.cdn.src', CAST(doc_id DIV 6 % 20 AS STRING), '.CO.UK:80/x/',
+      |    CAST(doc_id DIV 6 % 40 AS STRING), '?b=2&a=1')
+      |  WHEN 3 THEN concat('http://a', CAST(doc_id DIV 6 % 3 AS STRING),
+      |    '.cdn.src', CAST(doc_id DIV 6 % 20 AS STRING), '.co.uk/x/',
+      |    CAST(doc_id DIV 6 % 40 AS STRING), '?a=1&b=2&fbclid=XYZ')
       |  WHEN 4 THEN concat('https://user:pw@', source, '.org/d/',
       |    CAST(doc_id % 40 AS STRING), '/')
       |  ELSE concat('http://10.', CAST(doc_id % 200 AS STRING),
@@ -2228,12 +2233,16 @@ object LlmQueries {
       |      WHEN 1 THEN concat('https://www.', source, '.com/p/',
       |        CAST(doc_id % 40 AS VARCHAR), '?id=',
       |        CAST(doc_id % 40 AS VARCHAR), '&utm_campaign=x')
-      |      WHEN 2 THEN concat('http://a', CAST(doc_id % 3 AS VARCHAR),
-      |        '.cdn.', source, '.CO.UK:80/x/',
-      |        CAST(doc_id % 40 AS VARCHAR), '?b=2&a=1')
-      |      WHEN 3 THEN concat('http://a', CAST(doc_id % 3 AS VARCHAR),
-      |        '.cdn.', source, '.co.uk/x/',
-      |        CAST(doc_id % 40 AS VARCHAR), '?a=1&b=2&fbclid=XYZ')
+      |      WHEN 2 THEN concat('http://a',
+      |        CAST(doc_id // 6 % 3 AS VARCHAR),
+      |        '.cdn.src', CAST(doc_id // 6 % 20 AS VARCHAR),
+      |        '.CO.UK:80/x/',
+      |        CAST(doc_id // 6 % 40 AS VARCHAR), '?b=2&a=1')
+      |      WHEN 3 THEN concat('http://a',
+      |        CAST(doc_id // 6 % 3 AS VARCHAR),
+      |        '.cdn.src', CAST(doc_id // 6 % 20 AS VARCHAR),
+      |        '.co.uk/x/',
+      |        CAST(doc_id // 6 % 40 AS VARCHAR), '?a=1&b=2&fbclid=XYZ')
       |      WHEN 4 THEN concat('https://user:pw@', source, '.org/d/',
       |        CAST(doc_id % 40 AS VARCHAR), '/')
       |      ELSE concat('http://10.', CAST(doc_id % 200 AS VARCHAR),
@@ -2247,7 +2256,7 @@ object LlmQueries {
       |    regexp_extract(regexp_extract(url,
       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '([^@]*)$', 1) AS hp,
       |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+      |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS qs
       |  FROM mu),
       |ch AS (
       |  SELECT *,

@@ -2592,7 +2592,13 @@ class LlmSpec extends AnyFunSuite {
       (4L, "http://example.org/x?a=1&b=2&fbclid=Z"),
       (5L, "http://example.org:8080/x"), // non-default port KEPT
       (6L, "https://user:pw@example.net/d/"),
-      (7L, "https://example.net/only?gclid=g1")).toDF("doc_id", "url")
+      (7L, "https://example.net/only?gclid=g1"),
+      // '?' INSIDE the fragment (SPA route): the fragment is dropped
+      // wholesale — its params must NOT resurface as a query string
+      (8L, "https://example.net/app#/route?utm_source=x&real=1"),
+      // fragment after a real query: query kept, fragment dropped
+      (9L, "https://example.net/app?real=1#/route?utm_source=x"))
+      .toDF("doc_id", "url")
     val out = UrlOps.canonicalizeUrl(urls, "url")
       .select("doc_id", "canon_url", "n_params_dropped")
       .collect().map(r => r.getLong(0) ->
@@ -2611,6 +2617,37 @@ class LlmSpec extends AnyFunSuite {
     assert(out(6L) === (("https://example.net/d", 0L)))
     // all params tracking -> empty query, no dangling '?'
     assert(out(7L) === (("https://example.net/only", 1L)))
+    // fragment-only '?': nothing from the fragment survives
+    assert(out(8L) === (("https://example.net/app", 0L)))
+    // real query before the fragment survives; fragment (and its
+    // embedded '?utm_source') is gone
+    assert(out(9L) === (("https://example.net/app?real=1", 0L)))
+  }
+
+  test("canonicalizeUrl: refuses input already carrying a column " +
+      "it would append") {
+    val df = Seq((1L, "https://a.com/x", "clash"))
+      .toDF("doc_id", "url", "canon_url")
+    val e = intercept[IllegalArgumentException] {
+      UrlOps.canonicalizeUrl(df, "url")
+    }
+    assert(e.getMessage.contains("canon_url"))
+  }
+
+  test("binaryQuantize: vectors shorter than dim raise a diagnostic " +
+      "instead of packing silent-zero bits") {
+    val ok = Seq((1L, Array.fill(64)(1.0))).toDF("vec_id", "embedding")
+    assert(Similarity.binaryQuantize(ok, "vec_id", "embedding")
+      .collect().head.getLong(1) === -1L) // all 64 sign bits set
+    val short = Seq((2L, Array.fill(8)(1.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.binaryQuantize(short, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("binaryQuantize") ||
+      Option(e.getCause).exists(_.getMessage.contains("binaryQuantize")))
+    // sub-64 dims are legal when declared
+    assert(Similarity.binaryQuantize(short, "vec_id", "embedding", dim = 8)
+      .collect().head.getLong(1) === 255L)
   }
 
   test("cmsTopK: estimates are never below exact counts and match " +
