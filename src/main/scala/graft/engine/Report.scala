@@ -90,6 +90,96 @@ object Report {
         col("StockCode"), col("StoreID")))
   }
 
+  /** A5 (round-15) — the reference's per-SKU report paragraphs as
+    * ENGINE COLUMNS, markup included, exactly in generador.py's
+    * <para> assembly order (ref: generador.py:97-158): header+runtime,
+    * "1. Decisión de Pedido", "2. Parámetros Logísticos" (<br/>
+    * between the three sentences, <b> around every quantity), and
+    * "3. Calidad del Pronóstico" with the F5 color band and the full
+    * band-specific precision sentence. Numeric text fields pre-round
+    * to 2 dp before %.2f so the oracle's printf renders the identical
+    * digits (no formatter tie decisions). Input: a
+    * [[withInterpretation]]-ed frame (needs Quality_Color).
+    */
+  def withReportParas(df: DataFrame): DataFrame = {
+    val precText =
+      when(col("MAPE") < 10.0, format_string(
+        "El modelo muestra una <b>alta precisión</b> (MAPE: %.2f%%). " +
+          "Las predicciones son muy fiables.", round(col("MAPE"), 2)))
+        .when(col("MAPE") < 50.0, format_string(
+          "La precisión del modelo es <b>aceptable</b> (MAPE: %.2f%%). " +
+            "Requiere monitorización.", round(col("MAPE"), 2)))
+        .otherwise(format_string(
+          "El modelo tuvo una <b>baja precisión</b> (MAPE: %.2f%%), " +
+            "lo que indica demanda intermitente o volátil. La decisión " +
+            "se basa fuertemente en el Stock de Seguridad.",
+          round(col("MAPE"), 2)))
+    df
+      .withColumn("Para_Header", format_string(
+        "<font size=\"14\"><b>Análisis Detallado de SKU: %s en %s" +
+          "</b></font><br/><font size=\"10\">Duración del " +
+          "procesamiento: %.2f segundos</font>",
+        col("StockCode"), col("StoreID"), round(col("Duracion_sec"), 2)))
+      .withColumn("Para_Pedido", concat(
+        lit("<font size=\"12\"><b>1. Decisión de Pedido:</b></font><br/>"),
+        when(col("Need_Reorder"), format_string(
+          "RECOMENDACIÓN CLAVE: Se debe realizar un pedido de " +
+            "<b>%d unidades</b> para evitar una posible rotura de stock.",
+          col("Qty_to_Order")))
+          .otherwise(lit("RECOMENDACIÓN CLAVE: No se requiere realizar " +
+            "un pedido inmediato (el inventario actual está por encima " +
+            "del ROP)."))))
+      .withColumn("Para_Logistica", format_string(
+        "<font size=\"12\"><b>2. Parámetros Logísticos:</b></font><br/>" +
+          "El punto de reorden (ROP) es de <b>%d unidades</b>.<br/>" +
+          "El stock de seguridad (SS) calculado es de <b>%d unidades" +
+          "</b>.<br/>La demanda pronosticada para las %d semanas " +
+          "siguientes es de <b>%d unidades</b>.",
+        col("Reorder_Point"), col("Safety_Stock"),
+        col("Forecast_Weeks"), col("Forecast_Total")))
+      .withColumn("Para_Precision", format_string(
+        "<font size=\"12\"><b>3. Calidad del Pronóstico:</b></font>" +
+          "<br/><font color=\"%s\"> %s (RMSE: %.2f).</font>",
+        col("Quality_Color"), precText, round(col("RMSE"), 2)))
+  }
+
+  /** A5 — the self-contained driver-side document (ReportLab-markup
+    * flavor, built exactly like generador.py:162-215 builds its
+    * story): main title, generation date, the Resumen / MAPE-global
+    * header paragraphs, then per series an <hr/> separator and the
+    * four [[withReportParas]] paragraphs in reference order. The
+    * collect is the bounded presentation step the reference also
+    * performs driver-side (doc.build); `generatedAt` is a parameter
+    * so rendering stays deterministic.
+    */
+  def renderDocument(df: DataFrame, generatedAt: String,
+      limit: Int = 1000): String = {
+    val rows = withReportParas(withInterpretation(df))
+      .orderBy(col("StockCode"), col("StoreID"))
+      .limit(limit)
+      .collect()
+    val nSeries = rows.length
+    val nReorder = rows.count(_.getAs[Boolean]("Need_Reorder"))
+    val meanMape =
+      if (nSeries == 0) 0.0
+      else rows.map(_.getAs[Double]("MAPE")).sum / nSeries
+    val header = Seq(
+      "<para><font size=\"18\"><b>Informe de Optimización de " +
+        "Inventario</b></font></para>",
+      s"<para>Fecha de Generación: $generatedAt</para>",
+      s"<para>Resumen: Se analizaron $nSeries combinaciones " +
+        s"SKU/Tienda. <b>$nReorder</b> requieren un pedido de " +
+        "reabastecimiento.</para>",
+      "<para>MAPE Promedio Global: <b>" +
+        f"$meanMape%.2f" + "%</b></para>")
+    val body = rows.flatMap { r =>
+      "<hr/>" +: Seq("Para_Header", "Para_Pedido", "Para_Logistica",
+        "Para_Precision")
+        .map(c => s"<para>${r.getAs[String](c)}</para>")
+    }
+    (header ++ body).mkString("\n")
+  }
+
   /** A5 — the only driver-side step: collect the small report frame and
     * render plain text (the PDF layer is presentation, not engine).
     */

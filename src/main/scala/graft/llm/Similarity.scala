@@ -1183,4 +1183,105 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "maxsim")
   }
+
+  /** Seeded level-assignment hash for [[hnswTopK]]: a node is a
+    * level-1 "hub" iff its scrambled id folds to 0 mod `hubMod` —
+    * the HNSW trick (each node's max layer drawn from a geometric
+    * distribution at insert time) made deterministic and
+    * engine-mirrorable. All-integer: (id·2654435761 + 40503) stays
+    * far below 2^63 at any realistic id range.
+    */
+  def hnswLevelExpr(id: String, hubMod: Int): Column =
+    expr(s"($id * 2654435761L + 40503L) % 1000003L % $hubMod = 0")
+
+  /** HNSW-class hierarchical navigable-graph ANN (Malkov & Yashunin
+    * 2016's structure, re-expressed as unrolled relational joins):
+    *
+    *   - LEVELS: seeded hash assignment ([[hnswLevelExpr]]) promotes
+    *     ~1/hubMod of the corpus to the upper layer ("hubs") — the
+    *     deterministic analogue of HNSW's geometric level draw.
+    *   - EDGES: every node keeps `mHub` links to its nearest hubs
+    *     (the LONG-RANGE links upper layers give HNSW; reverse
+    *     adjacency capped at `revCap` per hub against hub-skew) and
+    *     up to `mLocal` LSH-bucket nearest neighbours
+    *     ([[lshSimilarityJoin]] — the LOCAL links of the base layer,
+    *     built bucketed, never all-pairs).
+    *   - SEARCH: greedy descent unrolled to fixed relational steps —
+    *     scan the broadcast-small hub layer for the query's `efHub`
+    *     best entry points, expand their reverse hub edges (drop to
+    *     layer 0), expand once more through local edges (the beam
+    *     step), then exact-cosine top-k over the candidate set.
+    *
+    * Scale shape: the hub layer is broadcast-bounded BY CONSTRUCTION
+    * (|corpus|/hubMod — size it like an IVF centroid set; at 100 TB
+    * you add a third level so every layer's fan-in stays bounded,
+    * exactly HNSW's log-level growth). Edge build is one broadcast
+    * pass (hub links) + the bucketed LSH join (local links); search
+    * touches candidate rows only — per query O(efHub·revCap·mLocal)
+    * candidates, never the corpus. Everything is deterministic
+    * (6 dp-rounded cosines, id-asc ties) and oracle-mirrorable.
+    */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, hubMod: Int = 16, mHub: Int = 2,
+      mLocal: Int = 8, efHub: Int = 3, planes: Int = 6,
+      revCap: Int = 64): DataFrame = {
+    val v = corpus.select(col(id).cast("long").as("__nid"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+    val hubs = v.filter(hnswLevelExpr("__nid", hubMod))
+      .select(col("__nid").as("__hub"), col("__v").as("__hv"))
+    // hub links: node → its mHub nearest hubs (broadcast pass)
+    val wAsg = Window.partitionBy(col("__nid"))
+      .orderBy(col("__hsim").desc, col("__hub"))
+    val asg = v.crossJoin(broadcast(hubs))
+      .withColumn("__hsim", round(cosineExpr("__v", "__hv"), 6))
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") <= mHub)
+      .select(col("__nid"), col("__hub"), col("__hsim"))
+    // reverse adjacency, capped per hub (hot-hub guard)
+    val wRev = Window.partitionBy(col("__hub"))
+      .orderBy(col("__hsim").desc, col("__nid"))
+    val rev = asg.withColumn("__rr", row_number().over(wRev))
+      .filter(col("__rr") <= revCap)
+      .select(col("__hub"), col("__nid").as("__adj"))
+    // local links: symmetric LSH-bucket pairs, top-mLocal per node
+    val pairs = lshSimilarityJoin(corpus, id, vec, planes)
+      .select(col("id1").cast("long").as("__src"),
+        col("id2").cast("long").as("__dst"), col("sim"))
+    val sym = pairs.unionByName(pairs.select(
+      col("__dst").as("__src"), col("__src").as("__dst"), col("sim")))
+    val wLoc = Window.partitionBy(col("__src"))
+      .orderBy(col("sim").desc, col("__dst"))
+    val local = sym.withColumn("__lr", row_number().over(wLoc))
+      .filter(col("__lr") <= mLocal)
+      .select(col("__src"), col("__dst"))
+    // search: efHub best entry hubs per query (broadcast hub scan)
+    val q = queries.select(col(id).cast("long").as("query_id"),
+      expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
+    val wQh = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qsim").desc, col("__hub"))
+    val qh = q.crossJoin(broadcast(hubs))
+      .withColumn("__qsim", round(cosineExpr("__qv", "__hv"), 6))
+      .withColumn("__qr", row_number().over(wQh))
+      .filter(col("__qr") <= efHub)
+      .select(col("query_id"), col("__hub"))
+    // descend (reverse hub edges), then one local-edge beam step
+    val candRev = qh.join(rev, Seq("__hub"))
+      .select(col("query_id"), col("__adj").as("cand_id"))
+    val candLoc = candRev.join(
+      local, candRev("cand_id") === local("__src"))
+      .select(col("query_id"), col("__dst").as("cand_id"))
+    val cand = candRev.unionByName(candLoc)
+      .filter(col("cand_id") =!= col("query_id")).distinct()
+    // exact cosine over candidates only
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    cand
+      .join(v.select(col("__nid").as("cand_id"), col("__v")),
+        Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", round(cosineExpr("__qv", "__v"), 6))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
 }

@@ -13,7 +13,7 @@ object LlmQueries {
   import HashConstants._
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.BenchGrain.input(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Deterministic synthetic URL per document — the fixture the
     * URL-grain curation queries run on (the corpus has a clean
@@ -545,6 +545,27 @@ object LlmQueries {
     // production ANN deployment runs on a sampled query set. On the
     // planted-cluster fixture (see rp_recall note): recall here is a
     // real quality number, spec-pinned >= Similarity.RecallFloorPpm
+    // HNSW-class navigable-graph ANN (round-15): seeded-hash level
+    // assignment, hub + LSH-bucket edges, greedy descent unrolled to
+    // joins — recall telemetry vs exact brute force, ann_recall's
+    // shape, over 48 queries spanning 8 planted clusters
+    "hnsw_topk" -> ((s, d) => {
+      val emb = Similarity.plantedEmbeddings(
+        t(s, d, "embeddings"), "vec_id")
+      val q = emb.filter(col("vec_id") < 48)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", k = 5).select("query_id", "cand_id")
+      val hnsw = Similarity.hnswTopK(emb, q, "vec_id", "embedding",
+        k = 5).select("query_id", "cand_id")
+      val hits = bf.join(hnsw, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
     "ann_recall" -> ((s, d) => {
       val emb = Similarity.plantedEmbeddings(
         t(s, d, "embeddings"), "vec_id")
@@ -4084,6 +4105,103 @@ object LlmQueries {
          |    AS BIGINT) AS rank
          |  FROM rr)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hnsw_topk mirror: planted v; seeded level hash → hubs; per-node
+    // top-2 hub links; per-hub reverse adjacency capped at 64; LSH
+    // local edges (bucket 6-plane, cap 4096, sim >= 0, top-8 per
+    // node); search = top-3 hubs per query → reverse expansion →
+    // one local beam step → exact-cosine top-5; recall vs brute force
+    "hnsw_topk" ->
+      s"""WITH $duckPlantedV,
+         |hh AS (
+         |  SELECT vec_id AS hub, vec AS hv FROM v
+         |  WHERE (vec_id * 2654435761 + 40503) % 1000003 % 16 = 0),
+         |hasg AS (
+         |  SELECT nid, hub, hsim FROM (
+         |    SELECT n.vec_id AS nid, h.hub,
+         |      round(${duckCos("n.vec", "h.hv")}, 6) AS hsim,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(${duckCos("n.vec", "h.hv")}, 6) DESC,
+         |        h.hub) AS rn
+         |    FROM v n, hh h)
+         |  WHERE rn <= 2),
+         |hrev AS (
+         |  SELECT hub, nid AS adj FROM (
+         |    SELECT hasg.*, row_number() OVER (PARTITION BY hub
+         |      ORDER BY hsim DESC, nid) AS rr FROM hasg)
+         |  WHERE rr <= 64),
+         |hb0 AS (
+         |  SELECT vec_id, vec,
+         |    CAST(${duckLshBucket("vec", 6)} AS BIGINT) AS bucket
+         |  FROM v),
+         |hb AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT hb0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM hb0)
+         |  WHERE rn <= 4096),
+         |hpairs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |  FROM hb a JOIN hb b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.0),
+         |hsym AS (
+         |  SELECT src, dst, sim FROM hpairs
+         |  UNION ALL SELECT dst, src, sim FROM hpairs),
+         |hlocal AS (
+         |  SELECT src, dst FROM (
+         |    SELECT hsym.*, row_number() OVER (PARTITION BY src
+         |      ORDER BY sim DESC, dst) AS lr FROM hsym)
+         |  WHERE lr <= 8),
+         |hqh AS (
+         |  SELECT query_id, hub FROM (
+         |    SELECT q.vec_id AS query_id, h.hub,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${duckCos("q.vec", "h.hv")}, 6) DESC,
+         |        h.hub) AS qr
+         |    FROM v q, hh h WHERE q.vec_id < 48)
+         |  WHERE qr <= 3),
+         |hcrev AS (
+         |  SELECT p.query_id, r.adj AS cand
+         |  FROM hqh p JOIN hrev r ON p.hub = r.hub),
+         |hcand AS (
+         |  SELECT DISTINCT query_id, cand FROM (
+         |    SELECT query_id, cand FROM hcrev
+         |    UNION ALL
+         |    SELECT c.query_id, l.dst AS cand
+         |    FROM hcrev c JOIN hlocal l ON c.cand = l.src)
+         |  WHERE cand != query_id),
+         |hscored AS (
+         |  SELECT c.query_id, c.cand AS cand_id,
+         |    round(${duckCos("qv.vec", "cv.vec")}, 6) AS sim
+         |  FROM hcand c JOIN v cv ON cv.vec_id = c.cand
+         |  JOIN v qv ON qv.vec_id = c.query_id),
+         |hnsw AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+         |      AS rank
+         |    FROM hscored)
+         |  WHERE rank <= 5),
+         |bfs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${duckCos("q.vec", "c.vec")}, 6) + 0.0 AS sim
+         |  FROM v q JOIN v c ON q.vec_id < 48 AND c.vec_id != q.vec_id),
+         |bf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+         |    FROM bfs)
+         |  WHERE rank <= 5),
+         |hhits AS (
+         |  SELECT bf.query_id, count(*) AS hits
+         |  FROM bf JOIN hnsw ON bf.query_id = hnsw.query_id
+         |    AND bf.cand_id = hnsw.cand_id
+         |  GROUP BY bf.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(coalesce(h.hits, 0) / 5.0, 6) AS recall
+         |FROM v q LEFT JOIN hhits h ON q.vec_id = h.query_id
+         |WHERE q.vec_id < 48 ORDER BY query_id""".stripMargin,
     "ann_recall" ->
       s"""WITH $duckPlantedV,
          |$duckKmeansChain,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.BenchGrain.input(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Sales frame with the flagship pipeline's column contract:
     * (sku, store, ts, units). sku = l_suppkey, store = l_returnflag —
@@ -316,6 +316,19 @@ object PipelineQueries {
       kernelMa(s, d, skuCol = "l_partkey", oracleCompat = true))),
     "report_stage" -> ((s, d) => reportStage(s, d)),
     "report_global" -> ((s, d) => reportGlobal(s, d)),
+    // A5 paragraph columns (round-15): the reference's per-SKU
+    // <para> inner markup — header+runtime, pedido, logística,
+    // precisión with the F5 color band — as oracled engine strings;
+    // Report.renderDocument assembles the self-contained document
+    // from exactly these columns (spec-pinned equality)
+    "report_render" -> ((s, d) => {
+      Report.withReportParas(
+        Report.withInterpretation(Report.clean(reportInput(s, d))))
+        .select("StockCode", "StoreID", "Quality_Color",
+          "Para_Header", "Para_Pedido", "Para_Logistica",
+          "Para_Precision")
+        .orderBy("StockCode", "StoreID")
+    }),
     // as-of join: every click gets the user's latest purchase value
     // at-or-before the click time (DuckDB's native ASOF JOIN is the
     // oracle for the composed union+window form)
@@ -562,6 +575,39 @@ object PipelineQueries {
          |    AS Logistica_Text,
          |  printf('Análisis Detallado de SKU: %s en %s', StockCode,
          |    StoreID) AS Header_Text
+         |FROM cleaned ORDER BY StockCode, StoreID""".stripMargin,
+    "report_render" ->
+      s"""WITH $reportBaseCte
+         |SELECT StockCode, StoreID,
+         |  CASE WHEN MAPE < 10.0 THEN 'green'
+         |       WHEN MAPE < 50.0 THEN 'orange'
+         |       ELSE 'red' END AS Quality_Color,
+         |  printf('<font size="14"><b>Análisis Detallado de SKU: %s en %s</b></font><br/><font size="10">Duración del procesamiento: %.2f segundos</font>',
+         |    StockCode, StoreID, round(Duracion_sec, 2)) AS Para_Header,
+         |  concat('<font size="12"><b>1. Decisión de Pedido:</b></font><br/>',
+         |    CASE WHEN Need_Reorder THEN printf(
+         |      'RECOMENDACIÓN CLAVE: Se debe realizar un pedido de <b>%d unidades</b> para evitar una posible rotura de stock.',
+         |      Qty_to_Order)
+         |    ELSE 'RECOMENDACIÓN CLAVE: No se requiere realizar un pedido inmediato (el inventario actual está por encima del ROP).'
+         |    END) AS Para_Pedido,
+         |  printf('<font size="12"><b>2. Parámetros Logísticos:</b></font><br/>El punto de reorden (ROP) es de <b>%d unidades</b>.<br/>El stock de seguridad (SS) calculado es de <b>%d unidades</b>.<br/>La demanda pronosticada para las %d semanas siguientes es de <b>%d unidades</b>.',
+         |    Reorder_Point, Safety_Stock, Forecast_Weeks,
+         |    Forecast_Total) AS Para_Logistica,
+         |  printf('<font size="12"><b>3. Calidad del Pronóstico:</b></font><br/><font color="%s"> %s (RMSE: %.2f).</font>',
+         |    CASE WHEN MAPE < 10.0 THEN 'green'
+         |         WHEN MAPE < 50.0 THEN 'orange'
+         |         ELSE 'red' END,
+         |    CASE WHEN MAPE < 10.0 THEN printf(
+         |      'El modelo muestra una <b>alta precisión</b> (MAPE: %.2f%%). Las predicciones son muy fiables.',
+         |      round(MAPE, 2))
+         |    WHEN MAPE < 50.0 THEN printf(
+         |      'La precisión del modelo es <b>aceptable</b> (MAPE: %.2f%%). Requiere monitorización.',
+         |      round(MAPE, 2))
+         |    ELSE printf(
+         |      'El modelo tuvo una <b>baja precisión</b> (MAPE: %.2f%%), lo que indica demanda intermitente o volátil. La decisión se basa fuertemente en el Stock de Seguridad.',
+         |      round(MAPE, 2))
+         |    END,
+         |    round(RMSE, 2)) AS Para_Precision
          |FROM cleaned ORDER BY StockCode, StoreID""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (

@@ -476,4 +476,48 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(text.contains("alta precisión"))
     assert(text.contains("baja precisión"))
   }
+
+  test("renderDocument (A5): self-contained document in the " +
+      "reference's paragraph order, every paragraph equal to its " +
+      "oracled engine column") {
+    import spark.implicits._
+    val df = Seq(
+      ("S1", "UK", 5.0, 3, 2, true, 10, 7, 4, 1.5, 0.25),
+      ("S2", "DE", 80.0, 2, 1, false, 5, 3, 0, 2.0, 0.1))
+      .toDF("StockCode", "StoreID", "MAPE", "Forecast_Total",
+        "Forecast_Weeks", "Need_Reorder", "Reorder_Point",
+        "Safety_Stock", "Qty_to_Order", "RMSE", "Duracion_sec")
+    val doc = Report.renderDocument(df, "2026-08-15 00:00:00")
+    val lines = doc.split('\n')
+    // header block: title, date, resumen, global MAPE — the
+    // generador.py:170-183 story prefix
+    assert(lines(0).contains("Informe de Optimización de Inventario"))
+    assert(lines(1) === "<para>Fecha de Generación: 2026-08-15 00:00:00</para>")
+    assert(lines(2) === "<para>Resumen: Se analizaron 2 combinaciones " +
+      "SKU/Tienda. <b>1</b> requieren un pedido de reabastecimiento.</para>")
+    assert(lines(3) === "<para>MAPE Promedio Global: <b>42.50%</b></para>")
+    // per-series block: <hr/> then the four paragraphs, text equal to
+    // the oracled Para_* columns in reference order
+    val paras = Report.withReportParas(Report.withInterpretation(df))
+      .orderBy("StockCode").collect()
+    var at = 4
+    for (r <- paras) {
+      assert(lines(at) === "<hr/>")
+      for ((c, i) <- Seq("Para_Header", "Para_Pedido", "Para_Logistica",
+          "Para_Precision").zipWithIndex)
+        assert(lines(at + 1 + i) === s"<para>${r.getAs[String](c)}</para>")
+      at += 5
+    }
+    assert(at === lines.length)
+    // band content: S1 (MAPE 5) green/alta with RMSE 1.50; S2
+    // (MAPE 80) red/baja — the F5 ladder inside the precision para
+    assert(doc.contains("<font color=\"green\"> El modelo muestra una " +
+      "<b>alta precisión</b> (MAPE: 5.00%). Las predicciones son muy " +
+      "fiables. (RMSE: 1.50).</font>"))
+    assert(doc.contains("<font color=\"red\"> El modelo tuvo una " +
+      "<b>baja precisión</b> (MAPE: 80.00%)"))
+    assert(doc.contains("Duración del procesamiento: 0.25 segundos"))
+    assert(doc.contains("La demanda pronosticada para las 2 semanas " +
+      "siguientes es de <b>3 unidades</b>."))
+  }
 }

@@ -2650,6 +2650,34 @@ class LlmSpec extends AnyFunSuite {
       .collect().head.getLong(1) === 255L)
   }
 
+  test("hnswTopK: navigable-graph search recovers the planted " +
+      "top-k; hub layer is the seeded-hash subset; output is " +
+      "rank-contiguous per query") {
+    val base = spark.range(0, 240).toDF("vec_id")
+    val emb = Similarity.plantedEmbeddings(base, "vec_id")
+    // level assignment: deterministic, ~1/16 of nodes, never empty
+    val hubs = emb.filter(Similarity.hnswLevelExpr("vec_id", 16))
+      .collect().map(_.getLong(0)).toSet
+    assert(hubs.nonEmpty && hubs.size < 60)
+    assert(emb.filter(Similarity.hnswLevelExpr("vec_id", 16))
+      .collect().map(_.getLong(0)).toSet === hubs) // stable
+    val q = emb.filter(col("vec_id") < 24) // 4 planted clusters
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("query_id", "cand_id")
+    val out = Similarity.hnswTopK(emb, q, "vec_id", "embedding", k = 5)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.size === 24)
+    // ranks are 1..5 contiguous per query
+    assert(byQ.values.forall(
+      _.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 5L)))
+    // recall vs brute force: the planted cluster-mates share hub
+    // rankings with their queries, so the graph recovers them
+    val hits = bf.join(out.select("query_id", "cand_id"),
+      Seq("query_id", "cand_id"), "left_semi").count()
+    assert(hits >= 24 * 5 * 9 / 10,
+      s"recall ${hits / (24.0 * 5)} below 0.9 floor")
+  }
+
   test("cmsTopK: estimates are never below exact counts and match " +
       "exactly when the sketch is collision-free") {
     val d = docs(
