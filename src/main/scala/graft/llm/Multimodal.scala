@@ -1747,6 +1747,192 @@ object Multimodal {
       "sum_abs_err", "mv_checksum", "q_checksum", "roundtrip_ok")
   }
 
+  /** Encode a frame sequence as a REAL minimal MJPEG-in-AVI file —
+    * the compressed-video profile every camera/CCTV pipeline still
+    * emits: RIFF 'AVI ' / LIST hdrl (avih + one 'vids' stream with
+    * fccHandler 'MJPG' and a BITMAPINFOHEADER strf) / LIST movi with
+    * one word-aligned '00dc' chunk holding a COMPLETE baseline JPEG
+    * per frame ([[encodeJpeg]] — the real ImageIO codec, reused) /
+    * 'idx1' index (one KEYFRAME entry per frame; every MJPEG frame
+    * is independently decodable, which is exactly why the format
+    * survives: random frame access is free). idx1 offsets follow the
+    * common convention: relative to the start of the movi LIST data
+    * (the 'movi' fourcc itself at offset 0).
+    */
+  def encodeMjpegAvi(frames: Seq[DecodedImage], fps: Int = 10)
+      : Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpegAvi: need at least one frame")
+    val w = frames.head.width
+    val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "encodeMjpegAvi: frames must share dimensions")
+    val jpgs = frames.map(encodeJpeg)
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array(v, v >> 8).map(x => (x & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val avih = fcc("avih") ++ le32(56) ++
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++
+      le32(0x10) /* AVIF_HASINDEX */ ++ le32(jpgs.length) ++
+      le32(0) ++ le32(1) ++ le32(jpgs.map(_.length).max) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("strh") ++ le32(56) ++
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) /* dwScale */ ++ le32(fps) /* dwRate */ ++
+      le32(0) ++ le32(jpgs.length) ++ le32(jpgs.map(_.length).max) ++
+      le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = fcc("strf") ++ le32(40) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(w * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+      fcc("strl") ++ strh ++ strf
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    // movi chunks, word-aligned; record each chunk's offset relative
+    // to the movi list data start ('movi' fourcc at offset 0)
+    val moviBody = scala.collection.mutable.ArrayBuffer[Byte]()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    jpgs.foreach { j =>
+      offsets += 4 + moviBody.length // after the 'movi' fourcc
+      moviBody ++= fcc("00dc") ++ le32(j.length) ++ j
+      if (j.length % 2 == 1) moviBody += 0 // RIFF word alignment
+    }
+    val movi = fcc("LIST") ++ le32(4 + moviBody.length) ++
+      fcc("movi") ++ moviBody
+    val idxBody = offsets.zip(jpgs).flatMap { case (off, j) =>
+      fcc("00dc") ++ le32(0x10) /* AVIIF_KEYFRAME */ ++
+        le32(off) ++ le32(j.length)
+    }
+    val idx1 = fcc("idx1") ++ le32(idxBody.length) ++ idxBody
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Parsed MJPEG-AVI header facts: (width, height, totalFrames,
+    * handler fourcc, idx1 entry count). None when the RIFF/AVI
+    * magics are absent — the dispatch contract of every decoder in
+    * this file.
+    */
+  def mjpegHeader(bytes: Array[Byte])
+      : Option[(Int, Int, Int, String, Int)] = {
+    if (bytes == null || bytes.length < 64) return None
+    def tag(off: Int): String =
+      new String(bytes.slice(off, off + 4), "US-ASCII")
+    def get32(off: Int): Int = (0 until 4).map(i =>
+      (bytes(off + i) & 0xff) << (8 * i)).sum
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    // walk top-level chunks after 'AVI '
+    var at = 12
+    var totalFrames = -1; var w = -1; var h = -1
+    var handler = ""; var idxCount = -1
+    while (at + 8 <= bytes.length) {
+      val t = tag(at); val sz = get32(at + 4)
+      if (t == "LIST" && tag(at + 8) == "hdrl") {
+        // avih directly follows the hdrl fourcc
+        val avihAt = at + 12
+        if (tag(avihAt) == "avih") {
+          totalFrames = get32(avihAt + 8 + 16)
+          w = get32(avihAt + 8 + 32); h = get32(avihAt + 8 + 36)
+        }
+        // strl list follows avih (8 header + 56 payload)
+        val strlAt = avihAt + 8 + 56
+        if (tag(strlAt) == "LIST" && tag(strlAt + 8) == "strl" &&
+          tag(strlAt + 12) == "strh")
+          handler = tag(strlAt + 12 + 8 + 4)
+      } else if (t == "idx1") idxCount = sz / 16
+      at += 8 + sz + (sz % 2)
+    }
+    if (totalFrames < 0 || idxCount < 0) None
+    else Some((w, h, totalFrames, handler, idxCount))
+  }
+
+  /** Random-access MJPEG frame decode: locate the movi list and the
+    * idx1 index, follow the requested entries' offsets to their
+    * '00dc' chunks, and hand each complete JPEG payload to the REAL
+    * [[decodeCompressed]] ImageIO path — the frame-seek shape of
+    * video sampling, O(|requested|) decodes regardless of video
+    * length.
+    */
+  def decodeMjpegFrames(bytes: Array[Byte], frames: Seq[Int])
+      : Option[Seq[DecodedImage]] = {
+    if (mjpegHeader(bytes).isEmpty) return None
+    def tag(off: Int): String =
+      new String(bytes.slice(off, off + 4), "US-ASCII")
+    def get32(off: Int): Int = (0 until 4).map(i =>
+      (bytes(off + i) & 0xff) << (8 * i)).sum
+    var at = 12
+    var moviData = -1; var idxAt = -1; var idxN = 0
+    while (at + 8 <= bytes.length) {
+      val t = tag(at); val sz = get32(at + 4)
+      if (t == "LIST" && tag(at + 8) == "movi") moviData = at + 8
+      else if (t == "idx1") { idxAt = at + 8; idxN = sz / 16 }
+      at += 8 + sz + (sz % 2)
+    }
+    if (moviData < 0 || idxAt < 0) return None
+    val out = frames.map { f =>
+      if (f < 0 || f >= idxN) return None
+      val off = get32(idxAt + 16 * f + 8)
+      val chunkAt = moviData + off
+      if (tag(chunkAt) != "00dc") return None
+      val len = get32(chunkAt + 4)
+      decodeCompressed(
+        bytes.slice(chunkAt + 8, chunkAt + 8 + len)) match {
+        case Some(img) => img
+        case None => return None
+      }
+    }
+    Some(out)
+  }
+
+  /** COMPRESSED-VIDEO pipeline, MJPEG profile (round-15): 3
+    * codepoint-derived 8×8 frames → real per-frame JPEG inside a
+    * real AVI container → header parse + idx1 random access on
+    * frames 0 and 2 → channel-mean features of the SOURCE frames
+    * (exact integer-derived doubles the oracle recomputes) plus the
+    * container/lossy invariants as booleans. Row-local like every
+    * codec stage — at 100 TB this is a narrow map over the binary
+    * column, no shuffle.
+    */
+  def mjpegPipeline(df: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val derived = df
+      .select(col(id).cast("long").as("doc_id"),
+        substring(col(text), 1, 576).as("__pfx"))
+      .as[(Long, String)]
+    derived.map { case (docId, pfx) =>
+      val cps = pfx.codePoints().toArray
+      val v = Array.tabulate(576)(j =>
+        if (j < cps.length) cps(j) % 256 else 0)
+      val frames = Array.tabulate(3) { f =>
+        DecodedImage(8, 8, Array.tabulate(64)(i =>
+          (v(192 * f + 3 * i) << 16) | (v(192 * f + 3 * i + 1) << 8)
+            | v(192 * f + 3 * i + 2)))
+      }
+      val avi = encodeMjpegAvi(frames.toSeq)
+      val hdr = mjpegHeader(avi)
+      val dec = decodeMjpegFrames(avi, Seq(0, 2))
+      val (r0, g0, b0) = channelMeans(frames(0))
+      val (r2, _, _) = channelMeans(frames(2))
+      val tol = 16.0
+      val containerOk = hdr.exists { case (w, h, n, fourcc, idxN) =>
+        w == 8 && h == 8 && n == 3 && fourcc == "MJPG" && idxN == 3 }
+      val lossyOk = dec.exists { ds =>
+        val (dr0, dg0, db0) = channelMeans(ds.head)
+        val (dr2, _, _) = channelMeans(ds(1))
+        math.abs(dr0 - r0) <= tol && math.abs(dg0 - g0) <= tol &&
+          math.abs(db0 - b0) <= tol && math.abs(dr2 - r2) <= tol
+      }
+      (docId, 3L, 8, 8, r0, g0, b0, r2, containerOk, lossyOk)
+    }.toDF("doc_id", "n_frames", "width", "height", "f0_mean_r",
+      "f0_mean_g", "f0_mean_b", "f2_mean_r", "container_ok",
+      "lossy_ok")
+  }
+
   /** Frame/sample selection analogue: deterministic stride sampling —
     * every `stride`-th codepoint of the source content as a small
     * fixed-width preview array (the shape of video frame-sampling,

@@ -1415,6 +1415,16 @@ object LlmQueries {
       Multimodal.mcvPipeline(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // MJPEG video profile (round-15): per-frame REAL JPEG inside a
+    // REAL AVI container (RIFF/hdrl/movi/idx1) — the intra-only
+    // compressed-video rung between the lossless GIF89a and the
+    // motion-compensated toy; random frame access through the idx1
+    // index, source-frame channel means as the oracled features,
+    // container+lossy invariants as booleans
+    "multimodal_mjpeg" -> ((s, d) => {
+      Multimodal.mjpegPipeline(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrub: deterministic contact info (email/phone/IPv4 derived
     // from doc_id — same arithmetic in the oracle) is appended to each
     // doc, then redacted; per-category hit counts audit the scrub
@@ -5728,6 +5738,28 @@ object LlmQueries {
         |  list_sum(list_transform(range(0, 64),
         |    i -> CAST(v[384 + 3*i + 1] AS DOUBLE))) / 64 AS f2_mean_r,
         |  TRUE AS roundtrip_ok
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // MJPEG mirror: frame f pixel i reads codepoints 192f+3i.. like
+    // the GIF video; the container/codec invariants are engine-side
+    // booleans the mirror asserts as literals
+    "multimodal_mjpeg" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(range(0, 576), j ->
+        |    CASE WHEN j + 1 <= length(text)
+        |    THEN ascii(substring(text, CAST(j + 1 AS INT), 1)) % 256
+        |    ELSE 0 END) AS v
+        |  FROM documents)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 1] AS DOUBLE))) / 64 AS f0_mean_r,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 2] AS DOUBLE))) / 64 AS f0_mean_g,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[3*i + 3] AS DOUBLE))) / 64 AS f0_mean_b,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> CAST(v[384 + 3*i + 1] AS DOUBLE))) / 64 AS f2_mean_r,
+        |  TRUE AS container_ok, TRUE AS lossy_ok
         |FROM b ORDER BY doc_id""".stripMargin,
     // s[j] = (codepoint_j mod 256 - 128) * 256: integer samples, so
     // the squared sum is exact in double, /64 is dyadic, sqrt is

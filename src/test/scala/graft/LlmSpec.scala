@@ -1388,6 +1388,44 @@ class LlmSpec extends AnyFunSuite {
       big.pixels.toSeq)
   }
 
+  test("multimodal: MJPEG-in-AVI — real RIFF container round-trips " +
+      "through the JDK JPEG codec with idx1 random frame access") {
+    import Multimodal._
+    val f0 = DecodedImage(8, 8, Array.tabulate(64)(i => i * 0x010101))
+    val f1 = DecodedImage(8, 8, f0.pixels.map(_ ^ 0x3f3f3f))
+    val f2 = DecodedImage(8, 8, f0.pixels.reverse)
+    val avi = encodeMjpegAvi(Seq(f0, f1, f2), fps = 5)
+    // container magics + parsed header facts
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    assert(mjpegHeader(avi) === Some((8, 8, 3, "MJPG", 3)))
+    // random-access decode: JPEG is lossy, so pin channel means
+    // within the jpegPipeline tolerance rather than exact pixels
+    def means(img: DecodedImage) = channelMeans(img)
+    val dec = decodeMjpegFrames(avi, Seq(2, 0)).get
+    for (((d, o), _) <- dec.zip(Seq(f2, f0)).zipWithIndex) {
+      val (dr, dg, db) = means(d); val (or_, og, ob) = means(o)
+      assert(math.abs(dr - or_) <= 16.0 && math.abs(dg - og) <= 16.0 &&
+        math.abs(db - ob) <= 16.0)
+      assert(d.width === 8 && d.height === 8)
+    }
+    // out-of-range frame, non-AVI bytes, truncated stream
+    assert(decodeMjpegFrames(avi, Seq(3)) === None)
+    assert(decodeMjpegFrames("not an avi".getBytes, Seq(0)) === None)
+    assert(mjpegHeader(avi.take(40)) === None)
+    // every '00dc' chunk in movi is a complete standalone JPEG
+    // (FFD8 magic) — the property that makes MJPEG seekable
+    val jpg = {
+      val idxAt = avi.length - 3 * 16
+      def g32(off: Int) = (0 until 4).map(i =>
+        (avi(off + i) & 0xff) << (8 * i)).sum
+      val off = g32(idxAt + 8)
+      val moviData = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+      avi.slice(moviData + off + 8, moviData + off + 8 + 2)
+    }
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
+  }
+
   test("multimodal: MDCT codec — container round-trip exact, " +
       "low-pass tone reconstructs, truncating-shift parity") {
     import Multimodal._
