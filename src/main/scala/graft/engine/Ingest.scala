@@ -34,9 +34,12 @@ object Ingest {
     if (fs.exists(hadoopPath)) Some(spark.read.parquet(path)) else None
   }
 
-  /** A3 — columnar (parquet) scan of a named test table. */
+  /** A3 — columnar (parquet) scan of a named test table. Routed
+    * through [[graft.BenchGrain.input]] (a no-op outside an active
+    * bench-grain scope) like the query modules' loaders.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.BenchGrain.input(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** A3 variant for sources with TIMESTAMP(NANOS) parquet columns
     * (Spark has no nanosecond TimestampType; without the legacy conf
@@ -47,7 +50,8 @@ object Ingest {
   def tableNanos(spark: SparkSession, sfDir: String, name: String,
       nanosCols: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = graft.BenchGrain.input(
+      spark.read.parquet(s"$sfDir/$name.parquet"))
     nanosCols.foldLeft(raw) { (d, c) =>
       if (d.schema(c).dataType.typeName == "long")
         d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))

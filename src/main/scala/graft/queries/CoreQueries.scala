@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object CoreQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.BenchGrain.input(s.read.parquet(s"$dir/$name.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A: scans ----
