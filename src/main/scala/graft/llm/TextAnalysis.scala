@@ -2907,4 +2907,61 @@ object TextAnalysis {
       .filter(col("src_rank") <= col("quota"))
       .select(col(source), col("doc_id"), col("src_rank"), col("quota"))
   }
+
+  /** MAIN-CONTENT EXTRACTION (round-15): the text-density /
+    * link-density block rule — the readability/Boilerpipe heuristic
+    * (Kohlschütter et al. 2010, "Boilerplate Detection Using Shallow
+    * Text Features") reduced to its two load-bearing features. A page
+    * splits into newline-delimited BLOCKS; a block survives iff its
+    * visible text (tags stripped) is at least `minChars` AND its
+    * anchor-text share is at most `maxLinkPpm` — navigation chrome is
+    * short and link-saturated, body prose is long and link-sparse.
+    * Complementary to [[graft.llm.Dedup.siteBoilerplate]]: this rule
+    * removes LAYOUT chrome within one page; the site-template
+    * detector removes REPEATED prose across a domain's pages (a
+    * linkless "welcome" header passes the density rule and is
+    * exactly what the n-gram detector flags) — curation runs them in
+    * sequence, and the spec pins that composition.
+    *
+    * Row-local HOF projection over the raw page column: no shuffle
+    * at any corpus size, streaming-safe, and every emitted number is
+    * integer (ppm via DIV) so the DuckDB mirror is hash-exact.
+    * Emits per doc: block/char accounting and `main_text` (kept
+    * blocks, tags stripped, newline-joined).
+    */
+  def mainContent(df: DataFrame, html: String, id: String,
+      minChars: Int = 20, maxLinkPpm: Long = 300000L): DataFrame = {
+    val clash = Seq("n_blocks", "n_kept", "total_chars", "kept_chars",
+      "link_chars", "kept_ppm", "main_text", "__bs", "__kept")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"mainContent: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df
+      .withColumn("__bs", expr(
+        s"""transform(
+           |  filter(split($html, '\n'), b -> length(trim(b)) > 0),
+           |  b -> named_struct(
+           |    'txt', trim(regexp_replace(b, '<[^>]*>', '')),
+           |    'lnk', aggregate(
+           |      regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+           |      0L, (a, x) -> a + length(x))))""".stripMargin))
+      .withColumn("__kept", expr(
+        s"""filter(__bs, s -> length(s.txt) >= $minChars
+           |  AND s.lnk * 1000000L <= ${maxLinkPpm}L * length(s.txt))"""
+          .stripMargin))
+      .withColumn("n_blocks", expr("CAST(size(__bs) AS BIGINT)"))
+      .withColumn("n_kept", expr("CAST(size(__kept) AS BIGINT)"))
+      .withColumn("total_chars", expr(
+        "aggregate(__bs, 0L, (a, s) -> a + length(s.txt))"))
+      .withColumn("kept_chars", expr(
+        "aggregate(__kept, 0L, (a, s) -> a + length(s.txt))"))
+      .withColumn("link_chars", expr(
+        "aggregate(__bs, 0L, (a, s) -> a + s.lnk)"))
+      .withColumn("kept_ppm", expr(
+        "kept_chars * 1000000L DIV greatest(total_chars, 1L)"))
+      .withColumn("main_text", expr(
+        "array_join(transform(__kept, s -> s.txt), '\n')"))
+      .drop("__bs", "__kept")
+  }
 }

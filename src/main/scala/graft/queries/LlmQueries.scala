@@ -1464,6 +1464,34 @@ object LlmQueries {
     // real template scrubbing needs (a nav header on every page of
     // one site never clears a corpus-df bar proportionally); the
     // fixture plants a per-source header on 2/3 of docs
+    // main-content extraction (round-15): text-density/link-density
+    // block rule over a planted page fixture — nav chrome (short,
+    // link-saturated) dropped, body prose kept, a link-bearing but
+    // low-density paragraph kept, sub-minimum fragments dropped; the
+    // linkless site-template header deliberately SURVIVES (that is
+    // site_boilerplate's job — the spec pins the composition)
+    "main_content" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("page", expr(
+          """concat(
+            |'<a href="https://', source, '.com/">home</a> ',
+            |'<a href="https://', source, '.com/about">about us</a> ',
+            |'<a href="https://', source, '.com/contact">contact</a>',
+            |'\n',
+            |'welcome to ', source,
+            |' portal navigation menu home about contact search login',
+            |'\n', text, '\n',
+            |CASE WHEN doc_id % 4 = 0 THEN concat(
+            |  'see also <a href="http://m.', source,
+            |  '.co.uk/b">sports section</a> for the full background ',
+            |  'and analysis of this story')
+            |ELSE 'ok' END)""".stripMargin))
+      TextAnalysis.mainContent(docs, "page", "doc_id")
+        .select("doc_id", "n_blocks", "n_kept", "total_chars",
+          "kept_chars", "link_chars", "kept_ppm", "main_text")
+        .orderBy("doc_id")
+    }),
     "site_boilerplate" -> ((s, d) => {
       // fixture pin (the link_graph discipline): url-parse chain +
       // planted-header CASE are plan-literal bloat a real corpus
@@ -6115,6 +6143,57 @@ object LlmQueries {
     // (url chain gives the registered domain; gram arithmetic is the
     // boilerplate_ngrams mirror at (dom, gram) grain; doc-share ppm
     // against the domain's FULL page count)
+    // main_content mirror: same page fixture, same block split /
+    // tag strip / anchor-char extraction, integer ppm
+    "main_content" ->
+      """WITH pg AS (
+        |  SELECT doc_id, concat(
+        |    '<a href="https://', source, '.com/">home</a> ',
+        |    '<a href="https://', source, '.com/about">about us</a> ',
+        |    '<a href="https://', source, '.com/contact">contact</a>',
+        |    chr(10),
+        |    'welcome to ', source,
+        |    ' portal navigation menu home about contact search login',
+        |    chr(10), text, chr(10),
+        |    CASE WHEN doc_id % 4 = 0 THEN concat(
+        |      'see also <a href="http://m.', source,
+        |      '.co.uk/b">sports section</a> for the full background ',
+        |      'and analysis of this story')
+        |    ELSE 'ok' END) AS page
+        |  FROM documents),
+        |mcb AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(page, chr(10)),
+        |      b -> len(trim(b)) > 0),
+        |    b -> struct_pack(
+        |      txt := trim(regexp_replace(b, '<[^>]*>', '', 'g')),
+        |      lnk := coalesce(list_sum(list_transform(
+        |        regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+        |        x -> len(x))), 0))) AS bsl
+        |  FROM pg),
+        |mck AS (
+        |  SELECT doc_id, bsl,
+        |    list_filter(bsl, s -> len(s.txt) >= 20
+        |      AND s.lnk * 1000000 <= 300000 * len(s.txt)) AS kept
+        |  FROM mcb),
+        |mcs AS (
+        |  SELECT doc_id,
+        |    CAST(len(bsl) AS BIGINT) AS n_blocks,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(coalesce(list_sum(list_transform(bsl,
+        |      s -> len(s.txt))), 0) AS BIGINT) AS total_chars,
+        |    CAST(coalesce(list_sum(list_transform(kept,
+        |      s -> len(s.txt))), 0) AS BIGINT) AS kept_chars,
+        |    CAST(coalesce(list_sum(list_transform(bsl,
+        |      s -> s.lnk)), 0) AS BIGINT) AS link_chars,
+        |    array_to_string(list_transform(kept, s -> s.txt),
+        |      chr(10)) AS main_text
+        |  FROM mck)
+        |SELECT doc_id, n_blocks, n_kept, total_chars, kept_chars,
+        |  link_chars,
+        |  kept_chars * 1000000 // greatest(total_chars, 1) AS kept_ppm,
+        |  main_text
+        |FROM mcs ORDER BY doc_id""".stripMargin,
     "site_boilerplate" ->
       s"""WITH $duckUrlChain,
          |sbd AS (

@@ -1388,6 +1388,67 @@ class LlmSpec extends AnyFunSuite {
       big.pixels.toSeq)
   }
 
+  test("mainContent: link-dense chrome dropped, body and low-density " +
+      "link paragraphs kept, sub-minimum fragments dropped") {
+    val page =
+      "<a href=\"/\">home</a> <a href=\"/a\">about us</a> " +
+        "<a href=\"/c\">contact</a>\n" +                 // link-saturated
+        "the quick brown fox jumps over the lazy dog again\n" + // body
+        "ok\n" +                                         // too short
+        "see the <a href=\"/b\">sports section</a> for the full " +
+        "background and analysis of this story"          // low density
+    val df = Seq((1L, page)).toDF("doc_id", "page")
+    val r = TextAnalysis.mainContent(df, "page", "doc_id")
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") === 4L)
+    assert(r.getAs[Long]("n_kept") === 2L)
+    val main = r.getAs[String]("main_text")
+    assert(main ===
+      "the quick brown fox jumps over the lazy dog again\n" +
+        "see the sports section for the full background and " +
+        "analysis of this story")
+    // nav anchor chars counted: 'home'+'about us'+'contact' = 19,
+    // plus 'sports section' = 14
+    assert(r.getAs[Long]("link_chars") === 33L)
+    assert(r.getAs[Long]("kept_ppm") ===
+      r.getAs[Long]("kept_chars") * 1000000L /
+        r.getAs[Long]("total_chars"))
+    // clash guard
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.mainContent(
+        df.withColumn("main_text", lit("x")), "page", "doc_id")
+    }
+    assert(e.getMessage.contains("main_text"))
+  }
+
+  test("mainContent + siteBoilerplate compose: link chrome never " +
+      "reaches the gram table, the repeated linkless header is still " +
+      "flagged, bodies survive both stages") {
+    val header = "breaking news daily portal covering every region " +
+      "of the world today"
+    val pages = (0 until 6).map { i =>
+      (i.toLong, "news.example",
+        "<a href=\"/\">home</a> <a href=\"/x\">hot links now</a>\n" +
+          s"$header\n" +
+          (0 until 14).map(j => s"word${i}x$j").mkString(" "))
+    }.toDF("doc_id", "dom", "page")
+    val main = TextAnalysis.mainContent(pages, "page", "doc_id")
+      .select(col("doc_id"), col("dom"), col("main_text"))
+    // stage 1 removed the nav block from every page
+    assert(main.collect().forall(
+      !_.getAs[String]("main_text").contains("hot links")))
+    val grams = Dedup.siteBoilerplate(main, "main_text", "doc_id",
+      "dom", n = 8).collect().map(_.getAs[String]("gram"))
+    // stage 2 still flags the repeated header text (present in all 6
+    // pages -> share 1e6 >= the 50% default)
+    assert(grams.exists(_.contains("breaking news daily portal")))
+    // but no gram from the dropped chrome, and none from the
+    // doc-unique body words (df 1 < minDocs; grams that straddle the
+    // header/body boundary die on the doc-specific first body word)
+    assert(!grams.exists(_.contains("home")))
+    assert(!grams.exists(_.contains("word0x1")))
+  }
+
   test("multimodal: MJPEG-in-AVI — real RIFF container round-trips " +
       "through the JDK JPEG codec with idx1 random frame access") {
     import Multimodal._
