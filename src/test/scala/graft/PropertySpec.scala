@@ -1049,4 +1049,82 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getLong(3) === 0L)
     }
   }
+
+  test("hllDistinct property: m=256 estimates inside the 3-sigma " +
+      "1.04/sqrt(m) band on both branches, and the emitted estimate " +
+      "equals an exact register-fold replay (any off-by-one in rho, " +
+      "the harmonic fold, or the LC branch flips it)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // g1: 5000 distinct (raw-estimate branch at m=256, 2.5m = 640);
+    // g2: 300 distinct (linear-counting branch)
+    val df = ((0 until 5000).map(i => ("g1", s"token $i")) ++
+      (0 until 300).map(i => ("g2", s"item $i"))).toDF("grp", "text")
+    val out = graft.llm.TextAnalysis.hllDistinct(df, "grp", "text", b = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Double]("n_est")))).toMap
+    val band = 3.0 * 1.04 / 16.0 // 3 sigma at m = 256
+    for ((g, n) <- Seq("g1" -> 5000L, "g2" -> 300L)) {
+      assert(out(g)._1 === n)
+      val rel = math.abs(out(g)._2 / n - 1.0)
+      assert(rel <= band, s"$g: est ${out(g)._2} vs $n (rel $rel)")
+    }
+    // exact replay of the register fold from the same uniform hashes
+    def replay(grp: String, n: Long): Double = {
+      val m = 256
+      val maxRho = 60 - 8 + 1
+      val hs = df.filter(col("grp") === grp)
+        .select(graft.llm.TextAnalysis.uniformHash60("text"))
+        .collect().map(_.getLong(0))
+      val regs = hs.groupBy(_ % m).map { case (bkt, hh) =>
+        bkt -> hh.map { h =>
+          val w = h / m
+          if (w == 0) maxRho
+          else maxRho - java.lang.Long.toBinaryString(w).length
+        }.max
+      }
+      val present = regs.size
+      val zp = regs.toSeq.sortBy(_._1).foldLeft(0.0) { (acc, e) =>
+        acc + 1.0 / (1L << e._2) }
+      val z = zp + (m - present).toDouble
+      val raw = (0.7213 / (1.0 + 1.079 / m)) * m.toDouble * m / z
+      val zeros = m - present
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(out("g1")._2 === replay("g1", 5000L))
+    assert(out("g2")._2 === replay("g2", 300L))
+  }
+
+  test("kmvDistinct property: estimator identity est = " +
+      "(k-1)*2^60/kth_hash at 6dp, exact degeneration below k, and " +
+      "the k=256 estimate inside the 3-sigma 1/sqrt(k-2) band") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val k = 256
+    // g1: 5000 distinct (sketch path); g2: 100 distinct (< k: exact)
+    val df = ((0 until 5000).map(i => ("g1", s"token $i")) ++
+      (0 until 100).map(i => ("g2", s"item $i"))).toDF("grp", "text")
+    val out = graft.llm.TextAnalysis.kmvDistinct(df, "grp", "text", k = k)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // degenerate group: kth order statistic undefined, exact count
+    assert(out("g2").getAs[Long]("n_exact") === 100L)
+    assert(out("g2").getAs[Any]("kth_hash") === null)
+    assert(out("g2").getAs[Double]("est_distinct") === 100.0)
+    // sketch group: the emitted estimate IS the (k-1)/U_(k) formula
+    // applied to the emitted k-th hash — an off-by-one numerator or
+    // order statistic flips this identity
+    val kth = out("g1").getAs[Long]("kth_hash")
+    val expected = BigDecimal((k - 1).toDouble * math.pow(2, 60) / kth)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("g1").getAs[Double]("est_distinct") === expected)
+    // 3-sigma accuracy band: sd(est)/n ~ 1/sqrt(k-2)
+    val rel = math.abs(out("g1").getAs[Double]("est_distinct") / 5000.0
+      - 1.0)
+    assert(rel <= 3.0 / math.sqrt(k - 2.0), s"rel error $rel")
+  }
 }
