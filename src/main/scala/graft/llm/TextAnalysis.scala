@@ -2929,7 +2929,7 @@ object TextAnalysis {
     * Emits per doc: block/char accounting and `main_text` (kept
     * blocks, tags stripped, newline-joined).
     */
-  def mainContent(df: DataFrame, html: String, id: String,
+  def mainContent(df: DataFrame, html: String,
       minChars: Int = 20, maxLinkPpm: Long = 300000L): DataFrame = {
     val clash = Seq("n_blocks", "n_kept", "total_chars", "kept_chars",
       "link_chars", "kept_ppm", "main_text", "__bs", "__kept")

@@ -1487,7 +1487,7 @@ object LlmQueries {
             |  '.co.uk/b">sports section</a> for the full background ',
             |  'and analysis of this story')
             |ELSE 'ok' END)""".stripMargin))
-      TextAnalysis.mainContent(docs, "page", "doc_id")
+      TextAnalysis.mainContent(docs, "page")
         .select("doc_id", "n_blocks", "n_kept", "total_chars",
           "kept_chars", "link_chars", "kept_ppm", "main_text")
         .orderBy("doc_id")

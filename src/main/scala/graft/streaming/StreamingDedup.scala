@@ -550,6 +550,17 @@ object StreamingDedup {
   def anchorStage(docs: DataFrame, text: String): DataFrame =
     graft.llm.UrlOps.anchorPairs(docs, text)
 
+  /** Streaming MAIN-CONTENT stage: the text/link-density block rule
+    * ([[graft.llm.TextAnalysis.mainContent]] — HOF projections only,
+    * row-local, zero-state) on a live crawl feed. The natural place
+    * in a streaming curation chain is FIRST: chrome stripped before
+    * langId/quality/dedup see the page, so their signals score the
+    * body instead of the navigation. Any output mode; bit-identical
+    * to the batch form (spec-pinned).
+    */
+  def mainContentStage(docs: DataFrame, html: String): DataFrame =
+    graft.llm.TextAnalysis.mainContent(docs, html)
+
   /** Streaming SHARD-ASSIGNMENT stage: [[TextAnalysis.withShard]]'s
     * row-local (log2 size class + content hash) assignment on a
     * live feed — the partitionBy("shard") key for a streaming

@@ -1398,7 +1398,7 @@ class LlmSpec extends AnyFunSuite {
         "see the <a href=\"/b\">sports section</a> for the full " +
         "background and analysis of this story"          // low density
     val df = Seq((1L, page)).toDF("doc_id", "page")
-    val r = TextAnalysis.mainContent(df, "page", "doc_id")
+    val r = TextAnalysis.mainContent(df, "page")
       .collect().head
     assert(r.getAs[Long]("n_blocks") === 4L)
     assert(r.getAs[Long]("n_kept") === 2L)
@@ -1416,7 +1416,7 @@ class LlmSpec extends AnyFunSuite {
     // clash guard
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.mainContent(
-        df.withColumn("main_text", lit("x")), "page", "doc_id")
+        df.withColumn("main_text", lit("x")), "page")
     }
     assert(e.getMessage.contains("main_text"))
   }
@@ -1432,7 +1432,7 @@ class LlmSpec extends AnyFunSuite {
           s"$header\n" +
           (0 until 14).map(j => s"word${i}x$j").mkString(" "))
     }.toDF("doc_id", "dom", "page")
-    val main = TextAnalysis.mainContent(pages, "page", "doc_id")
+    val main = TextAnalysis.mainContent(pages, "page")
       .select(col("doc_id"), col("dom"), col("main_text"))
     // stage 1 removed the nav block from every page
     assert(main.collect().forall(

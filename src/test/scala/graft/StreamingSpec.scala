@@ -1513,4 +1513,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(last((i, cell)) >= 121L)
     }
   }
+
+  test("mainContentStage equals batch mainContent across " +
+      "micro-batches; chrome stripped before downstream stages") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("page", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("mc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mc_ck").toString
+    def page(i: Long) =
+      "<a href=\"/\">home</a> <a href=\"/a\">about us</a> " +
+        "<a href=\"/c\">contact</a>\n" +
+        s"the long and unique body of crawled document number $i " +
+        "with plenty of prose\n" + "ok"
+    def rows(ids: Long*): Unit =
+      ids.toSeq.map(i => (i, page(i))).toDF("doc_id", "page")
+        .write.mode("append").parquet(dir)
+    rows(1L, 2L)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.mainContentStage(stream, "page")
+      .select("doc_id", "n_blocks", "n_kept", "kept_ppm", "main_text")
+      .writeStream.format("memory").queryName("mc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows(3L)
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))
+    val streamed = spark.table("mc_out").collect().map(tup).sortBy(_._1)
+    assert(streamed.length === 3)
+    // chrome and the sub-minimum fragment are gone on the live feed
+    assert(streamed.forall { case (_, nb, nk, _, main) =>
+      nb === 3L && nk === 1L && !main.contains("home") &&
+        main.startsWith("the long and unique body") })
+    val batch = graft.llm.TextAnalysis.mainContent(
+        spark.read.schema(docSchema).parquet(dir), "page")
+      .select("doc_id", "n_blocks", "n_kept", "kept_ppm", "main_text")
+      .collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
