@@ -1223,20 +1223,52 @@ object Similarity {
     */
   def hnswTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, hubMod: Int = 16, mHub: Int = 2,
-      mLocal: Int = 8, efHub: Int = 3, planes: Int = 6,
-      revCap: Int = 64): DataFrame = {
+      mLocal: Int = 8, efHub: Int = 3, planes: Int = 8,
+      revCap: Int = 64, localMaxBucket: Int = 1024): DataFrame = {
+    // repartition BEFORE the |corpus|×|hubs| broadcast expansion: the
+    // expansion multiplies per-partition work ~|hubs|-fold, so input
+    // partitioning IS the parallelism (a single-file local scan would
+    // otherwise run 25M cosines on one core); the exchange moves only
+    // the slim (id, vec) corpus rows
     val v = corpus.select(col(id).cast("long").as("__nid"),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__v"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val hubs = v.filter(hnswLevelExpr("__nid", hubMod))
       .select(col("__nid").as("__hub"), col("__v").as("__hv"))
+    // Top-k-by-cosine over a BROADCAST candidate frame as k repeated
+    // max_by aggregations (the ivfAssign discipline, generalized from
+    // top-1 to top-k). Both one-pass alternatives blow up at scale —
+    // measured at 20k nodes × 1250 hubs: a row_number window shuffles
+    // |left|·|hubs| scored rows (OOM), and a collect_list-then-slice
+    // aggregation buffers |rows-per-task|·|hubs| structs in the
+    // partial-agg hash map (also OOM) — while max_by's buffer is ONE
+    // struct per group with full map-side combine, so pass i streams
+    // the scored rows and materializes only |left| winners. k passes
+    // re-score k·|left|·|hubs| cosines through the codegen'd dot —
+    // compute is the cheap axis here; memory boundedness is the
+    // constraint. Ties: sim desc, id asc via max over (sim, -id).
+    def topByCos(left: DataFrame, leftId: String, leftVec: String,
+        k: Int): DataFrame = {
+      def pass(exclude: Option[DataFrame]): DataFrame = {
+        val scored = left.crossJoin(broadcast(hubs))
+          .withColumn("__hsim", round(cosineExpr(leftVec, "__hv"), 6))
+        val remaining = exclude match {
+          case Some(ex) =>
+            scored.join(broadcast(ex), Seq(leftId, "__hub"), "left_anti")
+          case None => scored
+        }
+        remaining.groupBy(col(leftId))
+          .agg(max_by(struct(col("__hub"), col("__hsim")),
+            struct(col("__hsim"), -col("__hub"))).as("__b"))
+          .select(col(leftId), col("__b.__hub").as("__hub"),
+            col("__b.__hsim").as("__hsim"))
+      }
+      (2 to k).foldLeft(pass(None)) { (acc, _) =>
+        acc.unionByName(pass(Some(acc.select(col(leftId), col("__hub")))))
+      }
+    }
     // hub links: node → its mHub nearest hubs (broadcast pass)
-    val wAsg = Window.partitionBy(col("__nid"))
-      .orderBy(col("__hsim").desc, col("__hub"))
-    val asg = v.crossJoin(broadcast(hubs))
-      .withColumn("__hsim", round(cosineExpr("__v", "__hv"), 6))
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") <= mHub)
-      .select(col("__nid"), col("__hub"), col("__hsim"))
+    val asg = topByCos(v, "__nid", "__v", mHub)
     // reverse adjacency, capped per hub (hot-hub guard)
     val wRev = Window.partitionBy(col("__hub"))
       .orderBy(col("__hsim").desc, col("__nid"))
@@ -1244,7 +1276,14 @@ object Similarity {
       .filter(col("__rr") <= revCap)
       .select(col("__hub"), col("__nid").as("__adj"))
     // local links: symmetric LSH-bucket pairs, top-mLocal per node
-    val pairs = lshSimilarityJoin(corpus, id, vec, planes)
+    // planes=8 / cap 1024 (vs the sim-join's 6/4096 defaults): the
+    // local edges only need to CONNECT near-identical neighbours —
+    // which collide at any plane count — while background pairs grow
+    // ~sum(bucket²); measured at 20k vectors, 6 planes put one
+    // near-cap bucket at ~8M pairs (21M total, driver OOM), 8 planes
+    // with the tighter cap keep the pair stream linear-ish.
+    val pairs = lshSimilarityJoin(corpus, id, vec, planes,
+      maxBucket = localMaxBucket)
       .select(col("id1").cast("long").as("__src"),
         col("id2").cast("long").as("__dst"), col("sim"))
     val sym = pairs.unionByName(pairs.select(
@@ -1254,15 +1293,11 @@ object Similarity {
     val local = sym.withColumn("__lr", row_number().over(wLoc))
       .filter(col("__lr") <= mLocal)
       .select(col("__src"), col("__dst"))
-    // search: efHub best entry hubs per query (broadcast hub scan)
+    // search: efHub best entry hubs per query (broadcast hub scan,
+    // same map-side-combined top-k shape as the build)
     val q = queries.select(col(id).cast("long").as("query_id"),
       expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("__qv"))
-    val wQh = Window.partitionBy(col("query_id"))
-      .orderBy(col("__qsim").desc, col("__hub"))
-    val qh = q.crossJoin(broadcast(hubs))
-      .withColumn("__qsim", round(cosineExpr("__qv", "__hv"), 6))
-      .withColumn("__qr", row_number().over(wQh))
-      .filter(col("__qr") <= efHub)
+    val qh = topByCos(q, "query_id", "__qv", efHub)
       .select(col("query_id"), col("__hub"))
     // descend (reverse hub edges), then one local-edge beam step
     val candRev = qh.join(rev, Seq("__hub"))

@@ -4169,13 +4169,13 @@ object LlmQueries {
          |  WHERE rr <= 64),
          |hb0 AS (
          |  SELECT vec_id, vec,
-         |    CAST(${duckLshBucket("vec", 6)} AS BIGINT) AS bucket
+         |    CAST(${duckLshBucket("vec", 8)} AS BIGINT) AS bucket
          |  FROM v),
          |hb AS (
          |  SELECT vec_id, vec, bucket FROM (
          |    SELECT hb0.*, row_number() OVER (PARTITION BY bucket
          |      ORDER BY vec_id) AS rn FROM hb0)
-         |  WHERE rn <= 4096),
+         |  WHERE rn <= 1024),
          |hpairs AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
