@@ -93,7 +93,8 @@ object BenchGrain {
     "e2e_slice_partkey" -> 0.1, "elasticity" -> 0.25, "embed_clusters" -> 0.15,
     "equidepth_hist" -> 0.15, "ewma_daily" -> 0.25, "f1_f2_math" -> 0.25,
     "f6_format_string" -> 0.4, "feature_hash_embed" -> 0.4, "forecast_reconcile" -> 0.4,
-    "hamming_rerank" -> 0.15, "hamming_topk" -> 0.15, "interval_join" -> 0.15,
+    "hamming_rerank" -> 0.15, "hamming_topk" -> 0.15, "hnsw_topk" -> 0.4,
+    "multimodal_mjpeg" -> 0.25, "interval_join" -> 0.15,
     "inventory_projection" -> 0.6, "ivf_topk_kmeans" -> 0.4, "ivfpq_topk" -> 0.25,
     "kernel_ma_partkey" -> 0.15, "lang_confusion" -> 0.6, "mad_outliers" -> 0.25,
     "maxsim_topk" -> 0.25, "multimodal_codec" -> 0.4, "multimodal_jpeg" -> 0.4,
