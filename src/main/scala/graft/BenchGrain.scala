@@ -104,5 +104,6 @@ object BenchGrain {
     "site_boilerplate" -> 0.4, "span_dedup_stats" -> 0.6, "span_runs" -> 0.6,
     "span_scrub" -> 0.25, "surprise_chunks" -> 0.4, "tfidf_topterms" -> 0.4,
     "top_revenue" -> 0.6, "topk_per_group" -> 0.6, "trigram_lm_score" -> 0.25,
-    "union_align" -> 0.6, "unpivot_measures" -> 0.4, "zorder_layout" -> 0.6)
+    "union_align" -> 0.6, "unpivot_measures" -> 0.4, "wordpiece_tokenize" -> 0.25,
+    "zorder_layout" -> 0.6)
 }

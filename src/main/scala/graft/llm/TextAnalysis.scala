@@ -2964,4 +2964,122 @@ object TextAnalysis {
         "array_join(transform(__kept, s -> s.txt), '\n')"))
       .drop("__bs", "__kept")
   }
+
+  /** WORDPIECE tokenizer fit (Schuster & Nakajima 2012; the BERT
+    * tokenizer family — the frequency-vocab / maximal-munch rung
+    * next to [[bpeApply]]'s merge-list BPE): candidate pieces are
+    * every word substring up to `maxPiece` chars, word-INITIAL
+    * pieces kept raw and continuations stored with the '##' marker
+    * (the WordPiece position distinction); the vocabulary is the
+    * top `vocabN` by (count desc, piece asc) PLUS every single-char
+    * piece, so greedy inference is total without an <unk> escape
+    * for any character the fit corpus saw. All-integer counts; the
+    * ranking window runs over the candidate VOCABULARY (distinct
+    * pieces — the Retrieval vocab-fit bound, not the corpus), and
+    * the candidate explode is one scan with map-side combine.
+    */
+  def wordpieceFit(df: DataFrame, text: String, vocabN: Int = 512,
+      maxPiece: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPiece >= 1 && vocabN >= 1, "need maxPiece/vocabN >= 1")
+    val wordsOf = expr(s"filter(split(lower($text), ' '), t -> t != '')")
+    val cands = df.select(explode(wordsOf).as("__w"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, length(__w)),
+           |  p -> transform(
+           |    sequence(1, least($maxPiece, length(__w) - p + 1)),
+           |    l -> CASE WHEN p = 1 THEN substring(__w, 1, l)
+           |         ELSE concat('##', substring(__w, p, l)) END)))"""
+          .stripMargin)).as("piece"))
+    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
+    cands.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= vocabN ||
+        length(regexp_replace(col("piece"), "^##", "")) === 1)
+      .select("piece", "cnt", "rank")
+  }
+
+  /** The greedy longest-match-first step as SQL: one `aggregate`
+    * iteration over a word's chars, trying piece lengths maxPiece..2
+    * against the broadcast vocab map and falling back to a 1-char
+    * piece (unknown single chars count as unk but still consume —
+    * inference is total). The chosen-length CASE is inlined at each
+    * use site (SQL has no let-binding); `withSeg` additionally
+    * accumulates the space-joined piece string.
+    */
+  private def wpAggSql(w: String, vm: String, maxPiece: Int,
+      withSeg: Boolean): String = {
+    def key(l: String) =
+      s"(CASE WHEN acc.pos = 1 THEN substring($w, 1, $l) " +
+        s"ELSE concat('##', substring($w, acc.pos, $l)) END)"
+    val chosen = (maxPiece to 2 by -1).map { l =>
+      s"WHEN length($w) - acc.pos + 1 >= $l " +
+        s"AND try_element_at($vm, ${key(l.toString)}) IS NOT NULL " +
+        s"THEN $l"
+    }.mkString("(CASE ", " ", " ELSE 1 END)")
+    val segField =
+      if (withSeg)
+        s""", 'seg', concat(acc.seg,
+           |  CASE WHEN acc.seg = '' THEN '' ELSE ' ' END,
+           |  ${key(chosen)})""".stripMargin
+      else ""
+    val init = "named_struct('pos', 1, 'n', CAST(0 AS BIGINT), " +
+      "'unk', CAST(0 AS BIGINT)" +
+      (if (withSeg) ", 'seg', ''" else "") + ")"
+    s"""aggregate(sequence(1, length($w)), $init,
+       |  (acc, i) -> CASE WHEN acc.pos > length($w) THEN acc
+       |  ELSE named_struct(
+       |    'pos', acc.pos + $chosen,
+       |    'n', acc.n + 1L,
+       |    'unk', acc.unk + CASE WHEN $chosen = 1
+       |      AND try_element_at($vm, ${key("1")}) IS NULL
+       |      THEN 1L ELSE 0L END$segField) END)""".stripMargin
+  }
+
+  /** WORDPIECE greedy inference over a fitted vocabulary
+    * ([[wordpieceFit]]): per word, repeatedly take the LONGEST vocab
+    * piece at the cursor (word-initial raw, continuation '##'-keyed)
+    * — the exact BERT maximal-munch rule. Per doc emits word/piece/
+    * unk accounting, pieces-per-word ppm (the fertility number), and
+    * the first word's segmentation as a witness column. Scale shape:
+    * the vocabulary rides in as ONE broadcast map row; tokenization
+    * is a row-local HOF fold — no shuffle, streaming-safe.
+    */
+  def wordpieceApply(df: DataFrame, text: String, id: String,
+      vocab: DataFrame, maxPiece: Int = 4): DataFrame = {
+    val vm = vocab.agg(map_from_entries(
+      collect_list(struct(col("piece"), lit(1)))).as("__vm"))
+    val counted = wpAggSql("__w", "__vm", maxPiece, withSeg = true)
+    // MEMOIZED at word grain: tokenization is a pure function of the
+    // word, and natural text repeats words heavily, so the
+    // interpreted greedy fold runs once per DISTINCT word (bounded
+    // by the corpus vocabulary, not the token stream — measured 12.1
+    // -> 3.4 s at sf0.1) and occurrences pick their stats up via a
+    // word-keyed join the optimizer is free to broadcast.
+    val base = df.select(col(id),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("__ws"))
+    val stats = base.select(explode(col("__ws")).as("__w")).distinct()
+      .crossJoin(broadcast(vm))
+      .withColumn("__s", expr(counted))
+      .select(col("__w"), col("__s.n").as("__n"),
+        col("__s.unk").as("__unk"), col("__s.seg").as("__seg"))
+    val occ = base.select(col(id), explode(col("__ws")).as("__w"))
+      .join(stats, Seq("__w"))
+      .groupBy(col(id))
+      .agg(sum(col("__n")).as("n_pieces"),
+        sum(col("__unk")).as("n_unk"))
+    base
+      .withColumn("n_words", expr("CAST(size(__ws) AS BIGINT)"))
+      .withColumn("__w1", expr("try_element_at(__ws, 1)"))
+      .join(occ, Seq(id), "left")
+      .join(stats.select(col("__w").as("__w1"),
+        col("__seg").as("__seg1")), Seq("__w1"), "left")
+      .select(col(id), col("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        expr("coalesce(n_pieces, 0L) * 1000000L " +
+          "DIV greatest(n_words, 1L)").as("ppw_ppm"),
+        coalesce(col("__seg1"), lit("")).as("seg_first"))
+  }
 }

@@ -1143,6 +1143,22 @@ object LlmQueries {
     // corpus's word-frequency table, then every doc tokenized by
     // broadcast word->tokens join; the oracle replays the identical
     // merge chain as generated materialized CTE stages
+    // WordPiece vocab fit (round-15): frequency-ranked substring
+    // pieces with the '##' continuation marker and a single-char
+    // totality floor — the BERT-family tokenizer next to BPE
+    "wordpiece_vocab" -> ((s, d) => {
+      TextAnalysis.wordpieceFit(t(s, d, "documents"), "text")
+        .orderBy("rank")
+    }),
+    // WordPiece greedy maximal-munch inference over the fitted
+    // vocab: per-doc piece/unk accounting, fertility ppm, and the
+    // first word's segmentation as an oracled witness
+    "wordpiece_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.wordpieceApply(docs, "text", "doc_id",
+        TextAnalysis.wordpieceFit(docs, "text"))
+        .orderBy("doc_id")
+    }),
     "bpe_apply" -> ((s, d) => {
       Canon.stringifyArrays(
         TextAnalysis.bpeApply(t(s, d, "documents"), "text", "doc_id",
@@ -4751,6 +4767,105 @@ object LlmQueries {
     // w-stages are MATERIALIZED (each is referenced twice - pair
     // extraction and rewrite - and inlined CTEs would re-evaluate
     // the chain exponentially)
+    // WordPiece mirrors: shared vocab-fit chain; the greedy
+    // maximal-munch fold replays as a recursive CTE with one
+    // LEFT JOIN per candidate piece length (no aggregates/windows
+    // allowed in the recursive term)
+    "wordpiece_vocab" ->
+      s"""WITH ww AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |    t -> t != '') AS ws
+      |  FROM documents),
+      |wfl AS (SELECT unnest(ws) AS w FROM ww),
+      |wpp AS (SELECT w,
+      |  unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS p
+      |  FROM wfl),
+      |wpl AS (SELECT w, p, unnest(generate_series(1, 4)) AS l
+      |  FROM wpp),
+      |wca AS (
+      |  SELECT CASE WHEN p = 1 THEN substring(w, 1, CAST(l AS INT))
+      |    ELSE '##' || substring(w, CAST(p AS INT), CAST(l AS INT))
+      |    END AS piece
+      |  FROM wpl WHERE p + l - 1 <= len(w)),
+      |wct AS (SELECT piece, count(*) AS cnt FROM wca GROUP BY piece),
+      |wrk AS (SELECT piece, cnt,
+      |  row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+      |  FROM wct),
+      |wv AS (SELECT piece FROM wrk
+      |  WHERE rank <= 512 OR len(regexp_replace(piece, '^##', '')) = 1)
+         |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM wrk
+         |WHERE rank <= 512 OR len(regexp_replace(piece, '^##', '')) = 1
+         |ORDER BY rank""".stripMargin,
+    "wordpiece_tokenize" ->
+      s"""WITH RECURSIVE ww AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |    t -> t != '') AS ws
+      |  FROM documents),
+      |wfl AS (SELECT unnest(ws) AS w FROM ww),
+      |wpp AS (SELECT w,
+      |  unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS p
+      |  FROM wfl),
+      |wpl AS (SELECT w, p, unnest(generate_series(1, 4)) AS l
+      |  FROM wpp),
+      |wca AS (
+      |  SELECT CASE WHEN p = 1 THEN substring(w, 1, CAST(l AS INT))
+      |    ELSE '##' || substring(w, CAST(p AS INT), CAST(l AS INT))
+      |    END AS piece
+      |  FROM wpl WHERE p + l - 1 <= len(w)),
+      |wct AS (SELECT piece, count(*) AS cnt FROM wca GROUP BY piece),
+      |wrk AS (SELECT piece, cnt,
+      |  row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+      |  FROM wct),
+      |wv AS (SELECT piece FROM wrk
+      |  WHERE rank <= 512 OR len(regexp_replace(piece, '^##', '')) = 1),
+         |dwf AS (
+         |  SELECT doc_id, unnest(ws) AS w,
+         |    unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS wi
+         |  FROM ww),
+         |rec AS (
+         |  SELECT doc_id, wi, w, 1 AS pos, 0 AS n, 0 AS unk,
+         |    '' AS seg
+         |  FROM dwf
+         |  UNION ALL
+         |  SELECT r.doc_id, r.wi, r.w,
+         |    r.pos + (CASE WHEN v4.piece IS NOT NULL THEN 4 WHEN v3.piece IS NOT NULL THEN 3 WHEN v2.piece IS NOT NULL THEN 2 ELSE 1 END) AS pos,
+         |    r.n + 1 AS n,
+         |    r.unk + CASE WHEN (CASE WHEN v4.piece IS NOT NULL THEN 4 WHEN v3.piece IS NOT NULL THEN 3 WHEN v2.piece IS NOT NULL THEN 2 ELSE 1 END) = 1 AND v1.piece IS NULL
+         |      THEN 1 ELSE 0 END AS unk,
+         |    r.seg || CASE WHEN r.seg = '' THEN '' ELSE ' ' END
+         |      || (CASE WHEN r.pos = 1 THEN substring(r.w, 1, (CASE WHEN v4.piece IS NOT NULL THEN 4 WHEN v3.piece IS NOT NULL THEN 3 WHEN v2.piece IS NOT NULL THEN 2 ELSE 1 END)) ELSE '##' || substring(r.w, CAST(r.pos AS INT), (CASE WHEN v4.piece IS NOT NULL THEN 4 WHEN v3.piece IS NOT NULL THEN 3 WHEN v2.piece IS NOT NULL THEN 2 ELSE 1 END)) END) AS seg
+         |  FROM rec r
+         |  LEFT JOIN wv v4 ON len(r.w) - r.pos + 1 >= 4
+         |    AND v4.piece = (CASE WHEN r.pos = 1 THEN substring(r.w, 1, 4) ELSE '##' || substring(r.w, CAST(r.pos AS INT), 4) END)
+         |  LEFT JOIN wv v3 ON len(r.w) - r.pos + 1 >= 3
+         |    AND v3.piece = (CASE WHEN r.pos = 1 THEN substring(r.w, 1, 3) ELSE '##' || substring(r.w, CAST(r.pos AS INT), 3) END)
+         |  LEFT JOIN wv v2 ON len(r.w) - r.pos + 1 >= 2
+         |    AND v2.piece = (CASE WHEN r.pos = 1 THEN substring(r.w, 1, 2) ELSE '##' || substring(r.w, CAST(r.pos AS INT), 2) END)
+         |  LEFT JOIN wv v1 ON v1.piece = (CASE WHEN r.pos = 1 THEN substring(r.w, 1, 1) ELSE '##' || substring(r.w, CAST(r.pos AS INT), 1) END)
+         |  WHERE r.pos <= len(r.w)),
+         |fin AS (
+         |  SELECT doc_id, wi, max_by(n, pos) AS n,
+         |    max_by(unk, pos) AS unk, max_by(seg, pos) AS seg
+         |  FROM rec GROUP BY doc_id, wi),
+         |wagg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS np,
+         |    CAST(sum(unk) AS BIGINT) AS nu
+         |  FROM fin GROUP BY doc_id),
+         |segf AS (SELECT doc_id, seg FROM fin WHERE wi = 1),
+         |wbase AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw
+         |  FROM ww)
+         |SELECT b.doc_id, b.nw AS n_words,
+         |  coalesce(a.np, 0) AS n_pieces,
+         |  coalesce(a.nu, 0) AS n_unk,
+         |  coalesce(a.np, 0) * 1000000 // greatest(b.nw, 1)
+         |    AS ppw_ppm,
+         |  coalesce(s.seg, '') AS seg_first
+         |FROM wbase b
+         |LEFT JOIN wagg a USING (doc_id)
+         |LEFT JOIN segf s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "bpe_apply" ->
       s"""WITH ${duckBpeChain()},
          |tok AS (

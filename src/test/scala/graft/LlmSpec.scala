@@ -1388,6 +1388,50 @@ class LlmSpec extends AnyFunSuite {
       big.pixels.toSeq)
   }
 
+  test("wordpieceFit: initial vs ##-continuation pieces, top-N by " +
+      "(count, piece) with single-char totality floor") {
+    val docs = Seq("the cat", "the cathedral cat").toDF("text")
+    val v = TextAnalysis.wordpieceFit(docs, "text", vocabN = 20,
+      maxPiece = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // 'the' appears twice as an initial piece; 'cat' three times
+    // (twice as the word, once as cathedral's prefix)
+    assert(v("cat")._1 === 3L)
+    assert(v("the")._1 === 2L)
+    // continuation pieces carry the marker
+    assert(v.contains("##he") && v.contains("##at"))
+    // single-char pieces survive beyond the top-5 cut (rank > 5 ok)
+    assert(v.contains("c") && v.contains("##t"))
+    // no unmarked continuation leaked: every piece is either
+    // word-initial raw or ##-prefixed
+    assert(v.keySet.forall(p => !p.startsWith("#") || p.startsWith("##")))
+  }
+
+  test("wordpieceApply: greedy longest-match-first segmentation, " +
+      "unk single chars consume, fertility accounting") {
+    val vocab = Seq("cat", "##hed", "##ral", "##s", "x", "##y")
+      .toDF("piece")
+    val docs = Seq((1L, "cat cathedrals"), (2L, "xyz"), (3L, " "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordpieceApply(docs, "text", "doc_id",
+      vocab).collect().map(r => r.getLong(0) -> r).toMap
+    // 'cathedrals' -> cat ##hed ##ral ##s (maximal munch at each
+    // cursor); 'cat' -> cat
+    assert(out(1L).getAs[Long]("n_words") === 2L)
+    assert(out(1L).getAs[Long]("n_pieces") === 5L)
+    assert(out(1L).getAs[Long]("n_unk") === 0L)
+    assert(out(1L).getAs[String]("seg_first") === "cat")
+    assert(out(1L).getAs[Long]("ppw_ppm") === 2500000L)
+    // unknown '##z' still consumes as a 1-char unk piece
+    assert(out(2L).getAs[Long]("n_pieces") === 3L)
+    assert(out(2L).getAs[Long]("n_unk") === 1L)
+    assert(out(2L).getAs[String]("seg_first") === "x ##y ##z")
+    // empty word list: zero accounting, empty witness
+    assert(out(3L).getAs[Long]("n_words") === 0L)
+    assert(out(3L).getAs[String]("seg_first") === "")
+  }
+
   test("mainContent: link-dense chrome dropped, body and low-density " +
       "link paragraphs kept, sub-minimum fragments dropped") {
     val page =
