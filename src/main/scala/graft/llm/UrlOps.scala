@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL / host-grain curation operators — the CommonCrawl-recipe
@@ -307,5 +308,44 @@ object UrlOps {
       .withColumn("canon_url", expr(
         "concat(scheme, '://', host, __portc, __pathc, __qc)"))
       .drop("__qs", "__pairs", "__portc", "__pathc", "__qc")
+  }
+
+  /** robots.txt fetch gate (RFC 9309 §2.2.2 precedence): per URL,
+    * the matching Allow/Disallow rule with the LONGEST path prefix
+    * wins; equal lengths resolve to Allow; no matching rule means
+    * allowed. `rules` is the parsed per-host policy table
+    * (host, allow: boolean, prefix) a crawler refreshes out of band
+    * — host-keyed, as robots.txt scopes are. Scale shape: one join
+    * of the parsed URLs against the rules table (hosts are the key;
+    * a policy table is tiny next to a frontier, so the optimizer
+    * broadcasts it), then a per-URL rank over that URL's matched
+    * rules only — bounded by rules-per-host, never the frontier.
+    * Appends `allowed`, `matched_rule` ('' when none),
+    * `matched_len`.
+    */
+  def robotsGate(df: DataFrame, url: String, id: String,
+      rules: DataFrame): DataFrame = {
+    val clash = Seq("allowed", "matched_rule", "matched_len")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"robotsGate: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val parsed = withUrlParts(df, url)
+    val matches = parsed.select(col(id), col("host"), col("path"))
+      .join(rules, Seq("host"))
+      .filter(expr("substring(path, 1, length(prefix)) = prefix"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(length(col("prefix")).desc, col("allow").desc,
+        col("prefix").desc)
+    val decisions = matches
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(id), col("allow"), col("prefix"))
+    parsed.join(decisions, Seq(id), "left")
+      .withColumn("allowed", coalesce(col("allow"), lit(true)))
+      .withColumn("matched_rule", coalesce(col("prefix"), lit("")))
+      .withColumn("matched_len",
+        length(coalesce(col("prefix"), lit(""))).cast("long"))
+      .drop("allow", "prefix")
   }
 }

@@ -1480,6 +1480,35 @@ object LlmQueries {
     // real template scrubbing needs (a nav header on every page of
     // one site never clears a corpus-df bar proportionally); the
     // fixture plants a per-source header on 2/3 of docs
+    // robots.txt fetch gate (round-15): RFC 9309 longest-prefix-match
+    // precedence (Allow wins length ties, no match = allowed) over a
+    // deterministic per-host policy fixture — variant 1 exercises the
+    // longer-Allow-overrides-Disallow rule, variant 2 the block-all-
+    // except pattern
+    "robots_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", expr(syntheticUrl))
+      val rules = UrlOps.withUrlParts(docs, "url")
+        .select("host").distinct()
+        .select(col("host"), explode(expr(
+          """CASE CAST((length(host) + ascii(substring(host, 1, 1))) % 3 AS INT)
+            |  WHEN 0 THEN array(
+            |    named_struct('allow', false, 'prefix', '/p/'))
+            |  WHEN 1 THEN array(
+            |    named_struct('allow', false, 'prefix', '/x/'),
+            |    named_struct('allow', true, 'prefix', '/x/1'))
+            |  ELSE array(
+            |    named_struct('allow', false, 'prefix', '/'),
+            |    named_struct('allow', true, 'prefix', '/d/'))
+            |END""".stripMargin)).as("__r"))
+        .select(col("host"), col("__r.allow").as("allow"),
+          col("__r.prefix").as("prefix"))
+      UrlOps.robotsGate(docs, "url", "doc_id", rules)
+        .select("doc_id", "host", "path", "allowed", "matched_rule",
+          "matched_len")
+        .orderBy("doc_id")
+    }),
     // main-content extraction (round-15): text-density/link-density
     // block rule over a planted page fixture — nav chrome (short,
     // link-saturated) dropped, body prose kept, a link-bearing but
@@ -6258,6 +6287,38 @@ object LlmQueries {
     // (url chain gives the registered domain; gram arithmetic is the
     // boilerplate_ngrams mirror at (dom, gram) grain; doc-share ppm
     // against the domain's FULL page count)
+    // robots_gate mirror: duckUrlChain parse + the same per-host
+    // policy fixture, longest-prefix rank (Allow wins ties), no
+    // match = allowed
+    "robots_gate" ->
+      s"""WITH $duckUrlChain,
+         |rbp AS (SELECT doc_id, host, path FROM ph),
+         |rbh AS (SELECT DISTINCT host FROM rbp),
+         |rbr AS (
+         |  SELECT host, FALSE AS allow, '/p/' AS prefix FROM rbh
+         |    WHERE (len(host) + ascii(substring(host, 1, 1))) % 3 = 0
+         |  UNION ALL SELECT host, FALSE, '/x/' FROM rbh
+         |    WHERE (len(host) + ascii(substring(host, 1, 1))) % 3 = 1
+         |  UNION ALL SELECT host, TRUE, '/x/1' FROM rbh
+         |    WHERE (len(host) + ascii(substring(host, 1, 1))) % 3 = 1
+         |  UNION ALL SELECT host, FALSE, '/' FROM rbh
+         |    WHERE (len(host) + ascii(substring(host, 1, 1))) % 3 = 2
+         |  UNION ALL SELECT host, TRUE, '/d/' FROM rbh
+         |    WHERE (len(host) + ascii(substring(host, 1, 1))) % 3 = 2),
+         |rbm AS (
+         |  SELECT p.doc_id, r.allow, r.prefix,
+         |    row_number() OVER (PARTITION BY p.doc_id
+         |      ORDER BY len(r.prefix) DESC, r.allow DESC,
+         |        r.prefix DESC) AS rn
+         |  FROM rbp p JOIN rbr r ON p.host = r.host
+         |  WHERE substring(p.path, 1, len(r.prefix)) = r.prefix),
+         |rbd AS (SELECT doc_id, allow, prefix FROM rbm WHERE rn = 1)
+         |SELECT p.doc_id, p.host, p.path,
+         |  coalesce(d.allow, TRUE) AS allowed,
+         |  coalesce(d.prefix, '') AS matched_rule,
+         |  CAST(len(coalesce(d.prefix, '')) AS BIGINT) AS matched_len
+         |FROM rbp p LEFT JOIN rbd d USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
     // main_content mirror: same page fixture, same block split /
     // tag strip / anchor-char extraction, integer ppm
     "main_content" ->

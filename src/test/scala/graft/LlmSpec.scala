@@ -1388,6 +1388,36 @@ class LlmSpec extends AnyFunSuite {
       big.pixels.toSeq)
   }
 
+  test("robotsGate: RFC 9309 longest-prefix precedence — Allow wins " +
+      "length ties, longer Allow overrides Disallow, no match allows") {
+    val urls = Seq(
+      (1L, "https://ex.com/private/a"),   // disallowed by /private/
+      (2L, "https://ex.com/private/ok/x"),// longer Allow overrides
+      (3L, "https://ex.com/pub"),         // no match -> allowed
+      (4L, "https://ex.com/tie"),         // equal-length tie -> Allow
+      (5L, "https://other.net/private/a") // host without rules
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("ex.com", false, "/private/"),
+      ("ex.com", true, "/private/ok/"),
+      ("ex.com", false, "/tie"),
+      ("ex.com", true, "/tie")).toDF("host", "allow", "prefix")
+    val out = UrlOps.robotsGate(urls, "url", "doc_id", rules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_rule"))))
+      .toMap
+    assert(out(1L) === ((false, "/private/")))
+    assert(out(2L) === ((true, "/private/ok/")))
+    assert(out(3L) === ((true, "")))
+    assert(out(4L) === ((true, "/tie")))
+    assert(out(5L) === ((true, "")))
+    val e = intercept[IllegalArgumentException] {
+      UrlOps.robotsGate(urls.withColumn("allowed", lit(1)), "url",
+        "doc_id", rules)
+    }
+    assert(e.getMessage.contains("allowed"))
+  }
+
   test("wordpieceFit: initial vs ##-continuation pieces, top-N by " +
       "(count, piece) with single-char totality floor") {
     val docs = Seq("the cat", "the cathedral cat").toDF("text")
