@@ -58,6 +58,14 @@ object ForecastJob {
   def report(results: DataFrame): String =
     Report.renderText(Report.clean(results))
 
+  /** A6 — the notebook's `m.plot(forecast); plt.show()` step
+    * (ref: limpieza_de_datos.py:49-50): one series' actual-vs-
+    * forecast frame rendered as the deterministic SVG plot.
+    * `series` carries (ds, y, yhat) — the Prophet plot's inputs.
+    */
+  def plot(series: DataFrame): String =
+    Report.renderForecastSvg(series, "ds", "y", "yhat")
+
   /** The reference's two-script flow in one call: forecast then
     * report over the produced results.
     */

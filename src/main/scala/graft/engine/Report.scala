@@ -180,6 +180,72 @@ object Report {
     (header ++ body).mkString("\n")
   }
 
+  /** A6 (round-15) — the plot sink: the reference's
+    * `m.plot(forecast); plt.show()` (ref: limpieza_de_datos.py:49-50)
+    * re-expressed as a DEPENDENCY-FREE deterministic SVG render —
+    * history actuals as points, the forecast as a polyline (the two
+    * marks Prophet's plot draws), axes with 5 value ticks and
+    * first/last category labels. Driver-side like the reference's
+    * matplotlib call (a plot IS a driver artifact); the collect is
+    * bounded by `limit`. All coordinates format through Locale.ROOT
+    * at 2 dp, so the same frame always renders byte-identical SVG.
+    */
+  def renderForecastSvg(df: DataFrame, ds: String, y: String,
+      yhat: String, width: Int = 640, height: Int = 320,
+      limit: Int = 2000): String = {
+    val rows = df
+      .select(col(ds).cast("string").as("__ds"),
+        col(y).cast("double").as("__y"),
+        col(yhat).cast("double").as("__yh"))
+      .orderBy(col("__ds")).limit(limit).collect()
+    require(rows.nonEmpty, "renderForecastSvg: empty series")
+    def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    val vals = rows.flatMap(r => optD(r, "__y") ++ optD(r, "__yh"))
+    require(vals.nonEmpty, "renderForecastSvg: no numeric values")
+    val pad = math.max((vals.max - vals.min) * 0.05, 1e-9)
+    val lo = vals.min - pad
+    val hi = vals.max + pad
+    val (mL, mR, mT, mB) = (50, 10, 10, 30)
+    val iw = width - mL - mR
+    val ih = height - mT - mB
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f",
+        java.lang.Double.valueOf(v))
+    def xAt(i: Int): Double =
+      if (rows.length == 1) mL + iw / 2.0
+      else mL + i.toDouble * iw / (rows.length - 1)
+    def yAt(v: Double): Double = mT + (hi - v) / (hi - lo) * ih
+    val line = rows.iterator.zipWithIndex
+      .flatMap { case (r, i) => optD(r, "__yh").map(v =>
+        s"${fmt(xAt(i))},${fmt(yAt(v))}") }
+      .mkString(" ")
+    val dots = rows.iterator.zipWithIndex
+      .flatMap { case (r, i) => optD(r, "__y").map(v =>
+        s"""<circle cx="${fmt(xAt(i))}" cy="${fmt(yAt(v))}" r="2" """ +
+          """fill="black"/>""") }
+      .mkString("\n")
+    val ticks = (0 to 4).map { t =>
+      val v = lo + (hi - lo) * t / 4.0
+      val yy = fmt(yAt(v))
+      s"""<line x1="$mL" y1="$yy" x2="${width - mR}" y2="$yy" """ +
+        s"""stroke="#ddd"/><text x="4" y="$yy" font-size="10">""" +
+        s"${fmt(v)}</text>"
+    }.mkString("\n")
+    val xLabels =
+      s"""<text x="$mL" y="${height - 8}" font-size="10">""" +
+        s"${rows.head.getString(0)}</text>\n" +
+        s"""<text x="${width - mR}" y="${height - 8}" """ +
+        s"""font-size="10" text-anchor="end">""" +
+        s"${rows.last.getString(0)}</text>"
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""" + "\n" +
+      ticks + "\n" +
+      s"""<polyline points="$line" fill="none" stroke="#1f77b4" """ +
+      """stroke-width="1.5"/>""" + "\n" +
+      dots + "\n" + xLabels + "\n</svg>"
+  }
+
   /** A5 — the only driver-side step: collect the small report frame and
     * render plain text (the PDF layer is presentation, not engine).
     */

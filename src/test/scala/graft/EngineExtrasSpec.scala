@@ -477,6 +477,38 @@ class EngineExtrasSpec extends AnyFunSuite {
     assert(text.contains("baja precisión"))
   }
 
+  test("renderForecastSvg (A6): deterministic SVG — forecast " +
+      "polyline, actual points, ticks, category labels") {
+    import spark.implicits._
+    val series = Seq(
+      ("2024-01-01", Some(10.0), 12.0),
+      ("2024-01-02", Some(20.0), 18.0),
+      ("2024-01-03", None, 19.0),
+      ("2024-01-04", None, 21.0)).toDF("ds", "y", "yhat")
+    val svg = graft.engine.Report.renderForecastSvg(
+      series, "ds", "y", "yhat")
+    assert(svg.startsWith("<svg xmlns=\"http://www.w3.org/2000/svg\""))
+    assert(svg.endsWith("</svg>"))
+    // the forecast polyline has all 4 vertices; actuals only 2 dots
+    val poly = "points=\"([^\"]*)\"".r
+      .findFirstMatchIn(svg).get.group(1)
+    assert(poly.split(" ").length === 4)
+    assert("<circle ".r.findAllIn(svg).length === 2)
+    // spot-pin the first vertex against independent math:
+    // vals 10..21, pad 0.55 -> lo 9.45, hi 21.55; x0 = 50;
+    // y(12) = 10 + (21.55-12)/12.1*280
+    val y12 = 10 + (21.55 - 12.0) / 12.1 * 280
+    assert(poly.split(" ").head === "50.00," + String.format(
+      java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(y12)))
+    // 5 horizontal ticks with value labels; first/last date labels
+    assert("<line ".r.findAllIn(svg).length === 5)
+    assert(svg.contains("2024-01-01</text>") &&
+      svg.contains("2024-01-04</text>"))
+    // byte-deterministic
+    assert(svg === graft.engine.Report.renderForecastSvg(
+      series, "ds", "y", "yhat"))
+  }
+
   test("renderDocument (A5): self-contained document in the " +
       "reference's paragraph order, every paragraph equal to its " +
       "oracled engine column") {
