@@ -323,7 +323,7 @@ object UrlOps {
     * Appends `allowed`, `matched_rule` ('' when none),
     * `matched_len`.
     */
-  def robotsGate(df: DataFrame, url: String, id: String,
+  def robotsGate(df: DataFrame, url: String,
       rules: DataFrame): DataFrame = {
     val clash = Seq("allowed", "matched_rule", "matched_len")
       .filter(df.columns.contains)
@@ -331,21 +331,38 @@ object UrlOps {
       s"robotsGate: input already contains column(s) " +
         s"${clash.mkString(", ")}")
     val parsed = withUrlParts(df, url)
-    val matches = parsed.select(col(id), col("host"), col("path"))
-      .join(rules, Seq("host"))
-      .filter(expr("substring(path, 1, length(prefix)) = prefix"))
-    val w = Window.partitionBy(col(id))
-      .orderBy(length(col("prefix")).desc, col("allow").desc,
-        col("prefix").desc)
-    val decisions = matches
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(id), col("allow"), col("prefix"))
-    parsed.join(decisions, Seq(id), "left")
-      .withColumn("allowed", coalesce(col("allow"), lit(true)))
-      .withColumn("matched_rule", coalesce(col("prefix"), lit("")))
+    // ONE host-keyed join against the per-host rule LISTS, then a
+    // row-local fold picks the RFC-precedence winner — the fold
+    // computes a true maximum under the total order (prefix length,
+    // allow, prefix), so it is order-independent (no sort, no
+    // per-URL window/shuffle) and the whole gate is streaming-safe
+    // (stream-static join + projections).
+    val byHost = rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("allow"), col("prefix")))
+        .as("__rules"))
+    parsed.join(byHost, Seq("host"), "left")
+      .withColumn("__best", expr(
+        """aggregate(
+          |  filter(coalesce(__rules,
+          |      CAST(array() AS ARRAY<STRUCT<allow: BOOLEAN,
+          |                                   prefix: STRING>>)),
+          |    r -> substring(path, 1, length(r.prefix)) = r.prefix),
+          |  CAST(NULL AS STRUCT<allow: BOOLEAN, prefix: STRING>),
+          |  (acc, r) -> CASE
+          |    WHEN acc IS NULL THEN r
+          |    WHEN length(r.prefix) > length(acc.prefix) THEN r
+          |    WHEN length(r.prefix) = length(acc.prefix)
+          |      AND r.allow AND NOT acc.allow THEN r
+          |    WHEN length(r.prefix) = length(acc.prefix)
+          |      AND r.allow = acc.allow
+          |      AND r.prefix > acc.prefix THEN r
+          |    ELSE acc END)""".stripMargin))
+      .withColumn("allowed",
+        coalesce(col("__best.allow"), lit(true)))
+      .withColumn("matched_rule",
+        coalesce(col("__best.prefix"), lit("")))
       .withColumn("matched_len",
-        length(coalesce(col("prefix"), lit(""))).cast("long"))
-      .drop("allow", "prefix")
+        length(coalesce(col("__best.prefix"), lit(""))).cast("long"))
+      .drop("__rules", "__best")
   }
 }

@@ -1504,7 +1504,7 @@ object LlmQueries {
             |END""".stripMargin)).as("__r"))
         .select(col("host"), col("__r.allow").as("allow"),
           col("__r.prefix").as("prefix"))
-      UrlOps.robotsGate(docs, "url", "doc_id", rules)
+      UrlOps.robotsGate(docs, "url", rules)
         .select("doc_id", "host", "path", "allowed", "matched_rule",
           "matched_len")
         .orderBy("doc_id")

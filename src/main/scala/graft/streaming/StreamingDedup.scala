@@ -561,6 +561,17 @@ object StreamingDedup {
   def mainContentStage(docs: DataFrame, html: String): DataFrame =
     graft.llm.TextAnalysis.mainContent(docs, html)
 
+  /** Streaming ROBOTS GATE: RFC 9309 longest-prefix fetch decisions
+    * on a live frontier ([[graft.llm.UrlOps.robotsGate]] — one
+    * stream-static join against the per-host policy table, then a
+    * row-local precedence fold; zero state, append mode). The policy
+    * table is the batch-refreshed side input a crawler maintains out
+    * of band.
+    */
+  def robotsStage(docs: DataFrame, url: String,
+      rules: DataFrame): DataFrame =
+    graft.llm.UrlOps.robotsGate(docs, url, rules)
+
   /** Streaming SHARD-ASSIGNMENT stage: [[TextAnalysis.withShard]]'s
     * row-local (log2 size class + content hash) assignment on a
     * live feed — the partitionBy("shard") key for a streaming

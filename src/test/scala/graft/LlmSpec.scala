@@ -1402,7 +1402,7 @@ class LlmSpec extends AnyFunSuite {
       ("ex.com", true, "/private/ok/"),
       ("ex.com", false, "/tie"),
       ("ex.com", true, "/tie")).toDF("host", "allow", "prefix")
-    val out = UrlOps.robotsGate(urls, "url", "doc_id", rules)
+    val out = UrlOps.robotsGate(urls, "url", rules)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_rule"))))
       .toMap
@@ -1413,7 +1413,7 @@ class LlmSpec extends AnyFunSuite {
     assert(out(5L) === ((true, "")))
     val e = intercept[IllegalArgumentException] {
       UrlOps.robotsGate(urls.withColumn("allowed", lit(1)), "url",
-        "doc_id", rules)
+        rules)
     }
     assert(e.getMessage.contains("allowed"))
   }

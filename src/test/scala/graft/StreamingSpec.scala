@@ -1556,4 +1556,45 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(tup).sortBy(_._1)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("robotsStage equals batch robotsGate across micro-batches; " +
+      "stream-static policy join, zero state") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("rb_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rb_ck").toString
+    val rules = Seq(
+      ("ex.com", false, "/private/"),
+      ("ex.com", true, "/private/ok/"))
+      .toDF("host", "allow", "prefix")
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "url")
+        .write.mode("append").parquet(dir)
+    rows((1L, "https://ex.com/private/a"),
+      (2L, "https://ex.com/private/ok/x"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.robotsStage(stream, "url", rules)
+      .select("doc_id", "allowed", "matched_rule", "matched_len")
+      .writeStream.format("memory").queryName("rb_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "https://other.net/private/a"))
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3))
+    val streamed = spark.table("rb_out").collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === Seq(
+      (1L, false, "/private/", 9L),
+      (2L, true, "/private/ok/", 12L),
+      (3L, true, "", 0L)))
+    val batch = graft.llm.UrlOps.robotsGate(
+        spark.read.schema(docSchema).parquet(dir), "url", rules)
+      .select("doc_id", "allowed", "matched_rule", "matched_len")
+      .collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
