@@ -1184,6 +1184,40 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "maxsim")
   }
 
+  /** EMBEDDING-SPACE DECONTAMINATION (round-15): flag corpus
+    * documents whose embedding is near-identical to an EVAL-SET
+    * member — the semantic complement of the n-gram `decontaminate`
+    * pass (paraphrased or reformatted benchmark leakage survives
+    * n-gram overlap; it does not survive a 0.9+ cosine to the eval
+    * embedding — the phi-series "decontamination by embedding
+    * similarity" recipe). Candidates come from ONE
+    * [[lshSimilarityJoin]] over the union (bucketed, capped — never
+    * corpus×eval); cross-side pairs are recognized by the id space
+    * (`evalOffset` — eval ids must live at or above it, corpus ids
+    * below), and each contaminated corpus doc reports its BEST eval
+    * match by (sim desc, eval id asc). Emits
+    * (doc id, eval_id, sim) — the drop list an anti-join consumes.
+    */
+  def decontaminateEmbed(corpus: DataFrame, evalSet: DataFrame,
+      id: String, vec: String, evalOffset: Long,
+      planes: Int = 6, minSim: Double = 0.9): DataFrame = {
+    val all = corpus
+      .select(col(id).cast("long").as(id),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as(vec))
+      .unionByName(evalSet
+        .select(col(id).cast("long").as(id),
+          expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as(vec)))
+    val pairs = lshSimilarityJoin(all, id, vec, planes, minSim)
+    // lshSimilarityJoin emits id1 < id2, so a cross-side pair always
+    // has the corpus doc at id1 and the eval member at id2
+    pairs
+      .filter(col("id1") < evalOffset && col("id2") >= evalOffset)
+      .groupBy(col("id1").as(id))
+      .agg(max_by(col("id2"), struct(col("sim"), -col("id2")))
+        .as("eval_id"),
+        max(col("sim")).as("sim"))
+  }
+
   /** Seeded level-assignment hash for [[hnswTopK]]: a node is a
     * level-1 "hub" iff its scrambled id folds to 0 mod `hubMod` —
     * the HNSW trick (each node's max layer drawn from a geometric

@@ -545,6 +545,22 @@ object LlmQueries {
     // production ANN deployment runs on a sampled query set. On the
     // planted-cluster fixture (see rp_recall note): recall here is a
     // real quality number, spec-pinned >= Similarity.RecallFloorPpm
+    // embedding-space decontamination (round-15): corpus docs whose
+    // embedding is near-identical to an eval-set member — the
+    // semantic complement of the n-gram decontaminate pass; the
+    // planted eval copies (clusters 0-4, re-id'd into the eval id
+    // space) are recovered with their whole clusters
+    "decontam_embed" -> ((s, d) => {
+      val emb = Similarity.plantedEmbeddings(
+        t(s, d, "embeddings"), "vec_id")
+      val evalSet = Similarity.plantedEmbeddings(
+        t(s, d, "embeddings"), "vec_id")
+        .filter(col("vec_id") < 30)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+      Similarity.decontaminateEmbed(emb, evalSet, "vec_id",
+        "embedding", evalOffset = 10000000L)
+        .orderBy("vec_id")
+    }),
     // HNSW-class navigable-graph ANN (round-15): seeded-hash level
     // assignment, hub + LSH-bucket edges, greedy descent unrolled to
     // joins — recall telemetry vs exact brute force, ann_recall's
@@ -4188,6 +4204,38 @@ object LlmQueries {
          |    AS BIGINT) AS rank
          |  FROM rr)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // decontam_embed mirror: planted v + re-id'd eval copies through
+    // the 6-plane LSH chain; cross-side pairs by id space, best eval
+    // match per corpus doc
+    "decontam_embed" ->
+      s"""WITH $duckPlantedV,
+         |dev AS (SELECT vec_id + 10000000 AS vec_id, vec FROM v
+         |  WHERE vec_id < 30),
+         |dal AS (SELECT vec_id, vec FROM v
+         |  UNION ALL SELECT vec_id, vec FROM dev),
+         |db0 AS (
+         |  SELECT vec_id, vec,
+         |    CAST(${duckLshBucket("vec", 6)} AS BIGINT) AS bucket
+         |  FROM dal),
+         |db AS (
+         |  SELECT vec_id, vec, bucket FROM (
+         |    SELECT db0.*, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS rn FROM db0)
+         |  WHERE rn <= 4096),
+         |dpr AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
+         |  FROM db a JOIN db b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.9),
+         |dcx AS (
+         |  SELECT id1, id2, sim,
+         |    row_number() OVER (PARTITION BY id1
+         |      ORDER BY sim DESC, id2) AS rn,
+         |    max(sim) OVER (PARTITION BY id1) AS best_sim
+         |  FROM dpr WHERE id1 < 10000000 AND id2 >= 10000000)
+         |SELECT id1 AS vec_id, id2 AS eval_id, best_sim + 0.0 AS sim
+         |FROM dcx WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // hnsw_topk mirror: planted v; seeded level hash → hubs; per-node
     // top-2 hub links; per-hub reverse adjacency capped at 64; LSH
     // local edges (bucket 6-plane, cap 4096, sim >= 0, top-8 per

@@ -1388,6 +1388,30 @@ class LlmSpec extends AnyFunSuite {
       big.pixels.toSeq)
   }
 
+  test("decontaminateEmbed: planted eval copies flag their whole " +
+      "clusters with best-match ties to the lowest eval id; clean " +
+      "clusters stay clean") {
+    val base = spark.range(0, 120).toDF("vec_id")
+    val corpus = Similarity.plantedEmbeddings(base, "vec_id")
+    // eval = copies of clusters 0 and 1 (ids 0..11), re-id'd
+    val evalSet = Similarity.plantedEmbeddings(base, "vec_id")
+      .filter(col("vec_id") < 12)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+    val out = Similarity.decontaminateEmbed(corpus, evalSet,
+      "vec_id", "embedding", evalOffset = 10000000L,
+      minSim = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    // every member of clusters 0/1 is contaminated at sim 1.0,
+    // matched to the lowest eval id of its own cluster
+    for (i <- 0L until 12L) {
+      assert(out(i)._2 === 1.0)
+      assert(out(i)._1 === 10000000L + (i / 6) * 6)
+    }
+    // at a 0.999 floor nothing outside the copied clusters is hit
+    assert(out.keySet === (0L until 12L).toSet)
+  }
+
   test("robotsGate: RFC 9309 longest-prefix precedence — Allow wins " +
       "length ties, longer Allow overrides Disallow, no match allows") {
     val urls = Seq(
