@@ -1200,14 +1200,20 @@ object Similarity {
     */
   def decontaminateEmbed(corpus: DataFrame, evalSet: DataFrame,
       id: String, vec: String, evalOffset: Long,
-      planes: Int = 6, minSim: Double = 0.9): DataFrame = {
+      planes: Int = 8, minSim: Double = 0.9,
+      maxBucket: Int = 1024): DataFrame = {
     val all = corpus
       .select(col(id).cast("long").as(id),
         expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as(vec))
       .unionByName(evalSet
         .select(col(id).cast("long").as(id),
           expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as(vec)))
-    val pairs = lshSimilarityJoin(all, id, vec, planes, minSim)
+    // planes=8 / cap 1024 (the hnsw local-edge lesson): a 0.9+
+    // cosine match collides at any plane count, while background
+    // bucket skew grows ~sum(bucket²) — 6 planes measured 26.6x at
+    // 10x data before this change
+    val pairs = lshSimilarityJoin(all, id, vec, planes, minSim,
+      maxBucket)
     // lshSimilarityJoin emits id1 < id2, so a cross-side pair always
     // has the corpus doc at id1 and the eval member at id2
     pairs

@@ -4215,13 +4215,13 @@ object LlmQueries {
          |  UNION ALL SELECT vec_id, vec FROM dev),
          |db0 AS (
          |  SELECT vec_id, vec,
-         |    CAST(${duckLshBucket("vec", 6)} AS BIGINT) AS bucket
+         |    CAST(${duckLshBucket("vec", 8)} AS BIGINT) AS bucket
          |  FROM dal),
          |db AS (
          |  SELECT vec_id, vec, bucket FROM (
          |    SELECT db0.*, row_number() OVER (PARTITION BY bucket
          |      ORDER BY vec_id) AS rn FROM db0)
-         |  WHERE rn <= 4096),
+         |  WHERE rn <= 1024),
          |dpr AS (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
          |    round(${duckCos("a.vec", "b.vec")}, 6) AS sim
