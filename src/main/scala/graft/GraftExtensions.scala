@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{FeatureHashCountsExpr, HashConstants, MinHashSigExpr, NgramFoldHashesExpr, PolyHashShingles, PolyHashString, PolyHashTokens, PolyHashTokensNonEmpty, SimHashPackExpr, TextClassStatsExpr, WinnowMinsExpr}
+import graft.llm.{FeatureHashCountsExpr, HashConstants, MinHashSigExpr, NfcNormalizeExpr, NfkcNormalizeExpr, NgramFoldHashesExpr, PolyHashShingles, PolyHashString, PolyHashTokens, PolyHashTokensNonEmpty, SimHashPackExpr, TextClassStatsExpr, WinnowMinsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -75,7 +75,9 @@ object GraftExtensions {
     "graft_ngram_hashes" -> { args =>
       val n = if (args.length > 1) intArg(args(1), 8) else 8
       NgramFoldHashesExpr(args.head, n)
-    })
+    },
+    "graft_nfc" -> (args => NfcNormalizeExpr(args.head)),
+    "graft_nfkc" -> (args => NfkcNormalizeExpr(args.head)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -3082,4 +3082,44 @@ object TextAnalysis {
           "DIV greatest(n_words, 1L)").as("ppw_ppm"),
         coalesce(col("__seg1"), lit("")).as("seg_first"))
   }
+
+  /** Unicode text normalization — the canonical-form fold every
+    * hash/equality-based operator (exact dedup, MinHash shingles,
+    * decontamination joins, anchor grouping) needs upstream, since
+    * 'é' spelled U+00E9 and 'e'+U+0301 hash differently but are the
+    * same grapheme. Adds:
+    *   - `norm_text`: NFC (native codegen'd [[NfcNormalizeExpr]]) →
+    *     lowercase → whitespace-class ([\t\n\x0B\f\r]) to space →
+    *     strip remaining C0/DEL controls → collapse space runs →
+    *     trim;
+    *   - `n_chars_raw` / `n_chars_norm` (codepoint counts) and
+    *     `norm_changed` for curation-funnel accounting.
+    * Row-local, no shuffle; the NFC fast path (`isNormalized`) makes
+    * already-clean ASCII rows allocation-free. NFC (not NFKC) is the
+    * operator form because it is loss-less (no compatibility
+    * folding) and oracle-mirrorable (`nfc_normalize`); the NFKC
+    * compatibility fold is exposed separately as [[NfkcNormalizeExpr]]
+    * (`graft_nfkc`) and pinned by spec.
+    */
+  def normalizeText(df: DataFrame, text: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    val clash = Seq("norm_text", "n_chars_raw", "n_chars_norm",
+      "norm_changed", "__nfc").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"normalizeText: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df.withColumn("__nfc", column(NfcNormalizeExpr(expression(col(text)))))
+      .withColumn("norm_text", expr(
+        """trim(regexp_replace(regexp_replace(regexp_replace(
+          |  lower(__nfc),
+          |  '[\\t\\n\\x0B\\f\\r]', ' '),
+          |  '[\\x00-\\x08\\x0E-\\x1F\\x7F]', ''),
+          |  ' {2,}', ' '))""".stripMargin))
+      .withColumn("n_chars_raw",
+        expr(s"CAST(length($text) AS BIGINT)"))
+      .withColumn("n_chars_norm",
+        expr("CAST(length(norm_text) AS BIGINT)"))
+      .withColumn("norm_changed", expr(s"norm_text <> $text"))
+      .drop("__nfc")
+  }
 }

@@ -38,6 +38,23 @@ object LlmQueries {
       |              CAST(doc_id AS STRING))
       |END""".stripMargin
 
+  /** Messy-Unicode text fixture for the normalization query: the same
+    * grapheme planted composed and decomposed (NFC must merge them),
+    * plus controls / mixed whitespace / double spaces / case noise.
+    * Pure concat/CASE over (doc_id, source, text) with the Unicode
+    * literals embedded verbatim, so the identical SQL text runs on
+    * both engines.
+    */
+  private val messyUnicodeText =
+    """concat(
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN concat('  Café ', source, '')
+      |    WHEN 1 THEN concat('CAFÉ  ', upper(source))
+      |    WHEN 2 THEN concat('	tabs	and
+      |newlines', source)
+      |    ELSE concat('ñ vs ñ ', source)
+      |  END, ' | ', text, '  ')""".stripMargin
+
   /** Messier synthetic URL fixture for the canonicalization query:
     * tracking params, fragments, DEFAULT ports, trailing slashes,
     * unsorted params, and mixed case — built so variants 0/1 and
@@ -1551,6 +1568,21 @@ object LlmQueries {
       TextAnalysis.mainContent(docs, "page")
         .select("doc_id", "n_blocks", "n_kept", "total_chars",
           "kept_chars", "link_chars", "kept_ppm", "main_text")
+        .orderBy("doc_id")
+    }),
+    // Unicode normalization fold (NFC + casefold + whitespace/control
+    // cleanup): the fixture plants the exact forms crawl text mixes —
+    // decomposed combining accents (e+U+0301) vs their composed
+    // spellings, C0 controls, tab/newline/CR whitespace, double
+    // spaces, and shouting case — so the oracle exercises every rule,
+    // not just the ASCII fast path
+    "text_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("raw", expr(messyUnicodeText))
+      TextAnalysis.normalizeText(docs, "raw")
+        .select("doc_id", "norm_text", "n_chars_raw", "n_chars_norm",
+          "norm_changed")
         .orderBy("doc_id")
     }),
     "site_boilerplate" -> ((s, d) => {
@@ -6418,6 +6450,28 @@ object LlmQueries {
         |  kept_chars * 1000000 // greatest(total_chars, 1) AS kept_ppm,
         |  main_text
         |FROM mcs ORDER BY doc_id""".stripMargin,
+    // identical rule chain over the identical raw fixture text:
+    // nfc_normalize is DuckDB's UAX#15 NFC (utf8proc) mirroring the
+    // JDK Normalizer; the fixture literals carry raw control chars
+    // (no dialect-specific escapes), and the regex classes arrive as
+    // single-backslash escapes both engines' regex layers interpret
+    "text_normalize" ->
+      s"""WITH tn AS (
+         |  SELECT doc_id, $messyUnicodeText AS raw
+         |  FROM documents),
+         |tnn AS (
+         |  SELECT doc_id, raw,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      lower(nfc_normalize(raw)),
+         |      '[\\t\\n\\x0B\\f\\r]', ' ', 'g'),
+         |      '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      ' {2,}', ' ', 'g')) AS norm_text
+         |  FROM tn)
+         |SELECT doc_id, norm_text,
+         |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+         |  norm_text <> raw AS norm_changed
+         |FROM tnn ORDER BY doc_id""".stripMargin,
     "site_boilerplate" ->
       s"""WITH $duckUrlChain,
          |sbd AS (

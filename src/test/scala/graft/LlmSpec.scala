@@ -3083,6 +3083,41 @@ class LlmSpec extends AnyFunSuite {
       r.getLong(4)) === ((4L, 4L, 2L, 2L, 2L)))
   }
 
+  test("normalizeText: NFC merges composed/decomposed spellings, " +
+      "strips controls, collapses whitespace, and is idempotent") {
+    val d = docs(
+      "Café  DU\tMONDE\r\n",   // decomposed é, tab/CR/LF, case
+      "café du monde",          // composed — must normalize equal
+      "abc",             // C0 controls stripped, no join
+      "already clean")
+    val out = TextAnalysis.normalizeText(d, "text")
+      .select("doc_id", "norm_text", "norm_changed")
+      .collect().sortBy(_.getLong(0)).map(r =>
+        (r.getString(1), r.getBoolean(2)))
+    assert(out(0)._1 === "café du monde")
+    assert(out(1)._1 === "café du monde")
+    assert(out(0)._2 && !out(1)._2)
+    assert(out(2)._1 === "abc")
+    assert(out(3) === (("already clean", false)))
+    // idempotence: a second pass is the identity
+    val once = TextAnalysis.normalizeText(d, "text")
+      .select(col("norm_text").as("text"))
+    val twice = TextAnalysis.normalizeText(once, "text")
+      .filter(col("norm_changed"))
+    assert(twice.isEmpty)
+  }
+
+  test("graft_nfkc folds compatibility forms NFC must preserve") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfkc('ﬁle ＤＥ 2³'), " +
+        "graft_nfc('ﬁle ＤＥ 2³'), " +
+        "graft_nfc(CAST(NULL AS STRING))").collect()(0)
+    assert(r.getString(0) === "file DE 23")   // ligature/fullwidth/superscript fold
+    assert(r.getString(1) === "ﬁle ＤＥ 2³") // NFC is loss-less
+    assert(r.isNullAt(2))
+  }
+
   test("shardPlan: every doc lands in exactly one shard, totals add " +
       "up, and dev_ppm signs around the mean") {
     val d = (0 until 200).map { i =>
