@@ -3083,6 +3083,62 @@ object TextAnalysis {
         coalesce(col("__seg1"), lit("")).as("seg_first"))
   }
 
+  /** UNIGRAM-family piece-frequency fit: candidate pieces are every
+    * word substring up to `maxPiece` chars (no positional marker —
+    * unlike WordPiece, the unigram lattice scores a piece the same at
+    * any offset); vocabulary = top `vocabN` by (count desc, piece
+    * asc) PLUS every single-char piece so Viterbi segmentation
+    * ([[UnigramViterbiExpr]]) is total. The piece count doubles as
+    * its integer score. Same scale shape as [[wordpieceFit]]: one
+    * scan, map-side combine, ranking window over the candidate
+    * vocabulary only.
+    */
+  def unigramFit(df: DataFrame, text: String, vocabN: Int = 64,
+      maxPiece: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPiece >= 1 && vocabN >= 1, "need maxPiece/vocabN >= 1")
+    val wordsOf = expr(s"filter(split(lower($text), ' '), t -> t != '')")
+    val cands = df.select(explode(wordsOf).as("__w"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, length(__w)),
+           |  p -> transform(
+           |    sequence(1, least($maxPiece, length(__w) - p + 1)),
+           |    l -> substring(__w, p, l))))""".stripMargin)).as("piece"))
+    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
+    cands.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= vocabN || length(col("piece")) === 1)
+      .select("piece", "cnt", "rank")
+  }
+
+  /** Optimal (Viterbi) unigram segmentation at DISTINCT-word grain:
+    * per distinct word of `text`, the minimal-piece / max-frequency
+    * segmentation plus the greedy maximal-munch count over the SAME
+    * vocabulary (the optimal-vs-greedy savings witness). The fitted
+    * vocabulary ([[unigramFit]]) is a BOUNDED collect (vocabN +
+    * single-char floor) baked into one native codegen'd expression;
+    * everything else is a scan — callers re-attach per-occurrence
+    * stats via a word-keyed (broadcastable) join.
+    */
+  def unigramTokenizeWords(df: DataFrame, text: String,
+      vocab: DataFrame, maxPiece: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    // bounded: vocabN top pieces + one row per distinct corpus char
+    val entries = vocab.select("piece", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val holder = new UnigramVocab(entries)
+    val wordsOf = expr(s"filter(split(lower($text), ' '), t -> t != '')")
+    df.select(explode(wordsOf).as("word")).distinct()
+      .withColumn("__r", column(UnigramViterbiExpr(
+        expression(col("word")), holder, maxPiece, maxWordLen)))
+      .select(col("word"), col("__r.best_score").as("best_score"),
+        col("__r.n_pieces").as("n_pieces"),
+        col("__r.n_unk").as("n_unk"), col("__r.seg").as("seg"),
+        col("__r.n_pieces_greedy").as("n_pieces_greedy"),
+        col("__r.greedy_score").as("greedy_score"))
+  }
+
   /** Unicode text normalization — the canonical-form fold every
     * hash/equality-based operator (exact dedup, MinHash shingles,
     * decontamination joins, anchor grouping) needs upstream, since

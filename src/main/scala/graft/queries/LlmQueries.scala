@@ -55,6 +55,28 @@ object LlmQueries {
       |    ELSE concat('ñ vs ñ ', source)
       |  END, ' | ', text, '  ')""".stripMargin
 
+  /** Unigram-tokenizer fixtures. FIT text plants letters-only long
+    * words (16-char boundary, >16 `<long>` collapse, corpus-word
+    * compounds whose 2-4-gram pieces compete for the tight 64-slot
+    * vocabulary — the selectivity that makes greedy maximal-munch
+    * measurably suboptimal); TOKENIZE text is the superset adding a
+    * digit-suffixed word per doc, so tokenize-time sees single chars
+    * the fit never saw (the unk path).
+    */
+  private val unigramFitText =
+    """concat(text,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN ' misunderstanding'
+      |    WHEN 1 THEN ' internationalization'
+      |    WHEN 2 THEN ' tokenization'
+      |    WHEN 3 THEN ' hyperparameters'
+      |    ELSE ' windowtables'
+      |  END)""".stripMargin
+
+  private val unigramTokText =
+    s"""concat($unigramFitText,
+       |  ' ', source, CAST(doc_id % 97 AS STRING))""".stripMargin
+
   /** Messier synthetic URL fixture for the canonicalization query:
     * tracking params, fragments, DEFAULT ports, trailing slashes,
     * unsorted params, and mixed case — built so variants 0/1 and
@@ -1192,6 +1214,57 @@ object LlmQueries {
         TextAnalysis.wordpieceFit(docs, "text"))
         .orderBy("doc_id")
     }),
+    // UNIGRAM-family fit: positionless substring pieces, tight 64-cap
+    // (selectivity is what makes greedy fallible below) + single-char
+    // floor; the count doubles as the integer Viterbi score
+    "unigram_vocab" -> ((s, d) => {
+      TextAnalysis.unigramFit(t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText)), "ftext")
+        .orderBy("rank")
+    }),
+    // optimal (Viterbi) segmentation per distinct word: fit on the
+    // letters-only fixture, tokenize on the superset that adds
+    // digit-suffixed words — the digits are fit-unseen single chars,
+    // so the unk path is exercised; >16-char planted words hit the
+    // <long> collapse
+    "unigram_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText))
+        .withColumn("ttext", expr(unigramTokText))
+      TextAnalysis.unigramTokenizeWords(docs, "ttext",
+        TextAnalysis.unigramFit(docs, "ftext"))
+        .orderBy("word")
+    }),
+    // the measurable case for the DP: occurrence-weighted totals of
+    // optimal vs greedy maximal-munch segmentation over the SAME
+    // vocabulary. On a substring-closed candidate vocabulary greedy
+    // is piece-count optimal (every piece suffix is itself a
+    // candidate, so the munch always resyncs), so the count gap only
+    // opens through cap holes — the honest, always-measurable gain is
+    // the SCORE dimension: Viterbi picks the max-frequency minimal
+    // segmentation, greedy leaves frequency mass behind
+    "viterbi_gain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText))
+        .withColumn("ttext", expr(unigramTokText))
+      val stats = TextAnalysis.unigramTokenizeWords(docs, "ttext",
+        TextAnalysis.unigramFit(docs, "ftext"))
+      val occ = docs.select(explode(expr(
+        "filter(split(lower(ttext), ' '), t -> t != '')")).as("word"))
+      occ.join(stats, Seq("word"))
+        .agg(count(lit(1)).as("n_words"),
+          countDistinct(col("word")).as("n_distinct"),
+          sum(col("n_pieces")).as("np_viterbi"),
+          sum(col("n_pieces_greedy")).as("np_greedy"),
+          countDistinct(when(col("n_pieces") < col("n_pieces_greedy"),
+            col("word"))).as("words_improved"),
+          countDistinct(when(col("best_score") > col("greedy_score"),
+            col("word"))).as("words_score_improved"),
+          sum(col("best_score") - col("greedy_score"))
+            .as("score_gain"))
+        .withColumn("saved_ppm", expr(
+          "(np_greedy - np_viterbi) * 1000000L DIV greatest(np_greedy, 1L)"))
+    }),
     "bpe_apply" -> ((s, d) => {
       Canon.stringifyArrays(
         TextAnalysis.bpeApply(t(s, d, "documents"), "text", "doc_id",
@@ -1984,6 +2057,153 @@ object LlmQueries {
   // ---- DuckDB oracle builders sharing the Scala-side constants ----
 
   /** char-fold polynomial hash of a (DuckDB) string expression. */
+  /** Unigram-fit CTE chain (fit-text words → substring candidates →
+    * counted/ranked vocabulary `ugv`): the DuckDB mirror of
+    * [[graft.llm.TextAnalysis.unigramFit]].
+    */
+  private def duckUnigramVocab: String =
+    s"""ugw AS (
+       |  SELECT unnest(list_filter(string_split(
+       |    lower($unigramFitText), ' '), t -> t != '')) AS w
+       |  FROM documents),
+       |ugp AS (SELECT w,
+       |  unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS p
+       |  FROM ugw),
+       |ugl AS (SELECT w, p, unnest(generate_series(1, 4)) AS l
+       |  FROM ugp),
+       |ugc AS (SELECT substring(w, CAST(p AS INT), CAST(l AS INT))
+       |    AS piece
+       |  FROM ugl WHERE p + l - 1 <= len(w)),
+       |ugt AS (SELECT piece, count(*) AS cnt FROM ugc GROUP BY piece),
+       |ugr AS (SELECT piece, cnt,
+       |  row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+       |  FROM ugt),
+       |ugv AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM ugr
+       |  WHERE rank <= 64 OR len(piece) = 1)""".stripMargin
+
+  /** Viterbi-DP CTE chain over the tokenize-text DISTINCT words: one
+    * chained CTE per position 1..maxWordLen, each referencing ONLY
+    * its predecessor (linear, no exponential inlining) and carrying
+    * the last-4 DP cells (c0..c3) plus the final cell (f*) captured
+    * when the position reaches the word length. Candidate selection
+    * is the same total order as [[graft.llm.UnigramViterbi]]:
+    * struct_pack(n asc, -score, -k) sorted, first wins. Also emits
+    * the greedy maximal-munch recursion (`uggf`) and the `<long>`
+    * collapse rows, ending with per-word finals in `ufin`.
+    */
+  private def duckUnigramDp(maxWordLen: Int = 16): String = {
+    def cellNulls(j: Int): String =
+      s"CAST(NULL AS BIGINT) AS s$j, CAST(NULL AS BIGINT) AS n$j, " +
+        s"CAST(NULL AS BIGINT) AS u$j, CAST(NULL AS VARCHAR) AS g$j"
+    val b0 =
+      s"""b0 AS (SELECT w, CAST(0 AS BIGINT) AS s0,
+         |  CAST(0 AS BIGINT) AS n0, CAST(0 AS BIGINT) AS u0,
+         |  '' AS g0, ${cellNulls(1)}, ${cellNulls(2)}, ${cellNulls(3)},
+         |  CAST(NULL AS BIGINT) AS fs, CAST(NULL AS BIGINT) AS fn_,
+         |  CAST(NULL AS BIGINT) AS fu, CAST(NULL AS VARCHAR) AS fg
+         |  FROM ugs)""".stripMargin
+    def cand(k: Int, i: Int): String = {
+      val (ps, pn, pu, pg) =
+        (s"b.s${k - 1}", s"b.n${k - 1}", s"b.u${k - 1}", s"b.g${k - 1}")
+      val vcnt = if (k == 1) "coalesce(v1.cnt, 0)" else s"v$k.cnt"
+      val known =
+        if (k == 1) s"$ps IS NOT NULL"
+        else s"$ps IS NOT NULL AND v$k.piece IS NOT NULL"
+      val unkInc =
+        if (k == 1) "CASE WHEN v1.piece IS NULL THEN 1 ELSE 0 END"
+        else "0"
+      // concat(), not the || operator: these lines pass through up to
+      // three stripMargin layers (cand → step template → oracle
+      // entry), and a line-leading '||' loses a pipe per layer
+      s"""CASE WHEN len(b.w) >= $i AND $known THEN struct_pack(
+         |  n := $pn + 1, negs := -($ps + $vcnt), negk := ${-k},
+         |  s := $ps + $vcnt, u := $pu + $unkInc,
+         |  g := concat($pg, CASE WHEN $pg = '' THEN '' ELSE ' ' END,
+         |    substring(b.w, ${i - k + 1}, $k))) END""".stripMargin
+    }
+    val steps = (1 to maxWordLen).map { i =>
+      val ks = 1 to math.min(4, i)
+      val joins = ks.map { k =>
+        if (k == 1)
+          s"LEFT JOIN ugv v1 ON len(b.w) >= $i " +
+            s"AND v1.piece = substring(b.w, $i, 1)"
+        else
+          s"LEFT JOIN ugv v$k ON len(b.w) >= $i " +
+            s"AND v$k.piece = substring(b.w, ${i - k + 1}, $k)"
+      }.mkString("\n  ")
+      val cands = ks.map(cand(_, i)).mkString(",\n  ")
+      def ex(f: String) = s"struct_extract(best, '$f')"
+      s"""b$i AS (
+         |SELECT w,
+         |  CASE WHEN len(w) >= $i THEN ${ex("s")} END AS s0,
+         |  CASE WHEN len(w) >= $i THEN ${ex("n")} END AS n0,
+         |  CASE WHEN len(w) >= $i THEN ${ex("u")} END AS u0,
+         |  CASE WHEN len(w) >= $i THEN ${ex("g")} END AS g0,
+         |  ps0 AS s1, pn0 AS n1, pu0 AS u1, pg0 AS g1,
+         |  ps1 AS s2, pn1 AS n2, pu1 AS u2, pg1 AS g2,
+         |  ps2 AS s3, pn2 AS n3, pu2 AS u3, pg2 AS g3,
+         |  CASE WHEN len(w) = $i THEN ${ex("s")} ELSE fs END AS fs,
+         |  CASE WHEN len(w) = $i THEN ${ex("n")} ELSE fn_ END AS fn_,
+         |  CASE WHEN len(w) = $i THEN ${ex("u")} ELSE fu END AS fu,
+         |  CASE WHEN len(w) = $i THEN ${ex("g")} ELSE fg END AS fg
+         |FROM (
+         |  SELECT b.w AS w,
+         |    b.s0 AS ps0, b.n0 AS pn0, b.u0 AS pu0, b.g0 AS pg0,
+         |    b.s1 AS ps1, b.n1 AS pn1, b.u1 AS pu1, b.g1 AS pg1,
+         |    b.s2 AS ps2, b.n2 AS pn2, b.u2 AS pu2, b.g2 AS pg2,
+         |    b.fs AS fs, b.fn_ AS fn_, b.fu AS fu, b.fg AS fg,
+         |    list_sort(list_filter([
+         |  $cands], x -> x IS NOT NULL))[1] AS best
+         |  FROM b${i - 1} b
+         |  $joins))""".stripMargin
+    }.mkString(",\n")
+    s"""ugd AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest(list_filter(string_split(
+       |    lower($unigramTokText), ' '), t -> t != '')) AS w
+       |  FROM documents)),
+       |ugs AS (SELECT w FROM ugd WHERE len(w) <= $maxWordLen),
+       |ugx AS (SELECT w FROM ugd WHERE len(w) > $maxWordLen),
+       |$b0,
+       |$steps,
+       |ugrec AS (
+       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS n,
+       |    CAST(0 AS BIGINT) AS gs
+       |  FROM ugs
+       |  UNION ALL
+       |  SELECT r.w,
+       |    r.pos + (CASE WHEN v4.piece IS NOT NULL THEN 4
+       |      WHEN v3.piece IS NOT NULL THEN 3
+       |      WHEN v2.piece IS NOT NULL THEN 2 ELSE 1 END) AS pos,
+       |    r.n + 1 AS n,
+       |    r.gs + (CASE WHEN v4.piece IS NOT NULL THEN v4.cnt
+       |      WHEN v3.piece IS NOT NULL THEN v3.cnt
+       |      WHEN v2.piece IS NOT NULL THEN v2.cnt
+       |      ELSE coalesce(v1.cnt, 0) END) AS gs
+       |  FROM ugrec r
+       |  LEFT JOIN ugv v4 ON len(r.w) - r.pos + 1 >= 4
+       |    AND v4.piece = substring(r.w, CAST(r.pos AS INT), 4)
+       |  LEFT JOIN ugv v3 ON len(r.w) - r.pos + 1 >= 3
+       |    AND v3.piece = substring(r.w, CAST(r.pos AS INT), 3)
+       |  LEFT JOIN ugv v2 ON len(r.w) - r.pos + 1 >= 2
+       |    AND v2.piece = substring(r.w, CAST(r.pos AS INT), 2)
+       |  LEFT JOIN ugv v1
+       |    ON v1.piece = substring(r.w, CAST(r.pos AS INT), 1)
+       |  WHERE r.pos <= len(r.w)),
+       |ugg AS (SELECT w, max_by(n, pos) AS ng, max_by(gs, pos) AS gsc
+       |  FROM ugrec GROUP BY w),
+       |uggf AS (SELECT w, ng, gsc FROM ugg
+       |  UNION ALL SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM ugx),
+       |ufin AS (
+       |  SELECT w, fs AS best_score, fn_ AS n_pieces, fu AS n_unk,
+       |    fg AS seg
+       |  FROM b$maxWordLen
+       |  UNION ALL
+       |  SELECT w, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       |    CAST(1 AS BIGINT), '<long>'
+       |  FROM ugx)""".stripMargin
+  }
+
   private def duckPolyHash(s: String): String =
     s"""list_reduce(list_transform(generate_series(1, length($s)),
         i -> CAST(ascii(substring($s, i, 1)) AS BIGINT)),
@@ -4975,6 +5195,42 @@ object LlmQueries {
          |LEFT JOIN wagg a USING (doc_id)
          |LEFT JOIN segf s USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+    "unigram_vocab" ->
+      s"""WITH $duckUnigramVocab
+         |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ugr
+         |WHERE rank <= 64 OR len(piece) = 1
+         |ORDER BY rank""".stripMargin,
+    "unigram_tokenize" ->
+      s"""WITH RECURSIVE $duckUnigramVocab,
+         |${duckUnigramDp()}
+         |SELECT f.w AS word, f.best_score, f.n_pieces, f.n_unk,
+         |  f.seg, g.ng AS n_pieces_greedy, g.gsc AS greedy_score
+         |FROM ufin f JOIN uggf g USING (w)
+         |ORDER BY word""".stripMargin,
+    "viterbi_gain" ->
+      s"""WITH RECURSIVE $duckUnigramVocab,
+         |${duckUnigramDp()},
+         |occ AS (
+         |  SELECT unnest(list_filter(string_split(
+         |    lower($unigramTokText), ' '), t -> t != '')) AS w
+         |  FROM documents),
+         |j AS (SELECT o.w, f.n_pieces, f.best_score, g.ng, g.gsc
+         |  FROM occ o JOIN ufin f USING (w) JOIN uggf g USING (w))
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+         |  CAST(sum(n_pieces) AS BIGINT) AS np_viterbi,
+         |  CAST(sum(ng) AS BIGINT) AS np_greedy,
+         |  CAST(count(DISTINCT CASE WHEN n_pieces < ng THEN w END)
+         |    AS BIGINT) AS words_improved,
+         |  CAST(count(DISTINCT CASE WHEN best_score > gsc THEN w END)
+         |    AS BIGINT) AS words_score_improved,
+         |  CAST(sum(best_score - gsc) AS BIGINT) AS score_gain,
+         |  (CAST(sum(ng) AS BIGINT) - CAST(sum(n_pieces) AS BIGINT))
+         |    * 1000000 // greatest(CAST(sum(ng) AS BIGINT), 1)
+         |    AS saved_ppm
+         |FROM j""".stripMargin,
     "bpe_apply" ->
       s"""WITH ${duckBpeChain()},
          |tok AS (

@@ -3118,6 +3118,93 @@ class LlmSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("unigram Viterbi: hand-computed segmentation, greedy witness, " +
+      "<long> collapse, and unk accounting") {
+    import graft.llm.{UnigramViterbi, UnigramVocab}
+    // vocab with a deliberate cap hole: 'ab','cde','fg','abcd','ef'
+    // known; 'efg','e','f','g' single floor
+    val v = new UnigramVocab(Array("ab" -> 10L, "cde" -> 8L,
+      "fg" -> 7L, "abcd" -> 20L, "ef" -> 5L, "a" -> 3L, "b" -> 3L,
+      "c" -> 3L, "d" -> 3L, "e" -> 3L, "f" -> 3L, "g" -> 3L))
+    def run(w: String) = UnigramViterbi.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w), v, 4, 16)
+    // 'abcdefg' 3-piece paths: ab|cde|fg = 25, abcd|ef|g = 28,
+    // abcd|e|fg = 30 → viterbi picks the max-score minimal path;
+    // greedy munches abcd → ef → g = 28 (same count, score left
+    // behind — the viterbi_gain witness)
+    val r = run("abcdefg")
+    assert(r.getLong(1) === 3L)                   // n_pieces
+    assert(r.getLong(0) === 30L)                  // max score among 3-piece
+    assert(r.getUTF8String(3).toString === "abcd e fg")
+    assert(r.getLong(4) === 3L && r.getLong(5) === 28L)
+    // unk: 'abz' → ab|z, z unseen (score 0, unk 1); greedy identical
+    val u = run("abz")
+    assert(u.getLong(1) === 2L && u.getLong(2) === 1L &&
+      u.getLong(0) === 10L && u.getUTF8String(3).toString === "ab z")
+    // long collapse
+    val l = run("x" * 17)
+    assert(l.getLong(1) === 1L &&
+      l.getUTF8String(3).toString === UnigramViterbi.LongPiece)
+  }
+
+  test("unigram Viterbi: piece-count optimal and score-maximal vs " +
+      "brute force on random vocab/word draws") {
+    import graft.llm.{UnigramViterbi, UnigramVocab}
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abcd"
+    (1 to 200).foreach { _ =>
+      val pieces = (1 to 8).map { _ =>
+        val len = 2 + rnd.nextInt(3)
+        (1 to len).map(_ => alphabet(rnd.nextInt(4))).mkString
+      }.distinct
+      val entries = pieces.map(p => p -> (1L + rnd.nextInt(50))) ++
+        alphabet.map(c => c.toString -> (1L + rnd.nextInt(5)))
+      val vm = entries.toMap
+      val v = new UnigramVocab(entries.toArray)
+      val w = (1 to (3 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(4))).mkString
+      // brute force: all segmentations with pieces <= 4 chars where
+      // multi-char pieces must be known
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { k =>
+          val p = s.take(k)
+          if (k == 1 || vm.contains(p))
+            segs(s.drop(k)).map(p :: _)
+          else Nil
+        }
+      val all = segs(w)
+      val minNp = all.map(_.length).min
+      val bestScore = all.filter(_.length == minNp)
+        .map(_.map(p => vm.getOrElse(p, 0L)).sum).max
+      val r = UnigramViterbi.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), v, 4, 16)
+      assert(r.getLong(1) === minNp.toLong, s"np for $w")
+      assert(r.getLong(0) === bestScore, s"score for $w")
+      // the reported segmentation re-scores to the reported numbers
+      val seg = r.getUTF8String(3).toString.split(' ').toList
+      assert(seg.mkString === w)
+      assert(seg.map(p => vm.getOrElse(p, 0L)).sum === r.getLong(0))
+      // invariants vs greedy
+      assert(r.getLong(1) <= r.getLong(4))
+      if (r.getLong(1) === r.getLong(4))
+        assert(r.getLong(0) >= r.getLong(5))
+    }
+  }
+
+  test("unigramFit: single-char floor survives the cap; counts and " +
+      "ranks deterministic") {
+    val d = docs("abab abab zq")
+    val v = TextAnalysis.unigramFit(d, "text", vocabN = 2, maxPiece = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPiece = v.map(x => x._1 -> x._2).toMap
+    // substrings of 'abab' ×2 + 'zq': 'ab' count 4 tops the table
+    assert(v.count(_._3 <= 2) === 2)
+    assert(byPiece("ab") === 4L)
+    // single chars kept beyond the cap
+    assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
+  }
+
   test("shardPlan: every doc lands in exactly one shard, totals add " +
       "up, and dev_ppm signs around the mean") {
     val d = (0 until 200).map { i =>
