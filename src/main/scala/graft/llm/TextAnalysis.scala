@@ -323,6 +323,76 @@ object TextAnalysis {
           .as("est_distinct"))
   }
 
+  /** Bottom-k-by-hash RANK SKETCH for quantiles — the mergeable
+    * fixed-memory alternative to exact `percentile` (a full sort of
+    * 100 TB) and to `approx_percentile` (whose t-digest state is
+    * engine-private and not bit-reproducible): sample = the k rows
+    * with the SMALLEST uniform row-id hashes per group, a
+    * deterministic uniform sample whose q-th order statistic
+    * estimates the q-th quantile with rank error O(√(q(1−q)/k)).
+    * Bottom-k by hash is trivially mergeable (bottom-k of a union =
+    * bottom-k of the parts' bottom-k's) and — unlike reservoir or
+    * KLL compaction — independent of row order and partitioning, so
+    * the estimate is bit-identical on ANY engine that hashes the
+    * same way (the KMV determinism contract, applied to ranks).
+    *
+    * Scale shape: a group-count pass (map-side combined) sets a
+    * per-group hash threshold t ≈ 4k/n · 2^60, so the sample filter
+    * drops all but ~4k rows per group AT THE SCAN — the window that
+    * finalizes the exact bottom-k shuffles only survivors, never the
+    * corpus. The verification join (true rank of each estimate) is
+    * one more map-side-combined conditional count.
+    *
+    * Output per (group, q): n_rows, n_sample, est (an actual data
+    * value — exact cross-engine), rank_le (true rank of est), and
+    * rank_err_ppm = |rank_le/n − q/100| in ppm. All integer
+    * arithmetic except est itself.
+    */
+  def rankQuantileSketch(df: DataFrame, group: String, value: String,
+      id: String, k: Int = 512, qs: Seq[Int] = Seq(50, 90, 99))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 8 && qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      "need k >= 8 and quantiles in [1, 99]")
+    val base = df.select(col(group).as("__g"),
+      col(value).cast("double").as("__v"),
+      col(id).cast("string").as("__id"))
+    val counts = base.groupBy("__g").agg(count(lit(1)).as("n_rows"))
+    // threshold: (2^60 DIV n) * 4k caps expected survivors at ~4k —
+    // the DIV-first order keeps every product under 2^63
+    val over = 4 * k
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__h"), col("__id"))
+    val samp = base
+      .join(broadcast(counts), Seq("__g"))
+      .withColumn("__h", uniformHash60("__id"))
+      .filter(col("n_rows") <= over ||
+        col("__h") < expr(s"(1152921504606846976L DIV n_rows) * ${over}L"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(struct(col("__v"), col("__h"))))
+          .as("__s"))
+    val est = samp.join(counts, Seq("__g"))
+      .select(col("__g"), col("n_rows"), col("n_sample"), col("__s"),
+        explode(array(qs.map(q => lit(q)): _*)).as("q"))
+      .withColumn("__idx", expr(
+        "CAST(greatest((q * n_sample + 99) DIV 100, 1L) AS INT)"))
+      .withColumn("est", expr("element_at(__s, __idx).__v"))
+      .drop("__s", "__idx")
+    est.join(base, Seq("__g"))
+      .groupBy(col("__g"), col("q"), col("n_rows"), col("n_sample"),
+        col("est"))
+      .agg(sum(when(col("__v") <= col("est"), 1L).otherwise(0L))
+        .as("rank_le"))
+      .withColumn("rank_err_ppm", expr(
+        "abs(rank_le * 1000000L - n_rows * q * 10000L) DIV n_rows"))
+      .select(col("__g").as(group), col("q").cast("long").as("q"),
+        col("n_rows"), col("n_sample"), col("est"), col("rank_le"),
+        col("rank_err_ppm"))
+  }
+
   /** HyperLogLog distinct-count estimate per group (Flajolet,
     * Fusy, Gandouet, Meunier 2007) over the same 60-bit uniform
     * content hash as [[kmvDistinct]]: bucket = h mod 2^b, register

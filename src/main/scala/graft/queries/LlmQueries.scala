@@ -1810,6 +1810,18 @@ object LlmQueries {
         "text")
         .orderBy("source")
     }),
+    // bottom-k-by-hash rank sketch (round-15): deterministic
+    // mergeable quantile estimates vs true ranks — the fixed-memory
+    // percentile whose sample is bit-reproducible cross-engine; the
+    // hash-threshold prefilter keeps the shuffle ~4k rows per group
+    "rank_quantiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("rid", expr(
+        "concat(CAST(l_orderkey AS STRING), '-', " +
+          "CAST(l_linenumber AS STRING))"))
+      TextAnalysis.rankQuantileSketch(li, "l_returnflag",
+        "l_extendedprice", "rid")
+        .orderBy("l_returnflag", "q")
+    }),
     // Count-Min sketch token-frequency estimates vs exact truth
     // (round-14): d=4 × w=2048 counters built in ONE corpus scan
     // with full map-side combine (shuffle = sketch-sized), exact
@@ -6880,6 +6892,42 @@ object LlmQueries {
     // hllDistinct mirror: same md5-prefix hash, bin()-length rho,
     // bucket-sorted register fold with exact 1/2^M divisions;
     // literals ::DOUBLE-cast (bare 0.7213 parses as DECIMAL)
+    "rank_quantiles" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE)
+         |      AS v,
+         |    concat(CAST(l_orderkey AS VARCHAR), '-',
+         |      CAST(l_linenumber AS VARCHAR)) AS id
+         |  FROM lineitem),
+         |c AS (SELECT g, count(*) AS n_rows FROM b GROUP BY 1),
+         |hh AS (
+         |  SELECT b.g, b.v, b.id, c.n_rows,
+         |    CAST(('0x' || substring(md5(lower(regexp_replace(
+         |      trim(b.id), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)
+         |      AS h
+         |  FROM b JOIN c USING (g)),
+         |f AS (SELECT * FROM hh WHERE n_rows <= 2048
+         |  OR h < (1152921504606846976 // n_rows) * 2048),
+         |r AS (SELECT g, v, h, row_number() OVER (
+         |    PARTITION BY g ORDER BY h, id) AS rn
+         |  FROM f),
+         |s AS (SELECT g, count(*) AS n_sample,
+         |    list_sort(list(struct_pack(v := v, h := h))) AS sl
+         |  FROM r WHERE rn <= 512 GROUP BY g),
+         |e AS (SELECT s.g, c.n_rows, s.n_sample, q.q,
+         |    struct_extract(sl[CAST(greatest(
+         |      (q.q * s.n_sample + 99) // 100, 1) AS INT)], 'v')
+         |      AS est
+         |  FROM s JOIN c USING (g), (VALUES (50), (90), (99)) q(q)),
+         |rk AS (SELECT e.g, e.q, e.n_rows, e.n_sample, e.est,
+         |    CAST(sum(CASE WHEN b.v <= e.est THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rank_le
+         |  FROM e JOIN b USING (g) GROUP BY 1, 2, 3, 4, 5)
+         |SELECT g AS l_returnflag, CAST(q AS BIGINT) AS q, n_rows,
+         |  n_sample, est, rank_le,
+         |  abs(rank_le * 1000000 - n_rows * q * 10000) // n_rows
+         |    AS rank_err_ppm
+         |FROM rk ORDER BY l_returnflag, q""".stripMargin,
     "hll_distinct" ->
       s"""WITH h AS (
          |  SELECT source,

@@ -3205,6 +3205,39 @@ class LlmSpec extends AnyFunSuite {
     assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
   }
 
+  test("rankQuantileSketch: partition-invariant, error-bounded, and " +
+      "exact on sub-k groups") {
+    val rows = (1 to 5000).map { i =>
+      (if (i % 2 == 0) "a" else "b", i.toDouble, s"id$i")
+    } ++ (1 to 9).map(i => ("tiny", i * 10.0, s"t$i"))
+    val d = rows.toDF("g", "v", "id")
+    val out = TextAnalysis.rankQuantileSketch(d, "g", "v", "id",
+      k = 256, qs = Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(6)))
+      .sortBy(x => (x._1, x._2))
+    // partition invariance: same rows, radically different layout
+    val out2 = TextAnalysis.rankQuantileSketch(
+      d.repartition(17, col("id")), "g", "v", "id",
+      k = 256, qs = Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(6)))
+      .sortBy(x => (x._1, x._2))
+    assert(out === out2)
+    // error bound: 4 sigma + ceil-index slack, sigma = sqrt(q(1-q)/k)
+    out.filter(x => x._1 != "tiny").foreach { case (_, q, _, ns, _, err) =>
+      assert(ns === 256L)
+      val p = q / 100.0
+      val bound = 4.0 * math.sqrt(p * (1 - p) / 256) * 1e6 + 1e6 / 256
+      assert(err <= bound, s"q=$q err=$err bound=$bound")
+    }
+    // sub-k group: sample IS the group, est = exact order statistic
+    val tiny = out.filter(_._1 == "tiny")
+    assert(tiny.map(_._4).forall(_ === 9L))
+    assert(tiny.find(_._2 == 50L).get._5 === 50.0) // ceil(.5*9)=5th of 10..90
+    assert(tiny.find(_._2 == 90L).get._5 === 90.0) // ceil(.9*9)=9th
+  }
+
   test("shardPlan: every doc lands in exactly one shard, totals add " +
       "up, and dev_ppm signs around the mean") {
     val d = (0 until 200).map { i =>
