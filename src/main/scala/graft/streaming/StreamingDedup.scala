@@ -561,6 +561,18 @@ object StreamingDedup {
   def mainContentStage(docs: DataFrame, html: String): DataFrame =
     graft.llm.TextAnalysis.mainContent(docs, html)
 
+  /** Streaming UNICODE-NORMALIZATION stage
+    * ([[graft.llm.TextAnalysis.normalizeText]]: NFC → casefold →
+    * whitespace/control fold — row-local, zero-state, any output
+    * mode). Belongs at the very FRONT of a streaming curation chain,
+    * before anything hashes or equality-joins text: composed and
+    * decomposed spellings of the same grapheme must collide in the
+    * watermark dedup state, not duplicate it. Bit-identical to the
+    * batch form (spec-pinned).
+    */
+  def normalizeStage(docs: DataFrame, text: String): DataFrame =
+    graft.llm.TextAnalysis.normalizeText(docs, text)
+
   /** Streaming ROBOTS GATE: RFC 9309 longest-prefix fetch decisions
     * on a live frontier ([[graft.llm.UrlOps.robotsGate]] — one
     * stream-static join against the per-host policy table, then a

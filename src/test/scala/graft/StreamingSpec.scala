@@ -1557,6 +1557,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("normalizeStage equals batch normalizeText across " +
+      "micro-batches; composed/decomposed spellings collide") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("nm_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nm_ck").toString
+    def rows(rs: (Long, String)*): Unit =
+      rs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows(1L -> "Café  DU\tMONDE", 2L -> "café du monde")
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.normalizeStage(stream, "text")
+      .select("doc_id", "norm_text", "norm_changed")
+      .writeStream.format("memory").queryName("nm_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows(3L -> "already clean")
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getBoolean(2))
+    val streamed = spark.table("nm_out").collect().map(tup).sortBy(_._1)
+    assert(streamed.length === 3)
+    // the decomposed spelling folded onto the composed one live
+    assert(streamed(0)._2 === streamed(1)._2)
+    assert(streamed(0)._3 && !streamed(1)._3 && !streamed(2)._3)
+    val batch = graft.llm.TextAnalysis.normalizeText(
+        spark.read.schema(docSchema).parquet(dir), "text")
+      .select("doc_id", "norm_text", "norm_changed")
+      .collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("robotsStage equals batch robotsGate across micro-batches; " +
       "stream-static policy join, zero state") {
     import graft.streaming.StreamingDedup
