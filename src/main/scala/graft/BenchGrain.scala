@@ -105,5 +105,9 @@ object BenchGrain {
     "span_scrub" -> 0.25, "surprise_chunks" -> 0.4, "tfidf_topterms" -> 0.4,
     "top_revenue" -> 0.6, "topk_per_group" -> 0.6, "trigram_lm_score" -> 0.25,
     "union_align" -> 0.6, "unpivot_measures" -> 0.4, "wordpiece_tokenize" -> 0.25,
-    "zorder_layout" -> 0.6)
+    "zorder_layout" -> 0.6,
+    // round-15 additions, A/B'd against the full-grain medians
+    // recorded in PLANS.md (4.41/3.87/3.87/2.83 s at sf0.1)
+    "rank_quantiles" -> 0.25, "unigram_vocab" -> 0.25,
+    "viterbi_gain" -> 0.25, "unigram_tokenize" -> 0.25)
 }

@@ -1251,7 +1251,10 @@ object LlmQueries {
         TextAnalysis.unigramFit(docs, "ftext"))
       val occ = docs.select(explode(expr(
         "filter(split(lower(ttext), ' '), t -> t != '')")).as("word"))
-      occ.join(stats, Seq("word"))
+      // broadcast the DISTINCT-WORD stats side: the occurrence side
+      // is the token stream (unbounded at scale), the stats side is
+      // vocabulary-bounded — left to itself AQE broadcast occ here
+      occ.join(broadcast(stats), Seq("word"))
         .agg(count(lit(1)).as("n_words"),
           countDistinct(col("word")).as("n_distinct"),
           sum(col("n_pieces")).as("np_viterbi"),
