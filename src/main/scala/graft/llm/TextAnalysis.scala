@@ -3209,6 +3209,50 @@ object TextAnalysis {
         col("__r.greedy_score").as("greedy_score"))
   }
 
+  /** Word-blocklist curation gate (the LDNOOBW-style content-safety
+    * stage every public curation stack runs next to the Gopher rules
+    * and the PII scrub): per doc, occurrence and distinct-type hits
+    * against a blocked-term list, hit density in ppm, and the gate
+    * verdict (density over `maxPpm` OR `minTypes`+ distinct blocked
+    * types — one shouted slur and one incidental medical term are
+    * different documents).
+    *
+    * The list rides as a PLAN LITERAL (bounded — real blocklists are
+    * hundreds of terms; a corpus-sized term table would use the
+    * broadcast-join form of [[decontaminate]] instead), so the gate
+    * is row-local inside whole-stage codegen: no shuffle, no join,
+    * streaming-safe like the other gates.
+    */
+  def blocklistGate(df: DataFrame, text: String, blocked: Seq[String],
+      maxPpm: Long = 20000L, minTypes: Int = 2): DataFrame = {
+    require(blocked.nonEmpty && blocked.size <= 10000,
+      "blocklist must be non-empty and bounded (<= 10000 terms)")
+    require(blocked.forall(t => t.nonEmpty && !t.contains("'")),
+      "blocked terms must be non-empty and quote-free")
+    val clash = Seq("n_tokens", "blocked_hits", "blocked_types",
+      "blocked_ppm", "blocked_gate", "__toks")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"blocklistGate: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val arr = blocked.distinct.sorted
+      .map(t => s"'$t'").mkString("array(", ", ", ")")
+    df.withColumn("__toks",
+        expr(s"filter(split(lower($text), ' '), t -> t != '')"))
+      .withColumn("n_tokens", expr("CAST(size(__toks) AS BIGINT)"))
+      .withColumn("blocked_hits", expr(
+        s"CAST(size(filter(__toks, t -> array_contains($arr, t))) " +
+          "AS BIGINT)"))
+      .withColumn("blocked_types", expr(
+        s"CAST(size(array_intersect(array_distinct(__toks), $arr)) " +
+          "AS BIGINT)"))
+      .withColumn("blocked_ppm", expr(
+        "blocked_hits * 1000000L DIV greatest(n_tokens, 1L)"))
+      .withColumn("blocked_gate", expr(
+        s"blocked_ppm > ${maxPpm}L OR blocked_types >= $minTypes"))
+      .drop("__toks")
+  }
+
   /** Unicode text normalization — the canonical-form fold every
     * hash/equality-based operator (exact dedup, MinHash shingles,
     * decontamination joins, anchor grouping) needs upstream, since

@@ -51,7 +51,8 @@ object LlmQueries {
       |    WHEN 0 THEN concat('  Café ', source, '')
       |    WHEN 1 THEN concat('CAFÉ  ', upper(source))
       |    WHEN 2 THEN concat('	tabs	and
-      |newlines', source)
+      |newlines
+', source)
       |    ELSE concat('ñ vs ñ ', source)
       |  END, ' | ', text, '  ')""".stripMargin
 
@@ -1688,6 +1689,38 @@ object LlmQueries {
         .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(upper(col("text")), lit("!!")).as("text"))
       Dedup.normDedupGain(docs.unionByName(variants), "text", "doc_id")
+    }),
+    // UNICODE twin of norm_dedup_gain: the fixture's planted twins
+    // differ only by composed-vs-decomposed accents, case, and
+    // whitespace — invisible to raw exact dedup, merged by the NFC
+    // normalization fold (the composition argument for normalizeText
+    // sitting in front of every hash-equality operator)
+    "unicode_dedup_gain" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" café")).as("rawt"))
+      val twins = t(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(upper(col("text")), lit("   café\t")).as("rawt"))
+      TextAnalysis.normalizeText(base.unionByName(twins), "rawt")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("rawt").cast("binary")))
+            .as("raw_classes"),
+          count_distinct(md5(col("norm_text").cast("binary")))
+            .as("norm_classes"))
+        .withColumn("classes_merged",
+          expr("raw_classes - norm_classes"))
+        .withColumn("dup_rows_norm", expr("n_docs - norm_classes"))
+    }),
+    // word-blocklist content-safety gate: occurrence + distinct-type
+    // hits against a bounded plan-literal term list, density ppm, and
+    // the one-incidental-term-is-not-a-pattern gate verdict
+    "blocklist_gate" -> ((s, d) => {
+      TextAnalysis.blocklistGate(t(s, d, "documents"), "text",
+        Seq("slow", "filter", "vector"))
+        .select("doc_id", "n_tokens", "blocked_hits", "blocked_types",
+          "blocked_ppm", "blocked_gate")
+        .orderBy("doc_id")
     }),
     // corpus-level boilerplate scan: word 8-grams present in >= 3
     // distinct documents (repeated chrome/header detection)
@@ -6795,6 +6828,50 @@ object LlmQueries {
         |  CAST(count(*) - count(DISTINCT nm) AS BIGINT)
         |    AS dup_rows_norm
         |FROM ndh""".stripMargin,
+    // composed base suffix vs decomposed+case+whitespace twin suffix:
+    // raw md5 classes never merge, NFC-normalized classes do
+    "unicode_dedup_gain" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text || ' café' AS rawt FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000000, upper(text) || '   café\t'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |un AS (
+         |  SELECT rawt,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      lower(nfc_normalize(rawt)),
+         |      '[\\t\\n\\x0B\\f\\r]', ' ', 'g'),
+         |      '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      ' {2,}', ' ', 'g')) AS nt
+         |  FROM u)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT md5(rawt)) AS BIGINT) AS raw_classes,
+         |  CAST(count(DISTINCT md5(nt)) AS BIGINT) AS norm_classes,
+         |  CAST(count(DISTINCT md5(rawt)) - count(DISTINCT md5(nt))
+         |    AS BIGINT) AS classes_merged,
+         |  CAST(count(*) - count(DISTINCT md5(nt)) AS BIGINT)
+         |    AS dup_rows_norm
+         |FROM un""".stripMargin,
+    "blocklist_gate" ->
+      """WITH bt AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    t -> t != '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(tk, t -> list_contains(
+        |      ['filter', 'slow', 'vector'], t))) AS BIGINT)
+        |      AS blocked_hits,
+        |    CAST(len(list_intersect(list_distinct(tk),
+        |      ['filter', 'slow', 'vector'])) AS BIGINT)
+        |      AS blocked_types
+        |  FROM bt)
+        |SELECT doc_id, n_tokens, blocked_hits, blocked_types,
+        |  blocked_hits * 1000000 // greatest(n_tokens, 1)
+        |    AS blocked_ppm,
+        |  (blocked_hits * 1000000 // greatest(n_tokens, 1)) > 20000
+        |    OR blocked_types >= 2 AS blocked_gate
+        |FROM bg ORDER BY doc_id""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -3205,6 +3205,28 @@ class LlmSpec extends AnyFunSuite {
     assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
   }
 
+  test("blocklistGate: occurrence vs type accounting and the " +
+      "two-factor gate verdict") {
+    val d = docs(
+      "bad bad bad word and more text here to pad this out",  // 3 hits, 1 type
+      "bad and evil once each in a long enough document body", // 2 hits, 2 types
+      "completely clean text with nothing at all blocked",
+      "bad")                                                   // 1 hit, 100% density
+    val out = TextAnalysis.blocklistGate(d, "text",
+      Seq("bad", "evil"), maxPpm = 200000L, minTypes = 2)
+      .select("doc_id", "blocked_hits", "blocked_types",
+        "blocked_ppm", "blocked_gate")
+      .collect().sortBy(_.getLong(0)).map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out(0) === ((3L, 1L, 250000L, true)))   // density trips
+    assert(out(1) === ((2L, 2L, 181818L, true)))   // types trip
+    assert(out(2) === ((0L, 0L, 0L, false)))
+    assert(out(3) === ((1L, 1L, 1000000L, true)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistGate(d, "text", Seq("o'brien"))
+    }
+  }
+
   test("rankQuantileSketch: partition-invariant, error-bounded, and " +
       "exact on sub-k groups") {
     val rows = (1 to 5000).map { i =>
