@@ -109,5 +109,12 @@ object BenchGrain {
     // round-15 additions, A/B'd against the full-grain medians
     // recorded in PLANS.md (4.41/3.87/3.87/2.83 s at sf0.1)
     "rank_quantiles" -> 0.25, "unigram_vocab" -> 0.25,
-    "viterbi_gain" -> 0.25, "unigram_tokenize" -> 0.25)
+    "viterbi_gain" -> 0.25, "unigram_tokenize" -> 0.25,
+    // round-15 session-2 second wave: same-window A/B over the 11
+    // slowest full-grain rows (282 s/pass window) — only these three
+    // proved volume-bound (0.52-0.69x); the other eight measured
+    // 0.85-1.37x (stage-latency-bound or threshold-sensitive) and
+    // stay full-grain, consistent with the round-15 pruning
+    "dedup_recall" -> 0.4, "decontam_embed" -> 0.4,
+    "wordpiece_vocab" -> 0.4)
 }
