@@ -3253,6 +3253,32 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** One-pass multi-pattern dictionary matching ([[AcAutomaton]] —
+    * Aho–Corasick): per row, total occurrences, distinct terms hit,
+    * and the per-term count vector (sorted-term order) rendered as a
+    * CSV witness column. Row-local codegen scan, O(chars + matches)
+    * per row regardless of dictionary size — the shape that survives
+    * a 100k-term dictionary where per-term `contains` scans the text
+    * 100k times.
+    */
+  def multiMatch(df: DataFrame, text: String, terms: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    val clash = Seq("total_hits", "distinct_terms", "counts_csv",
+      "__mm").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"multiMatch: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val ac = new AcAutomaton(terms)
+    df.withColumn("__mm",
+        column(MultiMatchExpr(expression(col(text)), ac)))
+      .withColumn("total_hits", col("__mm.total_hits"))
+      .withColumn("distinct_terms", col("__mm.distinct_terms"))
+      .withColumn("counts_csv", expr(
+        "array_join(transform(__mm.counts, c -> CAST(c AS STRING)), ',')"))
+      .drop("__mm")
+  }
+
   /** Unicode text normalization — the canonical-form fold every
     * hash/equality-based operator (exact dedup, MinHash shingles,
     * decontamination joins, anchor grouping) needs upstream, since

@@ -78,6 +78,18 @@ object LlmQueries {
     s"""concat($unigramFitText,
        |  ' ', source, CAST(doc_id % 97 AS STRING))""".stripMargin
 
+  /** Aho–Corasick fixture dictionary: nested and overlapping terms
+    * ('tab' ⊂ 'table' ⊃ 'able' ⊃ 'le'; 'dow' inside 'window') so the
+    * automaton's fail edges and dictionary-suffix outputs are all
+    * load-bearing. The counts vector is indexed by SORTED term order
+    * (the [[graft.llm.AcAutomaton]] contract).
+    */
+  private val acTerms = Seq("table", "able", "tab", "le", "value",
+    "alu", "window", "dow")
+  private val acTermsSorted = acTerms.distinct.sorted
+  private val acTermsValues = acTermsSorted.zipWithIndex
+    .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+
   /** Messier synthetic URL fixture for the canonicalization query:
     * tracking params, fragments, DEFAULT ports, trailing slashes,
     * unsorted params, and mixed case — built so variants 0/1 and
@@ -1711,6 +1723,16 @@ object LlmQueries {
         .withColumn("classes_merged",
           expr("raw_classes - norm_classes"))
         .withColumn("dup_rows_norm", expr("n_docs - norm_classes"))
+    }),
+    // Aho-Corasick one-pass dictionary matching: nested/overlapping
+    // terms ('tab' ⊂ 'table' ⊃ 'able', 'le', 'dow' ⊂ 'window') all
+    // fire per END position — the oracle recounts every (position,
+    // term) pair by brute force, so a missing dictionary-suffix link
+    // or a wrong fail edge flips the hash
+    "multimatch_counts" -> ((s, d) => {
+      TextAnalysis.multiMatch(t(s, d, "documents"), "text", acTerms)
+        .select("doc_id", "total_hits", "distinct_terms", "counts_csv")
+        .orderBy("doc_id")
     }),
     // word-blocklist content-safety gate: occurrence + distinct-type
     // hits against a bounded plan-literal term list, density ppm, and
@@ -6852,6 +6874,28 @@ object LlmQueries {
          |  CAST(count(*) - count(DISTINCT md5(nt)) AS BIGINT)
          |    AS dup_rows_norm
          |FROM un""".stripMargin,
+    "multimatch_counts" ->
+      s"""WITH tm(i, term) AS (VALUES $acTermsValues),
+         |ps AS (SELECT doc_id, text AS t,
+         |    unnest(generate_series(1, CAST(len(text) AS BIGINT)))
+         |      AS p
+         |  FROM documents),
+         |mm AS (SELECT doc_id, tm.i, count(*) AS c
+         |  FROM ps JOIN tm
+         |    ON substring(ps.t, CAST(ps.p AS INT), len(tm.term))
+         |      = tm.term
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT d.doc_id, tm.i, coalesce(mm.c, 0) AS c
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN tm
+         |  LEFT JOIN mm ON mm.doc_id = d.doc_id AND mm.i = tm.i)
+         |SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS total_hits,
+         |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS distinct_terms,
+         |  array_to_string(list(CAST(c AS BIGINT) ORDER BY i), ',')
+         |    AS counts_csv
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "blocklist_gate" ->
       """WITH bt AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),

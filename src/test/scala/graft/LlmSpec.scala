@@ -3205,6 +3205,51 @@ class LlmSpec extends AnyFunSuite {
     assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
   }
 
+  test("AcAutomaton: nested/overlapping dictionary hits by hand and " +
+      "vs brute force on random draws") {
+    import graft.llm.AcAutomaton
+    import org.apache.spark.unsafe.types.UTF8String
+    val ac = new AcAutomaton(Seq("table", "able", "tab", "le",
+      "value", "alu", "window", "dow"))
+    // sorted order: able, alu, dow, le, tab, table, value, window
+    assert(ac.terms.toSeq === Seq("able", "alu", "dow", "le", "tab",
+      "table", "value", "window"))
+    val c = ac.countMatches(UTF8String.fromString("table window"))
+    assert(c.toSeq === Seq(1L, 0L, 1L, 1L, 1L, 1L, 0L, 1L))
+    // 'lele': 'le' twice (overlapping same-term occurrences count)
+    assert(ac.countMatches(UTF8String.fromString("lele")).toSeq ===
+      Seq(0L, 0L, 0L, 2L, 0L, 0L, 0L, 0L))
+    // property: AC == brute force for random strings/dictionaries
+    val rnd = new scala.util.Random(15L)
+    (1 to 100).foreach { _ =>
+      val alpha = "abc"
+      val terms = (1 to 5).map(_ => (1 to (1 + rnd.nextInt(3)))
+        .map(_ => alpha(rnd.nextInt(3))).mkString).distinct
+      val a = new AcAutomaton(terms)
+      val s = (1 to (5 + rnd.nextInt(20)))
+        .map(_ => alpha(rnd.nextInt(3))).mkString
+      val brute = a.terms.map(t =>
+        (0 to s.length - t.length)
+          .count(p => s.regionMatches(p, t, 0, t.length)).toLong)
+      assert(a.countMatches(UTF8String.fromString(s)).toSeq ===
+        brute.toSeq, s"s=$s terms=${a.terms.mkString(",")}")
+    }
+  }
+
+  test("multiMatch frame surface: totals, distinct, CSV witness") {
+    val d = docs("the table by the window", "nothing here")
+    val out = TextAnalysis.multiMatch(d, "text",
+      Seq("table", "able", "tab", "le", "value", "alu", "window",
+        "dow"))
+      .select("doc_id", "total_hits", "distinct_terms", "counts_csv")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getLong(1) === 6L)
+    assert(out(0).getLong(2) === 6L)
+    assert(out(0).getString(3) === "1,0,1,1,1,1,0,1")
+    assert(out(1).getLong(1) === 0L)
+    assert(out(1).getString(3) === "0,0,0,0,0,0,0,0")
+  }
+
   test("blocklistGate: occurrence vs type accounting and the " +
       "two-factor gate verdict") {
     val d = docs(
