@@ -715,6 +715,63 @@ object StreamingDedup {
         })
   }
 
+  case class RsEvent(grp: String, v: Double, h: Long)
+
+  /** One live quantile estimate for one (group, q). */
+  case class RsQuantile(grp: String, q: Long, n_rows: Long,
+      n_sample: Long, est: Double)
+
+  /** Streaming BOTTOM-K RANK SKETCH: per group, maintain the row
+    * count and the k rows with the smallest uniform row-id hashes
+    * across micro-batches, and emit the current quantile estimates
+    * every trigger. Because the sample is DEFINED by a hash order —
+    * not arrival order like a reservoir — state merge is just
+    * "bottom-k of union", so late, reordered, or re-partitioned
+    * delivery changes nothing, and once the feed drains the final
+    * emission per (group, q) equals the batch
+    * [[graft.llm.TextAnalysis.rankQuantileSketch]] estimate exactly
+    * (spec-pinned; the batch threshold prefilter is an oversample
+    * cut above k, so both sides end at the identical bottom-k).
+    * State per group: k (hash, value) pairs + one long — fixed
+    * memory regardless of feed length. Ties between equal 60-bit
+    * hashes are broken by value; distinct row ids make such ties a
+    * 2^-60 event (the batch form breaks them by id, unavailable
+    * once the state is hash-grained).
+    */
+  def quantileSketchStage(docs: DataFrame, group: String,
+      value: String, id: String, k: Int = 512,
+      qs: Seq[Int] = Seq(50, 90, 99)): Dataset[RsQuantile] = {
+    import docs.sparkSession.implicits._
+    require(k >= 8 && qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      "need k >= 8 and quantiles in [1, 99]")
+    val events = docs
+      .select(col(group).cast("string").as("grp"),
+        col(value).cast("double").as("v"),
+        TextAnalysis.uniformHash60(
+          s"CAST($id AS STRING)").as("h"))
+      .as[RsEvent]
+    events.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, rows: Iterator[RsEvent],
+            state: GroupState[(Long, Seq[(Long, Double)])]) => {
+          val (n0, kept0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Double)]))
+          var n = n0
+          val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+          buf ++= kept0
+          rows.foreach { e => n += 1L; buf += ((e.h, e.v)) }
+          val kept = buf.sortBy(identity).take(k).toSeq
+          state.update((n, kept))
+          val sorted = kept.map { case (h, v) => (v, h) }.sorted
+          val ns = sorted.size.toLong
+          qs.iterator.map { q =>
+            val idx = math.max((q * ns + 99) / 100, 1L).toInt
+            RsQuantile(grp, q.toLong, n, ns, sorted(idx - 1)._1)
+          }
+        })
+  }
+
   /** One live-feed hybrid score: a document against one fitted
     * query, both arms. `lex_hits` = 0 means the doc shares no term
     * with the query (excluded from the lexical shortlist, exactly

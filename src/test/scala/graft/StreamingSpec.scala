@@ -1593,6 +1593,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("quantileSketchStage: final emissions equal the batch " +
+      "rank sketch after the feed drains, across micro-batches") {
+    import graft.streaming.StreamingDedup
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType),
+      StructField("id", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("rs_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rs_ck").toString
+    def rows(rs: (String, Double, String)*): Unit =
+      rs.toSeq.toDF("g", "v", "id")
+        .write.mode("append").parquet(dir)
+    val all = (1 to 900).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toDouble, s"id$i"))
+    rows(all.take(500): _*)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingDedup.quantileSketchStage(stream, "g", "v", "id",
+      k = 64, qs = Seq(50, 90))
+      .writeStream.format("memory").queryName("rs_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    q.processAllAvailable()
+    rows(all.drop(500): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emission per (grp, q) = the one with the largest n_rows
+    val fin = spark.table("rs_out")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (kq, xs) =>
+        kq -> xs.map(_._2).maxBy(_._1) }
+    val batch = graft.llm.TextAnalysis.rankQuantileSketch(
+        spark.read.schema(schema).parquet(dir), "g", "v", "id",
+        k = 64, qs = Seq(50, 90))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(fin.size === 4)
+    fin.foreach { case (kq, (n, ns, est)) =>
+      assert(batch(kq) === ((n, ns, est)), s"key $kq")
+    }
+  }
+
   test("robotsStage equals batch robotsGate across micro-batches; " +
       "stream-static policy join, zero state") {
     import graft.streaming.StreamingDedup
