@@ -3253,6 +3253,54 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** The HTML entity-reference forms [[decodeEntities]] resolves:
+    * the named core set plus their decimal/hex numeric spellings and
+    * nbsp — the set that actually dominates crawl text (template
+    * engines and double-encoding emit these; exotic references are
+    * rare and stay encoded rather than risk per-engine decode
+    * drift). Order matters: '&amp;'/'&#38;'/'&#x26;' decode LAST so
+    * a double-encoded '&amp;lt;' resolves exactly one layer per
+    * pass (the standard single-pass contract, not a fixpoint).
+    */
+  val entityTable: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&#60;" -> "<", "&#x3c;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">", "&#x3e;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ",
+    "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
+
+  /** Regex alternation matching exactly the decoded forms — shared
+    * with the oracle so `n_entities` counts agree by construction. */
+  val entityRegex: String =
+    "&(lt|gt|quot|apos|nbsp|amp|#60|#62|#34|#39|#160|#38" +
+      "|#x3c|#x3e|#x22|#x27|#xa0|#x26);"
+
+  /** HTML entity decoding for crawl text — the cleanup step between
+    * tag-stripping ([[mainContent]]) and normalization
+    * ([[normalizeText]]): leftover '&amp;amp;', '&amp;#39;',
+    * '&amp;quot;' poison shingles, token counts, and exact-dup
+    * classes. Decodes [[entityTable]] (one replace chain both
+    * engines evaluate identically, amp-family last) and counts the
+    * references it decoded. Row-local, codegen, no shuffle.
+    */
+  def decodeEntities(df: DataFrame, text: String): DataFrame = {
+    val clash = Seq("dec_text", "n_entities")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"decodeEntities: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    def q(s: String): String = s
+      .replace("\\", "\\\\").replace("'", "\\'")
+    val chain = entityTable.foldLeft(text) { case (acc, (e, c)) =>
+      s"replace($acc, '${q(e)}', '${q(c)}')"
+    }
+    df.withColumn("dec_text", expr(chain))
+      .withColumn("n_entities", expr(
+        s"CAST(size(regexp_extract_all($text, '$entityRegex', 0)) " +
+          "AS BIGINT)"))
+  }
+
   /** One-pass multi-pattern dictionary matching ([[AcAutomaton]] —
     * Aho–Corasick): per row, total occurrences, distinct terms hit,
     * and the per-term count vector (sorted-term order) rendered as a

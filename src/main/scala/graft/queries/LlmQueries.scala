@@ -78,6 +78,28 @@ object LlmQueries {
     s"""concat($unigramFitText,
        |  ' ', source, CAST(doc_id % 97 AS STRING))""".stripMargin
 
+  /** Entity-decode fixture: the high-frequency crawl references in
+    * named, decimal, and hex spellings, plus a double-encoded
+    * '&amp;amp;lt;' that must resolve exactly ONE layer (single-pass
+    * contract). Quote-free so the identical literal text parses in
+    * both dialects.
+    */
+  private val entityFixture =
+    "concat(text, ' x &amp; y &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
+      "&amp;lt; 5 &#60; 6 &#xa0;nb&nbsp;. &#x27;h&#x27; end', " +
+      "CAST(doc_id % 3 AS STRING))"
+
+  /** [[graft.llm.TextAnalysis.entityTable]] as a DuckDB replace
+    * chain (DuckDB quoting: quote doubling, no backslash escapes —
+    * the Spark side uses backslash escaping, so each dialect gets
+    * its own rendering of the SAME table).
+    */
+  private def duckEntityChain(c: String): String =
+    TextAnalysis.entityTable.foldLeft(c) { case (acc, (e, v)) =>
+      s"replace($acc, '${e.replace("'", "''")}', " +
+        s"'${v.replace("'", "''")}')"
+    }
+
   /** Aho–Corasick fixture dictionary: nested and overlapping terms
     * ('tab' ⊂ 'table' ⊃ 'able' ⊃ 'le'; 'dow' inside 'window') so the
     * automaton's fail edges and dictionary-suffix outputs are all
@@ -1729,6 +1751,16 @@ object LlmQueries {
     // fire per END position — the oracle recounts every (position,
     // term) pair by brute force, so a missing dictionary-suffix link
     // or a wrong fail edge flips the hash
+    // HTML entity decode (named + decimal + hex crawl core set, amp
+    // family last — the double-encoded fixture pin proves one layer
+    // per pass) with decoded-reference accounting
+    "decode_entities" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("enc", expr(entityFixture))
+      TextAnalysis.decodeEntities(docs, "enc")
+        .select("doc_id", "dec_text", "n_entities")
+        .orderBy("doc_id")
+    }),
     "multimatch_counts" -> ((s, d) => {
       TextAnalysis.multiMatch(t(s, d, "documents"), "text", acTerms)
         .select("doc_id", "total_hits", "distinct_terms", "counts_csv")
@@ -6874,6 +6906,14 @@ object LlmQueries {
          |  CAST(count(*) - count(DISTINCT md5(nt)) AS BIGINT)
          |    AS dup_rows_norm
          |FROM un""".stripMargin,
+    "decode_entities" ->
+      s"""WITH de AS (
+         |  SELECT doc_id, $entityFixture AS enc FROM documents)
+         |SELECT doc_id, ${duckEntityChain("enc")} AS dec_text,
+         |  CAST(len(regexp_extract_all(enc,
+         |    '${TextAnalysis.entityRegex}', 0)) AS BIGINT)
+         |    AS n_entities
+         |FROM de ORDER BY doc_id""".stripMargin,
     "multimatch_counts" ->
       s"""WITH tm(i, term) AS (VALUES $acTermsValues),
          |ps AS (SELECT doc_id, text AS t,

@@ -3205,6 +3205,27 @@ class LlmSpec extends AnyFunSuite {
     assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
   }
 
+  test("decodeEntities: named/decimal/hex forms, quote targets, and " +
+      "the one-layer-per-pass double-encoding contract") {
+    val d = docs(
+      "a &amp; b &lt;i&gt; &quot;x&quot; &apos;y&apos; &#39;z&#39;",
+      "&amp;lt; stays encoded once: &amp;amp;",
+      "&#x3c;hex&#x3e; &#160;nb&#xa0;",
+      "no entities at all")
+    val out = TextAnalysis.decodeEntities(d, "text")
+      .select("doc_id", "dec_text", "n_entities")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out(0)._1 === "a & b <i> \"x\" 'y' 'z'")
+    assert(out(0)._2 === 9L) // amp lt gt quot×2 apos×2 #39×2
+    // double-encoded: one layer resolves, result still encoded
+    assert(out(1)._1 === "&lt; stays encoded once: &amp;")
+    assert(out(1)._2 === 2L)
+    assert(out(2)._1 === "<hex>  nb ")
+    assert(out(2)._2 === 4L)
+    assert(out(3) === (("no entities at all", 0L)))
+  }
+
   test("AcAutomaton: nested/overlapping dictionary hits by hand and " +
       "vs brute force on random draws") {
     import graft.llm.AcAutomaton
