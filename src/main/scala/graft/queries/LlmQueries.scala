@@ -1751,6 +1751,57 @@ object LlmQueries {
     // fire per END position — the oracle recounts every (position,
     // term) pair by brute force, so a missing dictionary-suffix link
     // or a wrong fail edge flips the hash
+    // round-15 composition flagship: entity decode → NFC normalize →
+    // blocklist gate → normalized exact dedup → per-source funnel.
+    // The planted twins spell the SAME document three ways at once
+    // (&amp; vs &#38;, composed vs decomposed é, case/whitespace) —
+    // they merge ONLY after both decode and normalize run, which is
+    // the ordering argument the chain exists to prove
+    "curation_v7" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" &amp; café")).as("enc"))
+      val twins = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("source"),
+          concat(upper(col("text")), lit("  &#38; café\t")).as("enc"))
+      // gate bait: synthetic blocked terms absent from the corpus
+      // vocabulary, planted densely — the gate drops exactly these,
+      // never a natural document (a corpus-common blocklist would
+      // gate 95% of the feed and starve the downstream stages)
+      val bait = docs.filter(col("doc_id") % 9 === 5)
+        .select((col("doc_id") + 80000000L).as("doc_id"), col("source"),
+          concat(lit("spamword adword spamword "), col("text"),
+            lit(" &amp; caf\u00e9")).as("enc"))
+      val st = TextAnalysis.blocklistGate(
+        TextAnalysis.normalizeText(
+          TextAnalysis.decodeEntities(
+            base.unionByName(twins).unionByName(bait), "enc"),
+          "dec_text"),
+        "norm_text", Seq("spamword", "adword"))
+      // normalized-class keeper by hashed key: the 100-TB form keys
+      // the dedup shuffle on a digest, not the full document string
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("norm_text").cast("binary")))
+      val dd = st.filter(!col("blocked_gate"))
+        .withColumn("__keep", min(col("doc_id")).over(w))
+      val gated = st.filter(col("blocked_gate"))
+        .groupBy("source").agg(count(lit(1)).as("n_gated"))
+      val dups = dd.filter(col("doc_id") =!= col("__keep"))
+        .groupBy("source").agg(count(lit(1)).as("n_dup_dropped"))
+      val kept = dd.filter(col("doc_id") === col("__keep"))
+        .groupBy("source").agg(count(lit(1)).as("n_out"),
+          sum(col("n_tokens")).as("tokens_out"))
+      st.groupBy("source").agg(count(lit(1)).as("n_in"))
+        .join(gated, Seq("source"), "left")
+        .join(dups, Seq("source"), "left")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+        .orderBy("source")
+    }),
     // HTML entity decode (named + decimal + hex crawl core set, amp
     // family last — the double-encoded fixture pin proves one layer
     // per pass) with decoded-reference accounting
@@ -6906,6 +6957,62 @@ object LlmQueries {
          |  CAST(count(*) - count(DISTINCT md5(nt)) AS BIGINT)
          |    AS dup_rows_norm
          |FROM un""".stripMargin,
+    "curation_v7" ->
+      s"""WITH cu AS (
+         |  SELECT doc_id, source, text || ' &amp; café' AS enc
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000000, source,
+         |    upper(text) || '  &#38; café\t' AS enc
+         |  FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 80000000, source,
+         |    'spamword adword spamword ' || text || ' &amp; café'
+         |      AS enc
+         |  FROM documents WHERE doc_id % 9 = 5),
+         |cd AS (SELECT doc_id, source,
+         |    ${duckEntityChain("enc")} AS dec
+         |  FROM cu),
+         |cn AS (SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      lower(nfc_normalize(dec)),
+         |      '[\\t\\n\\x0B\\f\\r]', ' ', 'g'),
+         |      '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      ' {2,}', ' ', 'g')) AS nt
+         |  FROM cd),
+         |ct AS (SELECT doc_id, source, nt,
+         |    list_filter(string_split(nt, ' '), t -> t != '') AS tk
+         |  FROM cn),
+         |cg AS (SELECT doc_id, source, nt,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk, t -> list_contains(
+         |      ['adword', 'spamword'], t))) AS BIGINT) AS bh,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      ['adword', 'spamword'])) AS BIGINT) AS btp
+         |  FROM ct),
+         |cv AS (SELECT *, (bh * 1000000 // greatest(n_tokens, 1))
+         |    > 20000 OR btp >= 2 AS gate
+         |  FROM cg),
+         |dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(nt))
+         |    AS keep
+         |  FROM cv WHERE NOT gate),
+         |gi AS (SELECT source, count(*) AS n_in FROM cv GROUP BY 1),
+         |gg AS (SELECT source, count(*) AS n_gated FROM cv
+         |  WHERE gate GROUP BY 1),
+         |gd AS (SELECT source, count(*) AS n_dup FROM dd
+         |  WHERE doc_id != keep GROUP BY 1),
+         |gk AS (SELECT source, count(*) AS n_out,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tokens_out
+         |  FROM dd WHERE doc_id = keep GROUP BY 1)
+         |SELECT gi.source, CAST(gi.n_in AS BIGINT) AS n_in,
+         |  CAST(coalesce(gg.n_gated, 0) AS BIGINT) AS n_gated,
+         |  CAST(coalesce(gd.n_dup, 0) AS BIGINT) AS n_dup_dropped,
+         |  CAST(coalesce(gk.n_out, 0) AS BIGINT) AS n_out,
+         |  CAST(coalesce(gk.tokens_out, 0) AS BIGINT) AS tokens_out
+         |FROM gi LEFT JOIN gg USING (source)
+         |LEFT JOIN gd USING (source)
+         |LEFT JOIN gk USING (source)
+         |ORDER BY source""".stripMargin,
     "decode_entities" ->
       s"""WITH de AS (
          |  SELECT doc_id, $entityFixture AS enc FROM documents)
