@@ -116,5 +116,5 @@ object BenchGrain {
     // 0.85-1.37x (stage-latency-bound or threshold-sensitive) and
     // stay full-grain, consistent with the round-15 pruning
     "dedup_recall" -> 0.4, "decontam_embed" -> 0.4,
-    "wordpiece_vocab" -> 0.4)
+    "wordpiece_vocab" -> 0.4, "unigram_apply" -> 0.25)
 }

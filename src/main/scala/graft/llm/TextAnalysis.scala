@@ -3276,6 +3276,42 @@ object TextAnalysis {
     "&(lt|gt|quot|apos|nbsp|amp|#60|#62|#34|#39|#160|#38" +
       "|#x3c|#x3e|#x22|#x27|#xa0|#x26);"
 
+  /** Doc-grain unigram (Viterbi) tokenization — [[wordpieceApply]]'s
+    * shape over the optimal lattice: per doc, word/piece/unk
+    * accounting, pieces-per-word fertility ppm, and the first word's
+    * segmentation witness. Memoized at DISTINCT-word grain like the
+    * wordpiece form (the DP runs once per corpus-vocabulary word,
+    * occurrences re-attach via a broadcastable word-keyed join).
+    */
+  def unigramApply(df: DataFrame, text: String, id: String,
+      vocab: DataFrame, maxPiece: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    val stats = unigramTokenizeWords(df, text, vocab, maxPiece,
+      maxWordLen)
+      .select(col("word").as("__w"), col("n_pieces").as("__n"),
+        col("n_unk").as("__unk"), col("seg").as("__seg"))
+    val base = df.select(col(id),
+      expr(s"filter(split(lower($text), ' '), t -> t != '')")
+        .as("__ws"))
+    val occ = base.select(col(id), explode(col("__ws")).as("__w"))
+      .join(stats, Seq("__w"))
+      .groupBy(col(id))
+      .agg(sum(col("__n")).as("n_pieces"),
+        sum(col("__unk")).as("n_unk"))
+    base
+      .withColumn("n_words", expr("CAST(size(__ws) AS BIGINT)"))
+      .withColumn("__w1", expr("try_element_at(__ws, 1)"))
+      .join(occ, Seq(id), "left")
+      .join(stats.select(col("__w").as("__w1"),
+        col("__seg").as("__seg1")), Seq("__w1"), "left")
+      .select(col(id), col("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        expr("coalesce(n_pieces, 0L) * 1000000L " +
+          "DIV greatest(n_words, 1L)").as("ppw_ppm"),
+        coalesce(col("__seg1"), lit("")).as("seg_first"))
+  }
+
   /** HTML entity decoding for crawl text — the cleanup step between
     * tag-stripping ([[mainContent]]) and normalization
     * ([[normalizeText]]): leftover '&amp;amp;', '&amp;#39;',

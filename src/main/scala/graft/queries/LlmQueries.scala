@@ -1270,6 +1270,16 @@ object LlmQueries {
         TextAnalysis.unigramFit(docs, "ftext"))
         .orderBy("word")
     }),
+    // doc-grain unigram tokenization (wordpiece_tokenize's shape on
+    // the optimal lattice): fertility ppm + first-word witness
+    "unigram_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText))
+        .withColumn("ttext", expr(unigramTokText))
+      TextAnalysis.unigramApply(docs, "ttext", "doc_id",
+        TextAnalysis.unigramFit(docs, "ftext"))
+        .orderBy("doc_id")
+    }),
     // the measurable case for the DP: occurrence-weighted totals of
     // optimal vs greedy maximal-munch segmentation over the SAME
     // vocabulary. On a substring-closed candidate vocabulary greedy
@@ -5362,6 +5372,34 @@ object LlmQueries {
          |  f.seg, g.ng AS n_pieces_greedy, g.gsc AS greedy_score
          |FROM ufin f JOIN uggf g USING (w)
          |ORDER BY word""".stripMargin,
+    "unigram_apply" ->
+      s"""WITH RECURSIVE $duckUnigramVocab,
+         |${duckUnigramDp()},
+         |uww AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    lower($unigramTokText), ' '), t -> t != '') AS ws
+         |  FROM documents),
+         |udw AS (SELECT doc_id, unnest(ws) AS w,
+         |    unnest(generate_series(1, CAST(len(ws) AS BIGINT)))
+         |      AS wi
+         |  FROM uww),
+         |uag AS (SELECT doc_id,
+         |    CAST(sum(f.n_pieces) AS BIGINT) AS np,
+         |    CAST(sum(f.n_unk) AS BIGINT) AS nu
+         |  FROM udw u JOIN ufin f ON u.w = f.w GROUP BY doc_id),
+         |usf AS (SELECT u.doc_id, f.seg FROM udw u
+         |  JOIN ufin f ON u.w = f.w WHERE u.wi = 1),
+         |ub AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw
+         |  FROM uww)
+         |SELECT b.doc_id, b.nw AS n_words,
+         |  coalesce(a.np, 0) AS n_pieces,
+         |  coalesce(a.nu, 0) AS n_unk,
+         |  coalesce(a.np, 0) * 1000000 // greatest(b.nw, 1)
+         |    AS ppw_ppm,
+         |  coalesce(s.seg, '') AS seg_first
+         |FROM ub b LEFT JOIN uag a USING (doc_id)
+         |LEFT JOIN usf s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "viterbi_gain" ->
       s"""WITH RECURSIVE $duckUnigramVocab,
          |${duckUnigramDp()},

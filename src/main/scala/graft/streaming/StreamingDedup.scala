@@ -715,6 +715,42 @@ object StreamingDedup {
         })
   }
 
+  /** Streaming UNIGRAM-TOKENIZE stage: per-doc Viterbi piece/unk/
+    * fertility accounting on a live feed against a batch-fitted
+    * vocabulary (the side-input discipline of [[robotsStage]] —
+    * tokenizer vocabularies are fit offline and shipped to the
+    * edge). Stateless and row-local: the batch form's distinct-word
+    * memoization is a self-join a stream cannot do, so the DP runs
+    * per occurrence inside an ArrayTransform — same arithmetic, same
+    * expression, bit-identical output (spec-pinned). Any output
+    * mode.
+    */
+  def unigramStage(docs: DataFrame, text: String, id: String,
+      vocab: DataFrame, maxPiece: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    val entries = vocab.select("piece", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val holder = new graft.llm.UnigramVocab(entries)
+    docs.select(col(id),
+        expr(s"filter(split(lower($text), ' '), t -> t != '')")
+          .as("__ws"))
+      .withColumn("__rs", transform(col("__ws"), w =>
+        column(graft.llm.UnigramViterbiExpr(expression(w), holder,
+          maxPiece, maxWordLen))))
+      .select(col(id),
+        expr("CAST(size(__ws) AS BIGINT)").as("n_words"),
+        expr("aggregate(__rs, 0L, (a, x) -> a + x.n_pieces)")
+          .as("n_pieces"),
+        expr("aggregate(__rs, 0L, (a, x) -> a + x.n_unk)")
+          .as("n_unk"),
+        expr("""coalesce(aggregate(__rs, 0L, (a, x) -> a + x.n_pieces)
+          * 1000000L DIV greatest(CAST(size(__ws) AS BIGINT), 1L),
+          0L)""").as("ppw_ppm"),
+        expr("coalesce(try_element_at(__rs, 1).seg, '')")
+          .as("seg_first"))
+  }
+
   case class RsEvent(grp: String, v: Double, h: Long)
 
   /** One live quantile estimate for one (group, q). */

@@ -1593,6 +1593,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("unigramStage equals batch unigramApply across micro-batches " +
+      "(per-occurrence DP vs memoized distinct-word form)") {
+    import graft.streaming.StreamingDedup
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("ug_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ug_ck").toString
+    def rows(rs: (Long, String)*): Unit =
+      rs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    val fitDocs = Seq(
+      1L -> "the table by the window has tokenization value",
+      2L -> "window table value misunderstanding q7")
+    rows(fitDocs.head)
+    val vocab = graft.llm.TextAnalysis.unigramFit(
+      fitDocs.toDF("doc_id", "text"), "text", vocabN = 32)
+      .localCheckpoint()
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingDedup.unigramStage(stream, "text", "doc_id", vocab)
+      .writeStream.format("memory").queryName("ug_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows(fitDocs(1))
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))
+    val streamed = spark.table("ug_out").collect().map(tup).sortBy(_._1)
+    val batch = graft.llm.TextAnalysis.unigramApply(
+        spark.read.schema(schema).parquet(dir), "text", "doc_id", vocab)
+      .collect().map(tup).sortBy(_._1)
+    assert(streamed.length === 2)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.forall(_._3 > 0))
+  }
+
   test("quantileSketchStage: final emissions equal the batch " +
       "rank sketch after the feed drains, across micro-batches") {
     import graft.streaming.StreamingDedup
