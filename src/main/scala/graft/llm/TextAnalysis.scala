@@ -347,6 +347,11 @@ object TextAnalysis {
     * value — exact cross-engine), rank_le (true rank of est), and
     * rank_err_ppm = |rank_le/n − q/100| in ppm. All integer
     * arithmetic except est itself.
+    *
+    * Contract note: `id` rides through the shared portable hash
+    * ([[uniformHash60]]), which trims/collapses whitespace before
+    * hashing — ids differing only in whitespace would collide. Use
+    * whitespace-free row keys (every fixture id is).
     */
   def rankQuantileSketch(df: DataFrame, group: String, value: String,
       id: String, k: Int = 512, qs: Seq[Int] = Seq(50, 90, 99))
