@@ -3205,6 +3205,53 @@ class LlmSpec extends AnyFunSuite {
     assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
   }
 
+  test("supplementary codepoints: AC automaton and unigram DP index " +
+      "by codepoint, not UTF-16 unit") {
+    import graft.llm.{AcAutomaton, UnigramViterbi, UnigramVocab}
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+1F600 is one codepoint, two UTF-16 units: a char-indexed
+    // walk would misalign every match after it
+    val emoji = new String(Character.toChars(0x1F600))
+    val ac = new AcAutomaton(Seq("ab", emoji))
+    val c = ac.countMatches(UTF8String.fromString(s"ab${emoji}ab$emoji"))
+    assert(c.toSeq === Seq(2L, 2L))   // sorted: ab, emoji
+    val v = new UnigramVocab(Array("ab" -> 5L, emoji -> 7L,
+      "a" -> 1L, "b" -> 1L))
+    val r = UnigramViterbi.compute(
+      UTF8String.fromString(s"ab${emoji}ab"), v, 4, 16)
+    assert(r.getLong(1) === 3L && r.getLong(0) === 17L)
+    assert(r.getUTF8String(3).toString === s"ab $emoji ab")
+    // length counts codepoints: 5-cp word fits a maxWordLen of 5
+    val l = UnigramViterbi.compute(
+      UTF8String.fromString(emoji * 5), v, 4, 5)
+    assert(l.getLong(1) === 5L && l.getLong(2) === 0L)
+  }
+
+  test("normalizeText: idempotent on randomized unicode mess") {
+    val rnd = new scala.util.Random(2026L)
+    val pieces = Seq("Café", "CAFÉ", "ñ", "ñ",
+      "x", " ", "\t", "\r\n", "", "  ", "Zöe", "z")
+    val texts = (1 to 60).map { _ =>
+      (1 to (2 + rnd.nextInt(12)))
+        .map(_ => pieces(rnd.nextInt(pieces.size))).mkString
+    }.filter(_.exists(c => !Character.isWhitespace(c) && c >= ' '))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = TextAnalysis.normalizeText(d, "text")
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val twice = TextAnalysis.normalizeText(once, "text")
+      .filter(col("norm_changed"))
+    assert(twice.isEmpty)
+    // and every output is NFC-normalized with no controls/run-spaces
+    val outs = once.collect().map(_.getString(1))
+    outs.foreach { s =>
+      assert(java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC))
+      assert(!s.exists(c => c < ' '))
+      assert(!s.contains("  "))
+    }
+  }
+
   test("decodeEntities: named/decimal/hex forms, quote targets, and " +
       "the one-layer-per-pass double-encoding contract") {
     val d = docs(
