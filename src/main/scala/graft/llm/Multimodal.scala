@@ -189,10 +189,6 @@ object Multimodal {
     (r / n, g / n, b / n)
   }
 
-  /** Dispatching decode: real parsers for formats this environment can
-    * genuinely decode (BMP structured-bytes; PNG/JPEG via
-    * `javax.imageio`), deterministic stub features otherwise.
-    */
   /** Image-payload dispatch on container magic: BMP, PNG, baseline
     * JPEG, GIF89a (first frame). None for anything else — the
     * image-side half of [[decode]]'s dispatcher, shared with

@@ -340,8 +340,12 @@ object TextAnalysis {
     * per-group hash threshold t ≈ 4k/n · 2^60, so the sample filter
     * drops all but ~4k rows per group AT THE SCAN — the window that
     * finalizes the exact bottom-k shuffles only survivors, never the
-    * corpus. The verification join (true rank of each estimate) is
-    * one more map-side-combined conditional count.
+    * corpus. The 4× oversample makes the prefilter's "survivors ⊇
+    * true bottom-k" claim probabilistic with failure odds ≤
+    * exp(-9k/8) per group (see the threshold comment in the body) —
+    * accepted, deterministic per dataset, and visible as n_sample <
+    * k if it ever fires. The verification join (true rank of each
+    * estimate) is one more map-side-combined conditional count.
     *
     * Output per (group, q): n_rows, n_sample, est (an actual data
     * value — exact cross-engine), rank_le (true rank of est), and
@@ -363,16 +367,31 @@ object TextAnalysis {
       col(value).cast("double").as("__v"),
       col(id).cast("string").as("__id"))
     val counts = base.groupBy("__g").agg(count(lit(1)).as("n_rows"))
-    // threshold: (2^60 DIV n) * 4k caps expected survivors at ~4k —
-    // the DIV-first order keeps every product under 2^63
+    // Threshold: (2^60 DIV n) * 4k caps expected survivors at ~4k —
+    // the DIV-first order keeps the product under 2^63 whenever it
+    // is EVALUATED, and the CASE makes sure it never evaluates for
+    // groups of n_rows <= 4k (where 2^60 DIV n_rows * 4k would
+    // overflow: 2^60/256 * 2048 = 2^63): small groups take the
+    // everything-passes branch (every 60-bit hash < 2^60), so
+    // correctness never rests on OR evaluation order.
+    //
+    // The 4x oversample makes "the prefilter keeps the exact
+    // bottom-k" PROBABILISTIC, not guaranteed: survivors per group ~
+    // Binomial(n, ~4k/n); P(fewer than k survive) <= exp(-9k/8)
+    // (Chernoff at mean ~4k) — under 1e-250 at the default k=512,
+    // an accepted bound (deterministic per dataset). A shortfall is
+    // not silent: n_sample < k in the output and the true-rank
+    // verification columns expose it.
     val over = 4 * k
     val w = Window.partitionBy(col("__g"))
       .orderBy(col("__h"), col("__id"))
     val samp = base
       .join(broadcast(counts), Seq("__g"))
       .withColumn("__h", uniformHash60("__id"))
-      .filter(col("n_rows") <= over ||
-        col("__h") < expr(s"(1152921504606846976L DIV n_rows) * ${over}L"))
+      .filter(col("__h") < expr(
+        s"""CASE WHEN n_rows <= ${over}L THEN 1152921504606846976L
+           |ELSE (1152921504606846976L DIV n_rows) * ${over}L
+           |END""".stripMargin))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
       .groupBy(col("__g"))
@@ -648,7 +667,10 @@ object TextAnalysis {
       uniformHash60(text).as("shuffle_key"))
     val hist = scored.groupBy(col("quality"))
       .agg(count(lit(1)).as("__n"))
-    // value-grain frame: window is over #distinct-quality rows only
+    // value-grain frame: window is over #distinct-quality rows only.
+    // BOUNDED at any corpus size: qualityScoreExpr rounds to 6 dp in
+    // [0, 1], so `hist` can never exceed 1e6 + 1 rows — that cap, not
+    // the corpus, is what the global (unpartitioned) window sorts.
     val wv = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bands = hist
@@ -3040,6 +3062,72 @@ object TextAnalysis {
       .drop("__bs", "__kept")
   }
 
+  /** Shared bounded-rank vocabulary cut for the tokenizer fits
+    * ([[wordpieceFit]], [[unigramFit]]): keep the top `vocabN`
+    * candidate pieces by (cnt desc, piece asc) PLUS the single-char
+    * floor rows, every kept row carrying its exact GLOBAL rank —
+    * without ever ranking the full candidate frame through one
+    * window. The round-15 form filtered `rank <= vocabN OR single`
+    * AFTER a global row_number, and that disjunction blocks Spark's
+    * WindowGroupLimit pushdown, so the whole candidate-piece frame
+    * (corpus-vocabulary scale at 100 TB) funneled through a
+    * single-partition WindowExec — the "Moving all data to a single
+    * partition" warning in the round-15 bench tail. Here instead:
+    *   - the top-N branch is a distributed `orderBy().limit(vocabN)`
+    *     (TakeOrderedAndProject — each partition ships only its
+    *     local top-N to the merge); because the top is a PREFIX of
+    *     the global order, each kept row's global rank equals
+    *     `1 + count(top rows sorting strictly before it)` — a ≤
+    *     vocabN × vocabN broadcast self-join + aggregate, no
+    *     WindowExec anywhere (not even a bounded one: the empty-
+    *     partition window warning in the bench tail is gone for
+    *     good);
+    *   - the single-char floor (≤ alphabet-size rows after the
+    *     anti-join against the top branch) recovers its exact global
+    *     rank the same way against the FULL counts frame — a
+    *     broadcast join plus a map-side-combining aggregate, never a
+    *     corpus-vocabulary-scale sort.
+    * The counts frame is pinned (`localCheckpoint`) because three
+    * consumers (top cut, floor filter, floor-rank count) would
+    * otherwise re-run the candidate-explode scan; the ordering is
+    * strict total (pieces are distinct after the groupBy), so both
+    * branches are deterministic and the union reproduces the
+    * round-15 output bit-for-bit.
+    */
+  private def rankedVocabCut(countsIn: DataFrame, vocabN: Int,
+      isSingle: Column): DataFrame = {
+    val counts = countsIn.localCheckpoint()
+    val top = counts
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabN)
+    // rank = 1 + #predecessors, counted over `frame`, attached to
+    // each row of `rows` (left join so a rank-1 row, which has no
+    // predecessor, still survives; count(col) skips its nulls)
+    def withRank(rows: DataFrame, frame: DataFrame): DataFrame =
+      rows.join(
+          broadcast(frame.select(col("piece").as("__rp"),
+            col("cnt").as("__rc"))),
+          col("cnt") < col("__rc") ||
+            (col("cnt") === col("__rc") && col("piece") > col("__rp")),
+          "left")
+        .groupBy(col("piece"), col("cnt"))
+        .agg((count(col("__rp")) + lit(1L)).as("rank"))
+    val rankedTop = withRank(top, top)
+    val singles = counts.filter(isSingle)
+      .join(top.select("piece"), Seq("piece"), "left_anti")
+    // floor ranks count predecessors in the FULL candidate frame —
+    // but broadcast the TINY side and keep `counts` streamed
+    val singleRank = counts
+      .join(broadcast(singles.select(col("piece").as("__sp"),
+          col("cnt").as("__sc"))),
+        col("cnt") > col("__sc") ||
+          (col("cnt") === col("__sc") && col("piece") < col("__sp")))
+      .groupBy(col("__sp"), col("__sc"))
+      .agg((count(lit(1)) + lit(1L)).as("rank"))
+      .select(col("__sp").as("piece"), col("__sc").as("cnt"),
+        col("rank"))
+    rankedTop.unionByName(singleRank).select("piece", "cnt", "rank")
+  }
+
   /** WORDPIECE tokenizer fit (Schuster & Nakajima 2012; the BERT
     * tokenizer family — the frequency-vocab / maximal-munch rung
     * next to [[bpeApply]]'s merge-list BPE): candidate pieces are
@@ -3049,13 +3137,12 @@ object TextAnalysis {
     * top `vocabN` by (count desc, piece asc) PLUS every single-char
     * piece, so greedy inference is total without an <unk> escape
     * for any character the fit corpus saw. All-integer counts; the
-    * ranking window runs over the candidate VOCABULARY (distinct
-    * pieces — the Retrieval vocab-fit bound, not the corpus), and
-    * the candidate explode is one scan with map-side combine.
+    * candidate explode is one scan with map-side combine, and the
+    * vocabulary cut is the bounded two-branch [[rankedVocabCut]] —
+    * no window ever sees the full candidate frame.
     */
   def wordpieceFit(df: DataFrame, text: String, vocabN: Int = 512,
       maxPiece: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxPiece >= 1 && vocabN >= 1, "need maxPiece/vocabN >= 1")
     val wordsOf = expr(s"filter(split(lower($text), ' '), t -> t != '')")
     val cands = df.select(explode(wordsOf).as("__w"))
@@ -3066,12 +3153,10 @@ object TextAnalysis {
            |    l -> CASE WHEN p = 1 THEN substring(__w, 1, l)
            |         ELSE concat('##', substring(__w, p, l)) END)))"""
           .stripMargin)).as("piece"))
-    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
-    cands.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= vocabN ||
-        length(regexp_replace(col("piece"), "^##", "")) === 1)
-      .select("piece", "cnt", "rank")
+    rankedVocabCut(
+      cands.groupBy(col("piece")).agg(count(lit(1)).as("cnt")),
+      vocabN,
+      length(regexp_replace(col("piece"), "^##", "")) === 1)
   }
 
   /** The greedy longest-match-first step as SQL: one `aggregate`
@@ -3165,12 +3250,12 @@ object TextAnalysis {
     * asc) PLUS every single-char piece so Viterbi segmentation
     * ([[UnigramViterbiExpr]]) is total. The piece count doubles as
     * its integer score. Same scale shape as [[wordpieceFit]]: one
-    * scan, map-side combine, ranking window over the candidate
-    * vocabulary only.
+    * scan, map-side combine, and the bounded two-branch
+    * [[rankedVocabCut]] — no window ever sees the full candidate
+    * frame.
     */
   def unigramFit(df: DataFrame, text: String, vocabN: Int = 64,
       maxPiece: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxPiece >= 1 && vocabN >= 1, "need maxPiece/vocabN >= 1")
     val wordsOf = expr(s"filter(split(lower($text), ' '), t -> t != '')")
     val cands = df.select(explode(wordsOf).as("__w"))
@@ -3179,11 +3264,10 @@ object TextAnalysis {
            |  p -> transform(
            |    sequence(1, least($maxPiece, length(__w) - p + 1)),
            |    l -> substring(__w, p, l))))""".stripMargin)).as("piece"))
-    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
-    cands.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= vocabN || length(col("piece")) === 1)
-      .select("piece", "cnt", "rank")
+    rankedVocabCut(
+      cands.groupBy(col("piece")).agg(count(lit(1)).as("cnt")),
+      vocabN,
+      length(col("piece")) === 1)
   }
 
   /** Optimal (Viterbi) unigram segmentation at DISTINCT-word grain:
@@ -3232,15 +3316,25 @@ object TextAnalysis {
       maxPpm: Long = 20000L, minTypes: Int = 2): DataFrame = {
     require(blocked.nonEmpty && blocked.size <= 10000,
       "blocklist must be non-empty and bounded (<= 10000 terms)")
-    require(blocked.forall(t => t.nonEmpty && !t.contains("'")),
-      "blocked terms must be non-empty and quote-free")
+    require(blocked.forall(t =>
+        t.nonEmpty && !t.contains("'") && !t.contains("\\")),
+      "blocked terms must be non-empty, quote-free, and " +
+        "backslash-free (a backslash would be re-escaped by SQL " +
+        "literal parsing and match the wrong string)")
+    // Terms are matched against LOWERCASED tokens, so fold the list
+    // to the same case (and NFC, matching normalizeText's canonical
+    // form) — an uppercase/decomposed blocklist entry must not
+    // silently never fire in a content-safety gate.
+    val folded = blocked.map(t => java.text.Normalizer
+      .normalize(t, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT))
     val clash = Seq("n_tokens", "blocked_hits", "blocked_types",
       "blocked_ppm", "blocked_gate", "__toks")
       .filter(df.columns.contains)
     require(clash.isEmpty,
       s"blocklistGate: input already contains column(s) " +
         s"${clash.mkString(", ")}")
-    val arr = blocked.distinct.sorted
+    val arr = folded.distinct.sorted
       .map(t => s"'$t'").mkString("array(", ", ", ")")
     df.withColumn("__toks",
         expr(s"filter(split(lower($text), ' '), t -> t != '')"))
@@ -3265,7 +3359,12 @@ object TextAnalysis {
     * rare and stay encoded rather than risk per-engine decode
     * drift). Order matters: '&amp;'/'&#38;'/'&#x26;' decode LAST so
     * a double-encoded '&amp;lt;' resolves exactly one layer per
-    * pass (the standard single-pass contract, not a fixpoint).
+    * pass (the standard single-pass contract, not a fixpoint); the
+    * amp family itself decodes in ONE regex scan ([[ampFamilyRegex]])
+    * rather than three sequential replaces — a scan never re-reads
+    * its own output, so '&amp;#38;' yields '&#38;' (one layer),
+    * where sequential replaces cascaded two layers inside the
+    * family.
     */
   val entityTable: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&#60;" -> "<", "&#x3c;" -> "<",
@@ -3274,6 +3373,18 @@ object TextAnalysis {
     "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
     "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ",
     "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
+
+  /** The three '&' spellings as one alternation. No two alternatives
+    * can match at the same offset (they diverge by the second or
+    * third char), so Java regex (leftmost-first) and DuckDB RE2
+    * agree on every input — safe to share with the oracle. */
+  val ampFamilyRegex: String = "&(amp|#38|#x26);"
+
+  /** [[entityTable]] minus the amp family — the entries decoded as
+    * sequential literal replaces; the amp family goes through the
+    * single-scan [[ampFamilyRegex]] step instead. */
+  val entityTableNonAmp: Seq[(String, String)] =
+    entityTable.filter(_._2 != "&")
 
   /** Regex alternation matching exactly the decoded forms — shared
     * with the oracle so `n_entities` counts agree by construction. */
@@ -3321,9 +3432,12 @@ object TextAnalysis {
     * tag-stripping ([[mainContent]]) and normalization
     * ([[normalizeText]]): leftover '&amp;amp;', '&amp;#39;',
     * '&amp;quot;' poison shingles, token counts, and exact-dup
-    * classes. Decodes [[entityTable]] (one replace chain both
-    * engines evaluate identically, amp-family last) and counts the
-    * references it decoded. Row-local, codegen, no shuffle.
+    * classes. Decodes [[entityTableNonAmp]] as a replace chain both
+    * engines evaluate identically, then the amp family LAST in one
+    * regex scan ([[ampFamilyRegex]]) so the one-layer-per-pass
+    * contract holds even inside the family ('&amp;#38;' → '&#38;',
+    * not '&'), and counts the references it decoded. Row-local,
+    * codegen, no shuffle.
     */
   def decodeEntities(df: DataFrame, text: String): DataFrame = {
     val clash = Seq("dec_text", "n_entities")
@@ -3333,9 +3447,10 @@ object TextAnalysis {
         s"${clash.mkString(", ")}")
     def q(s: String): String = s
       .replace("\\", "\\\\").replace("'", "\\'")
-    val chain = entityTable.foldLeft(text) { case (acc, (e, c)) =>
+    val nonAmp = entityTableNonAmp.foldLeft(text) { case (acc, (e, c)) =>
       s"replace($acc, '${q(e)}', '${q(c)}')"
     }
+    val chain = s"regexp_replace($nonAmp, '$ampFamilyRegex', '&')"
     df.withColumn("dec_text", expr(chain))
       .withColumn("n_entities", expr(
         s"CAST(size(regexp_extract_all($text, '$entityRegex', 0)) " +

@@ -89,16 +89,23 @@ object LlmQueries {
       "&amp;lt; 5 &#60; 6 &#xa0;nb&nbsp;. &#x27;h&#x27; end', " +
       "CAST(doc_id % 3 AS STRING))"
 
-  /** [[graft.llm.TextAnalysis.entityTable]] as a DuckDB replace
-    * chain (DuckDB quoting: quote doubling, no backslash escapes —
-    * the Spark side uses backslash escaping, so each dialect gets
-    * its own rendering of the SAME table).
+  /** [[graft.llm.TextAnalysis.entityTableNonAmp]] as a DuckDB
+    * replace chain (DuckDB quoting: quote doubling, no backslash
+    * escapes — the Spark side uses backslash escaping, so each
+    * dialect gets its own rendering of the SAME table), with the amp
+    * family decoded LAST in one regex scan (ampFamilyRegex has no
+    * same-offset alternation ambiguity, so RE2 and Java regex agree)
+    * — mirroring decodeEntities' single-scan amp contract.
     */
-  private def duckEntityChain(c: String): String =
-    TextAnalysis.entityTable.foldLeft(c) { case (acc, (e, v)) =>
-      s"replace($acc, '${e.replace("'", "''")}', " +
-        s"'${v.replace("'", "''")}')"
-    }
+  private def duckEntityChain(c: String): String = {
+    val nonAmp = TextAnalysis.entityTableNonAmp
+      .foldLeft(c) { case (acc, (e, v)) =>
+        s"replace($acc, '${e.replace("'", "''")}', " +
+          s"'${v.replace("'", "''")}')"
+      }
+    s"regexp_replace($nonAmp, '${TextAnalysis.ampFamilyRegex}', " +
+      "'&', 'g')"
+  }
 
   /** Aho–Corasick fixture dictionary: nested and overlapping terms
     * ('tab' ⊂ 'table' ⊃ 'able' ⊃ 'le'; 'dow' inside 'window') so the

@@ -769,10 +769,18 @@ object StreamingDedup {
     * (spec-pinned; the batch threshold prefilter is an oversample
     * cut above k, so both sides end at the identical bottom-k).
     * State per group: k (hash, value) pairs + one long — fixed
-    * memory regardless of feed length. Ties between equal 60-bit
-    * hashes are broken by value; distinct row ids make such ties a
-    * 2^-60 event (the batch form breaks them by id, unavailable
-    * once the state is hash-grained).
+    * memory regardless of feed length.
+    *
+    * Delivery contract: the sample DEDUPS incoming rows by their
+    * 60-bit hash (the sample key), so at-least-once redelivery of a
+    * row that is — or ever was eligible to be — in the bottom-k
+    * cannot insert a duplicate pair or skew the estimate; equal-hash
+    * ties therefore resolve first-seen (distinct row ids make a real
+    * tie a 2^-60 event; the batch form breaks them by id). The
+    * `n_rows` COUNT, however, is exact only under exactly-once
+    * delivery: a replay of a row that was already evicted from the
+    * k-sample is indistinguishable from a new row in fixed memory
+    * and counts again.
     */
   def quantileSketchStage(docs: DataFrame, group: String,
       value: String, id: String, k: Int = 512,
@@ -796,7 +804,15 @@ object StreamingDedup {
           var n = n0
           val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
           buf ++= kept0
-          rows.foreach { e => n += 1L; buf += ((e.h, e.v)) }
+          // hash-keyed dedup on merge: a redelivered sampled row
+          // (same id → same 60-bit hash) must not enter the sample
+          // twice nor bump the count (see the delivery contract in
+          // the scaladoc)
+          val seen = scala.collection.mutable.HashSet[Long]()
+          kept0.foreach { case (h, _) => seen += h }
+          rows.foreach { e =>
+            if (seen.add(e.h)) { n += 1L; buf += ((e.h, e.v)) }
+          }
           val kept = buf.sortBy(identity).take(k).toSeq
           state.update((n, kept))
           val sorted = kept.map { case (h, v) => (v, h) }.sorted

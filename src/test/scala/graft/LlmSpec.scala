@@ -3258,7 +3258,12 @@ class LlmSpec extends AnyFunSuite {
       "a &amp; b &lt;i&gt; &quot;x&quot; &apos;y&apos; &#39;z&#39;",
       "&amp;lt; stays encoded once: &amp;amp;",
       "&#x3c;hex&#x3e; &#160;nb&#xa0;",
-      "no entities at all")
+      "no entities at all",
+      // double-encoding WITHIN the amp family: the single-scan
+      // alternation resolves exactly one layer ('&amp;#38;' →
+      // '&#38;'), where three sequential replaces used to cascade
+      // two layers ('&amp;' → '&' re-read by the '&#38;' replace)
+      "&amp;#38; and &amp;#x26; and &amp;amp;")
     val out = TextAnalysis.decodeEntities(d, "text")
       .select("doc_id", "dec_text", "n_entities")
       .collect().sortBy(_.getLong(0))
@@ -3271,6 +3276,8 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2)._1 === "<hex>  nb ")
     assert(out(2)._2 === 4L)
     assert(out(3) === (("no entities at all", 0L)))
+    assert(out(4)._1 === "&#38; and &#x26; and &amp;")
+    assert(out(4)._2 === 3L) // the three '&amp;' occurrences
   }
 
   test("AcAutomaton: nested/overlapping dictionary hits by hand and " +

@@ -1127,4 +1127,162 @@ class PropertySpec extends AnyFunSuite {
       - 1.0)
     assert(rel <= 3.0 / math.sqrt(k - 2.0), s"rel error $rel")
   }
+
+  // ---- round-16 adversarial-Unicode generator properties --------
+  // Each draws strings from an alphabet chosen to break any
+  // codepoint-vs-UTF-16-unit iteration bug: supplementary codepoints
+  // (two chars each), combining marks (reorder under NFC), Hangul
+  // jamo (compose into ONE syllable), and NFKC-only compatibility
+  // characters. A walk that indexes by char misaligns after the
+  // first surrogate pair; a normalize wrapper that mishandles the
+  // fast path or byte round-trip diverges from java.text.Normalizer.
+
+  private val uniPieces: IndexedSeq[String] = IndexedSeq(
+    "a", "Z", " ",
+    "\u00e9",                    // e-acute precomposed
+    "e\u0301",                   // e-acute decomposed (NFC composes)
+    "o\u0308\u0301",             // two combining marks
+    "\u0301",                    // stray combining mark (may lead,
+                                 // and composes onto whatever the
+                                 // previous draw ended with)
+    "\u1100\u1161\u11a8",        // Hangul jamo -> ONE syllable (NFC)
+    new String(Character.toChars(0x1F600)),  // emoji (supplementary)
+    new String(Character.toChars(0x1D11E)),  // musical G clef
+    new String(Character.toChars(0x1F600)) + "\u0301", // mark on pair
+    "\ufb01",                    // fi ligature (NFKC folds)
+    "\uff21",                    // fullwidth A (NFKC folds)
+    "\u00b2", "\u2460")          // superscript 2, circled 1 (NFKC)
+
+  test("NFC/NFKC expressions property: codegen output equals " +
+      "java.text.Normalizer and is idempotent on surrogate/" +
+      "combining-mark/jamo/compat draws") {
+    import java.text.Normalizer
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    import graft.llm.{NfcNormalizeExpr, NfkcNormalizeExpr}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = (1 to 120).map { _ =>
+      (1 to (1 + rnd.nextInt(8)))
+        .map(_ => uniPieces(rnd.nextInt(uniPieces.size))).mkString
+    } :+ "" :+ "plain ascii only"
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = d
+      .withColumn("nfc", column(NfcNormalizeExpr(expression(col("text")))))
+      .withColumn("nfkc", column(NfkcNormalizeExpr(expression(col("text")))))
+      .withColumn("nfc2", column(NfcNormalizeExpr(expression(col("nfc")))))
+      .withColumn("nfkc2", column(NfkcNormalizeExpr(expression(col("nfkc")))))
+      .collect()
+    out.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(r.getAs[String]("nfc") ===
+        Normalizer.normalize(t, Normalizer.Form.NFC),
+        s"NFC diverged on ${t.map(c => f"\\u$c%04x").mkString}")
+      assert(r.getAs[String]("nfkc") ===
+        Normalizer.normalize(t, Normalizer.Form.NFKC),
+        s"NFKC diverged on ${t.map(c => f"\\u$c%04x").mkString}")
+      assert(r.getAs[String]("nfc2") === r.getAs[String]("nfc"))
+      assert(r.getAs[String]("nfkc2") === r.getAs[String]("nfkc"))
+    }
+  }
+
+  test("Aho-Corasick property: automaton counts equal char-level " +
+      "brute force on supplementary/combining-mark draws") {
+    import graft.llm.AcAutomaton
+    import org.apache.spark.unsafe.types.UTF8String
+    // brute force: overlapping occurrences via indexOf — a term is a
+    // well-formed string, so a char-index match is always
+    // codepoint-aligned; the automaton must agree everywhere
+    def brute(s: String, t: String): Long = {
+      var c = 0L; var i = s.indexOf(t)
+      while (i >= 0) { c += 1; i = s.indexOf(t, i + 1) }
+      c
+    }
+    (1 to 150).foreach { _ =>
+      val terms = (1 to (2 + rnd.nextInt(4))).map(_ =>
+        (1 to (1 + rnd.nextInt(3)))
+          .map(_ => uniPieces(rnd.nextInt(uniPieces.size))).mkString)
+        .filter(_.nonEmpty).distinct
+      if (terms.nonEmpty) {
+        val text = (1 to (3 + rnd.nextInt(10)))
+          .map(_ => uniPieces(rnd.nextInt(uniPieces.size))).mkString
+        val ac = new AcAutomaton(terms)
+        val counts = ac.countMatches(UTF8String.fromString(text))
+        ac.terms.zipWithIndex.foreach { case (t, i) =>
+          assert(counts(i) === brute(text, t),
+            s"term '$t' in '${text.map(c => f"\\u$c%04x").mkString}'")
+        }
+      }
+    }
+  }
+
+  test("unigram Viterbi property: optimal piece count and score " +
+      "match codepoint-level brute force on supplementary draws") {
+    import graft.llm.{UnigramViterbi, UnigramVocab}
+    import org.apache.spark.unsafe.types.UTF8String
+    // single-CODEPOINT alphabet (incl. two supplementary, one
+    // combining mark) so the brute force can enumerate segmentations
+    // on the codepoint array
+    val alpha = IndexedSeq("a", "b", "\u00e9", "\u0301",
+      new String(Character.toChars(0x1F600)),
+      new String(Character.toChars(0x1D11E)))
+    val maxPiece = 3
+    (1 to 150).foreach { _ =>
+      val cps = (1 to (2 + rnd.nextInt(6)))
+        .map(_ => alpha(rnd.nextInt(alpha.size)))
+      val word = cps.mkString
+      // vocab: random subset of the word's codepoint substrings
+      val subs = (for {
+        i <- cps.indices
+        l <- 1 to math.min(maxPiece, cps.size - i)
+      } yield cps.slice(i, i + l).mkString).distinct
+      val vocabEntries = subs.filter(_ => rnd.nextBoolean())
+        .map(p => p -> (1L + rnd.nextInt(9))).toArray
+      val vmap = vocabEntries.toMap
+      val r = UnigramViterbi.compute(UTF8String.fromString(word),
+        new UnigramVocab(vocabEntries), maxPiece, 16)
+      // brute force over the codepoint array: min pieces, then max
+      // summed frequency (len-1 pieces always allowed at freq 0)
+      val nCp = cps.size
+      val best = Array.fill(nCp + 1)((Long.MaxValue, Long.MinValue))
+      best(0) = (0L, 0L)
+      for (p <- 1 to nCp; k <- 1 to math.min(maxPiece, p)) {
+        val piece = cps.slice(p - k, p).mkString
+        val known = vmap.contains(piece)
+        if (k == 1 || known) {
+          val (pn, ps) = best(p - k)
+          if (pn != Long.MaxValue) {
+            val cand = (pn + 1L, ps + vmap.getOrElse(piece, 0L))
+            val cur = best(p)
+            if (cand._1 < cur._1 ||
+                (cand._1 == cur._1 && cand._2 > cur._2)) best(p) = cand
+          }
+        }
+      }
+      assert(r.getLong(1) === best(nCp)._1,
+        s"n_pieces on '${word.map(c => f"\\u$c%04x").mkString}'")
+      assert(r.getLong(0) === best(nCp)._2, s"best_score on '$word'")
+      // the emitted segmentation is real: pieces rejoin to the word,
+      // count matches, score and unk recompute from the pieces
+      val segPieces = r.getUTF8String(3).toString.split(' ')
+      assert(segPieces.mkString === word)
+      assert(segPieces.length.toLong === r.getLong(1))
+      assert(segPieces.map(p => vmap.getOrElse(p, 0L)).sum ===
+        r.getLong(0))
+      assert(segPieces.count(p =>
+        p.codePointCount(0, p.length) == 1 && !vmap.contains(p))
+        .toLong === r.getLong(2))
+      // greedy invariants: Viterbi is piece-count optimal; at equal
+      // count it is score-maximal
+      assert(r.getLong(1) <= r.getLong(4))
+      if (r.getLong(1) == r.getLong(4))
+        assert(r.getLong(0) >= r.getLong(5))
+    }
+    // maxWordLen counts CODEPOINTS: six emoji exceed a bound of 5
+    val emoji = new String(Character.toChars(0x1F600))
+    val long = UnigramViterbi.compute(UTF8String.fromString(emoji * 6),
+      new UnigramVocab(Array(emoji -> 3L)), maxPiece, 5)
+    assert(long.getUTF8String(3).toString === UnigramViterbi.LongPiece)
+  }
 }
