@@ -116,5 +116,18 @@ object BenchGrain {
     // 0.85-1.37x (stage-latency-bound or threshold-sensitive) and
     // stay full-grain, consistent with the round-15 pruning
     "dedup_recall" -> 0.4, "decontam_embed" -> 0.4,
-    "wordpiece_vocab" -> 0.4, "unigram_apply" -> 0.25)
+    "wordpiece_vocab" -> 0.4, "unigram_apply" -> 0.25,
+    // round-16 third wave: the next 20 slowest full-grain rows
+    // A/B'd in one window (full vs grained, n=2 each) — these 10
+    // measured 0.57-0.81x and survive; the other 10 (bigram_lm_
+    // score, c4_having_gates, coverage_gaps, e5_split_mark,
+    // hybrid_rrf, ivf_kmeans, length_buckets, packing_stats,
+    // pq_encode, source_overlap) measured 0.87-1.22x — stage-
+    // latency-bound or sampling-hostile — and stay full-grain
+    // (PLANS.md round-16 A/B table)
+    "demand_class" -> 0.4, "doc_repetition" -> 0.4,
+    "embed_lsh_simjoin" -> 0.4, "f3_bround_ties" -> 0.4,
+    "link_graph" -> 0.4, "novelty_score" -> 0.4,
+    "partition_prune" -> 0.4, "pq_centroids" -> 0.4,
+    "text_stats" -> 0.4, "triplet_mine" -> 0.4)
 }
