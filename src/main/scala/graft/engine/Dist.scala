@@ -35,10 +35,18 @@ object Dist {
     val ptots = ranged.groupBy("__pid")
       .agg(sum(col(value)).as("__ptot"))
     val zero = lit(0).cast(ptots.schema("__ptot").dataType)
-    val offsets = ptots.withColumn("__offset",
-      coalesce(sum(col("__ptot")).over(
-        Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), zero))
+    // exclusive prefix over the <= numParts-row subtotal frame as a
+    // predecessor-sum self-join (numParts^2 predicate evals, all
+    // broadcast) — the round-15 form used Window.orderBy over the
+    // same tiny frame, which is correct but executes as an
+    // unpartitioned WindowExec and logs the scary "moving all data
+    // to a single partition" warning on every run
+    val offsets = ptots
+      .join(broadcast(ptots.select(col("__pid").as("__qid"),
+        col("__ptot").as("__qtot"))), col("__qid") < col("__pid"),
+        "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__qtot")), zero).as("__offset"))
     val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = ranged

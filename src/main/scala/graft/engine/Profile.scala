@@ -157,7 +157,8 @@ object Profile {
         count_if(col("__side") === 1).as("n_cur"))
     val totals = counts.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
-    counts.crossJoin(broadcast(totals))
+    // pinned: the psi-total cross reads the bins-row term frame twice
+    val terms = counts.crossJoin(broadcast(totals))
       .withColumn("p_ref", round(greatest(
         col("n_ref") / col("__tr"), lit(eps)), 6))
       .withColumn("p_cur", round(greatest(
@@ -165,9 +166,13 @@ object Profile {
       .withColumn("psi_term", round(
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")),
         6))
-      .withColumn("psi", round(sum(col("psi_term"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))), 6))
+      .localCheckpoint()
+    // running total as a broadcast 1-row cross (round 16: was a
+    // Window.partitionBy(lit(1)) — the optimizer folds the literal
+    // out of the partition spec, leaving an unpartitioned WindowExec)
+    terms
+      .crossJoin(broadcast(terms.agg(
+        round(sum(col("psi_term")), 6).as("psi"))))
       .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term",
         "psi")
   }

@@ -323,6 +323,107 @@ object TextAnalysis {
           .as("est_distinct"))
   }
 
+  /** Bottom-k sketch SET ALGEBRA across groups (the KMV synopsis
+    * under union/intersection, Beyer et al. 2007): per group the k
+    * smallest DISTINCT content hashes; per group PAIR, the union
+    * sketch is the k smallest of the two samples merged (bottom-k
+    * of a union = bottom-k of the parts' bottom-k's — the
+    * mergeability identity), the Jaccard estimate is the inclusion
+    * fraction |B_a ∩ B_b ∩ B_∪| / |B_∪| in exact integer ppm, and
+    * the intersection-size estimate is that fraction times the
+    * union's KMV distinct estimate. This answers "how much do these
+    * sources overlap?" with ONE corpus scan and k longs per source —
+    * where the exact form re-shuffles the corpus for a pairwise
+    * join. The exact pair counts ride along as verification columns
+    * (`n_inter_exact`, `jaccard_exact_ppm`) from one hash-keyed
+    * aggregate, the rank-quantiles verification discipline.
+    *
+    * Scale shape: one (group, hash)-distinct aggregate; the
+    * per-group bottom-k uses the [[rankQuantileSketch]] threshold
+    * prefilter (survivors ~4k per group hit the window, never the
+    * corpus; same exp(-9k/8) oversample bound, and a shortfall
+    * would surface as a cross-engine mismatch, not silence); pair
+    * math runs on ≤ 2k-element arrays over the #groups² bounded
+    * pair frame. Deterministic content-hash sample → bit-identical
+    * on any engine hashing the same way. Exactness degenerates
+    * gracefully: a union sample smaller than k IS the full distinct
+    * union, and every estimate collapses to the exact value.
+    */
+  def sketchOverlap(df: DataFrame, group: String, text: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 8, "need k >= 8")
+    val two60 = 1152921504606846976L
+    val over = 4 * k
+    val d = df.select(col(group).as("__g"), uniformHash60(text).as("__h"))
+      .distinct()
+      // pinned: read by the count pass, the sample pass, and the
+      // exact-verification aggregate
+      .localCheckpoint()
+    val counts = d.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    val samples = d
+      .join(broadcast(counts), Seq("__g"))
+      .filter(col("__h") < expr(
+        s"""CASE WHEN __n <= ${over}L THEN ${two60}L
+           |ELSE (${two60}L DIV __n) * ${over}L END""".stripMargin))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__h"))).as("__hs"))
+      .join(broadcast(counts), Seq("__g"))
+      // pinned: the pair self-join reads the #groups-row sample
+      // frame from both sides
+      .localCheckpoint()
+    val pairs = samples
+      .select(col("__g").as("source_a"), col("__hs").as("__ha"),
+        col("__n").as("n_a"))
+      .join(samples.select(col("__g").as("source_b"),
+        col("__hs").as("__hb"), col("__n").as("n_b")),
+        col("source_a") < col("source_b"))
+      .withColumn("__u", expr("array_sort(array_union(__ha, __hb))"))
+      .withColumn("__bu", expr(s"slice(__u, 1, $k)"))
+      .withColumn("k_eff", expr("CAST(size(__bu) AS BIGINT)"))
+      .withColumn("__kth", expr(
+        s"CASE WHEN size(__u) >= $k THEN element_at(__u, $k) END"))
+      .withColumn("n_common", expr(
+        "CAST(size(array_intersect(__bu, array_intersect(__ha, __hb)))" +
+          " AS BIGINT)"))
+      .withColumn("jaccard_ppm", expr(
+        "n_common * 1000000L DIV greatest(k_eff, 1L)"))
+      .withColumn("est_union",
+        when(col("__kth").isNotNull,
+          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("__kth"), 6))
+          .otherwise(col("k_eff").cast("double")))
+      .withColumn("est_intersection", round(
+        col("n_common").cast("double") * col("est_union") /
+          greatest(col("k_eff"), lit(1L)), 6))
+    // exact verification: one hash-keyed aggregate (map-side
+    // combine), pair fan-out bounded by #groups² per shared hash
+    val exact = d.groupBy(col("__h"))
+      .agg(collect_set(col("__g")).as("__gs"))
+      .filter(size(col("__gs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(array_sort(__gs), (a, i) ->
+          |  transform(slice(array_sort(__gs), i + 2,
+          |      size(__gs) - i - 1),
+          |    b -> struct(a AS sa, b AS sb))))""".stripMargin))
+        .as("__p"))
+      .groupBy(col("__p.sa").as("source_a"), col("__p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    pairs.join(exact, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter_exact",
+        coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("jaccard_exact_ppm", expr(
+        "n_inter_exact * 1000000L DIV " +
+          "greatest(n_a + n_b - n_inter_exact, 1L)"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("k_eff"), col("n_common"), col("jaccard_ppm"),
+        col("est_union"), col("est_intersection"),
+        col("n_inter_exact"), col("jaccard_exact_ppm"))
+  }
+
   /** Bottom-k-by-hash RANK SKETCH for quantiles — the mergeable
     * fixed-memory alternative to exact `percentile` (a full sort of
     * 100 TB) and to `approx_percentile` (whose t-digest state is
@@ -661,24 +762,24 @@ object TextAnalysis {
   def curriculumOrder(df: DataFrame, text: String, id: String,
       nBands: Int = 10): DataFrame = {
     require(nBands >= 2 && nBands <= 1000, "need 2 <= nBands <= 1000")
-    import org.apache.spark.sql.expressions.Window
     val scored = df.select(col(id),
       qualityScoreExpr(text).as("quality"),
       uniformHash60(text).as("shuffle_key"))
     val hist = scored.groupBy(col("quality"))
       .agg(count(lit(1)).as("__n"))
-    // value-grain frame: window is over #distinct-quality rows only.
-    // BOUNDED at any corpus size: qualityScoreExpr rounds to 6 dp in
-    // [0, 1], so `hist` can never exceed 1e6 + 1 rows — that cap, not
-    // the corpus, is what the global (unpartitioned) window sorts.
-    val wv = Window.orderBy(col("quality").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bands = hist
-      .withColumn("__cum", coalesce(sum(col("__n")).over(wv), lit(0L)))
-      .withColumn("__tot", sum(col("__n")).over(
-        Window.partitionBy()))
+    // value-grain frame, already bounded (qualityScoreExpr rounds to
+    // 6 dp in [0, 1] → ≤ 1e6 + 1 distinct rows); round 16 routes the
+    // cumulative through Dist.prefixSum (range-partitioned subtotals
+    // + broadcast offsets) anyway, so there is NO unpartitioned
+    // window even at the value-grain bound, and the grand total
+    // rides along from the same subtotal pass. cum-before = the
+    // inclusive prefix minus the row's own count.
+    val bands = graft.engine.Dist.prefixSum(hist,
+        Seq(col("quality").desc), "__n", "__cuminc",
+        withTotal = true)
       .select(col("quality"),
-        (expr(s"__cum * $nBands DIV __tot") + lit(1L)).as("band"))
+        (expr(s"(__cuminc - __n) * $nBands DIV __cuminc_total")
+          + lit(1L)).as("band"))
     scored.join(broadcast(bands), Seq("quality"))
       .select(col(id), col("quality"), col("band"), col("shuffle_key"))
   }
@@ -722,16 +823,20 @@ object TextAnalysis {
     val per = assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("total_chars"),
         max(col("__sz")).as("max_doc_chars"))
-    // deviation vs the all-shard mean: window over nShards rows
-    // only. Integer ppm is exact under the same ~9.2e12 BIGINT
-    // headroom contract as mixBudgetFit (|total - mean| · 1e6 must
-    // fit a long — true for any remotely balanced sharding; the
-    // greatest(_, 1) guards the degenerate all-empty corpus)
-    // signed division routed through abs: Spark DIV truncates toward
-    // zero while DuckDB // floors, so negative deviations must never
-    // hit the integer divide directly
-    per.withColumn("__mean_chars",
-        expr(s"greatest(sum(total_chars) OVER () DIV $nShards, 1L)"))
+      // pinned: the mean cross reads the nShards-row frame twice
+      .localCheckpoint()
+    // deviation vs the all-shard mean as a broadcast 1-row cross
+    // (round 16: was `sum(...) OVER ()`, an unpartitioned WindowExec
+    // over the nShards rows). Integer ppm is exact under the same
+    // ~9.2e12 BIGINT headroom contract as mixBudgetFit (|total -
+    // mean| · 1e6 must fit a long — true for any remotely balanced
+    // sharding; the greatest(_, 1) guards the degenerate all-empty
+    // corpus). Signed division routed through abs: Spark DIV
+    // truncates toward zero while DuckDB // floors, so negative
+    // deviations must never hit the integer divide directly
+    per.crossJoin(broadcast(per.agg(expr(
+        s"greatest(sum(total_chars) DIV $nShards, 1L)")
+        .as("__mean_chars"))))
       .select(col("shard"), col("n_docs"), col("total_chars"),
         col("max_doc_chars"),
         expr("""CAST(CASE WHEN total_chars >= __mean_chars
@@ -1566,17 +1671,28 @@ object TextAnalysis {
     */
   def bpePairCounts(df: DataFrame, text: String, k: Int = 20)
       : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("pair").asc)
-    df.select(explode(expr(
+    // top-k = distributed TakeOrdered, rank = predecessor self-join
+    // inside the k-row frame (round 16: same values as the old
+    // rank<=k window, zero WindowExec)
+    val top = df.select(explode(expr(
         s"filter(split(lower($text), ' '), t -> length(t) >= 2)"))
         .as("__w"))
       .select(explode(expr(
         "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
         .as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .localCheckpoint()
+    top
+      .join(broadcast(top.select(col("pair").as("__qp"),
+          col("cnt").as("__qc"))),
+        col("cnt") < col("__qc") ||
+          (col("cnt") === col("__qc") && col("pair") > col("__qp")),
+        "left")
+      .groupBy(col("pair"), col("cnt"))
+      .agg((count(col("__qp")) + lit(1L)).as("rank"))
+      .select(col("pair"), col("cnt"), col("rank"))
   }
 
   /** BPE tokenizer fit + apply: learns `numMerges` byte-pair merges
@@ -1769,13 +1885,25 @@ object TextAnalysis {
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(sum(col("cnt")).as("__c"))
       // TakeOrdered top-C (no full-table single-partition window),
-      // then rank within the tiny C-row frame
-      val cand = pairs
+      // then rank within the tiny C-row frame by predecessor-count
+      // join (round 16: the C-row rank window was correct but ran an
+      // unpartitioned WindowExec every round — ~16 warning lines per
+      // bench sample of the batched fit; the checkpoint also keeps
+      // the survivor anti-join's two consumers from re-running the
+      // corpus pair aggregate)
+      val topC = pairs
         .orderBy(col("__c").desc, col("a").asc, col("b").asc)
         .limit(candCap)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("__c").desc, col("a").asc, col("b").asc)))
+        .localCheckpoint()
+      val cand = topC
+        .join(broadcast(topC.select(col("a").as("__pa"),
+            col("b").as("__pb"), col("__c").as("__pc"))),
+          col("__c") < col("__pc") ||
+            (col("__c") === col("__pc") && (col("a") > col("__pa") ||
+              (col("a") === col("__pa") && col("b") > col("__pb")))),
+          "left")
+        .groupBy(col("a"), col("b"), col("__c"))
+        .agg((count(col("__pa")) + lit(1L)).as("rk"))
       val surv = cand.as("i").join(cand.select(
           col("a").as("ja"), col("b").as("jb"), col("rk").as("jrk")),
           col("jrk") < col("rk") &&
@@ -1784,7 +1912,7 @@ object TextAnalysis {
           "left_anti")
         .orderBy(col("rk").asc).limit(batch)
       val ms = surv.select(col("rk"), col("a"), col("b")).collect()
-        .sortBy(_.getInt(0))
+        .sortBy(_.getLong(0))
         .map(r => BpeMerge(r.getString(1), r.getString(2))).toSeq
       if (ms.isEmpty) exhausted = true
       else {
@@ -2012,29 +2140,41 @@ object TextAnalysis {
     * including it — the curve a tokenizer/vocab-size decision reads
     * ("how many tokens cover 95%?"). Scale shape: ONE map-side-
     * combining groupBy on the token; the top-k cut is a DISTRIBUTED
-    * `orderBy().limit(k)` (TakeOrderedAndProject), so the rank and
-    * running-sum windows run INSIDE the k-row frame — the prefix sum
-    * at rank r only ever involves ranks ≤ r ≤ k, so cutting first is
-    * exact — and the corpus total arrives as a broadcast 1-row cross
-    * (computed over the FULL counts frame, pre-cut).
+    * `orderBy().limit(k)` (TakeOrderedAndProject), and rank + prefix
+    * sum are a predecessor self-join INSIDE the k-row frame — the
+    * prefix sum at rank r only ever involves ranks ≤ r ≤ k, so
+    * cutting first is exact — while the corpus total arrives as a
+    * broadcast 1-row cross (computed over the FULL counts frame,
+    * pre-cut). No window operator anywhere.
     */
   def vocabCoverage(df: DataFrame, text: String, k: Int = 100)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.orderBy(col("cnt").desc, col("token").asc)
-    val w = ord.rowsBetween(Window.unboundedPreceding, 0)
     val counts = df.select(explode(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("__tot"))
-    counts
+    // rank AND inclusive prefix over the k-row top frame as ONE
+    // predecessor self-join (k^2 broadcast predicate evals): rank =
+    // 1 + #predecessors, running sum = own + predecessor cnts — no
+    // WindowExec, so no unpartitioned-window warning (round 16; the
+    // k-row frame made the old window correct, just noisy)
+    val top = counts
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+      .localCheckpoint()
+    top
+      .join(broadcast(top.select(col("token").as("__qt"),
+          col("cnt").as("__qc"))),
+        col("cnt") < col("__qc") ||
+          (col("cnt") === col("__qc") && col("token") > col("__qt")),
+        "left")
+      .groupBy(col("token"), col("cnt"))
+      .agg((count(col("__qt")) + lit(1L)).as("rank"),
+        (coalesce(sum(col("__qc")), lit(0L)) + col("cnt"))
+          .as("__cum"))
       .crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(ord).cast("long"))
-      .withColumn("coverage",
-        round(sum(col("cnt")).over(w) / col("__tot"), 6))
+      .withColumn("coverage", round(col("__cum") / col("__tot"), 6))
       .select(col("token"), col("cnt"), col("rank"), col("coverage"))
   }
 
@@ -2201,23 +2341,30 @@ object TextAnalysis {
     * order-independent and engine-exact. The top-k cut is a
     * DISTRIBUTED `orderBy().limit(k)` (TakeOrderedAndProject — each
     * partition ships only its local top-k to the driver-side merge),
-    * and the rank window then runs INSIDE the k-row frame — the full
-    * vocabulary never funnels through one task (a web-scale corpus
-    * has ~1e8+ distinct tokens; an unpartitioned window over that
-    * frame is a single-task sort).
+    * and rank is a predecessor self-join INSIDE the k-row frame —
+    * the full vocabulary never funnels through one task (a web-scale
+    * corpus has ~1e8+ distinct tokens; an unpartitioned window over
+    * that frame is a single-task sort).
     */
   def zipfFit(df: DataFrame, text: String, k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.select(explode(expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts
+    // rank inside the k-row top frame via predecessor self-join —
+    // same values as the old k-row window, no WindowExec (round 16)
+    val top = counts
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token").asc))
-        .cast("long"))
+      .localCheckpoint()
+    val ranked = top
+      .join(broadcast(top.select(col("token").as("__qt"),
+          col("cnt").as("__qc"))),
+        col("cnt") < col("__qc") ||
+          (col("cnt") === col("__qc") && col("token") > col("__qt")),
+        "left")
+      .groupBy(col("token"), col("cnt"))
+      .agg((count(col("__qt")) + lit(1L)).as("rank"))
       .select(log(col("rank")).as("__x"), log(col("cnt")).as("__y"))
     def dsum(c: Column) = sum(c.cast("decimal(28,6)"))
     ranked.agg(
@@ -2284,11 +2431,22 @@ object TextAnalysis {
     val cms = df.stat.countMinSketch(key, eps, conf, seed)
     val n = cms.totalCount()
     val slack = math.ceil(eps * n).toLong
-    val w = org.apache.spark.sql.expressions.Window
+    // exact top-k via distributed TakeOrdered + predecessor-join
+    // rank (round 16: the old rank<=k filter did push into
+    // WindowGroupLimit, but still ran an unpartitioned WindowExec
+    // over the per-partition survivors; this form has no window)
+    val top = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(key).asc)
-    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .limit(k)
+      .localCheckpoint()
+    top
+      .join(broadcast(top.select(col(key).as("__qk"),
+          col("cnt").as("__qc"))),
+        col("cnt") < col("__qc") ||
+          (col("cnt") === col("__qc") && col(key) > col("__qk")),
+        "left")
+      .groupBy(col(key), col("cnt"))
+      .agg((count(col("__qk")) + lit(1L)).as("rank"))
       .withColumn("__est",
         SketchColumns.countMinEstimate(col(key), cms))
       .select(col(key), col("cnt"), col("rank"),
@@ -2981,13 +3139,22 @@ object TextAnalysis {
     val q0 = withTot
       .withColumn("base", expr(s"(${n}L * c) DIV tt"))
       .withColumn("rem", expr(s"(${n}L * c) % tt"))
+      // pinned: the remainder-rank join reads it from both sides and
+      // leftover once more — without the pin each consumer re-runs
+      // the corpus count aggregate
+      .localCheckpoint()
     val leftover = q0.agg((lit(n) - sum("base")).as("leftover"))
-    // remainder-rank window: unpartitioned but over the ≤|strata|-row
-    // quota frame, never the corpus
+    // remainder rank over the ≤|strata|-row quota frame as a
+    // predecessor-count self-join (round 16: the old unpartitioned
+    // row_number window was bounded but still a WindowExec)
     val quotas = q0
-      .withColumn("__rr", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col(source).asc)).cast("long"))
+      .join(broadcast(q0.select(col(source).as("__qs"),
+          col("rem").as("__qr"))),
+        col("rem") < col("__qr") ||
+          (col("rem") === col("__qr") && col(source) > col("__qs")),
+        "left")
+      .groupBy(col(source), col("base"), col("rem"))
+      .agg((count(col("__qs")) + lit(1L)).as("__rr"))
       .crossJoin(broadcast(leftover))
       .withColumn("quota", expr(
         "CAST(base + (CASE WHEN __rr <= leftover THEN 1 ELSE 0 END) " +
@@ -3350,6 +3517,106 @@ object TextAnalysis {
       .withColumn("blocked_gate", expr(
         s"blocked_ppm > ${maxPpm}L OR blocked_types >= $minTypes"))
       .drop("__toks")
+  }
+
+  /** Word-blocklist SCRUB — the redaction counterpart of
+    * [[blocklistGate]] (gate drops the document; scrub keeps it and
+    * masks the terms, the PII-redaction discipline applied to a
+    * dictionary): every whole-word occurrence of a blocked term is
+    * replaced by `mask` in one regex pass, with occurrence and
+    * masked-char accounting from the same pattern. Terms are
+    * restricted to lowercase ASCII word characters and the match is
+    * case-insensitive with `\b` anchors on both ends — under those
+    * anchors a match is always a complete word equal to exactly one
+    * term, so Java regex (leftmost-first) and RE2 (leftmost-longest)
+    * agree on every input and the oracle is exact. Entirely
+    * row-local inside whole-stage codegen: no shuffle, no join,
+    * streaming-safe.
+    */
+  def blocklistScrub(df: DataFrame, text: String,
+      blocked: Seq[String], mask: String = "[TERM]"): DataFrame = {
+    require(blocked.nonEmpty && blocked.size <= 10000,
+      "blocklist must be non-empty and bounded (<= 10000 terms)")
+    require(blocked.forall(_.matches("[a-z0-9_]+")),
+      "blocked terms must be lowercase ASCII word characters " +
+        "([a-z0-9_]+) — anything else breaks the \\b whole-word " +
+        "anchors that make the two regex engines agree")
+    require(mask.nonEmpty && !mask.contains("'") &&
+      !mask.contains("\\") && !mask.contains("$"),
+      "mask must be non-empty and free of quotes, backslashes, and " +
+        "dollar signs (a '$' would be a group reference in the " +
+        "replacement)")
+    val clash = Seq("scrub_text", "n_masked", "masked_chars")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"blocklistScrub: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    // longest-first is cosmetic here (see scaladoc) but keeps the
+    // alternation canonical and deterministic
+    val pat = blocked.distinct.sortBy(t => (-t.length, t))
+      .mkString("(?i)\\\\b(", "|", ")\\\\b")
+    df.withColumn("scrub_text",
+        expr(s"regexp_replace($text, '$pat', '$mask')"))
+      .withColumn("n_masked", expr(
+        s"CAST(size(regexp_extract_all($text, '$pat', 0)) AS BIGINT)"))
+      .withColumn("masked_chars", expr(
+        s"aggregate(regexp_extract_all($text, '$pat', 0), 0L, " +
+          "(a, x) -> a + length(x))"))
+  }
+
+  /** Calibration report for the linear quality classifier
+    * ([[lrQualityGate]]): bins documents by the clamped model score
+    * and, per bin, compares the model's linear-link probability
+    * p̂ = clamp((z + 1) / 2, 0, 1) against the observed positive
+    * rate under the heuristic quality label
+    * (qualityScoreExpr ≥ `qualityCut`) — the reliability diagram +
+    * expected-calibration-error number a curation stack reads before
+    * trusting a model gate over the heuristics it replaces.
+    *
+    * Everything after the row-local scoring is PURE INTEGER
+    * arithmetic in micro units (score and p̂ clamped to ±1e6 BEFORE
+    * any integer division, so truncate-vs-floor semantics never see
+    * a negative operand): bin = (smc + 1e6)·bins DIV 2e6, per-bin
+    * mean p̂ and positive rate in ppm, |gap| per bin, and the
+    * doc-weighted ECE total riding on every row via a pinned
+    * broadcast cross (the psiDrift shape). One row-local projection
+    * + one #bins-grain aggregate — no corpus shuffle beyond the
+    * groupBy on the bounded bin key.
+    */
+  def lrCalibration(df: DataFrame, text: String, id: String,
+      dim: Int = 32, bins: Int = 8, qualityCut: Double = 0.5)
+      : DataFrame = {
+    require(bins >= 2 && bins <= 1000, "need 2 <= bins <= 1000")
+    val scored = withLrGate(df.select(col(id), col(text)), text, dim)
+      .withColumn("__sm", expr(
+        "CAST(round(lr_score * 1000000) AS BIGINT)"))
+      .withColumn("__smc", expr(
+        "least(greatest(__sm, -1000000L), 1000000L)"))
+      .withColumn("__phat", expr("(__smc + 1000000L) DIV 2"))
+      .withColumn("__label",
+        qualityScoreExpr(text) >= lit(qualityCut))
+      .withColumn("bin", expr(
+        s"least((__smc + 1000000L) * $bins DIV 2000000, " +
+          s"${bins - 1}L)"))
+    val per = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__sm")).as("sum_score_micro"),
+        sum(col("__phat")).as("__sp"),
+        expr("CAST(count_if(__label) AS BIGINT)").as("__np"))
+      .withColumn("mean_phat_ppm", expr("__sp DIV n_docs"))
+      .withColumn("pos_rate_ppm", expr(
+        "__np * 1000000L DIV n_docs"))
+      .withColumn("gap_ppm", expr(
+        "abs(mean_phat_ppm - pos_rate_ppm)"))
+      // pinned: the ECE cross reads the ≤bins-row frame twice
+      .localCheckpoint()
+    per
+      .crossJoin(broadcast(per.agg(expr(
+        "CAST(sum(gap_ppm * n_docs) DIV sum(n_docs) AS BIGINT)")
+        .as("ece_ppm"))))
+      .select(col("bin"), col("n_docs"), col("sum_score_micro"),
+        col("mean_phat_ppm"), col("pos_rate_ppm"), col("gap_ppm"),
+        col("ece_ppm"))
   }
 
   /** The HTML entity-reference forms [[decodeEntities]] resolves:

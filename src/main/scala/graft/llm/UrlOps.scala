@@ -110,15 +110,21 @@ object UrlOps {
   def hostStats(df: DataFrame, url: String, id: String): DataFrame = {
     val parsed = withUrlParts(df, url)
       .select(col(id), col("host"), col("registered_domain"))
-    // share denominator via an unpartitioned window OVER THE
-    // AGGREGATED frame (cardinality = #registered domains, not
-    // corpus rows) — a broadcast-total crossJoin would re-derive the
-    // aggregate subtree and scan the corpus twice (plan-audited)
-    parsed.groupBy("registered_domain")
+    // share denominator as a broadcast 1-row cross over the PINNED
+    // aggregate (round 16: was an unpartitioned `sum OVER ()` window
+    // over the domain-grain frame — bounded by #registered domains,
+    // but that is ~1e8 at web scale, a real single-task sort; the
+    // localCheckpoint keeps the total from re-deriving the aggregate
+    // subtree and scanning the corpus twice, the concern that
+    // originally justified the window)
+    val agg = parsed.groupBy("registered_domain")
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("host")).as("n_hosts"))
+      .localCheckpoint()
+    agg
+      .crossJoin(broadcast(agg.agg(sum(col("n_docs")).as("__tot"))))
       .withColumn("share_ppm", expr(
-        "CAST((n_docs * 1000000L) DIV (sum(n_docs) OVER ()) AS BIGINT)"))
+        "CAST((n_docs * 1000000L) DIV __tot AS BIGINT)"))
       .select("registered_domain", "n_docs", "n_hosts", "share_ppm")
   }
 

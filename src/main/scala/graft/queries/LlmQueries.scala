@@ -790,6 +790,15 @@ object LlmQueries {
         "doc_id", dim = 32)
         .orderBy("doc_id")
     }),
+    // reliability diagram + ECE for the model gate (round-16): the
+    // model's linear-link p̂ per score bin vs the observed positive
+    // rate under the heuristic quality label — all-integer micro/ppm
+    // after the row-local scoring, ECE total via pinned cross
+    "lr_calibration" -> ((s, d) => {
+      TextAnalysis.lrCalibration(t(s, d, "documents"), "text",
+        "doc_id", dim = 32, bins = 8)
+        .orderBy("bin")
+    }),
     // temperature-scaled mixture weights (alpha = 0.75, the sqrt-
     // composable temperature — p^α = sqrt(sqrt(p³)) avoids libm pow
     // entirely): the low-resource-boosting sampling recipe, with the
@@ -857,6 +866,24 @@ object LlmQueries {
       TextAnalysis.kmvDistinct(t(s, d, "documents"), "source", "text",
         k = 20)
         .orderBy("source")
+    }),
+    // bottom-k sketch set algebra (round-16): pairwise source
+    // overlap/Jaccard/intersection ESTIMATES from k hashes per
+    // source — one corpus scan where the exact form joins the corpus
+    // per pair — with the exact pair counts riding along as
+    // verification columns. Fixture plants real overlap: every
+    // doc_id % 5 == 2 document is re-emitted under a synthetic
+    // 'mirror' source (so mirror∩each-source is exactly its %5==2
+    // slice, and natural source pairs pin the zero-overlap side)
+    "sketch_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val mirrored = docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          lit("mirror").as("source"), col("text"))
+      TextAnalysis.sketchOverlap(docs.unionByName(mirrored),
+        "source", "text", k = 64)
+        .orderBy("source_a", "source_b")
     }),
     "text_stats" -> ((s, d) => {
       TextAnalysis.withStats(t(s, d, "documents"), "text")
@@ -1844,6 +1871,15 @@ object LlmQueries {
           "blocked_ppm", "blocked_gate")
         .orderBy("doc_id")
     }),
+    // dictionary scrub (round-16): the redaction counterpart of the
+    // gate — whole-word case-insensitive mask in one regex pass,
+    // with occurrence + masked-char accounting; row-local codegen
+    "blocklist_scrub" -> ((s, d) => {
+      TextAnalysis.blocklistScrub(t(s, d, "documents"), "text",
+        Seq("slow", "filter", "vector"), mask = "[TERM]")
+        .select("doc_id", "scrub_text", "n_masked", "masked_chars")
+        .orderBy("doc_id")
+    }),
     // corpus-level boilerplate scan: word 8-grams present in >= 3
     // distinct documents (repeated chrome/header detection)
     "boilerplate_ngrams" -> ((s, d) => {
@@ -1946,7 +1982,9 @@ object LlmQueries {
     // langId, not a trusted label). Row-local scoring + one tiny
     // aggregate on pred_lang
     "lang_stats" -> ((s, d) => {
-      TextAnalysis.withLangId(
+      // share denominator via pinned-aggregate broadcast cross, not
+      // `sum OVER ()` (round-16 no-unpartitioned-window sweep)
+      val agg = TextAnalysis.withLangId(
         t(s, d, "documents").select(col("doc_id"), col("text")),
         "text")
         .groupBy("pred_lang")
@@ -1954,9 +1992,12 @@ object LlmQueries {
           sum(expr("CAST(size(filter(split(lower(text), ' '), " +
             "t -> t != '')) AS BIGINT)")).as("n_tokens"),
           sum(length(col("text")).cast("long")).as("n_chars"))
+        .localCheckpoint()
+      agg
+        .crossJoin(broadcast(agg.agg(sum(col("n_docs")).as("__tot"))))
         .withColumn("doc_share_ppm", expr(
-          "CAST((n_docs * 1000000L) DIV (sum(n_docs) OVER ()) " +
-            "AS BIGINT)"))
+          "CAST((n_docs * 1000000L) DIV __tot AS BIGINT)"))
+        .drop("__tot")
         .orderBy("pred_lang")
     }),
     // HyperLogLog per-source distinct-text estimate (round-14): the

@@ -230,8 +230,29 @@ object PipelineQueries {
     // must exist before the positional lags and split
     val daily = Resample.dailyDense(ev, Seq(), "ts", "value")
       .withColumn("units", round(col("units"), 6))
-    val lagged = Series.withLags(daily, Seq(), "day", "units", Seq(1, 7))
-    val split = Series.markSplit(lagged, Seq(), "day", 7)
+      // pinned: the lag self-joins below read the frame three times
+      .localCheckpoint()
+    // E4/E5 on the single notebook series, join form (round 16): on
+    // a DENSE daily grid, `lag k rows` is exactly `value at day − k`
+    // and `last 7 rows` is exactly `day > max(day) − 7`, so the
+    // keyless positional forms — which execute as unpartitioned
+    // WindowExec — are replaced by date-arithmetic joins with
+    // identical output (inner joins reproduce the lag-null na.drop).
+    // The grouped pipeline operators (Series.withLags/markSplit)
+    // keep their per-key window form.
+    val lagged = daily
+      .join(daily.select(col("day").as("__d1"),
+        col("units").as("lag_1")),
+        col("day") === date_add(col("__d1"), 1))
+      .join(daily.select(col("day").as("__d7"),
+        col("units").as("lag_7")),
+        col("day") === date_add(col("__d7"), 7))
+      .drop("__d1", "__d7")
+      .localCheckpoint()
+    val split = lagged
+      .crossJoin(broadcast(lagged.agg(max(col("day")).as("__mx"))))
+      .withColumn("is_test", col("day") > date_sub(col("__mx"), 7))
+      .drop("__mx")
     val train = split.filter(!col("is_test"))
     val test = split.filter(col("is_test")).select("day", "units")
     // constant forecast = train mean (stand-in for the notebook's
