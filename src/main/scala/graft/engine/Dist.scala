@@ -57,4 +57,64 @@ object Dist {
     else base.crossJoin(broadcast(
       ptots.agg(sum(col("__ptot")).as(s"${out}_total"))))
   }
+
+  /** Broadcast 1-row aggregate cross: attaches `aggs(of)` to every
+    * row of `onto`. The bounded substitute for `agg OVER ()` — which
+    * Spark executes as an unpartitioned WindowExec (the optimizer
+    * folds even `partitionBy(lit(1))` out of the spec) at ANY frame
+    * size. When `of` is a subtree of `onto`, pin the shared frame
+    * first (or use [[selfScalarCross]]) so the cross stays
+    * single-scan.
+    */
+  def scalarCross(onto: DataFrame, of: DataFrame,
+      aggs: Column*): DataFrame =
+    onto.crossJoin(broadcast(of.agg(aggs.head, aggs.tail: _*)))
+
+  /** Self scalar cross: attaches aggregate(s) of a frame to each of
+    * its OWN rows. Pins `df` with `localCheckpoint` so the row scan
+    * and the 1-row aggregate both read the pinned blocks — one
+    * upstream execution, where a bare self-cross would re-run the
+    * whole upstream subtree twice (the regression mode this helper
+    * exists to prevent: five round-16 hand-rolled copies each had to
+    * remember the checkpoint independently). Used by the PSI total,
+    * host-share denominator, and ECE cross among others.
+    */
+  def selfScalarCross(df: DataFrame, aggs: Column*): DataFrame = {
+    val pinned = df.localCheckpoint()
+    pinned.crossJoin(broadcast(pinned.agg(aggs.head, aggs.tail: _*)))
+  }
+
+  /** Predecessor-count rank join over a broadcastable top frame:
+    * `rank` = 1 + #rows of `frame` sorting strictly before the row
+    * under (cnt DESC, key ASC), attached to each row of `rows` by ONE
+    * broadcast self-join + aggregate (≤ |rows|·|frame| predicate
+    * evals, all broadcast-local) — the bounded substitute for a
+    * global `row_number()` window, which executes as a single-task
+    * sort of the whole frame. Exact whenever `frame` is a PREFIX of
+    * the global order containing every predecessor of every row in
+    * `rows` (e.g. both equal to a top-k cut). Left join so the rank-1
+    * row (no predecessor) survives; `count(col)` skips its nulls.
+    * With `cum`, also emits the inclusive running sum of `cnt` under
+    * the same order (prefix sums inside a prefix frame are exact).
+    * The INVERTED variant — few probe rows ranked against a LARGE
+    * streamed frame (broadcast the probes, flip the predicate, count
+    * successors-of-probe) — is shape-specific and stays at its call
+    * site (TextAnalysis.rankedVocabCut's single-char floor).
+    */
+  def topFrameRank(rows: DataFrame, frame: DataFrame, key: String,
+      cnt: String, cum: Option[String] = None): DataFrame = {
+    val joined = rows.join(
+      broadcast(frame.select(col(key).as("__qk"), col(cnt).as("__qc"))),
+      col(cnt) < col("__qc") ||
+        (col(cnt) === col("__qc") && col(key) > col("__qk")),
+      "left")
+    val grouped = joined.groupBy(col(key), col(cnt))
+    cum match {
+      case None =>
+        grouped.agg((count(col("__qk")) + lit(1L)).as("rank"))
+      case Some(c) =>
+        grouped.agg((count(col("__qk")) + lit(1L)).as("rank"),
+          (coalesce(sum(col("__qc")), lit(0L)) + col(cnt)).as(c))
+    }
+  }
 }

@@ -166,13 +166,11 @@ object Profile {
       .withColumn("psi_term", round(
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")),
         6))
-      .localCheckpoint()
-    // running total as a broadcast 1-row cross (round 16: was a
-    // Window.partitionBy(lit(1)) — the optimizer folds the literal
+    // running total as a pinned broadcast 1-row cross (round 16: was
+    // a Window.partitionBy(lit(1)) — the optimizer folds the literal
     // out of the partition spec, leaving an unpartitioned WindowExec)
-    terms
-      .crossJoin(broadcast(terms.agg(
-        round(sum(col("psi_term")), 6).as("psi"))))
+    Dist.selfScalarCross(terms,
+        round(sum(col("psi_term")), 6).as("psi"))
       .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term",
         "psi")
   }

@@ -844,13 +844,20 @@ object Dedup {
       // engines, the ngram_jaccard contract)
       .filter(round(jaccardExpr("sh1", "sh2"), 6) >= minJ)
       .select(col("id1"), col("id2"))
-    val cand = candidatePairs(
+    // both legs are consumed twice (the hit join + their own counts):
+    // pinned so the shingle/minhash subtrees run once per leg, with
+    // the scalar crosses going through the shared Dist helper
+    val truthP = truth.localCheckpoint()
+    val candP = candidatePairs(
       lshBuckets(minhashSignatures(sub, text, id), id), id)
       .select(col("id1"), col("id2"))
-    val hit = truth.join(cand, Seq("id1", "id2"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .localCheckpoint()
+    val hit = truthP.join(candP, Seq("id1", "id2"), "left_semi")
+    graft.engine.Dist.scalarCross(
+        graft.engine.Dist.scalarCross(
+          truthP.agg(count(lit(1)).as("n_truth")),
+          candP, count(lit(1)).as("n_candidates")),
+        hit, count(lit(1)).as("n_hit"))
       .select(col("n_truth"), col("n_candidates"), col("n_hit"),
         when(col("n_truth") > 0,
           round(col("n_hit") / col("n_truth"), 6)).as("recall"),

@@ -1064,14 +1064,15 @@ object Similarity {
     val occ = ivfAssign(df, id, vec, centroids)
       .groupBy("cell").agg(count(lit(1)).as("n_members"))
     val cells = centroids.select(col("cell")).distinct()
-    val nCells = broadcast(cells.agg(count(lit(1)).as("__k")))
-    val total = broadcast(occ.agg(
-      sum(col("n_members")).as("__tot")))
-    // both sides are cells-sized aggregates; the occupancy side is
-    // the build side (a broadcast LEFT side would be ignored)
-    cells.join(broadcast(occ), Seq("cell"), "left")
+    // scaffold first (empty cells contribute 0 to the total and 1 to
+    // __k either way), then BOTH scalars ride one pinned self-cross —
+    // round 17: the previous form computed `occ` twice (its own total
+    // agg + the join), i.e. two corpus assign passes
+    val filled = cells.join(broadcast(occ), Seq("cell"), "left")
       .na.fill(0L, Seq("n_members"))
-      .crossJoin(nCells).crossJoin(total)
+    graft.engine.Dist.selfScalarCross(filled,
+        count(lit(1)).as("__k"),
+        sum(col("n_members")).as("__tot"))
       .withColumn("share_ppm",
         expr("CAST((n_members * 1000000L) DIV __tot AS BIGINT)"))
       .withColumn("skew_ppm",

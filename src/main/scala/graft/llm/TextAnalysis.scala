@@ -2153,27 +2153,19 @@ object TextAnalysis {
         s"filter(split(lower($text), ' '), t -> t != '')"))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("__tot"))
     // rank AND inclusive prefix over the k-row top frame as ONE
-    // predecessor self-join (k^2 broadcast predicate evals): rank =
-    // 1 + #predecessors, running sum = own + predecessor cnts — no
+    // predecessor self-join (k^2 broadcast predicate evals) — no
     // WindowExec, so no unpartitioned-window warning (round 16; the
-    // k-row frame made the old window correct, just noisy)
+    // k-row frame made the old window correct, just noisy); factored
+    // as [[graft.engine.Dist.topFrameRank]] in round 17
     val top = counts
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
       .localCheckpoint()
-    top
-      .join(broadcast(top.select(col("token").as("__qt"),
-          col("cnt").as("__qc"))),
-        col("cnt") < col("__qc") ||
-          (col("cnt") === col("__qc") && col("token") > col("__qt")),
-        "left")
-      .groupBy(col("token"), col("cnt"))
-      .agg((count(col("__qt")) + lit(1L)).as("rank"),
-        (coalesce(sum(col("__qc")), lit(0L)) + col("cnt"))
-          .as("__cum"))
-      .crossJoin(broadcast(total))
+    val ranked = graft.engine.Dist.topFrameRank(
+      top, top, "token", "cnt", cum = Some("__cum"))
+    graft.engine.Dist.scalarCross(ranked, counts,
+        sum(col("cnt")).as("__tot"))
       .withColumn("coverage", round(col("__cum") / col("__tot"), 6))
       .select(col("token"), col("cnt"), col("rank"), col("coverage"))
   }
@@ -2352,19 +2344,14 @@ object TextAnalysis {
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     // rank inside the k-row top frame via predecessor self-join —
-    // same values as the old k-row window, no WindowExec (round 16)
+    // same values as the old k-row window, no WindowExec (round 16;
+    // factored as [[graft.engine.Dist.topFrameRank]] in round 17)
     val top = counts
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
       .localCheckpoint()
-    val ranked = top
-      .join(broadcast(top.select(col("token").as("__qt"),
-          col("cnt").as("__qc"))),
-        col("cnt") < col("__qc") ||
-          (col("cnt") === col("__qc") && col("token") > col("__qt")),
-        "left")
-      .groupBy(col("token"), col("cnt"))
-      .agg((count(col("__qt")) + lit(1L)).as("rank"))
+    val ranked = graft.engine.Dist
+      .topFrameRank(top, top, "token", "cnt")
       .select(log(col("rank")).as("__x"), log(col("cnt")).as("__y"))
     def dsum(c: Column) = sum(c.cast("decimal(28,6)"))
     ranked.agg(
@@ -3266,19 +3253,10 @@ object TextAnalysis {
     val counts = countsIn.localCheckpoint()
     val top = counts
       .orderBy(col("cnt").desc, col("piece").asc).limit(vocabN)
-    // rank = 1 + #predecessors, counted over `frame`, attached to
-    // each row of `rows` (left join so a rank-1 row, which has no
-    // predecessor, still survives; count(col) skips its nulls)
-    def withRank(rows: DataFrame, frame: DataFrame): DataFrame =
-      rows.join(
-          broadcast(frame.select(col("piece").as("__rp"),
-            col("cnt").as("__rc"))),
-          col("cnt") < col("__rc") ||
-            (col("cnt") === col("__rc") && col("piece") > col("__rp")),
-          "left")
-        .groupBy(col("piece"), col("cnt"))
-        .agg((count(col("__rp")) + lit(1L)).as("rank"))
-    val rankedTop = withRank(top, top)
+    // rank = 1 + #predecessors inside the prefix frame — the shared
+    // [[graft.engine.Dist.topFrameRank]] broadcast self-join
+    val rankedTop =
+      graft.engine.Dist.topFrameRank(top, top, "piece", "cnt")
     val singles = counts.filter(isSingle)
       .join(top.select("piece"), Seq("piece"), "left_anti")
     // floor ranks count predecessors in the FULL candidate frame —
@@ -3488,13 +3466,26 @@ object TextAnalysis {
       "blocked terms must be non-empty, quote-free, and " +
         "backslash-free (a backslash would be re-escaped by SQL " +
         "literal parsing and match the wrong string)")
-    // Terms are matched against LOWERCASED tokens, so fold the list
-    // to the same case (and NFC, matching normalizeText's canonical
-    // form) — an uppercase/decomposed blocklist entry must not
-    // silently never fire in a content-safety gate.
-    val folded = blocked.map(t => java.text.Normalizer
-      .normalize(t, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT))
+    // Terms are matched against tokens lowercased by the ENGINE's
+    // lower(), so fold the list through the very same expression —
+    // Java's String.toLowerCase(ROOT) uses the FULL Unicode case
+    // mapping ('İ' → "i̇", 1→2 chars) where Spark's lower()
+    // uses the simple per-codepoint one ('İ' → 'i'), and a term
+    // folded under the wrong mapping silently never fires in a
+    // content-safety gate (round-17 ADVICE). NFC (matching
+    // normalizeText's canonical form) still runs first, Java-side:
+    // lower() never composes/decomposes, so the two steps commute
+    // with the engine's view of the token. Residual divergence, by
+    // design: tokens themselves are NOT NFC-normalized here (run
+    // [[normalizeText]] upstream for that), and the simple mapping
+    // means 'ß' ≠ 'SS' on BOTH sides — consistent, documented.
+    val folded = blocked.map { t =>
+      val nfc = java.text.Normalizer
+        .normalize(t, java.text.Normalizer.Form.NFC)
+      org.apache.spark.sql.catalyst.expressions.Lower(
+        org.apache.spark.sql.catalyst.expressions.Literal(nfc))
+        .eval(null).toString
+    }
     val clash = Seq("n_tokens", "blocked_hits", "blocked_types",
       "blocked_ppm", "blocked_gate", "__toks")
       .filter(df.columns.contains)
@@ -3532,6 +3523,20 @@ object TextAnalysis {
     * agree on every input and the oracle is exact. Entirely
     * row-local inside whole-stage codegen: no shuffle, no join,
     * streaming-safe.
+    *
+    * CONTRACT ASYMMETRY vs [[blocklistGate]] (intentional, see
+    * COVERAGE.md): the gate accepts Unicode terms (it matches whole
+    * exact tokens after an engine-semantics case fold — no regex
+    * involved), while the scrub REJECTS non-ASCII terms outright.
+    * The scrub's exactness argument lives in `\b`, and `\b` itself
+    * is the problem for Unicode: Java defines word chars as
+    * `[a-zA-Z0-9_]` (by default) while RE2's `\b` is ASCII-only
+    * too, but the two engines' case-insensitive (?i) matching of
+    * non-ASCII letters differs (simple vs full folding), so a
+    * Unicode alternation could mask different spans per engine.
+    * Rejecting at plan time beats silently divergent redaction.
+    * Pre-fold Unicode content with [[normalizeText]] + translit
+    * upstream, or gate-and-drop instead of scrubbing.
     */
   def blocklistScrub(df: DataFrame, text: String,
       blocked: Seq[String], mask: String = "[TERM]"): DataFrame = {
@@ -3608,12 +3613,10 @@ object TextAnalysis {
         "__np * 1000000L DIV n_docs"))
       .withColumn("gap_ppm", expr(
         "abs(mean_phat_ppm - pos_rate_ppm)"))
-      // pinned: the ECE cross reads the ≤bins-row frame twice
-      .localCheckpoint()
-    per
-      .crossJoin(broadcast(per.agg(expr(
+    // ECE as a pinned broadcast cross over the ≤bins-row frame
+    graft.engine.Dist.selfScalarCross(per, expr(
         "CAST(sum(gap_ppm * n_docs) DIV sum(n_docs) AS BIGINT)")
-        .as("ece_ppm"))))
+        .as("ece_ppm"))
       .select(col("bin"), col("n_docs"), col("sum_score_micro"),
         col("mean_phat_ppm"), col("pos_rate_ppm"), col("gap_ppm"),
         col("ece_ppm"))

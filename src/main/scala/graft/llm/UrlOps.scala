@@ -114,15 +114,14 @@ object UrlOps {
     // aggregate (round 16: was an unpartitioned `sum OVER ()` window
     // over the domain-grain frame — bounded by #registered domains,
     // but that is ~1e8 at web scale, a real single-task sort; the
-    // localCheckpoint keeps the total from re-deriving the aggregate
-    // subtree and scanning the corpus twice, the concern that
-    // originally justified the window)
+    // checkpoint inside selfScalarCross keeps the total from
+    // re-deriving the aggregate subtree and scanning the corpus
+    // twice, the concern that originally justified the window)
     val agg = parsed.groupBy("registered_domain")
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("host")).as("n_hosts"))
-      .localCheckpoint()
-    agg
-      .crossJoin(broadcast(agg.agg(sum(col("n_docs")).as("__tot"))))
+    graft.engine.Dist.selfScalarCross(agg,
+        sum(col("n_docs")).as("__tot"))
       .withColumn("share_ppm", expr(
         "CAST((n_docs * 1000000L) DIV __tot AS BIGINT)"))
       .select("registered_domain", "n_docs", "n_hosts", "share_ppm")

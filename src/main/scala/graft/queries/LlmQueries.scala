@@ -3307,6 +3307,141 @@ object LlmQueries {
        |    GROUP BY a.dst) s ON s.node = n.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // whole-word case-insensitive mask: identical (?i)\b-anchored
+    // alternation on both engines — under the ASCII-word-anchor
+    // contract Java (leftmost-first) and RE2 (leftmost-longest)
+    // agree on every input (see TextAnalysis.blocklistScrub);
+    // DuckDB's regexp_replace needs the explicit 'g' flag where
+    // Spark's is always-global
+    "blocklist_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(text,
+        |    '(?i)\b(filter|vector|slow)\b', '[TERM]', 'g')
+        |    AS scrub_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(?i)\b(filter|vector|slow)\b')) AS BIGINT) AS n_masked,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text, '(?i)\b(filter|vector|slow)\b'),
+        |    x -> length(x))), 0) AS BIGINT) AS masked_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // reliability diagram + ECE replay: the LR scoring chain (shared
+    // lrz CTE) then PURE INTEGER micro/ppm arithmetic — score clamped
+    // to ±1e6 BEFORE any integer division so truncate-vs-floor
+    // semantics never see a negative operand (the lrCalibration
+    // contract); every integer aggregate reaching the final SELECT is
+    // CAST(... AS BIGINT) against DuckDB's HUGEINT sum
+    "lr_calibration" ->
+      s"""WITH $duckLrChain,
+         |sc AS (
+         |  SELECT l.doc_id,
+         |    CAST(round(round(z, 6) * 1000000) AS BIGINT) AS sm,
+         |    (round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      >= 0.5) AS label
+         |  FROM lrz l JOIN documents d ON l.doc_id = d.doc_id),
+         |s2 AS (
+         |  SELECT doc_id, sm, label,
+         |    least(greatest(sm, -1000000), 1000000) AS smc
+         |  FROM sc),
+         |s3 AS (
+         |  SELECT doc_id, sm, label,
+         |    (smc + 1000000) // 2 AS phat,
+         |    least((smc + 1000000) * 8 // 2000000, 7) AS bin
+         |  FROM s2),
+         |per AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(sm) AS BIGINT) AS sum_score_micro,
+         |    CAST(sum(phat) AS BIGINT) AS sp,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np
+         |  FROM s3 GROUP BY bin),
+         |p2 AS (
+         |  SELECT bin, n_docs, sum_score_micro,
+         |    sp // n_docs AS mean_phat_ppm,
+         |    np * 1000000 // n_docs AS pos_rate_ppm
+         |  FROM per),
+         |p3 AS (
+         |  SELECT *, abs(mean_phat_ppm - pos_rate_ppm) AS gap_ppm
+         |  FROM p2),
+         |e AS (
+         |  SELECT CAST(sum(gap_ppm * n_docs) // sum(n_docs) AS BIGINT)
+         |    AS ece_ppm
+         |  FROM p3)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_docs, sum_score_micro,
+         |  CAST(mean_phat_ppm AS BIGINT) AS mean_phat_ppm,
+         |  CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
+         |  CAST(gap_ppm AS BIGINT) AS gap_ppm, e.ece_ppm
+         |FROM p3, e ORDER BY bin""".stripMargin,
+    // KMV bottom-k set algebra replay: per-source bottom-64 distinct
+    // content hashes (the oracle skips the engine's scan-level
+    // threshold prefilter — a prefilter shortfall would surface here
+    // as a mismatch, by design), union sketch via the mergeability
+    // identity, integer-ppm Jaccard, and the exact pair counts from
+    // a shared-hash self-join
+    "sketch_overlap" ->
+      """WITH base AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents
+        |  WHERE doc_id % 5 = 2),
+        |d AS (
+        |  SELECT DISTINCT source AS g,
+        |    CAST(('0x' || substring(md5(lower(regexp_replace(
+        |      trim(text), '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS h
+        |  FROM base),
+        |counts AS (SELECT g, count(*) AS n FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT g, h, row_number() OVER (
+        |    PARTITION BY g ORDER BY h) AS r
+        |  FROM d),
+        |samp AS (
+        |  SELECT g, list_sort(list(h)) AS hs
+        |  FROM r WHERE r <= 64 GROUP BY g),
+        |s AS (SELECT samp.g, hs, n FROM samp JOIN counts USING (g)),
+        |p0 AS (
+        |  SELECT a.g AS source_a, b.g AS source_b, a.hs AS ha,
+        |    b.hs AS hb, a.n AS n_a, b.n AS n_b
+        |  FROM s a JOIN s b ON a.g < b.g),
+        |p1 AS (
+        |  SELECT *, list_sort(list_distinct(ha || hb)) AS u FROM p0),
+        |p2 AS (
+        |  SELECT *, list_slice(u, 1, 64) AS bu,
+        |    CASE WHEN len(u) >= 64 THEN u[64] END AS kth
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT source_a, source_b, n_a, n_b, kth,
+        |    CAST(len(bu) AS BIGINT) AS k_eff,
+        |    CAST(len(list_intersect(bu, list_intersect(ha, hb)))
+        |      AS BIGINT) AS n_common
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT *,
+        |    n_common * 1000000 // greatest(k_eff, 1) AS jaccard_ppm,
+        |    CASE WHEN kth IS NOT NULL
+        |      THEN round(63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |        / kth, 6)
+        |      ELSE CAST(k_eff AS DOUBLE) END AS est_union
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT *, round(CAST(n_common AS DOUBLE) * est_union
+        |    / greatest(k_eff, 1), 6) AS est_intersection
+        |  FROM p4),
+        |ex AS (
+        |  SELECT a.g AS source_a, b.g AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM d a JOIN d b ON a.h = b.h AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT p5.source_a, p5.source_b, n_a, n_b, k_eff, n_common,
+        |  CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+        |  est_union, est_intersection,
+        |  CAST(coalesce(ex.n_inter, 0) AS BIGINT) AS n_inter_exact,
+        |  CAST(coalesce(ex.n_inter, 0) * 1000000
+        |    // greatest(n_a + n_b - coalesce(ex.n_inter, 0), 1)
+        |    AS BIGINT) AS jaccard_exact_ppm
+        |FROM p5 LEFT JOIN ex
+        |  ON p5.source_a = ex.source_a AND p5.source_b = ex.source_b
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,

@@ -215,13 +215,16 @@ object PipelineQueries {
     * daily resample → lags → dropna → split → constant forecast →
     * G5 align join → G4/G3 metrics. One output row.
     *
-    * SINGLE-SERIES ONLY: `withLags`/`markSplit` run with keys = Seq()
-    * — a global (empty-partition) window, every row through one task.
-    * That is the notebook's semantics (one time series has a global
-    * order by definition) and the frame is ~150 rows post-filter, so
-    * the `WindowExec: No Partition Defined` warning is intentional
-    * here. Do NOT reuse this keys-less shape on a multi-series frame;
-    * pass the series keys so the window partitions.
+    * SINGLE-SERIES ONLY, join form (round 16): the notebook's
+    * positional lag/split semantics are reproduced WITHOUT any
+    * window — on the DENSE daily grid `lag k rows` is exactly
+    * `value at day − k` (a self-join on date arithmetic) and the
+    * last-7 split is a broadcast max(day) cross — so even this
+    * one-series, ~150-row flow plans with zero WindowExec. The
+    * grouped pipeline operators ([[graft.engine.Series.withLags]]/
+    * `markSplit`) keep their per-key window form; do NOT call those
+    * with keys = Seq() on a multi-series frame — an empty partition
+    * spec is a single-task global sort.
     */
   def notebookFlow(s: SparkSession, dir: String): DataFrame = {
     val ev = Ingest.tableNanos(s, dir, "events", Seq("ts"))

@@ -443,22 +443,32 @@ class LlmSpec extends AnyFunSuite {
       ("c", 1L, 3L, 1.0)))
   }
 
-  test("zipfFit/vocabCoverage: top-k cut is distributed, window runs " +
-      "inside the k-row frame") {
+  test("zipfFit/vocabCoverage: top-k cut is distributed, rank join " +
+      "replaces the window entirely") {
     val df = docs("a a b c d e", "a b f g", "a h")
-    for (plan <- Seq(
-        TextAnalysis.zipfFit(df, "text", k = 4)
-          .queryExecution.executedPlan.toString,
-        TextAnalysis.vocabCoverage(df, "text", k = 4)
-          .queryExecution.executedPlan.toString)) {
-      // per-partition heaps + k-row driver merge — never a global
-      // sort of the whole vocabulary
-      assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
-      // the rank/prefix-sum window sits ABOVE the cut (tree strings
-      // print parents first), so it only ever sees k rows
-      val w = plan.indexOf("Window")
-      assert(w >= 0 && w < plan.indexOf("TakeOrderedAndProject"),
-        plan.take(800))
+    // The round-16 rewrite pins the top-k frame with localCheckpoint,
+    // so the downstream executedPlan starts at Scan ExistingRDD — the
+    // cut's shape is asserted on the PRE-checkpoint subquery: a
+    // distributed orderBy().limit(k) plans as TakeOrderedAndProject
+    // (per-partition heaps + k-row merge), never a global sort.
+    val counts = df.select(explode(expr(
+        "filter(split(lower(text), ' '), t -> t != '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val cutPlan = counts.orderBy(col("cnt").desc, col("token").asc)
+      .limit(4).queryExecution.executedPlan.toString
+    assert(cutPlan.contains("TakeOrderedAndProject"), cutPlan.take(800))
+    // and the operators' own plans carry NO window operator at all —
+    // rank and prefix sum are Dist.topFrameRank broadcast predecessor
+    // self-joins, the invariant the rewrite established
+    for (qe <- Seq(
+        TextAnalysis.zipfFit(df, "text", k = 4).queryExecution,
+        TextAnalysis.vocabCoverage(df, "text", k = 4).queryExecution)) {
+      val windows = qe.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, qe.executedPlan.toString.take(800))
+      assert(qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        qe.executedPlan.toString.take(800))
     }
   }
 
@@ -3347,6 +3357,31 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("blocklistGate: non-ASCII terms fold under the ENGINE's case " +
+      "mapping, not Java's full mapping") {
+    // 'İ' (U+0130): Spark's lower() maps it to a single 'i' (simple
+    // per-codepoint mapping); Java's String.toLowerCase(ROOT) emits
+    // "i̇" (i + combining dot). A term folded under the Java
+    // mapping would silently never match the engine-lowercased
+    // token — the exact failure the round-17 fold fix closes.
+    val d = docs(
+      "visiting İSTANBUL was great",   // İSTANBUL
+      "straße is a street")            // straße
+    val out = TextAnalysis.blocklistGate(d, "text",
+        Seq("İstanbul", "straße"), maxPpm = 1L,
+        minTypes = 9)
+      .select("doc_id", "blocked_hits").collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(out === Array(1L, 1L))
+    // simple mapping on BOTH sides: an all-caps "STRASSE" document
+    // does NOT match 'ß' (no full-mapping expansion) — consistent,
+    // documented divergence
+    val ss = TextAnalysis.blocklistGate(docs("STRASSE here"), "text",
+        Seq("straße"))
+      .select("blocked_hits").collect()(0).getLong(0)
+    assert(ss === 0L)
+  }
+
   test("rankQuantileSketch: partition-invariant, error-bounded, and " +
       "exact on sub-k groups") {
     val rows = (1 to 5000).map { i =>
@@ -3402,5 +3437,123 @@ class LlmSpec extends AnyFunSuite {
         else -((mean - tc) * 1000000L / mean)
       assert(dev === expected)
     }
+  }
+
+  test("blocklistScrub: whole-word masking, exact accounting, " +
+      "idempotent, contract guards") {
+    val df = docs(
+      "Slow SLOW-cooker slows vectors vector filtered filter",
+      "no blocked words here",
+      "")
+    val out = TextAnalysis.blocklistScrub(df, "text",
+        Seq("slow", "filter", "vector")).orderBy("doc_id")
+      .select("scrub_text", "n_masked", "masked_chars")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // whole-word only: "slows"/"vectors"/"filtered" survive;
+    // case-insensitive; '-' is a word boundary so SLOW-cooker's
+    // prefix masks
+    assert(out(0) === ((
+      "[TERM] [TERM]-cooker slows vectors [TERM] filtered [TERM]",
+      4L, 20L)))
+    assert(out(1) === (("no blocked words here", 0L, 0L)))
+    assert(out(2) === (("", 0L, 0L)))
+    // length identity: |scrub| = |orig| − masked_chars + n·|mask|
+    val orig = "Slow SLOW-cooker slows vectors vector filtered filter"
+    assert(out(0)._1.length === orig.length - 20 + 4 * "[TERM]".length)
+    // idempotence: the mask token contains no blocked word, so a
+    // second pass masks nothing
+    val again = TextAnalysis.blocklistScrub(
+        out.map(_._1).toSeq.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "text", Seq("slow", "filter", "vector"))
+      .orderBy("doc_id")
+      .select("scrub_text", "n_masked").collect()
+    assert(again.map(_.getLong(1)).sum === 0L)
+    assert(again.map(r => r.getString(0)).toSeq === out.map(_._1).toSeq)
+    // contract guards: non-ASCII / uppercase terms and unsafe masks
+    // are rejected at plan time, not silently mismatched at run time
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScrub(df, "text", Seq("Straße"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScrub(df, "text", Seq("Slow"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScrub(df, "text", Seq("slow"), mask = "$1")
+    }
+  }
+
+  test("lrCalibration: all-integer contract, bin range, and the ECE " +
+      "recomputes from the per-bin rows") {
+    val df = docs(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h i j k l m n o p q r s t",
+      "the the the the the and and and and and",
+      "!!! ??? ,,, ... ;;; ::: @@@ ### $$$ %%%",
+      "spark engines shuffle data across many executors in a stage",
+      "one tiny doc")
+    val out = TextAnalysis.lrCalibration(df, "text", "doc_id",
+        dim = 8, bins = 4).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every doc has >= 1 token, so the frame is complete
+    assert(out.map(_._2).sum === 6L)
+    out.foreach { case (bin, n, _, phat, pos, gap, _) =>
+      assert(bin >= 0L && bin < 4L)
+      assert(phat >= 0L && phat <= 1000000L)
+      assert(pos >= 0L && pos <= 1000000L)
+      assert(gap === math.abs(phat - pos))
+    }
+    // the broadcast-cross ECE is exactly the doc-weighted mean gap
+    val ece =
+      out.map(r => r._6 * r._2).sum / out.map(_._2).sum
+    assert(out.forall(_._7 === ece))
+  }
+
+  test("sketchOverlap: shortfall degeneracy collapses every estimate " +
+      "to the exact value") {
+    import spark.implicits._
+    val a = (0 until 20).map(i => ("a", s"doc $i"))
+    val b = (10 until 30).map(i => ("b", s"doc $i"))
+    val df = (a ++ b).toDF("source", "text")
+    // union (30 distinct) < k (64): the union sample IS the full
+    // distinct union, so estimates must equal the exact columns
+    val r = TextAnalysis.sketchOverlap(df, "source", "text", k = 64)
+      .collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getString(0), row.getString(1)) === (("a", "b")))
+    assert((row.getLong(2), row.getLong(3)) === ((20L, 20L)))
+    assert(row.getLong(4) === 30L)                 // k_eff = |union|
+    assert(row.getLong(5) === 10L)                 // n_common exact
+    assert(row.getLong(9) === 10L)                 // n_inter_exact
+    assert(row.getLong(6) === row.getLong(10))     // jaccard == exact
+    assert(row.getDouble(7) === 30.0)              // est_union exact
+    assert(row.getDouble(8) === 10.0)              // est_inter exact
+  }
+
+  test("sketchOverlap: union sketch obeys the KMV mergeability " +
+      "identity against the full distinct union") {
+    import spark.implicits._
+    val k = 8
+    val a = (0 until 120).map(i => ("a", s"alpha text $i"))
+    val b = (60 until 180).map(i => ("b", s"alpha text $i"))
+    val df = (a ++ b).toDF("source", "text")
+    val row = TextAnalysis.sketchOverlap(df, "source", "text", k = k)
+      .collect()(0)
+    // the operator only ever sees the two per-source bottom-k
+    // samples; the estimate it produces must equal the one computed
+    // from the FULL distinct union's k-th smallest hash — that
+    // equality IS bottom-k(A∪B) == bottom-k(bottomK(A)∪bottomK(B))
+    val kth = df
+      .select(TextAnalysis.uniformHash60("text").as("h"))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).last
+    val expected = BigDecimal((k - 1).toDouble * math.pow(2, 60) / kth)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(7) === expected)
+    assert(row.getLong(4) === k.toLong)  // k_eff saturates at k
   }
 }
