@@ -97,8 +97,20 @@ object Bench {
     // restores full-grain inputs (targeted baseline re-measures).
     val grainOn = !Set("off", "0", "full")(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_GRAIN", "on").toLowerCase)
+    // A/B-wave hook (round 17): "name:frac,name:frac" overlays the
+    // committed map for targeted grain TRIALS without a recompile —
+    // candidate grains only graduate into BenchGrain.grains after
+    // the A/B keeps them (<= 0.82x full), so the committed map stays
+    // the only thing a driver run ever sees (trial runs are already
+    // confined to BENCH_DETAIL_PARTIAL.json via BENCH_ONLY)
+    val grainTry: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_GRAIN_TRY").map(_.split(",")
+        .toSeq.map { kv =>
+          val Array(n, f) = kv.split(":"); n.trim -> f.toDouble }
+        .toMap).getOrElse(Map.empty)
     def grainFor(name: String): Double =
-      if (grainOn) BenchGrain.grains.getOrElse(name, 1.0) else 1.0
+      if (!grainOn) 1.0
+      else grainTry.getOrElse(name, BenchGrain.grains.getOrElse(name, 1.0))
     // test hook: "name:sec" sleeps inside that query's timed body to
     // simulate a VM stall episode for clamp testing
     val fakeStall: Map[String, Double] =
