@@ -230,6 +230,19 @@ object Bench {
     val errored = scala.collection.mutable.Set.empty[String]
     val stallCount = scala.collection.mutable.Map.empty[String, Int]
     var samples = Vector.empty[Map[String, Double]]
+    // Per-query job/stage counts (round 17): read from the status
+    // tracker by the job group each timedRun already sets. These are
+    // PLAN FACTS (deterministic per query + scale + grain), and they
+    // are the adjudication variable three rounds of flag-chasing kept
+    // reaching for informally: a 10-checkpointed-round fit is ~10+
+    // sequential jobs of scheduler floor, and VM jitter inflates such
+    // chains roughly with their job count, while one-shuffle queries
+    // track the data term — so "ratio high but jobs high too" reads
+    // environment where "ratio high, 2 jobs" reads regression.
+    // Recorded once per query (first successful sample = exactly that
+    // sample's job group contents).
+    val jobCounts = scala.collection.mutable.Map.empty[String, Int]
+    val stageCounts = scala.collection.mutable.Map.empty[String, Int]
     def clampFor(name: String): Double =
       priorMedians.get(name)
         .orElse(samples.flatMap(_.get(name)).minOption)
@@ -323,6 +336,16 @@ object Bench {
           // a stall-prone VM. Clearing here cannot distort timings:
           // no later sample can reuse a previous invocation's cache.
           spark.sharedState.cacheManager.clearCache()
+          if (res.isRight && !jobCounts.contains(name)) {
+            // first successful sample: its job group holds exactly
+            // this sample's jobs (group ids accumulate across passes,
+            // so only the first read is a clean per-run count)
+            val tracker = spark.sparkContext.statusTracker
+            val ids = tracker.getJobIdsForGroup(s"bench-$name")
+            jobCounts(name) = ids.length
+            stageCounts(name) = ids.flatMap(id =>
+              tracker.getJobInfo(id).map(_.stageIds().length)).sum
+          }
           res match {
             case Right(sec) => Some(name -> sec)
             case Left("stalled") if budget >= clamp =>
@@ -390,11 +413,22 @@ object Bench {
           priorMedians.get(name).map(m => "\"" + name + "\":" + f"$m%.3f")
         else None
       }.mkString("{", ",", "}")
+      // Stage-floor index (round 17): jobs/stages of each query's
+      // first successful sample — deterministic plan facts that let
+      // a flag adjudication separate "multi-job chain amplifying VM
+      // jitter" from "volume regression" without a grain A/B.
+      val jobsJson = jobCounts.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val stagesJson = stageCounts.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       (if (runawayThread) """{"aborted":"runaway_thread",""" else "{") +
         f""""runs":${samples.size},"sf":"$sfDir","deadline_sec":$deadline,""" +
         s""""stat":"median at >=3 samples, min below",""" +
         f""""total_median_sec":$total%.3f,"spread":$spread$stallsJson,""" +
         s""""grain":$grainJson,"carried_prior":$carriedJson,""" +
+        s""""jobs":$jobsJson,"stages":$stagesJson,""" +
         s""""nsamples":$nsJson,"medians":$medsJson}""" + "\n"
     }
     var go = true
