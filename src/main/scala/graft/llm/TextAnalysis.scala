@@ -1745,7 +1745,18 @@ object TextAnalysis {
       .withColumn("repr", concat(lit(" "),
         regexp_replace(col("word"), "([^ ])", "$1 ")))
       .localCheckpoint()
-    for (_ <- 0 until numMerges) {
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // winner collected DRIVER-SIDE (round 17, the batched-fit
+      // recipe): one TakeOrdered job per round instead of a
+      // broadcast-agg subtree riding inside the rewrite job — the
+      // stage-floor index showed the BPE-fit chains are the
+      // registry's largest scheduler-floor block. An empty result
+      // (no mergeable pair left) ends the loop; the previous form
+      // folded an empty merge array — the identity — for the
+      // remaining rounds, so outputs are unchanged. The winner rides
+      // back as a plan literal exactly like the batched loop's.
       val best = vocab
         .select(col("cnt"),
           expr("filter(split(repr, ' '), x -> x != '')").as("__t"))
@@ -1759,17 +1770,19 @@ object TextAnalysis {
         .orderBy(col("__c").desc, col("a").asc, col("b").asc)
         .limit(1)
         .select(col("a"), col("b"))
-      // collect the winner into a 0/1-element array: when the
-      // vocabulary has no mergeable pair left the fold is the
-      // identity — a bare crossJoin against the then-EMPTY best
-      // frame would silently annihilate the whole vocabulary
-      val bestRow = best.agg(collect_list(
-        struct(col("a"), col("b"))).as("__ms"))
-      vocab = vocab.crossJoin(broadcast(bestRow))
-        .withColumn("repr", graft.llm.PolyHashColumns
-          .bpeFold(col("repr"), col("__ms")))
-        .drop("__ms")
-        .localCheckpoint()
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val ms = best.toSeq
+          .map(r => BpeMerge(r.getString(0), r.getString(1)))
+        vocab = vocab
+          .withColumn("__bpe_ms", typedlit(ms))
+          .withColumn("repr", graft.llm.PolyHashColumns
+            .bpeFold(col("repr"), col("__bpe_ms")))
+          .drop("__bpe_ms")
+          .localCheckpoint()
+      }
+      round += 1
     }
     val perWord = vocab.select(col("word"),
       expr("filter(split(repr, ' '), x -> x != '')").as("__toks"))
@@ -1885,35 +1898,32 @@ object TextAnalysis {
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(sum(col("cnt")).as("__c"))
       // TakeOrdered top-C (no full-table single-partition window),
-      // then rank within the tiny C-row frame by predecessor-count
-      // join (round 16: the C-row rank window was correct but ran an
-      // unpartitioned WindowExec every round — ~16 warning lines per
-      // bench sample of the batched fit; the checkpoint also keeps
-      // the survivor anti-join's two consumers from re-running the
-      // corpus pair aggregate)
+      // then rank + dominance-disjoint survivor selection DRIVER-SIDE
+      // on the collected ≤candCap-row frame (round 17; previously a
+      // checkpoint + broadcast rank join + anti-join — correct, but 2
+      // extra jobs and a checkpoint PER ROUND, and the stage-floor
+      // index showed the BPE-fit family at 47-80 sequential jobs is
+      // the registry's largest scheduler-floor block; the ≤batch
+      // survivors came to the driver anyway). Replay is EXACT: the
+      // cut's (cnt desc, a asc, b asc) order is strict and total
+      // (pairs are distinct after the groupBy), TakeOrdered output
+      // arrives in that order, so the old predecessor-count rank ==
+      // position + 1, and the old anti-join rule "blocked by ANY
+      // higher-ranked candidate sharing a symbol" is the prefix scan
+      // below — fitted merge tables, and every oracle replaying
+      // them, stay bit-identical. candCap is a constant: the collect
+      // is ≤ 4·batch tiny rows at any corpus size.
       val topC = pairs
         .orderBy(col("__c").desc, col("a").asc, col("b").asc)
         .limit(candCap)
-        .localCheckpoint()
-      val cand = topC
-        .join(broadcast(topC.select(col("a").as("__pa"),
-            col("b").as("__pb"), col("__c").as("__pc"))),
-          col("__c") < col("__pc") ||
-            (col("__c") === col("__pc") && (col("a") > col("__pa") ||
-              (col("a") === col("__pa") && col("b") > col("__pb")))),
-          "left")
-        .groupBy(col("a"), col("b"), col("__c"))
-        .agg((count(col("__pa")) + lit(1L)).as("rk"))
-      val surv = cand.as("i").join(cand.select(
-          col("a").as("ja"), col("b").as("jb"), col("rk").as("jrk")),
-          col("jrk") < col("rk") &&
-            (col("ja") === col("a") || col("ja") === col("b") ||
-             col("jb") === col("a") || col("jb") === col("b")),
-          "left_anti")
-        .orderBy(col("rk").asc).limit(batch)
-      val ms = surv.select(col("rk"), col("a"), col("b")).collect()
-        .sortBy(_.getLong(0))
-        .map(r => BpeMerge(r.getString(1), r.getString(2))).toSeq
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val ms = topC.zipWithIndex.filter { case ((a, b), i) =>
+          !topC.take(i).exists { case (ja, jb) =>
+            ja == a || ja == b || jb == a || jb == b }
+        }
+        .take(batch)
+        .map { case ((a, b), _) => BpeMerge(a, b) }.toSeq
       if (ms.isEmpty) exhausted = true
       else {
         fitted ++= ms
