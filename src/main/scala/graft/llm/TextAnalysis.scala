@@ -3130,33 +3130,49 @@ object TextAnalysis {
       .withColumn("__k", expr(
         s"((doc_id % 1073741824) * 2654435761) % $P"))
       .withColumn("__one", lit(1L))
-    val counts = keyed.groupBy(source).agg(count(lit(1)).as("c"))
-    val withTot = counts.crossJoin(
-      broadcast(counts.agg(sum("c").as("tt"))))
-    val q0 = withTot
-      .withColumn("base", expr(s"(${n}L * c) DIV tt"))
-      .withColumn("rem", expr(s"(${n}L * c) % tt"))
-      // pinned: the remainder-rank join reads it from both sides and
-      // leftover once more — without the pin each consumer re-runs
-      // the corpus count aggregate
-      .localCheckpoint()
-    val leftover = q0.agg((lit(n) - sum("base")).as("leftover"))
-    // remainder rank over the ≤|strata|-row quota frame as a
-    // predecessor-count self-join (round 16: the old unpartitioned
-    // row_number window was bounded but still a WindowExec)
-    val quotas = q0
-      .join(broadcast(q0.select(col(source).as("__qs"),
-          col("rem").as("__qr"))),
-        col("rem") < col("__qr") ||
-          (col("rem") === col("__qr") && col(source) > col("__qs")),
-        "left")
-      .groupBy(col(source), col("base"), col("rem"))
-      .agg((count(col("__qs")) + lit(1L)).as("__rr"))
-      .crossJoin(broadcast(leftover))
-      .withColumn("quota", expr(
-        "CAST(base + (CASE WHEN __rr <= leftover THEN 1 ELSE 0 END) " +
-          "AS BIGINT)"))
-      .select(col(source), col("quota"))
+    require(df.schema(source).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"quotaSample: strata column '$source' must be StringType " +
+        "(the driver-side remainder rank replays the engine's " +
+        "binary string order)")
+    // Hamilton (largest-remainder) allocation DRIVER-SIDE over the
+    // collected ≤|strata|-row count frame (round 17, the BPE-fit
+    // recipe): the operator already assumes broadcastable strata —
+    // every join below is a broadcast — and the round-16 form spent
+    // a checkpoint + rank join + two scalar crosses (≈6 jobs of
+    // scheduler floor) on what is exact integer arithmetic over a
+    // handful of rows. Replay is EXACT: base = n·c DIV tt and
+    // rem = (n·c) % tt on non-negative longs match Spark's DIV/%,
+    // and the remainder rank's (rem desc, source asc) tie-break
+    // compares UTF-8 bytes unsigned — UTF8String.binaryCompare, the
+    // engine's string order — not Java's UTF-16 char order.
+    val cnt = keyed.groupBy(source).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def u8lt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val tt = cnt.map(_._2).sum
+    val based = cnt.map { case (s, c) => (s, n * c / tt, (n * c) % tt) }
+    val leftover = n - based.map(_._2).sum
+    val quotaSeq = based
+      .sortWith { case ((s1, _, r1), (s2, _, r2)) =>
+        r1 > r2 || (r1 == r2 && u8lt(s1, s2)) }
+      .zipWithIndex
+      .map { case ((s, b, _), i) =>
+        (s, b + (if (i + 1 <= leftover) 1L else 0L)) }
+      .toSeq
+    val sess = df.sparkSession
+    import sess.implicits._
+    val quotas = quotaSeq.toDF(source, "quota")
     // pinned before the starts/pick fan-out — see lengthBucketBatches
     val pos = graft.engine.Dist.prefixSum(keyed,
       Seq(col(source), col("__k"), col("doc_id")), "__one", "__gpos")
