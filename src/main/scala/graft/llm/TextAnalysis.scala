@@ -3242,6 +3242,66 @@ object TextAnalysis {
       .drop("__bs", "__kept")
   }
 
+  /** FILL-IN-THE-MIDDLE transform (the FIM objective, Bavarian et
+    * al. 2022, arXiv:2207.14255 — the code-model training stage that
+    * teaches infilling): split each document into (prefix, middle,
+    * suffix) at two DETERMINISTIC hash-derived cut points and tag
+    * the serialization mode the loader should emit (PSM or SPM,
+    * dealt ~50/50 from the same hash). Cut points come from the
+    * portable content hash ([[uniformHash60]]), so the split is
+    * bit-reproducible on any engine and independent of row order,
+    * partitioning, and corpus growth — re-running on an extended
+    * corpus re-derives the same split for unchanged documents (the
+    * property a rand()-based split lacks). c1 lands in the first
+    * third and c2 in the last third, so all three spans are
+    * non-empty for any document of at least `minChars` (≥ 3)
+    * characters; shorter documents pass through as mode 'raw' with
+    * the whole text in `prefix` and empty middle/suffix — the
+    * untransformed arm a FIM loader mixes at some rate anyway.
+    * Entirely ROW-LOCAL inside whole-stage codegen: no shuffle at
+    * any corpus size, streaming-safe; every cut is non-negative
+    * integer arithmetic, so DIV/% agree across engines and the
+    * DuckDB mirror is hash-exact.
+    */
+  def fimSplit(df: DataFrame, text: String, id: String,
+      minChars: Int = 12): DataFrame = {
+    require(minChars >= 3,
+      "need minChars >= 3 (three non-empty spans)")
+    val clash = Seq("fim_mode", "prefix", "middle", "suffix",
+      "n_prefix", "n_middle", "n_suffix", "__h", "__L", "__t",
+      "__c1", "__c2").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"fimSplit: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df.withColumn("__h", uniformHash60(text))
+      .withColumn("__L", length(col(text)).cast("long"))
+      // clamped to 1: sub-minChars rows take the 'raw' branch and
+      // never read the cuts, but ANSI mode evaluates `% 0` eagerly
+      .withColumn("__t", expr("greatest(__L DIV 3L, 1L)"))
+      .withColumn("__c1", expr("1L + (__h % __t)"))
+      .withColumn("__c2", expr(
+        "__L - __t + 1L + ((__h DIV 65536L) % __t)"))
+      .withColumn("fim_mode", expr(
+        s"CASE WHEN __L < ${minChars}L THEN 'raw' " +
+          "WHEN (__h DIV 4096L) % 2L = 0L THEN 'psm' " +
+          "ELSE 'spm' END"))
+      .withColumn("prefix", expr(
+        s"CASE WHEN fim_mode = 'raw' THEN $text " +
+          s"ELSE substring($text, 1, CAST(__c1 AS INT)) END"))
+      .withColumn("middle", expr(
+        "CASE WHEN fim_mode = 'raw' THEN '' " +
+          s"ELSE substring($text, CAST(__c1 + 1L AS INT), " +
+          "CAST(__c2 - __c1 AS INT)) END"))
+      .withColumn("suffix", expr(
+        "CASE WHEN fim_mode = 'raw' THEN '' " +
+          s"ELSE substring($text, CAST(__c2 + 1L AS INT), " +
+          "CAST(__L - __c2 AS INT)) END"))
+      .withColumn("n_prefix", length(col("prefix")).cast("long"))
+      .withColumn("n_middle", length(col("middle")).cast("long"))
+      .withColumn("n_suffix", length(col("suffix")).cast("long"))
+      .drop("__h", "__L", "__t", "__c1", "__c2")
+  }
+
   /** Shared bounded-rank vocabulary cut for the tokenizer fits
     * ([[wordpieceFit]], [[unigramFit]]): keep the top `vocabN`
     * candidate pieces by (cnt desc, piece asc) PLUS the single-char

@@ -892,6 +892,16 @@ object LlmQueries {
           "fingerprint")
         .orderBy("doc_id")
     }),
+    // fill-in-the-middle training transform (round-17): hash-derived
+    // deterministic (prefix, middle, suffix) cuts + PSM/SPM mode
+    // deal — the code-model infilling stage; row-local codegen,
+    // short docs pass through as mode 'raw'
+    "fim_split" -> ((s, d) => {
+      TextAnalysis.fimSplit(t(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "fim_mode", "prefix", "middle", "suffix",
+          "n_prefix", "n_middle", "n_suffix")
+        .orderBy("doc_id")
+    }),
     // context-window chunking (size 200, overlap 50): the training-
     // data windowing stage — narrow explode, chunk count scales with
     // doc length, never corpus size
@@ -3373,6 +3383,46 @@ object LlmQueries {
          |  CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
          |  CAST(gap_ppm AS BIGINT) AS gap_ppm, e.ece_ppm
          |FROM p3, e ORDER BY bin""".stripMargin,
+    // FIM split replay: the 60-bit md5-prefix hash drives both cut
+    // points and the PSM/SPM deal; all cut arithmetic is integer on
+    // non-negative operands (DIV/% agree across engines), substring
+    // and length are code-point-based in both
+    "fim_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(lower(regexp_replace(
+        |      trim(text), '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS h,
+        |    CAST(length(text) AS BIGINT) AS L
+        |  FROM documents),
+        |c AS (SELECT *, L // 3 AS t FROM b),
+        |d2 AS (
+        |  SELECT doc_id, text, L,
+        |    CASE WHEN L < 12 THEN 'raw'
+        |         WHEN (h // 4096) % 2 = 0 THEN 'psm'
+        |         ELSE 'spm' END AS fim_mode,
+        |    CASE WHEN t > 0 THEN 1 + (h % t) END AS c1,
+        |    CASE WHEN t > 0 THEN L - t + 1 + ((h // 65536) % t) END
+        |      AS c2
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, fim_mode,
+        |    CASE WHEN fim_mode = 'raw' THEN text
+        |         ELSE substring(text, 1, CAST(c1 AS INT))
+        |    END AS prefix,
+        |    CASE WHEN fim_mode = 'raw' THEN ''
+        |         ELSE substring(text, CAST(c1 + 1 AS INT),
+        |           CAST(c2 - c1 AS INT))
+        |    END AS middle,
+        |    CASE WHEN fim_mode = 'raw' THEN ''
+        |         ELSE substring(text, CAST(c2 + 1 AS INT),
+        |           CAST(L - c2 AS INT))
+        |    END AS suffix
+        |  FROM d2)
+        |SELECT doc_id, fim_mode, prefix, middle, suffix,
+        |  CAST(length(prefix) AS BIGINT) AS n_prefix,
+        |  CAST(length(middle) AS BIGINT) AS n_middle,
+        |  CAST(length(suffix) AS BIGINT) AS n_suffix
+        |FROM f ORDER BY doc_id""".stripMargin,
     // KMV bottom-k set algebra replay: per-source bottom-64 distinct
     // content hashes (the oracle skips the engine's scan-level
     // threshold prefilter — a prefilter shortfall would surface here

@@ -3439,6 +3439,45 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("fimSplit: spans reassemble the document, cuts are " +
+      "thirds-bounded and partition-invariant, short docs pass raw") {
+    val full = "the quick brown fox jumps over the lazy dog tonight"
+    val df = docs(full, "short doc", "")
+    val out = TextAnalysis.fimSplit(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("fim_mode", "prefix", "middle", "suffix",
+        "n_prefix", "n_middle", "n_suffix").collect()
+    // non-raw: the three spans are a partition of the document
+    assert(Set("psm", "spm").contains(out(0).getString(0)))
+    assert(out(0).getString(1) + out(0).getString(2) +
+      out(0).getString(3) === full)
+    val third = full.length / 3
+    // c1 in the first third, c2 in the last: prefix in [1, third],
+    // suffix in [0, third - 1], middle never empty
+    assert(out(0).getString(1).length >= 1 &&
+      out(0).getString(1).length <= third)
+    assert(out(0).getString(3).length <= third - 1)
+    assert(out(0).getString(2).nonEmpty)
+    assert((out(0).getLong(4), out(0).getLong(5), out(0).getLong(6))
+      === ((out(0).getString(1).length.toLong,
+        out(0).getString(2).length.toLong,
+        out(0).getString(3).length.toLong)))
+    // short / empty docs pass through untransformed as mode 'raw'
+    assert((out(1).getString(0), out(1).getString(1),
+      out(1).getString(2), out(1).getString(3))
+      === (("raw", "short doc", "", "")))
+    assert(out(2).getString(0) === "raw")
+    // deterministic: identical under a different partitioning
+    val again = TextAnalysis.fimSplit(df.repartition(7), "text",
+        "doc_id").orderBy("doc_id")
+      .select("fim_mode", "prefix", "middle", "suffix",
+        "n_prefix", "n_middle", "n_suffix").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fimSplit(df, "text", "doc_id", minChars = 2)
+    }
+  }
+
   test("blocklistScrub: whole-word masking, exact accounting, " +
       "idempotent, contract guards") {
     val df = docs(
