@@ -409,6 +409,19 @@ object StreamingDedup {
       : DataFrame =
     graft.llm.TextAnalysis.augmentTokens(docs, text, id)
 
+  /** Streaming FILL-IN-THE-MIDDLE stage: apply
+    * [[TextAnalysis.fimSplit]]'s deterministic hash-derived
+    * prefix/middle/suffix cuts + PSM/SPM mode deal to a live feed —
+    * entirely row-local (the cuts come from the record's own content
+    * hash), zero state, join-free, any output mode. A late-arriving
+    * document gets exactly the split the batch pipeline would give
+    * it (spec-pinned parity), so a mixed batch/streaming loader
+    * never sees two different splits of one document.
+    */
+  def fimStage(docs: DataFrame, text: String, id: String)
+      : DataFrame =
+    TextAnalysis.fimSplit(docs, text, id)
+
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc
     * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
     * columns) to a live feed — entirely row-local (per-record HOFs

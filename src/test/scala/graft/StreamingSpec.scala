@@ -1713,4 +1713,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(tup).sortBy(_._1)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming FIM stage equals the batch split; a late arrival " +
+      "gets the same deterministic cuts") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("fim_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fim_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "short doc"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.fimStage(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("fim_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "a late document must split exactly like the batch " +
+      "pipeline would split it"))
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("doc_id", "fim_mode", "prefix", "middle", "suffix")
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4))
+    val streamed = spark.table("fim_out")
+      .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // non-raw rows reassemble; the short doc passes through raw
+    assert(streamed(0)._3 + streamed(0)._4 + streamed(0)._5 ===
+      "the quick brown fox jumps over the lazy dog tonight")
+    assert((streamed(1)._2, streamed(1)._3) === (("raw", "short doc")))
+    val batch = graft.llm.TextAnalysis.fimSplit(
+        spark.read.schema(docSchema).parquet(dir), "text", "doc_id")
+      .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
