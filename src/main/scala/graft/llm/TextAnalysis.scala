@@ -3878,4 +3878,60 @@ object TextAnalysis {
       .withColumn("norm_changed", expr(s"norm_text <> $text"))
       .drop("__nfc")
   }
+
+  /** The pinned mojibake repair table: UTF-8 bytes of a common
+    * character mis-decoded as CP1252 and re-encoded (the classic
+    * double-encoding corruption crawled text arrives with; what ftfy
+    * fixes in Python stacks). Key = the corrupted sequence, value =
+    * the intended character. Restricted to sequences whose CP1252
+    * bytes are all PRINTABLE (e.g. U+201D "”" is excluded — its
+    * trailing byte 0x9D is unassigned in CP1252, so the corrupted
+    * form carries a control char that survives no literal round-trip
+    * across engines). Ordered longest-first so the 3-byte "â€¦"
+    * family is consumed before any 2-byte "Ã©" family prefix could
+    * be. Shared verbatim with the DuckDB oracle generator — both
+    * engines replay the identical replace chain.
+    */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€”" -> "—", "â€“" -> "–", "â€¦" -> "…",
+    "Ã¡" -> "á", "Ã©" -> "é", "Ã­" -> "í", "Ã³" -> "ó",
+    "Ãº" -> "ú", "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö",
+    "Ã¤" -> "ä", "Ã§" -> "ç", "Ã¨" -> "è", "Ãª" -> "ê")
+
+  /** Mojibake repair: undoes UTF-8→CP1252 double-encoding for the
+    * pinned [[mojibakeMap]] sequences, with exact fix accounting.
+    * Two literal-replace phases (3-char family, then 2-char family),
+    * each a left-to-right non-overlapping `replace` chain — the one
+    * string-rewrite primitive whose semantics Java and every SQL
+    * engine agree on exactly (no regex, no folding). Because every
+    * 3-char repair shrinks the text by exactly 2 code points and
+    * every 2-char repair by exactly 1, the per-phase fix counts fall
+    * out of two length diffs — no per-pattern occurrence scan.
+    * The operator is IDEMPOTENT (pinned by spec): the one repair
+    * that can re-form a mapped sequence — "â€œ"→"“" directly after a
+    * dangling "â€" forms the en-dash key "â€“" — is consumed by the
+    * later "â€“" step of the SAME chain, and no step can form a key
+    * an earlier step owns (no other output char occurs inside any
+    * key). Entirely row-local inside whole-stage codegen:
+    * no shuffle, no state, drops into any batch or streaming plan.
+    */
+  def mojibakeFix(df: DataFrame, text: String): DataFrame = {
+    val clash = Seq("fixed_text", "n_fixes", "__mj3")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"mojibakeFix: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val (three, two) = mojibakeMap.partition(_._1.length == 3)
+    def chain(inner: String, ms: Seq[(String, String)]): String =
+      ms.foldLeft(inner) { case (acc, (bad, good)) =>
+        s"replace($acc, '$bad', '$good')"
+      }
+    df.withColumn("__mj3", expr(chain(text, three)))
+      .withColumn("fixed_text", expr(chain("__mj3", two)))
+      .withColumn("n_fixes", expr(
+        s"CAST((length($text) - length(__mj3)) DIV 2 + " +
+          "(length(__mj3) - length(fixed_text)) AS BIGINT)"))
+      .drop("__mj3")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, HashConstants, Multimodal, Retrieval, Similarity, TextAnalysis, UrlOps}
+import graft.llm.{Dedup, HashConstants, Multimodal, Preference, Retrieval, Similarity, TextAnalysis, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -798,6 +798,61 @@ object LlmQueries {
       TextAnalysis.lrCalibration(t(s, d, "documents"), "text",
         "doc_id", dim = 32, bins = 8)
         .orderBy("bin")
+    }),
+    // ROC/AUC for the model gate (round-17): exact Mann-Whitney 2U
+    // from the clamped micro-score HISTOGRAM (bounded ≤2e6+1 keys at
+    // any corpus size) + a 16-point ROC curve — completes the
+    // model-evaluation pair with lr_calibration
+    "lr_auc" -> ((s, d) => {
+      Preference.lrAuc(t(s, d, "documents"), "text", "doc_id",
+        dim = 32, bins = 16)
+        .orderBy("bin")
+    }),
+    // deterministic pairwise preferences (round-17): stride-1 and
+    // stride-7 id joins, longer document wins, exact ties to the
+    // lexicographically smaller source — the reproducible pair frame
+    // the preference-fit family consumes
+    "pref_pairs" -> ((s, d) => {
+      Preference.prefPairs(t(s, d, "documents"), "doc_id", "source",
+        "n_chars")
+        .orderBy("id_a", "id_b")
+    }),
+    // Bradley-Terry strength fit (round-17): fixed 10-iteration MM in
+    // pure integer micro units over the ≤items² win matrix (one
+    // bounded-key aggregate; the fit replays driver-side — the BPE
+    // merge-loop pattern); the oracle replays the identical HUGEINT
+    // recurrence
+    "bradley_terry" -> ((s, d) => {
+      Preference.bradleyTerry(Preference.prefPairs(
+        t(s, d, "documents"), "doc_id", "source", "n_chars"))
+        .orderBy("item")
+    }),
+    // Cohen's kappa between two deterministic labelers (round-17):
+    // char-band vs token-band quality labels, full confusion matrix
+    // + integer po_ppm + fixed-order IEEE pe/kappa attached via the
+    // pinned scalar cross
+    "annotator_kappa" -> ((s, d) => {
+      Preference.annotatorKappa(t(s, d, "documents"),
+        expr("CASE WHEN n_chars < 250 THEN 'short' " +
+          "WHEN n_chars < 380 THEN 'mid' ELSE 'long' END"),
+        expr("CASE WHEN size(split(trim(text), '\\\\s+')) < 45 " +
+          "THEN 'short' WHEN size(split(trim(text), '\\\\s+')) < 70 " +
+          "THEN 'mid' ELSE 'long' END"))
+        .orderBy("label_a", "label_b")
+    }),
+    // mojibake repair (round-17): plant CP1252 double-encoding
+    // corruption on two thirds of the corpus deterministically, then
+    // undo it with the pinned replace chain — fix accounting from the
+    // two phase length diffs; row-local, streaming-safe
+    "mojibake_fix" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'Ã©') " +
+          "WHEN doc_id % 3 = 1 THEN " +
+          "replace(replace(text, 's', 'â€™'), 'o', 'â€¦') " +
+          "ELSE text END").as("text"))
+      TextAnalysis.mojibakeFix(planted, "text")
+        .select("doc_id", "fixed_text", "n_fixes")
+        .orderBy("doc_id")
     }),
     // temperature-scaled mixture weights (alpha = 0.75, the sqrt-
     // composable temperature — p^α = sqrt(sqrt(p³)) avoids libm pow
@@ -2481,6 +2536,119 @@ object LlmQueries {
        |  FROM lx)""".stripMargin
   }
 
+  /** The shared stride-1/stride-7 preference-pair CTE body (`p` with
+    * columns id_a/id_b/item_a/item_b/sa/sb and the winner/loser CASE
+    * pair) — [[graft.llm.Preference.prefPairs]]'s exact rule: longer
+    * document wins, integer tie to the lexicographically smaller
+    * source (both engines compare ASCII source names bytewise).
+    */
+  private val duckPrefPairs: String =
+    """pp0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.source AS item_a, b.source AS item_b,
+      |    a.n_chars AS sa, b.n_chars AS sb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, a.source, b.source,
+      |    a.n_chars, b.n_chars
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7),
+      |pp AS (
+      |  SELECT id_a, id_b, item_a, item_b,
+      |    CASE WHEN sa > sb THEN item_a WHEN sa < sb THEN item_b
+      |         WHEN item_a < item_b THEN item_a ELSE item_b END
+      |      AS winner_item,
+      |    CASE WHEN sa > sb THEN item_b WHEN sa < sb THEN item_a
+      |         WHEN item_a < item_b THEN item_b ELSE item_a END
+      |      AS loser_item
+      |  FROM pp0 WHERE item_a <> item_b)""".stripMargin
+
+  /** Replays [[graft.llm.Preference.bradleyTerry]]'s fixed-iteration
+    * integer MM recurrence in HUGEINT: win matrix + symmetric pair
+    * totals from the shared pair CTE, then one MATERIALIZED CTE per
+    * iteration (each `s_k` is read twice — inlined it would
+    * re-evaluate the whole chain exponentially, the DP-CTE rule from
+    * the BPE oracle). Every division is non-negative HUGEINT `//`
+    * against BigInt truncating `/` on the engine side — identical.
+    */
+  private def duckBradleyTerry: String = {
+    val scale = "1000000000000"
+    val iters = (1 to Preference.btIters).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT w.item,
+         |    CASE WHEN d.den IS NULL OR d.den = 0
+         |         THEN CAST(0 AS HUGEINT)
+         |         ELSE w.wins * $scale // d.den END AS s
+         |  FROM wt w LEFT JOIN (
+         |    SELECT nm.i AS item,
+         |      sum((nm.nij * $scale) // greatest(si.s + sj.s, 1))
+         |        AS den
+         |    FROM nm
+         |    JOIN s${k - 1} si ON si.item = nm.i
+         |    JOIN s${k - 1} sj ON sj.item = nm.j
+         |    GROUP BY nm.i) d ON d.item = w.item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPrefPairs,
+       |wl AS MATERIALIZED (
+       |  SELECT winner_item AS w, loser_item AS l,
+       |    CAST(count(*) AS BIGINT) AS wins
+       |  FROM pp GROUP BY 1, 2),
+       |it AS MATERIALIZED (
+       |  SELECT DISTINCT item FROM (
+       |    SELECT w AS item FROM wl UNION ALL SELECT l AS item FROM wl)),
+       |wt AS MATERIALIZED (
+       |  SELECT i.item, CAST(coalesce(sum(wl.wins), 0) AS HUGEINT)
+       |    AS wins
+       |  FROM it i LEFT JOIN wl ON wl.w = i.item GROUP BY i.item),
+       |lt AS MATERIALIZED (
+       |  SELECT i.item, CAST(coalesce(sum(wl.wins), 0) AS HUGEINT)
+       |    AS losses
+       |  FROM it i LEFT JOIN wl ON wl.l = i.item GROUP BY i.item),
+       |nm AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(wins) AS HUGEINT) AS nij FROM (
+       |    SELECT w AS i, l AS j, wins FROM wl
+       |    UNION ALL SELECT l AS i, w AS j, wins FROM wl)
+       |  GROUP BY i, j),
+       |s0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM it),
+       |$iters
+       |SELECT it.item, CAST(wt.wins AS BIGINT) AS wins,
+       |  CAST(lt.losses AS BIGINT) AS losses,
+       |  CAST(s${Preference.btIters}.s AS BIGINT) AS strength_micro
+       |FROM it JOIN wt ON wt.item = it.item
+       |JOIN lt ON lt.item = it.item
+       |JOIN s${Preference.btIters} ON s${Preference.btIters}.item = it.item
+       |ORDER BY it.item""".stripMargin
+  }
+
+  /** Replays the mojibake plant + [[graft.llm.TextAnalysis
+    * .mojibakeFix]] repair: the replace chains are GENERATED from the
+    * same [[graft.llm.TextAnalysis.mojibakeMap]] constant the engine
+    * folds over, so the two engines execute literally the same
+    * longest-first chain (raw UTF-8 characters in both literals —
+    * no escape-spelling divergence).
+    */
+  private def duckMojibake: String = {
+    val (three, two) =
+      TextAnalysis.mojibakeMap.partition(_._1.length == 3)
+    def chain(inner: String, ms: Seq[(String, String)]): String =
+      ms.foldLeft(inner) { case (acc, (bad, good)) =>
+        s"replace($acc, '$bad', '$good')"
+      }
+    s"""WITH pl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'Ã©')
+       |         WHEN doc_id % 3 = 1 THEN
+       |           replace(replace(text, 's', 'â€™'), 'o', 'â€¦')
+       |         ELSE text END AS t0
+       |  FROM documents),
+       |m3 AS (SELECT doc_id, t0, ${chain("t0", three)} AS t3 FROM pl),
+       |m2 AS (SELECT doc_id, t0, t3, ${chain("t3", two)} AS t2
+       |  FROM m3)
+       |SELECT doc_id, t2 AS fixed_text,
+       |  CAST((length(t0) - length(t3)) // 2
+       |    + (length(t3) - length(t2)) AS BIGINT) AS n_fixes
+       |FROM m2 ORDER BY doc_id""".stripMargin
+  }
+
   /** Content-defined chunking CTEs (divisor 64): the cut rule over
     * shingle hashes, boundary list, exploded chunks — ends with `cc`
     * (doc_id, cid 0-based, ch, chlen). `src` must expose
@@ -3383,6 +3551,115 @@ object LlmQueries {
          |  CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
          |  CAST(gap_ppm AS BIGINT) AS gap_ppm, e.ece_ppm
          |FROM p3, e ORDER BY bin""".stripMargin,
+    // Mann-Whitney 2U from the micro-score histogram: the same lrz
+    // scoring + clamp + label as lr_calibration, cum_neg over the
+    // bounded distinct-score frame, exact HUGEINT tie-credit fold,
+    // suffix-sum ROC bins; AUC is the single fixed-order double
+    // division from the exact integers (identical IEEE on both sides)
+    "lr_auc" ->
+      s"""WITH $duckLrChain,
+         |sc AS (
+         |  SELECT l.doc_id,
+         |    CAST(round(round(z, 6) * 1000000) AS BIGINT) AS sm,
+         |    (round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      >= 0.5) AS label
+         |  FROM lrz l JOIN documents d ON l.doc_id = d.doc_id),
+         |s2 AS (
+         |  SELECT least(greatest(sm, -1000000), 1000000) AS smc, label
+         |  FROM sc),
+         |h AS (
+         |  SELECT smc,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_neg
+         |  FROM s2 GROUP BY smc),
+         |h2 AS MATERIALIZED (
+         |  SELECT smc, n_pos, n_neg,
+         |    CAST(sum(n_neg) OVER (ORDER BY smc) AS BIGINT) AS cum_neg
+         |  FROM h),
+         |tot AS (
+         |  SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+         |    CAST(sum(n_neg) AS BIGINT) AS nn,
+         |    sum(CAST(n_pos AS HUGEINT) *
+         |        CAST(2 * (cum_neg - n_neg) + n_neg AS HUGEINT)) AS u2
+         |  FROM h2),
+         |b AS MATERIALIZED (
+         |  SELECT least((smc + 1000000) * 16 // 2000000, 15) AS bin,
+         |    CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(n_neg) AS BIGINT) AS n_neg
+         |  FROM h2 GROUP BY 1),
+         |sfx AS (
+         |  SELECT b.bin, b.n_pos, b.n_neg,
+         |    CAST(sum(q.n_pos) AS BIGINT) AS cum_pos_ge,
+         |    CAST(sum(q.n_neg) AS BIGINT) AS cum_neg_ge
+         |  FROM b JOIN b q ON q.bin >= b.bin
+         |  GROUP BY b.bin, b.n_pos, b.n_neg)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg, cum_pos_ge,
+         |  cum_neg_ge,
+         |  CASE WHEN np = 0 THEN NULL
+         |       ELSE cum_pos_ge * 1000000 // np END AS tpr_ppm,
+         |  CASE WHEN nn = 0 THEN NULL
+         |       ELSE cum_neg_ge * 1000000 // nn END AS fpr_ppm,
+         |  np AS n_pos_total, nn AS n_neg_total,
+         |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+         |       ELSE CAST(u2 AS DOUBLE) / (2.0 *
+         |         CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) END AS auc
+         |FROM sfx, tot ORDER BY bin""".stripMargin,
+    // stride-join preference pairs: winner/loser CASE shared with the
+    // Bradley-Terry oracle via the pp CTE
+    "pref_pairs" ->
+      s"""WITH $duckPrefPairs
+         |SELECT id_a, id_b, item_a, item_b, winner_item, loser_item
+         |FROM pp ORDER BY id_a, id_b""".stripMargin,
+    // fixed-iteration integer MM replay in HUGEINT — generated from
+    // the same btIters constant the engine loops over
+    "bradley_terry" -> duckBradleyTerry,
+    // confusion matrix + po/pe/kappa: integer cell counts, exact
+    // HUGEINT pe numerator over the class marginals, then the same
+    // fixed-order double sequence as the engine
+    "annotator_kappa" ->
+      """WITH conf AS MATERIALIZED (
+        |  SELECT CASE WHEN n_chars < 250 THEN 'short'
+        |              WHEN n_chars < 380 THEN 'mid'
+        |              ELSE 'long' END AS label_a,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 45
+        |           THEN 'short'
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 70
+        |           THEN 'mid'
+        |         ELSE 'long' END AS label_b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT label_a AS cls, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM conf GROUP BY 1),
+        |c AS (SELECT label_b AS cls, CAST(sum(n) AS BIGINT) AS col_n
+        |  FROM conf GROUP BY 1),
+        |pe AS (
+        |  SELECT sum(CAST(coalesce(r.row_n, 0) AS HUGEINT) *
+        |             CAST(coalesce(c.col_n, 0) AS HUGEINT)) AS pe_num
+        |  FROM r FULL OUTER JOIN c ON r.cls = c.cls),
+        |sc AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
+        |      AS BIGINT) AS n_agree
+        |  FROM conf),
+        |k AS (
+        |  SELECT n_total, n_agree,
+        |    CAST(n_agree * 1000000 // n_total AS BIGINT) AS po_ppm,
+        |    CAST(pe_num AS DOUBLE) /
+        |      (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS pe
+        |  FROM sc, pe)
+        |SELECT conf.label_a, conf.label_b, conf.n, k.n_total,
+        |  k.n_agree, k.po_ppm, k.pe,
+        |  CASE WHEN 1.0 - k.pe = 0.0 THEN NULL
+        |       ELSE (CAST(k.n_agree AS DOUBLE) /
+        |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
+        |  END AS kappa
+        |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // plant + repair replay with chains generated from mojibakeMap
+    "mojibake_fix" -> duckMojibake,
     // FIM split replay: the 60-bit md5-prefix hash drives both cut
     // points and the PSM/SPM deal; all cut arithmetic is integer on
     // non-negative operands (DIV/% agree across engines), substring

@@ -422,6 +422,18 @@ object StreamingDedup {
       : DataFrame =
     TextAnalysis.fimSplit(docs, text, id)
 
+  /** Streaming MOJIBAKE-REPAIR stage: undo CP1252 double-encoding on
+    * a live feed with [[TextAnalysis.mojibakeFix]]'s pinned replace
+    * chain — entirely row-local (two literal-replace phases + two
+    * length diffs, no regex, no dictionary join), zero state, any
+    * output mode. A late-arriving document gets the identical repair
+    * and fix count the batch pipeline would give it (spec-pinned
+    * parity), so repaired text hashes — and therefore every dedup
+    * stage downstream — agree across the batch/streaming split.
+    */
+  def mojibakeStage(docs: DataFrame, text: String): DataFrame =
+    TextAnalysis.mojibakeFix(docs, text)
+
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc
     * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
     * columns) to a live feed — entirely row-local (per-record HOFs

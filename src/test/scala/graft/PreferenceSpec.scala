@@ -1,0 +1,173 @@
+package graft
+
+import graft.llm.{Preference, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Preference-fit / labeling-QA / model-evaluation operator specs:
+  * pair extraction rules, Bradley-Terry MM invariants, exact kappa
+  * and AUC pins on planted fixtures, mojibake repair semantics.
+  */
+class PreferenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scored(rows: (Long, String, Long)*) =
+    rows.toDF("doc_id", "source", "len")
+
+  test("prefPairs: stride joins, winner rule, tie to smaller item, " +
+      "same-item pairs dropped") {
+    val df = scored((0L, "a", 10L), (1L, "b", 20L), (2L, "a", 20L),
+      (3L, "c", 5L), (4L, "c", 9L))
+    val pairs = Preference.prefPairs(df, "doc_id", "source", "len",
+      strides = Seq(1L, 2L))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4),
+        r.getString(5)))
+    // stride 1: (0,1) b wins 20>10; (1,2) TIE 20=20 -> 'a' < 'b';
+    // (2,3) a wins; (3,4) same item c/c DROPPED.
+    // stride 2: (0,2) same item a/a DROPPED; (1,3) b wins 20>5;
+    // (2,4) a wins 20>9.
+    assert(pairs === Array(
+      (0L, 1L, "b", "a"), (1L, 2L, "a", "b"), (1L, 3L, "b", "c"),
+      (2L, 3L, "a", "c"), (2L, 4L, "a", "c")))
+  }
+
+  test("bradleyTerry: dominance ordering, winless item pins to 0, " +
+      "symmetric record ties exactly") {
+    // a beats b 3x, b beats c 3x, a beats c 1x -> s_a > s_b > s_c = 0
+    val pairs = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "c"),
+      ("b", "c"), ("b", "c"), ("a", "c"))
+      .toDF("winner_item", "loser_item")
+    val out = Preference.bradleyTerry(pairs).orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(t => (t._1, t._2, t._3)) ===
+      Array(("a", 4L, 0L), ("b", 3L, 3L), ("c", 0L, 4L)))
+    val s = out.map(t => t._1 -> t._4).toMap
+    assert(s("a") > s("b") && s("b") > s("c"))
+    assert(s("c") === 0L) // winless -> 0 from the first iteration
+    // perfectly symmetric head-to-head record -> identical strengths
+    val sym = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"))
+      .toDF("winner_item", "loser_item")
+    val ss = Preference.bradleyTerry(sym).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ss("x") === ss("y"))
+    // determinism: the fixed-iteration integer recurrence replays
+    val again = Preference.bradleyTerry(pairs).orderBy("item")
+      .collect().map(r => r.getLong(3))
+    assert(again === out.map(_._4))
+  }
+
+  test("bradleyTerry: maxItems bound rejects an unbroadcastable fit") {
+    val many = (0 until 40).combinations(2).take(100).toSeq
+      .map { case Seq(i, j) => (s"i$i", s"i$j") }
+      .toDF("winner_item", "loser_item")
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(many, maxItems = 8)
+    }
+  }
+
+  test("annotatorKappa: perfect agreement = exactly 1.0; constant " +
+      "labeler = exactly 0.0; both-constant degenerates to NULL") {
+    val df = Seq("p", "p", "p", "q", "q", "r").toDF("lab")
+    val perfect = Preference.annotatorKappa(df, col("lab"), col("lab"))
+      .select("kappa", "po_ppm").distinct().collect()
+    assert(perfect.length === 1)
+    assert(perfect(0).getDouble(0) === 1.0) // (1-pe)/(1-pe), exact
+    assert(perfect(0).getLong(1) === 1000000L)
+    // labeler B constant: po = share('p') = pe -> kappa exactly 0.0
+    val const = Preference.annotatorKappa(df, col("lab"), lit("p"))
+      .select("kappa").distinct().collect()
+    assert(const(0).getDouble(0) === 0.0)
+    // both constant and equal: pe = 1 -> undefined -> NULL
+    val degen = Preference.annotatorKappa(df, lit("p"), lit("p"))
+      .select("kappa").collect()
+    assert(degen.forall(_.isNullAt(0)))
+  }
+
+  test("annotatorKappa: marginals over the CLASS UNION — a class " +
+      "only one labeler emits still shapes pe") {
+    // A says p/q, B says p/r: pe must use rowsum(q)*colsum(q)=0 and
+    // rowsum(r)*colsum(r)=0, not drop the classes
+    val df = Seq(("p", "p"), ("p", "p"), ("q", "r"), ("q", "p"))
+      .toDF("a", "b")
+    val row = Preference.annotatorKappa(df, col("a"), col("b"))
+      .select("n_total", "n_agree", "pe").distinct().collect()(0)
+    assert(row.getLong(0) === 4L && row.getLong(1) === 2L)
+    // peNum = rows(p)*cols(p) + rows(q)*cols(q=0 on B? B emits p,p,r,p)
+    // rows: p=2, q=2; cols: p=3, r=1 -> peNum = 2*3 + 0 + 0 = 6
+    assert(row.getDouble(2) === 6.0 / 16.0)
+  }
+
+  test("aucFromScores: separable = 1.0, inverted = 0.0, all-tied = " +
+      "0.5, exactly") {
+    def mk(rows: (Long, Boolean)*) = rows.toDF("smc", "label")
+    val sep = mk((100L, true), (200L, true), (-50L, false),
+      (0L, false))
+    val auc1 = Preference.aucFromScores(sep, "smc", "label")
+      .select("auc").distinct().collect()(0).getDouble(0)
+    assert(auc1 === 1.0)
+    val inv = mk((100L, false), (200L, false), (-50L, true),
+      (0L, true))
+    assert(Preference.aucFromScores(inv, "smc", "label")
+      .select("auc").distinct().collect()(0).getDouble(0) === 0.0)
+    val tied = mk((7L, true), (7L, true), (7L, false), (7L, false))
+    assert(Preference.aucFromScores(tied, "smc", "label")
+      .select("auc").distinct().collect()(0).getDouble(0) === 0.5)
+  }
+
+  test("aucFromScores: ROC suffix totals and ppm rates on a planted " +
+      "histogram") {
+    // bins at 16: smc -1e6 -> bin 0, 0 -> bin 8, 1e6 -> bin 15
+    val df = Seq((-1000000L, false), (0L, true), (0L, false),
+      (1000000L, true)).toDF("smc", "label")
+    val rows = Preference.aucFromScores(df, "smc", "label")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // bin 0: everything at or above -> (cum_pos 2, cum_neg 2)
+    // bin 8: (2, 1); bin 15: (1, 0)
+    assert(rows === Array(
+      (0L, 2L, 2L, 1000000L, 1000000L),
+      (8L, 2L, 1L, 1000000L, 500000L),
+      (15L, 1L, 0L, 500000L, 0L)))
+  }
+
+  test("mojibakeFix: family repairs, fix accounting, and the " +
+      "dangling-prefix chain case") {
+    val df = Seq(
+      (0L, "cafÃ© dÃ©jÃ  vu"),           // 3x 2-char family (one Ã  stays: not mapped)
+      (1L, "itâ€™s â€œquotedâ€¦ fine"),  // 3x 3-char family
+      (2L, "clean ascii"),
+      (3L, "â€â€œ")                      // repaired “ re-forms the – key
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeFix(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(out(0) === (("café déjÃ  vu", 2L))) // Ã© twice; "Ã " unmapped
+    assert(out(1) === (("it’s “quoted… fine", 3L)))
+    assert(out(2) === (("clean ascii", 0L)))
+    // "â€" + "â€œ": the œ step forms "â€“", the later – step consumes
+    // it — two fixes, both from the 3-char phase (shrink 4 DIV 2)
+    assert(out(3) === (("–", 2L)))
+  }
+
+  test("mojibakeFix: idempotent on already-repaired text") {
+    val dirty = Seq(
+      (0L, "cafÃ© itâ€™s â€œmixedâ€¦ Ã±oÃ§a"),
+      (1L, "â€â€œ dangling Ã prefix"),
+      (2L, "plain")).toDF("doc_id", "text")
+    val once = TextAnalysis.mojibakeFix(dirty, "text")
+      .select(col("doc_id"), col("fixed_text").as("text"))
+    val twice = TextAnalysis.mojibakeFix(once, "text")
+      .orderBy("doc_id").collect()
+    assert(twice.forall(_.getLong(3) === 0L)) // nothing left to fix
+    assert(twice.map(_.getString(2)) ===
+      once.orderBy("doc_id").collect().map(_.getString(1)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mojibakeFix(
+        dirty.withColumn("n_fixes", lit(1)), "text")
+    }
+  }
+}

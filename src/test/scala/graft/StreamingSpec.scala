@@ -1753,4 +1753,40 @@ class StreamingSpec extends AnyFunSuite {
       .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming mojibake stage equals the batch repair; a late " +
+      "arrival gets the identical fix count") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("mj_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mj_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "cafÃ© itâ€™s fine"), (2L, "clean"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.mojibakeStage(stream, "text")
+      .writeStream.format("memory").queryName("mj_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "late â€œquotedâ€¦ Ã±"))
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2))
+    val cols = Seq("doc_id", "fixed_text", "n_fixes")
+    val streamed = spark.table("mj_out")
+      .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === Seq(
+      (1L, "café it’s fine", 2L),
+      (2L, "clean", 0L),
+      (3L, "late “quoted… ñ", 3L)))
+    val batch = graft.llm.TextAnalysis.mojibakeFix(
+        spark.read.schema(docSchema).parquet(dir), "text")
+      .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
