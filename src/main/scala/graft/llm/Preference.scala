@@ -1,7 +1,7 @@
 package graft.llm
 
-import graft.engine.Dist
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Preference-data and model-evaluation operators for a training-data
@@ -143,56 +143,59 @@ object Preference {
 
   /** Cohen's kappa between two deterministic labelers, with the full
     * confusion matrix: per (label_a, label_b) cell counts plus the
-    * agreement scalars attached to every row (the
-    * [[TextAnalysis.lrCalibration]] reporting shape — cell grain +
-    * pinned broadcast scalar cross). po_ppm is exact integer
-    * (agree·10^6 DIV total, both non-negative); pe and kappa are a
-    * FIXED-ORDER IEEE double sequence from the exact integer counts —
-    * pe = peNum / (total · total), kappa = (po − pe) / (1 − pe) —
-    * identical bit-for-bit on any IEEE engine fed the same integers
-    * (peNum is exact while below 2^53; beyond that both engines round
-    * the same cast). Degenerate case pe = 1 (a single observed class
-    * on both sides) yields kappa NULL — chance agreement saturates
-    * and the statistic is undefined.
+    * agreement scalars attached to every row. po_ppm is exact integer
+    * (agree·10^6 / total, both non-negative, truncating); pe and
+    * kappa are a FIXED-ORDER IEEE double sequence from the exact
+    * integer counts — pe = peNum / (total · total),
+    * kappa = (po − pe) / (1 − pe) — identical bit-for-bit on any IEEE
+    * engine fed the same integers (peNum is exact in BigInt; the
+    * DuckDB oracle's HUGEINT cast rounds the same way past 2^53).
+    * Degenerate case pe = 1 (a single observed class on both sides)
+    * yields kappa NULL — chance agreement saturates and the statistic
+    * is undefined.
     *
     * Scale shape: ONE corpus aggregate on the bounded class-pair key;
-    * marginals, peNum, and the scalars all derive from the pinned
-    * ≤ classes² confusion frame (broadcast-scale).
+    * the ≤ classes² cell frame is a bounded fit-collect (`maxCells`
+    * plan-time guard) and the marginal/kappa tail replays DRIVER-SIDE
+    * (the BPE-merge-loop / Hamilton-quota pattern — the relational
+    * form spent ~8 tiny jobs on a frame of a dozen rows; the
+    * driver replay is one corpus job + one local result).
     */
-  def annotatorKappa(df: DataFrame, labelA: Column, labelB: Column)
-      : DataFrame = {
+  def annotatorKappa(df: DataFrame, labelA: Column, labelB: Column,
+      maxCells: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val conf = df
       .select(labelA.cast("string").as("label_a"),
         labelB.cast("string").as("label_b"))
       .groupBy("label_a", "label_b")
       .agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint() // cell frame feeds marginals + scalars + output
-    val rows = conf.groupBy(col("label_a").as("__cls"))
-      .agg(sum(col("n")).as("__row_n"))
-    val cols = conf.groupBy(col("label_b").as("__cls"))
-      .agg(sum(col("n")).as("__col_n"))
+      .collect() // bounded fit-collect, guarded below
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(conf.length <= maxCells,
+      s"annotatorKappa: ${conf.length} confusion cells exceeds " +
+        s"maxCells=$maxCells — the label frame must stay tiny")
+    val total = conf.map(_._3).sum
+    val agree = conf.filter(c => c._1 == c._2).map(_._3).sum
     // peNum = sum_k rowsum_k * colsum_k over the UNION of observed
-    // classes (a class only one labeler emits contributes 0)
-    val peNum = rows.join(cols, Seq("__cls"), "full_outer")
-      .select((coalesce(col("__row_n"), lit(0L)).cast("decimal(19,0)") *
-        coalesce(col("__col_n"), lit(0L)).cast("decimal(19,0)"))
-        .as("__prod"))
-      .agg(sum(col("__prod")).as("__pe_num"))
-    val scal = conf.agg(
-        sum(col("n")).cast("long").as("n_total"),
-        sum(when(col("label_a") === col("label_b"), col("n"))
-          .otherwise(lit(0L))).cast("long").as("n_agree"))
-      .crossJoin(broadcast(peNum))
-      .withColumn("po_ppm", expr("n_agree * 1000000L DIV n_total"))
-      .withColumn("pe", expr(
-        "CAST(__pe_num AS DOUBLE) / " +
-          "(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))"))
-      .withColumn("kappa", expr(
-        "CASE WHEN 1.0D - pe = 0.0D THEN CAST(NULL AS DOUBLE) " +
-          "ELSE (CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) " +
-          "- pe) / (1.0D - pe) END"))
-      .drop("__pe_num")
-    conf.crossJoin(broadcast(scal))
+    // classes (a class only one labeler emits contributes 0); exact
+    // in BigInt, order-independent
+    val rowN = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      .toMap.withDefaultValue(0L)
+    val colN = conf.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      .toMap.withDefaultValue(0L)
+    val classes = (conf.map(_._1) ++ conf.map(_._2)).distinct
+    val peNum = classes.map(k => BigInt(rowN(k)) * BigInt(colN(k))).sum
+    // the same fixed-order IEEE sequence the DuckDB oracle runs
+    val poPpm = if (total == 0) 0L else agree * 1000000L / total
+    val pe = peNum.toDouble / (total.toDouble * total.toDouble)
+    val kappa: Option[Double] =
+      if (1.0 - pe == 0.0) None
+      else Some((agree.toDouble / total.toDouble - pe) / (1.0 - pe))
+    conf.toSeq.map { case (a, b, n) =>
+      (a, b, n, total, agree, poPpm, pe, kappa)
+    }.toDF("label_a", "label_b", "n", "n_total", "n_agree", "po_ppm",
+      "pe", "kappa")
   }
 
   /** Exact Mann-Whitney AUC + a `bins`-point ROC curve from a frame
@@ -200,8 +203,9 @@ object Preference {
     * `scoreMicro`, pre-clamped by the caller) and a boolean `label`.
     * U is computed from the SCORE HISTOGRAM, never from a global
     * rank: group to ≤ 2·10^6+1 distinct-score rows (bounded at any
-    * corpus size), prefix-sum the negatives ([[Dist.prefixSum]] —
-    * range-partitioned, zero unpartitioned windows), and fold
+    * corpus size), prefix-sum the negatives (hash-bucketed subtotal +
+    * broadcast predecessor offsets + bucket-partitioned local window —
+    * zero unpartitioned windows, zero range-sampling passes), and fold
     * 2U = Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s)) — the tie term is
     * the standard half-credit, kept integral by working with 2U.
     * Products accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB)
@@ -214,11 +218,34 @@ object Preference {
   def aucFromScores(scored: DataFrame, scoreMicro: String,
       label: String, bins: Int = 16): DataFrame = {
     require(bins >= 2 && bins <= 1000, "need 2 <= bins <= 1000")
+    // ONE pin, placed BEFORE any prefix machinery: the histogram's
+    // upstream (the caller's scoring chain) is the expensive part,
+    // and Dist.prefixSum's repartitionByRange would execute it TWICE
+    // (the RangePartitioner's sampling pass + the materializing
+    // pass — measured 20 jobs / 6.0 s vs lr_calibration's 8 / 2.5 at
+    // sf0.1). The micro-score key is integer-bucketable, so the
+    // prefix runs as prefixSum's own shape with a HASH-partitioned
+    // derived bucket instead of a sampled range: ≤ ~977 buckets of
+    // ≤ 2048 keys each, subtotals + broadcast predecessor offsets +
+    // a bucket-partitioned local window. Zero unpartitioned windows,
+    // zero extra passes over the scoring chain.
     val hist = scored.groupBy(col(scoreMicro).as("smc"))
       .agg(expr(s"CAST(count_if($label) AS BIGINT)").as("n_pos"),
         expr(s"CAST(count_if(NOT $label) AS BIGINT)").as("n_neg"))
-    val h2 = Dist.prefixSum(hist, Seq(col("smc")), "n_neg", "cum_neg")
-      .localCheckpoint() // feeds the AUC fold AND the ROC binning
+      .withColumn("__bkt", expr("(smc + 1000000L) DIV 2048L"))
+      .localCheckpoint()
+    val bsub = hist.groupBy(col("__bkt"))
+      .agg(sum(col("n_neg")).as("__bneg"))
+    val boff = bsub
+      .join(broadcast(bsub.select(col("__bkt").as("__qb"),
+        col("__bneg").as("__qn"))), col("__qb") < col("__bkt"), "left")
+      .groupBy(col("__bkt"))
+      .agg(coalesce(sum(col("__qn")), lit(0L)).as("__boff"))
+    val local = Window.partitionBy("__bkt").orderBy("smc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = hist.join(broadcast(boff), Seq("__bkt"))
+      .withColumn("cum_neg",
+        col("__boff") + sum(col("n_neg")).over(local))
     val scal = h2.agg(
         sum(col("n_pos")).cast("long").as("n_pos_total"),
         sum(col("n_neg")).cast("long").as("n_neg_total"),
@@ -232,12 +259,14 @@ object Preference {
           "CAST(n_pos_total AS DOUBLE) * " +
           "CAST(n_neg_total AS DOUBLE)) END"))
       .drop("__u2")
-    val binned = h2.groupBy(expr(
+    // ROC bins don't need the prefix — they read the pinned histogram
+    // directly; the tiny bin frame feeds both sides of the suffix
+    // self-join as a cheap post-pin recompute (no extra checkpoint)
+    val binned = hist.groupBy(expr(
         s"least((smc + 1000000L) * $bins DIV 2000000L, " +
           s"${bins - 1}L)").as("bin"))
       .agg(sum(col("n_pos")).cast("long").as("n_pos"),
         sum(col("n_neg")).cast("long").as("n_neg"))
-      .localCheckpoint() // tiny; pins the frame feeding both join sides
     binned.join(
         broadcast(binned.select(col("bin").as("__qb"),
           col("n_pos").as("__qp"), col("n_neg").as("__qn"))),
