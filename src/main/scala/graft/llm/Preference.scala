@@ -141,6 +141,72 @@ object Preference {
     }.toDF("item", "wins", "losses", "strength_micro")
   }
 
+  /** Transitivity audit of the preference win graph: per item, the
+    * majority-digraph degrees and the number of decided/cyclic
+    * triangles through it, plus corpus scalars — the intransitivity
+    * (Condorcet-cycle) rate is the standard noise gauge for judge or
+    * annotator preference data before fitting anything on it (a
+    * perfectly consistent judge yields 0 cycles; random preferences
+    * approach 250000 ppm). A pair is DECIDED when its two ordered win
+    * counts differ; the majority direction is its edge. A triangle is
+    * three mutually decided items; it is either transitive or a
+    * 3-cycle.
+    *
+    * Scale shape: ONE corpus aggregate on the bounded (winner, loser)
+    * key; the ≤ items² win matrix is a bounded fit-collect
+    * (`maxItems` guard, default tighter than [[bradleyTerry]]'s
+    * because the triangle walk is O(items³) driver-side — 4·10^6
+    * triples at 256 items, microseconds) and the digraph audit
+    * replays driver-side. The DuckDB oracle replays it relationally
+    * over the same tiny frames.
+    */
+  def prefCycles(pairs: DataFrame, winner: String = "winner_item",
+      loser: String = "loser_item", maxItems: Int = 256): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val wl = pairs.groupBy(col(winner).as("w"), col(loser).as("l"))
+      .agg(count(lit(1)).as("wins"))
+      .collect() // bounded fit-collect: <= maxItems^2 by require
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = (wl.map(_._1) ++ wl.map(_._2)).distinct.sorted
+    require(items.length <= maxItems,
+      s"prefCycles: ${items.length} distinct items exceeds " +
+        s"maxItems=$maxItems — the triangle walk must stay bounded")
+    val wins = wl.map { case (w, l, n) => (w, l) -> n }.toMap
+      .withDefaultValue(0L)
+    def edge(i: String, j: String): Boolean = wins((i, j)) > wins((j, i))
+    def decided(i: String, j: String): Boolean =
+      wins((i, j)) != wins((j, i))
+    val outDeg = items.map(i =>
+      i -> items.count(j => j != i && edge(i, j))).toMap
+    val inDeg = items.map(i =>
+      i -> items.count(j => j != i && edge(j, i))).toMap
+    // per-item triangle counts over unordered co-member pairs {j, k}
+    val tri = scala.collection.mutable.Map(items.map(_ -> 0L): _*)
+    val cyc = scala.collection.mutable.Map(items.map(_ -> 0L): _*)
+    for {
+      a <- items.indices; b <- (a + 1) until items.length
+      c <- (b + 1) until items.length
+      (i, j, k) = (items(a), items(b), items(c))
+      if decided(i, j) && decided(j, k) && decided(i, k)
+    } {
+      tri(i) += 1; tri(j) += 1; tri(k) += 1
+      // a decided triangle is cyclic iff no vertex beats both others
+      val cyclic = !((edge(i, j) && edge(i, k)) ||
+        (edge(j, i) && edge(j, k)) || (edge(k, i) && edge(k, j)))
+      if (cyclic) { cyc(i) += 1; cyc(j) += 1; cyc(k) += 1 }
+    }
+    val nEdges = items.map(outDeg(_).toLong).sum
+    val nTri = tri.values.sum / 3
+    val nCyc = cyc.values.sum / 3
+    val cycPpm = if (nTri == 0) 0L else nCyc * 1000000L / nTri
+    items.toSeq.map { i =>
+      (i, outDeg(i).toLong, inDeg(i).toLong, tri(i), cyc(i),
+        items.length.toLong, nEdges, nTri, nCyc, cycPpm)
+    }.toDF("item", "out_deg", "in_deg", "n_tri", "n_cyc", "n_items",
+      "n_edges", "n_triangles", "n_cycles", "cycle_ppm")
+  }
+
   /** Cohen's kappa between two deterministic labelers, with the full
     * confusion matrix: per (label_a, label_b) cell counts plus the
     * agreement scalars attached to every row. po_ppm is exact integer

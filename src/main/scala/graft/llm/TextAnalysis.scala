@@ -3934,4 +3934,50 @@ object TextAnalysis {
           "(length(__mj3) - length(fixed_text)) AS BIGINT)"))
       .drop("__mj3")
   }
+
+  /** Machine-text telemetry: sentence-length BURSTINESS — natural
+    * prose mixes short and long sentences (high variance); template-
+    * or model-generated text is conspicuously uniform. Emits, per
+    * document, the sentence count, exact token-count sums
+    * (Σx and Σx²) over the sentence lengths, the integer-ppm mean
+    * sentence length, and `burstiness_ppm` — the squared coefficient
+    * of variation CV² = Var/mean² = (n·Σx² − (Σx)²) / (Σx)², exact in
+    * ppm because numerator and denominator are integers (0 for
+    * perfectly uniform lengths, growing with spread). Sentences are
+    * the non-empty `[.!?]+` splits; token counts are non-empty space
+    * splits.
+    *
+    * BOUNDED-WINDOW CONTRACT (the Gopher-gate discipline): signals
+    * read the FIRST 1024 sentences, each capped at 1023 tokens, so
+    * every product is provably inside BIGINT
+    * ((n·Σx²)·10^6 ≤ 1.1·10^18) on both engines — a pathological
+    * document cannot silently wrap the arithmetic. Entirely row-local
+    * HOFs inside one projection: no shuffle, no state,
+    * streaming-safe.
+    */
+  def syntheticSignals(df: DataFrame, text: String): DataFrame = {
+    val clash = Seq("n_sent", "sum_len", "sum_len2", "mean_sent_ppm",
+      "burstiness_ppm", "__ss_lens").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"syntheticSignals: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df.withColumn("__ss_lens", expr(
+        s"""transform(slice(filter(transform(split($text, '[.!?]+'),
+           s -> size(filter(split(trim(s), ' '), t -> t != ''))),
+           c -> c > 0), 1, 1024), c -> CAST(least(c, 1023) AS BIGINT))"""))
+      .withColumn("n_sent",
+        expr("CAST(size(__ss_lens) AS BIGINT)"))
+      .withColumn("sum_len",
+        expr("aggregate(__ss_lens, 0L, (a, x) -> a + x)"))
+      .withColumn("sum_len2",
+        expr("aggregate(__ss_lens, 0L, (a, x) -> a + x * x)"))
+      .withColumn("mean_sent_ppm", expr(
+        "CASE WHEN n_sent = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE sum_len * 1000000L DIV n_sent END"))
+      .withColumn("burstiness_ppm", expr(
+        "CASE WHEN sum_len = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (n_sent * sum_len2 - sum_len * sum_len) * 1000000L " +
+          "DIV (sum_len * sum_len) END"))
+      .drop("__ss_lens")
+  }
 }

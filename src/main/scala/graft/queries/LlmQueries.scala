@@ -827,6 +827,38 @@ object LlmQueries {
         t(s, d, "documents"), "doc_id", "source", "n_chars"))
         .orderBy("item")
     }),
+    // transitivity audit of the preference win digraph (round-17):
+    // per-item degrees + decided/cyclic triangle counts, corpus
+    // Condorcet-cycle rate — the judge-noise gauge read before
+    // fitting Bradley-Terry on preference data
+    "pref_cycles" -> ((s, d) => {
+      // strides {1,7,8}: 1+7=8 closes comparison triangles (the
+      // {1,7} pair set used by pref_pairs/bradley_terry can never
+      // form one — every decided pair differs by 1 or 7, and no two
+      // of those sum to a third), so the cyclic/transitive split is
+      // actually exercised
+      Preference.prefCycles(Preference.prefPairs(
+        t(s, d, "documents"), "doc_id", "source", "n_chars",
+        strides = Seq(1L, 7L, 8L)))
+        .orderBy("item")
+    }),
+    // machine-text telemetry (round-17): sentence-length burstiness
+    // (exact CV² ppm) under the bounded 1024×1023 window — uniform
+    // sentence lengths flag template/model-generated text; row-local
+    "synthetic_signals" -> ((s, d) => {
+      // the synthetic corpus has no sentence terminators (every doc
+      // reads as ONE sentence — burstiness degenerately 0), so plant
+      // them deterministically: common stopwords become sentence
+      // breaks, giving naturally varying sentence lengths on both
+      // engines
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        expr("replace(replace(text, ' the ', '. '), ' a ', '! ')")
+          .as("text"))
+      TextAnalysis.syntheticSignals(planted, "text")
+        .select("doc_id", "n_sent", "sum_len", "sum_len2",
+          "mean_sent_ppm", "burstiness_ppm")
+        .orderBy("doc_id")
+    }),
     // Cohen's kappa between two deterministic labelers (round-17):
     // char-band vs token-band quality labels, full confusion matrix
     // + integer po_ppm + fixed-order IEEE pe/kappa attached via the
@@ -2536,23 +2568,23 @@ object LlmQueries {
        |  FROM lx)""".stripMargin
   }
 
-  /** The shared stride-1/stride-7 preference-pair CTE body (`p` with
-    * columns id_a/id_b/item_a/item_b/sa/sb and the winner/loser CASE
-    * pair) — [[graft.llm.Preference.prefPairs]]'s exact rule: longer
-    * document wins, integer tie to the lexicographically smaller
-    * source (both engines compare ASCII source names bytewise).
+  /** The shared preference-pair CTE body for the given stride set
+    * (`pp` with the winner/loser CASE pair) —
+    * [[graft.llm.Preference.prefPairs]]'s exact rule: longer document
+    * wins, integer tie to the lexicographically smaller source (both
+    * engines compare ASCII source names bytewise). Default strides
+    * (1, 7) match `pref_pairs`/`bradley_terry`; `pref_cycles` adds 8
+    * so comparison triangles exist at all.
     */
-  private val duckPrefPairs: String =
-    """pp0 AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    a.source AS item_a, b.source AS item_b,
-      |    a.n_chars AS sa, b.n_chars AS sb
-      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-      |  UNION ALL
-      |  SELECT a.doc_id, b.doc_id, a.source, b.source,
-      |    a.n_chars, b.n_chars
-      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7),
-      |pp AS (
+  private def duckPrefPairs(strides: Seq[Long] = Seq(1L, 7L)): String =
+    strides.map(k =>
+      s"""  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.source AS item_a, b.source AS item_b,
+         |    a.n_chars AS sa, b.n_chars AS sb
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = a.doc_id + $k""".stripMargin)
+      .mkString("pp0 AS (\n", "\n  UNION ALL\n", ") ,\n") +
+    """pp AS (
       |  SELECT id_a, id_b, item_a, item_b,
       |    CASE WHEN sa > sb THEN item_a WHEN sa < sb THEN item_b
       |         WHEN item_a < item_b THEN item_a ELSE item_b END
@@ -2587,7 +2619,7 @@ object LlmQueries {
          |    JOIN s${k - 1} sj ON sj.item = nm.j
          |    GROUP BY nm.i) d ON d.item = w.item)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $duckPrefPairs,
+    s"""WITH ${duckPrefPairs()},
        |wl AS MATERIALIZED (
        |  SELECT winner_item AS w, loser_item AS l,
        |    CAST(count(*) AS BIGINT) AS wins
@@ -3611,7 +3643,7 @@ object LlmQueries {
     // stride-join preference pairs: winner/loser CASE shared with the
     // Bradley-Terry oracle via the pp CTE
     "pref_pairs" ->
-      s"""WITH $duckPrefPairs
+      s"""WITH ${duckPrefPairs()}
          |SELECT id_a, id_b, item_a, item_b, winner_item, loser_item
          |FROM pp ORDER BY id_a, id_b""".stripMargin,
     // fixed-iteration integer MM replay in HUGEINT — generated from
@@ -3660,6 +3692,103 @@ object LlmQueries {
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
     // plant + repair replay with chains generated from mojibakeMap
     "mojibake_fix" -> duckMojibake,
+    // win-digraph transitivity audit replay: ordered duel matrix from
+    // the shared pair CTE, decided triangles a<b<c with the
+    // no-vertex-beats-both cyclic test, per-item membership via the
+    // 3-way rotation union — all tiny MATERIALIZED frames
+    "pref_cycles" ->
+      s"""WITH ${duckPrefPairs(Seq(1L, 7L, 8L))},
+         |wl AS MATERIALIZED (
+         |  SELECT winner_item AS w, loser_item AS l,
+         |    CAST(count(*) AS BIGINT) AS wins
+         |  FROM pp GROUP BY 1, 2),
+         |it AS MATERIALIZED (
+         |  SELECT DISTINCT item FROM (
+         |    SELECT w AS item FROM wl UNION ALL SELECT l AS item FROM wl)),
+         |wm AS MATERIALIZED (
+         |  SELECT a.item AS i, b.item AS j,
+         |    CAST(coalesce(wl.wins, 0) AS BIGINT) AS wij
+         |  FROM it a JOIN it b ON a.item <> b.item
+         |  LEFT JOIN wl ON wl.w = a.item AND wl.l = b.item),
+         |duel AS MATERIALIZED (
+         |  SELECT x.i, x.j, x.wij, y.wij AS wji,
+         |    CASE WHEN x.wij > y.wij THEN 1 ELSE 0 END AS win
+         |  FROM wm x JOIN wm y ON y.i = x.j AND y.j = x.i),
+         |tric AS MATERIALIZED (
+         |  SELECT ab.i AS a, ab.j AS b, bc.j AS c,
+         |    CASE WHEN (ab.win = 1 AND ac.win = 1)
+         |           OR (ab.win = 0 AND bc.win = 1)
+         |           OR (ac.win = 0 AND bc.win = 0) THEN 0
+         |         ELSE 1 END AS cyc
+         |  FROM duel ab
+         |  JOIN duel bc ON bc.i = ab.j
+         |  JOIN duel ac ON ac.i = ab.i AND ac.j = bc.j
+         |  WHERE ab.i < ab.j AND bc.i < bc.j
+         |    AND ab.wij <> ab.wji AND bc.wij <> bc.wji
+         |    AND ac.wij <> ac.wji),
+         |od AS (SELECT i AS item, CAST(sum(win) AS BIGINT) AS out_deg
+         |  FROM duel GROUP BY i),
+         |idg AS (SELECT j AS item, CAST(sum(win) AS BIGINT) AS in_deg
+         |  FROM duel GROUP BY j),
+         |trii AS (
+         |  SELECT item, CAST(count(*) AS BIGINT) AS n_tri,
+         |    CAST(sum(cyc) AS BIGINT) AS n_cyc
+         |  FROM (SELECT a AS item, cyc FROM tric
+         |    UNION ALL SELECT b AS item, cyc FROM tric
+         |    UNION ALL SELECT c AS item, cyc FROM tric)
+         |  GROUP BY item),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+         |    CAST(coalesce(sum(cyc), 0) AS BIGINT) AS n_cycles
+         |  FROM tric),
+         |ne AS (SELECT CAST(coalesce(sum(win), 0) AS BIGINT)
+         |  AS n_edges FROM duel),
+         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM it)
+         |SELECT it.item,
+         |  CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+         |  CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg,
+         |  CAST(coalesce(trii.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(coalesce(trii.n_cyc, 0) AS BIGINT) AS n_cyc,
+         |  ni.n_items, ne.n_edges, tot.n_triangles, tot.n_cycles,
+         |  CAST(CASE WHEN tot.n_triangles = 0 THEN 0
+         |       ELSE tot.n_cycles * 1000000 // tot.n_triangles END
+         |    AS BIGINT) AS cycle_ppm
+         |FROM it
+         |LEFT JOIN od ON od.item = it.item
+         |LEFT JOIN idg ON idg.item = it.item
+         |LEFT JOIN trii ON trii.item = it.item, ni, ne, tot
+         |ORDER BY it.item""".stripMargin,
+    // burstiness replay: identical bounded-window HOF chain
+    // (list_slice/least caps) with init-via-prepend integer folds
+    "synthetic_signals" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_transform(list_slice(list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+'),
+        |      s -> len(list_filter(string_split(trim(s), ' '),
+        |        t -> t != ''))),
+        |      c -> c > 0), 1, 1024),
+        |      c -> CAST(least(c, 1023) AS BIGINT)) AS lens
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(len(lens) AS BIGINT) AS n_sent,
+        |    CAST(list_reduce(list_prepend(0, lens),
+        |      (x, y) -> x + y) AS BIGINT) AS sum_len,
+        |    CAST(list_reduce(list_prepend(0,
+        |      list_transform(lens, c -> c * c)),
+        |      (x, y) -> x + y) AS BIGINT) AS sum_len2
+        |  FROM l)
+        |SELECT doc_id, n_sent, sum_len, sum_len2,
+        |  CASE WHEN n_sent = 0 THEN NULL
+        |       ELSE sum_len * 1000000 // n_sent END AS mean_sent_ppm,
+        |  CASE WHEN sum_len = 0 THEN NULL
+        |       ELSE (n_sent * sum_len2 - sum_len * sum_len) * 1000000
+        |         // (sum_len * sum_len) END AS burstiness_ppm
+        |FROM a ORDER BY doc_id""".stripMargin
+      .replace("FROM documents",
+        "FROM (SELECT doc_id, replace(replace(text, ' the ', '. '), " +
+          "' a ', '! ') AS text FROM documents)"),
     // FIM split replay: the 60-bit md5-prefix hash drives both cut
     // points and the PSM/SPM deal; all cut arithmetic is integer on
     // non-negative operands (DIV/% agree across engines), substring

@@ -68,6 +68,63 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("prefCycles: cyclic vs transitive triangles, degrees, and the " +
+      "undecided-pair rule") {
+    // a>b, b>c, c>a (a 3-cycle) and a>d, b>d, c>d (d loses out) —
+    // triangles: {a,b,c} cyclic; {a,b,d},{b,c,d},{a,c,d} transitive
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+      ("b", "d"), ("c", "d")).toDF("winner_item", "loser_item")
+    val out = Preference.prefCycles(pairs).orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(7), r.getLong(8),
+        r.getLong(9)))
+    // (item, out, in, tri, cyc, n_triangles, n_cycles, cycle_ppm)
+    assert(out === Array(
+      ("a", 2L, 1L, 3L, 1L, 4L, 1L, 250000L),
+      ("b", 2L, 1L, 3L, 1L, 4L, 1L, 250000L),
+      ("c", 2L, 1L, 3L, 1L, 4L, 1L, 250000L),
+      ("d", 0L, 3L, 3L, 0L, 4L, 1L, 250000L)))
+    // an exactly-tied pair is UNDECIDED: with a<->b 1:1 the {a,b,c}
+    // triangle dissolves and no cycle can exist
+    val tied = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"))
+      .toDF("winner_item", "loser_item")
+    val t2 = Preference.prefCycles(tied).orderBy("item").collect()
+    assert(t2.forall(r => r.getLong(7) === 0L)) // n_triangles
+    assert(t2.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 0L), ("b", 1L), ("c", 1L))) // ties add no out-degree
+  }
+
+  test("syntheticSignals: exact CV² ppm, single-sentence zero, " +
+      "bounded-window caps, empty-text nulls") {
+    val df = Seq(
+      (0L, "one two three. four five six."),      // uniform: CV² = 0
+      (1L, "a b c d e f. g h."),                  // lens 6,2: CV² = 1/4
+      (2L, "no terminator here at all"),          // one sentence -> 0
+      (3L, ""),                                   // no sentences
+      (4L, "w! x? y. z.")                          // four 1-token sents
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.syntheticSignals(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    // (n_sent, sum_len, sum_len2, burstiness_ppm)
+    assert(out(0) === ((2L, 6L, 18L, 0L)))        // 3,3 uniform
+    assert(out(1) === ((2L, 8L, 40L, 250000L)))   // (2*40-64)/64
+    assert(out(2)._1 === 1L && out(2)._4 === 0L)
+    assert(out(3) === ((0L, 0L, 0L, -1L)))        // NULL signals
+    assert(out(4) === ((4L, 4L, 4L, 0L)))
+    // caps: 2000 1-token sentences -> only the first 1024 counted
+    val many = Seq((0L, Seq.fill(2000)("w.").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.syntheticSignals(many, "text").collect()(0)
+    assert(m.getLong(2) === 1024L && m.getLong(3) === 1024L)
+    // token cap: one 5000-token sentence counts as 1023
+    val long = Seq((0L, Seq.fill(5000)("w").mkString(" ") + "."))
+      .toDF("doc_id", "text")
+    val l = TextAnalysis.syntheticSignals(long, "text").collect()(0)
+    assert(l.getLong(3) === 1023L)
+  }
+
   test("annotatorKappa: perfect agreement = exactly 1.0; constant " +
       "labeler = exactly 0.0; both-constant degenerates to NULL") {
     val df = Seq("p", "p", "p", "q", "q", "r").toDF("lab")
