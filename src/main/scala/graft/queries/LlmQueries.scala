@@ -872,6 +872,19 @@ object LlmQueries {
           "THEN 'mid' ELSE 'long' END"))
         .orderBy("label_a", "label_b")
     }),
+    // model-gate vs heuristic agreement (round-17): Cohen's kappa
+    // between the LR gate's keep decision and the heuristic quality
+    // label — with lr_calibration (is p̂ honest) and lr_auc (does the
+    // ranking separate), this completes the gate-evaluation trio
+    // (does the DECISION agree with what it replaces)
+    "lr_agreement" -> ((s, d) => {
+      val scored = TextAnalysis.withLrGate(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", dim = 32)
+      Preference.annotatorKappa(scored, col("keep"),
+        TextAnalysis.qualityScoreExpr("text") >= lit(0.5))
+        .orderBy("label_a", "label_b")
+    }),
     // mojibake repair (round-17): plant CP1252 double-encoding
     // corruption on two thirds of the corpus deterministically, then
     // undo it with the pinned replace chain — fix accounting from the
@@ -3690,6 +3703,48 @@ object LlmQueries {
         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
         |  END AS kappa
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // gate-vs-heuristic kappa: the lrz keep decision and the quality
+    // label as boolean-string labelers through the same confusion /
+    // class-union-marginal / fixed-order-IEEE replay as
+    // annotator_kappa
+    "lr_agreement" ->
+      s"""WITH $duckLrChain,
+         |lab AS (
+         |  SELECT CAST(l.z >= 0.0 AS VARCHAR) AS label_a,
+         |    CAST((round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6)
+         |      >= 0.5) AS VARCHAR) AS label_b
+         |  FROM lrz l JOIN documents d ON l.doc_id = d.doc_id),
+         |conf AS MATERIALIZED (
+         |  SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n
+         |  FROM lab GROUP BY 1, 2),
+         |r AS (SELECT label_a AS cls, CAST(sum(n) AS BIGINT) AS row_n
+         |  FROM conf GROUP BY 1),
+         |c AS (SELECT label_b AS cls, CAST(sum(n) AS BIGINT) AS col_n
+         |  FROM conf GROUP BY 1),
+         |pe AS (
+         |  SELECT sum(CAST(coalesce(r.row_n, 0) AS HUGEINT) *
+         |             CAST(coalesce(c.col_n, 0) AS HUGEINT)) AS pe_num
+         |  FROM r FULL OUTER JOIN c ON r.cls = c.cls),
+         |sc AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
+         |      AS BIGINT) AS n_agree
+         |  FROM conf),
+         |k AS (
+         |  SELECT n_total, n_agree,
+         |    CAST(n_agree * 1000000 // n_total AS BIGINT) AS po_ppm,
+         |    CAST(pe_num AS DOUBLE) /
+         |      (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS pe
+         |  FROM sc, pe)
+         |SELECT conf.label_a, conf.label_b, conf.n, k.n_total,
+         |  k.n_agree, k.po_ppm, k.pe,
+         |  CASE WHEN 1.0 - k.pe = 0.0 THEN NULL
+         |       ELSE (CAST(k.n_agree AS DOUBLE) /
+         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
+         |  END AS kappa
+         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
     // plant + repair replay with chains generated from mojibakeMap
     "mojibake_fix" -> duckMojibake,
     // win-digraph transitivity audit replay: ordered duel matrix from

@@ -434,6 +434,17 @@ object StreamingDedup {
   def mojibakeStage(docs: DataFrame, text: String): DataFrame =
     TextAnalysis.mojibakeFix(docs, text)
 
+  /** Streaming MACHINE-TEXT-TELEMETRY stage: append
+    * [[TextAnalysis.syntheticSignals]]'s bounded-window sentence
+    * burstiness columns to a live feed — row-local HOFs over the
+    * record's own text, zero state, any output mode; a late arrival
+    * gets the identical integer signals the batch pass computes
+    * (spec-pinned parity), so threshold gates downstream agree
+    * across the batch/streaming split.
+    */
+  def syntheticStage(docs: DataFrame, text: String): DataFrame =
+    TextAnalysis.syntheticSignals(docs, text)
+
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc
     * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
     * columns) to a live feed — entirely row-local (per-record HOFs

@@ -1789,4 +1789,42 @@ class StreamingSpec extends AnyFunSuite {
       .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming burstiness stage equals the batch signals on a " +
+      "late arrival") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("ss_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ss_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "one two three. four five six."), (2L, "no breaks"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.syntheticStage(stream, "text")
+      .writeStream.format("memory").queryName("ss_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "a b c d e f. g h."))
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("doc_id", "n_sent", "sum_len", "sum_len2",
+      "burstiness_ppm")
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    val streamed = spark.table("ss_out")
+      .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === Seq(
+      (1L, 2L, 6L, 18L, 0L),
+      (2L, 1L, 2L, 4L, 0L),
+      (3L, 2L, 8L, 40L, 250000L)))
+    val batch = graft.llm.TextAnalysis.syntheticSignals(
+        spark.read.schema(docSchema).parquet(dir), "text")
+      .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
