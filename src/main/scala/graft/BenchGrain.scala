@@ -129,5 +129,12 @@ object BenchGrain {
     "embed_lsh_simjoin" -> 0.4, "f3_bround_ties" -> 0.4,
     "link_graph" -> 0.4, "novelty_score" -> 0.4,
     "partition_prune" -> 0.4, "pq_centroids" -> 0.4,
-    "text_stats" -> 0.4, "triplet_mine" -> 0.4)
+    "text_stats" -> 0.4, "triplet_mine" -> 0.4,
+    // round-17 session-3 wave over the new preference/eval rows
+    // (same-window full vs 0.4 A/B, n>=2): these three measured
+    // 0.60-0.80x (volume-bound) and survive; lr_auc measured 1.00x —
+    // its cost is the histogram-prefix machinery's stage floor, not
+    // row volume — and stays full-grain
+    "bradley_terry" -> 0.4, "mojibake_fix" -> 0.4,
+    "lr_agreement" -> 0.4)
 }

@@ -1285,4 +1285,71 @@ class PropertySpec extends AnyFunSuite {
       new UnigramVocab(Array(emoji -> 3L)), maxPiece, 5)
     assert(long.getUTF8String(3).toString === UnigramViterbi.LongPiece)
   }
+
+  test("annotatorKappa is symmetric in its labelers; bradleyTerry is " +
+      "label-renaming equivariant") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Preference
+    (1 to 5).foreach { _ =>
+      val rows = (0 until 60).map { _ =>
+        (s"c${rnd.nextInt(3)}", s"c${rnd.nextInt(3)}") }
+      val df = rows.toDF("a", "b")
+      val k1 = Preference.annotatorKappa(df, col("a"), col("b"))
+        .select("po_ppm", "pe", "kappa").distinct().collect()(0)
+      val k2 = Preference.annotatorKappa(df, col("b"), col("a"))
+        .select("po_ppm", "pe", "kappa").distinct().collect()(0)
+      // po is trivially symmetric; pe swaps row/col marginals inside
+      // a symmetric sum; kappa follows
+      assert(k1.getLong(0) === k2.getLong(0))
+      assert(k1.getDouble(1) === k2.getDouble(1))
+      assert(k1.getDouble(2) === k2.getDouble(2))
+    }
+    // renaming items by a strictly ORDER-PRESERVING map permutes
+    // nothing and must carry strengths over unchanged (the only
+    // name-dependence in the fit is the deterministic tie ordering,
+    // which an order-preserving rename keeps intact)
+    val pairs = (0 until 80).map { _ =>
+      val i = rnd.nextInt(4); var j = rnd.nextInt(4)
+      if (j == i) j = (j + 1) % 4
+      (s"i$i", s"i$j")
+    }
+    val base = pairs.toDF("winner_item", "loser_item")
+    val renamed = pairs.map { case (w, l) =>
+      (w.replace("i", "item_"), l.replace("i", "item_")) }
+      .toDF("winner_item", "loser_item")
+    val s1 = Preference.bradleyTerry(base).collect()
+      .map(r => r.getString(0).replace("i", "item_") -> r.getLong(3))
+      .toMap
+    val s2 = Preference.bradleyTerry(renamed).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(s1 === s2)
+  }
+
+  test("aucFromScores: label complement reflects AUC around 1/2; " +
+      "score translation leaves it unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Preference
+    (1 to 5).foreach { _ =>
+      val rows = (0 until 100).map { _ =>
+        (rnd.nextInt(2001).toLong - 1000L, rnd.nextBoolean()) }
+      val df = rows.toDF("smc", "label")
+      def auc(d: org.apache.spark.sql.DataFrame, lbl: String) =
+        Preference.aucFromScores(d, "smc", lbl)
+          .select("auc").distinct().collect()(0).getDouble(0)
+      val a = auc(df, "label")
+      // complement: u2' = 2·np·nn − u2 exactly; in doubles the two
+      // divisions share the denominator so the sum is 1 up to one ulp
+      val b = auc(df.withColumn("label2",
+        org.apache.spark.sql.functions.expr("NOT label")), "label2")
+      assert(math.abs(a + b - 1.0) < 1e-12, s"$a + $b")
+      // translating every score by a constant preserves the order
+      // and the histogram shape -> identical AUC bit-for-bit
+      val shifted = rows.map { case (s, l) => (s + 137L, l) }
+        .toDF("smc", "label")
+      assert(auc(shifted, "label") === a)
+    }
+  }
 }
