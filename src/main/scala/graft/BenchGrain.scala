@@ -136,5 +136,7 @@ object BenchGrain {
     // its cost is the histogram-prefix machinery's stage floor, not
     // row volume — and stays full-grain
     "bradley_terry" -> 0.4, "mojibake_fix" -> 0.4,
-    "lr_agreement" -> 0.4)
+    "lr_agreement" -> 0.4,
+    // score_tau kept at 0.44x full in its own same-window A/B
+    "score_tau" -> 0.4)
 }

@@ -264,6 +264,144 @@ object Preference {
       "pe", "kappa")
   }
 
+  /** Fleiss' kappa: chance-corrected agreement among `raters.size`
+    * (≥ 2) deterministic labelers over a FIXED category vocabulary —
+    * the multi-rater generalization of [[annotatorKappa]], the
+    * labeling-QA number reported when a gate ensemble (or an
+    * annotator pool) votes per document. Per item the category tally
+    * vector n_ij is row-local (each rater contributes one vote);
+    * the corpus reduces to ONE aggregate: N, S = Σ_i Σ_j n_ij², and
+    * the per-category vote totals c_j. Then
+    * P̄ = (S − N·n) / (N·n·(n−1)), P̄e = Σ_j c_j² / (N·n)², and
+    * kappa = (P̄ − P̄e)/(1 − P̄e) — a fixed-order IEEE sequence from
+    * exact integers (c_j² summed in BigInt; the oracle's HUGEINT
+    * matches), NULL when chance agreement saturates. A row where any
+    * rater votes OUTSIDE `categories` would silently skew the
+    * tallies, so the aggregate carries a violation counter and the
+    * operator fails loudly if it is nonzero.
+    *
+    * Output: one row per category (votes + vote share in ppm) with
+    * the corpus scalars attached.
+    */
+  def fleissKappa(df: DataFrame, raters: Seq[Column],
+      categories: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(raters.size >= 2, "need >= 2 raters")
+    require(categories.nonEmpty &&
+      categories.distinct.size == categories.size,
+      "categories must be non-empty and distinct")
+    val n = raters.size
+    val tallies = categories.map { cat =>
+      raters.map(r => when(r === lit(cat), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    val sumsq = tallies.map(t => t * t).reduce(_ + _)
+    val rowTot = tallies.reduce(_ + _)
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("__N"),
+      sum(sumsq).as("__S"),
+      sum(when(rowTot =!= lit(n.toLong), lit(1L)).otherwise(lit(0L)))
+        .as("__bad")) ++
+      categories.zipWithIndex.map { case (_, i) =>
+        sum(tallies(i)).as(s"__c$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nItems = row.getLong(0)
+    val s = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val bad = if (row.isNullAt(2)) 0L else row.getLong(2)
+    require(bad == 0L,
+      s"fleissKappa: $bad row(s) carry a vote outside the declared " +
+        s"categories ${categories.mkString("{", ", ", "}")}")
+    val c = categories.indices.map(i =>
+      if (row.isNullAt(3 + i)) 0L else row.getLong(3 + i))
+    val nn = nItems * n
+    val peNum = c.map(cj => BigInt(cj) * BigInt(cj)).sum
+    val (pbar, pe, kappa): (Option[Double], Option[Double],
+        Option[Double]) =
+      if (nItems == 0) (None, None, None)
+      else {
+        val pb = (s - nn).toDouble / (nn * (n - 1)).toDouble
+        val p = peNum.toDouble / (nn.toDouble * nn.toDouble)
+        (Some(pb), Some(p),
+          if (1.0 - p == 0.0) None else Some((pb - p) / (1.0 - p)))
+      }
+    categories.zipWithIndex.map { case (cat, i) =>
+      (cat, c(i), if (nn == 0) 0L else c(i) * 1000000L / nn,
+        nItems, n.toLong, s, pbar, pe, kappa)
+    }.toDF("category", "votes", "share_ppm", "n_items", "n_raters",
+      "sum_sq", "pbar", "pe", "kappa")
+  }
+
+  /** Kendall's tau-b rank agreement between two scorers, exact over
+    * BUCKETED scores: the caller quantizes both scores to integer
+    * buckets in [0, `buckets`) (the documented contract — tau over a
+    * 256-bucket quantization is the standard diagnostic for "do two
+    * quality scorers ORDER the corpus the same way", robust to
+    * monotone rescaling by construction), and the corpus reduces to
+    * ONE aggregate on the bounded (bx, by) key — ≤ buckets² cells at
+    * any corpus size. The concordant/discordant/tie pair counts then
+    * come from 2-D suffix sums over the dense bucket matrix
+    * driver-side (O(buckets²), exact in BigInt), and
+    * tau_b = (C − D) / sqrt((n0 − n1)·(n0 − n2)) is the pinned IEEE
+    * sequence (sqrt is correctly rounded, so both engines agree
+    * bit-for-bit on the same integers). Pair counts are emitted as
+    * DOUBLE (exact below 2^53; beyond that both engines round the
+    * same integer the same way).
+    */
+  def kendallTauB(df: DataFrame, bx: Column, by: Column,
+      buckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(buckets >= 2 && buckets <= 1024,
+      "need 2 <= buckets <= 1024")
+    val cells = df.select(bx.cast("int").as("bx"),
+        by.cast("int").as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).cast("long").as("n"))
+      .collect() // bounded fit-collect: <= buckets^2 rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    cells.foreach { case (x, y, _) =>
+      require(x >= 0 && x < buckets && y >= 0 && y < buckets,
+        s"kendallTauB: bucket ($x, $y) outside [0, $buckets)")
+    }
+    val m = Array.ofDim[Long](buckets, buckets)
+    cells.foreach { case (x, y, cnt) => m(x)(y) = cnt }
+    // suffix(x, y) = total count in the strict upper-right quadrant
+    val suf = Array.ofDim[BigInt](buckets + 1, buckets + 1)
+    for (r <- 0 to buckets; cl <- 0 to buckets)
+      suf(r)(cl) = BigInt(0)
+    for (r <- buckets - 1 to 0 by -1; cl <- buckets - 1 to 0 by -1)
+      suf(r)(cl) = suf(r + 1)(cl) + suf(r)(cl + 1) -
+        suf(r + 1)(cl + 1) + BigInt(m(r)(cl))
+    // pre(x, y): strict lower-right quadrant (bx' > x, by' < y)
+    var cPairs = BigInt(0); var dPairs = BigInt(0)
+    for (x <- 0 until buckets; y <- 0 until buckets if m(x)(y) > 0) {
+      val nCell = BigInt(m(x)(y))
+      cPairs += nCell * suf(x + 1)(y + 1)
+      // discordant: bx' > x AND by' < y = (all with bx' > x) minus
+      // (bx' > x, by' >= y)
+      val right = suf(x + 1)(0)
+      val rightGe = suf(x + 1)(y)
+      dPairs += nCell * (right - rightGe)
+    }
+    val nItems = cells.map(c => BigInt(c._3)).sum
+    def choose2(v: BigInt): BigInt = v * (v - 1) / 2
+    val n0 = choose2(nItems)
+    val rowTot = (0 until buckets).map(x =>
+      (0 until buckets).map(y => BigInt(m(x)(y))).sum)
+    val colTot = (0 until buckets).map(y =>
+      (0 until buckets).map(x => BigInt(m(x)(y))).sum)
+    val n1 = rowTot.map(choose2).sum
+    val n2 = colTot.map(choose2).sum
+    val tau: Option[Double] =
+      if ((n0 - n1) == 0 || (n0 - n2) == 0) None
+      else Some((cPairs - dPairs).toDouble /
+        math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble))
+    Seq((nItems.toLong, cells.length.toLong, cPairs.toDouble,
+      dPairs.toDouble, n0.toDouble, n1.toDouble, n2.toDouble, tau))
+      .toDF("n_items", "n_cells", "concordant", "discordant",
+        "pairs_total", "ties_x_pairs", "ties_y_pairs", "tau_b")
+  }
+
   /** Exact Mann-Whitney AUC + a `bins`-point ROC curve from a frame
     * carrying an integral micro score in [−10^6, 10^6] (column
     * `scoreMicro`, pre-clamped by the caller) and a boolean `label`.

@@ -872,6 +872,44 @@ object LlmQueries {
           "THEN 'mid' ELSE 'long' END"))
         .orderBy("label_a", "label_b")
     }),
+    // multi-rater agreement (round-17): Fleiss' kappa over three
+    // deterministic labelers (char band / token band / bpe-ish band,
+    // shared low/mid/high vocabulary) — the annotator-pool QA number;
+    // one corpus aggregate, driver-side finish
+    "fleiss_kappa" -> ((s, d) => {
+      Preference.fleissKappa(t(s, d, "documents"), Seq(
+        expr("CASE WHEN n_chars < 250 THEN 'low' " +
+          "WHEN n_chars < 380 THEN 'mid' ELSE 'high' END"),
+        expr("CASE WHEN size(split(trim(text), '\\\\s+')) < 45 " +
+          "THEN 'low' WHEN size(split(trim(text), '\\\\s+')) < 70 " +
+          "THEN 'mid' ELSE 'high' END"),
+        expr("CASE WHEN size(regexp_extract_all(text, " +
+          "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) < 45 THEN 'low' " +
+          "WHEN size(regexp_extract_all(text, " +
+          "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) < 80 THEN 'mid' " +
+          "ELSE 'high' END")),
+        Seq("low", "mid", "high"))
+        .orderBy("category")
+    }),
+    // rank agreement between the model scorer and the heuristic
+    // (round-17): Kendall tau-b over 256-bucket quantized scores —
+    // "do the two scorers ORDER the corpus the same way", the
+    // monotone-rescaling-robust cousin of lr_agreement's kappa
+    "score_tau" -> ((s, d) => {
+      val scored = TextAnalysis.withLrGate(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", dim = 32)
+        .withColumn("__sm", expr(
+          "CAST(round(lr_score * 1000000) AS BIGINT)"))
+        .withColumn("__smc", expr(
+          "least(greatest(__sm, -1000000L), 1000000L)"))
+        .withColumn("__q",
+          round(TextAnalysis.qualityScoreExpr("text") * lit(1000000))
+            .cast("long"))
+      Preference.kendallTauB(scored,
+        expr("least((__smc + 1000000L) * 256 DIV 2000000L, 255L)"),
+        expr("least(__q * 256 DIV 1000000L, 255L)"))
+    }),
     // model-gate vs heuristic agreement (round-17): Cohen's kappa
     // between the LR gate's keep decision and the heuristic quality
     // label — with lr_calibration (is p̂ honest) and lr_auc (does the
@@ -3703,6 +3741,119 @@ object LlmQueries {
         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
         |  END AS kappa
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // Fleiss replay: row-local tally vectors per category, one
+    // aggregate, then the identical fixed-order double sequence
+    "fleiss_kappa" ->
+      """WITH v AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 250 THEN 'low'
+        |         WHEN n_chars < 380 THEN 'mid' ELSE 'high' END AS ra,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 45
+        |           THEN 'low'
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 70
+        |           THEN 'mid' ELSE 'high' END AS rb,
+        |    CASE WHEN len(regexp_extract_all(text,
+        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) < 45 THEN 'low'
+        |         WHEN len(regexp_extract_all(text,
+        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) < 80 THEN 'mid'
+        |         ELSE 'high' END AS rc
+        |  FROM documents),
+        |tl AS (
+        |  SELECT
+        |    (CASE WHEN ra = 'low' THEN 1 ELSE 0 END
+        |     + CASE WHEN rb = 'low' THEN 1 ELSE 0 END
+        |     + CASE WHEN rc = 'low' THEN 1 ELSE 0 END) AS nl,
+        |    (CASE WHEN ra = 'mid' THEN 1 ELSE 0 END
+        |     + CASE WHEN rb = 'mid' THEN 1 ELSE 0 END
+        |     + CASE WHEN rc = 'mid' THEN 1 ELSE 0 END) AS nm,
+        |    (CASE WHEN ra = 'high' THEN 1 ELSE 0 END
+        |     + CASE WHEN rb = 'high' THEN 1 ELSE 0 END
+        |     + CASE WHEN rc = 'high' THEN 1 ELSE 0 END) AS nh
+        |  FROM v),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nit,
+        |    CAST(sum(nl * nl + nm * nm + nh * nh) AS BIGINT) AS s,
+        |    CAST(sum(nl) AS BIGINT) AS cl,
+        |    CAST(sum(nm) AS BIGINT) AS cm,
+        |    CAST(sum(nh) AS BIGINT) AS ch
+        |  FROM tl),
+        |k AS (
+        |  SELECT nit, s, cl, cm, ch, nit * 3 AS nn,
+        |    CAST(s - nit * 3 AS DOUBLE)
+        |      / CAST(nit * 3 * 2 AS DOUBLE) AS pbar,
+        |    CAST(CAST(cl AS HUGEINT) * CAST(cl AS HUGEINT)
+        |       + CAST(cm AS HUGEINT) * CAST(cm AS HUGEINT)
+        |       + CAST(ch AS HUGEINT) * CAST(ch AS HUGEINT) AS DOUBLE)
+        |      / (CAST(nit * 3 AS DOUBLE) * CAST(nit * 3 AS DOUBLE))
+        |      AS pe
+        |  FROM ag)
+        |SELECT cat.category,
+        |  CASE cat.category WHEN 'low' THEN cl WHEN 'mid' THEN cm
+        |       ELSE ch END AS votes,
+        |  CAST(CASE cat.category WHEN 'low' THEN cl WHEN 'mid' THEN cm
+        |       ELSE ch END * 1000000 // nn AS BIGINT) AS share_ppm,
+        |  nit AS n_items, CAST(3 AS BIGINT) AS n_raters, s AS sum_sq,
+        |  pbar, pe,
+        |  CASE WHEN 1.0 - pe = 0.0 THEN NULL
+        |       ELSE (pbar - pe) / (1.0 - pe) END AS kappa
+        |FROM (VALUES ('low'), ('mid'), ('high')) cat(category), k
+        |ORDER BY category""".stripMargin,
+    // Kendall tau-b replay: the same 256-bucket grid, pair counts by
+    // quadratic join over the tiny cell frame (the engine's dense
+    // 2-D suffix sums and this join count the SAME pairs), identical
+    // sqrt/divide order
+    "score_tau" ->
+      s"""WITH $duckLrChain,
+         |sc AS (
+         |  SELECT l.doc_id,
+         |    least(greatest(CAST(round(round(z, 6) * 1000000)
+         |      AS BIGINT), -1000000), 1000000) AS smc,
+         |    CAST(round(round(least(CAST($duckNTokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + least(CAST(${duckHits("en")} AS DOUBLE) / $duckNTokens * 4.0, 1.0) * 0.3, 6) * 1000000) AS BIGINT) AS q
+         |  FROM lrz l JOIN documents d ON l.doc_id = d.doc_id),
+         |g AS MATERIALIZED (
+         |  SELECT least((smc + 1000000) * 256 // 2000000, 255) AS bx,
+         |    least(q * 256 // 1000000, 255) AS by_,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM sc GROUP BY 1, 2),
+         |cp AS (
+         |  SELECT CAST(coalesce(sum(CAST(a.n AS HUGEINT) *
+         |    CAST(b.n AS HUGEINT)), 0) AS HUGEINT) AS c
+         |  FROM g a JOIN g b ON b.bx > a.bx AND b.by_ > a.by_),
+         |dp AS (
+         |  SELECT CAST(coalesce(sum(CAST(a.n AS HUGEINT) *
+         |    CAST(b.n AS HUGEINT)), 0) AS HUGEINT) AS d
+         |  FROM g a JOIN g b ON b.bx > a.bx AND b.by_ < a.by_),
+         |tots AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nit,
+         |    CAST(count(*) AS BIGINT) AS ncells
+         |  FROM g),
+         |n1 AS (
+         |  SELECT CAST(coalesce(sum(CAST(rn AS HUGEINT) *
+         |    (CAST(rn AS HUGEINT) - 1) // 2), 0) AS HUGEINT) AS v
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS rn FROM g
+         |    GROUP BY bx)),
+         |n2 AS (
+         |  SELECT CAST(coalesce(sum(CAST(cn AS HUGEINT) *
+         |    (CAST(cn AS HUGEINT) - 1) // 2), 0) AS HUGEINT) AS v
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS cn FROM g
+         |    GROUP BY by_)),
+         |n0 AS (
+         |  SELECT CAST(CAST(nit AS HUGEINT) *
+         |    (CAST(nit AS HUGEINT) - 1) // 2 AS HUGEINT) AS v
+         |  FROM tots)
+         |SELECT tots.nit AS n_items, tots.ncells AS n_cells,
+         |  CAST(cp.c AS DOUBLE) AS concordant,
+         |  CAST(dp.d AS DOUBLE) AS discordant,
+         |  CAST(n0.v AS DOUBLE) AS pairs_total,
+         |  CAST(n1.v AS DOUBLE) AS ties_x_pairs,
+         |  CAST(n2.v AS DOUBLE) AS ties_y_pairs,
+         |  CASE WHEN n0.v - n1.v = 0 OR n0.v - n2.v = 0 THEN NULL
+         |       ELSE CAST(cp.c - dp.d AS DOUBLE) /
+         |         sqrt(CAST(n0.v - n1.v AS DOUBLE) *
+         |           CAST(n0.v - n2.v AS DOUBLE)) END AS tau_b
+         |FROM tots, cp, dp, n0, n1, n2""".stripMargin,
     // gate-vs-heuristic kappa: the lrz keep decision and the quality
     // label as boolean-string labelers through the same confusion /
     // class-union-marginal / fixed-order-IEEE replay as

@@ -157,6 +157,56 @@ class PreferenceSpec extends AnyFunSuite {
     assert(row.getDouble(2) === 6.0 / 16.0)
   }
 
+  test("fleissKappa: unanimity = exactly 1.0, hand-computed mixed " +
+      "case, out-of-vocabulary vote fails loudly") {
+    val unanimous = Seq(("x", "x"), ("y", "y"), ("x", "x"))
+      .toDF("r1", "r2")
+    val u = Preference.fleissKappa(unanimous,
+      Seq(col("r1"), col("r2")), Seq("x", "y"))
+      .select("kappa").distinct().collect()(0).getDouble(0)
+    assert(u === 1.0)
+    // items (x,x), (x,y), (y,y): S = 4+2+4 = 10, N = 3, n = 2,
+    // pbar = (10-6)/6, c_x = c_y = 3 -> pe = 18/36
+    val mixed = Seq(("x", "x"), ("x", "y"), ("y", "y"))
+      .toDF("r1", "r2")
+    val m = Preference.fleissKappa(mixed,
+      Seq(col("r1"), col("r2")), Seq("x", "y"))
+      .orderBy("category").collect()
+    assert(m.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("x", 3L), ("y", 3L)))
+    val pbar = 4.0 / 6.0
+    val pe = 18.0 / 36.0
+    assert(m(0).getDouble(6) === pbar)
+    assert(m(0).getDouble(7) === pe)
+    assert(m(0).getDouble(8) === (pbar - pe) / (1.0 - pe))
+    intercept[IllegalArgumentException] {
+      Preference.fleissKappa(
+        Seq(("x", "z")).toDF("r1", "r2"),
+        Seq(col("r1"), col("r2")), Seq("x", "y")).collect()
+    }
+  }
+
+  test("kendallTauB: perfect order = 1.0, reversal = -1.0, " +
+      "hand-computed tie case, bucket-range guard") {
+    def mk(rows: (Int, Int)*) = rows.toDF("bx", "by")
+    def tau(df: org.apache.spark.sql.DataFrame) =
+      Preference.kendallTauB(df, col("bx"), col("by"), buckets = 4)
+        .collect()(0)
+    assert(tau(mk((0, 0), (1, 1), (2, 2), (3, 3))).getDouble(7) === 1.0)
+    assert(tau(mk((0, 3), (1, 2), (2, 1), (3, 0))).getDouble(7) === -1.0)
+    // cells (0,0):1 (0,1):1 (1,0):1 -> C = 0, D = 1, n0 = 3,
+    // n1 = n2 = 1 -> tau = -1/sqrt(4) = -0.5
+    val t = tau(mk((0, 0), (0, 1), (1, 0)))
+    assert((t.getDouble(2), t.getDouble(3)) === ((0.0, 1.0)))
+    assert(t.getDouble(7) === -0.5)
+    // all mass in one cell: both denominators vanish -> NULL
+    assert(tau(mk((1, 1), (1, 1))).isNullAt(7))
+    intercept[IllegalArgumentException] {
+      Preference.kendallTauB(mk((5, 0)), col("bx"), col("by"),
+        buckets = 4)
+    }
+  }
+
   test("aucFromScores: separable = 1.0, inverted = 0.0, all-tied = " +
       "0.5, exactly") {
     def mk(rows: (Long, Boolean)*) = rows.toDF("smc", "label")
