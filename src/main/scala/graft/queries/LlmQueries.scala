@@ -1994,6 +1994,57 @@ object LlmQueries {
           coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
         .orderBy("source")
     }),
+    // curation_v8 flagship (round-17): the v7 funnel fed CORRUPTED
+    // crawl bytes — the café marker arrives CP1252-double-encoded
+    // ('cafÃ©'), the gated bait class additionally carries a 3-byte
+    // 'â€¦' — so the chain is repair → entity-decode → normalize →
+    // gate → digest-keyed dedup, with per-source repair accounting
+    // riding the funnel. The twin class still normalizes onto its
+    // base document AFTER repair (same suffix once fixed), so the
+    // dedup semantics of v7 are preserved through the new stage.
+    "curation_v8" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" &amp; cafÃ©")).as("enc"))
+      val twins = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          col("source"),
+          concat(upper(col("text")), lit("  &#38; cafÃ©\t")).as("enc"))
+      val bait = docs.filter(col("doc_id") % 9 === 5)
+        .select((col("doc_id") + 80000000L).as("doc_id"),
+          col("source"),
+          concat(lit("spamword adword spamword "), col("text"),
+            lit(" &amp; cafÃ©â€¦")).as("enc"))
+      val fixed = TextAnalysis.mojibakeFix(
+        base.unionByName(twins).unionByName(bait), "enc")
+      val st = TextAnalysis.blocklistGate(
+        TextAnalysis.normalizeText(
+          TextAnalysis.decodeEntities(fixed, "fixed_text"),
+          "dec_text"),
+        "norm_text", Seq("spamword", "adword"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("norm_text").cast("binary")))
+      val dd = st.filter(!col("blocked_gate"))
+        .withColumn("__keep", min(col("doc_id")).over(w))
+      val gated = st.filter(col("blocked_gate"))
+        .groupBy("source").agg(count(lit(1)).as("n_gated"))
+      val dups = dd.filter(col("doc_id") =!= col("__keep"))
+        .groupBy("source").agg(count(lit(1)).as("n_dup_dropped"))
+      val kept = dd.filter(col("doc_id") === col("__keep"))
+        .groupBy("source").agg(count(lit(1)).as("n_out"),
+          sum(col("n_tokens")).as("tokens_out"))
+      st.groupBy("source").agg(count(lit(1)).as("n_in"),
+          sum(col("n_fixes")).as("n_fixes"))
+        .join(gated, Seq("source"), "left")
+        .join(dups, Seq("source"), "left")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_in"), col("n_fixes"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+        .orderBy("source")
+    }),
     // HTML entity decode (named + decimal + hex crawl core set, amp
     // family last — the double-encoded fixture pin proves one layer
     // per pass) with decoded-reference accounting
@@ -2709,13 +2760,22 @@ object LlmQueries {
     * longest-first chain (raw UTF-8 characters in both literals —
     * no escape-spelling divergence).
     */
-  private def duckMojibake: String = {
+  /** The two mojibake replace-chain phases as SQL expressions over
+    * `inner` — generated from the same map constant the engine folds
+    * over (shared by the `mojibake_fix` oracle and the `curation_v8`
+    * funnel's repair stage).
+    */
+  private def mojChain(inner: String, threeCharPhase: Boolean)
+      : String = {
     val (three, two) =
       TextAnalysis.mojibakeMap.partition(_._1.length == 3)
-    def chain(inner: String, ms: Seq[(String, String)]): String =
-      ms.foldLeft(inner) { case (acc, (bad, good)) =>
+    (if (threeCharPhase) three else two)
+      .foldLeft(inner) { case (acc, (bad, good)) =>
         s"replace($acc, '$bad', '$good')"
       }
+  }
+
+  private def duckMojibake: String = {
     s"""WITH pl AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'Ã©')
@@ -2723,8 +2783,8 @@ object LlmQueries {
        |           replace(replace(text, 's', 'â€™'), 'o', 'â€¦')
        |         ELSE text END AS t0
        |  FROM documents),
-       |m3 AS (SELECT doc_id, t0, ${chain("t0", three)} AS t3 FROM pl),
-       |m2 AS (SELECT doc_id, t0, t3, ${chain("t3", two)} AS t2
+       |m3 AS (SELECT doc_id, t0, ${mojChain("t0", true)} AS t3 FROM pl),
+       |m2 AS (SELECT doc_id, t0, t3, ${mojChain("t3", false)} AS t2
        |  FROM m3)
        |SELECT doc_id, t2 AS fixed_text,
        |  CAST((length(t0) - length(t3)) // 2
@@ -7888,6 +7948,78 @@ object LlmQueries {
          |    CAST(sum(n_tokens) AS BIGINT) AS tokens_out
          |  FROM dd WHERE doc_id = keep GROUP BY 1)
          |SELECT gi.source, CAST(gi.n_in AS BIGINT) AS n_in,
+         |  CAST(coalesce(gg.n_gated, 0) AS BIGINT) AS n_gated,
+         |  CAST(coalesce(gd.n_dup, 0) AS BIGINT) AS n_dup_dropped,
+         |  CAST(coalesce(gk.n_out, 0) AS BIGINT) AS n_out,
+         |  CAST(coalesce(gk.tokens_out, 0) AS BIGINT) AS tokens_out
+         |FROM gi LEFT JOIN gg USING (source)
+         |LEFT JOIN gd USING (source)
+         |LEFT JOIN gk USING (source)
+         |ORDER BY source""".stripMargin,
+    // v8 = v7 with a repair stage up front: corrupted suffixes in the
+    // feed, the shared mojChain replace phases (generated from the
+    // same map constant as the engine), per-source fix accounting
+    "curation_v8" ->
+      s"""WITH cu AS (
+         |  SELECT doc_id, source, text || ' &amp; cafÃ©' AS enc
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000000, source,
+         |    upper(text) || '  &#38; cafÃ©\t' AS enc
+         |  FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 80000000, source,
+         |    'spamword adword spamword ' || text || ' &amp; cafÃ©â€¦'
+         |      AS enc
+         |  FROM documents WHERE doc_id % 9 = 5),
+         |cm3 AS (SELECT doc_id, source, enc,
+         |    ${mojChain("enc", true)} AS t3
+         |  FROM cu),
+         |cm2 AS (SELECT doc_id, source, enc, t3,
+         |    ${mojChain("t3", false)} AS t2
+         |  FROM cm3),
+         |cmf AS (SELECT doc_id, source, t2,
+         |    CAST((length(enc) - length(t3)) // 2
+         |      + (length(t3) - length(t2)) AS BIGINT) AS nfx
+         |  FROM cm2),
+         |cd AS (SELECT doc_id, source, nfx,
+         |    ${duckEntityChain("t2")} AS dec
+         |  FROM cmf),
+         |cn AS (SELECT doc_id, source, nfx,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      lower(nfc_normalize(dec)),
+         |      '[\\t\\n\\x0B\\f\\r]', ' ', 'g'),
+         |      '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      ' {2,}', ' ', 'g')) AS nt
+         |  FROM cd),
+         |ct AS (SELECT doc_id, source, nfx, nt,
+         |    list_filter(string_split(nt, ' '), t -> t != '') AS tk
+         |  FROM cn),
+         |cg AS (SELECT doc_id, source, nfx, nt,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk, t -> list_contains(
+         |      ['adword', 'spamword'], t))) AS BIGINT) AS bh,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      ['adword', 'spamword'])) AS BIGINT) AS btp
+         |  FROM ct),
+         |cv AS (SELECT *, (bh * 1000000 // greatest(n_tokens, 1))
+         |    > 20000 OR btp >= 2 AS gate
+         |  FROM cg),
+         |dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(nt))
+         |    AS keep
+         |  FROM cv WHERE NOT gate),
+         |gi AS (SELECT source, count(*) AS n_in,
+         |    CAST(sum(nfx) AS BIGINT) AS n_fixes
+         |  FROM cv GROUP BY 1),
+         |gg AS (SELECT source, count(*) AS n_gated FROM cv
+         |  WHERE gate GROUP BY 1),
+         |gd AS (SELECT source, count(*) AS n_dup FROM dd
+         |  WHERE doc_id != keep GROUP BY 1),
+         |gk AS (SELECT source, count(*) AS n_out,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tokens_out
+         |  FROM dd WHERE doc_id = keep GROUP BY 1)
+         |SELECT gi.source, CAST(gi.n_in AS BIGINT) AS n_in,
+         |  gi.n_fixes,
          |  CAST(coalesce(gg.n_gated, 0) AS BIGINT) AS n_gated,
          |  CAST(coalesce(gd.n_dup, 0) AS BIGINT) AS n_dup_dropped,
          |  CAST(coalesce(gk.n_out, 0) AS BIGINT) AS n_out,
