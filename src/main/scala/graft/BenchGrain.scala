@@ -138,5 +138,7 @@ object BenchGrain {
     "bradley_terry" -> 0.4, "mojibake_fix" -> 0.4,
     "lr_agreement" -> 0.4,
     // score_tau kept at 0.44x full in its own same-window A/B
-    "score_tau" -> 0.4)
+    "score_tau" -> 0.4,
+    // newsvendor kept at 0.79x full (same-window A/B, n>=2)
+    "newsvendor" -> 0.4)
 }

@@ -626,6 +626,22 @@ object CoreQueries {
           round(percentile(col("l_quantity"), lit(0.01)), 6).as("p01"))
         .orderBy("l_returnflag")
     }),
+    // newsvendor order quantity (round-17): q* = F^-1(cr) of the
+    // per-part empirical demand distribution at critical ratio 0.8 —
+    // the distribution-free cousin of the reference's z-score safety
+    // stock (PRACTICA3.py:70-80 assumes normality; the critical
+    // fractile doesn't). One groupBy on the part key; exact linear-
+    // interp percentile on both engines
+    "newsvendor" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).cast("long").as("n_obs"),
+          round(percentile(col("l_quantity"), lit(0.8)), 6)
+            .as("q_star"),
+          round(avg(col("l_quantity")), 6).as("mean_demand"))
+        .filter(col("n_obs") >= 20)
+        .orderBy("l_partkey")
+    }),
     "d9_row_median" -> ((s, d) => {
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -1579,6 +1595,12 @@ object CoreQueries {
         |  round(quantile_cont(l_quantity, 0.99), 6) AS p99,
         |  round(quantile_cont(l_quantity, 0.01), 6) AS p01
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "newsvendor" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs,
+        |  round(quantile_cont(l_quantity, 0.8), 6) AS q_star,
+        |  round(avg(l_quantity), 6) AS mean_demand
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 20
+        |ORDER BY 1""".stripMargin,
     "d8b_approx_aggs" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.99), 6) AS p99_exact,
