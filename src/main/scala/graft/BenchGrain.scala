@@ -140,5 +140,11 @@ object BenchGrain {
     // score_tau kept at 0.44x full in its own same-window A/B
     "score_tau" -> 0.4,
     // newsvendor kept at 0.79x full (same-window A/B, n>=2)
-    "newsvendor" -> 0.4)
+    "newsvendor" -> 0.4,
+    // curation_v8 kept at 0.76x full — the one curation chain where
+    // a grain survives (the repair+decode+normalize front half is
+    // genuinely row-volume-bound); v7 (0.85x) and backtest_ma (1.14x
+    // on a clean-window re-measure after a stall-faked 0.49x first
+    // arm) stay full-grain
+    "curation_v8" -> 0.4)
 }
