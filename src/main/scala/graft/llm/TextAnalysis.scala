@@ -3935,6 +3935,42 @@ object TextAnalysis {
       .drop("__mj3")
   }
 
+  /** Mixed-script / confusable-spoofing signal: per-document letter
+    * counts by Unicode script (Latin, Cyrillic, Greek — the classic
+    * homoglyph triangle — plus an "other letters" bucket) and
+    * `mixed_ppm` = letters OUTSIDE the majority script, in ppm. A
+    * natural document is near-monoscript (mixed_ppm ~0 or a small
+    * loanword tail); Cyrillic 'а' / Greek 'ο' substituted into Latin
+    * words — the spam/SEO and phishing obfuscation trick — shows up
+    * as a small nonzero minority exactly here, upstream of any
+    * token-level gate that the substitution is designed to evade.
+    * Counts are code-point exact via per-script class erasure
+    * (length diffs of `regexp_replace`), so both engines agree
+    * wherever their Unicode script tables agree (all stable scripts;
+    * the fixture plants only U+0430/U+03BF-class substitutions).
+    * Entirely row-local inside whole-stage codegen; streaming-safe.
+    */
+  def scriptMix(df: DataFrame, text: String): DataFrame = {
+    val clash = Seq("n_letters", "n_latin", "n_cyrillic", "n_greek",
+      "n_other_letters", "mixed_ppm").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"scriptMix: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    def scriptCount(cls: String): String =
+      s"CAST(length(regexp_replace($text, '[^\\\\p{$cls}]', '')) " +
+        "AS BIGINT)"
+    df.withColumn("n_letters", expr(scriptCount("L")))
+      .withColumn("n_latin", expr(scriptCount("IsLatin")))
+      .withColumn("n_cyrillic", expr(scriptCount("IsCyrillic")))
+      .withColumn("n_greek", expr(scriptCount("IsGreek")))
+      .withColumn("n_other_letters", expr(
+        "n_letters - n_latin - n_cyrillic - n_greek"))
+      .withColumn("mixed_ppm", expr(
+        "CASE WHEN n_letters = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (n_letters - greatest(n_latin, n_cyrillic, n_greek, " +
+          "n_other_letters)) * 1000000L DIV n_letters END"))
+  }
+
   /** Machine-text telemetry: sentence-length BURSTINESS — natural
     * prose mixes short and long sentences (high variance); template-
     * or model-generated text is conspicuously uniform. Emits, per

@@ -859,6 +859,20 @@ object LlmQueries {
           "mean_sent_ppm", "burstiness_ppm")
         .orderBy("doc_id")
     }),
+    // mixed-script confusable signal (round-17): plant the homoglyph
+    // trick deterministically (Cyrillic 'а' into one doc class,
+    // Greek 'ο' into another) and read the per-script letter counts
+    // + minority-letter ppm that expose it — row-local
+    "script_mix" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        expr("CASE WHEN doc_id % 11 = 4 THEN replace(text, 'a', 'а') " +
+          "WHEN doc_id % 11 = 7 THEN replace(text, 'o', 'ο') " +
+          "ELSE text END").as("text"))
+      TextAnalysis.scriptMix(planted, "text")
+        .select("doc_id", "n_letters", "n_latin", "n_cyrillic",
+          "n_greek", "n_other_letters", "mixed_ppm")
+        .orderBy("doc_id")
+    }),
     // Cohen's kappa between two deterministic labelers (round-17):
     // char-band vs token-band quality labels, full confusion matrix
     // + integer po_ppm + fixed-order IEEE pe/kappa attached via the
@@ -3801,6 +3815,35 @@ object LlmQueries {
         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
         |  END AS kappa
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // script-mix replay: identical plant + per-script class-erasure
+    // length diffs (RE2 spells the script classes \p{Latin}, Java
+    // \p{IsLatin} — same Unicode script property)
+    "script_mix" ->
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 4 THEN replace(text, 'a', 'а')
+        |         WHEN doc_id % 11 = 7 THEN replace(text, 'o', 'ο')
+        |         ELSE text END AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g'))
+        |      AS BIGINT) AS n_letters,
+        |    CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g'))
+        |      AS BIGINT) AS n_latin,
+        |    CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g'))
+        |      AS BIGINT) AS n_cyrillic,
+        |    CAST(length(regexp_replace(t, '[^\p{Greek}]', '', 'g'))
+        |      AS BIGINT) AS n_greek
+        |  FROM pl)
+        |SELECT doc_id, n_letters, n_latin, n_cyrillic, n_greek,
+        |  n_letters - n_latin - n_cyrillic - n_greek
+        |    AS n_other_letters,
+        |  CASE WHEN n_letters = 0 THEN NULL
+        |       ELSE (n_letters - greatest(n_latin, n_cyrillic,
+        |         n_greek, n_letters - n_latin - n_cyrillic - n_greek))
+        |         * 1000000 // n_letters END AS mixed_ppm
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // Fleiss replay: row-local tally vectors per category, one
     // aggregate, then the identical fixed-order double sequence
     "fleiss_kappa" ->

@@ -260,6 +260,43 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out(3) === (("–", 2L)))
   }
 
+  test("scriptMix: homoglyph counts, majority rule, supplementary " +
+      "codepoints land in no script bucket") {
+    val df = Seq(
+      (0L, "pаypаl login"),          // 2 Cyrillic а in 11 letters
+      (1L, "ομικρον"),               // pure Greek
+      (2L, "plain ascii text"),
+      (3L, "12 345 !!"),             // no letters -> NULL ppm
+      (4L, "ok " + new String(Character.toChars(0x1F600)))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7)))
+    // (n_letters, n_latin, n_cyrillic, n_greek, n_other, mixed_ppm)
+    assert(out(0) === ((11L, 9L, 2L, 0L, 0L, 181818L)))
+    assert(out(1) === ((7L, 0L, 0L, 7L, 0L, 0L)))
+    assert(out(2) === ((14L, 14L, 0L, 0L, 0L, 0L)))
+    assert(out(3) === ((0L, 0L, 0L, 0L, 0L, -1L)))
+    // the emoji is not a letter: counted nowhere, exactly one 'ok'
+    assert(out(4) === ((2L, 2L, 0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scriptMix(df.withColumn("mixed_ppm", lit(1)),
+        "text")
+    }
+  }
+
+  test("mojibakeFix: supplementary codepoints around repairs stay " +
+      "intact") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((0L, s"${emoji}cafÃ©$emoji itâ€™s $emoji"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.mojibakeFix(df, "text").collect()(0)
+    assert(r.getString(2) === s"${emoji}café$emoji it’s $emoji")
+    assert(r.getLong(3) === 2L)
+  }
+
   test("mojibakeFix: idempotent on already-repaired text") {
     val dirty = Seq(
       (0L, "cafÃ© itâ€™s â€œmixedâ€¦ Ã±oÃ§a"),
