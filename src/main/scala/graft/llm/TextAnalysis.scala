@@ -3971,6 +3971,46 @@ object TextAnalysis {
           "n_other_letters)) * 1000000L DIV n_letters END"))
   }
 
+  /** The pinned homoglyph fold table: Cyrillic and Greek letters
+    * whose rendered glyph is (near-)identical to a Latin letter —
+    * the substitution set confusable spam/phishing actually uses.
+    * Conservative by design: only true lookalikes (Greek α/β/etc.
+    * are visually distinct and stay). One string pair for a single
+    * `translate` pass; shared verbatim with the DuckDB oracle.
+    */
+  val confusableFrom: String =
+    "аеорсухіѕАВЕКМНОРСТХ" + "ονΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+  val confusableTo: String =
+    "aeopcyxisABEKMHOPCTX" + "ovABEZHIKMNOPTYX"
+
+  /** Homoglyph REPAIR — the scrub to [[scriptMix]]'s gate: folds the
+    * pinned Cyrillic/Greek lookalikes onto their Latin forms in ONE
+    * `translate` pass (per-codepoint 1:1, the string primitive both
+    * engines define identically), with exact fold accounting via a
+    * from-class erasure count. Running it before fingerprinting /
+    * dedup makes an obfuscated duplicate hash onto its clean
+    * original — the recall the substitution was designed to destroy.
+    * Row-local inside whole-stage codegen; zero state;
+    * streaming twin [[graft.streaming.StreamingDedup
+    * .confusableStage]].
+    */
+  def confusableFold(df: DataFrame, text: String): DataFrame = {
+    val clash = Seq("folded_text", "n_folded")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"confusableFold: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    df.withColumn("folded_text", expr(
+        s"translate($text, '$confusableFrom', '$confusableTo')"))
+      // fold count via translate-DELETION (empty replacement drops
+      // the from-chars on both engines): a per-char set lookup,
+      // measurably cheaper than a 37-char regex class erasure over
+      // every codepoint
+      .withColumn("n_folded", expr(
+        s"CAST(length($text) - length(translate($text, " +
+          s"'$confusableFrom', '')) AS BIGINT)"))
+  }
+
   /** Machine-text telemetry: sentence-length BURSTINESS — natural
     * prose mixes short and long sentences (high variance); template-
     * or model-generated text is conspicuously uniform. Emits, per

@@ -873,6 +873,20 @@ object LlmQueries {
           "n_greek", "n_other_letters", "mixed_ppm")
         .orderBy("doc_id")
     }),
+    // homoglyph repair (round-17): the same plant as script_mix,
+    // folded back — planted rows round-trip to their original text
+    // (n_folded = the plant size), clean rows pass through untouched
+    "confusable_fold" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        col("text").as("orig"),
+        expr("CASE WHEN doc_id % 11 = 4 THEN replace(text, 'a', 'а') " +
+          "WHEN doc_id % 11 = 7 THEN replace(text, 'o', 'ο') " +
+          "ELSE text END").as("text"))
+      TextAnalysis.confusableFold(planted, "text")
+        .withColumn("restored", col("folded_text") === col("orig"))
+        .select("doc_id", "folded_text", "n_folded", "restored")
+        .orderBy("doc_id")
+    }),
     // Cohen's kappa between two deterministic labelers (round-17):
     // char-band vs token-band quality labels, full confusion matrix
     // + integer po_ppm + fixed-order IEEE pe/kappa attached via the
@@ -3815,6 +3829,25 @@ object LlmQueries {
         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
         |  END AS kappa
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // confusable-fold replay: identical plant, one translate pass
+    // over the shared from/to constants, from-class erasure count,
+    // and the restores-the-original invariant as a result column
+    "confusable_fold" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id, text AS orig,
+         |    CASE WHEN doc_id % 11 = 4 THEN replace(text, 'a', 'а')
+         |         WHEN doc_id % 11 = 7 THEN replace(text, 'o', 'ο')
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  translate(t, '${TextAnalysis.confusableFrom}',
+         |    '${TextAnalysis.confusableTo}') AS folded_text,
+         |  CAST(length(t) - length(translate(t,
+         |    '${TextAnalysis.confusableFrom}', ''))
+         |    AS BIGINT) AS n_folded,
+         |  translate(t, '${TextAnalysis.confusableFrom}',
+         |    '${TextAnalysis.confusableTo}') = orig AS restored
+         |FROM pl ORDER BY doc_id""".stripMargin,
     // script-mix replay: identical plant + per-script class-erasure
     // length diffs (RE2 spells the script classes \p{Latin}, Java
     // \p{IsLatin} — same Unicode script property)

@@ -445,6 +445,23 @@ object StreamingDedup {
   def syntheticStage(docs: DataFrame, text: String): DataFrame =
     TextAnalysis.syntheticSignals(docs, text)
 
+  /** Streaming SCRIPT-MIX stage: append [[TextAnalysis.scriptMix]]'s
+    * per-script letter counts + minority-letter ppm to a live feed —
+    * row-local class-erasure regexes, zero state, any output mode;
+    * batch-parity pinned.
+    */
+  def scriptMixStage(docs: DataFrame, text: String): DataFrame =
+    TextAnalysis.scriptMix(docs, text)
+
+  /** Streaming HOMOGLYPH-FOLD stage: [[TextAnalysis.confusableFold]]
+    * on a live feed — one row-local translate pass, zero state, any
+    * output mode. Running it in front of the streaming dedup stages
+    * makes an obfuscated late duplicate hash onto its clean original
+    * exactly as the batch pipeline would (batch-parity pinned).
+    */
+  def confusableStage(docs: DataFrame, text: String): DataFrame =
+    TextAnalysis.confusableFold(docs, text)
+
   /** Streaming REPETITION-GATE stage: append the Gopher within-doc
     * repetition signals ([[TextAnalysis.docRepetition]]'s integer ppm
     * columns) to a live feed — entirely row-local (per-record HOFs

@@ -287,6 +287,39 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("confusableFold: plant round-trip, idempotence, accounting, " +
+      "clean text untouched") {
+    val df = Seq(
+      (0L, "pаypаl lоgin"),   // Cyrillic а,а,о planted
+      (1L, "Τhe Ηouse"),      // Greek Τ, Η capitals
+      (2L, "plain ascii"),
+      (3L, "αβγ")             // NOT lookalikes: stays Greek
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.confusableFold(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(out(0) === (("paypal login", 3L)))
+    assert(out(1) === (("The House", 2L)))
+    assert(out(2) === (("plain ascii", 0L)))
+    assert(out(3) === (("αβγ", 0L)))
+    // idempotent: the fold's output contains no from-chars
+    val once = TextAnalysis.confusableFold(df, "text")
+      .select(col("doc_id"), col("folded_text").as("text"))
+    val twice = TextAnalysis.confusableFold(once, "text")
+      .orderBy("doc_id").collect()
+    assert(twice.forall(_.getLong(3) === 0L))
+    // the fold restores dedup recall: planted and clean twins share
+    // a fingerprint only AFTER folding
+    val pair = Seq((0L, "buy chеap pіlls"), (1L, "buy cheap pills"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.confusableFold(pair, "text")
+      .select(TextAnalysis.fingerprintExpr("folded_text").as("f"),
+        TextAnalysis.fingerprintExpr("text").as("g"))
+      .collect()
+    assert(fp(0).getLong(0) === fp(1).getLong(0)) // folded: equal
+    assert(fp(0).getLong(1) !== fp(1).getLong(1)) // raw: distinct
+  }
+
   test("mojibakeFix: supplementary codepoints around repairs stay " +
       "intact") {
     val emoji = new String(Character.toChars(0x1F600))

@@ -1827,4 +1827,48 @@ class StreamingSpec extends AnyFunSuite {
       .select(cols.head, cols.tail: _*).collect().map(tup).sortBy(_._1)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming homoglyph-fold stage equals the batch fold; an " +
+      "obfuscated late duplicate hashes onto its original") {
+    import graft.streaming.StreamingDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("cf_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cf_ck").toString
+    def rows(docs: (Long, String)*): Unit =
+      docs.toSeq.toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+    rows((1L, "buy cheap pills"), (2L, "plain"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.confusableStage(stream, "text")
+      .select(col("doc_id"), col("folded_text"), col("n_folded"),
+        graft.llm.TextAnalysis.fingerprintExpr("folded_text")
+          .as("fp"))
+      .writeStream.format("memory").queryName("cf_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    rows((3L, "buy chеap pіlls")) // Cyrillic е/і — the late spam twin
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("cf_out").collect().map(tup)
+      .sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      (1L, "buy cheap pills", 0L),
+      (2L, "plain", 0L),
+      (3L, "buy cheap pills", 2L)))
+    // the folded fingerprints collide exactly as the batch dedup
+    // would see them
+    assert(streamed(0)._4 === streamed(2)._4)
+    val batch = StreamingDedup.confusableStage(
+        spark.read.schema(docSchema).parquet(dir), "text")
+      .select(col("doc_id"), col("folded_text"), col("n_folded"),
+        graft.llm.TextAnalysis.fingerprintExpr("folded_text")
+          .as("fp"))
+      .collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
