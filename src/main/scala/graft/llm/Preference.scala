@@ -402,6 +402,69 @@ object Preference {
         "pairs_total", "ties_x_pairs", "ties_y_pairs", "tau_b")
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov drift, each group vs the
+    * REST of the corpus: D = max_b |CDF_g(b) − CDF_rest(b)| over an
+    * integer-bucketed value — the nonparametric sibling of the PSI
+    * drift report (PSI needs binning choices to mean anything; KS is
+    * the distribution-free "did this source's length/score profile
+    * move" number a curation stack tracks across snapshots). Exact
+    * integer contract: D's numerator is max |cum_g·N_rest −
+    * cum_rest·N_g| in BigInt (no division until the final ppm), the
+    * argmax bucket ties to the SMALLEST bucket, and
+    * d_ppm = num·10^6 / (N_g·N_rest) truncates non-negative on both
+    * engines (HUGEINT in the oracle).
+    *
+    * Scale shape: ONE corpus aggregate on the bounded (group, bucket)
+    * key — the caller pre-buckets the value into [0, `buckets`) so
+    * the frame is ≤ groups·buckets cells at any corpus size — then a
+    * bounded fit-collect (`maxCells` guard) and a driver-side CDF
+    * walk (the Hamilton/BT pattern).
+    */
+  def ksDrift(df: DataFrame, group: Column, bucket: Column,
+      buckets: Int = 4096, maxCells: Int = 262144): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(buckets >= 2, "need >= 2 buckets")
+    val cells = df.select(group.cast("string").as("g"),
+        bucket.cast("int").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).cast("long").as("n"))
+      .collect() // bounded fit-collect, guarded below
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"ksDrift: ${cells.length} cells exceeds maxCells=$maxCells")
+    cells.foreach { case (_, b, _) =>
+      require(b >= 0 && b < buckets,
+        s"ksDrift: bucket $b outside [0, $buckets)")
+    }
+    val groups = cells.map(_._1).distinct.sorted
+    val total = cells.map(c => BigInt(c._3)).sum
+    val byGroup = cells.groupBy(_._1)
+    val globalByBucket = cells.groupBy(_._2).view
+      .mapValues(cs => BigInt(cs.map(_._3).sum)).toMap
+      .withDefaultValue(BigInt(0))
+    val allBuckets = cells.map(_._2).distinct.sorted
+    groups.map { g =>
+      val mine = byGroup(g).map(c => c._2 -> BigInt(c._3)).toMap
+        .withDefaultValue(BigInt(0))
+      val nG = mine.values.sum
+      val nRest = total - nG
+      var cumG = BigInt(0); var cumRest = BigInt(0)
+      var best = BigInt(-1); var bestBucket = -1
+      // the CDF is a step function changing only at occupied buckets,
+      // so scanning the distinct occupied buckets is exact
+      allBuckets.foreach { b =>
+        cumG += mine(b)
+        cumRest += globalByBucket(b) - mine(b)
+        val num = (cumG * nRest - cumRest * nG).abs
+        if (num > best) { best = num; bestBucket = b }
+      }
+      val dPpm =
+        if (nG == 0 || nRest == 0) None
+        else Some((best * 1000000 / (nG * nRest)).toLong)
+      (g, nG.toLong, nRest.toLong, bestBucket.toLong, dPpm)
+    }.toSeq.toDF("grp", "n_grp", "n_rest", "d_at_bucket", "d_ppm")
+  }
+
   /** Exact Mann-Whitney AUC + a `bins`-point ROC curve from a frame
     * carrying an integral micro score in [−10^6, 10^6] (column
     * `scoreMicro`, pre-clamped by the caller) and a boolean `label`.

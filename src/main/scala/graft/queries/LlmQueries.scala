@@ -873,6 +873,15 @@ object LlmQueries {
           "n_greek", "n_other_letters", "mixed_ppm")
         .orderBy("doc_id")
     }),
+    // exact KS drift per source vs rest (round-17): the
+    // distribution-free "did this source's length profile move"
+    // statistic — one bounded (source, bucket) aggregate + driver
+    // CDF walk, exact integer numerator until the final ppm
+    "ks_drift" -> ((s, d) => {
+      Preference.ksDrift(t(s, d, "documents"), col("source"),
+        expr("least(CAST(n_chars DIV 16 AS INT), 4095)"))
+        .orderBy("grp")
+    }),
     // homoglyph repair (round-17): the same plant as script_mix,
     // folded back — planted rows round-trip to their original text
     // (n_folded = the plant size), clean rows pass through untouched
@@ -3829,6 +3838,51 @@ object LlmQueries {
         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
         |  END AS kappa
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // KS replay: dense group×bucket grid, per-group and global
+    // cumulative sums over the occupied buckets, max |cross-scaled
+    // CDF gap| with smallest-bucket argmax, HUGEINT ppm division
+    "ks_drift" ->
+      """WITH vb AS MATERIALIZED (
+        |  SELECT source AS g,
+        |    least(CAST(n_chars // 16 AS BIGINT), 4095) AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |gs AS (SELECT DISTINCT g FROM vb),
+        |bs AS (SELECT DISTINCT b FROM vb),
+        |grid AS MATERIALIZED (
+        |  SELECT gs.g, bs.b, CAST(coalesce(vb.n, 0) AS BIGINT) AS n
+        |  FROM gs CROSS JOIN bs
+        |  LEFT JOIN vb ON vb.g = gs.g AND vb.b = bs.b),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM vb),
+        |gn AS MATERIALIZED (
+        |  SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM vb GROUP BY 1),
+        |gb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM vb
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT grid.g, grid.b,
+        |    CAST(sum(grid.n) OVER (PARTITION BY grid.g
+        |      ORDER BY grid.b) AS HUGEINT) AS cg,
+        |    CAST(sum(gb.nb) OVER (PARTITION BY grid.g
+        |      ORDER BY grid.b) AS HUGEINT) AS call
+        |  FROM grid JOIN gb ON gb.b = grid.b),
+        |dd AS (
+        |  SELECT cum.g, cum.b,
+        |    abs(cg * (tot.nt - gn.ng) - (call - cg) * gn.ng) AS num
+        |  FROM cum JOIN gn ON gn.g = cum.g, tot),
+        |mx AS (SELECT g, max(num) AS mnum FROM dd GROUP BY g),
+        |am AS (
+        |  SELECT dd.g, min(dd.b) AS d_at_bucket, mx.mnum
+        |  FROM dd JOIN mx ON mx.g = dd.g AND dd.num = mx.mnum
+        |  GROUP BY dd.g, mx.mnum)
+        |SELECT am.g AS grp, gn.ng AS n_grp,
+        |  tot.nt - gn.ng AS n_rest,
+        |  CAST(am.d_at_bucket AS BIGINT) AS d_at_bucket,
+        |  CASE WHEN gn.ng = 0 OR tot.nt - gn.ng = 0 THEN NULL
+        |       ELSE CAST(am.mnum * 1000000 //
+        |         (CAST(gn.ng AS HUGEINT) * (tot.nt - gn.ng))
+        |         AS BIGINT) END AS d_ppm
+        |FROM am JOIN gn ON gn.g = am.g, tot
+        |ORDER BY grp""".stripMargin,
     // confusable-fold replay: identical plant, one translate pass
     // over the shared from/to constants, from-class erasure count,
     // and the restores-the-original invariant as a result column

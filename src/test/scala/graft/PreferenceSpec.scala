@@ -157,6 +157,34 @@ class PreferenceSpec extends AnyFunSuite {
     assert(row.getDouble(2) === 6.0 / 16.0)
   }
 
+  test("ksDrift: hand-computed D, smallest-bucket argmax, " +
+      "single-group NULL, bucket guard") {
+    def mk(rows: (String, Int)*) = rows.toDF("g", "b")
+    // A buckets {0,0,1}, B {1,1}: at b0 |cumA*nB - cumB*nA| =
+    // |2*2 - 0*3| = 4; at b1 it is 0 -> D = 4/(3*2) = 666666 ppm
+    val out = Preference.ksDrift(mk(("A", 0), ("A", 0), ("A", 1),
+        ("B", 1), ("B", 1)), col("g"), col("b"), buckets = 4)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(("A", 3L, 2L, 0L, 666666L),
+      ("B", 2L, 3L, 0L, 666666L)))
+    // identical distributions: D = 0, argmax ties to bucket 0
+    val same = Preference.ksDrift(mk(("A", 0), ("A", 1), ("B", 0),
+        ("B", 1)), col("g"), col("b"), buckets = 4)
+      .orderBy("grp").collect()
+    assert(same.forall(r => r.getLong(4) === 0L &&
+      r.getLong(3) === 0L))
+    // one group: no rest to compare against -> NULL
+    val solo = Preference.ksDrift(mk(("A", 0), ("A", 1)), col("g"),
+      col("b"), buckets = 4).collect()
+    assert(solo(0).isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Preference.ksDrift(mk(("A", 9)), col("g"), col("b"),
+        buckets = 4)
+    }
+  }
+
   test("fleissKappa: unanimity = exactly 1.0, hand-computed mixed " +
       "case, out-of-vocabulary vote fails loudly") {
     val unanimous = Seq(("x", "x"), ("y", "y"), ("x", "x"))
