@@ -1327,6 +1327,27 @@ class PropertySpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("ksDrift: duplicating every row leaves D unchanged (the " +
+      "statistic is a CDF property, not a count property)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Preference
+    (1 to 5).foreach { _ =>
+      val rows = (0 until 80).map { _ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(16)) }
+      val df = rows.toDF("g", "b")
+      val doubled = (rows ++ rows).toDF("g", "b")
+      def d(x: org.apache.spark.sql.DataFrame) =
+        Preference.ksDrift(x, col("g"), col("b"), buckets = 16)
+          .orderBy("grp").collect()
+          .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      // numerator and denominator both scale by 4 exactly -> the
+      // truncated ppm and the argmax bucket are identical
+      assert(d(df).toSeq === d(doubled).toSeq)
+    }
+  }
+
   test("aucFromScores: label complement reflects AUC around 1/2; " +
       "score translation leaves it unchanged") {
     val spark = TestSpark.spark
