@@ -402,6 +402,55 @@ object Preference {
         "pairs_total", "ties_x_pairs", "ties_y_pairs", "tau_b")
   }
 
+  /** Exact Gini concentration of a non-negative mass across groups —
+    * "how unbalanced is the corpus across sources", the one-number
+    * companion a mixture planner reads next to the full mix_weights
+    * table (G = 0 perfectly balanced, → 1 as one source dominates).
+    * Computed from the sorted group masses by the rank identity
+    * G = Σ_i (2i − n − 1)·x_(i) / (n·Σx) with ties broken by group
+    * name (a total order, so the sum is reproducible): the numerator
+    * is exact in BigInt (can be negative only transiently; the total
+    * is ≥ 0), emitted in ppm by truncating division. Per-group rows
+    * carry the Lorenz coordinates (cumulative mass share at the
+    * group's rank, in ppm) with the scalar Gini attached.
+    *
+    * Scale shape: ONE corpus aggregate on the group key; the ≤
+    * `maxGroups` mass vector replays driver-side (Hamilton pattern).
+    */
+  def giniConcentration(df: DataFrame, group: Column, mass: Column,
+      maxGroups: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(group.cast("string").as("g"),
+        mass.cast("long").as("m"))
+      .groupBy("g").agg(sum(col("m")).as("mm"))
+      .collect() // bounded fit-collect, guarded below
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    require(rows.length <= maxGroups,
+      s"giniConcentration: ${rows.length} groups exceeds $maxGroups")
+    rows.foreach { case (g, m) =>
+      require(m >= 0, s"giniConcentration: negative mass for '$g'")
+    }
+    val sorted = rows.sortBy { case (g, m) => (m, g) }
+    val n = sorted.length
+    val total = sorted.map(r => BigInt(r._2)).sum
+    val giniNum = sorted.zipWithIndex.map { case ((_, m), i0) =>
+      BigInt(2 * (i0 + 1) - n - 1) * BigInt(m)
+    }.sum
+    val giniPpm: Option[Long] =
+      if (total == 0 || n == 0) None
+      else Some((giniNum * 1000000 / (BigInt(n) * total)).toLong)
+    var cum = BigInt(0)
+    sorted.zipWithIndex.map { case ((g, m), i0) =>
+      cum += BigInt(m)
+      (g, m, (i0 + 1).toLong,
+        if (total == 0) None: Option[Long]
+        else Some((cum * 1000000 / total).toLong),
+        n.toLong, total.toLong, giniPpm)
+    }.toSeq.toDF("grp", "mass", "rank", "lorenz_ppm", "n_groups",
+      "total_mass", "gini_ppm")
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov drift, each group vs the
     * REST of the corpus: D = max_b |CDF_g(b) − CDF_rest(b)| over an
     * integer-bucketed value — the nonparametric sibling of the PSI

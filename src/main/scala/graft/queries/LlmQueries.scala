@@ -873,6 +873,17 @@ object LlmQueries {
           "n_greek", "n_other_letters", "mixed_ppm")
         .orderBy("doc_id")
     }),
+    // corpus-concentration telemetry (round-17): exact Gini + Lorenz
+    // coordinates of token mass across sources — the one-number
+    // balance gauge next to the mix_weights table; one aggregate +
+    // driver-side rank identity
+    "token_gini" -> ((s, d) => {
+      Preference.giniConcentration(t(s, d, "documents"),
+        col("source"),
+        expr("CAST(size(filter(split(lower(text), ' '), " +
+          "t -> t != '')) AS BIGINT)"))
+        .orderBy("grp")
+    }),
     // exact KS drift per source vs rest (round-17): the
     // distribution-free "did this source's length profile move"
     // statistic — one bounded (source, bucket) aggregate + driver
@@ -3838,6 +3849,34 @@ object LlmQueries {
         |         CAST(k.n_total AS DOUBLE) - k.pe) / (1.0 - k.pe)
         |  END AS kappa
         |FROM conf, k ORDER BY label_a, label_b""".stripMargin,
+    // Gini replay: the same rank identity over the (mass, group)
+    // total order via window rank + running mass, HUGEINT numerator
+    "token_gini" ->
+      """WITH tm AS MATERIALIZED (
+        |  SELECT source AS g,
+        |    CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t != ''))) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |rk AS MATERIALIZED (
+        |  SELECT g, m,
+        |    CAST(row_number() OVER (ORDER BY m, g) AS BIGINT)
+        |      AS rank,
+        |    CAST(sum(m) OVER (ORDER BY m, g) AS HUGEINT) AS cum
+        |  FROM tm),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(m) AS HUGEINT) AS t FROM tm),
+        |gn AS (SELECT CAST(sum((2 * rank - tot.n - 1) *
+        |    CAST(m AS HUGEINT)) AS HUGEINT) AS num
+        |  FROM rk, tot)
+        |SELECT rk.g AS grp, rk.m AS mass, rk.rank,
+        |  CASE WHEN tot.t = 0 THEN NULL
+        |       ELSE CAST(cum * 1000000 // tot.t AS BIGINT)
+        |  END AS lorenz_ppm,
+        |  tot.n AS n_groups, CAST(tot.t AS BIGINT) AS total_mass,
+        |  CASE WHEN tot.t = 0 OR tot.n = 0 THEN NULL
+        |       ELSE CAST(gn.num * 1000000 // (tot.n * tot.t)
+        |         AS BIGINT) END AS gini_ppm
+        |FROM rk, tot, gn ORDER BY grp""".stripMargin,
     // KS replay: dense group×bucket grid, per-group and global
     // cumulative sums over the occupied buckets, max |cross-scaled
     // CDF gap| with smallest-bucket argmax, HUGEINT ppm division

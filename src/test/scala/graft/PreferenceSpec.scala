@@ -185,6 +185,31 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("giniConcentration: balanced = 0, hand-computed skew, " +
+      "one-group-owns-everything, negative-mass guard") {
+    def mk(rows: (String, Long)*) = rows.toDF("g", "m")
+    def gini(df: org.apache.spark.sql.DataFrame) =
+      Preference.giniConcentration(df, col("g"), col("m"))
+        .orderBy("grp").collect()
+    val bal = gini(mk(("a", 5L), ("b", 5L), ("c", 5L)))
+    assert(bal.forall(_.getLong(6) === 0L))
+    // masses 1,2,3 sorted: num = -2*1 + 0*2 + 2*3 = 4; n*T = 18 ->
+    // 222222 ppm (the classic G({1,2,3}) = 2/9); Lorenz cum shares
+    // 1/6, 3/6, 6/6
+    val skew = gini(mk(("a", 3L), ("b", 1L), ("c", 2L)))
+    assert(skew.map(r => (r.getString(0), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq(("a", 3L, 1000000L), ("b", 1L, 166666L),
+        ("c", 2L, 500000L)))
+    assert(skew(0).getLong(6) === 222222L)
+    // extreme concentration: G = (n-1)/n
+    val one = gini(mk(("a", 0L), ("b", 0L), ("c", 9L)))
+    assert(one(0).getLong(6) === 666666L)
+    intercept[IllegalArgumentException] {
+      gini(mk(("a", -1L)))
+    }
+  }
+
   test("fleissKappa: unanimity = exactly 1.0, hand-computed mixed " +
       "case, out-of-vocabulary vote fails loudly") {
     val unanimous = Seq(("x", "x"), ("y", "y"), ("x", "x"))
