@@ -37,6 +37,17 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLAMP_MULT", "20").toDouble
     val clampFloor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLAMP_FLOOR", "30").toDouble
+    // Tighter floor for sub-second-prior rows (round 18): the r17
+    // driver run lost 85/288 queries because ~8 stall pockets on
+    // trivial queries each burned 20-30 s before the 30 s floor
+    // tripped (a4_roundtrip prior 0.35 s stalled to 21.8 s and was
+    // RECORDED — under the floor, so never clamped — then flagged
+    // ">2x"). A 0.35 s-prior query that has run 10 s is a stall with
+    // overwhelming odds (max healthy spread ever observed on a
+    // sub-second row is ~4x), so max(10 s, 20x·prior) cuts the
+    // per-stall waste by ~2/3 without ever clipping honest noise.
+    val clampFloorFast =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLAMP_FLOOR_FAST", "10").toDouble
     val clampDefault =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLAMP_DEFAULT", "120").toDouble
     // Prior medians: BENCH_PRIOR.json is a committed snapshot of the
@@ -246,7 +257,10 @@ object Bench {
     def clampFor(name: String): Double =
       priorMedians.get(name)
         .orElse(samples.flatMap(_.get(name)).minOption)
-        .map(p => math.max(clampFloor, clampMult * p))
+        .map { p =>
+          val floor = if (p < 1.0) clampFloorFast else clampFloor
+          math.max(floor, clampMult * p)
+        }
         .getOrElse(clampDefault)
     // Revisit rule (pass >= 2): a query is revisited until it holds
     // TWO samples — a single sample on this stall-prone VM cannot be

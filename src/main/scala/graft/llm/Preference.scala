@@ -103,10 +103,27 @@ object Preference {
       loser: String = "loser_item", maxItems: Int = 1024): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // plan-time bound: LIMIT caps what the driver can ever pull to
+    // maxItems^2 + 1 rows, so a high-cardinality key column fails the
+    // require below instead of materializing the whole aggregate on
+    // the driver first (> maxItems distinct items forces > maxItems^2
+    // possible pairs only in the worst case, but ANY overflow of the
+    // pair bound implies the item bound is blown too — pairs <= items^2)
+    val pairCap = math.min(maxItems.toLong * maxItems,
+      Int.MaxValue.toLong - 1).toInt
     val wl = pairs.groupBy(col(winner).as("w"), col(loser).as("l"))
       .agg(count(lit(1)).as("wins"))
-      .collect() // bounded fit-collect: <= maxItems^2 rows by require
+      .limit(pairCap + 1)
+      .collect() // bounded fit-collect: <= maxItems^2 + 1 rows by LIMIT
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(wl.length <= pairCap,
+      s"bradleyTerry: over $pairCap distinct (winner, loser) pairs — " +
+        s"more than maxItems=$maxItems items; matrix not broadcastable")
+    wl.foreach { case (w, l, _) =>
+      require(w != null && l != null,
+        s"bradleyTerry: NULL in '$winner'/'$loser' — item keys must " +
+          "be non-null (filter or coalesce upstream)")
+    }
     val items = (wl.map(_._1) ++ wl.map(_._2)).distinct.sorted
     require(items.length <= maxItems,
       s"bradleyTerry: ${items.length} distinct items exceeds " +
@@ -164,10 +181,23 @@ object Preference {
       loser: String = "loser_item", maxItems: Int = 256): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // plan-time bound (see bradleyTerry): LIMIT before collect so the
+    // driver never pulls more than maxItems^2 + 1 rows
+    val pairCap = math.min(maxItems.toLong * maxItems,
+      Int.MaxValue.toLong - 1).toInt
     val wl = pairs.groupBy(col(winner).as("w"), col(loser).as("l"))
       .agg(count(lit(1)).as("wins"))
-      .collect() // bounded fit-collect: <= maxItems^2 by require
+      .limit(pairCap + 1)
+      .collect() // bounded fit-collect: <= maxItems^2 + 1 rows by LIMIT
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(wl.length <= pairCap,
+      s"prefCycles: over $pairCap distinct (winner, loser) pairs — " +
+        s"more than maxItems=$maxItems items; triangle walk unbounded")
+    wl.foreach { case (w, l, _) =>
+      require(w != null && l != null,
+        s"prefCycles: NULL in '$winner'/'$loser' — item keys must " +
+          "be non-null (filter or coalesce upstream)")
+    }
     val items = (wl.map(_._1) ++ wl.map(_._2)).distinct.sorted
     require(items.length <= maxItems,
       s"prefCycles: ${items.length} distinct items exceeds " +
@@ -236,7 +266,8 @@ object Preference {
         labelB.cast("string").as("label_b"))
       .groupBy("label_a", "label_b")
       .agg(count(lit(1)).cast("long").as("n"))
-      .collect() // bounded fit-collect, guarded below
+      .limit(maxCells + 1) // plan-time bound: driver pulls <= maxCells+1
+      .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     require(conf.length <= maxCells,
       s"annotatorKappa: ${conf.length} confusion cells exceeds " +
@@ -424,10 +455,15 @@ object Preference {
     val rows = df.select(group.cast("string").as("g"),
         mass.cast("long").as("m"))
       .groupBy("g").agg(sum(col("m")).as("mm"))
-      .collect() // bounded fit-collect, guarded below
+      .limit(maxGroups + 1) // plan-time bound: driver pulls <= maxGroups+1
+      .collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
     require(rows.length <= maxGroups,
       s"giniConcentration: ${rows.length} groups exceeds $maxGroups")
+    rows.foreach { case (g, _) =>
+      require(g != null,
+        "giniConcentration: NULL group key — filter or coalesce upstream")
+    }
     rows.foreach { case (g, m) =>
       require(m >= 0, s"giniConcentration: negative mass for '$g'")
     }
@@ -477,8 +513,13 @@ object Preference {
     val cells = df.select(group.cast("string").as("g"),
         bucket.cast("int").as("b"))
       .groupBy("g", "b").agg(count(lit(1)).cast("long").as("n"))
-      .collect() // bounded fit-collect, guarded below
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .limit(maxCells + 1) // plan-time bound: driver pulls <= maxCells+1
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "ksDrift: NULL group/bucket key — filter or coalesce upstream")
+        (r.getString(0), r.getInt(1), r.getLong(2))
+      }
     require(cells.length <= maxCells,
       s"ksDrift: ${cells.length} cells exceeds maxCells=$maxCells")
     cells.foreach { case (_, b, _) =>

@@ -3922,6 +3922,18 @@ object TextAnalysis {
     require(clash.isEmpty,
       s"mojibakeFix: input already contains column(s) " +
         s"${clash.mkString(", ")}")
+    // the blocklistGate guard, applied here too: map entries are
+    // interpolated into SQL string literals unescaped, so a quote or
+    // backslash in a future table edit would corrupt the replace
+    // chain IDENTICALLY in both engines (the shared generator means
+    // the oracle would still match, hiding the bug) — fail loudly
+    mojibakeMap.foreach { case (bad, good) =>
+      Seq(bad, good).foreach { s =>
+        require(!s.contains("'") && !s.contains("\\"),
+          s"mojibakeFix: map entry '$s' contains a quote/backslash — " +
+            "not literal-safe for the SQL replace chain")
+      }
+    }
     val (three, two) = mojibakeMap.partition(_._1.length == 3)
     def chain(inner: String, ms: Seq[(String, String)]): String =
       ms.foldLeft(inner) { case (acc, (bad, good)) =>
