@@ -293,6 +293,16 @@ object LlmQueries {
         "embedding", cells = 16, iters = 2, minCos = 0.35)
         .orderBy("vec_id")
     }),
+    // SemDedup with AUTO-SCALED cells (round-18): cells = 0 routes
+    // through [[Similarity.autoCells]] = max(16, ceil(sqrt(n))) — the
+    // k∝√n rule the sf1 study recorded (pinned cells=16 is the wrong
+    // plan at 100 TB: per-cell pair work grows as (n/k)², so k must
+    // grow with the corpus for the within-cell stage to stay linear)
+    "semdedup_auto" -> ((s, d) => {
+      Similarity.semDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", cells = 0, iters = 2, minCos = 0.35)
+        .orderBy("vec_id")
+    }),
     // PageRank centrality over the same similarity graph — the
     // authority signal for canonical-document weighting; all-integer
     // ppm contract (teleport 150000, damping 850/1000, truncating
@@ -3433,9 +3443,12 @@ object LlmQueries {
 
   /** Two unrolled Lloyd iterations over the `v` CTE; decimal-routed
     * component sums make the means order-independent, matching the
-    * Spark side. Ends with centroid CTE `c2`.
+    * Spark side. Ends with centroid CTE `c2`. `seedCut` is the SQL
+    * expression bounding the seed ids (default the pinned 16; the
+    * auto-cells mirror passes a scalar subquery computing
+    * greatest(16, ceil(sqrt(n))) — [[Similarity.autoCells]]).
     */
-  private def duckKmeansChain: String = {
+  private def duckKmeansChain(seedCut: String = "16"): String = {
     def assign(cs: String) =
       s"""SELECT vec_id, cell
          |  FROM (SELECT v.vec_id, $cs.cell, row_number() OVER
@@ -3458,7 +3471,7 @@ object LlmQueries {
          |  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN ${out}_new n USING (cell))""".stripMargin
     s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
-       |       FROM v WHERE vec_id < 16),
+       |       FROM v WHERE vec_id < $seedCut),
        |${step("c0", "a1", "m1", "c1")},
        |${step("c1", "a2", "m2", "c2")}""".stripMargin
   }
@@ -5475,7 +5488,38 @@ object LlmQueries {
     // argmax-assignment tiebreak, within-cell pairs at round-6 cos
     "semdedup" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |$duckKmeansChain,
+         |${duckKmeansChain()},
+         |assign AS (
+         |  SELECT vec_id, cell
+         |  FROM (SELECT v.vec_id, c2.cell, row_number() OVER
+         |          (PARTITION BY v.vec_id ORDER BY
+         |           ${duckCos("v.vec", "c2.cvec")} DESC, c2.cell DESC) rn
+         |        FROM v, c2)
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT a.vec_id, a.cell, v.vec
+         |  FROM assign a JOIN v USING (vec_id)),
+         |capped AS (
+         |  SELECT vec_id, cell, vec FROM (
+         |    SELECT vec_id, cell, vec, row_number() OVER
+         |      (PARTITION BY cell ORDER BY vec_id) rk FROM m)
+         |  WHERE rk <= 4096),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM capped a JOIN capped b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35)
+         |SELECT m.vec_id, m.cell, d.vec_id IS NULL AS keep
+         |FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
+    // auto-cells SemDedup mirror: identical chain, seed cut =
+    // greatest(16, ceil(sqrt(n))) computed from the corpus count —
+    // the k∝√n scale rule (Similarity.autoCells)
+    "semdedup_auto" ->
+      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |kk AS (SELECT greatest(16, CAST(ceil(sqrt(
+         |         CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k FROM v),
+         |${duckKmeansChain("(SELECT k FROM kk)")},
          |assign AS (
          |  SELECT vec_id, cell
          |  FROM (SELECT v.vec_id, c2.cell, row_number() OVER
@@ -5501,7 +5545,7 @@ object LlmQueries {
          |ORDER BY m.vec_id""".stripMargin,
     "ivf_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |$duckKmeansChain
+         |${duckKmeansChain()}
          |SELECT cell,
          |  array_to_string(list_transform(cvec,
          |    x -> printf('%.6f', round(x, 6) + 0.0)), ',') AS centroid
@@ -5629,7 +5673,7 @@ object LlmQueries {
          |${duckIvfTopkTail("cent")}""".stripMargin,
     "ivf_topk_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |$duckKmeansChain,
+         |${duckKmeansChain()},
          |${duckIvfTopkTail("c2")}""".stripMargin,
     // hamming_topk mirror: same planted v, same index-order
     // shiftleft/or sign-pack fold, xor+bit_count distance
@@ -5824,7 +5868,7 @@ object LlmQueries {
          |WHERE q.vec_id < 48 ORDER BY query_id""".stripMargin,
     "ann_recall" ->
       s"""WITH $duckPlantedV,
-         |$duckKmeansChain,
+         |${duckKmeansChain()},
          |bfs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    round(${duckCos("q.vec", "c.vec")}, 6) + 0.0 AS sim
