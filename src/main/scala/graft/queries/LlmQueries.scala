@@ -852,6 +852,21 @@ object LlmQueries {
         strides = Seq(1L, 7L, 8L)))
         .orderBy("item")
     }),
+    // judge position-bias audit (round-18): position-A win rate per
+    // judge with Wilson interval + binomial z vs 0.5. Fixture plants
+    // three deterministic judges (id_a % 3); judge j0 is BIASED —
+    // 2 of every 5 of its pairs are forced to the first-presented
+    // item regardless of merit — so the flag actually fires while
+    // j1/j2 stay inside their intervals
+    "pref_position_bias" -> ((s, d) => {
+      val pairs = Preference.prefPairs(t(s, d, "documents"),
+        "doc_id", "source", "n_chars")
+      Preference.positionBias(pairs,
+        expr("concat('j', CAST(id_a % 3 AS STRING))"),
+        expr("CASE WHEN id_a % 3 = 0 AND id_a % 5 < 2 THEN true " +
+          "ELSE winner_item = item_a END"))
+        .orderBy("judge")
+    }),
     // machine-text telemetry (round-17): sentence-length burstiness
     // (exact CV² ppm) under the bounded 1024×1023 window — uniform
     // sentence lengths flag template/model-generated text; row-local
@@ -4206,6 +4221,44 @@ object LlmQueries {
          |LEFT JOIN idg ON idg.item = it.item
          |LEFT JOIN trii ON trii.item = it.item, ni, ne, tot
          |ORDER BY it.item""".stripMargin,
+    // position-bias audit: same planted-judge fixture over the shared
+    // pair CTE; the Wilson tail is the return_rate_ci double tree
+    // (each op IEEE correctly rounded, identical order both engines)
+    "pref_position_bias" ->
+      s"""WITH ${duckPrefPairs()},
+         |jp AS (
+         |  SELECT concat('j', CAST(id_a % 3 AS VARCHAR)) AS judge,
+         |    CASE WHEN id_a % 3 = 0 AND id_a % 5 < 2 THEN true
+         |         ELSE winner_item = item_a END AS aw
+         |  FROM pp),
+         |c AS (
+         |  SELECT judge, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN aw THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a_wins
+         |  FROM jp GROUP BY 1),
+         |w AS (
+         |  SELECT judge, n_pairs, n_a_wins,
+         |    CAST(n_a_wins AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS phat,
+         |    CAST(n_pairs AS DOUBLE) AS nd
+         |  FROM c),
+         |b AS (
+         |  SELECT judge, n_pairs, n_a_wins,
+         |    CAST(n_a_wins * 1000000 // n_pairs AS BIGINT) AS a_win_ppm,
+         |    round((phat + 1.96 * 1.96 / (2.0 * nd))
+         |        / (1.0 + 1.96 * 1.96 / nd)
+         |      - 1.96 * sqrt(phat * (1.0 - phat) / nd
+         |          + 1.96 * 1.96 / (4.0 * nd * nd))
+         |        / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
+         |    round((phat + 1.96 * 1.96 / (2.0 * nd))
+         |        / (1.0 + 1.96 * 1.96 / nd)
+         |      + 1.96 * sqrt(phat * (1.0 - phat) / nd
+         |          + 1.96 * 1.96 / (4.0 * nd * nd))
+         |        / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi,
+         |    round((2.0 * phat - 1.0) * sqrt(nd), 6) AS z_stat
+         |  FROM w)
+         |SELECT judge, n_pairs, n_a_wins, a_win_ppm, ci_lo, ci_hi,
+         |  z_stat, (ci_lo > 0.5 OR ci_hi < 0.5) AS position_biased
+         |FROM b ORDER BY judge""".stripMargin,
     // burstiness replay: identical bounded-window HOF chain
     // (list_slice/least caps) with init-via-prepend integer folds
     "synthetic_signals" ->

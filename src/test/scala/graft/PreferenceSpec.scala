@@ -400,4 +400,38 @@ class PreferenceSpec extends AnyFunSuite {
         dirty.withColumn("n_fixes", lit(1)), "text")
     }
   }
+
+  test("positionBias: planted first-position bias flags, balanced " +
+      "judge does not, Wilson interval pins") {
+    // biased: 90 A-wins of 100; balanced: 52 of 100 (inside Wilson)
+    val rows = (0 until 100).flatMap { i =>
+      Seq(("biased", i < 90), ("balanced", i < 52))
+    }
+    val out = Preference.positionBias(rows.toDF("judge", "aw"),
+      col("judge"), col("aw")).orderBy("judge").collect()
+    val byJudge = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getBoolean(7))).toMap
+    val b = byJudge("biased")
+    assert(b._1 === 100L && b._2 === 90L && b._3 === 900000L)
+    assert(b._7, "planted 90% A-preference must flag")
+    assert(b._4 > 0.5 && b._5 > b._4) // whole CI above 0.5
+    assert(math.abs(b._6 - (2.0 * 0.9 - 1.0) * 10.0) < 1e-6) // z = 8
+    val u = byJudge("balanced")
+    assert(!u._7, "52/100 sits inside the Wilson interval of 0.5")
+    assert(u._4 < 0.5 && u._5 > 0.5)
+    // hand-pinned Wilson bounds for 90/100 at z = 1.96
+    // (lo 0.825633, hi 0.944771)
+    assert(math.abs(b._4 - 0.825633) < 1e-5)
+    assert(math.abs(b._5 - 0.944771) < 1e-5)
+  }
+
+  test("positionBias: all-A and all-B degenerate judges stay exact") {
+    val rows = (0 until 16).flatMap(_ =>
+      Seq(("allA", true), ("allB", false)))
+    val out = Preference.positionBias(rows.toDF("judge", "aw"),
+      col("judge"), col("aw")).orderBy("judge").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(7)))
+    assert(out === Array(("allA", 1000000L, true), ("allB", 0L, true)))
+  }
 }
