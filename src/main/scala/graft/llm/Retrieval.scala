@@ -166,4 +166,108 @@ object Retrieval {
     }
     HybridModel(queries, totals.getLong(0), totals.getLong(1))
   }
+
+  /** Pinned DCG discount table: `discount_micro(r) = floor(10^6 /
+    * log2(r + 1))` for 1-based rank r. Computed ONCE here and shipped
+    * as integer literals into both engines' plans (the mojibakeMap
+    * discipline), so no libm log ever crosses the cross-engine
+    * contract — the standard Järvelin-Kekäläinen discount, micro-
+    * pinned.
+    */
+  def dcgDiscountMicro(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 1000, "need 1 <= k <= 1000")
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  }
+
+  /** Graded-relevance retrieval evaluation — nDCG@k, reciprocal rank,
+    * recall@k per query: the scoreboard every retrieval change
+    * (BM25 weights, fusion constants, ANN recall trade-offs) is
+    * actually judged by, closing the loop the ann_recall telemetry
+    * opened. `run` carries (query_id, doc_id, rank) — any arm's
+    * shortlist ([[hybridRrf]], [[TextAnalysis.bm25TopK]] reshaped,
+    * [[Similarity.bruteForceTopK]]); `qrels` carries graded
+    * (query_id, doc_id, rel) with rel > 0 meaning relevant (rel = 0
+    * rows are dropped — absent pairs ARE the zero grade).
+    *
+    * Pure-integer contract: gain = 2^rel − 1 exactly (shiftleft on
+    * longs; rel is clamped-checked to ≤ `maxRel` ≤ 62 so the gain
+    * fits), discount = the pinned [[dcgDiscountMicro]] literals, so
+    * DCG/IDCG are exact integer sums (order-independent) and
+    * `ndcg_ppm` / `recall_ppm` / `rr_ppm` are truncating integer
+    * divisions — bit-identical on any engine.
+    *
+    * Per query: `n_ret` hits scored, `n_rel` total relevant in
+    * qrels, `n_rel_ret` relevant retrieved within k, `recall_ppm`,
+    * `rr_ppm` (10^6 / first relevant rank, 0 if none), `dcg_micro`,
+    * `idcg_micro` (ideal = qrels sorted rel-descending, top k),
+    * `ndcg_ppm` (NULL when the query has no relevant documents).
+    *
+    * Scale shape: the run is top-k per query (query-proportional,
+    * never corpus-proportional); qrels joins are equi-joins on
+    * (query_id, doc_id); the ideal side reduces qrels with ONE
+    * map-side-combined groupBy whose collect_list is capped by
+    * qrels-per-query (an eval set, bounded in practice — and only
+    * the top k survive the slice). No window anywhere.
+    */
+  def retrievalEval(run: DataFrame, qrels: DataFrame, k: Int = 10,
+      maxRel: Int = 20): DataFrame = {
+    require(maxRel >= 1 && maxRel <= 62,
+      "maxRel must fit a long gain: 1 <= maxRel <= 62")
+    val disc = dcgDiscountMicro(k)
+    val discSql = disc.map(d => s"${d}L").mkString("array(", ", ", ")")
+    val rel = qrels
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rel").cast("long").as("rel"))
+      .filter(col("rel") > 0)
+      // guard folded INTO the consumed column (a side-column would be
+      // pruned away): an over-range grade overflows the 2^rel gain,
+      // so fail loudly instead
+      .withColumn("rel", expr(
+        s"CASE WHEN rel <= ${maxRel}L THEN rel ELSE " +
+          s"raise_error(concat('retrievalEval: rel ', " +
+          s"CAST(rel AS STRING), ' exceeds maxRel=$maxRel')) END"))
+    val hits = run
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("__gain", expr(
+        "shiftleft(1L, CAST(coalesce(rel, 0L) AS INT)) - 1L"))
+      .withColumn("__disc", expr(
+        s"element_at($discSql, CAST(rank AS INT))"))
+    val perQ = hits.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_ret"),
+        sum(expr("__gain * __disc")).cast("long").as("dcg_micro"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_rel_ret"),
+        min(when(col("rel").isNotNull, col("rank")))
+          .as("__first_rel"))
+    val ideal = rel.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_rel"),
+        expr(s"slice(sort_array(collect_list(rel), false), 1, $k)")
+          .as("__top"))
+      .withColumn("idcg_micro", expr(
+        s"aggregate(zip_with(__top, slice($discSql, 1, size(__top))," +
+          " (r, d) -> (shiftleft(1L, CAST(r AS INT)) - 1L) * d), " +
+          "0L, (a, x) -> a + x)"))
+      .select(col("query_id"), col("n_rel"), col("idcg_micro"))
+    perQ.join(ideal, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        expr("CASE WHEN coalesce(n_rel, 0L) = 0L THEN " +
+          "CAST(NULL AS BIGINT) ELSE coalesce(n_rel_ret, 0L) * " +
+          "1000000L DIV n_rel END").as("recall_ppm"),
+        expr("CASE WHEN __first_rel IS NULL THEN 0L ELSE " +
+          "1000000L DIV __first_rel END").as("rr_ppm"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        expr("CASE WHEN coalesce(idcg_micro, 0L) = 0L THEN " +
+          "CAST(NULL AS BIGINT) ELSE coalesce(dcg_micro, 0L) * " +
+          "1000000L DIV idcg_micro END").as("ndcg_ppm"))
+  }
 }

@@ -330,6 +330,26 @@ object LlmQueries {
         queryIds = 0L until 8L)
         .orderBy("query_id", "rank")
     }),
+    // graded-relevance retrieval scoreboard (round-18): nDCG@10 /
+    // MRR / recall@10 of the hybrid retriever against planted graded
+    // qrels ((doc+query) % {20,10,5} -> rel 3/2/1, self excluded) —
+    // exact integer DCG via the pinned micro-discount table
+    "retrieval_eval" -> ((s, d) => {
+      val run = Retrieval.hybridRrf(t(s, d, "documents"),
+        t(s, d, "embeddings"), queryIds = 0L until 8L)
+        .select("query_id", "doc_id", "rank")
+      val qrels = t(s, d, "documents")
+        .select(explode(expr("sequence(0L, 7L)")).as("query_id"),
+          col("doc_id"))
+        .withColumn("rel", expr(
+          "CAST(CASE WHEN (doc_id + query_id) % 20 = 0 THEN 3 " +
+            "WHEN (doc_id + query_id) % 10 = 0 THEN 2 " +
+            "WHEN (doc_id + query_id) % 5 = 0 THEN 1 " +
+            "ELSE 0 END AS BIGINT)"))
+        .filter("rel > 0 AND doc_id != query_id")
+      Retrieval.retrievalEval(run, qrels, k = 10)
+        .orderBy("query_id")
+    }),
     // data-constrained mixture planner: a 50/30/20 target over three
     // sources vs a 4-epoch repetition cap at a half-corpus token
     // budget — src0's share saturates at cap, src1/src2 split the
@@ -2751,6 +2771,89 @@ object LlmQueries {
     * (1, 7) match `pref_pairs`/`bradley_terry`; `pref_cycles` adds 8
     * so comparison triangles exist at all.
     */
+
+  /** The shared hybrid-RRF oracle chain (BM25 arm, dense arm, RRF
+    * fusion) as WITH-body CTEs ending in `fin` — reused verbatim by
+    * the hybrid_rrf mirror and the retrieval_eval run side so the
+    * evaluated run can never drift from the evaluated retriever.
+    */
+  private def duckHybridChain: String =
+      s"""toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), t -> t != '')
+         |      AS ts
+         |  FROM documents),
+         |lens AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len) AS BIGINT) AS tot
+         |  FROM lens),
+         |qt AS (
+         |  SELECT doc_id AS query_id, term FROM tf
+         |  WHERE doc_id < 8 AND length(term) >= 5),
+         |lexw AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(((t.n - d.df + 0.5e0) / (d.df + 0.5e0))
+         |      * ((tf.tf * 2.2e0) / (tf.tf + 0.3e0
+         |         + 0.9e0 * (l.len * 1.0e0 * t.n / t.tot)))
+         |      * 1000000.0e0) AS BIGINT) AS w
+         |  FROM tf
+         |  JOIN qt ON qt.term = tf.term
+         |  JOIN dfreq d ON d.term = tf.term
+         |  JOIN lens l ON l.doc_id = tf.doc_id, tot t
+         |  WHERE tf.doc_id != qt.query_id),
+         |lex AS (
+         |  SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS lexm
+         |  FROM lexw GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY lexm DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lex),
+         |v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id AS query_id, vec AS qvec FROM v
+         |  WHERE vec_id < 8),
+         |dns AS (
+         |  SELECT qv.query_id, v.vec_id AS doc_id,
+         |    round(${duckCos("v.vec", "qv.qvec")}, 6) + 0.0 AS sim
+         |  FROM v, qv WHERE v.vec_id != qv.query_id),
+         |dnr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, doc_id) AS BIGINT) AS dense_rank
+         |  FROM dns),
+         |fused AS (
+         |  SELECT coalesce(dd.query_id, ll.query_id) AS query_id,
+         |    coalesce(dd.doc_id, ll.doc_id) AS doc_id,
+         |    coalesce(dd.dense_rank, 0) AS dense_rank,
+         |    coalesce(ll.lex_rank, 0) AS lex_rank
+         |  FROM (SELECT * FROM dnr WHERE dense_rank <= 50) dd
+         |  FULL OUTER JOIN (SELECT * FROM lexr WHERE lex_rank <= 50) ll
+         |    ON dd.query_id = ll.query_id AND dd.doc_id = ll.doc_id),
+         |sc AS (
+         |  SELECT query_id, doc_id, dense_rank, lex_rank,
+         |    CAST((CASE WHEN dense_rank > 0
+         |          THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+         |      + (CASE WHEN lex_rank > 0
+         |          THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+         |      AS BIGINT) AS rrf_ppm
+         |  FROM fused),
+         |fin AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
+         |    doc_id, rrf_ppm, dense_rank, lex_rank
+         |  FROM sc)""".stripMargin
+
   private def duckPrefPairs(strides: Seq[Long] = Seq(1L, 7L)): String =
     strides.map(k =>
       s"""  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4903,83 +5006,78 @@ object LlmQueries {
     // same truncating-integer-division fusion — every hashed column
     // BIGINT
     "hybrid_rrf" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(lower(text), ' '), t -> t != '')
-         |      AS ts
-         |  FROM documents),
-         |lens AS (
-         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM toks),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
-         |  GROUP BY doc_id, term),
-         |dfreq AS (
-         |  SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM tf GROUP BY term),
-         |tot AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(len) AS BIGINT) AS tot
-         |  FROM lens),
-         |qt AS (
-         |  SELECT doc_id AS query_id, term FROM tf
-         |  WHERE doc_id < 8 AND length(term) >= 5),
-         |lexw AS (
-         |  SELECT qt.query_id, tf.doc_id,
-         |    CAST(floor(((t.n - d.df + 0.5e0) / (d.df + 0.5e0))
-         |      * ((tf.tf * 2.2e0) / (tf.tf + 0.3e0
-         |         + 0.9e0 * (l.len * 1.0e0 * t.n / t.tot)))
-         |      * 1000000.0e0) AS BIGINT) AS w
-         |  FROM tf
-         |  JOIN qt ON qt.term = tf.term
-         |  JOIN dfreq d ON d.term = tf.term
-         |  JOIN lens l ON l.doc_id = tf.doc_id, tot t
-         |  WHERE tf.doc_id != qt.query_id),
-         |lex AS (
-         |  SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS lexm
-         |  FROM lexw GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY lexm DESC, doc_id) AS BIGINT) AS lex_rank
-         |  FROM lex),
-         |v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |qv AS (
-         |  SELECT vec_id AS query_id, vec AS qvec FROM v
-         |  WHERE vec_id < 8),
-         |dns AS (
-         |  SELECT qv.query_id, v.vec_id AS doc_id,
-         |    round(${duckCos("v.vec", "qv.qvec")}, 6) + 0.0 AS sim
-         |  FROM v, qv WHERE v.vec_id != qv.query_id),
-         |dnr AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, doc_id) AS BIGINT) AS dense_rank
-         |  FROM dns),
-         |fused AS (
-         |  SELECT coalesce(dd.query_id, ll.query_id) AS query_id,
-         |    coalesce(dd.doc_id, ll.doc_id) AS doc_id,
-         |    coalesce(dd.dense_rank, 0) AS dense_rank,
-         |    coalesce(ll.lex_rank, 0) AS lex_rank
-         |  FROM (SELECT * FROM dnr WHERE dense_rank <= 50) dd
-         |  FULL OUTER JOIN (SELECT * FROM lexr WHERE lex_rank <= 50) ll
-         |    ON dd.query_id = ll.query_id AND dd.doc_id = ll.doc_id),
-         |sc AS (
-         |  SELECT query_id, doc_id, dense_rank, lex_rank,
-         |    CAST((CASE WHEN dense_rank > 0
-         |          THEN 1000000 // (60 + dense_rank) ELSE 0 END)
-         |      + (CASE WHEN lex_rank > 0
-         |          THEN 1000000 // (60 + lex_rank) ELSE 0 END)
-         |      AS BIGINT) AS rrf_ppm
-         |  FROM fused),
-         |fin AS (
-         |  SELECT query_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
-         |    doc_id, rrf_ppm, dense_rank, lex_rank
-         |  FROM sc)
+      s"""WITH $duckHybridChain
          |SELECT * FROM fin WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // retrieval eval mirror: the shared hybrid chain's top-10 run,
+    // planted graded qrels, the pinned micro-discount literals, and
+    // integer DCG/IDCG sums — ndcg/recall/rr as truncating ppm
+    "retrieval_eval" -> {
+      val disc = Retrieval.dcgDiscountMicro(10)
+      val discList = disc.mkString("[", ", ", "]")
+      s"""WITH $duckHybridChain,
+         |run AS (SELECT query_id, doc_id, rank FROM fin
+         |        WHERE rank <= 10),
+         |qr AS (
+         |  SELECT q.query_id, d.doc_id,
+         |    CAST(CASE WHEN (d.doc_id + q.query_id) % 20 = 0 THEN 3
+         |         WHEN (d.doc_id + q.query_id) % 10 = 0 THEN 2
+         |         WHEN (d.doc_id + q.query_id) % 5 = 0 THEN 1
+         |         ELSE 0 END AS BIGINT) AS rel
+         |  FROM documents d,
+         |       (SELECT unnest(generate_series(0, 7)) AS query_id) q
+         |  WHERE d.doc_id != q.query_id),
+         |rel AS (SELECT * FROM qr WHERE rel > 0),
+         |disc AS (
+         |  SELECT unnest(generate_series(1, 10)) AS rank,
+         |    unnest($discList) AS d),
+         |hits AS (
+         |  SELECT r.query_id, r.rank, rel.rel,
+         |    (CASE WHEN rel.rel IS NULL THEN 0
+         |     ELSE (1::BIGINT << rel.rel) - 1 END) * disc.d AS gd
+         |  FROM run r
+         |  LEFT JOIN rel ON rel.query_id = r.query_id
+         |               AND rel.doc_id = r.doc_id
+         |  JOIN disc ON disc.rank = r.rank),
+         |perq AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret,
+         |    CAST(sum(gd) AS BIGINT) AS dcg_micro,
+         |    CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_rel_ret,
+         |    min(CASE WHEN rel IS NOT NULL THEN rank END)
+         |      AS first_rel
+         |  FROM hits GROUP BY 1),
+         |itop AS (
+         |  SELECT query_id, rel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+         |      AS n_rel
+         |  FROM rel),
+         |ideal AS (
+         |  SELECT query_id, any_value(n_rel) AS n_rel,
+         |    CAST(sum(CASE WHEN rn <= 10
+         |      THEN ((1::BIGINT << rel) - 1) * disc.d ELSE 0 END)
+         |      AS BIGINT) AS idcg_micro
+         |  FROM itop LEFT JOIN disc ON disc.rank = itop.rn
+         |  GROUP BY 1)
+         |SELECT coalesce(p.query_id, i.query_id) AS query_id,
+         |  CAST(coalesce(p.n_ret, 0) AS BIGINT) AS n_ret,
+         |  CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(coalesce(p.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+         |  CAST(CASE WHEN coalesce(i.n_rel, 0) = 0 THEN NULL
+         |    ELSE coalesce(p.n_rel_ret, 0) * 1000000 // i.n_rel END
+         |    AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN p.first_rel IS NULL THEN 0
+         |    ELSE 1000000 // p.first_rel END AS BIGINT) AS rr_ppm,
+         |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |  CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+         |  CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN NULL
+         |    ELSE coalesce(p.dcg_micro, 0) * 1000000 // i.idcg_micro
+         |    END AS BIGINT) AS ndcg_ppm
+         |FROM perq p FULL OUTER JOIN ideal i USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     // length-bucket mirror: the oracle's global row_number stands in
     // for the engine's distributed prefix sum (same total order)
     "length_buckets" ->

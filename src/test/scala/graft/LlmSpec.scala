@@ -2318,6 +2318,42 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 16393L, 1L, 0L)))
   }
 
+  test("retrievalEval: hand-computed nDCG/MRR/recall pins, no-qrels " +
+      "query NULLs, discount table values") {
+    import graft.llm.Retrieval
+    // pinned discounts: floor(1e6/log2(r+1))
+    assert(Retrieval.dcgDiscountMicro(4) ===
+      Seq(1000000L, 630929L, 500000L, 430676L))
+    // query 0: run = docs 10,11,12 at ranks 1,2,3; rels 11->3, 12->1,
+    //          13->2 (13 not retrieved)
+    // query 1: run = doc 20 rank 1; no qrels at all
+    val run = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 11L, 3L), (0L, 12L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Retrieval.retrievalEval(run, qrels, k = 3)
+      .orderBy("query_id").collect()
+    val q0 = out(0)
+    // DCG = 0 + 7*630929 + 1*500000 = 4916503
+    assert(q0.getLong(6) === 7L * 630929L + 500000L)
+    // IDCG = rels sorted desc (3,2,1): 7*1000000 + 3*630929 + 500000
+    assert(q0.getLong(7) === 7000000L + 3L * 630929L + 500000L)
+    assert(q0.getLong(8) ===
+      q0.getLong(6) * 1000000L / q0.getLong(7)) // 522338
+    assert(q0.getLong(2) === 3L && q0.getLong(3) === 2L)
+    assert(q0.getLong(4) === 666666L) // 2/3 recall, truncating
+    assert(q0.getLong(5) === 500000L) // first relevant at rank 2
+    val q1 = out(1)
+    assert(q1.getLong(1) === 1L && q1.getLong(2) === 0L)
+    assert(q1.isNullAt(4) && q1.isNullAt(8)) // recall/ndcg undefined
+    assert(q1.getLong(5) === 0L)             // rr 0 when none relevant
+    // over-range grade fails loudly (gain would overflow)
+    val bad = Seq((0L, 11L, 63L)).toDF("query_id", "doc_id", "rel")
+    intercept[Exception] {
+      Retrieval.retrievalEval(run, bad, k = 3).collect()
+    }
+  }
+
   test("lengthBucketBatches: pow-2 buckets, length-desc deal, exact " +
       "per-doc padding against the batch max") {
     def mk(id: Long, n: Int) = (id, Seq.fill(n)("tok").mkString(" "))
