@@ -3501,6 +3501,91 @@ object TextAnalysis {
       length(col("piece")) === 1)
   }
 
+  /** SentencePiece-style unigram-LM EM fit: starts from the
+    * [[unigramFit]] frequency vocabulary and runs `iters` full EM
+    * rounds — E-step: expected piece counts over each word's
+    * segmentation lattice via the native forward-backward expression
+    * ([[UnigramEmExpr]], the soft counterpart of the hard Viterbi
+    * path), exact truncated micro units; M-step: piece score =
+    * corpus expectation sum (+1 smoothing so no surviving piece's
+    * probability collapses to zero); prune: vocabulary shrinks by
+    * `keepPpm` per round on (expectation desc, piece asc), the
+    * SentencePiece shrinking schedule with expected count as the
+    * loss surrogate (exact Δ-likelihood pruning needs one extra
+    * lattice pass per candidate — documented divergence), single-
+    * char pieces always kept so segmentation stays total.
+    *
+    * Where the frequency fit scores a piece by how often its STRING
+    * occurs, EM scores it by how much segmentation mass it actually
+    * carries against the competing pieces — substrings that only
+    * ever appear inside a stronger piece collapse toward zero, which
+    * is exactly the redistribution SentencePiece's fit performs and
+    * the frequency fit cannot (the corpus-likelihood spec pins the
+    * improvement).
+    *
+    * Scale shape (the BPE-batched-fit discipline): per EM round, ONE
+    * distributed pass over the distinct-word frame (word counts are
+    * a map-side-combined aggregate, computed once and checkpointed)
+    * with the bounded vocabulary broadcast inside the native
+    * expression, then ONE map-side-combined piece aggregate whose
+    * result is ≤ vocab rows — a bounded fit-collect per round; the
+    * M-step/prune replay driver-side (zero Spark jobs). Words longer
+    * than `maxWordLen` are excluded from the fit (bounds the lattice
+    * on both engines).
+    *
+    * Output: the final vocabulary — (piece, em_score, rank), where
+    * em_score is the last round's smoothed expectation and rank the
+    * (em_score desc, piece asc) order.
+    */
+  def unigramEmFit(df: DataFrame, text: String, vocabN: Int = 64,
+      maxPiece: Int = 4, iters: Int = 2, keepPpm: Long = 750000L,
+      maxWordLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    require(iters >= 1 && iters <= 16, "need 1 <= iters <= 16")
+    require(keepPpm >= 1L && keepPpm <= 1000000L,
+      "keepPpm must be in (0, 10^6]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(expr(
+        s"filter(split(lower($text), ' '), t -> t != '')")).as("__w"))
+      .filter(length(col("__w")) <= maxWordLen)
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      // reused once per EM round — truncate lineage so round r does
+      // not replay rounds 1..r-1's scans (the kmeansCentroids rule)
+      .localCheckpoint()
+    var entries: Array[(String, Long)] =
+      unigramFit(df, text, vocabN, maxPiece)
+        .select("piece", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    var keepN: Long = vocabN.toLong
+    def single(p: String): Boolean =
+      p.codePointCount(0, p.length) == 1
+    for (_ <- 1 to iters) {
+      val total = entries.map(_._2).sum
+      val holder = new UnigramEmVocab(entries, total)
+      val eSums = words
+        .select(explode(column(UnigramEmExpr(
+          expression(col("__w")), expression(col("__c")), holder,
+          maxPiece, maxWordLen))).as("__e"))
+        .groupBy(col("__e.piece").as("piece"))
+        .agg(sum(col("__e.e_micro")).cast("long").as("s"))
+        .collect() // bounded fit-collect: <= |vocab| rows
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      keepN = keepN * keepPpm / 1000000L
+      val ranked = entries
+        .map { case (p, _) => (p, eSums.getOrElse(p, 0L)) }
+        .sortBy { case (p, s) => (-s, p) }
+      entries = ranked.zipWithIndex
+        .filter { case ((p, _), idx) => idx < keepN || single(p) }
+        .map { case ((p, s), _) => (p, s + 1L) }
+    }
+    entries.sortBy { case (p, s) => (-s, p) }.zipWithIndex
+      .map { case ((p, s), i) => (p, s, (i + 1).toLong) }
+      .toSeq.toDF("piece", "em_score", "rank")
+  }
+
   /** Optimal (Viterbi) unigram segmentation at DISTINCT-word grain:
     * per distinct word of `text`, the minimal-piece / max-frequency
     * segmentation plus the greedy maximal-munch count over the SAME

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -167,4 +168,145 @@ case class UnigramViterbiExpr(child: Expression, vocab: UnigramVocab,
   }
   override protected def withNewChildInternal(newChild: Expression)
       : UnigramViterbiExpr = copy(child = newChild)
+}
+
+/** Forward-backward lattice expectations for the SentencePiece-style
+  * unigram-LM EM fit ([[TextAnalysis.unigramEmFit]]): per word, the
+  * EXPECTED number of times each vocabulary piece is used across all
+  * segmentations, weighted by the word's corpus count, in exact
+  * truncated micro units.
+  *
+  * Cross-engine determinism contract (the DuckDB oracle replays the
+  * identical chain): piece probabilities are the single correctly-
+  * rounded division score/total from exact integers; the forward
+  * values alpha_i and backward values gamma_j are built with the
+  * PINNED add tree ((c1 + c2) + c3) + c4 over the length-1..4
+  * contributions (absent piece / out-of-range term = literal +0.0,
+  * an exact identity on the non-negative operands here); each
+  * occurrence expectation is the fixed five-op sequence
+  * floor(((((alpha·p)·beta)/alphaL)·cnt)·10^6) — every op IEEE
+  * correctly rounded, so bit-identical on any engine fed the same
+  * integers. Zero-expectation occurrences are still emitted (the
+  * aggregate's piece set must match relational replay).
+  *
+  * Words longer than `maxWordLen` yield an EMPTY array — the EM fit
+  * excludes them (real tokenizer fits bound word length the same
+  * way; it also keeps the oracle's chained-CTE lattice finite).
+  */
+object UnigramEm {
+  def compute(word: UTF8String, cnt: Long, vocab: UnigramEmVocab,
+      maxPiece: Int, maxWordLen: Int): ArrayData = {
+    val w = word.toString
+    val cps = w.codePointCount(0, w.length)
+    if (cps > maxWordLen || cps == 0)
+      return ArrayData.toArrayData(Array.empty[InternalRow])
+    val off = new Array[Int](cps + 1)
+    var ci = 0
+    var oi = 0
+    while (ci < cps) {
+      off(ci) = oi
+      oi += Character.charCount(w.codePointAt(oi))
+      ci += 1
+    }
+    off(cps) = w.length
+    def p(startCp: Int, l: Int): Double = {
+      val v = vocab.p.get(w.substring(off(startCp), off(startCp + l)))
+      if (v eq null) 0.0 else v.doubleValue()
+    }
+    // forward: alpha(i) over prefix length i, pinned add tree
+    val alpha = new Array[Double](cps + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= cps) {
+      val c1 = alpha(i - 1) * p(i - 1, 1)
+      val c2 = if (i >= 2) alpha(i - 2) * p(i - 2, 2) else 0.0
+      val c3 = if (i >= 3) alpha(i - 3) * p(i - 3, 3) else 0.0
+      val c4 = if (i >= 4) alpha(i - 4) * p(i - 4, 4) else 0.0
+      alpha(i) = ((c1 + c2) + c3) + c4
+      i += 1
+    }
+    // backward: gamma(j) over suffix length j — the mirrored
+    // recursion, contributions gamma(j-l) * p(piece at cps - j)
+    val gamma = new Array[Double](cps + 1)
+    gamma(0) = 1.0
+    var j = 1
+    while (j <= cps) {
+      val c1 = gamma(j - 1) * p(cps - j, 1)
+      val c2 = if (j >= 2) gamma(j - 2) * p(cps - j, 2) else 0.0
+      val c3 = if (j >= 3) gamma(j - 3) * p(cps - j, 3) else 0.0
+      val c4 = if (j >= 4) gamma(j - 4) * p(cps - j, 4) else 0.0
+      gamma(j) = ((c1 + c2) + c3) + c4
+      j += 1
+    }
+    val alphaL = alpha(cps)
+    if (!(alphaL > 0.0))
+      return ArrayData.toArrayData(Array.empty[InternalRow])
+    val cntD = cnt.toDouble
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var s = 0
+    while (s < cps) {
+      var l = 1
+      val lMax = math.min(maxPiece, cps - s)
+      while (l <= lMax) {
+        val piece = w.substring(off(s), off(s + l))
+        val pv = vocab.p.get(piece)
+        if (pv ne null) {
+          val e = math.floor(((((alpha(s) * pv.doubleValue()) *
+            gamma(cps - s - l)) / alphaL) * cntD) * 1000000.0)
+          out += InternalRow(UTF8String.fromString(piece), e.toLong)
+        }
+        l += 1
+      }
+      s += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/** Bounded piece-probability table for [[UnigramEmExpr]]: p(piece) =
+  * score/total as the one correctly-rounded double division from the
+  * exact integer scores (vocabN + single-char floor rows — the
+  * documented fit-collect bound).
+  */
+final class UnigramEmVocab(entries: Array[(String, Long)],
+    val total: Long) extends Serializable {
+  require(total > 0, "unigram EM vocab total must be positive")
+  val p = new java.util.HashMap[String, java.lang.Double](
+    entries.length * 2)
+  entries.foreach { case (piece, score) =>
+    p.put(piece, score.toDouble / total.toDouble)
+  }
+  override def toString: String = s"UnigramEmVocab(${p.size} pieces)"
+}
+
+/** (word string, corpus count long) → array<struct(piece, e_micro)>
+  * lattice-expectation record for one EM iteration's E-step.
+  */
+case class UnigramEmExpr(left: Expression, right: Expression,
+    vocab: UnigramEmVocab, maxPiece: Int, maxWordLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  require(maxPiece >= 1 && maxPiece <= 4,
+    "the pinned add tree covers maxPiece 1..4")
+  require(maxWordLen >= 1, "need maxWordLen >= 1")
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("e_micro", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(word: Any, cnt: Any): Any =
+    UnigramEm.compute(word.asInstanceOf[UTF8String],
+      cnt.asInstanceOf[Long], vocab, maxPiece, maxWordLen)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("unigramEmVocab", vocab,
+      classOf[UnigramEmVocab].getName)
+    defineCodeGen(ctx, ev, (wrd, c) =>
+      s"graft.llm.UnigramEm.compute($wrd, $c, $vocabRef, $maxPiece, " +
+        s"$maxWordLen)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UnigramEmExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -1532,6 +1532,17 @@ object LlmQueries {
         .withColumn("ftext", expr(unigramFitText)), "ftext")
         .orderBy("rank")
     }),
+    // SentencePiece-style unigram-LM EM fit (round-18): 2 full EM
+    // rounds from the frequency vocabulary — native forward-backward
+    // lattice expectations (exact truncated micro units, pinned add
+    // tree), driver-side M-step with +1 smoothing and the 75%/round
+    // (expectation desc, piece asc) shrink, single chars floored —
+    // the oracle replays the identical chain as generated CTEs
+    "unigram_em_vocab" -> ((s, d) => {
+      TextAnalysis.unigramEmFit(t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText)), "ftext")
+        .orderBy("rank")
+    }),
     // optimal (Viterbi) segmentation per distinct word: fit on the
     // letters-only fixture, tokenize on the superset that adds
     // digit-suffixed words — the digits are fit-unseen single chars,
@@ -2583,6 +2594,105 @@ object LlmQueries {
        |  FROM ugt),
        |ugv AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM ugr
        |  WHERE rank <= 64 OR len(piece) = 1)""".stripMargin
+
+  /** Unigram-LM EM replay ([[graft.llm.TextAnalysis.unigramEmFit]]):
+    * per EM round, a piece-probability CTE (one correctly-rounded
+    * double division from the exact integer scores), a 16-step
+    * forward chain and a 16-step backward chain each carrying its
+    * lattice values as a growing list column with the PINNED add
+    * tree ((c1 + c2) + c3) + c4 per step (absent piece / out-of-range
+    * term = +0.0e0 — the engine expression's exact tree), then the
+    * occurrence-expectation five-op sequence
+    * floor(((((alpha·p)·beta)/alphaL)·cnt)·10^6), an exact integer
+    * piece sum, and the (expectation desc, piece asc) prune with +1
+    * smoothing and the single-char floor. Ends with vocab CTE
+    * `uv{iters+1}`.
+    */
+  private def duckUnigramEm(vocabN: Int = 64, iters: Int = 2,
+      keepPpm: Long = 750000L, maxWordLen: Int = 16): String = {
+    def vname(r: Int): String = if (r == 1) "ugv" else s"uv$r"
+    val uew =
+      s"""uew AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ugw
+         |  WHERE len(w) <= $maxWordLen GROUP BY w)""".stripMargin
+    var keepN = vocabN.toLong
+    val rounds = (1 to iters).map { r =>
+      keepN = keepN * keepPpm / 1000000L
+      val v = vname(r)
+      // one DP step: position i of the `dir` chain. Forward looks up
+      // the piece ENDING at prefix-position i (substring(w, i-l+1,
+      // l), predecessor alpha al[i-l+1]); backward the piece
+      // STARTING at suffix-position j from the end (substring(w,
+      // len-j+1, l), predecessor gamma al[j-l+1]).
+      def step(dir: String, i: Int): String = {
+        val prev = s"e$dir${r}p${i - 1}"
+        val terms = (1 to 4).map { l =>
+          if (i < l) "0.0e0"
+          else s"coalesce(p$l.p * e.al[${i - l + 1}], 0.0e0)"
+        }
+        val sum = s"((${terms(0)} + ${terms(1)}) + ${terms(2)}) + " +
+          terms(3)
+        val joins = (1 to 4).flatMap { l =>
+          if (i < l) None
+          else {
+            val pos =
+              if (dir == "a") s"${i - l + 1}"
+              else s"len(e.w) - $i + 1"
+            Some(s"""  LEFT JOIN pv$r p$l ON $i <= len(e.w)
+                    |    AND p$l.piece = substring(e.w,
+                    |      CAST($pos AS INT), $l)""".stripMargin)
+          }
+        }.mkString("\n")
+        s"""e$dir${r}p$i AS MATERIALIZED (
+           |  SELECT e.w, e.cnt, e.al ||
+           |    [CASE WHEN $i > len(e.w) THEN NULL
+           |     ELSE $sum END] AS al
+           |  FROM $prev e
+           |$joins)""".stripMargin
+      }
+      val chain = (dir: String) =>
+        (s"""e$dir${r}p0 AS (SELECT w, cnt,
+            |  [CAST(1.0e0 AS DOUBLE)] AS al FROM uew)""".stripMargin
+          +: (1 to maxWordLen).map(step(dir, _))).mkString(",\n")
+      s"""tt$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM $v),
+         |pv$r AS MATERIALIZED (
+         |  SELECT piece, CAST(v.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)
+         |    AS p
+         |  FROM $v v, tt$r t),
+         |${chain("a")},
+         |${chain("g")},
+         |ep${r}a AS (SELECT w, cnt,
+         |  unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS st
+         |  FROM uew),
+         |ep${r}b AS (SELECT w, cnt, st,
+         |  unnest(generate_series(1, 4)) AS l FROM ep${r}a),
+         |ep${r}c AS (SELECT w, cnt, st, l,
+         |  substring(w, CAST(st AS INT), CAST(l AS INT)) AS piece
+         |  FROM ep${r}b WHERE st + l - 1 <= len(w)),
+         |ee$r AS (
+         |  SELECT c.piece,
+         |    CAST(floor(((((a.al[CAST(c.st AS INT)] * p.p)
+         |      * g.al[CAST(len(c.w) - (c.st + c.l - 1) + 1 AS INT)])
+         |      / a.al[CAST(len(c.w) + 1 AS INT)])
+         |      * CAST(c.cnt AS DOUBLE)) * 1000000.0e0) AS BIGINT)
+         |      AS em
+         |  FROM ep${r}c c
+         |  JOIN pv$r p ON p.piece = c.piece
+         |  JOIN ea${r}p$maxWordLen a ON a.w = c.w
+         |  JOIN eg${r}p$maxWordLen g ON g.w = c.w),
+         |em$r AS (SELECT piece, CAST(sum(em) AS BIGINT) AS s
+         |  FROM ee$r GROUP BY piece),
+         |rk$r AS (
+         |  SELECT v.piece, CAST(coalesce(m.s, 0) AS BIGINT) AS s,
+         |    row_number() OVER (ORDER BY coalesce(m.s, 0) DESC,
+         |      v.piece) AS rk
+         |  FROM $v v LEFT JOIN em$r m USING (piece)),
+         |${vname(r + 1)} AS MATERIALIZED (
+         |  SELECT piece, CAST(s + 1 AS BIGINT) AS cnt FROM rk$r
+         |  WHERE rk <= $keepN OR len(piece) = 1)""".stripMargin
+    }
+    (uew +: rounds).mkString(",\n")
+  }
 
   /** Viterbi-DP CTE chain over the tokenize-text DISTINCT words: one
     * chained CTE per position 1..maxWordLen, each referencing ONLY
@@ -6633,6 +6743,17 @@ object LlmQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM ugr
          |WHERE rank <= 64 OR len(piece) = 1
+         |ORDER BY rank""".stripMargin,
+    // EM replay: frequency vocab -> 2 generated EM rounds (forward/
+    // backward list chains, micro-floored expectations, integer
+    // sums, smoothed prune) -> final (em_score desc, piece) ranking
+    "unigram_em_vocab" ->
+      s"""WITH $duckUnigramVocab,
+         |${duckUnigramEm()}
+         |SELECT piece, CAST(cnt AS BIGINT) AS em_score,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+         |    AS BIGINT) AS rank
+         |FROM uv3
          |ORDER BY rank""".stripMargin,
     "unigram_tokenize" ->
       s"""WITH RECURSIVE $duckUnigramVocab,

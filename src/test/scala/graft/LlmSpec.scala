@@ -3251,6 +3251,81 @@ class LlmSpec extends AnyFunSuite {
     assert(Set("a", "b", "z", "q").subsetOf(byPiece.keySet))
   }
 
+  test("unigramEm: hand-computed lattice expectations, over-long " +
+      "word excluded") {
+    import graft.llm.{UnigramEm, UnigramEmVocab}
+    import org.apache.spark.unsafe.types.UTF8String
+    // vocab a:1 b:1 ab:2, total 4 -> p(a)=p(b)=0.25, p(ab)=0.5
+    // word 'ab': alphaL = 0.25*0.25 + 0.5 = 0.5625
+    // E[a] = E[b] = 0.0625/0.5625 -> 111111 micro (floor)
+    // E[ab] = 0.5/0.5625 -> 888888 micro
+    val v = new UnigramEmVocab(
+      Array(("a", 1L), ("b", 1L), ("ab", 2L)), 4L)
+    val out = UnigramEm.compute(UTF8String.fromString("ab"), 1L, v,
+      maxPiece = 4, maxWordLen = 16)
+    val es = (0 until out.numElements()).map { i =>
+      val r = out.getStruct(i, 2)
+      r.getUTF8String(0).toString -> r.getLong(1)
+    }.toMap
+    assert(es === Map("a" -> 111111L, "b" -> 111111L,
+      "ab" -> 888888L))
+    // expectations scale linearly with the corpus count
+    val out9 = UnigramEm.compute(UTF8String.fromString("ab"), 9L, v,
+      maxPiece = 4, maxWordLen = 16)
+    assert(out9.getStruct(0, 2).getLong(1) === 999999L ||
+      out9.getStruct(0, 2).getLong(1) === 1000000L)
+    // over-long word contributes nothing
+    val long = UnigramEm.compute(
+      UTF8String.fromString("a" * 17), 5L, v, 4, 16)
+    assert(long.numElements() === 0)
+  }
+
+  test("unigramEmFit: EM beats the frequency fit's corpus " +
+      "likelihood; prune keeps single chars; smoothing floors at 1") {
+    // corpus where frequency-fit over-credits substrings: 'abab'
+    // repeats, so 'ab' should carry the mass and the overlapping
+    // 'ba'/'aba' substrings should collapse under EM
+    val d = docs(
+      (Seq.fill(30)("abab") ++ Seq.fill(10)("abc") ++
+        Seq.fill(5)("ddd")).mkString(" "))
+    val freq = TextAnalysis.unigramFit(d, "text", vocabN = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // keepPpm = 1e6 keeps vocabN pieces per round: EM demotes the
+    // parasitic overlap substring 'ba' (it carries ~no segmentation
+    // mass once 'ab'/'abab' own the lattice) below the keep line —
+    // exactly the redistribution the frequency fit cannot do
+    val em = TextAnalysis.unigramEmFit(d, "text", vocabN = 8,
+      iters = 2, keepPpm = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(em.map(_._1).toSet.subsetOf(freq.map(_._1).toSet))
+    assert(!em.map(_._1).contains("ba") &&
+      freq.map(_._1).contains("ba"))
+    assert(em.forall(_._2 >= 1L)) // +1 smoothing floor
+    // corpus log-likelihood under piece scores (forward algorithm)
+    def ll(vocab: Map[String, Long]): Double = {
+      val total = vocab.values.sum.toDouble
+      def alphaL(w: String): Double = {
+        val a = Array.fill(w.length + 1)(0.0); a(0) = 1.0
+        for (i <- 1 to w.length; l <- 1 to math.min(4, i))
+          a(i) += a(i - l) * vocab.get(w.substring(i - l, i))
+            .map(_.toDouble / total).getOrElse(0.0)
+        a(w.length)
+      }
+      (Seq.fill(30)("abab") ++ Seq.fill(10)("abc") ++
+        Seq.fill(5)("ddd")).map(w => math.log(alphaL(w))).sum
+    }
+    val llFreq = ll(freq.toMap)
+    val llEm = ll(em.toMap)
+    assert(llEm > llFreq,
+      s"EM must improve corpus likelihood: $llEm vs $llFreq")
+    // with pruning: single chars always survive
+    val pruned = TextAnalysis.unigramEmFit(d, "text", vocabN = 8,
+      iters = 2, keepPpm = 500000L)
+      .collect().map(_.getString(0)).toSet
+    assert(Set("a", "b", "c", "d").subsetOf(pruned))
+    assert(pruned.size < freq.length)
+  }
+
   test("supplementary codepoints: AC automaton and unigram DP index " +
       "by codepoint, not UTF-16 unit") {
     import graft.llm.{AcAutomaton, UnigramViterbi, UnigramVocab}
