@@ -141,6 +141,17 @@ object BenchGrain {
     "score_tau" -> 0.4,
     // newsvendor kept at 0.79x full (same-window A/B, n>=2)
     "newsvendor" -> 0.4,
+    // round-18 wave over the new rows (full vs grained, n=2 each):
+    // semdedup_auto 0.73x (volume-bound: kmeans passes + pair stage
+    // shrink with the corpus, and autoCells re-derives k from the
+    // SAMPLED count so the plan stays self-consistent) and
+    // unigram_em_vocab 0.51x (the fit aggregate + per-round word
+    // pass are volume-bound; the EM job count is fixed) survive;
+    // retrieval_eval measured 0.91x — it rides the hybrid_rrf chain,
+    // which is stage-latency-bound (rejected 0.87-1.22x in the
+    // round-16 wave) — and stays full-grain; pref_position_bias is
+    // sub-second, never a grain candidate
+    "semdedup_auto" -> 0.4, "unigram_em_vocab" -> 0.25,
     // curation_v8 kept at 0.76x full — the one curation chain where
     // a grain survives (the repair+decode+normalize front half is
     // genuinely row-volume-bound); v7 (0.85x) and backtest_ma (1.14x
