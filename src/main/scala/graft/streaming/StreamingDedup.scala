@@ -697,6 +697,65 @@ object StreamingDedup {
         })
   }
 
+  /** One judged pair for the streaming position-bias audit. */
+  case class PrefEvent(judge: String, aWin: Boolean)
+
+  /** Live per-judge position-bias row — the exact column set of the
+    * batch [[graft.llm.Preference.positionBias]].
+    */
+  case class PositionBiasRow(judge: String, n_pairs: Long,
+      n_a_wins: Long, a_win_ppm: Long, ci_lo: Double, ci_hi: Double,
+      z_stat: Double, position_biased: Boolean)
+
+  /** Streaming JUDGE POSITION-BIAS audit: maintain, per judge, the
+    * (pairs seen, position-A wins) counters across micro-batches and
+    * emit the batch operator's exact row on every update — Wilson
+    * 95% bounds, binomial z vs 0.5, one-sided-interval flag. The
+    * state is two longs per judge (bounded by the judge pool, never
+    * the stream), counter merges are exact integer adds in any
+    * arrival order, and the Wilson tail replays the SAME fixed-order
+    * IEEE sequence as the batch side from those integers — so after
+    * the same prefix of pairs, streaming and batch rows are
+    * bit-identical (spec-pinned parity), and a live RLHF labeling
+    * feed can trip the order-effect alarm mid-collection instead of
+    * after the batch audit.
+    */
+  def positionBiasStage(pairs: DataFrame, judge: String,
+      aWin: String, z: Double = 1.96): Dataset[PositionBiasRow] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .select(col(judge).cast("string").as("judge"),
+        col(aWin).cast("boolean").as("aWin"))
+      .as[PrefEvent]
+      .groupByKey(_.judge)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (j: String, rows: Iterator[PrefEvent],
+            state: GroupState[(Long, Long)]) => {
+          var (n, w) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { e => n += 1; if (e.aWin) w += 1 }
+          state.update((n, w))
+          // the batch Wilson tail, replayed from the exact counters
+          val nD = n.toDouble
+          val phat = w.toDouble / nD
+          val z2 = z * z
+          val denom = 1.0 + z2 / nD
+          val center = (phat + z2 / (2.0 * nD)) / denom
+          val margin = z * math.sqrt(phat * (1.0 - phat) / nD +
+            z2 / (4.0 * nD * nD)) / denom
+          def r6(x: Double): Double =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue
+          val lo = r6(center - margin)
+          val hi = r6(center + margin)
+          Iterator.single(PositionBiasRow(j, n, w,
+            w * 1000000L / n, lo, hi,
+            r6((2.0 * phat - 1.0) * math.sqrt(nD)),
+            lo > 0.5 || hi < 0.5))
+        })
+  }
+
   case class HllEvent(grp: String, bkt: Long, rho: Int)
 
   /** Live distinct-count estimate for one group. */

@@ -1871,4 +1871,61 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(tup).sortBy(_._1)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming position-bias counters merge across micro-batches " +
+      "and the final audit row equals the batch operator to the bit") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.Preference
+    val schema = StructType(Seq(
+      StructField("judge", StringType),
+      StructField("aw", BooleanType)))
+    // biased judge drifts into the flag only once batch 2 lands;
+    // the balanced judge stays inside its interval throughout
+    val batch1 = (1 to 40).map(i => ("jb", i <= 24)) ++
+      (1 to 40).map(i => ("jok", i <= 21))
+    val batch2 = (1 to 60).map(i => ("jb", i <= 51)) ++
+      (1 to 60).map(i => ("jok", i <= 30))
+    val dir = java.nio.file.Files.createTempDirectory("pb_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pb_ck").toString
+    def write(rows: Seq[(String, Boolean)]): Unit =
+      rows.toDF("judge", "aw").write.mode("append").parquet(dir)
+    write(batch1)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    @volatile var last = Map.empty[String,
+      StreamingDedup.PositionBiasRow]
+    val q = StreamingDedup.positionBiasStage(stream, "judge", "aw")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[
+           StreamingDedup.PositionBiasRow], _: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty)
+            last = last ++ rows.map(r => r.judge -> r)
+      }.start()
+    q.processAllAvailable()
+    val mid = last
+    // mid-stream: 24/40 is inside the Wilson interval — no flag yet
+    assert(!mid("jb").position_biased && !mid("jok").position_biased)
+    write(batch2)
+    q.processAllAvailable()
+    q.stop()
+    // counters accumulated exactly across micro-batches
+    assert(last("jb").n_pairs === 100L &&
+      last("jb").n_a_wins === 75L)
+    // the drift tripped the alarm mid-collection
+    assert(last("jb").position_biased && !last("jok").position_biased)
+    // bit parity with the batch operator over the accumulated feed
+    val batch = Preference.positionBias(
+        spark.read.schema(schema).parquet(dir), col("judge"),
+        col("aw"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getBoolean(7)))).toMap
+    Seq("jb", "jok").foreach { j =>
+      val s = last(j)
+      assert(batch(j) === ((s.n_pairs, s.n_a_wins, s.a_win_ppm,
+        s.ci_lo, s.ci_hi, s.z_stat, s.position_biased)))
+    }
+  }
 }

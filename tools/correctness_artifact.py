@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Fold a compare.py --strict-hash transcript into a committed
+correctness artifact (the sf0.1 sweep the round-17 verdict asked to
+be judge-replayable instead of PLANS-attested).
+
+Usage: python3 tools/correctness_artifact.py <cmp.txt> <sf> <out.json>
+"""
+import json, re, sys
+
+cmp_path, sf, out = sys.argv[1], sys.argv[2], sys.argv[3]
+queries = {}
+for line in open(cmp_path):
+    m = re.match(r"ok\s+(\S+) \((\d+) rows(?:, strict ([0-9a-f]+))?\)",
+                 line)
+    if m:
+        queries[m.group(1)] = {
+            "rows": int(m.group(2)),
+            "match": True,
+            **({"hash12": m.group(3)} if m.group(3) else {})}
+        continue
+    m = re.match(r"FAIL\s+(\S+):\s*(.*)", line)
+    if m:
+        queries[m.group(1)] = {"match": False,
+                               "err": m.group(2)[:300]}
+ok = sum(1 for q in queries.values() if q["match"])
+artifact = {
+    "sf": sf,
+    "mode": "strict-hash (compare.py --strict-hash: canonical-sorted "
+            "rows, repr-rendered cells, SHA-256 per side — the "
+            "driver's verdict reproduced locally)",
+    "total": len(queries),
+    "pass": ok,
+    "fail": [k for k, v in sorted(queries.items()) if not v["match"]],
+    "queries": dict(sorted(queries.items())),
+}
+json.dump(artifact, open(out, "w"), indent=1)
+print(f"{out}: {ok}/{len(queries)} strict-green at {sf}")
