@@ -199,9 +199,15 @@ object Retrieval {
     *
     * Per query: `n_ret` hits scored, `n_rel` total relevant in
     * qrels, `n_rel_ret` relevant retrieved within k, `recall_ppm`,
-    * `rr_ppm` (10^6 / first relevant rank, 0 if none), `dcg_micro`,
-    * `idcg_micro` (ideal = qrels sorted rel-descending, top k),
-    * `ndcg_ppm` (NULL when the query has no relevant documents).
+    * `rr_ppm` (10^6 / first relevant rank, 0 if none), `ap_ppm`
+    * (average precision @ k: Σ over relevant ranks i of P@i in
+    * truncated micro units, divided by min(n_rel, k) — the MAP
+    * numerator per query), `dcg_micro`, `idcg_micro` (ideal = qrels
+    * sorted rel-descending, top k), `ndcg_ppm` (NULL when the query
+    * has no relevant documents, as is `ap_ppm`). Duplicate qrel rows
+    * are collapsed to their max grade per (query, doc) — metrics are
+    * a function of the qrel SET, never of accidental row
+    * multiplicity.
     *
     * Scale shape: the run is top-k per query (query-proportional,
     * never corpus-proportional); qrels joins are equi-joins on
@@ -221,6 +227,12 @@ object Retrieval {
         col("doc_id").cast("long").as("doc_id"),
         col("rel").cast("long").as("rel"))
       .filter(col("rel") > 0)
+      // a duplicated qrel row would JOIN twice into the run and
+      // double-count its gain/recall — dedupe to the max grade per
+      // (query, doc) so the metrics are a function of the qrel SET
+      // (one aggregate over the eval-sized frame, map-side combined)
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("rel")).as("rel"))
       // guard folded INTO the consumed column (a side-column would be
       // pruned away): an over-range grade overflows the 2^rel gain,
       // so fail loudly instead
@@ -244,7 +256,19 @@ object Retrieval {
         sum(when(col("rel").isNotNull, 1L).otherwise(0L))
           .cast("long").as("n_rel_ret"),
         min(when(col("rel").isNotNull, col("rank")))
-          .as("__first_rel"))
+          .as("__first_rel"),
+        // average-precision numerator: Σ over relevant ranks i of
+        // P@i in truncated micro units (P@i = hits-through-i / i) —
+        // a rank-sorted integer fold inside the aggregate, so no
+        // window and the sum is deterministic
+        expr("""aggregate(
+            sort_array(collect_list(struct(rank,
+              CASE WHEN rel IS NOT NULL THEN 1L ELSE 0L END AS ir))),
+            named_struct('h', 0L, 's', 0L),
+            (a, x) -> named_struct('h', a.h + x.ir,
+              's', a.s + CASE WHEN x.ir = 1L
+                THEN (a.h + 1L) * 1000000L DIV x.rank ELSE 0L END),
+            a -> a.s)""").as("__ap_num"))
     val ideal = rel.groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_rel"),
         expr(s"slice(sort_array(collect_list(rel), false), 1, $k)")
@@ -264,6 +288,9 @@ object Retrieval {
           "1000000L DIV n_rel END").as("recall_ppm"),
         expr("CASE WHEN __first_rel IS NULL THEN 0L ELSE " +
           "1000000L DIV __first_rel END").as("rr_ppm"),
+        expr(s"CASE WHEN coalesce(n_rel, 0L) = 0L THEN " +
+          s"CAST(NULL AS BIGINT) ELSE coalesce(__ap_num, 0L) DIV " +
+          s"least(n_rel, ${k}L) END").as("ap_ppm"),
         coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
         coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
         expr("CASE WHEN coalesce(idcg_micro, 0L) = 0L THEN " +

@@ -5137,7 +5137,8 @@ object LlmQueries {
          |  FROM documents d,
          |       (SELECT unnest(generate_series(0, 7)) AS query_id) q
          |  WHERE d.doc_id != q.query_id),
-         |rel AS (SELECT * FROM qr WHERE rel > 0),
+         |rel AS (SELECT query_id, doc_id, CAST(max(rel) AS BIGINT)
+         |  AS rel FROM qr WHERE rel > 0 GROUP BY 1, 2),
          |disc AS (
          |  SELECT unnest(generate_series(1, 10)) AS rank,
          |    unnest($discList) AS d),
@@ -5149,14 +5150,27 @@ object LlmQueries {
          |  LEFT JOIN rel ON rel.query_id = r.query_id
          |               AND rel.doc_id = r.doc_id
          |  JOIN disc ON disc.rank = r.rank),
+         |hc AS (
+         |  SELECT query_id, rank, rel,
+         |    sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id ORDER BY rank) AS ht
+         |  FROM hits),
+         |apn AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN rel IS NOT NULL
+         |      THEN ht * 1000000 // rank ELSE 0 END) AS BIGINT)
+         |      AS ap_num
+         |  FROM hc GROUP BY 1),
          |perq AS (
-         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret,
-         |    CAST(sum(gd) AS BIGINT) AS dcg_micro,
-         |    CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+         |  SELECT h.query_id, CAST(count(*) AS BIGINT) AS n_ret,
+         |    CAST(sum(h.gd) AS BIGINT) AS dcg_micro,
+         |    CAST(sum(CASE WHEN h.rel IS NOT NULL THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_rel_ret,
-         |    min(CASE WHEN rel IS NOT NULL THEN rank END)
-         |      AS first_rel
-         |  FROM hits GROUP BY 1),
+         |    min(CASE WHEN h.rel IS NOT NULL THEN h.rank END)
+         |      AS first_rel,
+         |    any_value(a.ap_num) AS ap_num
+         |  FROM hits h JOIN apn a ON a.query_id = h.query_id
+         |  GROUP BY 1),
          |itop AS (
          |  SELECT query_id, rel,
          |    row_number() OVER (PARTITION BY query_id
@@ -5180,6 +5194,9 @@ object LlmQueries {
          |    AS BIGINT) AS recall_ppm,
          |  CAST(CASE WHEN p.first_rel IS NULL THEN 0
          |    ELSE 1000000 // p.first_rel END AS BIGINT) AS rr_ppm,
+         |  CAST(CASE WHEN coalesce(i.n_rel, 0) = 0 THEN NULL
+         |    ELSE coalesce(p.ap_num, 0) //
+         |      least(i.n_rel, 10) END AS BIGINT) AS ap_ppm,
          |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
          |  CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
          |  CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN NULL

@@ -2334,19 +2334,36 @@ class LlmSpec extends AnyFunSuite {
     val out = Retrieval.retrievalEval(run, qrels, k = 3)
       .orderBy("query_id").collect()
     val q0 = out(0)
+    // columns: query_id, n_ret, n_rel, n_rel_ret, recall_ppm,
+    // rr_ppm, ap_ppm, dcg_micro, idcg_micro, ndcg_ppm
     // DCG = 0 + 7*630929 + 1*500000 = 4916503
-    assert(q0.getLong(6) === 7L * 630929L + 500000L)
+    assert(q0.getLong(7) === 7L * 630929L + 500000L)
     // IDCG = rels sorted desc (3,2,1): 7*1000000 + 3*630929 + 500000
-    assert(q0.getLong(7) === 7000000L + 3L * 630929L + 500000L)
-    assert(q0.getLong(8) ===
-      q0.getLong(6) * 1000000L / q0.getLong(7)) // 522338
+    assert(q0.getLong(8) === 7000000L + 3L * 630929L + 500000L)
+    assert(q0.getLong(9) ===
+      q0.getLong(7) * 1000000L / q0.getLong(8)) // 522338
     assert(q0.getLong(2) === 3L && q0.getLong(3) === 2L)
     assert(q0.getLong(4) === 666666L) // 2/3 recall, truncating
     assert(q0.getLong(5) === 500000L) // first relevant at rank 2
+    // AP@3: relevant at rank 2 (P@2 = 1/2) and rank 3 (P@3 = 2/3);
+    // ap_num = 500000 + 666666 = 1166666; / min(3, 3) -> 388888
+    assert(q0.getLong(6) === 388888L)
     val q1 = out(1)
     assert(q1.getLong(1) === 1L && q1.getLong(2) === 0L)
-    assert(q1.isNullAt(4) && q1.isNullAt(8)) // recall/ndcg undefined
+    assert(q1.isNullAt(4) && q1.isNullAt(9)) // recall/ndcg undefined
+    assert(q1.isNullAt(6))                   // ap undefined too
     assert(q1.getLong(5) === 0L)             // rr 0 when none relevant
+    // duplicated qrel rows collapse to their max grade — metrics are
+    // a function of the qrel SET (a dup would otherwise double-join
+    // into the run and inflate gain/recall)
+    val dup = Seq((0L, 11L, 3L), (0L, 11L, 2L), (0L, 11L, 3L),
+      (0L, 12L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val dedup = Retrieval.retrievalEval(run, dup, k = 3)
+      .orderBy("query_id").collect()(0)
+    assert((0 until dedup.length).forall(i =>
+      (dedup.isNullAt(i) && q0.isNullAt(i)) ||
+        (!dedup.isNullAt(i) && dedup.get(i) == q0.get(i))))
     // over-range grade fails loudly (gain would overflow)
     val bad = Seq((0L, 11L, 63L)).toDF("query_id", "doc_id", "rel")
     intercept[Exception] {
