@@ -167,6 +167,76 @@ object Retrieval {
     HybridModel(queries, totals.getLong(0), totals.getLong(1))
   }
 
+  /** Pinned rank-biased-overlap weight table: `w_nano(d) =
+    * floor((1−p)·p^(d−1)·10^9)` for 1-based depth d at persistence
+    * p = pPpm/10^6. Computed ONCE and shipped as integer literals to
+    * both engines (the [[dcgDiscountMicro]] discipline), so no pow()
+    * crosses the cross-engine contract.
+    */
+  def rboWeightsNano(k: Int, pPpm: Long): Seq[Long] = {
+    require(k >= 1 && k <= 100, "need 1 <= k <= 100")
+    require(pPpm >= 1L && pPpm < 1000000L, "need 0 < p < 1")
+    val p = pPpm.toDouble / 1e6
+    (1 to k).map(d =>
+      math.floor((1.0 - p) * math.pow(p, d - 1) * 1e9).toLong)
+  }
+
+  /** Rank-biased overlap @ k (Webber/Moffat/Zobel 2010, the
+    * truncated base form) between two per-query rankings — the
+    * QREL-FREE retriever diagnostic: how much do two arms (or two
+    * versions of one retriever) agree, with top ranks weighted
+    * hardest? The companion to [[retrievalEval]]: eval needs
+    * relevance labels, RBO only needs the two shortlists, so it runs
+    * on every corpus and every A/B.
+    *
+    * rbo_nano = Σ_{d=1..k} w_nano(d) · |A_{1..d} ∩ B_{1..d}| / d
+    * with the pinned [[rboWeightsNano]] literals and truncating
+    * integer division per depth term — exact integers end to end.
+    * Also emits overlap@k and agree_ppm = overlap_k·10^6 / k. A
+    * query present in only one run scores overlap 0 (disjoint
+    * shortlists), not NULL — absence of the other arm IS complete
+    * disagreement.
+    *
+    * Scale shape: both runs are top-k per query; the intersection is
+    * one equi-join on (query, doc) — a shared doc enters every depth
+    * d ≥ max(rank_a, rank_b), so per query only the ≤ k max-rank
+    * values are kept (one bounded collect_list aggregate) and the
+    * depth sum unrolls as a generated integer expression over those
+    * literals. Query-proportional, no windows.
+    */
+  def rankOverlap(runA: DataFrame, runB: DataFrame, k: Int = 10,
+      pPpm: Long = 900000L): DataFrame = {
+    val w = rboWeightsNano(k, pPpm)
+    def side(run: DataFrame, r: String): DataFrame = run
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as(r))
+      .filter(col(r) <= k && col(r) >= 1)
+    val a = side(runA, "__ra")
+    val b = side(runB, "__rb")
+    val shared = a.join(b, Seq("query_id", "doc_id"))
+      .select(col("query_id"),
+        greatest(col("__ra"), col("__rb")).as("__m"))
+      .groupBy("query_id")
+      .agg(collect_list(col("__m")).as("__ms"))
+    val qs = a.select("query_id").union(b.select("query_id"))
+      .distinct()
+    // unrolled depth sum from the pinned weights — the identical
+    // generated arithmetic runs in the DuckDB mirror
+    val rboExpr = (1 to k).map { d =>
+      s"${w(d - 1)}L * size(filter(__ms, m -> m <= $d)) DIV ${d}L"
+    }.mkString(" + ")
+    qs.join(shared, Seq("query_id"), "left")
+      .withColumn("__ms", coalesce(col("__ms"),
+        expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("query_id"),
+        expr(s"CAST(size(filter(__ms, m -> m <= $k)) AS BIGINT)")
+          .as("overlap_k"),
+        expr(s"CAST(size(filter(__ms, m -> m <= $k)) AS BIGINT) * " +
+          s"1000000L DIV ${k}L").as("agree_ppm"),
+        expr(s"CAST($rboExpr AS BIGINT)").as("rbo_nano"))
+  }
+
   /** Pinned DCG discount table: `discount_micro(r) = floor(10^6 /
     * log2(r + 1))` for 1-based rank r. Computed ONCE here and shipped
     * as integer literals into both engines' plans (the mojibakeMap

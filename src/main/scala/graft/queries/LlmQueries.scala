@@ -350,6 +350,24 @@ object LlmQueries {
       Retrieval.retrievalEval(run, qrels, k = 10)
         .orderBy("query_id")
     }),
+    // rank-biased overlap between the fused hybrid ranking and the
+    // dense-only arm (round-18): the qrel-free "how much did the
+    // lexical evidence move the ranking" diagnostic — pinned
+    // (1-p)p^(d-1) nano-weight literals, exact integer depth sum
+    "rank_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val hybrid = Retrieval.hybridRrf(docs, emb,
+        queryIds = 0L until 8L)
+        .select("query_id", "doc_id", "rank")
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id").isin((0L until 8L).map(lit(_)): _*)),
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("cand_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rankOverlap(hybrid, dense, k = 10)
+        .orderBy("query_id")
+    }),
     // data-constrained mixture planner: a 50/30/20 target over three
     // sources vs a 4-epoch repetition cap at a half-corpus token
     // budget — src0's share saturates at cap, src1/src2 split the
@@ -5204,6 +5222,38 @@ object LlmQueries {
          |    END AS BIGINT) AS ndcg_ppm
          |FROM perq p FULL OUTER JOIN ideal i USING (query_id)
          |ORDER BY query_id""".stripMargin
+    },
+    // RBO mirror: hybrid fin vs the chain's own dense ranking (dnr),
+    // same pinned nano-weight literals, same unrolled depth sum
+    "rank_overlap" -> {
+      val w = Retrieval.rboWeightsNano(10, 900000L)
+      val terms = (1 to 10).map { d =>
+        s"${w(d - 1)} * len(list_filter(ms, m -> m <= $d)) // $d"
+      }.mkString(" + ")
+      s"""WITH $duckHybridChain,
+         |ra AS (SELECT query_id, doc_id, rank FROM fin
+         |       WHERE rank BETWEEN 1 AND 10),
+         |rb AS (SELECT query_id, doc_id, dense_rank AS rank FROM dnr
+         |       WHERE dense_rank BETWEEN 1 AND 10),
+         |sh AS (
+         |  SELECT a.query_id,
+         |    list(greatest(a.rank, b.rank)) AS ms
+         |  FROM ra a JOIN rb b USING (query_id, doc_id)
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM
+         |  (SELECT query_id FROM ra UNION ALL
+         |   SELECT query_id FROM rb)),
+         |base AS (
+         |  SELECT q.query_id,
+         |    coalesce(s.ms, CAST([] AS BIGINT[])) AS ms
+         |  FROM qs q LEFT JOIN sh s USING (query_id))
+         |SELECT query_id,
+         |  CAST(len(list_filter(ms, m -> m <= 10)) AS BIGINT)
+         |    AS overlap_k,
+         |  CAST(len(list_filter(ms, m -> m <= 10)) * 1000000 // 10
+         |    AS BIGINT) AS agree_ppm,
+         |  CAST($terms AS BIGINT) AS rbo_nano
+         |FROM base ORDER BY query_id""".stripMargin
     },
     // length-bucket mirror: the oracle's global row_number stands in
     // for the engine's distributed prefix sum (same total order)

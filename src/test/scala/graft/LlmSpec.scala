@@ -2371,6 +2371,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("rankOverlap: hand-computed RBO, identical rankings hit the " +
+      "weight-sum ceiling, one-sided query scores zero") {
+    import graft.llm.Retrieval
+    val w = Retrieval.rboWeightsNano(3, 900000L)
+    assert(w.length === 3 && w(0) > w(1) && w(1) > w(2))
+    // q0: A = 1,2,3; B = 2,1,9 -> shared {1: m=2, 2: m=2};
+    //     overlap@d = 0, 2, 2
+    // q1: identical rankings -> overlap@d = d (ceiling)
+    // q2: present only in A -> empty intersection
+    val runA = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 7L, 1L), (1L, 8L, 2L), (1L, 9L, 3L),
+      (2L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val runB = Seq((0L, 2L, 1L), (0L, 1L, 2L), (0L, 9L, 3L),
+      (1L, 7L, 1L), (1L, 8L, 2L), (1L, 9L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rankOverlap(runA, runB, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out(0) === ((0L, 2L, 666666L,
+      w(1) * 2L / 2L + w(2) * 2L / 3L)))
+    assert(out(1) === ((1L, 3L, 1000000L,
+      w(0) + w(1) + w(2)))) // the p-truncated maximum
+    assert(out(2) === ((2L, 0L, 0L, 0L)))
+  }
+
   test("lengthBucketBatches: pow-2 buckets, length-desc deal, exact " +
       "per-doc padding against the batch max") {
     def mk(id: Long, n: Int) = (id, Seq.fill(n)("tok").mkString(" "))
@@ -3341,6 +3367,15 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(Set("a", "b", "c", "d").subsetOf(pruned))
     assert(pruned.size < freq.length)
+    // EM likelihood is (approximately) monotone in iterations: the
+    // second round must not lose what the first gained (exact EM is
+    // monotone; the micro-floor + smoothing perturbation stays far
+    // below the improvement on this fixture)
+    val em1 = TextAnalysis.unigramEmFit(d, "text", vocabN = 8,
+      iters = 1, keepPpm = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ll(em1.toMap) > llFreq)
+    assert(llEm >= ll(em1.toMap) - 1e-9)
   }
 
   test("supplementary codepoints: AC automaton and unigram DP index " +
