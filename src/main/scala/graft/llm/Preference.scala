@@ -75,6 +75,35 @@ object Preference {
     */
   val btIters = 10
 
+  /** Shared plan-time-bounded (winner, loser) fit-collect for the
+    * pairwise-preference fits: LIMIT caps what the driver can ever
+    * pull to maxItems² + 1 rows (pairs <= items², so ANY overflow of
+    * the pair bound implies the item bound is blown too), the
+    * require turns a hit cap into a named contract error instead of
+    * a driver OOM, and NULL keys fail loudly instead of NPE-ing in
+    * the downstream sort.
+    */
+  private def boundedPairCollect(pairs: DataFrame, winner: String,
+      loser: String, maxItems: Int, op: String)
+      : Array[(String, String, Long)] = {
+    val pairCap = math.min(maxItems.toLong * maxItems,
+      Int.MaxValue.toLong - 1).toInt
+    val wl = pairs.groupBy(col(winner).as("w"), col(loser).as("l"))
+      .agg(count(lit(1)).as("wins"))
+      .limit(pairCap + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(wl.length <= pairCap,
+      s"$op: over $pairCap distinct (winner, loser) pairs — more " +
+        s"than maxItems=$maxItems items; the fit must stay bounded")
+    wl.foreach { case (w, l, _) =>
+      require(w != null && l != null,
+        s"$op: NULL in '$winner'/'$loser' — item keys must be " +
+          "non-null (filter or coalesce upstream)")
+    }
+    wl
+  }
+
   /** Bradley-Terry strength fit from a pair frame: the
     * maximum-likelihood "skill" per item under P(i beats j) =
     * s_i / (s_i + s_j), via the classic minorize-maximize update
@@ -103,27 +132,8 @@ object Preference {
       loser: String = "loser_item", maxItems: Int = 1024): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // plan-time bound: LIMIT caps what the driver can ever pull to
-    // maxItems^2 + 1 rows, so a high-cardinality key column fails the
-    // require below instead of materializing the whole aggregate on
-    // the driver first (> maxItems distinct items forces > maxItems^2
-    // possible pairs only in the worst case, but ANY overflow of the
-    // pair bound implies the item bound is blown too — pairs <= items^2)
-    val pairCap = math.min(maxItems.toLong * maxItems,
-      Int.MaxValue.toLong - 1).toInt
-    val wl = pairs.groupBy(col(winner).as("w"), col(loser).as("l"))
-      .agg(count(lit(1)).as("wins"))
-      .limit(pairCap + 1)
-      .collect() // bounded fit-collect: <= maxItems^2 + 1 rows by LIMIT
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(wl.length <= pairCap,
-      s"bradleyTerry: over $pairCap distinct (winner, loser) pairs — " +
-        s"more than maxItems=$maxItems items; matrix not broadcastable")
-    wl.foreach { case (w, l, _) =>
-      require(w != null && l != null,
-        s"bradleyTerry: NULL in '$winner'/'$loser' — item keys must " +
-          "be non-null (filter or coalesce upstream)")
-    }
+    val wl = boundedPairCollect(pairs, winner, loser, maxItems,
+      "bradleyTerry")
     val items = (wl.map(_._1) ++ wl.map(_._2)).distinct.sorted
     require(items.length <= maxItems,
       s"bradleyTerry: ${items.length} distinct items exceeds " +
@@ -181,23 +191,8 @@ object Preference {
       loser: String = "loser_item", maxItems: Int = 256): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // plan-time bound (see bradleyTerry): LIMIT before collect so the
-    // driver never pulls more than maxItems^2 + 1 rows
-    val pairCap = math.min(maxItems.toLong * maxItems,
-      Int.MaxValue.toLong - 1).toInt
-    val wl = pairs.groupBy(col(winner).as("w"), col(loser).as("l"))
-      .agg(count(lit(1)).as("wins"))
-      .limit(pairCap + 1)
-      .collect() // bounded fit-collect: <= maxItems^2 + 1 rows by LIMIT
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(wl.length <= pairCap,
-      s"prefCycles: over $pairCap distinct (winner, loser) pairs — " +
-        s"more than maxItems=$maxItems items; triangle walk unbounded")
-    wl.foreach { case (w, l, _) =>
-      require(w != null && l != null,
-        s"prefCycles: NULL in '$winner'/'$loser' — item keys must " +
-          "be non-null (filter or coalesce upstream)")
-    }
+    val wl = boundedPairCollect(pairs, winner, loser, maxItems,
+      "prefCycles")
     val items = (wl.map(_._1) ++ wl.map(_._2)).distinct.sorted
     require(items.length <= maxItems,
       s"prefCycles: ${items.length} distinct items exceeds " +

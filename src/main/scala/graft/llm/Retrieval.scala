@@ -314,7 +314,10 @@ object Retrieval {
       .select(col("query_id").cast("long").as("query_id"),
         col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as("rank"))
-      .filter(col("rank") <= k)
+      // rank >= 1 too: a 0/negative sentinel ("not ranked by this
+      // arm") must drop out — element_at would otherwise read the
+      // discount table from the END on a negative index
+      .filter(col("rank") <= k && col("rank") >= 1)
       .join(rel, Seq("query_id", "doc_id"), "left")
       .withColumn("__gain", expr(
         "shiftleft(1L, CAST(coalesce(rel, 0L) AS INT)) - 1L"))
@@ -339,14 +342,36 @@ object Retrieval {
               's', a.s + CASE WHEN x.ir = 1L
                 THEN (a.h + 1L) * 1000000L DIV x.rank ELSE 0L END),
             a -> a.s)""").as("__ap_num"))
-    val ideal = rel.groupBy("query_id")
-      .agg(count(lit(1)).cast("long").as("n_rel"),
-        expr(s"slice(sort_array(collect_list(rel), false), 1, $k)")
-          .as("__top"))
+    // Ideal side WITHOUT a per-query qrel collect: grades are
+    // bounded (<= maxRel values), so reduce qrels to (query, grade)
+    // COUNTS first — map-side combining, output bounded by
+    // queries × maxRel — then fold the <= maxRel grade rows per
+    // query against a pinned discount PREFIX-SUM table: the ideal
+    // ranking fills positions highest-grade-first, so each grade
+    // occupies one contiguous discount span and
+    // idcg = Σ_grades gain(g) · (prefix[end] − prefix[start]).
+    // This keeps the ideal side exact at ANY qrels-per-query (a
+    // collect_list buffer would grow with the eval set).
+    val discPrefix = disc.scanLeft(0L)(_ + _)
+    val discPrefixSql =
+      discPrefix.map(d => s"${d}L").mkString("array(", ", ", ")")
+    val ideal = rel.groupBy("query_id", "rel")
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+      .groupBy("query_id")
+      .agg(sum(col("__cnt")).cast("long").as("n_rel"),
+        // bounded: one struct per distinct grade (<= maxRel)
+        expr("sort_array(collect_list(struct(rel, __cnt)), false)")
+          .as("__grades"))
       .withColumn("idcg_micro", expr(
-        s"aggregate(zip_with(__top, slice($discSql, 1, size(__top))," +
-          " (r, d) -> (shiftleft(1L, CAST(r AS INT)) - 1L) * d), " +
-          "0L, (a, x) -> a + x)"))
+        s"""aggregate(__grades, named_struct('used', 0L, 's', 0L),
+           |  (a, g) -> named_struct(
+           |    'used', least(a.used + g.__cnt, ${k}L),
+           |    's', a.s + (shiftleft(1L, CAST(g.rel AS INT)) - 1L) *
+           |      (element_at($discPrefixSql,
+           |         CAST(least(a.used + g.__cnt, ${k}L) AS INT) + 1)
+           |       - element_at($discPrefixSql,
+           |           CAST(least(a.used, ${k}L) AS INT) + 1))),
+           |  a -> a.s)""".stripMargin))
       .select(col("query_id"), col("n_rel"), col("idcg_micro"))
     perQ.join(ideal, Seq("query_id"), "full_outer")
       .select(col("query_id"),

@@ -357,6 +357,11 @@ object LlmQueries {
     "rank_overlap" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val emb = t(s, d, "embeddings")
+      // the dense shortlist is computed twice here (inside hybridRrf
+      // at m=50 and standalone at k=10) — a deliberate 2x on one
+      // broadcast-crossJoin stage rather than widening hybridRrf's
+      // API to accept a precomputed arm; both passes are
+      // query-proportional broadcast scans
       val hybrid = Retrieval.hybridRrf(docs, emb,
         queryIds = 0L until 8L)
         .select("query_id", "doc_id", "rank")
@@ -5846,7 +5851,10 @@ object LlmQueries {
     "semdedup_auto" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |kk AS (SELECT greatest(16, CAST(ceil(sqrt(
-         |         CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k FROM v),
+         |         CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+         |       FROM v
+         |       WHERE list_reduce(list_transform(vec, x -> x * x),
+         |         (a, b) -> a + b) > 0),
          |${duckKmeansChain("(SELECT k FROM kk)")},
          |assign AS (
          |  SELECT vec_id, cell

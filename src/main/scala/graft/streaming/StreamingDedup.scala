@@ -725,7 +725,11 @@ object StreamingDedup {
     import pairs.sparkSession.implicits._
     pairs
       .select(col(judge).cast("string").as("judge"),
-        col(aWin).cast("boolean").as("aWin"))
+        // NULL label = counted pair, not a win — the batch
+        // operator's when(aWin).otherwise(0L) semantics; without the
+        // coalesce the non-nullable Boolean encoder would kill the
+        // live query on the first NULL
+        coalesce(col(aWin).cast("boolean"), lit(false)).as("aWin"))
       .as[PrefEvent]
       .groupByKey(_.judge)
       .flatMapGroupsWithState(OutputMode.Update(),

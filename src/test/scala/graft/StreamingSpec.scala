@@ -1881,13 +1881,19 @@ class StreamingSpec extends AnyFunSuite {
       StructField("aw", BooleanType)))
     // biased judge drifts into the flag only once batch 2 lands;
     // the balanced judge stays inside its interval throughout
-    val batch1 = (1 to 40).map(i => ("jb", i <= 24)) ++
-      (1 to 40).map(i => ("jok", i <= 21))
-    val batch2 = (1 to 60).map(i => ("jb", i <= 51)) ++
-      (1 to 60).map(i => ("jok", i <= 30))
+    val batch1 = (1 to 40).map(i =>
+        ("jb", Some(i <= 24): Option[Boolean])) ++
+      (1 to 40).map(i => ("jok", Some(i <= 21): Option[Boolean]))
+    // one NULL label rides along: batch counts it as a pair that is
+    // not a win; the stream must do the same instead of dying on the
+    // non-nullable encoder
+    val batch2 = (1 to 60).map(i =>
+        ("jb", Some(i <= 51): Option[Boolean])) ++
+      (1 to 60).map(i => ("jok", Some(i <= 30): Option[Boolean])) ++
+      Seq(("jok", None: Option[Boolean]))
     val dir = java.nio.file.Files.createTempDirectory("pb_in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("pb_ck").toString
-    def write(rows: Seq[(String, Boolean)]): Unit =
+    def write(rows: Seq[(String, Option[Boolean])]): Unit =
       rows.toDF("judge", "aw").write.mode("append").parquet(dir)
     write(batch1)
     val stream = spark.readStream.schema(schema).parquet(dir)

@@ -18,10 +18,17 @@ for line in open(cmp_path):
             "match": True,
             **({"hash12": m.group(3)} if m.group(3) else {})}
         continue
-    m = re.match(r"FAIL\s+(\S+):\s*(.*)", line)
+    # compare.py FAIL spellings: "FAIL <q>: ..." and the strict-mode
+    # audits "FAIL negative-zero <q>: ..." — a dropped FAIL line
+    # would misreport a failing sweep as green, so refuse lines this
+    # parser does not recognize
+    m = re.match(r"FAIL\s+(?:negative-zero\s+)?(\S+):\s*(.*)", line)
     if m:
-        queries[m.group(1)] = {"match": False,
-                               "err": m.group(2)[:300]}
+        q = m.group(1)
+        queries[q] = {"match": False, "err": m.group(2)[:300]}
+        continue
+    if line.startswith("FAIL"):
+        raise SystemExit(f"unrecognized FAIL line: {line!r}")
 ok = sum(1 for q in queries.values() if q["match"])
 artifact = {
     "sf": sf,
