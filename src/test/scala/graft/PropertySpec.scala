@@ -918,11 +918,20 @@ class PropertySpec extends AnyFunSuite {
           (s.toLong * 10 + i, s"s$s",
             Seq.fill(5 + rnd.nextInt(30))("t").mkString(" ")))
       }.toDF("doc_id", "source", "text")
-      val weights = (0 until nSrc)
+      // valid by construction: the operator requires Σ <= 1e6, and a
+      // raw draw can exceed it depending on where the SHARED rnd
+      // stream sits (a filtered test run shifts it — this generator
+      // once drew 1031000 under testOnly -z and failed spuriously)
+      val raw = (0 until nSrc)
         .map(s => s"s$s" -> (rnd.nextInt(3) match {
           case 0 => 0L
           case _ => (1 + rnd.nextInt(500)) * 1000L
         })).toMap
+      val rawSum = raw.values.sum
+      val weights =
+        if (rawSum <= 1000000L) raw
+        else raw.view.mapValues(w =>
+          w * 1000000L / rawSum / 1000L * 1000L).toMap
       if (weights.values.exists(_ > 0)) {
         val e = 1L + rnd.nextInt(3)
         val b = 1L + rnd.nextInt(2000)
@@ -1371,6 +1380,104 @@ class PropertySpec extends AnyFunSuite {
       val shifted = rows.map { case (s, l) => (s + 137L, l) }
         .toDF("smc", "label")
       assert(auc(shifted, "label") === a)
+    }
+  }
+
+  test("retrievalEval property: all ppm metrics bounded by 10^6, " +
+      "dcg <= idcg, perfect ranking scores exactly 10^6 everywhere") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Retrieval
+    (1 to 8).foreach { _ =>
+      val k = 1 + rnd.nextInt(10)
+      val nq = 1 + rnd.nextInt(4)
+      val run = (0 until nq).flatMap { q =>
+        val docs = rnd.shuffle((0 until 40).toList).take(k)
+        docs.zipWithIndex.map { case (d, i) =>
+          (q.toLong, d.toLong, (i + 1).toLong) }
+      }.toDF("query_id", "doc_id", "rank")
+      val qrels = (0 until nq).flatMap { q =>
+        (0 until 40).flatMap { d =>
+          val r = rnd.nextInt(4).toLong
+          if (r > 0) Some((q.toLong, d.toLong, r)) else None
+        }
+      }.toDF("query_id", "doc_id", "rel")
+      Retrieval.retrievalEval(run, qrels, k).collect().foreach { r =>
+        Seq(4, 6, 9).foreach { i => // recall, ap, ndcg
+          if (!r.isNullAt(i))
+            assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L)
+        }
+        assert(r.getLong(5) <= 1000000L)        // rr
+        assert(r.getLong(7) <= r.getLong(8) ||
+          r.getLong(8) == 0L)                    // dcg <= idcg
+      }
+    }
+    // exact-ceiling case, deterministic: run = ideal order of qrels
+    val qr = Seq((0L, 1L, 3L), (0L, 2L, 2L), (0L, 3L, 2L),
+      (0L, 4L, 1L)).toDF("query_id", "doc_id", "rel")
+    val ideal = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (0L, 4L, 4L)).toDF("query_id", "doc_id", "rank")
+    val row = Retrieval.retrievalEval(ideal, qr, k = 4)
+      .collect()(0)
+    assert(row.getLong(4) === 1000000L) // recall
+    assert(row.getLong(5) === 1000000L) // rr
+    assert(row.getLong(6) === 1000000L) // ap: every prefix all-rel
+    assert(row.getLong(9) === 1000000L) // ndcg: dcg == idcg
+  }
+
+  test("rankOverlap property: symmetric in its arguments, bounded " +
+      "by the weight sum, monotone under truncation depth") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Retrieval
+    (1 to 8).foreach { _ =>
+      val k = 2 + rnd.nextInt(9)
+      def mkRun(): org.apache.spark.sql.DataFrame =
+        (0 until 3).flatMap { q =>
+          rnd.shuffle((0 until 20).toList).take(k).zipWithIndex
+            .map { case (d, i) => (q.toLong, d.toLong, (i + 1).toLong) }
+        }.toDF("query_id", "doc_id", "rank")
+      val a = mkRun(); val b = mkRun()
+      def res(x: org.apache.spark.sql.DataFrame,
+          y: org.apache.spark.sql.DataFrame) =
+        Retrieval.rankOverlap(x, y, k).orderBy("query_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      val ab = res(a, b); val ba = res(b, a)
+      assert(ab.toSeq === ba.toSeq) // max(ra,rb) is symmetric
+      val ceiling = Retrieval.rboWeightsNano(k, 900000L).sum
+      ab.foreach { case (_, ov, rbo) =>
+        assert(ov <= k && rbo >= 0L && rbo <= ceiling)
+      }
+      // identical rankings hit the ceiling exactly
+      assert(res(a, a).forall(_._3 === ceiling))
+    }
+  }
+
+  test("positionBias property: complementing every label swaps the " +
+      "flag's side and negates z; counts always reconcile") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Preference
+    import org.apache.spark.sql.functions.{col, expr}
+    (1 to 8).foreach { _ =>
+      val n = 20 + rnd.nextInt(200)
+      val rows = (0 until n).map(_ => ("j", rnd.nextInt(100) < 70))
+      val df = rows.toDF("judge", "aw")
+      val orig = Preference.positionBias(df, col("judge"), col("aw"))
+        .collect()(0)
+      val comp = Preference.positionBias(
+        df.withColumn("aw2", expr("NOT aw")), col("judge"),
+        col("aw2")).collect()(0)
+      assert(orig.getLong(1) === n.toLong &&
+        comp.getLong(1) === n.toLong)
+      assert(orig.getLong(2) + comp.getLong(2) === n.toLong)
+      // z negates exactly up to the 6dp rounding of the shared
+      // magnitude: |z| = |2p-1|*sqrt(n) is identical for p and 1-p
+      assert(math.abs(orig.getDouble(6) + comp.getDouble(6)) < 1e-9)
+      // a flag on one side implies the complement flags on the other
+      // side or not at all only when the interval straddles after
+      // complement — with the same width it must also flag
+      assert(orig.getBoolean(7) === comp.getBoolean(7))
     }
   }
 }
