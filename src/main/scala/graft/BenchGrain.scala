@@ -152,6 +152,10 @@ object BenchGrain {
     // round-16 wave) — and stays full-grain; pref_position_bias is
     // sub-second, never a grain candidate
     "semdedup_auto" -> 0.4, "unigram_em_vocab" -> 0.25,
+    // unigram_em_tokenize kept at 0.63x full (2.02 vs 3.22, n=2) —
+    // the EM fit half is the volume-bound part, same as its _vocab
+    // sibling
+    "unigram_em_tokenize" -> 0.25,
     // curation_v8 kept at 0.76x full — the one curation chain where
     // a grain survives (the repair+decode+normalize front half is
     // genuinely row-volume-bound); v7 (0.85x) and backtest_ma (1.14x

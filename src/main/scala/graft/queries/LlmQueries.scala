@@ -1566,6 +1566,19 @@ object LlmQueries {
         .withColumn("ftext", expr(unigramFitText)), "ftext")
         .orderBy("rank")
     }),
+    // tokenize WITH the EM-fitted vocabulary (round-18): the same
+    // Viterbi DP over the smoothed-expectation scores — closes the
+    // EM loop end to end (fit -> segment); the fit's pruned pieces
+    // change both segmentations and the optimal-vs-greedy gap
+    "unigram_em_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText))
+        .withColumn("ttext", expr(unigramTokText))
+      val emVocab = TextAnalysis.unigramEmFit(docs, "ftext")
+        .select(col("piece"), col("em_score").as("cnt"))
+      TextAnalysis.unigramTokenizeWords(docs, "ttext", emVocab)
+        .orderBy("word")
+    }),
     // optimal (Viterbi) segmentation per distinct word: fit on the
     // letters-only fixture, tokenize on the superset that adds
     // digit-suffixed words — the digits are fit-unseen single chars,
@@ -2727,7 +2740,8 @@ object LlmQueries {
     * the greedy maximal-munch recursion (`uggf`) and the `<long>`
     * collapse rows, ending with per-word finals in `ufin`.
     */
-  private def duckUnigramDp(maxWordLen: Int = 16): String = {
+  private def duckUnigramDp(maxWordLen: Int = 16,
+      vocab: String = "ugv"): String = {
     def cellNulls(j: Int): String =
       s"CAST(NULL AS BIGINT) AS s$j, CAST(NULL AS BIGINT) AS n$j, " +
         s"CAST(NULL AS BIGINT) AS u$j, CAST(NULL AS VARCHAR) AS g$j"
@@ -2761,10 +2775,10 @@ object LlmQueries {
       val ks = 1 to math.min(4, i)
       val joins = ks.map { k =>
         if (k == 1)
-          s"LEFT JOIN ugv v1 ON len(b.w) >= $i " +
+          s"LEFT JOIN $vocab v1 ON len(b.w) >= $i " +
             s"AND v1.piece = substring(b.w, $i, 1)"
         else
-          s"LEFT JOIN ugv v$k ON len(b.w) >= $i " +
+          s"LEFT JOIN $vocab v$k ON len(b.w) >= $i " +
             s"AND v$k.piece = substring(b.w, ${i - k + 1}, $k)"
       }.mkString("\n  ")
       val cands = ks.map(cand(_, i)).mkString(",\n  ")
@@ -2816,13 +2830,13 @@ object LlmQueries {
        |      WHEN v2.piece IS NOT NULL THEN v2.cnt
        |      ELSE coalesce(v1.cnt, 0) END) AS gs
        |  FROM ugrec r
-       |  LEFT JOIN ugv v4 ON len(r.w) - r.pos + 1 >= 4
+       |  LEFT JOIN $vocab v4 ON len(r.w) - r.pos + 1 >= 4
        |    AND v4.piece = substring(r.w, CAST(r.pos AS INT), 4)
-       |  LEFT JOIN ugv v3 ON len(r.w) - r.pos + 1 >= 3
+       |  LEFT JOIN $vocab v3 ON len(r.w) - r.pos + 1 >= 3
        |    AND v3.piece = substring(r.w, CAST(r.pos AS INT), 3)
-       |  LEFT JOIN ugv v2 ON len(r.w) - r.pos + 1 >= 2
+       |  LEFT JOIN $vocab v2 ON len(r.w) - r.pos + 1 >= 2
        |    AND v2.piece = substring(r.w, CAST(r.pos AS INT), 2)
-       |  LEFT JOIN ugv v1
+       |  LEFT JOIN $vocab v1
        |    ON v1.piece = substring(r.w, CAST(r.pos AS INT), 1)
        |  WHERE r.pos <= len(r.w)),
        |ugg AS (SELECT w, max_by(n, pos) AS ng, max_by(gs, pos) AS gsc
@@ -6833,6 +6847,17 @@ object LlmQueries {
     "unigram_tokenize" ->
       s"""WITH RECURSIVE $duckUnigramVocab,
          |${duckUnigramDp()}
+         |SELECT f.w AS word, f.best_score, f.n_pieces, f.n_unk,
+         |  f.seg, g.ng AS n_pieces_greedy, g.gsc AS greedy_score
+         |FROM ufin f JOIN uggf g USING (w)
+         |ORDER BY word""".stripMargin,
+    // EM-vocab tokenize mirror: the EM chain's final vocabulary
+    // (uv3, smoothed expectation scores) drives the SAME Viterbi DP
+    // chain via the vocab parameter
+    "unigram_em_tokenize" ->
+      s"""WITH RECURSIVE $duckUnigramVocab,
+         |${duckUnigramEm()},
+         |${duckUnigramDp(vocab = "uv3")}
          |SELECT f.w AS word, f.best_score, f.n_pieces, f.n_unk,
          |  f.seg, g.ng AS n_pieces_greedy, g.gsc AS greedy_score
          |FROM ufin f JOIN uggf g USING (w)
