@@ -207,11 +207,17 @@ object Retrieval {
   def rankOverlap(runA: DataFrame, runB: DataFrame, k: Int = 10,
       pPpm: Long = 900000L): DataFrame = {
     val w = rboWeightsNano(k, pPpm)
+    // each side is collapsed to its best (min) rank per (query, doc):
+    // a duplicated run row would otherwise multiply through the
+    // intersection equi-join and push overlap counts past d (so
+    // rbo_nano could exceed the weight-sum ceiling)
     def side(run: DataFrame, r: String): DataFrame = run
       .select(col("query_id").cast("long").as("query_id"),
         col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as(r))
       .filter(col(r) <= k && col(r) >= 1)
+      .groupBy("query_id", "doc_id")
+      .agg(min(col(r)).as(r))
     val a = side(runA, "__ra")
     val b = side(runB, "__rb")
     val shared = a.join(b, Seq("query_id", "doc_id"))
@@ -261,8 +267,10 @@ object Retrieval {
     * rows are dropped — absent pairs ARE the zero grade).
     *
     * Pure-integer contract: gain = 2^rel − 1 exactly (shiftleft on
-    * longs; rel is clamped-checked to ≤ `maxRel` ≤ 62 so the gain
-    * fits), discount = the pinned [[dcgDiscountMicro]] literals, so
+    * longs; rel is clamped-checked to ≤ `maxRel`, and `maxRel` itself
+    * must satisfy (2^maxRel − 1) · Σ discounts ≤ Long.MaxValue so the
+    * whole DCG/IDCG tree fits), discount = the pinned
+    * [[dcgDiscountMicro]] literals, so
     * DCG/IDCG are exact integer sums (order-independent) and
     * `ndcg_ppm` / `recall_ppm` / `rr_ppm` are truncating integer
     * divisions — bit-identical on any engine.
@@ -275,9 +283,9 @@ object Retrieval {
     * numerator per query), `dcg_micro`, `idcg_micro` (ideal = qrels
     * sorted rel-descending, top k), `ndcg_ppm` (NULL when the query
     * has no relevant documents, as is `ap_ppm`). Duplicate qrel rows
-    * are collapsed to their max grade per (query, doc) — metrics are
-    * a function of the qrel SET, never of accidental row
-    * multiplicity.
+    * are collapsed to their max grade per (query, doc), and duplicate
+    * RUN rows to their best (min) rank — metrics are a function of
+    * the two SETS, never of accidental row multiplicity.
     *
     * Scale shape: the run is top-k per query (query-proportional,
     * never corpus-proportional); qrels joins are equi-joins on
@@ -291,6 +299,19 @@ object Retrieval {
     require(maxRel >= 1 && maxRel <= 62,
       "maxRel must fit a long gain: 1 <= maxRel <= 62")
     val disc = dcgDiscountMicro(k)
+    // Overflow guard on the FULL integer tree, not just the gain:
+    // both the per-query DCG sum (<= gain * Σ disc, each rank used
+    // once after run dedup) and the IDCG grade-span products
+    // (gain * prefix-sum spans) are bounded by gain * prefix.last —
+    // Spark (non-ANSI) would wrap silently while DuckDB BIGINT
+    // errors, so a permitted-but-overflowing maxRel must be refused
+    // here, not discovered as cross-engine divergence. At the k=10
+    // defaults this caps maxRel at 40.
+    val discTotal = disc.sum
+    require((1L << maxRel) - 1L <= Long.MaxValue / discTotal,
+      s"retrievalEval: maxRel=$maxRel overflows the integer DCG " +
+        s"tree at k=$k — (2^maxRel - 1) * ${discTotal}L exceeds " +
+        "Long.MaxValue; lower maxRel or k")
     val discSql = disc.map(d => s"${d}L").mkString("array(", ", ", ")")
     val rel = qrels
       .select(col("query_id").cast("long").as("query_id"),
@@ -318,6 +339,13 @@ object Retrieval {
       // arm") must drop out — element_at would otherwise read the
       // discount table from the END on a negative index
       .filter(col("rank") <= k && col("rank") >= 1)
+      // run-side twin of the qrel max-grade collapse: a duplicated
+      // (query, doc) run row would multiply through the rel join and
+      // double-count gain/recall — collapse to the best (min) rank
+      // so metrics are a function of the run SET (top-k-per-query
+      // sized frame, map-side combined)
+      .groupBy("query_id", "doc_id")
+      .agg(min(col("rank")).as("rank"))
       .join(rel, Seq("query_id", "doc_id"), "left")
       .withColumn("__gain", expr(
         "shiftleft(1L, CAST(coalesce(rel, 0L) AS INT)) - 1L"))

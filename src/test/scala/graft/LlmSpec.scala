@@ -2369,6 +2369,27 @@ class LlmSpec extends AnyFunSuite {
     intercept[Exception] {
       Retrieval.retrievalEval(run, bad, k = 3).collect()
     }
+    // duplicated RUN rows collapse to their best (min) rank — a dup
+    // would otherwise multiply through the rel join and double-count
+    // gain/recall (the run-side twin of the qrel max-grade collapse)
+    val dupRun = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 11L, 3L),
+      (0L, 12L, 3L), (1L, 20L, 1L), (1L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val dedupRun = Retrieval.retrievalEval(dupRun, qrels, k = 3)
+      .orderBy("query_id").collect()(0)
+    assert((0 until dedupRun.length).forall(i =>
+      (dedupRun.isNullAt(i) && q0.isNullAt(i)) ||
+        (!dedupRun.isNullAt(i) && dedupRun.get(i) == q0.get(i))))
+    // permitted-but-overflowing maxRel is refused at plan time: at
+    // k=10 the discount sum is 4,543,554, so (2^41 - 1) * Σdisc
+    // wraps a Long — Spark (non-ANSI) would wrap silently while
+    // DuckDB errors, a latent cross-engine divergence
+    intercept[IllegalArgumentException] {
+      Retrieval.retrievalEval(run, qrels, k = 10, maxRel = 41)
+    }
+    // and the tightened bound still admits the k=10 ceiling (2^40-1
+    // times the 4,543,554 discount sum fits a Long; 2^41-1 does not)
+    Retrieval.retrievalEval(run, qrels, k = 10, maxRel = 40)
   }
 
   test("rankOverlap: hand-computed RBO, identical rankings hit the " +
@@ -2395,6 +2416,16 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1) === ((1L, 3L, 1000000L,
       w(0) + w(1) + w(2)))) // the p-truncated maximum
     assert(out(2) === ((2L, 0L, 0L, 0L)))
+    // duplicated run rows collapse to min rank per (query, doc) —
+    // a dup would otherwise multiply through the intersection join
+    // and push overlap past d (rbo above the weight-sum ceiling)
+    val dupA = runA.union(Seq((1L, 7L, 2L), (1L, 8L, 2L))
+      .toDF("query_id", "doc_id", "rank"))
+    val dedup = Retrieval.rankOverlap(dupA, runB, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(dedup === out)
   }
 
   test("lengthBucketBatches: pow-2 buckets, length-desc deal, exact " +
