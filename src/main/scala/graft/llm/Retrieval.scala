@@ -36,15 +36,17 @@ object Retrieval {
     * `query_id, rank, doc_id, rrf_ppm, dense_rank, lex_rank` — all
     * BIGINT; a 0 rank means the doc was outside that arm's shortlist.
     */
-  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+  /** The standalone lexical arm of [[hybridRrf]]: query-by-example
+    * BM25 shortlist — one row per (query_id, doc_id, lex_rank ≤ m),
+    * the same rational Robertson tree micro-pinned to longs before
+    * the per-document sum. Factored out so the per-arm scoreboard
+    * ([[retrievalEval]] over bm25-only vs dense-only vs fused) can
+    * never drift from the arm the fusion actually used.
+    */
+  def lexicalTopK(docs: DataFrame, queryIds: Seq[Long],
       text: String = "text", docId: String = "doc_id",
-      vecId: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 50, k: Int = 10, rrfK: Int = 60,
-      minTermLen: Int = 5): DataFrame = {
-    require(m >= k && k >= 1, "need m >= k >= 1")
+      m: Int = 50, minTermLen: Int = 5): DataFrame = {
     val qSet = queryIds.map(lit(_))
-
-    // ---- lexical arm: BM25 over the query doc's distinct terms ----
     val toks = docs.select(col(docId).cast("long").as("doc_id"),
       expr(s"filter(split(lower($text), ' '), t -> t != '')")
         .as("toks"))
@@ -74,7 +76,7 @@ object Retrieval {
         "CAST(floor(((n - df + 0.5D) / (df + 0.5D)) * ((tf * 2.2D) / " +
           "(tf + 0.3D + 0.9D * (len * 1.0D * n / tot))) * 1000000.0D) " +
           "AS BIGINT)"))
-    val lex = scoredTerms.groupBy("query_id", "doc_id")
+    scoredTerms.groupBy("query_id", "doc_id")
       .agg(sum("w").as("lex_micro"))
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy("query_id")
@@ -82,6 +84,18 @@ object Retrieval {
         .cast("long"))
       .filter(col("lex_rank") <= m)
       .select("query_id", "doc_id", "lex_rank")
+  }
+
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      text: String = "text", docId: String = "doc_id",
+      vecId: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 50, k: Int = 10, rrfK: Int = 60,
+      minTermLen: Int = 5): DataFrame = {
+    require(m >= k && k >= 1, "need m >= k >= 1")
+    val qSet = queryIds.map(lit(_))
+
+    // ---- lexical arm: BM25 over the query doc's distinct terms ----
+    val lex = lexicalTopK(docs, queryIds, text, docId, m, minTermLen)
 
     // ---- dense arm: brute-force cosine shortlist (self excluded) ----
     val dense = Similarity.bruteForceTopK(emb,

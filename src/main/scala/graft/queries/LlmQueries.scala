@@ -350,6 +350,44 @@ object LlmQueries {
       Retrieval.retrievalEval(run, qrels, k = 10)
         .orderBy("query_id")
     }),
+    // per-arm retrieval scoreboard (round-19): the SAME planted
+    // qrels scored against bm25-only, dense-only, and the fused
+    // hybrid shortlists — the operator's actual purpose is comparing
+    // arms on one eval set, so every metric lands side-by-side in
+    // one frame keyed by (arm, query_id). Arms reuse the exact
+    // machinery the fusion runs on (lexicalTopK is hybridRrf's own
+    // lexical arm; the dense arm is the same bruteForceTopK).
+    "retrieval_eval_arms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val qids = 0L until 8L
+      val qrels = docs
+        .select(explode(expr("sequence(0L, 7L)")).as("query_id"),
+          col("doc_id"))
+        .withColumn("rel", expr(
+          "CAST(CASE WHEN (doc_id + query_id) % 20 = 0 THEN 3 " +
+            "WHEN (doc_id + query_id) % 10 = 0 THEN 2 " +
+            "WHEN (doc_id + query_id) % 5 = 0 THEN 1 " +
+            "ELSE 0 END AS BIGINT)"))
+        .filter("rel > 0 AND doc_id != query_id")
+      val hybrid = Retrieval.hybridRrf(docs, emb, queryIds = qids)
+        .select("query_id", "doc_id", "rank")
+      val lex = Retrieval.lexicalTopK(docs, qids, m = 10)
+        .select(col("query_id"), col("doc_id"),
+          col("lex_rank").as("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(qids.map(lit(_)): _*)),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("cand_id").as("doc_id"),
+          col("rank"))
+      Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex)
+        .map { case (arm, run) =>
+          Retrieval.retrievalEval(run, qrels, k = 10)
+            .withColumn("arm", lit(arm))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("arm", "query_id")
+    }),
     // rank-biased overlap between the fused hybrid ranking and the
     // dense-only arm (round-18): the qrel-free "how much did the
     // lexical evidence move the ranking" diagnostic — pinned
@@ -3001,6 +3039,104 @@ object LlmQueries {
          |    doc_id, rrf_ppm, dense_rank, lex_rank
          |  FROM sc)""".stripMargin
 
+  /** Shared qrel/ideal CTEs for the retrieval-eval mirrors: planted
+    * graded qrels ((doc+query) % {20,10,5} → rel 3/2/1, self
+    * excluded), max-grade collapse, the pinned micro-discount table,
+    * and the run-independent ideal (IDCG) side. Expects `documents`
+    * in scope; emits CTEs `qr, rel, disc, itop, ideal`.
+    */
+  private def duckEvalQrelCtes: String = {
+    val discList = Retrieval.dcgDiscountMicro(10).mkString("[", ", ", "]")
+    s"""qr AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    CAST(CASE WHEN (d.doc_id + q.query_id) % 20 = 0 THEN 3
+       |         WHEN (d.doc_id + q.query_id) % 10 = 0 THEN 2
+       |         WHEN (d.doc_id + q.query_id) % 5 = 0 THEN 1
+       |         ELSE 0 END AS BIGINT) AS rel
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(0, 7)) AS query_id) q
+       |  WHERE d.doc_id != q.query_id),
+       |rel AS (SELECT query_id, doc_id, CAST(max(rel) AS BIGINT)
+       |  AS rel FROM qr WHERE rel > 0 GROUP BY 1, 2),
+       |disc AS (
+       |  SELECT unnest(generate_series(1, 10)) AS rank,
+       |    unnest($discList) AS d),
+       |itop AS (
+       |  SELECT query_id, rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+       |      AS n_rel
+       |  FROM rel),
+       |ideal AS (
+       |  SELECT query_id, any_value(n_rel) AS n_rel,
+       |    CAST(sum(CASE WHEN rn <= 10
+       |      THEN ((1::BIGINT << rel) - 1) * disc.d ELSE 0 END)
+       |      AS BIGINT) AS idcg_micro
+       |  FROM itop LEFT JOIN disc ON disc.rank = itop.rn
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** Per-run eval CTEs, suffixed so several arms coexist in one
+    * query: expects `run$sfx(query_id, doc_id, rank)` plus the
+    * [[duckEvalQrelCtes]] names in scope; emits
+    * `hits$sfx, hc$sfx, apn$sfx, perq$sfx`.
+    */
+  private def duckEvalRunCtes(sfx: String): String =
+    s"""hits$sfx AS (
+       |  SELECT r.query_id, r.rank, rel.rel,
+       |    (CASE WHEN rel.rel IS NULL THEN 0
+       |     ELSE (1::BIGINT << rel.rel) - 1 END) * disc.d AS gd
+       |  FROM run$sfx r
+       |  LEFT JOIN rel ON rel.query_id = r.query_id
+       |               AND rel.doc_id = r.doc_id
+       |  JOIN disc ON disc.rank = r.rank),
+       |hc$sfx AS (
+       |  SELECT query_id, rank, rel,
+       |    sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY rank) AS ht
+       |  FROM hits$sfx),
+       |apn$sfx AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN rel IS NOT NULL
+       |      THEN ht * 1000000 // rank ELSE 0 END) AS BIGINT)
+       |      AS ap_num
+       |  FROM hc$sfx GROUP BY 1),
+       |perq$sfx AS (
+       |  SELECT h.query_id, CAST(count(*) AS BIGINT) AS n_ret,
+       |    CAST(sum(h.gd) AS BIGINT) AS dcg_micro,
+       |    CAST(sum(CASE WHEN h.rel IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_rel_ret,
+       |    min(CASE WHEN h.rel IS NOT NULL THEN h.rank END)
+       |      AS first_rel,
+       |    any_value(a.ap_num) AS ap_num
+       |  FROM hits$sfx h JOIN apn$sfx a ON a.query_id = h.query_id
+       |  GROUP BY 1)""".stripMargin
+
+  /** The final per-arm metric SELECT: perq$sfx ⟗ ideal with the
+    * truncating-ppm divisions; `armSel` prepends an arm label column
+    * (empty for the single-run mirror).
+    */
+  private def duckEvalSelect(sfx: String, armSel: String): String =
+    s"""SELECT ${armSel}coalesce(p.query_id, i.query_id) AS query_id,
+       |  CAST(coalesce(p.n_ret, 0) AS BIGINT) AS n_ret,
+       |  CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CAST(coalesce(p.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+       |  CAST(CASE WHEN coalesce(i.n_rel, 0) = 0 THEN NULL
+       |    ELSE coalesce(p.n_rel_ret, 0) * 1000000 // i.n_rel END
+       |    AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN p.first_rel IS NULL THEN 0
+       |    ELSE 1000000 // p.first_rel END AS BIGINT) AS rr_ppm,
+       |  CAST(CASE WHEN coalesce(i.n_rel, 0) = 0 THEN NULL
+       |    ELSE coalesce(p.ap_num, 0) //
+       |      least(i.n_rel, 10) END AS BIGINT) AS ap_ppm,
+       |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       |  CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+       |  CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN NULL
+       |    ELSE coalesce(p.dcg_micro, 0) * 1000000 // i.idcg_micro
+       |    END AS BIGINT) AS ndcg_ppm
+       |FROM perq$sfx p FULL OUTER JOIN ideal i USING (query_id)""".stripMargin
+
   private def duckPrefPairs(strides: Seq[Long] = Seq(1L, 7L)): String =
     strides.map(k =>
       s"""  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5159,89 +5295,37 @@ object LlmQueries {
     // retrieval eval mirror: the shared hybrid chain's top-10 run,
     // planted graded qrels, the pinned micro-discount literals, and
     // integer DCG/IDCG sums — ndcg/recall/rr as truncating ppm
-    "retrieval_eval" -> {
-      val disc = Retrieval.dcgDiscountMicro(10)
-      val discList = disc.mkString("[", ", ", "]")
+    "retrieval_eval" ->
       s"""WITH $duckHybridChain,
          |run AS (SELECT query_id, doc_id, rank FROM fin
          |        WHERE rank <= 10),
-         |qr AS (
-         |  SELECT q.query_id, d.doc_id,
-         |    CAST(CASE WHEN (d.doc_id + q.query_id) % 20 = 0 THEN 3
-         |         WHEN (d.doc_id + q.query_id) % 10 = 0 THEN 2
-         |         WHEN (d.doc_id + q.query_id) % 5 = 0 THEN 1
-         |         ELSE 0 END AS BIGINT) AS rel
-         |  FROM documents d,
-         |       (SELECT unnest(generate_series(0, 7)) AS query_id) q
-         |  WHERE d.doc_id != q.query_id),
-         |rel AS (SELECT query_id, doc_id, CAST(max(rel) AS BIGINT)
-         |  AS rel FROM qr WHERE rel > 0 GROUP BY 1, 2),
-         |disc AS (
-         |  SELECT unnest(generate_series(1, 10)) AS rank,
-         |    unnest($discList) AS d),
-         |hits AS (
-         |  SELECT r.query_id, r.rank, rel.rel,
-         |    (CASE WHEN rel.rel IS NULL THEN 0
-         |     ELSE (1::BIGINT << rel.rel) - 1 END) * disc.d AS gd
-         |  FROM run r
-         |  LEFT JOIN rel ON rel.query_id = r.query_id
-         |               AND rel.doc_id = r.doc_id
-         |  JOIN disc ON disc.rank = r.rank),
-         |hc AS (
-         |  SELECT query_id, rank, rel,
-         |    sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY query_id ORDER BY rank) AS ht
-         |  FROM hits),
-         |apn AS (
-         |  SELECT query_id,
-         |    CAST(sum(CASE WHEN rel IS NOT NULL
-         |      THEN ht * 1000000 // rank ELSE 0 END) AS BIGINT)
-         |      AS ap_num
-         |  FROM hc GROUP BY 1),
-         |perq AS (
-         |  SELECT h.query_id, CAST(count(*) AS BIGINT) AS n_ret,
-         |    CAST(sum(h.gd) AS BIGINT) AS dcg_micro,
-         |    CAST(sum(CASE WHEN h.rel IS NOT NULL THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_rel_ret,
-         |    min(CASE WHEN h.rel IS NOT NULL THEN h.rank END)
-         |      AS first_rel,
-         |    any_value(a.ap_num) AS ap_num
-         |  FROM hits h JOIN apn a ON a.query_id = h.query_id
-         |  GROUP BY 1),
-         |itop AS (
-         |  SELECT query_id, rel,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rel DESC) AS rn,
-         |    CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
-         |      AS n_rel
-         |  FROM rel),
-         |ideal AS (
-         |  SELECT query_id, any_value(n_rel) AS n_rel,
-         |    CAST(sum(CASE WHEN rn <= 10
-         |      THEN ((1::BIGINT << rel) - 1) * disc.d ELSE 0 END)
-         |      AS BIGINT) AS idcg_micro
-         |  FROM itop LEFT JOIN disc ON disc.rank = itop.rn
-         |  GROUP BY 1)
-         |SELECT coalesce(p.query_id, i.query_id) AS query_id,
-         |  CAST(coalesce(p.n_ret, 0) AS BIGINT) AS n_ret,
-         |  CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
-         |  CAST(coalesce(p.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
-         |  CAST(CASE WHEN coalesce(i.n_rel, 0) = 0 THEN NULL
-         |    ELSE coalesce(p.n_rel_ret, 0) * 1000000 // i.n_rel END
-         |    AS BIGINT) AS recall_ppm,
-         |  CAST(CASE WHEN p.first_rel IS NULL THEN 0
-         |    ELSE 1000000 // p.first_rel END AS BIGINT) AS rr_ppm,
-         |  CAST(CASE WHEN coalesce(i.n_rel, 0) = 0 THEN NULL
-         |    ELSE coalesce(p.ap_num, 0) //
-         |      least(i.n_rel, 10) END AS BIGINT) AS ap_ppm,
-         |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
-         |  CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
-         |  CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN NULL
-         |    ELSE coalesce(p.dcg_micro, 0) * 1000000 // i.idcg_micro
-         |    END AS BIGINT) AS ndcg_ppm
-         |FROM perq p FULL OUTER JOIN ideal i USING (query_id)
-         |ORDER BY query_id""".stripMargin
-    },
+         |$duckEvalQrelCtes,
+         |${duckEvalRunCtes("")}
+         |${duckEvalSelect("", "")}
+         |ORDER BY query_id""".stripMargin,
+    // per-arm scoreboard mirror: the shared hybrid chain already
+    // carries the bm25-only (lexr) and dense-only (dnr) rankings the
+    // fusion consumed, so each arm's run CTE reads straight from it
+    // and the eval chain is stamped once per arm via the shared
+    // helpers — the three arms can never drift from the fused run
+    "retrieval_eval_arms" ->
+      s"""WITH $duckHybridChain,
+         |$duckEvalQrelCtes,
+         |runh AS (SELECT query_id, doc_id, rank FROM fin
+         |         WHERE rank <= 10),
+         |runl AS (SELECT query_id, doc_id, lex_rank AS rank FROM lexr
+         |         WHERE lex_rank <= 10),
+         |rund AS (SELECT query_id, doc_id, dense_rank AS rank FROM dnr
+         |         WHERE dense_rank <= 10),
+         |${duckEvalRunCtes("h")},
+         |${duckEvalRunCtes("l")},
+         |${duckEvalRunCtes("d")}
+         |${duckEvalSelect("d", "'dense' AS arm, ")}
+         |UNION ALL
+         |${duckEvalSelect("h", "'hybrid' AS arm, ")}
+         |UNION ALL
+         |${duckEvalSelect("l", "'lex' AS arm, ")}
+         |ORDER BY arm, query_id""".stripMargin,
     // RBO mirror: hybrid fin vs the chain's own dense ranking (dnr),
     // same pinned nano-weight literals, same unrolled depth sum
     "rank_overlap" -> {

@@ -2318,6 +2318,60 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 16393L, 1L, 0L)))
   }
 
+  test("lexicalTopK: bit-identical to hybridRrf's lexical arm; " +
+      "per-arm scoreboard orders arms by qrel alignment") {
+    import graft.llm.{Retrieval, Similarity}
+    val docs = Seq(
+      (0L, "alpha bravo alpha"),
+      (1L, "alpha alpha alpha"),
+      (2L, "bravo charlie delta"),
+      (3L, "xray yankee zulu")).toDF("doc_id", "text")
+    def v(c: Int => Double) = Seq.tabulate(64)(c)
+    val emb = Seq(
+      (0L, v(i => if (i == 0) 1.0 else 0.0)),
+      (1L, v(i => if (i == 1) 1.0 else 0.0)),
+      (2L, v(i => if (i <= 1) 1.0 else 0.0)),
+      (3L, v(i => if (i == 0) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    // the standalone arm IS the arm the fusion consumed (it is the
+    // same factored method) — ranks agree wherever the fused output
+    // carries a non-zero lex_rank
+    val standalone = Retrieval.lexicalTopK(docs, Seq(0L), m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val fusedLex = Retrieval.hybridRrf(docs, emb, Seq(0L), k = 4)
+      .collect().filter(_.getLong(5) > 0L)
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(5)).toMap
+    assert(fusedLex.nonEmpty && fusedLex.forall { case (k, r) =>
+      standalone(k) == r
+    })
+    // qrels planted to follow the DENSE ordering (doc3 > doc2 > doc1)
+    // — the scoreboard must rank dense (perfect, ndcg = 10^6) above
+    // the fused run above the lexical arm. This is also the honest
+    // registered-fixture story: fusing in an arm whose evidence is
+    // uncorrelated with the qrels DILUTES a stronger arm — the
+    // scoreboard exists precisely to surface that.
+    val qrels = Seq((0L, 3L, 3L), (0L, 2L, 2L), (0L, 1L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    def ndcg(run: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.retrievalEval(run, qrels, k = 4)
+        .collect()(0).getLong(9)
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.filter($"vec_id" === 0L), "vec_id", "embedding", 4)
+      .select($"query_id", $"cand_id".as("doc_id"), $"rank")
+    val lexRun = Retrieval.lexicalTopK(docs, Seq(0L), m = 4)
+      .select($"query_id", $"doc_id", $"lex_rank".as("rank"))
+    val hybRun = Retrieval.hybridRrf(docs, emb, Seq(0L), k = 4)
+      .select($"query_id", $"doc_id", $"rank")
+    val (nd, nh, nl) = (ndcg(dense), ndcg(hybRun), ndcg(lexRun))
+    assert(nd === 1000000L)
+    assert(nd > nh && nh > nl)
+    // hand pin: hybrid run is doc1, doc2, doc3 (rels 1, 2, 3) ->
+    // dcg = 1e6 + 3*630929 + 7*500000; idcg = 7e6 + 3*630929 + 5e5
+    assert(nh === (1000000L + 3L * 630929L + 7L * 500000L) *
+      1000000L / (7000000L + 3L * 630929L + 500000L))
+  }
+
   test("retrievalEval: hand-computed nDCG/MRR/recall pins, no-qrels " +
       "query NULLs, discount table values") {
     import graft.llm.Retrieval
