@@ -257,6 +257,77 @@ object Retrieval {
         expr(s"CAST($rboExpr AS BIGINT)").as("rbo_nano"))
   }
 
+  /** One query's fitted eval-side state: total relevant count, the
+    * precomputed ideal DCG (exact integers, same arithmetic as the
+    * batch ideal side), and the graded qrel map for run-row lookup.
+    */
+  case class QueryQrels(nRel: Long, idcgMicro: Long,
+      rels: Map[Long, Long])
+
+  /** Fitted retrieval-eval model: per-query qrel state plus the
+    * pinned discount table — queries × qrels scalars (an eval set,
+    * bounded), shipped to a streaming stage as plan-side literals
+    * ([[graft.streaming.StreamingDedup.retrievalEvalStage]]).
+    */
+  case class RetrievalEvalModel(k: Int,
+      disc: Seq[Long], queries: Map[Long, QueryQrels])
+
+  /** Fit [[retrievalEval]]'s qrel side OFFLINE so a live run feed can
+    * be scored against it: per query, the max-grade-collapsed qrel
+    * map, n_rel, and idcg_micro replayed with the batch operator's
+    * exact integer arithmetic (grades sorted descending fill
+    * contiguous discount-prefix spans). Collects only the qrel set —
+    * the sanctioned fit-collect class — with a plan-time LIMIT bound
+    * and named contract errors for NULL keys / over-range grades.
+    */
+  def retrievalEvalFit(qrels: DataFrame, k: Int = 10,
+      maxRel: Int = 20, maxQrels: Int = 1000000): RetrievalEvalModel = {
+    require(maxRel >= 1 && maxRel <= 62,
+      "maxRel must fit a long gain: 1 <= maxRel <= 62")
+    val disc = dcgDiscountMicro(k)
+    require((1L << maxRel) - 1L <= Long.MaxValue / disc.sum,
+      s"retrievalEvalFit: maxRel=$maxRel overflows the integer DCG " +
+        s"tree at k=$k")
+    val rows = qrels
+      .select(col("query_id").cast("long").as("q"),
+        col("doc_id").cast("long").as("d"),
+        col("rel").cast("long").as("rel"))
+      .filter(col("rel") > 0)
+      .groupBy("q", "d").agg(max(col("rel")).as("rel"))
+      .limit(maxQrels + 1)
+      .collect()
+    require(rows.length <= maxQrels,
+      s"retrievalEvalFit: over $maxQrels distinct qrels — the fit " +
+        "must stay bounded; raise maxQrels only for a genuine " +
+        "eval set")
+    val triples = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "retrievalEvalFit: NULL query_id/doc_id in qrels — keys " +
+          "must be non-null (filter or coalesce upstream)")
+      val rel = r.getLong(2)
+      require(rel <= maxRel,
+        s"retrievalEvalFit: rel $rel exceeds maxRel=$maxRel")
+      (r.getLong(0), r.getLong(1), rel)
+    }
+    val discPrefix = disc.scanLeft(0L)(_ + _)
+    val queries = triples.groupBy(_._1).map { case (q, qs) =>
+      // ideal side: grades descending fill contiguous rank spans —
+      // identical to the batch aggregate's prefix-sum fold
+      val byGrade = qs.groupBy(_._3).toSeq.sortBy(-_._1)
+      var used = 0L
+      var idcg = 0L
+      byGrade.foreach { case (g, rs) =>
+        val end = math.min(used + rs.length, k.toLong)
+        idcg += ((1L << g.toInt) - 1L) *
+          (discPrefix(end.toInt) - discPrefix(math.min(used, k.toLong).toInt))
+        used = end
+      }
+      q -> QueryQrels(qs.length.toLong, idcg,
+        qs.map(t => t._2 -> t._3).toMap)
+    }
+    RetrievalEvalModel(k, disc, queries)
+  }
+
   /** Pinned DCG discount table: `discount_micro(r) = floor(10^6 /
     * log2(r + 1))` for 1-based rank r. Computed ONCE here and shipped
     * as integer literals into both engines' plans (the mojibakeMap

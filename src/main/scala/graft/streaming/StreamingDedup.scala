@@ -760,6 +760,100 @@ object StreamingDedup {
         })
   }
 
+  /** One run row for the streaming retrieval-eval audit. */
+  case class RunEvent(query_id: Long, doc_id: Long, rank: Long)
+
+  /** Live per-query retrieval scoreboard row — the exact column set
+    * of the batch [[graft.llm.Retrieval.retrievalEval]] (Options
+    * carry the batch NULL semantics for no-qrels queries).
+    */
+  case class RetrievalEvalRow(query_id: Long, n_ret: Long,
+      n_rel: Long, n_rel_ret: Long, recall_ppm: Option[Long],
+      rr_ppm: Long, ap_ppm: Option[Long], dcg_micro: Long,
+      idcg_micro: Long, ndcg_ppm: Option[Long])
+
+  /** Streaming RETRIEVAL-EVAL audit: score a live run feed
+    * (query_id, doc_id, rank) against qrels fitted offline
+    * ([[graft.llm.Retrieval.retrievalEvalFit]]) and emit the batch
+    * operator's exact metric row for each updated query every
+    * trigger — nDCG@k / MRR / recall@k / MAP@k converge to the batch
+    * scoreboard as the shortlist streams in, so a retriever A/B can
+    * be read mid-rollout instead of after the batch eval.
+    *
+    * State per query is the (doc → best rank, rel) map, bounded by
+    * the top-k shortlist (hard-capped at `maxDocsPerQuery` with a
+    * named contract error — a malformed feed that floods one query
+    * must fail loudly, not grow state). Duplicate (query, doc)
+    * arrivals collapse to their best rank and out-of-range ranks
+    * drop, exactly the batch front half; every metric is replayed
+    * from the integer counters with the batch's Long arithmetic, so
+    * after the same rows, streaming and batch rows are bit-identical
+    * (spec-pinned). Queries with qrels but NO streamed rows are the
+    * one divergence: the batch full-outer emits them (n_ret 0), a
+    * stream cannot key on rows that never arrived.
+    */
+  def retrievalEvalStage(run: DataFrame,
+      model: graft.llm.Retrieval.RetrievalEvalModel,
+      maxDocsPerQuery: Int = 4096): Dataset[RetrievalEvalRow] = {
+    import run.sparkSession.implicits._
+    val k = model.k
+    run
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+      .filter(col("rank") >= 1 && col("rank") <= k)
+      .as[RunEvent]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[RunEvent],
+            state: GroupState[Map[Long, Long]]) => {
+          // state: doc_id -> best (min) rank seen
+          var docs = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { e =>
+            val best = docs.get(e.doc_id) match {
+              case Some(r) => math.min(r, e.rank)
+              case None => e.rank
+            }
+            docs = docs.updated(e.doc_id, best)
+          }
+          require(docs.size <= maxDocsPerQuery,
+            s"retrievalEvalStage: query $qid exceeds " +
+              s"$maxDocsPerQuery distinct docs — malformed run feed")
+          state.update(docs)
+          val q = model.queries.get(qid)
+          val rels = q.map(_.rels).getOrElse(Map.empty[Long, Long])
+          // (rank, is-hit) sort — the batch collect_list sort key,
+          // so same-rank ties fold identically
+          val entries = docs.toSeq.map { case (d, r) =>
+            (r, rels.getOrElse(d, 0L))
+          }.sortBy { case (r, rel) => (r, if (rel > 0L) 1L else 0L) }
+          val nRet = entries.length.toLong
+          val dcg = entries.iterator.map { case (r, rel) =>
+            (if (rel > 0L) (1L << rel.toInt) - 1L else 0L) *
+              model.disc(r.toInt - 1)
+          }.sum
+          val nRelRet = entries.count(_._2 > 0L).toLong
+          val firstRel = entries.collectFirst {
+            case (r, rel) if rel > 0L => r
+          }
+          // the batch ap_ppm fold: P@i micro terms over rank order
+          var h = 0L
+          var apNum = 0L
+          entries.foreach { case (r, rel) =>
+            if (rel > 0L) { h += 1L; apNum += h * 1000000L / r }
+          }
+          val nRel = q.map(_.nRel).getOrElse(0L)
+          val idcg = q.map(_.idcgMicro).getOrElse(0L)
+          Iterator.single(RetrievalEvalRow(qid, nRet, nRel, nRelRet,
+            if (nRel == 0L) None else Some(nRelRet * 1000000L / nRel),
+            firstRel.map(1000000L / _).getOrElse(0L),
+            if (nRel == 0L) None else Some(apNum / math.min(nRel, k.toLong)),
+            dcg, idcg,
+            if (idcg == 0L) None else Some(dcg * 1000000L / idcg)))
+        })
+  }
+
   case class HllEvent(grp: String, bkt: Long, rho: Int)
 
   /** Live distinct-count estimate for one group. */

@@ -1934,4 +1934,79 @@ class StreamingSpec extends AnyFunSuite {
         s.ci_lo, s.ci_hi, s.z_stat, s.position_biased)))
     }
   }
+
+  test("streaming retrieval-eval converges across micro-batches to " +
+      "the batch scoreboard row to the bit") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.Retrieval
+    val schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("doc_id", LongType),
+      StructField("rank", LongType)))
+    // query 0: graded qrels; query 1: no qrels (NULL-metric path);
+    // query 2: qrels but never streamed (the documented divergence —
+    // batch emits its n_ret=0 row, a stream cannot key on absence)
+    val qrels = Seq((0L, 10L, 3L), (0L, 12L, 1L), (0L, 13L, 2L),
+      (2L, 40L, 2L)).toDF("query_id", "doc_id", "rel")
+    val model = Retrieval.retrievalEvalFit(qrels, k = 3)
+    // fit's ideal side replays the batch integer arithmetic
+    assert(model.queries(0L).idcgMicro ===
+      7L * 1000000L + 3L * 630929L + 500000L)
+    assert(model.queries(0L).nRel === 3L)
+    val batch1 = Seq((0L, 10L, 1L), (1L, 20L, 1L))
+    // batch 2 re-delivers (0, 10) at a worse rank (collapses to the
+    // best) and fills the rest of query 0's shortlist
+    val batch2 = Seq((0L, 11L, 2L), (0L, 12L, 3L), (0L, 10L, 3L))
+    val dir = java.nio.file.Files.createTempDirectory("re_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("re_ck").toString
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("query_id", "doc_id", "rank")
+        .write.mode("append").parquet(dir)
+    write(batch1)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    @volatile var last = Map.empty[Long,
+      StreamingDedup.RetrievalEvalRow]
+    val q = StreamingDedup.retrievalEvalStage(stream, model)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[
+           StreamingDedup.RetrievalEvalRow], _: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty)
+            last = last ++ rows.map(r => r.query_id -> r)
+      }.start()
+    q.processAllAvailable()
+    // mid-stream: only rank 1 has arrived for query 0 — idcg is the
+    // FULL fitted ideal, so the partial dcg reads honestly below it
+    val mid = last(0L)
+    assert(mid.n_ret === 1L && mid.n_rel_ret === 1L)
+    assert(mid.dcg_micro === 7L * 1000000L)
+    assert(mid.ndcg_ppm === Some(7000000L * 1000000L /
+      model.queries(0L).idcgMicro))
+    write(batch2)
+    q.processAllAvailable()
+    q.stop()
+    // streamed queries converge to the batch rows bit-for-bit
+    val batch = Retrieval.retrievalEval(
+        spark.read.schema(schema).parquet(dir), qrels, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 1L).foreach { qid =>
+      val s = last(qid)
+      val b = batch(qid)
+      assert(b.getLong(1) === s.n_ret && b.getLong(2) === s.n_rel &&
+        b.getLong(3) === s.n_rel_ret)
+      def opt(i: Int): Option[Long] =
+        if (b.isNullAt(i)) None else Some(b.getLong(i))
+      assert(opt(4) === s.recall_ppm)
+      assert(b.getLong(5) === s.rr_ppm)
+      assert(opt(6) === s.ap_ppm)
+      assert(b.getLong(7) === s.dcg_micro &&
+        b.getLong(8) === s.idcg_micro)
+      assert(opt(9) === s.ndcg_ppm)
+    }
+    // the divergence is exactly the never-streamed query: batch has
+    // its row, the stream never keyed it
+    assert(batch.contains(2L) && !last.contains(2L))
+  }
 }
