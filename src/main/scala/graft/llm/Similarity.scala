@@ -106,12 +106,18 @@ object Similarity {
         .as("cell"))
   }
 
-  /** Deterministic centroid frame: the vectors with id < cells serve
-    * as fixed seeds (stand-in for a k-means fit).
+  /** Deterministic centroid frame: the `cells` SMALLEST-ID vectors
+    * present in `df` serve as fixed seeds, each labeled by its own
+    * id (stand-in for a k-means fit). Rank-based rather than the
+    * id < cells cut so rows excluded upstream — zero-norm embeddings
+    * in [[semDedup]], a sparse id space — can never under-seed the
+    * cell count; on a dense 0-based id space the two rules pick the
+    * same seeds. orderBy+limit plans as a distributed top-k
+    * (TakeOrdered), no single-partition window.
     */
   def seedCentroids(df: DataFrame, id: String, vec: String,
       cells: Int): DataFrame =
-    df.filter(col(id) < cells)
+    df.orderBy(col(id).asc).limit(cells)
       .select(col(id).cast("long").as("cell"),
         expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("cvec"))
 
@@ -397,10 +403,11 @@ object Similarity {
       maxCell: Int = 4096): DataFrame = {
     // Split zero-norm vectors out BEFORE clustering: under ANSI mode
     // a zero vector crashes cosineExpr (DIVIDE_BY_ZERO) inside
-    // ivfAssign/kmeans, and a zero SEED (id < cells) would poison its
-    // whole cell. They come back as always-kept rows with cell = -1.
-    // Note seeding stays id-based (seedCentroids: id < cells), so a
-    // corpus whose LOW ids are zero vectors seeds fewer cells.
+    // ivfAssign/kmeans, and a zero SEED would poison its whole cell.
+    // They come back as always-kept rows with cell = -1. Seeding is
+    // rank-based over the remaining NON-ZERO rows (seedCentroids
+    // takes the k smallest ids present), so zero vectors at low ids
+    // cannot under-seed the cell count.
     val dv = expr(s"transform($vec, x -> CAST(x AS DOUBLE))")
     val normed = df.withColumn("__n0", sqrt(dot(dv, dv)))
     val nz = normed.filter(col("__n0") > 0).drop("__n0")

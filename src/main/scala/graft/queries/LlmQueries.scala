@@ -3845,7 +3845,9 @@ object LlmQueries {
   /** Two unrolled Lloyd iterations over the `v` CTE; decimal-routed
     * component sums make the means order-independent, matching the
     * Spark side. Ends with centroid CTE `c2`. `seedCut` is the SQL
-    * expression bounding the seed ids (default the pinned 16; the
+    * expression bounding the seed COUNT — seeds are the seedCut
+    * smallest ids by rank, matching [[Similarity.seedCentroids]]'s
+    * rank-based rule (default the pinned 16; the
     * auto-cells mirror passes a scalar subquery computing
     * greatest(16, ceil(sqrt(n))) — [[Similarity.autoCells]]).
     */
@@ -3871,8 +3873,10 @@ object LlmQueries {
          |$out AS (
          |  SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN ${out}_new n USING (cell))""".stripMargin
-    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
-       |       FROM v WHERE vec_id < $seedCut),
+    s"""c0 AS (SELECT cell, cvec FROM (
+       |         SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec,
+       |           row_number() OVER (ORDER BY vec_id) AS rn
+       |         FROM v) WHERE rn <= $seedCut),
        |${step("c0", "a1", "m1", "c1")},
        |${step("c1", "a2", "m2", "c2")}""".stripMargin
   }

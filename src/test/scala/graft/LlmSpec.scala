@@ -1135,6 +1135,36 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0L)._2 && !out(1L)._2)    // pair still dedups
   }
 
+  test("seedCentroids: rank-based — zero-norm rows at LOW ids " +
+      "cannot under-seed the cell count") {
+    def v(hot: Int): Array[Double] = {
+      val a = Array.fill(16)(0.0); a(hot) = 1.0; a
+    }
+    // the k smallest ids PRESENT seed, labeled by their own id —
+    // a sparse id space (here: ids 5,7,9,11 after upstream
+    // filtering) still yields the full k seeds
+    val sparse = Seq((5L, v(0)), (7L, v(1)), (9L, v(2)), (11L, v(3)),
+      (13L, v(4))).toDF("vec_id", "embedding")
+    val seeds = graft.llm.Similarity
+      .seedCentroids(sparse, "vec_id", "embedding", 4)
+      .collect().map(_.getLong(0)).sorted
+    assert(seeds.toSeq === Seq(5L, 7L, 9L, 11L))
+    // end to end: zero vectors occupying ids 0..1 used to shrink the
+    // id < cells seed cut to 2 cells; rank-based seeding over the
+    // non-zero rows keeps all 4 cells populated
+    val df = Seq((0L, Array.fill(16)(0.0)), (1L, Array.fill(16)(0.0)),
+      (2L, v(0)), (3L, v(1)), (4L, v(2)), (5L, v(3)), (6L, v(4)),
+      (7L, v(5))).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity
+      .semDedup(df, "vec_id", "embedding", cells = 4, iters = 1,
+        minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) === -1L && out(1L) === -1L) // zeros ride outside
+    val liveCells = (2L to 7L).map(out).distinct
+    assert(liveCells.size === 4,
+      s"expected 4 seeded cells, got $liveCells")
+  }
+
   test("dsirWeights fails loudly when a corpus side is missing") {
     val df = Seq((1L, "alpha beta gamma", "src0"),
         (2L, "delta epsilon zeta", "src0"))
