@@ -161,5 +161,25 @@ object BenchGrain {
     // genuinely row-volume-bound); v7 (0.85x) and backtest_ma (1.14x
     // on a clean-window re-measure after a stall-faked 0.49x first
     // arm) stay full-grain
-    "curation_v8" -> 0.4)
+    "curation_v8" -> 0.4,
+    // round-19 wave (same-window full vs grained, n=2 each arm):
+    // these seven measured 0.70-0.79x and survive — kernel_ma 0.72x
+    // (the typed kernel IS volume-bound at the store grain, unlike
+    // kernel_full below), semdedup 0.70x (fixed k=16: the pair stage
+    // shrinks with the corpus, matching its _auto sibling's 0.73x),
+    // retrieval_eval_arms 0.73x / rank_overlap 0.71x (confirmed in a
+    // second window at 0.60x — the corpus tf/df scans behind the
+    // three arms ARE volume-bound even though single-eval
+    // retrieval_eval rejected at 0.91x in r18), abc_class 0.70x,
+    // curation_v3 0.79x, token_budget_cut 0.77x. Rejected this wave:
+    // backtest_ma 1.21x (second rejection — stays full-grain for
+    // good), kernel_full 1.19x (per-group model cost is the FIXED
+    // dense weekly-grid length, not row count — sampling only thins
+    // rows within the same grid), pagerank_sim 1.03x (fixed power
+    // rounds), curation_v6 0.93x, bitext_mine 0.89x, ppl_buckets
+    // 0.83x (just over the 0.82x bar)
+    "kernel_ma" -> 0.25, "semdedup" -> 0.4,
+    "retrieval_eval_arms" -> 0.4, "rank_overlap" -> 0.4,
+    "abc_class" -> 0.4, "curation_v3" -> 0.4,
+    "token_budget_cut" -> 0.4)
 }
