@@ -1851,6 +1851,43 @@ object TextAnalysis {
   /** One fitted merge rule: fuse adjacent symbols `a b → ab`. */
   case class BpeMerge(a: String, b: String)
 
+  /** Byte-level BPE fit + apply — the production tokenizer grain
+    * (GPT-2/Llama style). Merges are learned over each word's UTF-8
+    * BYTES: the seed symbols are two-hex-digit byte literals
+    * (`é` starts as `c3 a9`), so the base alphabet is the 256 bytes
+    * and EVERY word tokenizes with zero UNKs — an unmerged byte
+    * simply surfaces as a one-byte token (the byte-fallback
+    * property). This changes fertility on non-ASCII text relative to
+    * the char-grain fit ([[bpeApplyBatched]]): a char fit gets 'é'
+    * as ONE seed symbol for free, the byte fit must spend a learned
+    * merge to fuse `c3 a9` — so a vocabulary fitted on mostly-ASCII
+    * data fragments multibyte scripts harder, which is exactly the
+    * bias the fertility contrast query measures. Same batched
+    * dominance-disjoint fit loop, same doubled-delimiter fold, same
+    * one-fold-per-distinct-word apply shape as [[bpeApplyBatched]];
+    * output tokens are lowercase hex strings (merged symbols are
+    * concatenated hex runs, decodable back to bytes).
+    */
+  def bpeBytesApply(df: DataFrame, text: String, id: String,
+      rounds: Int = 10, batch: Int = 8): DataFrame = {
+    val (vocab, _) = bpeFitVocab(df, text, rounds, batch,
+      byteGrain = true)
+    val wordsOf = expr(
+      s"filter(split(lower($text), ' '), t -> t != '')")
+    val perWord = vocab.select(col("word"),
+      expr("filter(split(repr, ' '), x -> x != '')").as("__toks"))
+    df.select(col(id), posexplode(wordsOf).as(Seq("__pos", "word")))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__toks"))))
+        .as("__o"))
+      .withColumn("tokens",
+        flatten(expr("transform(__o, s -> s.__toks)")))
+      .select(col(id),
+        size(col("tokens")).cast("long").as("n_bpe_tokens"),
+        col("tokens"))
+  }
+
   /** Fit-only half of [[bpeApplyBatched]]: the ordered merge-rule
     * table (round order, rank order within a round) — the tokenizer
     * ARTIFACT a pipeline fits once on a reference corpus and then
@@ -1873,15 +1910,25 @@ object TextAnalysis {
     * vocabulary has no mergeable pair left.
     */
   private def bpeFitVocab(df: DataFrame, text: String,
-      rounds: Int, batch: Int): (DataFrame, Seq[BpeMerge]) = {
+      rounds: Int, batch: Int, byteGrain: Boolean = false)
+      : (DataFrame, Seq[BpeMerge]) = {
     require(rounds >= 0 && batch >= 1, "need rounds >= 0, batch >= 1")
     val candCap = 4 * batch
     val wordsOf = expr(
       s"filter(split(lower($text), ' '), t -> t != '')")
+    // seed symbols: one per character (char grain) or one lowercase
+    // two-hex-digit literal per UTF-8 byte (byte grain — hex keeps
+    // symbols in the same space-delimited repr the fold machinery
+    // and the DuckDB mirror already share)
+    val seedRepr =
+      if (byteGrain)
+        concat(lit(" "), regexp_replace(
+          lower(hex(encode(col("word"), "UTF-8"))), "(..)", "$1 "))
+      else
+        concat(lit(" "), regexp_replace(col("word"), "([^ ])", "$1 "))
     var vocab = df.select(explode(wordsOf).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("repr", concat(lit(" "),
-        regexp_replace(col("word"), "([^ ])", "$1 ")))
+      .withColumn("repr", seedRepr)
       .localCheckpoint()
     val fitted = Seq.newBuilder[BpeMerge]
     var round = 0
@@ -1949,15 +1996,45 @@ object TextAnalysis {
     * n_bpe_tokens, tokens), zero-content-token docs dropped.
     */
   def bpeApplyWithMerges(df: DataFrame, text: String, id: String,
-      merges: Seq[BpeMerge]): DataFrame = {
+      merges: Seq[BpeMerge]): DataFrame =
+    bpeApplyWithMergesImpl(df, text, id, merges, byteGrain = false)
+
+  /** Byte-grain fit-only half ([[bpeBytesApply]]'s merge table) —
+    * the artifact to fit on a reference corpus and ship to
+    * [[bpeBytesApplyWithMerges]]; with the 256-byte base alphabet
+    * the table is the ONLY model state a byte-level tokenizer has.
+    */
+  def bpeBytesFitMerges(df: DataFrame, text: String,
+      rounds: Int = 10, batch: Int = 8): Seq[BpeMerge] =
+    bpeFitVocab(df, text, rounds, batch, byteGrain = true)._2
+
+  /** Byte-grain apply with an already-fitted merge table. This is
+    * where byte FALLBACK does its work: a word whose characters the
+    * fit corpus never saw still tokenizes — its unseen bytes simply
+    * surface unmerged (two hex-symbol tokens per 2-byte codepoint),
+    * where a char-grain tokenizer emits the unseen char as one seed
+    * symbol. The fertility contrast between the two on out-of-fit
+    * scripts is the re-billing the `fertility_bytes` query measures.
+    */
+  def bpeBytesApplyWithMerges(df: DataFrame, text: String, id: String,
+      merges: Seq[BpeMerge]): DataFrame =
+    bpeApplyWithMergesImpl(df, text, id, merges, byteGrain = true)
+
+  private def bpeApplyWithMergesImpl(df: DataFrame, text: String,
+      id: String, merges: Seq[BpeMerge], byteGrain: Boolean)
+      : DataFrame = {
     val wordsOf = expr(
       s"filter(split(lower($text), ' '), t -> t != '')")
+    val seed =
+      if (byteGrain)
+        concat(lit(" "), regexp_replace(
+          lower(hex(encode(col("word"), "UTF-8"))), "(..)", "$1 "))
+      else
+        concat(lit(" "), regexp_replace(col("word"), "([^ ])", "$1 "))
     val perWord = df.select(explode(wordsOf).as("word")).distinct()
       .withColumn("__bpe_ms", typedlit(merges))
-      .withColumn("__folded", graft.llm.PolyHashColumns.bpeFold(
-        concat(lit(" "),
-          regexp_replace(col("word"), "([^ ])", "$1 ")),
-        col("__bpe_ms")))
+      .withColumn("__folded",
+        graft.llm.PolyHashColumns.bpeFold(seed, col("__bpe_ms")))
       .withColumn("__toks",
         expr("filter(split(__folded, ' '), x -> x != '')"))
       .select(col("word"), col("__toks"))

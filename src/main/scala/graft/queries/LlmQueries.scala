@@ -1689,6 +1689,70 @@ object LlmQueries {
           "doc_id", rounds = 10, batch = 8))
         .orderBy("doc_id")
     }),
+    // byte-level BPE with byte fallback (round-19): merges learned
+    // over UTF-8 bytes (two-hex-digit seed symbols), so the base
+    // alphabet is the 256 bytes and every word tokenizes UNK-free —
+    // the production (GPT-2/Llama) tokenizer grain; same batched
+    // dominance-disjoint fit, tokens are lowercase hex runs
+    "bpe_bytes_apply" -> ((s, d) => {
+      Canon.stringifyArrays(
+        TextAnalysis.bpeBytesApply(t(s, d, "documents"), "text",
+          "doc_id", rounds = 10, batch = 8))
+        .orderBy("doc_id")
+    }),
+    // byte-vs-char fertility contrast (round-19): the PRODUCTION
+    // scenario — both tokenizers fitted on the (ASCII) reference
+    // slice, applied to the whole corpus including planted multibyte
+    // slices. On out-of-fit scripts the char tokenizer emits one
+    // seed symbol per unseen character while the byte tokenizer
+    // falls back to its unmerged bytes (two hex tokens per 2-byte
+    // codepoint) — so bytes_vs_char_ppm reads exactly 10^6 on the
+    // ascii slice (on ASCII the grains are isomorphic) and > 10^6 on
+    // the multibyte slices: the re-billing a byte-level tokenizer
+    // applies to scripts its fit corpus under-represents
+    "fertility_bytes" -> ((s, d) => {
+      // the parquet fixture is pure ASCII, so multibyte slices are
+      // PLANTED deterministically (the confusable_fold pattern):
+      // one slice swaps vowels for 2-byte Latin accents, one for
+      // Cyrillic/Greek homoglyphs
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        expr("CASE WHEN doc_id % 3 = 1 THEN " +
+          "replace(replace(text, 'a', 'ä'), 'e', 'é') " +
+          "WHEN doc_id % 3 = 2 THEN " +
+          "replace(replace(text, 'o', 'о'), 'i', 'ι') " +
+          "ELSE text END").as("text"),
+        expr("CASE WHEN doc_id % 3 = 1 THEN 'latin_acc' " +
+          "WHEN doc_id % 3 = 2 THEN 'homoglyph' " +
+          "ELSE 'ascii' END").as("slice"))
+      val fitSlice = planted.filter(col("doc_id") % 3 === 0)
+      val chM = TextAnalysis.bpeFitMerges(fitSlice, "text",
+        rounds = 10, batch = 8)
+      val byM = TextAnalysis.bpeBytesFitMerges(fitSlice, "text",
+        rounds = 10, batch = 8)
+      val ch = TextAnalysis.bpeApplyWithMerges(planted, "text",
+          "doc_id", chM)
+        .select(col("doc_id"), col("n_bpe_tokens").as("__nc"))
+      val by = TextAnalysis.bpeBytesApplyWithMerges(planted, "text",
+          "doc_id", byM)
+        .select(col("doc_id"), col("n_bpe_tokens").as("__nb"))
+      planted
+        .select(col("doc_id"), col("slice"),
+          expr("CAST(size(filter(split(lower(text), ' '), " +
+            "t -> t != '')) AS BIGINT)").as("__w"))
+        .join(ch, Seq("doc_id")).join(by, Seq("doc_id"))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("n_words"),
+          sum(col("__nc")).as("n_bpe_char"),
+          sum(col("__nb")).as("n_bpe_bytes"))
+        .withColumn("fertility_char_ppm", expr(
+          "CAST((n_bpe_char * 1000000L) DIV n_words AS BIGINT)"))
+        .withColumn("fertility_bytes_ppm", expr(
+          "CAST((n_bpe_bytes * 1000000L) DIV n_words AS BIGINT)"))
+        .withColumn("bytes_vs_char_ppm", expr(
+          "CAST((n_bpe_bytes * 1000000L) DIV n_bpe_char AS BIGINT)"))
+        .orderBy("slice")
+    }),
     // repetition-ratio quality gate (duplicate-bigram fraction)
     "rep_ratio" -> ((s, d) => {
       t(s, d, "documents")
@@ -3793,11 +3857,22 @@ object LlmQueries {
     * side's `aggregate` fold. Ends with doc-word CTE `bdw`; callers
     * join `bdw` against `bw$rounds`.
     */
-  private def duckBpeBatchedChain(rounds: Int, batch: Int): String = {
+  private def duckBpeBatchedChain(rounds: Int, batch: Int,
+      pfx: String = "b", byteSeed: Boolean = false,
+      src: String = "documents"): String = {
     val candCap = 4 * batch
+    // char grain: one symbol per character; byte grain: one lowercase
+    // two-hex-digit literal per UTF-8 byte (hex(encode(..)) is
+    // uppercase hex of the UTF-8 blob in BOTH engines) — the
+    // [[TextAnalysis.bpeFitVocab]] seed, mirrored
+    val seed =
+      if (byteSeed)
+        "' ' || regexp_replace(lower(hex(encode(word))), " +
+          "'(..)', '\\1 ', 'g')"
+      else "' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g')"
     val stages = (1 to rounds).map { r =>
-      val p = s"bw${r - 1}"
-      s"""bp$r AS (
+      val p = s"${pfx}w${r - 1}"
+      s"""${pfx}p$r AS (
          |  SELECT a, b, sum(cnt) AS c FROM (
          |    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS a,
          |           unnest(list_slice(t, 2, len(t))) AS b, cnt
@@ -3805,41 +3880,40 @@ object LlmQueries {
          |        x -> x != '') AS t, cnt FROM $p)
          |    WHERE len(t) >= 2)
          |  GROUP BY a, b),
-         |bc$r AS (
+         |${pfx}c$r AS (
          |  SELECT a, b, row_number() OVER (ORDER BY c DESC, a, b) AS rk
-         |  FROM (SELECT * FROM bp$r ORDER BY c DESC, a, b
+         |  FROM (SELECT * FROM ${pfx}p$r ORDER BY c DESC, a, b
          |        LIMIT $candCap)),
-         |bs$r AS (
-         |  SELECT a, b, rk FROM bc$r i WHERE NOT EXISTS (
-         |    SELECT 1 FROM bc$r j WHERE j.rk < i.rk
+         |${pfx}s$r AS (
+         |  SELECT a, b, rk FROM ${pfx}c$r i WHERE NOT EXISTS (
+         |    SELECT 1 FROM ${pfx}c$r j WHERE j.rk < i.rk
          |      AND (j.a IN (i.a, i.b) OR j.b IN (i.a, i.b)))
          |  ORDER BY rk LIMIT $batch),
-         |bm$r AS (SELECT coalesce(list(a || chr(1) || b ORDER BY rk),
-         |  []) AS ml FROM bs$r),
-         |bw$r AS MATERIALIZED (
+         |${pfx}m$r AS (SELECT coalesce(list(a || chr(1) || b ORDER BY rk),
+         |  []) AS ml FROM ${pfx}s$r),
+         |${pfx}w$r AS MATERIALIZED (
          |  SELECT word, cnt, list_reduce(list_prepend(repr, ml),
          |    (acc, m) -> replace(replace(replace(acc, ' ', '  '),
          |      ' ' || string_split(m, chr(1))[1] || '  ' ||
          |        string_split(m, chr(1))[2] || ' ',
          |      ' ' || replace(m, chr(1), '') || ' '), '  ', ' '))
          |    AS repr
-         |  FROM $p, bm$r),""".stripMargin
+         |  FROM $p, ${pfx}m$r),""".stripMargin
     }.mkString("\n")
-    s"""bw0 AS MATERIALIZED (
+    s"""${pfx}w0 AS MATERIALIZED (
        |  SELECT word, count(*) AS cnt,
-       |    ' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g')
-       |      AS repr
+       |    $seed AS repr
        |  FROM (SELECT unnest(list_filter(
        |      string_split(lower(text), ' '), t -> t != '')) AS word
-       |    FROM documents)
+       |    FROM $src)
        |  GROUP BY word),
        |$stages
-       |bdw AS (
+       |${pfx}dw AS (
        |  SELECT doc_id, unnest(ws) AS word,
        |         unnest(generate_series(1, len(ws))) AS pos
        |  FROM (SELECT doc_id, list_filter(
        |      string_split(lower(text), ' '), t -> t != '') AS ws
-       |    FROM documents))""".stripMargin
+       |    FROM $src))""".stripMargin
   }
 
   /** Two unrolled Lloyd iterations over the `v` CTE; decimal-routed
@@ -7025,6 +7099,102 @@ object LlmQueries {
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
          |  array_to_string(toks, ',') AS tokens
          |FROM tok ORDER BY doc_id""".stripMargin,
+    // byte-level BPE mirror: the identical batched chain seeded with
+    // two-hex-digit UTF-8 byte symbols (y-prefixed CTEs)
+    "bpe_bytes_apply" ->
+      s"""WITH ${duckBpeBatchedChain(10, 8, "y", byteSeed = true)},
+         |tok AS (
+         |  SELECT doc_id, flatten(list(
+         |      list_filter(string_split(repr, ' '), x -> x != '')
+         |      ORDER BY pos)) AS toks
+         |  FROM ydw JOIN yw10 USING (word)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(toks, ',') AS tokens
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    // byte-vs-char fertility contrast: planted multibyte slices
+    // (real UTF-8 characters in the shared SQL — both engines parse
+    // them identically); both chains FIT on the ascii slice (fpl),
+    // then the accumulated round-ordered merge lists fold over every
+    // distinct word of the planted corpus — the engine's
+    // apply-with-merges, replayed
+    "fertility_bytes" -> {
+      val fold =
+        """(acc, m) -> replace(replace(replace(acc, ' ', '  '),
+          |      ' ' || string_split(m, chr(1))[1] || '  ' ||
+          |        string_split(m, chr(1))[2] || ' ',
+          |      ' ' || replace(m, chr(1), '') || ' '), '  ', ' ')"""
+          .stripMargin
+      def mlCat(pfx: String) = (1 to 10)
+        .map(r => s"(SELECT ml FROM ${pfx}m$r)").mkString(" || ")
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 1
+         |           THEN replace(replace(text, 'a', 'ä'), 'e', 'é')
+         |         WHEN doc_id % 3 = 2
+         |           THEN replace(replace(text, 'o', 'о'), 'i', 'ι')
+         |         ELSE text END AS text,
+         |    CASE WHEN doc_id % 3 = 1 THEN 'latin_acc'
+         |         WHEN doc_id % 3 = 2 THEN 'homoglyph'
+         |         ELSE 'ascii' END AS slice
+         |  FROM documents),
+         |fpl AS (SELECT doc_id, text FROM pl WHERE doc_id % 3 = 0),
+         |${duckBpeBatchedChain(10, 8, src = "fpl")},
+         |${duckBpeBatchedChain(10, 8, "y", byteSeed = true, src = "fpl")},
+         |bml AS (SELECT ${mlCat("b")} AS ml),
+         |yml AS (SELECT ${mlCat("y")} AS ml),
+         |wds AS (
+         |  SELECT DISTINCT unnest(list_filter(
+         |      string_split(lower(text), ' '), t -> t != '')) AS word
+         |  FROM pl),
+         |awc AS (
+         |  SELECT word, list_reduce(list_prepend(
+         |    ' ' || regexp_replace(word, '([^ ])', '\\1 ', 'g'), ml),
+         |    $fold) AS repr
+         |  FROM wds, bml),
+         |awb AS (
+         |  SELECT word, list_reduce(list_prepend(
+         |    ' ' || regexp_replace(lower(hex(encode(word))),
+         |      '(..)', '\\1 ', 'g'), ml),
+         |    $fold) AS repr
+         |  FROM wds, yml),
+         |pdw AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |      string_split(lower(text), ' '), t -> t != '')) AS word
+         |  FROM pl),
+         |fbc AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS nc
+         |  FROM pdw JOIN awc USING (word)
+         |  GROUP BY doc_id),
+         |fbb AS (
+         |  SELECT doc_id, CAST(sum(len(list_filter(
+         |      string_split(repr, ' '), x -> x != ''))) AS BIGINT)
+         |    AS nb
+         |  FROM pdw JOIN awb USING (word)
+         |  GROUP BY doc_id),
+         |fbm AS (
+         |  SELECT pl.slice,
+         |    CAST(len(list_filter(string_split(lower(pl.text), ' '),
+         |      t -> t != '')) AS BIGINT) AS w,
+         |    fbc.nc, fbb.nb
+         |  FROM pl JOIN fbc USING (doc_id) JOIN fbb USING (doc_id)),
+         |fbg AS (
+         |  SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS n_words,
+         |    CAST(sum(nc) AS BIGINT) AS n_bpe_char,
+         |    CAST(sum(nb) AS BIGINT) AS n_bpe_bytes
+         |  FROM fbm GROUP BY slice)
+         |SELECT slice, n_docs, n_words, n_bpe_char, n_bpe_bytes,
+         |  CAST((n_bpe_char * 1000000) // n_words AS BIGINT)
+         |    AS fertility_char_ppm,
+         |  CAST((n_bpe_bytes * 1000000) // n_words AS BIGINT)
+         |    AS fertility_bytes_ppm,
+         |  CAST((n_bpe_bytes * 1000000) // n_bpe_char AS BIGINT)
+         |    AS bytes_vs_char_ppm
+         |FROM fbg ORDER BY slice""".stripMargin
+    },
     // BPE-grain budget cut: the token_budget_cut recipe with the
     // accounting swapped from whitespace tokens to bpe_apply's
     // tokenizer-grain counts (integral, so the prefix sum and the

@@ -2402,6 +2402,65 @@ class LlmSpec extends AnyFunSuite {
       1000000L / (7000000L + 3L * 630929L + 500000L))
   }
 
+  test("bpeBytesApply: hex-byte seed symbols, merges fuse byte pairs, " +
+      "ASCII corpus is isomorphic to the char grain") {
+    import graft.llm.TextAnalysis
+    // "hello" bytes: 68 65 6c 6c 6f — most frequent pair across the
+    // corpus merges first; tokens are lowercase hex runs
+    val df = Seq((1L, "hello hello"), (2L, "help"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeBytesApply(df, "text", "doc_id",
+        rounds = 1, batch = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](2)))
+    // pair counts over byte symbols: (68,65)=3, (65,6c)=3, (6c,6c)=2,
+    // (6c,6f)=2, (6c,70)=1 — tie at 3 broken by (a asc, b asc):
+    // "65"<"68" so (65,6c) wins round 1
+    assert(out(0)._2 ===
+      Seq("68", "656c", "6c", "6f", "68", "656c", "6c", "6f"))
+    assert(out(1)._2 === Seq("68", "656c", "70"))
+    // every token is decodable hex — the 256-byte base alphabet
+    assert(out.flatMap(_._2).forall(t =>
+      t.length % 2 == 0 && t.matches("[0-9a-f]+")))
+    // on a pure-ASCII corpus byte grain ≡ char grain: same token
+    // COUNT everywhere (symbols map 1:1, merges fuse in lockstep)
+    val ascii = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, "alpha gamma delta")).toDF("doc_id", "text")
+    val nb = TextAnalysis.bpeBytesApply(ascii, "text", "doc_id",
+        rounds = 5, batch = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nc = TextAnalysis.bpeApplyBatched(ascii, "text", "doc_id",
+        rounds = 5, batch = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb === nc)
+  }
+
+  test("bpeBytesApplyWithMerges: byte FALLBACK — out-of-fit " +
+      "multibyte chars surface as unmerged byte tokens") {
+    import graft.llm.TextAnalysis
+    val fit = Seq((1L, "hello hello help"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeBytesFitMerges(fit, "text",
+      rounds = 10, batch = 8)
+    assert(merges.nonEmpty)
+    // 'héllo': é = c3 a9 — bytes the fit corpus never saw, so no
+    // merge touches them; they fall back as TWO one-byte tokens
+    // where a char-grain tokenizer would emit one 'é' seed symbol
+    val apply = Seq((1L, "héllo")).toDF("doc_id", "text")
+    val toks = TextAnalysis.bpeBytesApplyWithMerges(apply, "text",
+        "doc_id", merges)
+      .collect()(0).getSeq[String](2)
+    assert(toks.count(t => t == "c3") === 1)
+    assert(toks.count(t => t == "a9") === 1)
+    // the ASCII frame around the fallback still merges normally
+    val charToks = TextAnalysis.bpeApplyWithMerges(apply, "text",
+        "doc_id", TextAnalysis.bpeFitMerges(fit, "text",
+          rounds = 10, batch = 8))
+      .collect()(0).getSeq[String](2)
+    // fallback re-bills: one extra token for the one 2-byte char
+    assert(toks.length === charToks.length + 1)
+  }
+
   test("retrievalEval: hand-computed nDCG/MRR/recall pins, no-qrels " +
       "query NULLs, discount table values") {
     import graft.llm.Retrieval
