@@ -181,5 +181,8 @@ object BenchGrain {
     "kernel_ma" -> 0.25, "semdedup" -> 0.4,
     "retrieval_eval_arms" -> 0.4, "rank_overlap" -> 0.4,
     "abc_class" -> 0.4, "curation_v3" -> 0.4,
-    "token_budget_cut" -> 0.4)
+    "token_budget_cut" -> 0.4,
+    // unigram_em_broad kept at 0.53x full (1.75 vs 3.31, n=2) — the
+    // same volume-bound EM-fit profile as its _vocab sibling (0.51x)
+    "unigram_em_broad" -> 0.25)
 }

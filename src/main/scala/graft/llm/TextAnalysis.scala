@@ -3616,11 +3616,23 @@ object TextAnalysis {
     */
   def unigramEmFit(df: DataFrame, text: String, vocabN: Int = 64,
       maxPiece: Int = 4, iters: Int = 2, keepPpm: Long = 750000L,
-      maxWordLen: Int = 16): DataFrame = {
+      maxWordLen: Int = 16, seedN: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
     require(iters >= 1 && iters <= 16, "need 1 <= iters <= 16")
     require(keepPpm >= 1L && keepPpm <= 1000000L,
       "keepPpm must be in (0, 10^6]")
+    // seedN (round 19): SentencePiece seeds its EM from a LARGE
+    // substring-candidate table and lets the fit prune it, rather
+    // than letting the raw frequency rank pre-decide the vocabulary.
+    // seedN > vocabN widens the round-1 candidate pool to the top
+    // seedN substrings (+ the single-char floor) while the prune
+    // SCHEDULE is unchanged — keepN still starts at vocabN and
+    // shrinks by keepPpm per round — so at equal final vocabN the
+    // only difference is that the EXPECTATIONS pick the survivors
+    // out of a wider pool (spec pins the corpus-likelihood win).
+    // seedN = 0 keeps the original frequency-top-vocabN seed.
+    require(seedN == 0 || seedN >= vocabN,
+      "seedN must be 0 (seed from vocabN) or >= vocabN")
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -3633,7 +3645,7 @@ object TextAnalysis {
       // not replay rounds 1..r-1's scans (the kmeansCentroids rule)
       .localCheckpoint()
     var entries: Array[(String, Long)] =
-      unigramFit(df, text, vocabN, maxPiece)
+      unigramFit(df, text, if (seedN > 0) seedN else vocabN, maxPiece)
         .select("piece", "cnt").collect()
         .map(r => (r.getString(0), r.getLong(1)))
     var keepN: Long = vocabN.toLong

@@ -1604,6 +1604,19 @@ object LlmQueries {
         .withColumn("ftext", expr(unigramFitText)), "ftext")
         .orderBy("rank")
     }),
+    // broadened EM seeding (round-19, the SentencePiece recipe):
+    // same EM chain and same prune SCHEDULE (keepN from vocabN,
+    // 75%/round), but the round-1 candidate pool is the top-256
+    // substring table instead of the frequency top-64 — the
+    // EXPECTATIONS pick the survivors out of the wide pool rather
+    // than the raw frequency rank pre-deciding; spec pins the
+    // corpus-likelihood win at equal final vocabN
+    "unigram_em_broad" -> ((s, d) => {
+      TextAnalysis.unigramEmFit(t(s, d, "documents")
+        .withColumn("ftext", expr(unigramFitText)), "ftext",
+        seedN = 256)
+        .orderBy("rank")
+    }),
     // tokenize WITH the EM-fitted vocabulary (round-18): the same
     // Viterbi DP over the smoothed-expectation scores — closes the
     // EM loop end to end (fit -> segment); the fit's pruned pieces
@@ -2713,7 +2726,7 @@ object LlmQueries {
     * counted/ranked vocabulary `ugv`): the DuckDB mirror of
     * [[graft.llm.TextAnalysis.unigramFit]].
     */
-  private def duckUnigramVocab: String =
+  private def duckUnigramVocab(vocabN: Int = 64): String =
     s"""ugw AS (
        |  SELECT unnest(list_filter(string_split(
        |    lower($unigramFitText), ' '), t -> t != '')) AS w
@@ -2731,7 +2744,7 @@ object LlmQueries {
        |  row_number() OVER (ORDER BY cnt DESC, piece) AS rank
        |  FROM ugt),
        |ugv AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM ugr
-       |  WHERE rank <= 64 OR len(piece) = 1)""".stripMargin
+       |  WHERE rank <= $vocabN OR len(piece) = 1)""".stripMargin
 
   /** Unigram-LM EM replay ([[graft.llm.TextAnalysis.unigramEmFit]]):
     * per EM round, a piece-probability CTE (one correctly-rounded
@@ -6989,7 +7002,7 @@ object LlmQueries {
          |LEFT JOIN segf s USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
     "unigram_vocab" ->
-      s"""WITH $duckUnigramVocab
+      s"""WITH ${duckUnigramVocab()}
          |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ugr
@@ -6999,7 +7012,18 @@ object LlmQueries {
     // backward list chains, micro-floored expectations, integer
     // sums, smoothed prune) -> final (em_score desc, piece) ranking
     "unigram_em_vocab" ->
-      s"""WITH $duckUnigramVocab,
+      s"""WITH ${duckUnigramVocab()},
+         |${duckUnigramEm()}
+         |SELECT piece, CAST(cnt AS BIGINT) AS em_score,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+         |    AS BIGINT) AS rank
+         |FROM uv3
+         |ORDER BY rank""".stripMargin,
+    // broad-seed mirror: identical EM chain, the seed CTE widened to
+    // the top-256 substring table (the prune schedule still starts
+    // at 64 — only the candidate pool changes)
+    "unigram_em_broad" ->
+      s"""WITH ${duckUnigramVocab(256)},
          |${duckUnigramEm()}
          |SELECT piece, CAST(cnt AS BIGINT) AS em_score,
          |  CAST(row_number() OVER (ORDER BY cnt DESC, piece)
@@ -7007,7 +7031,7 @@ object LlmQueries {
          |FROM uv3
          |ORDER BY rank""".stripMargin,
     "unigram_tokenize" ->
-      s"""WITH RECURSIVE $duckUnigramVocab,
+      s"""WITH RECURSIVE ${duckUnigramVocab()},
          |${duckUnigramDp()}
          |SELECT f.w AS word, f.best_score, f.n_pieces, f.n_unk,
          |  f.seg, g.ng AS n_pieces_greedy, g.gsc AS greedy_score
@@ -7017,7 +7041,7 @@ object LlmQueries {
     // (uv3, smoothed expectation scores) drives the SAME Viterbi DP
     // chain via the vocab parameter
     "unigram_em_tokenize" ->
-      s"""WITH RECURSIVE $duckUnigramVocab,
+      s"""WITH RECURSIVE ${duckUnigramVocab()},
          |${duckUnigramEm()},
          |${duckUnigramDp(vocab = "uv3")}
          |SELECT f.w AS word, f.best_score, f.n_pieces, f.n_unk,
@@ -7025,7 +7049,7 @@ object LlmQueries {
          |FROM ufin f JOIN uggf g USING (w)
          |ORDER BY word""".stripMargin,
     "unigram_apply" ->
-      s"""WITH RECURSIVE $duckUnigramVocab,
+      s"""WITH RECURSIVE ${duckUnigramVocab()},
          |${duckUnigramDp()},
          |uww AS (
          |  SELECT doc_id, list_filter(string_split(
@@ -7053,7 +7077,7 @@ object LlmQueries {
          |LEFT JOIN usf s USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
     "viterbi_gain" ->
-      s"""WITH RECURSIVE $duckUnigramVocab,
+      s"""WITH RECURSIVE ${duckUnigramVocab()},
          |${duckUnigramDp()},
          |occ AS (
          |  SELECT unnest(list_filter(string_split(

@@ -3552,6 +3552,50 @@ class LlmSpec extends AnyFunSuite {
     assert(llEm >= ll(em1.toMap) - 1e-9)
   }
 
+  test("unigramEmFit seedN: the broadened candidate pool beats the " +
+      "frequency-top seed's corpus likelihood at equal final vocabN") {
+    // fixture where a mass-carrying piece sits OUTSIDE the frequency
+    // top-8 but inside the wide pool: five 2-char words x5 flood the
+    // count table with 5-count pairs/singles, while 'qqqq' x4 ranks
+    // below them by raw frequency (behind q/qq/qqq and the 5-count
+    // pieces) — yet as a whole-word piece it carries full
+    // segmentation mass, so its round-1 EXPECTATION (~4e6) beats
+    // every single char and survives the same keepN=8 cut the
+    // frequency rank never let it reach
+    val ws = Seq("ab", "cd", "ef", "gh", "ij")
+      .flatMap(Seq.fill(5)(_)) ++ Seq.fill(4)("qqqq")
+    val d = docs(ws.mkString(" "))
+    def fit(seedN: Int): Map[String, Long] =
+      TextAnalysis.unigramEmFit(d, "text", vocabN = 8, iters = 2,
+        keepPpm = 1000000L, seedN = seedN)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val narrow = fit(0)
+    val broad = fit(48)
+    // equal final cut: same keepN schedule on both fits
+    assert(!narrow.contains("qqqq"),
+      "fixture broken: frequency top-8 must exclude qqqq")
+    assert(broad.contains("qqqq"),
+      "the wide pool must let EM surface the mass-carrying piece")
+    def ll(vocab: Map[String, Long]): Double = {
+      val total = vocab.values.sum.toDouble
+      def alphaL(w: String): Double = {
+        val a = Array.fill(w.length + 1)(0.0); a(0) = 1.0
+        for (i <- 1 to w.length; l <- 1 to math.min(4, i))
+          a(i) += a(i - l) * vocab.get(w.substring(i - l, i))
+            .map(_.toDouble / total).getOrElse(0.0)
+        a(w.length)
+      }
+      ws.map(w => math.log(alphaL(w))).sum
+    }
+    assert(ll(broad) > ll(narrow),
+      s"broad seed must improve corpus LL: ${ll(broad)} vs " +
+        s"${ll(narrow)}")
+    // seedN below vocabN is a contract error, 0 is the legacy seed
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramEmFit(d, "text", vocabN = 8, seedN = 4)
+    }
+  }
+
   test("supplementary codepoints: AC automaton and unigram DP index " +
       "by codepoint, not UTF-16 unit") {
     import graft.llm.{AcAutomaton, UnigramViterbi, UnigramVocab}
