@@ -86,25 +86,31 @@ object Retrieval {
       .select("query_id", "doc_id", "lex_rank")
   }
 
-  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
-      text: String = "text", docId: String = "doc_id",
+  /** The standalone dense arm of [[hybridRrf]]: brute-force cosine
+    * shortlist (self excluded) reshaped to (query_id, doc_id,
+    * dense_rank ≤ m) — factored out, like [[lexicalTopK]], so arm
+    * consumers score the arm the fusion actually used.
+    */
+  def denseTopK(emb: DataFrame, queryIds: Seq[Long],
       vecId: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 50, k: Int = 10, rrfK: Int = 60,
-      minTermLen: Int = 5): DataFrame = {
-    require(m >= k && k >= 1, "need m >= k >= 1")
-    val qSet = queryIds.map(lit(_))
-
-    // ---- lexical arm: BM25 over the query doc's distinct terms ----
-    val lex = lexicalTopK(docs, queryIds, text, docId, m, minTermLen)
-
-    // ---- dense arm: brute-force cosine shortlist (self excluded) ----
-    val dense = Similarity.bruteForceTopK(emb,
-        emb.filter(col(vecId).isin(qSet: _*)), vecId, vecCol, m)
+      m: Int = 50): DataFrame =
+    Similarity.bruteForceTopK(emb,
+        emb.filter(col(vecId).isin(queryIds.map(lit(_)): _*)),
+        vecId, vecCol, m)
       .select(col("query_id").cast("long").as("query_id"),
         col("cand_id").cast("long").as("doc_id"),
         col("rank").as("dense_rank"))
 
-    // ---- RRF fusion over the union of the two shortlists ----
+  /** Fusion-only half of [[hybridRrf]]: fuse two PRECOMPUTED arm
+    * shortlists. Taking the arms as inputs lets a caller that also
+    * consumes an arm standalone ([[rankOverlap]] vs the dense arm,
+    * the per-arm scoreboard) compute each arm ONCE — both ranking
+    * columns are rank-prefix-stable, so the standalone top-k is a
+    * filter of the same frame the fusion reads, not a recompute.
+    */
+  def rrfFuse(dense: DataFrame, lex: DataFrame, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1, "need k >= 1")
     dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
       .na.fill(0L, Seq("dense_rank", "lex_rank"))
       .withColumn("rrf_ppm", expr(
@@ -119,6 +125,18 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "rrf_ppm",
         "dense_rank", "lex_rank")
+  }
+
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      text: String = "text", docId: String = "doc_id",
+      vecId: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 50, k: Int = 10, rrfK: Int = 60,
+      minTermLen: Int = 5): DataFrame = {
+    require(m >= k && k >= 1, "need m >= k >= 1")
+    rrfFuse(
+      denseTopK(emb, queryIds, vecId, vecCol, m),
+      lexicalTopK(docs, queryIds, text, docId, m, minTermLen),
+      k, rrfK)
   }
 
   /** One fitted query term with its corpus document frequency. */
@@ -326,6 +344,54 @@ object Retrieval {
         qs.map(t => t._2 -> t._3).toMap)
     }
     RetrievalEvalModel(k, disc, queries)
+  }
+
+  /** Paired sign test between scored systems on a shared per-unit
+    * metric — the significance layer over the per-arm scoreboard:
+    * "arm A's mean nDCG is higher" means nothing at 8 queries unless
+    * the PAIRED per-query comparison says the direction is
+    * consistent. Input: one row per (system, unit) with an integer
+    * metric (e.g. [[retrievalEval]]'s ndcg_ppm tagged by arm); NULL
+    * metrics drop that unit for every pair involving the system
+    * (a no-qrels query cannot vote). Output: one row per unordered
+    * system pair (sys_a < sys_b lexicographically) with n_pairs,
+    * wins_a, wins_b, ties, mean_diff_ppm (truncating integer mean of
+    * a−b), and the sign-test z = (wins_a − wins_b)/√(wins_a+wins_b)
+    * (ties excluded, the standard correction-free form; 0 when no
+    * untied pair), rounded to 6dp — the [[Preference.positionBias]]
+    * fixed-order double tail, so cross-engine exact.
+    *
+    * Scale shape: the self-join is keyed on `unit` (eval sets are
+    * bounded; the frame is systems × units), one map-side-combined
+    * aggregate per pair — never corpus-proportional.
+    */
+  def pairedSignTest(scores: DataFrame, system: String, unit: String,
+      metric: String): DataFrame = {
+    val a = scores.select(col(system).cast("string").as("__sa"),
+      col(unit).as("__u"), col(metric).cast("long").as("__ma"))
+      .filter(col("__ma").isNotNull)
+    val b = scores.select(col(system).cast("string").as("__sb"),
+      col(unit).as("__u"), col(metric).cast("long").as("__mb"))
+      .filter(col("__mb").isNotNull)
+    a.join(b, Seq("__u"))
+      .filter(col("__sa") < col("__sb"))
+      .groupBy(col("__sa").as("sys_a"), col("__sb").as("sys_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("__ma") > col("__mb"), 1L).otherwise(0L))
+          .cast("long").as("wins_a"),
+        sum(when(col("__mb") > col("__ma"), 1L).otherwise(0L))
+          .cast("long").as("wins_b"),
+        sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L))
+          .cast("long").as("ties"),
+        expr("CAST(sum(__ma - __mb) AS BIGINT)").as("__dsum"))
+      .withColumn("mean_diff_ppm",
+        expr("CAST(__dsum DIV n_pairs AS BIGINT)"))
+      .withColumn("z_sign", expr(
+        "CASE WHEN wins_a + wins_b = 0 THEN 0.0D ELSE " +
+          "round((CAST(wins_a AS DOUBLE) - CAST(wins_b AS DOUBLE)) " +
+          "/ sqrt(CAST(wins_a + wins_b AS DOUBLE)), 6) END"))
+      .select("sys_a", "sys_b", "n_pairs", "wins_a", "wins_b",
+        "ties", "mean_diff_ppm", "z_sign")
   }
 
   /** Pinned DCG discount table: `discount_micro(r) = floor(10^6 /

@@ -357,37 +357,17 @@ object LlmQueries {
     // one frame keyed by (arm, query_id). Arms reuse the exact
     // machinery the fusion runs on (lexicalTopK is hybridRrf's own
     // lexical arm; the dense arm is the same bruteForceTopK).
-    "retrieval_eval_arms" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val emb = t(s, d, "embeddings")
-      val qids = 0L until 8L
-      val qrels = docs
-        .select(explode(expr("sequence(0L, 7L)")).as("query_id"),
-          col("doc_id"))
-        .withColumn("rel", expr(
-          "CAST(CASE WHEN (doc_id + query_id) % 20 = 0 THEN 3 " +
-            "WHEN (doc_id + query_id) % 10 = 0 THEN 2 " +
-            "WHEN (doc_id + query_id) % 5 = 0 THEN 1 " +
-            "ELSE 0 END AS BIGINT)"))
-        .filter("rel > 0 AND doc_id != query_id")
-      val hybrid = Retrieval.hybridRrf(docs, emb, queryIds = qids)
-        .select("query_id", "doc_id", "rank")
-      val lex = Retrieval.lexicalTopK(docs, qids, m = 10)
-        .select(col("query_id"), col("doc_id"),
-          col("lex_rank").as("rank"))
-      val dense = Similarity.bruteForceTopK(emb,
-          emb.filter(col("vec_id").isin(qids.map(lit(_)): _*)),
-          "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("cand_id").as("doc_id"),
-          col("rank"))
-      Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex)
-        .map { case (arm, run) =>
-          Retrieval.retrievalEval(run, qrels, k = 10)
-            .withColumn("arm", lit(arm))
-        }
-        .reduce(_.unionByName(_))
-        .orderBy("arm", "query_id")
-    }),
+    "retrieval_eval_arms" -> ((s, d) =>
+      hybridArmEvals(s, d).orderBy("arm", "query_id")),
+    // paired sign test over the arm scoreboard (round-19): "arm A's
+    // mean nDCG is higher" means nothing at 8 queries unless the
+    // PAIRED per-query comparison is consistent — per arm pair:
+    // wins/losses/ties on ndcg_ppm, truncating mean diff, and the
+    // sign-test z (ties excluded), cross-engine exact
+    "retrieval_sig" -> ((s, d) =>
+      Retrieval.pairedSignTest(hybridArmEvals(s, d), "arm",
+        "query_id", "ndcg_ppm")
+        .orderBy("sys_a", "sys_b")),
     // rank-biased overlap between the fused hybrid ranking and the
     // dense-only arm (round-18): the qrel-free "how much did the
     // lexical evidence move the ranking" diagnostic — pinned
@@ -395,19 +375,19 @@ object LlmQueries {
     "rank_overlap" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val emb = t(s, d, "embeddings")
-      // the dense shortlist is computed twice here (inside hybridRrf
-      // at m=50 and standalone at k=10) — a deliberate 2x on one
-      // broadcast-crossJoin stage rather than widening hybridRrf's
-      // API to accept a precomputed arm; both passes are
-      // query-proportional broadcast scans
-      val hybrid = Retrieval.hybridRrf(docs, emb,
-        queryIds = 0L until 8L)
+      // the dense shortlist is computed ONCE (round-19, the rrfFuse
+      // split — the r18 "deliberate 2x" note said to fix this as
+      // soon as hybridRrf grew more consumers, and the per-arm
+      // scoreboard did exactly that): the fusion reads the m=50
+      // frame, arm B is its rank-prefix filter
+      val dense50 = Retrieval.denseTopK(emb, 0L until 8L)
+        .localCheckpoint()
+      val hybrid = Retrieval.rrfFuse(dense50,
+        Retrieval.lexicalTopK(docs, 0L until 8L))
         .select("query_id", "doc_id", "rank")
-      val dense = Similarity.bruteForceTopK(emb,
-        emb.filter(col("vec_id").isin((0L until 8L).map(lit(_)): _*)),
-        "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("cand_id").as("doc_id"),
-          col("rank"))
+      val dense = dense50.filter(col("dense_rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          col("dense_rank").as("rank"))
       Retrieval.rankOverlap(hybrid, dense, k = 10)
         .orderBy("query_id")
     }),
@@ -3116,6 +3096,46 @@ object LlmQueries {
          |    doc_id, rrf_ppm, dense_rank, lex_rank
          |  FROM sc)""".stripMargin
 
+  /** Shared engine-side arm scoreboard (retrieval_eval_arms /
+    * retrieval_sig): the planted graded qrels scored against the
+    * bm25-only, dense-only, and fused hybrid shortlists. Each arm is
+    * computed ONCE (query-proportional m=50 shortlists,
+    * checkpointed): the fusion reads the checkpointed frames and the
+    * standalone arms are rank-prefix filters of the SAME frames — no
+    * corpus pass runs twice (round-19, the rrfFuse split).
+    */
+  private def hybridArmEvals(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    val qids = 0L until 8L
+    val qrels = docs
+      .select(explode(expr("sequence(0L, 7L)")).as("query_id"),
+        col("doc_id"))
+      .withColumn("rel", expr(
+        "CAST(CASE WHEN (doc_id + query_id) % 20 = 0 THEN 3 " +
+          "WHEN (doc_id + query_id) % 10 = 0 THEN 2 " +
+          "WHEN (doc_id + query_id) % 5 = 0 THEN 1 " +
+          "ELSE 0 END AS BIGINT)"))
+      .filter("rel > 0 AND doc_id != query_id")
+    val dense50 = Retrieval.denseTopK(emb, qids).localCheckpoint()
+    val lex50 = Retrieval.lexicalTopK(docs, qids).localCheckpoint()
+    val hybrid = Retrieval.rrfFuse(dense50, lex50)
+      .select("query_id", "doc_id", "rank")
+    val lex = lex50.filter(col("lex_rank") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank").as("rank"))
+    val dense = dense50.filter(col("dense_rank") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        col("dense_rank").as("rank"))
+    Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex)
+      .map { case (arm, run) =>
+        Retrieval.retrievalEval(run, qrels, k = 10)
+          .withColumn("arm", lit(arm))
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** Shared qrel/ideal CTEs for the retrieval-eval mirrors: planted
     * graded qrels ((doc+query) % {20,10,5} → rel 3/2/1, self
     * excluded), max-grade collapse, the pinned micro-discount table,
@@ -5417,6 +5437,54 @@ object LlmQueries {
          |UNION ALL
          |${duckEvalSelect("l", "'lex' AS arm, ")}
          |ORDER BY arm, query_id""".stripMargin,
+    // paired-sign-test mirror: the same three per-arm eval chains
+    // wrapped as a CTE, self-joined per (arm_a < arm_b) on query_id;
+    // the truncating mean diff is sign-split because DuckDB's // is
+    // floor division on negatives where Spark's DIV truncates
+    "retrieval_sig" ->
+      s"""WITH $duckHybridChain,
+         |$duckEvalQrelCtes,
+         |runh AS (SELECT query_id, doc_id, rank FROM fin
+         |         WHERE rank <= 10),
+         |runl AS (SELECT query_id, doc_id, lex_rank AS rank FROM lexr
+         |         WHERE lex_rank <= 10),
+         |rund AS (SELECT query_id, doc_id, dense_rank AS rank FROM dnr
+         |         WHERE dense_rank <= 10),
+         |${duckEvalRunCtes("h")},
+         |${duckEvalRunCtes("l")},
+         |${duckEvalRunCtes("d")},
+         |ev AS (
+         |${duckEvalSelect("d", "'dense' AS arm, ")}
+         |UNION ALL
+         |${duckEvalSelect("h", "'hybrid' AS arm, ")}
+         |UNION ALL
+         |${duckEvalSelect("l", "'lex' AS arm, ")}),
+         |pj AS (
+         |  SELECT a.arm AS sys_a, b.arm AS sys_b,
+         |    a.ndcg_ppm AS ma, b.ndcg_ppm AS mb
+         |  FROM ev a JOIN ev b ON a.query_id = b.query_id
+         |    AND a.arm < b.arm
+         |  WHERE a.ndcg_ppm IS NOT NULL AND b.ndcg_ppm IS NOT NULL),
+         |ag AS (
+         |  SELECT sys_a, sys_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN ma > mb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wins_a,
+         |    CAST(sum(CASE WHEN mb > ma THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wins_b,
+         |    CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ties,
+         |    CAST(sum(ma - mb) AS BIGINT) AS dsum
+         |  FROM pj GROUP BY 1, 2)
+         |SELECT sys_a, sys_b, n_pairs, wins_a, wins_b, ties,
+         |  CAST(CASE WHEN dsum >= 0 THEN dsum // n_pairs
+         |    ELSE -((-dsum) // n_pairs) END AS BIGINT)
+         |    AS mean_diff_ppm,
+         |  CASE WHEN wins_a + wins_b = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE round((CAST(wins_a AS DOUBLE)
+         |      - CAST(wins_b AS DOUBLE))
+         |      / sqrt(CAST(wins_a + wins_b AS DOUBLE)), 6) END
+         |    AS z_sign
+         |FROM ag ORDER BY sys_a, sys_b""".stripMargin,
     // RBO mirror: hybrid fin vs the chain's own dense ranking (dnr),
     // same pinned nano-weight literals, same unrolled depth sum
     "rank_overlap" -> {

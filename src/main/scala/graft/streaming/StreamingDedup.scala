@@ -515,20 +515,44 @@ object StreamingDedup {
     * apply DROPS them — a count hook must not drop rows).
     */
   def tokenizerStage(docs: DataFrame, text: String,
-      merges: Seq[TextAnalysis.BpeMerge]): DataFrame = {
+      merges: Seq[TextAnalysis.BpeMerge]): DataFrame =
+    tokenizerStageImpl(docs, text, merges, byteGrain = false)
+
+  /** Byte-grain twin of [[tokenizerStage]]: apply an already-fitted
+    * BYTE-level merge table ([[TextAnalysis.bpeBytesFitMerges]]) to a
+    * live feed — the same row-local join-free fold over two-hex-digit
+    * UTF-8 byte seed symbols, so live documents in scripts the fit
+    * corpus never saw still tokenize (byte fallback: unseen bytes
+    * surface as one-byte tokens instead of killing the stream with
+    * UNKs). Zero state, any output mode; token sequences are
+    * bit-identical to the batch [[TextAnalysis
+    * .bpeBytesApplyWithMerges]] on the same rows (spec-pinned).
+    */
+  def tokenizerBytesStage(docs: DataFrame, text: String,
+      merges: Seq[TextAnalysis.BpeMerge]): DataFrame =
+    tokenizerStageImpl(docs, text, merges, byteGrain = true)
+
+  private def tokenizerStageImpl(docs: DataFrame, text: String,
+      merges: Seq[TextAnalysis.BpeMerge], byteGrain: Boolean)
+      : DataFrame = {
     val clash = Seq("__bpe_ms", "__bpe_words", "bpe_tokens",
       "n_bpe_tokens").filter(docs.columns.contains)
     require(clash.isEmpty,
       s"tokenizerStage: input already contains column(s) " +
         s"${clash.mkString(", ")}")
+    val seed =
+      if (byteGrain)
+        "concat(' ', regexp_replace(lower(hex(encode(w, 'UTF-8'))), " +
+          "'(..)', '$1 '))"
+      else "concat(' ', regexp_replace(w, '([^ ])', '$1 '))"
     docs
       .withColumn("__bpe_ms", typedlit(merges))
       .withColumn("__bpe_words", expr(
         s"filter(split(lower($text), ' '), t -> t != '')"))
       .withColumn("bpe_tokens", flatten(expr(
-        """transform(__bpe_words, w -> filter(split(
+        s"""transform(__bpe_words, w -> filter(split(
              aggregate(__bpe_ms,
-               concat(' ', regexp_replace(w, '([^ ])', '$1 ')),
+               $seed,
                (acc, m) -> replace(
                  replace(
                    replace(acc, ' ', '  '),

@@ -2402,6 +2402,52 @@ class LlmSpec extends AnyFunSuite {
       1000000L / (7000000L + 3L * 630929L + 500000L))
   }
 
+  test("pairedSignTest: wins/ties/z hand pins, NULL metrics drop " +
+      "the unit, negative mean diff truncates toward zero") {
+    import graft.llm.Retrieval
+    // A vs B over 5 queries: A wins q0,q1,q2; B wins q3; tie q4.
+    // C has a NULL on q0 (no-qrels query) — pairs with C skip it.
+    val scores = Seq(
+      ("A", 0L, Some(10L)), ("A", 1L, Some(10L)), ("A", 2L, Some(10L)),
+      ("A", 3L, Some(1L)), ("A", 4L, Some(5L)),
+      ("B", 0L, Some(3L)), ("B", 1L, Some(3L)), ("B", 2L, Some(3L)),
+      ("B", 3L, Some(8L)), ("B", 4L, Some(5L)),
+      ("C", 0L, None: Option[Long]), ("C", 1L, Some(2L)),
+      ("C", 2L, Some(2L)), ("C", 3L, Some(2L)), ("C", 4L, Some(2L)))
+      .toDF("arm", "query_id", "ndcg_ppm")
+    val out = Retrieval.pairedSignTest(scores, "arm", "query_id",
+        "ndcg_ppm")
+      .orderBy("sys_a", "sys_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    // A vs B: n=5, wins_a=3, wins_b=1, ties=1;
+    // dsum = 7+7+7-7+0 = 14 -> mean 2; z = (3-1)/sqrt(4) = 1.0
+    assert(out(0) === (("A", "B", 5L, 3L, 1L, 1L, 2L, 1.0)))
+    // A vs C: q0 dropped (C NULL), A wins q1,q2,q4, C wins q3
+    // (1 < 2); dsum = 8+8-1+3 = 18 -> mean 18 DIV 4 = 4;
+    // z = (3-1)/sqrt(4) = 1.0
+    assert(out(1) === (("A", "C", 4L, 3L, 1L, 0L, 4L, 1.0)))
+    // B vs C: q0 dropped; B wins q1,q2,q3,q4 (3>2, 3>2, 8>2, 5>2);
+    // dsum = 1+1+6+3 = 11 -> mean 2; z = 4/sqrt(4) = 2.0
+    assert(out(2) === (("B", "C", 4L, 4L, 0L, 0L, 2L, 2.0)))
+    // negative mean diff truncates toward ZERO (Spark DIV), not
+    // floor: dsum = -7 over 2 pairs -> -3, not -4 (the oracle
+    // sign-splits DuckDB's floor // for the same reason)
+    val neg = Seq(("A", 0L, 1L), ("A", 1L, 1L),
+      ("B", 0L, 5L), ("B", 1L, 4L))
+      .toDF("arm", "query_id", "ndcg_ppm")
+    val nrow = Retrieval.pairedSignTest(neg, "arm", "query_id",
+      "ndcg_ppm").collect()(0)
+    assert(nrow.getLong(6) === -3L)
+    assert(nrow.getDouble(7) === -1.414214) // -2/sqrt(2), r6
+    // all-ties pair: z defined as 0
+    val tied = Seq(("A", 0L, 5L), ("B", 0L, 5L))
+      .toDF("arm", "query_id", "ndcg_ppm")
+    assert(Retrieval.pairedSignTest(tied, "arm", "query_id",
+      "ndcg_ppm").collect()(0).getDouble(7) === 0.0)
+  }
+
   test("bpeBytesApply: hex-byte seed symbols, merges fuse byte pairs, " +
       "ASCII corpus is isomorphic to the char grain") {
     import graft.llm.TextAnalysis

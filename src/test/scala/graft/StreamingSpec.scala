@@ -912,6 +912,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_._1 != 3L).toSeq === applied.toSeq)
   }
 
+  test("streaming byte-level tokenizer: batch parity and live byte " +
+      "fallback on out-of-fit scripts") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val fitCorpus = Seq(
+      (1L, "hello hello help"),
+      (2L, "hello helm"))
+    val ref = fitCorpus.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeBytesFitMerges(ref, "text",
+      rounds = 3, batch = 2)
+    assert(merges.nonEmpty)
+    // the live feed adds a zero-token doc and an out-of-fit
+    // multibyte doc — the fallback case a live multilingual feed
+    // actually hits
+    val live = fitCorpus ++ Seq((3L, "   "), (4L, "héllo"))
+    val dir = java.nio.file.Files.createTempDirectory("tb_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tb_ck").toString
+    fitCorpus.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.tokenizerBytesStage(stream, "text", merges)
+      .writeStream.format("memory").queryName("tb_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    live.drop(2).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tb_out")
+      .select("doc_id", "n_bpe_tokens", "bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2))).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(streamed(2)._2 === 0L) // zero-token doc rides, count 0
+    // byte fallback live: é's bytes the fit never saw surface as
+    // two one-byte tokens instead of killing the stream
+    assert(streamed(3)._3.count(_ == "c3") === 1)
+    assert(streamed(3)._3.count(_ == "a9") === 1)
+    // bit parity with the batch byte-grain apply on content docs
+    val batch = TextAnalysis.bpeBytesApplyWithMerges(
+        live.toDF("doc_id", "text"), "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2))).sortBy(_._1)
+    assert(streamed.filter(_._1 != 3L).toSeq === batch.toSeq)
+  }
+
   test("streaming mixture accounting equals the batch windowed " +
       "token sums") {
     import graft.streaming.StreamingDedup
