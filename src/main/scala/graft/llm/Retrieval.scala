@@ -30,12 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Query-by-example hybrid top-k: each query id must exist in both
-    * `docs` (its text drives the lexical arm) and `emb` (its vector
-    * drives the dense arm). Returns one row per (query_id, rank≤k):
-    * `query_id, rank, doc_id, rrf_ppm, dense_rank, lex_rank` — all
-    * BIGINT; a 0 rank means the doc was outside that arm's shortlist.
-    */
   /** The standalone lexical arm of [[hybridRrf]]: query-by-example
     * BM25 shortlist — one row per (query_id, doc_id, lex_rank ≤ m),
     * the same rational Robertson tree micro-pinned to longs before
@@ -127,6 +121,12 @@ object Retrieval {
         "dense_rank", "lex_rank")
   }
 
+  /** Query-by-example hybrid top-k: each query id must exist in both
+    * `docs` (its text drives the lexical arm) and `emb` (its vector
+    * drives the dense arm). Returns one row per (query_id, rank≤k):
+    * `query_id, rank, doc_id, rrf_ppm, dense_rank, lex_rank` — all
+    * BIGINT; a 0 rank means the doc was outside that arm's shortlist.
+    */
   def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
       text: String = "text", docId: String = "doc_id",
       vecId: String = "vec_id", vecCol: String = "embedding",

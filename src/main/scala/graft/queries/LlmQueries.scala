@@ -3109,6 +3109,12 @@ object LlmQueries {
     val docs = t(s, d, "documents")
     val emb = t(s, d, "embeddings")
     val qids = 0L until 8L
+    // checkpointed like the arms: three retrievalEval calls consume
+    // this frame, and without the checkpoint each would rebuild the
+    // documents-proportional explode + its qrel collapse. (Real
+    // qrels are a small labeled eval set — the corpus-proportional
+    // shape here is an artifact of the planted fixture, which is
+    // also why materializing it is safe.)
     val qrels = docs
       .select(explode(expr("sequence(0L, 7L)")).as("query_id"),
         col("doc_id"))
@@ -3118,6 +3124,7 @@ object LlmQueries {
           "WHEN (doc_id + query_id) % 5 = 0 THEN 1 " +
           "ELSE 0 END AS BIGINT)"))
       .filter("rel > 0 AND doc_id != query_id")
+      .localCheckpoint()
     val dense50 = Retrieval.denseTopK(emb, qids).localCheckpoint()
     val lex50 = Retrieval.lexicalTopK(docs, qids).localCheckpoint()
     val hybrid = Retrieval.rrfFuse(dense50, lex50)
@@ -6075,9 +6082,21 @@ object LlmQueries {
          |FROM cent c LEFT JOIN occ o USING (cell), k, tt
          |ORDER BY c.cell""".stripMargin,
     // SemDedup mirror: shared Lloyd chain (c2 centroids), same
-    // argmax-assignment tiebreak, within-cell pairs at round-6 cos
+    // argmax-assignment tiebreak, within-cell pairs at round-6 cos.
+    // Zero-norm split mirrors the ENGINE's (Similarity.semDedup):
+    // clustering/seeding/pairs run on non-zero vectors only, zeros
+    // ride out as always-kept cell -1 rows — without the split a
+    // zero vector among the k smallest ids would be SEEDED here but
+    // not on the engine side (round-19 self-review finding)
     "semdedup" ->
-      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+      s"""WITH vall AS (SELECT vec_id, $duckVec AS vec
+         |              FROM embeddings),
+         |v AS (SELECT vec_id, vec FROM vall
+         |      WHERE list_reduce(list_transform(vec, x -> x * x),
+         |        (a, b) -> a + b) > 0),
+         |vz AS (SELECT vec_id FROM vall
+         |       WHERE NOT (list_reduce(list_transform(vec,
+         |         x -> x * x), (a, b) -> a + b) > 0)),
          |${duckKmeansChain()},
          |assign AS (
          |  SELECT vec_id, cell
@@ -6101,17 +6120,26 @@ object LlmQueries {
          |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35)
          |SELECT m.vec_id, m.cell, d.vec_id IS NULL AS keep
          |FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
-         |ORDER BY m.vec_id""".stripMargin,
+         |UNION ALL
+         |SELECT vec_id, CAST(-1 AS BIGINT) AS cell, true AS keep
+         |FROM vz
+         |ORDER BY vec_id""".stripMargin,
     // auto-cells SemDedup mirror: identical chain, seed cut =
-    // greatest(16, ceil(sqrt(n))) computed from the corpus count —
-    // the k∝√n scale rule (Similarity.autoCells)
+    // greatest(16, ceil(sqrt(n))) computed from the NON-ZERO count —
+    // the k∝√n scale rule (Similarity.autoCells); same zero-norm
+    // split as the pinned mirror
     "semdedup_auto" ->
-      s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
+      s"""WITH vall AS (SELECT vec_id, $duckVec AS vec
+         |              FROM embeddings),
+         |v AS (SELECT vec_id, vec FROM vall
+         |      WHERE list_reduce(list_transform(vec, x -> x * x),
+         |        (a, b) -> a + b) > 0),
+         |vz AS (SELECT vec_id FROM vall
+         |       WHERE NOT (list_reduce(list_transform(vec,
+         |         x -> x * x), (a, b) -> a + b) > 0)),
          |kk AS (SELECT greatest(16, CAST(ceil(sqrt(
          |         CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
-         |       FROM v
-         |       WHERE list_reduce(list_transform(vec, x -> x * x),
-         |         (a, b) -> a + b) > 0),
+         |       FROM v),
          |${duckKmeansChain("(SELECT k FROM kk)")},
          |assign AS (
          |  SELECT vec_id, cell
@@ -6135,7 +6163,10 @@ object LlmQueries {
          |  WHERE round(${duckCos("a.vec", "b.vec")}, 6) >= 0.35)
          |SELECT m.vec_id, m.cell, d.vec_id IS NULL AS keep
          |FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
-         |ORDER BY m.vec_id""".stripMargin,
+         |UNION ALL
+         |SELECT vec_id, CAST(-1 AS BIGINT) AS cell, true AS keep
+         |FROM vz
+         |ORDER BY vec_id""".stripMargin,
     "ivf_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
          |${duckKmeansChain()}

@@ -804,10 +804,16 @@ object StreamingDedup {
     * scoreboard as the shortlist streams in, so a retriever A/B can
     * be read mid-rollout instead of after the batch eval.
     *
-    * State per query is the (doc → best rank, rel) map, bounded by
-    * the top-k shortlist (hard-capped at `maxDocsPerQuery` with a
-    * named contract error — a malformed feed that floods one query
-    * must fail loudly, not grow state). Duplicate (query, doc)
+    * State per query is the (doc → best rank, rel) map, hard-capped
+    * at `maxDocsPerQuery` with a named contract error — a malformed
+    * feed that floods ONE query fails loudly. TOTAL state is that
+    * cap times the feed's distinct query count: an eval run's query
+    * set is bounded by construction, but a feed whose query ids
+    * cannot be trusted should set `knownQueriesOnly = true`, which
+    * drops rows whose query_id has no fitted qrels and so bounds
+    * state by the MODEL's query set (note it also drops the honest
+    * no-qrels queries the batch operator reports with NULL metrics —
+    * that is the trade). Duplicate (query, doc)
     * arrivals collapse to their best rank and out-of-range ranks
     * drop, exactly the batch front half; every metric is replayed
     * from the integer counters with the batch's Long arithmetic, so
@@ -818,15 +824,19 @@ object StreamingDedup {
     */
   def retrievalEvalStage(run: DataFrame,
       model: graft.llm.Retrieval.RetrievalEvalModel,
-      maxDocsPerQuery: Int = 4096): Dataset[RetrievalEvalRow] = {
+      maxDocsPerQuery: Int = 4096,
+      knownQueriesOnly: Boolean = false): Dataset[RetrievalEvalRow] = {
     import run.sparkSession.implicits._
     val k = model.k
+    val knownQueries = model.queries.keySet
     run
       .select(col("query_id").cast("long").as("query_id"),
         col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as("rank"))
       .filter(col("rank") >= 1 && col("rank") <= k)
       .as[RunEvent]
+      .filter((e: RunEvent) =>
+        !knownQueriesOnly || knownQueries.contains(e.query_id))
       .groupByKey(_.query_id)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout)(

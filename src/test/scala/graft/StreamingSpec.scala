@@ -2057,5 +2057,27 @@ class StreamingSpec extends AnyFunSuite {
     // the divergence is exactly the never-streamed query: batch has
     // its row, the stream never keyed it
     assert(batch.contains(2L) && !last.contains(2L))
+    // knownQueriesOnly bounds state by the MODEL's query set: the
+    // no-qrels query 1 is dropped at the stage front (trading away
+    // its NULL-metric row for a state bound an untrusted feed needs)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("re_ck2")
+      .toString
+    @volatile var known = Map.empty[Long,
+      StreamingDedup.RetrievalEvalRow]
+    val q2 = StreamingDedup.retrievalEvalStage(
+        spark.readStream.schema(schema).parquet(dir), model,
+        knownQueriesOnly = true)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[
+           StreamingDedup.RetrievalEvalRow], _: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty)
+            known = known ++ rows.map(r => r.query_id -> r)
+      }.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(known.contains(0L) && !known.contains(1L))
   }
 }
