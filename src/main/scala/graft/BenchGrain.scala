@@ -184,5 +184,14 @@ object BenchGrain {
     "token_budget_cut" -> 0.4,
     // unigram_em_broad kept at 0.53x full (1.75 vs 3.31, n=2) — the
     // same volume-bound EM-fit profile as its _vocab sibling (0.51x)
-    "unigram_em_broad" -> 0.25)
+    "unigram_em_broad" -> 0.25,
+    // round-19 second wave: the byte-grain BPE rows ARE volume-bound
+    // (0.72x / 0.39x) where the char-grain chains stay stage-floor-
+    // bound — byte seeds double the symbols per word, so the vocab
+    // fold dominates the fixed round count; a same-window retry of
+    // the char consumers confirmed the r16 adjudication
+    // (mix_weights_bpe 0.89x, _batched 1.02x, token_budget_cut_bpe
+    // 0.90x, _batched 0.94x — all stay full-grain). retrieval_sig
+    // rejected at 1.07x (checkpointed-arm stage floor).
+    "bpe_bytes_apply" -> 0.4, "fertility_bytes" -> 0.4)
 }
