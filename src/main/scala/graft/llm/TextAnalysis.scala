@@ -4013,6 +4013,141 @@ object TextAnalysis {
       .drop("__mm")
   }
 
+  /** License-marker classification — the code/document-corpus
+    * curation gate every permissively-licensed training set needs:
+    * match a bounded dictionary of license-identifying phrases
+    * (lowercase) against the lowercased text in ONE Aho–Corasick
+    * pass ([[multiMatch]]'s machinery — O(chars + matches) per row
+    * at any dictionary size), sum hits per license tag, and pick the
+    * verdict as the tag with the most marker hits (ties to the
+    * lexicographically smaller tag; zero hits → 'unknown'). Emits
+    * `license`, `license_hits`, `total_hits`, `distinct_markers`,
+    * and `copyleft_gate` (true when the verdict tag is in the
+    * `copyleft` set — the "needs legal review before training" flag).
+    * Row-local codegen scan, no shuffle, streaming-safe.
+    */
+  def licenseScan(df: DataFrame, text: String, id: String,
+      markers: Seq[(String, String)],
+      copyleft: Set[String] = Set("agpl", "gpl")): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+    require(markers.nonEmpty && markers.size <= 10000,
+      "markers must be non-empty and bounded (<= 10000 phrases)")
+    require(markers.forall { case (tag, p) =>
+        tag.nonEmpty && p.nonEmpty && (tag + p).forall(c =>
+          c != '\'' && c != '\\') &&
+          p == p.toLowerCase && tag == tag.toLowerCase
+      },
+      "license tags/phrases must be non-empty, lowercase, " +
+        "quote-free, and backslash-free (they ride as SQL literals)")
+    val phrases = markers.map(_._2).distinct.sorted
+    val phraseIdx = phrases.zipWithIndex.toMap
+    // counts array aligns to the SORTED phrase order (AcAutomaton's
+    // contract, spec-pinned by the supplementary-codepoint test)
+    val tagPhrases = markers.groupBy(_._1).toSeq.sortBy(_._1)
+    val hitExprs = tagPhrases.map { case (tag, ps) =>
+      tag -> ps.map { case (_, p) =>
+        s"element_at(__lm.counts, ${phraseIdx(p) + 1})"
+      }.mkString(" + ")
+    }
+    val structArr = hitExprs.map { case (tag, h) =>
+      s"named_struct('h', -($h), 't', '$tag')"
+    }.mkString("array(", ", ", ")")
+    val ac = new AcAutomaton(phrases)
+    val clash = Seq("__lm", "__lw", "license", "license_hits",
+      "total_hits", "distinct_markers", "copyleft_gate")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"licenseScan: input already contains column(s) " +
+        s"${clash.mkString(", ")}")
+    val copyleftArr = copyleft.toSeq.sorted
+      .map(t => s"'$t'").mkString("array(", ", ", ")")
+    df.withColumn("__lm",
+        column(MultiMatchExpr(expression(lower(col(text))), ac)))
+      // winner = most hits, tie to smaller tag: ascending struct
+      // sort on (-hits, tag), zero-hit tags filtered out;
+      // try_element_at: a no-marker doc leaves the filtered array
+      // EMPTY, which must read as NULL -> 'unknown', not an error
+      .withColumn("__lw", expr(
+        s"try_element_at(filter(sort_array($structArr), " +
+          "s -> s.h < 0), 1)"))
+      .withColumn("license", expr("coalesce(__lw.t, 'unknown')"))
+      .withColumn("license_hits", expr(
+        "CAST(coalesce(-__lw.h, 0L) AS BIGINT)"))
+      .withColumn("total_hits", col("__lm.total_hits"))
+      .withColumn("distinct_markers", col("__lm.distinct_terms"))
+      .withColumn("copyleft_gate", expr(
+        s"array_contains($copyleftArr, license)"))
+      .drop("__lm", "__lw")
+      .select(col(id), col("license"), col("license_hits"),
+        col("total_hits"), col("distinct_markers"),
+        col("copyleft_gate"))
+  }
+
+  /** k-anonymity suppression ladder over a quasi-identifier tuple —
+    * the metadata-privacy gate a released training corpus runs over
+    * its per-document attributes: every published row must share its
+    * quasi-identifier combination with at least k−1 others, else the
+    * combination is GENERALIZED (last quasi column folded to '*',
+    * then the last two, …) until the group reaches k. Each row is
+    * published at the FINEST level whose generalized tuple — counted
+    * over the whole frame at that generalization — has ≥ k members;
+    * a frame smaller than k ends at the all-'*' level with
+    * `is_anonymous = false` (nothing can save it). NULL quasi values
+    * fold to the '<null>' literal (a real, groupable value — k
+    * counts must see them). Emits the generalized quasi columns (as
+    * strings, original names), `anon_level` (0 = exact … q = all
+    * '*'), `group_n` (the published group's size), `is_anonymous`.
+    *
+    * Scale shape: one map-side-combined count aggregate per level
+    * (level tables shrink as columns fold; the all-'*' table is ONE
+    * row) joined back by level key — the row side joins each key
+    * once, and the aggregated count tables are combo-bounded, so the
+    * optimizer broadcasts them whenever they fit. No windows.
+    */
+  def kAnonymize(df: DataFrame, id: String, quasi: Seq[String],
+      k: Int): DataFrame = {
+    require(quasi.nonEmpty && quasi.size <= 8,
+      "need 1 <= quasi columns <= 8")
+    require(k >= 1, "need k >= 1")
+    val n = quasi.size
+    val base = df.select(
+      (col(id).as("__id") +: quasi.zipWithIndex.map { case (c, i) =>
+        coalesce(col(c).cast("string"), lit("<null>")).as(s"__q$i")
+      }): _*)
+    var work = base
+    for (j <- 0 to n) {
+      val keyCols = (0 until n).map(i =>
+        if (i < n - j) col(s"__q$i") else lit("*"))
+      // separator is a control char so ("ab","c") and ("a","bc")
+      // cannot collide
+      work = work.withColumn(s"__key$j",
+        concat_ws("\u0001", keyCols: _*))
+    }
+    var joined = work
+    for (j <- 0 to n) {
+      val cnt = work.groupBy(col(s"__key$j"))
+        .agg(count(lit(1)).cast("long").as(s"__n$j"))
+      joined = joined.join(cnt, Seq(s"__key$j"))
+    }
+    val levelExpr = (0 to n).map(j => s"WHEN __n$j >= ${k}L THEN $j")
+      .mkString("CASE ", " ", s" ELSE $n END")
+    val groupNExpr = (0 to n).map(j =>
+      s"WHEN anon_level = $j THEN __n$j")
+      .mkString("CASE ", " ", " END")
+    val out = joined
+      .withColumn("anon_level", expr(levelExpr).cast("long"))
+      .withColumn("group_n", expr(groupNExpr).cast("long"))
+      .withColumn("is_anonymous", col("group_n") >= k)
+    quasi.zipWithIndex.foldLeft(out) { case (d, (c, i)) =>
+        d.withColumn(c, expr(
+          s"CASE WHEN anon_level > ${n - 1 - i} THEN '*' " +
+            s"ELSE __q$i END"))
+      }
+      .select((col("__id").as(id) +: quasi.map(col)) ++
+        Seq(col("anon_level"), col("group_n"),
+          col("is_anonymous")): _*)
+  }
+
   /** Unicode text normalization — the canonical-form fold every
     * hash/equality-based operator (exact dedup, MinHash shingles,
     * decontamination joins, anchor grouping) needs upstream, since

@@ -2295,6 +2295,31 @@ object LlmQueries {
         .select("doc_id", "total_hits", "distinct_terms", "counts_csv")
         .orderBy("doc_id")
     }),
+    // license-marker classification (round-19): the code-corpus
+    // curation gate — one AC pass over a bounded phrase dictionary,
+    // per-tag hit sums, verdict = most hits (tie to smaller tag,
+    // zero -> unknown), copyleft flag. Markers are PLANTED by slice
+    // (the fixture corpus has no license text), including a
+    // dual-licensed slice that exercises the tie rule.
+    "license_scan" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        expr(licensePlantSql).as("text"))
+      TextAnalysis.licenseScan(planted, "text", "doc_id",
+        licenseMarkers)
+        .orderBy("doc_id")
+    }),
+    // k-anonymity suppression ladder (round-19): every published
+    // quasi-identifier combination must reach k=10 members, else the
+    // last quasi column folds to '*', then the last two, ... — each
+    // row publishes at the finest level whose generalized group
+    // reaches k (counted over the whole frame at that level)
+    "k_anonymity" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("acct_band", expr(
+        "CAST(CAST(floor(c_acctbal / 2000.0D) AS BIGINT) AS STRING)"))
+      TextAnalysis.kAnonymize(cust, "c_custkey",
+        Seq("c_mktsegment", "c_nationkey", "acct_band"), k = 10)
+        .orderBy("c_custkey")
+    }),
     // word-blocklist content-safety gate: occurrence + distinct-type
     // hits against a bounded plan-literal term list, density ppm, and
     // the one-incidental-term-is-not-a-pattern gate verdict
@@ -3095,6 +3120,39 @@ object LlmQueries {
          |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
          |    doc_id, rrf_ppm, dense_rank, lex_rank
          |  FROM sc)""".stripMargin
+
+  /** License-marker dictionary for `license_scan`: (tag, lowercase
+    * phrase) — the public license-identifying strings a code-corpus
+    * curation pass greps for. Bounded, quote-free (they ride as SQL
+    * literals in both engines).
+    */
+  private val licenseMarkers: Seq[(String, String)] = Seq(
+    "mit" -> "permission is hereby granted, free of charge",
+    "apache" -> "licensed under the apache license",
+    "bsd" -> "redistribution and use in source and binary forms",
+    "gpl" -> "gnu general public license",
+    "agpl" -> "gnu affero general public license",
+    "mpl" -> "mozilla public license",
+    "cc" -> "creative commons",
+    "proprietary" -> "all rights reserved")
+
+  /** Planted license slices for `license_scan` (the fixture corpus
+    * carries no license text): one slice per family plus a
+    * dual-licensed slice (mit + gpl at one hit each) that exercises
+    * the tie-to-smaller-tag rule — shared verbatim with the mirror.
+    */
+  private val licensePlantSql: String =
+    """CASE CAST(doc_id % 7 AS INT)
+      |  WHEN 1 THEN concat(text,
+      |    ' permission is hereby granted, free of charge to any person')
+      |  WHEN 2 THEN concat(text,
+      |    ' licensed under the apache license version 2')
+      |  WHEN 3 THEN concat(text,
+      |    ' gnu general public license as published by')
+      |  WHEN 4 THEN concat(text, ' all rights reserved')
+      |  WHEN 5 THEN concat(text,
+      |    ' permission is hereby granted, free of charge under the gnu general public license')
+      |  ELSE text END""".stripMargin.replace("\n", " ")
 
   /** Shared engine-side arm scoreboard (retrieval_eval_arms /
     * retrieval_sig): the planted graded qrels scored against the
@@ -9002,6 +9060,82 @@ object LlmQueries {
          |    '${TextAnalysis.entityRegex}', 0)) AS BIGINT)
          |    AS n_entities
          |FROM de ORDER BY doc_id""".stripMargin,
+    // license-scan mirror: same planted slices, the position-
+    // substring join standing in for the AC pass (identical
+    // all-positions overlap semantics), per-tag sums, and the same
+    // ascending (-hits, tag) struct sort for the verdict
+    "license_scan" -> {
+      val tmValues = licenseMarkers
+        .map { case (tag, p) => s"('$tag', '$p')" }.mkString(", ")
+      s"""WITH pl AS (
+         |  SELECT doc_id, $licensePlantSql AS text FROM documents),
+         |tm(tag, term) AS (VALUES $tmValues),
+         |lt AS (SELECT doc_id, lower(text) AS t FROM pl),
+         |ps AS (SELECT doc_id, t,
+         |    unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS p
+         |  FROM lt),
+         |mm AS (SELECT doc_id, tm.tag, tm.term, count(*) AS c
+         |  FROM ps JOIN tm
+         |    ON substring(ps.t, CAST(ps.p AS INT), len(tm.term))
+         |      = tm.term
+         |  GROUP BY 1, 2, 3),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS th,
+         |    CAST(count(*) AS BIGINT) AS dm
+         |  FROM mm GROUP BY 1),
+         |tagg AS (SELECT doc_id, tag, CAST(sum(c) AS BIGINT) AS h
+         |  FROM mm GROUP BY 1, 2),
+         |win AS (SELECT doc_id,
+         |    list_sort(list(struct_pack(h := -h, t := tag))) AS sl
+         |  FROM tagg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(list_filter(w.sl, s -> s.h < 0)[1].t, 'unknown')
+         |    AS license,
+         |  CAST(coalesce(-(list_filter(w.sl, s -> s.h < 0)[1].h), 0)
+         |    AS BIGINT) AS license_hits,
+         |  CAST(coalesce(t.th, 0) AS BIGINT) AS total_hits,
+         |  CAST(coalesce(t.dm, 0) AS BIGINT) AS distinct_markers,
+         |  coalesce(list_filter(w.sl, s -> s.h < 0)[1].t, 'unknown')
+         |    IN ('agpl', 'gpl') AS copyleft_gate
+         |FROM (SELECT doc_id FROM pl) d
+         |LEFT JOIN win w USING (doc_id)
+         |LEFT JOIN tot t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // k-anonymity mirror: per-level count tables over the whole
+    // frame, the finest-qualifying-level CASE, and the same
+    // generalization fold
+    "k_anonymity" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey AS id,
+         |    coalesce(CAST(c_mktsegment AS VARCHAR), '<null>') AS q0,
+         |    coalesce(CAST(c_nationkey AS VARCHAR), '<null>') AS q1,
+         |    coalesce(CAST(CAST(floor(c_acctbal / 2000.0)
+         |      AS BIGINT) AS VARCHAR), '<null>') AS q2
+         |  FROM customer),
+         |k0 AS (SELECT q0, q1, q2, CAST(count(*) AS BIGINT) AS n0
+         |  FROM b GROUP BY 1, 2, 3),
+         |k1 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n1
+         |  FROM b GROUP BY 1, 2),
+         |k2 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n2
+         |  FROM b GROUP BY 1),
+         |k3 AS (SELECT CAST(count(*) AS BIGINT) AS n3 FROM b),
+         |j AS (SELECT b.id, b.q0, b.q1, b.q2, n0, n1, n2, n3
+         |  FROM b JOIN k0 USING (q0, q1, q2)
+         |  JOIN k1 USING (q0, q1) JOIN k2 USING (q0), k3),
+         |l AS (SELECT *,
+         |    CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1
+         |         WHEN n2 >= 10 THEN 2 ELSE 3 END AS lev
+         |  FROM j)
+         |SELECT id AS c_custkey,
+         |  CASE WHEN lev > 2 THEN '*' ELSE q0 END AS c_mktsegment,
+         |  CASE WHEN lev > 1 THEN '*' ELSE q1 END AS c_nationkey,
+         |  CASE WHEN lev > 0 THEN '*' ELSE q2 END AS acct_band,
+         |  CAST(lev AS BIGINT) AS anon_level,
+         |  CAST(CASE lev WHEN 0 THEN n0 WHEN 1 THEN n1
+         |       WHEN 2 THEN n2 ELSE n3 END AS BIGINT) AS group_n,
+         |  (CASE lev WHEN 0 THEN n0 WHEN 1 THEN n1
+         |       WHEN 2 THEN n2 ELSE n3 END) >= 10 AS is_anonymous
+         |FROM l ORDER BY c_custkey""".stripMargin,
     "multimatch_counts" ->
       s"""WITH tm(i, term) AS (VALUES $acTermsValues),
          |ps AS (SELECT doc_id, text AS t,

@@ -2402,6 +2402,67 @@ class LlmSpec extends AnyFunSuite {
       1000000L / (7000000L + 3L * 630929L + 500000L))
   }
 
+  test("licenseScan: per-tag hit verdict, dual-license tie to the " +
+      "smaller tag, unknown on zero markers, copyleft gate") {
+    val markers = Seq(
+      "mit" -> "permission is hereby granted",
+      "gpl" -> "gnu general public license",
+      "apache" -> "licensed under the apache license")
+    val df = Seq(
+      (1L, "header Permission is hereby granted to use"),
+      (2L, "dual: permission is hereby granted under the " +
+        "gnu general public license"),
+      (3L, "no license text at all"),
+      (4L, "gnu general public license gnu general public license"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.licenseScan(df, "text", "doc_id", markers)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    // matching is over lower(text) — doc 1's capitalized marker hits
+    assert(out(0) === ((1L, "mit", 1L, 1L, false)))
+    // 1-1 tie breaks to the lexicographically smaller tag
+    assert(out(1) === ((2L, "gpl", 1L, 2L, true)))
+    assert(out(2) === ((3L, "unknown", 0L, 0L, false)))
+    assert(out(3) === ((4L, "gpl", 2L, 2L, true)))
+    // non-lowercase phrases are a contract error (they would
+    // silently never match the lowercased scan)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.licenseScan(df, "text", "doc_id",
+        Seq("mit" -> "Permission is hereby granted"))
+    }
+  }
+
+  test("kAnonymize: finest qualifying level per row, NULL folding, " +
+      "under-k frame ends all-star and not anonymous") {
+    val df = Seq(
+      (1L, Some("x"), "1"), (2L, Some("x"), "1"), (3L, Some("x"), "1"),
+      (4L, Some("x"), "2"), (5L, Some("x"), "2"),
+      (6L, Some("y"), "9"),
+      (7L, None: Option[String], "1"), (8L, None, "1"), (9L, None, "1"))
+      .toDF("id", "qa", "qb")
+    val out = TextAnalysis.kAnonymize(df, "id", Seq("qa", "qb"), 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // exact group of 3 publishes at level 0
+    assert(out(0) === ((1L, "x", "1", 0L, 3L, true)))
+    // group of 2 generalizes the last column; level-1 count is ALL
+    // x rows (5), not just the fallen ones
+    assert(out(3) === ((4L, "x", "*", 1L, 5L, true)))
+    // singleton whose level-1 group is still under k lands all-star
+    // against the whole frame
+    assert(out(5) === ((6L, "*", "*", 2L, 9L, true)))
+    // NULLs fold to a real groupable value
+    assert(out(6) === ((7L, "<null>", "1", 0L, 3L, true)))
+    // a frame smaller than k cannot be anonymized at any level
+    val tiny = Seq((1L, "a", "b"), (2L, "c", "d")).toDF("id", "qa", "qb")
+    val t = TextAnalysis.kAnonymize(tiny, "id", Seq("qa", "qb"), 3)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(5)))
+    assert(t.forall(_ === (("*", "*", 2L, false))))
+  }
+
   test("pairedSignTest: wins/ties/z hand pins, NULL metrics drop " +
       "the unit, negative mean diff truncates toward zero") {
     import graft.llm.Retrieval
