@@ -673,6 +673,20 @@ object StreamingDedup {
       nShards: Int): DataFrame =
     TextAnalysis.withShard(docs, text, id, nShards)
 
+  /** Streaming LICENSE-MARKER gate: classify a live document feed
+    * against a fitted marker dictionary ([[TextAnalysis.licenseScan]]
+    * — the dictionary rides inside one Aho–Corasick codegen
+    * expression, so the stage is row-local, join-free, zero-state,
+    * any output mode; verdicts are bit-identical to the batch scan
+    * on the same rows, spec-pinned). The live twin of the code-
+    * corpus curation gate: copyleft-flagged documents divert before
+    * they enter a training shard.
+    */
+  def licenseScanStage(docs: DataFrame, text: String, id: String,
+      markers: Seq[(String, String)],
+      copyleft: Set[String] = Set("agpl", "gpl")): DataFrame =
+    TextAnalysis.licenseScan(docs, text, id, markers, copyleft)
+
   /** One (group, bucket, rho) HLL observation from the stateless
     * front half of [[hllStage]]. */
   /** One Count-Min increment: a token occurrence mapped to one

@@ -1480,4 +1480,110 @@ class PropertySpec extends AnyFunSuite {
       assert(orig.getBoolean(7) === comp.getBoolean(7))
     }
   }
+
+  test("pairedSignTest property: label-swap antisymmetry (wins swap, " +
+      "mean diff and z negate), counts reconcile to shared units") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.Retrieval
+    (1 to 8).foreach { _ =>
+      val n = 10 + rnd.nextInt(40)
+      val rows = (0 until n).flatMap { u =>
+        Seq(("a", u.toLong, rnd.nextInt(100).toLong),
+          ("b", u.toLong, rnd.nextInt(100).toLong))
+      }
+      val df = rows.toDF("sys", "unit", "m")
+      // swap the system LABELS: a<->b flips which side is sys_a
+      val swapped = rows.map { case (s, u, m) =>
+        (if (s == "a") "b" else "a", u, m)
+      }.toDF("sys", "unit", "m")
+      val o = Retrieval.pairedSignTest(df, "sys", "unit", "m")
+        .collect()(0)
+      val w = Retrieval.pairedSignTest(swapped, "sys", "unit", "m")
+        .collect()(0)
+      assert(o.getLong(2) === n.toLong && w.getLong(2) === n.toLong)
+      assert(o.getLong(3) === w.getLong(4)) // wins_a <-> wins_b
+      assert(o.getLong(4) === w.getLong(3))
+      assert(o.getLong(5) === w.getLong(5)) // ties invariant
+      // truncating DIV is antisymmetric only up to the truncation
+      // direction: |meanDiff + swappedMeanDiff| <= 1
+      assert(math.abs(o.getLong(6) + w.getLong(6)) <= 1L)
+      assert(math.abs(o.getDouble(7) + w.getDouble(7)) < 1e-9)
+    }
+  }
+
+  test("kAnonymize property: published groups are >= k or the row " +
+      "is flagged; raising k never lowers a row's level") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    (1 to 6).foreach { _ =>
+      val n = 30 + rnd.nextInt(60)
+      val rows = (0 until n).map(i =>
+        (i.toLong, s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(5)}"))
+      val df = rows.toDF("id", "qa", "qb")
+      val k1 = 2 + rnd.nextInt(4)
+      val k2 = k1 + 1 + rnd.nextInt(4)
+      val o1 = TextAnalysis.kAnonymize(df, "id", Seq("qa", "qb"), k1)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      o1.values.foreach { case (_, g, anon) =>
+        assert(anon === (g >= k1))
+        assert(anon, s"n=$n >= k=$k1 so the all-star level saves " +
+          "every row")
+      }
+      // every published (generalized) group really holds group_n rows
+      val byLevelGroup = TextAnalysis
+        .kAnonymize(df, "id", Seq("qa", "qb"), k1)
+        .collect()
+        .groupBy(r => (r.getString(1), r.getString(2)))
+      byLevelGroup.foreach { case (_, rs) =>
+        // rows sharing a published tuple report its size consistently
+        assert(rs.map(_.getLong(4)).distinct.length === 1)
+      }
+      val o2 = TextAnalysis.kAnonymize(df, "id", Seq("qa", "qb"), k2)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      o1.keys.foreach { id =>
+        assert(o2(id) >= o1(id)._1,
+          "a larger k can only generalize further")
+      }
+    }
+  }
+
+  test("licenseScan property: verdict hits are the max per-tag sum, " +
+      "total >= verdict hits, unknown iff zero hits") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val markers = Seq("mit" -> "permission is hereby granted",
+      "gpl" -> "gnu general public license",
+      "cc" -> "creative commons")
+    val phrases = markers.map(_._2)
+    (1 to 6).foreach { _ =>
+      val rows = (0 until 30).map { i =>
+        val plants = (0 until rnd.nextInt(4)).map(_ =>
+          phrases(rnd.nextInt(phrases.length)))
+        (i.toLong, ("filler words here" +: plants).mkString(" . "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val out = TextAnalysis
+        .licenseScan(df, "text", "doc_id", markers)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.foreach { case (id, text) =>
+        val perTag = markers.map { case (tag, p) =>
+          tag -> text.sliding(p.length).count(_ == p).toLong
+        }
+        val total = perTag.map(_._2).sum
+        val (lic, hits, tot) = out(id)
+        assert(tot === total)
+        if (total == 0L) assert(lic === "unknown" && hits === 0L)
+        else {
+          val best = perTag.filter(_._2 > 0)
+            .minBy { case (t, h) => (-h, t) }
+          assert((lic, hits) === best)
+        }
+      }
+    }
+  }
 }

@@ -912,6 +912,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_._1 != 3L).toSeq === applied.toSeq)
   }
 
+  test("streaming license gate: stateless verdicts with batch bit " +
+      "parity") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.TextAnalysis
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val markers = Seq(
+      "mit" -> "permission is hereby granted",
+      "gpl" -> "gnu general public license")
+    val corpus = Seq(
+      (1L, "code under permission is hereby granted terms"),
+      (2L, "plain document, no license"),
+      (3L, "dual permission is hereby granted and " +
+        "gnu general public license"))
+    val dir = java.nio.file.Files.createTempDirectory("lic_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lic_ck").toString
+    corpus.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.licenseScanStage(stream, "text", "doc_id",
+        markers)
+      .writeStream.format("memory").queryName("lic_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))
+    val streamed = spark.table("lic_out").collect().map(tup)
+      .sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._2, t._6)).toSeq === Seq(
+      (1L, "mit", false), (2L, "unknown", false), (3L, "gpl", true)))
+    val batch = TextAnalysis.licenseScan(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", markers)
+      .collect().map(tup).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming byte-level tokenizer: batch parity and live byte " +
       "fallback on out-of-fit scripts") {
     import graft.streaming.StreamingDedup
