@@ -4086,23 +4086,32 @@ object TextAnalysis {
   /** k-anonymity suppression ladder over a quasi-identifier tuple —
     * the metadata-privacy gate a released training corpus runs over
     * its per-document attributes: every published row must share its
-    * quasi-identifier combination with at least k−1 others, else the
-    * combination is GENERALIZED (last quasi column folded to '*',
-    * then the last two, …) until the group reaches k. Each row is
-    * published at the FINEST level whose generalized tuple — counted
-    * over the whole frame at that generalization — has ≥ k members;
-    * a frame smaller than k ends at the all-'*' level with
-    * `is_anonymous = false` (nothing can save it). NULL quasi values
-    * fold to the '<null>' literal (a real, groupable value — k
-    * counts must see them). Emits the generalized quasi columns (as
-    * strings, original names), `anon_level` (0 = exact … q = all
-    * '*'), `group_n` (the published group's size), `is_anonymous`.
+    * PUBLISHED quasi-identifier combination with at least k−1
+    * others, else the combination is GENERALIZED (last quasi column
+    * folded to '*', then the last two, …). The ladder is SEQUENTIAL:
+    * level 0 publishes the exact groups of size ≥ k; the remaining
+    * rows fold one column and are re-counted AMONG THEMSELVES, and
+    * so on — counting each level over the still-unpublished rows is
+    * what makes every published equivalence class (the rows sharing
+    * one published tuple, which IS an attacker's anonymity set) hold
+    * ≥ k rows. A whole-frame count per level — the obvious
+    * shortcut — would let a published ("x","*") class hold fewer
+    * than k rows because its count borrowed rows that published at a
+    * finer level (this operator shipped that way for one commit; the
+    * l-diversity design review caught it). Rows that reach the
+    * all-'*' level still under k are emitted with
+    * `is_anonymous = false` — nothing can save them. NULL quasi
+    * values fold to the '<null>' literal (a real, groupable value);
+    * a REAL quasi value equal to the '*' marker would collide with
+    * the generalized form — map it upstream. Emits the generalized
+    * quasi columns (strings, original names), `anon_level` (0 =
+    * exact … q = all '*'), `group_n` (the published CLASS size),
+    * `is_anonymous`.
     *
-    * Scale shape: one map-side-combined count aggregate per level
-    * (level tables shrink as columns fold; the all-'*' table is ONE
-    * row) joined back by level key — the row side joins each key
-    * once, and the aggregated count tables are combo-bounded, so the
-    * optimizer broadcasts them whenever they fit. No windows.
+    * Scale shape: one map-side-combined count aggregate + one join
+    * per level over a SHRINKING remainder (level 0 publishes the
+    * bulk; the all-'*' count table is one row), `localCheckpoint`
+    * truncating per-level lineage like the kmeans loop. No windows.
     */
   def kAnonymize(df: DataFrame, id: String, quasi: Seq[String],
       k: Int): DataFrame = {
@@ -4114,38 +4123,78 @@ object TextAnalysis {
       (col(id).as("__id") +: quasi.zipWithIndex.map { case (c, i) =>
         coalesce(col(c).cast("string"), lit("<null>")).as(s"__q$i")
       }): _*)
-    var work = base
+    var remaining = base.localCheckpoint()
+    var published: DataFrame = null
     for (j <- 0 to n) {
       val keyCols = (0 until n).map(i =>
         if (i < n - j) col(s"__q$i") else lit("*"))
       // separator is a control char so ("ab","c") and ("a","bc")
       // cannot collide
-      work = work.withColumn(s"__key$j",
+      val keyed = remaining.withColumn("__key",
         concat_ws("\u0001", keyCols: _*))
+      val cnt = keyed.groupBy(col("__key"))
+        .agg(count(lit(1)).cast("long").as("__n"))
+      val tagged = keyed.join(cnt, Seq("__key"))
+      // the last level emits everything — an under-k leftover cannot
+      // generalize further, so it publishes flagged not-anonymous
+      val pub = (if (j == n) tagged
+        else tagged.filter(col("__n") >= k))
+        .withColumn("anon_level", lit(j.toLong))
+        .withColumn("group_n", col("__n"))
+        .withColumn("is_anonymous", col("__n") >= k)
+        .select((col("__id") +:
+          (0 until n).map(i =>
+            (if (i < n - j) col(s"__q$i") else lit("*"))
+              .as(s"__g$i"))) ++
+          Seq(col("anon_level"), col("group_n"),
+            col("is_anonymous")): _*)
+      published = if (published == null) pub
+        else published.unionByName(pub)
+      if (j < n)
+        remaining = tagged.filter(col("__n") < k)
+          .select(col("__id") +: (0 until n).map(i =>
+            col(s"__q$i")): _*)
+          .localCheckpoint()
     }
-    var joined = work
-    for (j <- 0 to n) {
-      val cnt = work.groupBy(col(s"__key$j"))
-        .agg(count(lit(1)).cast("long").as(s"__n$j"))
-      joined = joined.join(cnt, Seq(s"__key$j"))
-    }
-    val levelExpr = (0 to n).map(j => s"WHEN __n$j >= ${k}L THEN $j")
-      .mkString("CASE ", " ", s" ELSE $n END")
-    val groupNExpr = (0 to n).map(j =>
-      s"WHEN anon_level = $j THEN __n$j")
-      .mkString("CASE ", " ", " END")
-    val out = joined
-      .withColumn("anon_level", expr(levelExpr).cast("long"))
-      .withColumn("group_n", expr(groupNExpr).cast("long"))
-      .withColumn("is_anonymous", col("group_n") >= k)
-    quasi.zipWithIndex.foldLeft(out) { case (d, (c, i)) =>
-        d.withColumn(c, expr(
-          s"CASE WHEN anon_level > ${n - 1 - i} THEN '*' " +
-            s"ELSE __q$i END"))
-      }
-      .select((col("__id").as(id) +: quasi.map(col)) ++
-        Seq(col("anon_level"), col("group_n"),
-          col("is_anonymous")): _*)
+    published.select(
+      (col("__id").as(id) +: quasi.zipWithIndex.map {
+        case (c, i) => col(s"__g$i").as(c)
+      }) ++ Seq(col("anon_level"), col("group_n"),
+        col("is_anonymous")): _*)
+  }
+
+  /** l-diversity audit over the [[kAnonymize]] ladder — k-anonymity's
+    * companion check: a group of k identical quasi-identifiers is
+    * still disclosive if everyone in it shares the SAME sensitive
+    * value (the homogeneity attack), so each PUBLISHED group must
+    * also carry at least `l` distinct sensitive values. Runs the
+    * same finest-qualifying-level selection, then aggregates per
+    * published tuple: `group_n`, `n_sensitive` (exact distinct
+    * count), `is_diverse` (n_sensitive ≥ l AND group_n ≥ k). Output
+    * is one row per published group (combo-bounded, far below row
+    * count). NULL sensitive values fold to '<null>' — a real value
+    * an attacker can learn, so it COUNTS toward (not against)
+    * diversity like any other.
+    *
+    * Scale shape: [[kAnonymize]]'s level passes plus ONE
+    * (published-tuple, sensitive)-keyed aggregate pair — both
+    * map-side combining; no windows.
+    */
+  def lDiversity(df: DataFrame, id: String, quasi: Seq[String],
+      sensitive: String, k: Int, l: Int): DataFrame = {
+    require(l >= 1, "need l >= 1")
+    require(!quasi.contains(sensitive),
+      "the sensitive attribute cannot be a quasi-identifier")
+    val anon = kAnonymize(df, id, quasi, k)
+    val sens = df.select(col(id).as("__sid"),
+      coalesce(col(sensitive).cast("string"), lit("<null>"))
+        .as("__sv"))
+    anon.join(sens, col(id) === col("__sid"))
+      .groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("group_n"),
+        countDistinct(col("__sv")).cast("long").as("n_sensitive"))
+      .withColumn("is_diverse",
+        col("n_sensitive") >= l && col("group_n") >= k)
   }
 
   /** Unicode text normalization — the canonical-form fold every

@@ -2320,6 +2320,18 @@ object LlmQueries {
         Seq("c_mktsegment", "c_nationkey", "acct_band"), k = 10)
         .orderBy("c_custkey")
     }),
+    // l-diversity audit (round-19): k-anonymity's homogeneity check —
+    // each PUBLISHED class must also carry >= l distinct sensitive
+    // values (here: the nation key behind (segment, acctbal-band)
+    // quasi tuples), else a k-sized group still discloses
+    "l_diversity" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("acct_band", expr(
+        "CAST(CAST(floor(c_acctbal / 2000.0D) AS BIGINT) AS STRING)"))
+      TextAnalysis.lDiversity(cust, "c_custkey",
+        Seq("c_mktsegment", "acct_band"), "c_nationkey",
+        k = 10, l = 3)
+        .orderBy("c_mktsegment", "acct_band")
+    }),
     // word-blocklist content-safety gate: occurrence + distinct-type
     // hits against a bounded plan-literal term list, density ppm, and
     // the one-incidental-term-is-not-a-pattern gate verdict
@@ -9101,9 +9113,9 @@ object LlmQueries {
          |LEFT JOIN tot t USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
-    // k-anonymity mirror: per-level count tables over the whole
-    // frame, the finest-qualifying-level CASE, and the same
-    // generalization fold
+    // k-anonymity mirror: the SEQUENTIAL ladder — each level's count
+    // runs over the rows still unpublished (r$j), so every published
+    // class is >= k by construction, exactly the engine semantics
     "k_anonymity" ->
       s"""WITH b AS (
          |  SELECT c_custkey AS id,
@@ -9112,30 +9124,73 @@ object LlmQueries {
          |    coalesce(CAST(CAST(floor(c_acctbal / 2000.0)
          |      AS BIGINT) AS VARCHAR), '<null>') AS q2
          |  FROM customer),
-         |k0 AS (SELECT q0, q1, q2, CAST(count(*) AS BIGINT) AS n0
+         |c0 AS (SELECT q0, q1, q2, CAST(count(*) AS BIGINT) AS n
          |  FROM b GROUP BY 1, 2, 3),
-         |k1 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n1
-         |  FROM b GROUP BY 1, 2),
-         |k2 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n2
-         |  FROM b GROUP BY 1),
-         |k3 AS (SELECT CAST(count(*) AS BIGINT) AS n3 FROM b),
-         |j AS (SELECT b.id, b.q0, b.q1, b.q2, n0, n1, n2, n3
-         |  FROM b JOIN k0 USING (q0, q1, q2)
-         |  JOIN k1 USING (q0, q1) JOIN k2 USING (q0), k3),
-         |l AS (SELECT *,
-         |    CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1
-         |         WHEN n2 >= 10 THEN 2 ELSE 3 END AS lev
-         |  FROM j)
-         |SELECT id AS c_custkey,
-         |  CASE WHEN lev > 2 THEN '*' ELSE q0 END AS c_mktsegment,
-         |  CASE WHEN lev > 1 THEN '*' ELSE q1 END AS c_nationkey,
-         |  CASE WHEN lev > 0 THEN '*' ELSE q2 END AS acct_band,
+         |t0 AS (SELECT b.id, b.q0, b.q1, b.q2, c0.n
+         |  FROM b JOIN c0 USING (q0, q1, q2)),
+         |p0 AS (SELECT id, q0 AS g0, q1 AS g1, q2 AS g2,
+         |    0 AS lev, n FROM t0 WHERE n >= 10),
+         |r0 AS (SELECT id, q0, q1, q2 FROM t0 WHERE n < 10),
+         |c1 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n
+         |  FROM r0 GROUP BY 1, 2),
+         |t1 AS (SELECT r0.id, r0.q0, r0.q1, c1.n
+         |  FROM r0 JOIN c1 USING (q0, q1)),
+         |p1 AS (SELECT id, q0 AS g0, q1 AS g1, '*' AS g2,
+         |    1 AS lev, n FROM t1 WHERE n >= 10),
+         |r1 AS (SELECT id, q0, q1 FROM t1 WHERE n < 10),
+         |c2 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n
+         |  FROM r1 GROUP BY 1),
+         |t2 AS (SELECT r1.id, r1.q0, c2.n
+         |  FROM r1 JOIN c2 USING (q0)),
+         |p2 AS (SELECT id, q0 AS g0, '*' AS g1, '*' AS g2,
+         |    2 AS lev, n FROM t2 WHERE n >= 10),
+         |r2 AS (SELECT id FROM t2 WHERE n < 10),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r2),
+         |p3 AS (SELECT id, '*' AS g0, '*' AS g1, '*' AS g2,
+         |    3 AS lev, c3.n FROM r2, c3),
+         |pub AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+         |  UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+         |SELECT id AS c_custkey, g0 AS c_mktsegment,
+         |  g1 AS c_nationkey, g2 AS acct_band,
          |  CAST(lev AS BIGINT) AS anon_level,
-         |  CAST(CASE lev WHEN 0 THEN n0 WHEN 1 THEN n1
-         |       WHEN 2 THEN n2 ELSE n3 END AS BIGINT) AS group_n,
-         |  (CASE lev WHEN 0 THEN n0 WHEN 1 THEN n1
-         |       WHEN 2 THEN n2 ELSE n3 END) >= 10 AS is_anonymous
-         |FROM l ORDER BY c_custkey""".stripMargin,
+         |  CAST(n AS BIGINT) AS group_n,
+         |  n >= 10 AS is_anonymous
+         |FROM pub ORDER BY c_custkey""".stripMargin,
+    // l-diversity mirror: the two-column sequential ladder on
+    // (segment, acctbal band), then per published class the exact
+    // distinct count of the sensitive nation key
+    "l_diversity" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey AS id,
+         |    coalesce(CAST(c_mktsegment AS VARCHAR), '<null>') AS q0,
+         |    coalesce(CAST(CAST(floor(c_acctbal / 2000.0)
+         |      AS BIGINT) AS VARCHAR), '<null>') AS q1,
+         |    coalesce(CAST(c_nationkey AS VARCHAR), '<null>') AS sv
+         |  FROM customer),
+         |c0 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n
+         |  FROM b GROUP BY 1, 2),
+         |t0 AS (SELECT b.id, b.q0, b.q1, b.sv, c0.n
+         |  FROM b JOIN c0 USING (q0, q1)),
+         |p0 AS (SELECT id, q0 AS g0, q1 AS g1, sv FROM t0
+         |  WHERE n >= 10),
+         |r0 AS (SELECT id, q0, q1, sv FROM t0 WHERE n < 10),
+         |c1 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n
+         |  FROM r0 GROUP BY 1),
+         |t1 AS (SELECT r0.id, r0.q0, r0.sv, c1.n
+         |  FROM r0 JOIN c1 USING (q0)),
+         |p1 AS (SELECT id, q0 AS g0, '*' AS g1, sv FROM t1
+         |  WHERE n >= 10),
+         |r1 AS (SELECT id, sv FROM t1 WHERE n < 10),
+         |p2 AS (SELECT id, '*' AS g0, '*' AS g1, sv FROM r1),
+         |pub AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+         |  UNION ALL SELECT * FROM p2)
+         |SELECT g0 AS c_mktsegment, g1 AS acct_band,
+         |  CAST(count(*) AS BIGINT) AS group_n,
+         |  CAST(count(DISTINCT sv) AS BIGINT) AS n_sensitive,
+         |  (count(DISTINCT sv) >= 3 AND count(*) >= 10)
+         |    AS is_diverse
+         |FROM pub GROUP BY g0, g1
+         |ORDER BY c_mktsegment, acct_band""".stripMargin,
     "multimatch_counts" ->
       s"""WITH tm(i, term) AS (VALUES $acTermsValues),
          |ps AS (SELECT doc_id, text AS t,

@@ -2433,8 +2433,8 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("kAnonymize: finest qualifying level per row, NULL folding, " +
-      "under-k frame ends all-star and not anonymous") {
+  test("kAnonymize: sequential ladder — level counts run over the " +
+      "still-unpublished rows, so every published class is >= k") {
     val df = Seq(
       (1L, Some("x"), "1"), (2L, Some("x"), "1"), (3L, Some("x"), "1"),
       (4L, Some("x"), "2"), (5L, Some("x"), "2"),
@@ -2447,20 +2447,48 @@ class LlmSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getBoolean(5)))
     // exact group of 3 publishes at level 0
     assert(out(0) === ((1L, "x", "1", 0L, 3L, true)))
-    // group of 2 generalizes the last column; level-1 count is ALL
-    // x rows (5), not just the fallen ones
-    assert(out(3) === ((4L, "x", "*", 1L, 5L, true)))
-    // singleton whose level-1 group is still under k lands all-star
-    // against the whole frame
-    assert(out(5) === ((6L, "*", "*", 2L, 9L, true)))
+    // the (x,2) pair falls; among the FALLEN rows, ("x","*") holds
+    // only those 2 (< k — the whole-frame count would have read 5
+    // by borrowing the already-published (x,1) rows and shipped a
+    // 2-row class), so they fall again and meet y9 at all-star
+    assert(out(3) === ((4L, "*", "*", 2L, 3L, true)))
+    assert(out(5) === ((6L, "*", "*", 2L, 3L, true)))
     // NULLs fold to a real groupable value
     assert(out(6) === ((7L, "<null>", "1", 0L, 3L, true)))
+    // the release-side k-anonymity PROPERTY: every published tuple's
+    // row count >= k
+    val classes = out.groupBy(t => (t._2, t._3))
+    classes.foreach { case (_, rs) =>
+      assert(rs.length >= 3 && rs.forall(_._5 === rs.length.toLong))
+    }
     // a frame smaller than k cannot be anonymized at any level
     val tiny = Seq((1L, "a", "b"), (2L, "c", "d")).toDF("id", "qa", "qb")
     val t = TextAnalysis.kAnonymize(tiny, "id", Seq("qa", "qb"), 3)
       .collect().map(r => (r.getString(1), r.getString(2),
         r.getLong(3), r.getBoolean(5)))
     assert(t.forall(_ === (("*", "*", 2L, false))))
+  }
+
+  test("lDiversity: homogeneity within a k-anonymous class is " +
+      "flagged; diverse classes pass") {
+    val df = Seq(
+      // class (x,1): 3 rows, sensitive all 's1' -> k-ok but NOT
+      // diverse at l=2 (the homogeneity attack)
+      (1L, "x", "1", "s1"), (2L, "x", "1", "s1"), (3L, "x", "1", "s1"),
+      // class (y,2): 3 rows, two distinct sensitives -> diverse
+      (4L, "y", "2", "s1"), (5L, "y", "2", "s2"), (6L, "y", "2", "s1"))
+      .toDF("id", "qa", "qb", "sv")
+    val out = TextAnalysis.lDiversity(df, "id", Seq("qa", "qb"),
+        "sv", k = 3, l = 2)
+      .orderBy("qa").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out(0) === (("x", "1", 3L, 1L, false)))
+    assert(out(1) === (("y", "2", 3L, 2L, true)))
+    // the sensitive attribute cannot be a quasi column
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lDiversity(df, "id", Seq("qa", "sv"), "sv", 3, 2)
+    }
   }
 
   test("pairedSignTest: wins/ties/z hand pins, NULL metrics drop " +

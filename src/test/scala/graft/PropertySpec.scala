@@ -1512,8 +1512,9 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("kAnonymize property: published groups are >= k or the row " +
-      "is flagged; raising k never lowers a row's level") {
+  test("kAnonymize property: the release-side guarantee — every " +
+      "published equivalence class holds >= k rows (or is flagged), " +
+      "group_n is the true class size, ids are conserved") {
     val spark = TestSpark.spark
     import spark.implicits._
     import graft.llm.TextAnalysis
@@ -1523,30 +1524,25 @@ class PropertySpec extends AnyFunSuite {
         (i.toLong, s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(5)}"))
       val df = rows.toDF("id", "qa", "qb")
       val k1 = 2 + rnd.nextInt(4)
-      val k2 = k1 + 1 + rnd.nextInt(4)
-      val o1 = TextAnalysis.kAnonymize(df, "id", Seq("qa", "qb"), k1)
-        .collect().map(r => r.getLong(0) ->
-          ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
-      o1.values.foreach { case (_, g, anon) =>
-        assert(anon === (g >= k1))
-        assert(anon, s"n=$n >= k=$k1 so the all-star level saves " +
-          "every row")
-      }
-      // every published (generalized) group really holds group_n rows
-      val byLevelGroup = TextAnalysis
-        .kAnonymize(df, "id", Seq("qa", "qb"), k1)
+      val out = TextAnalysis.kAnonymize(df, "id", Seq("qa", "qb"), k1)
         .collect()
-        .groupBy(r => (r.getString(1), r.getString(2)))
-      byLevelGroup.foreach { case (_, rs) =>
-        // rows sharing a published tuple report its size consistently
-        assert(rs.map(_.getLong(4)).distinct.length === 1)
-      }
-      val o2 = TextAnalysis.kAnonymize(df, "id", Seq("qa", "qb"), k2)
-        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-      o1.keys.foreach { id =>
-        assert(o2(id) >= o1(id)._1,
-          "a larger k can only generalize further")
-      }
+      // every input row appears exactly once
+      assert(out.map(_.getLong(0)).sorted.toSeq ===
+        rows.map(_._1).sorted)
+      // the k-anonymity PROPERTY over the published table: the rows
+      // sharing a published tuple number >= k, group_n is exactly
+      // that count, and flags agree (the only allowed exception is
+      // the all-star leftover, flagged not-anonymous)
+      out.groupBy(r => (r.getString(1), r.getString(2)))
+        .foreach { case ((ga, gb), rs) =>
+          val m = rs.length.toLong
+          assert(rs.forall(_.getLong(4) === m))
+          rs.foreach { r =>
+            assert(r.getBoolean(5) === (m >= k1))
+            if (m < k1) assert(ga === "*" && gb === "*",
+              "an under-k class may only be the all-star leftover")
+          }
+        }
     }
   }
 
