@@ -4039,6 +4039,15 @@ object TextAnalysis {
       },
       "license tags/phrases must be non-empty, lowercase, " +
         "quote-free, and backslash-free (they ride as SQL literals)")
+    // a duplicated (tag, phrase) pair would be summed TWICE into
+    // that tag's hits (license_hits > total_hits, ties flip)
+    require(markers.distinct.size == markers.size,
+      "duplicate (tag, phrase) marker pairs would double-count")
+    // the copyleft tags ride as SQL literals too — same contract
+    require(copyleft.forall(t => t.nonEmpty && t.forall(c =>
+        c != '\'' && c != '\\') && t == t.toLowerCase),
+      "copyleft tags must be non-empty, lowercase, quote-free, and " +
+        "backslash-free (they ride as SQL literals)")
     val phrases = markers.map(_._2).distinct.sorted
     val phraseIdx = phrases.zipWithIndex.toMap
     // counts array aligns to the SORTED phrase order (AcAutomaton's
@@ -4073,8 +4082,13 @@ object TextAnalysis {
       .withColumn("license", expr("coalesce(__lw.t, 'unknown')"))
       .withColumn("license_hits", expr(
         "CAST(coalesce(-__lw.h, 0L) AS BIGINT)"))
-      .withColumn("total_hits", col("__lm.total_hits"))
-      .withColumn("distinct_markers", col("__lm.distinct_terms"))
+      // NULL text -> NULL __lm: every count coerces to 0 like the
+      // verdict path does (the mirror's LEFT JOIN + coalesce shape),
+      // not a half-NULL row
+      .withColumn("total_hits",
+        coalesce(col("__lm.total_hits"), lit(0L)))
+      .withColumn("distinct_markers",
+        coalesce(col("__lm.distinct_terms"), lit(0L)))
       .withColumn("copyleft_gate", expr(
         s"array_contains($copyleftArr, license)"))
       .drop("__lm", "__lw")
@@ -4102,8 +4116,10 @@ object TextAnalysis {
     * all-'*' level still under k are emitted with
     * `is_anonymous = false` — nothing can save them. NULL quasi
     * values fold to the '<null>' literal (a real, groupable value);
-    * a REAL quasi value equal to the '*' marker would collide with
-    * the generalized form — map it upstream. Emits the generalized
+    * a REAL quasi value equal to the '*' marker or containing the
+    * U+0001 key separator is a CONTRACT ERROR raised in-plan —
+    * either would silently break the published-class ≥ k
+    * guarantee. Emits the generalized
     * quasi columns (strings, original names), `anon_level` (0 =
     * exact … q = all '*'), `group_n` (the published CLASS size),
     * `is_anonymous`.
@@ -4121,7 +4137,24 @@ object TextAnalysis {
     val n = quasi.size
     val base = df.select(
       (col(id).as("__id") +: quasi.zipWithIndex.map { case (c, i) =>
-        coalesce(col(c).cast("string"), lit("<null>")).as(s"__q$i")
+        // fail-loudly guards folded INTO the consumed column: a real
+        // '*' value is indistinguishable from the generalized marker
+        // in the release, and a value containing the \u0001 key
+        // separator would merge two distinct tuples into one COUNT
+        // key while the published columns stay distinct -- both
+        // silently break the published-class >= k guarantee, so they
+        // are contract errors, not caveats
+        coalesce(expr(
+          s"CASE WHEN CAST($c AS STRING) = '*' THEN raise_error(" +
+            s"'kAnonymize: quasi column $c contains the literal " +
+            "value * -- it collides with the generalization " +
+            "marker; map it upstream') " +
+            s"WHEN contains(CAST($c AS STRING), '\u0001') THEN " +
+            s"raise_error('kAnonymize: quasi column $c contains " +
+            "the key-separator control character U+0001; map it " +
+            "upstream') " +
+            s"ELSE CAST($c AS STRING) END"),
+          lit("<null>")).as(s"__q$i")
       }): _*)
     var remaining = base.localCheckpoint()
     var published: DataFrame = null
@@ -4186,9 +4219,19 @@ object TextAnalysis {
     require(!quasi.contains(sensitive),
       "the sensitive attribute cannot be a quasi-identifier")
     val anon = kAnonymize(df, id, quasi, k)
-    val sens = df.select(col(id).as("__sid"),
-      coalesce(col(sensitive).cast("string"), lit("<null>"))
-        .as("__sv"))
+    // one sensitive row per id, loudly: a duplicated id would join
+    // m*m times and inflate group_n past the true class size -- a
+    // silently-wrong privacy audit (the guard folds into the
+    // consumed column so pruning cannot drop it)
+    val sens = df
+      .groupBy(col(id).as("__sid"))
+      .agg(count(lit(1)).as("__sc"),
+        max(coalesce(col(sensitive).cast("string"), lit("<null>")))
+          .as("__sv0"))
+      .select(col("__sid"), expr(
+        "CASE WHEN __sc > 1L THEN raise_error(concat(" +
+          "'lDiversity: duplicate id ', CAST(__sid AS STRING), " +
+          "' -- ids must be unique')) ELSE __sv0 END").as("__sv"))
     anon.join(sens, col(id) === col("__sid"))
       .groupBy(quasi.map(col): _*)
       .agg(count(lit(1)).cast("long").as("group_n"),

@@ -2310,9 +2310,9 @@ object LlmQueries {
     }),
     // k-anonymity suppression ladder (round-19): every published
     // quasi-identifier combination must reach k=10 members, else the
-    // last quasi column folds to '*', then the last two, ... — each
-    // row publishes at the finest level whose generalized group
-    // reaches k (counted over the whole frame at that level)
+    // last quasi column folds to '*', then the last two, ... — the
+    // ladder is SEQUENTIAL (each level counts only the rows still
+    // unpublished), which is what makes every published class >= k
     "k_anonymity" -> ((s, d) => {
       val cust = t(s, d, "customer").withColumn("acct_band", expr(
         "CAST(CAST(floor(c_acctbal / 2000.0D) AS BIGINT) AS STRING)"))

@@ -2431,6 +2431,24 @@ class LlmSpec extends AnyFunSuite {
       TextAnalysis.licenseScan(df, "text", "doc_id",
         Seq("mit" -> "Permission is hereby granted"))
     }
+    // so are duplicated (tag, phrase) pairs (double-counted hits)
+    // and quote-bearing copyleft tags (SQL-literal injection)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.licenseScan(df, "text", "doc_id",
+        markers ++ markers.take(1))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.licenseScan(df, "text", "doc_id", markers,
+        copyleft = Set("o'reilly"))
+    }
+    // NULL text coerces every count to 0 (not a half-NULL row)
+    val withNull = Seq((1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nrow = TextAnalysis.licenseScan(withNull, "text", "doc_id",
+      markers).collect()(0)
+    assert(nrow.getString(1) === "unknown" && nrow.getLong(2) === 0L
+      && nrow.getLong(3) === 0L && nrow.getLong(4) === 0L
+      && !nrow.getBoolean(5))
   }
 
   test("kAnonymize: sequential ladder — level counts run over the " +
@@ -2467,6 +2485,17 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(2),
         r.getLong(3), r.getBoolean(5)))
     assert(t.forall(_ === (("*", "*", 2L, false))))
+    // a quasi value of literal '*' or containing the key-separator
+    // control char silently breaks the class->=k guarantee — both
+    // raise in-plan instead
+    intercept[Exception] {
+      TextAnalysis.kAnonymize(Seq((1L, "*", "b"))
+        .toDF("id", "qa", "qb"), "id", Seq("qa", "qb"), 1).collect()
+    }
+    intercept[Exception] {
+      TextAnalysis.kAnonymize(Seq((1L, "a\u0001b", "c"))
+        .toDF("id", "qa", "qb"), "id", Seq("qa", "qb"), 1).collect()
+    }
   }
 
   test("lDiversity: homogeneity within a k-anonymous class is " +
@@ -2488,6 +2517,14 @@ class LlmSpec extends AnyFunSuite {
     // the sensitive attribute cannot be a quasi column
     intercept[IllegalArgumentException] {
       TextAnalysis.lDiversity(df, "id", Seq("qa", "sv"), "sv", 3, 2)
+    }
+    // duplicated ids would join m*m and inflate group_n — the audit
+    // fails loudly instead of under-reporting disclosure risk
+    val dup = df.union(Seq((1L, "x", "1", "s9")).toDF(
+      "id", "qa", "qb", "sv"))
+    intercept[Exception] {
+      TextAnalysis.lDiversity(dup, "id", Seq("qa", "qb"), "sv",
+        3, 2).collect()
     }
   }
 
