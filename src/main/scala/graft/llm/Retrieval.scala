@@ -361,18 +361,51 @@ object Retrieval {
     * untied pair), rounded to 6dp — the [[Preference.positionBias]]
     * fixed-order double tail, so cross-engine exact.
     *
-    * Scale shape: the self-join is keyed on `unit` (eval sets are
-    * bounded; the frame is systems × units), one map-side-combined
-    * aggregate per pair — never corpus-proportional.
+    * Duplicated (system, unit) score rows are collapsed to their MAX
+    * metric before the pairing — the [[retrievalEval]] run/qrel
+    * discipline: the test is a function of the score SET, so an
+    * accidentally doubled row must not inflate n_pairs, wins, or z.
+    *
+    * Scale shape: the self-join is keyed on `unit` — safe only while
+    * the frame is eval-sized (systems × units), so the bound is a
+    * CONTRACT, not a caveat: an in-plan guard (folded into the
+    * consumed metric, the fit-collect discipline) raises loudly when
+    * distinct units exceed `maxUnits` or distinct systems exceed
+    * `maxSystems` — a caller passing a corpus-sized unit gets an
+    * error, never a silent O(S²·U) blowup. Within the bound: one
+    * collapse aggregate, one tiny-aggregate broadcast, one unit-keyed
+    * join, one map-side-combined aggregate per pair — never
+    * corpus-proportional.
     */
   def pairedSignTest(scores: DataFrame, system: String, unit: String,
-      metric: String): DataFrame = {
-    val a = scores.select(col(system).cast("string").as("__sa"),
-      col(unit).as("__u"), col(metric).cast("long").as("__ma"))
-      .filter(col("__ma").isNotNull)
-    val b = scores.select(col(system).cast("string").as("__sb"),
-      col(unit).as("__u"), col(metric).cast("long").as("__mb"))
-      .filter(col("__mb").isNotNull)
+      metric: String, maxUnits: Long = 1000000L,
+      maxSystems: Long = 1000L): DataFrame = {
+    require(maxUnits >= 1L && maxSystems >= 2L,
+      "need maxUnits >= 1 and maxSystems >= 2")
+    val one = scores.select(col(system).cast("string").as("__s"),
+        col(unit).as("__u"), col(metric).cast("long").as("__m"))
+      .filter(col("__m").isNotNull)
+      .groupBy(col("__s"), col("__u"))
+      .agg(max(col("__m")).as("__m"))
+    val bounds = one.agg(
+      countDistinct(col("__u")).cast("long").as("__uc"),
+      countDistinct(col("__s")).cast("long").as("__sc"))
+    val bounded = one.crossJoin(broadcast(bounds))
+      .select(col("__s"), col("__u"), expr(
+        s"""CASE WHEN __uc > ${maxUnits}L THEN raise_error(concat(
+           |  'pairedSignTest: ', CAST(__uc AS STRING),
+           |  ' distinct units exceed maxUnits=$maxUnits -- the',
+           |  ' unit-keyed self-join is eval-sized by contract;',
+           |  ' raise maxUnits explicitly if the eval set really',
+           |  ' is this large'))
+           |WHEN __sc > ${maxSystems}L THEN raise_error(concat(
+           |  'pairedSignTest: ', CAST(__sc AS STRING),
+           |  ' distinct systems exceed maxSystems=$maxSystems'))
+           |ELSE __m END""".stripMargin).as("__m"))
+    val a = bounded.select(col("__s").as("__sa"), col("__u"),
+      col("__m").as("__ma"))
+    val b = bounded.select(col("__s").as("__sb"), col("__u"),
+      col("__m").as("__mb"))
     a.join(b, Seq("__u"))
       .filter(col("__sa") < col("__sb"))
       .groupBy(col("__sa").as("sys_a"), col("__sb").as("sys_b"))
@@ -450,18 +483,24 @@ object Retrieval {
     require(maxRel >= 1 && maxRel <= 62,
       "maxRel must fit a long gain: 1 <= maxRel <= 62")
     val disc = dcgDiscountMicro(k)
-    // Overflow guard on the FULL integer tree, not just the gain:
-    // both the per-query DCG sum (<= gain * Σ disc, each rank used
-    // once after run dedup) and the IDCG grade-span products
-    // (gain * prefix-sum spans) are bounded by gain * prefix.last —
-    // Spark (non-ANSI) would wrap silently while DuckDB BIGINT
-    // errors, so a permitted-but-overflowing maxRel must be refused
-    // here, not discovered as cross-engine divergence. At the k=10
-    // defaults this caps maxRel at 40.
+    // Static overflow guard — what it actually bounds (round-20
+    // correction): run dedup is per (query, doc), NOT per rank, so a
+    // feed where many docs share one rank can hold arbitrarily many
+    // rows per query and the per-query DCG SUM is unbounded by any
+    // maxRel cut. This require guarantees (a) every single
+    // gain·discount TERM fits a long (gain ≤ Long.Max / Σdisc ≤
+    // Long.Max / disc(1)) and (b) the IDCG side exactly (qrels ARE
+    // per-(query,doc) deduped and grade spans cap at k, so
+    // idcg ≤ gain · prefix.last). The per-query DCG sum itself is
+    // guarded DYNAMICALLY below: summed in exact decimal and raised
+    // loudly past Long.Max — Spark (non-ANSI) would wrap silently
+    // while DuckDB BIGINT errors, and both failure modes must be a
+    // loud error, not cross-engine divergence. At the k=10 defaults
+    // this caps maxRel at 40.
     val discTotal = disc.sum
     require((1L << maxRel) - 1L <= Long.MaxValue / discTotal,
       s"retrievalEval: maxRel=$maxRel overflows the integer DCG " +
-        s"tree at k=$k — (2^maxRel - 1) * ${discTotal}L exceeds " +
+        s"terms at k=$k — (2^maxRel - 1) * ${discTotal}L exceeds " +
         "Long.MaxValue; lower maxRel or k")
     val discSql = disc.map(d => s"${d}L").mkString("array(", ", ", ")")
     val rel = qrels
@@ -504,7 +543,20 @@ object Retrieval {
         s"element_at($discSql, CAST(rank AS INT))"))
     val perQ = hits.groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_ret"),
-        sum(expr("__gain * __disc")).cast("long").as("dcg_micro"),
+        // each TERM fits a long (static require above); the SUM is
+        // accumulated in exact decimal(38,0) — 10^19 terms away from
+        // decimal overflow — and raised loudly if the total leaves
+        // the long range, because rank ties mean rows-per-query is
+        // not bounded by k
+        expr(
+          """CASE WHEN sum(CAST(__gain * __disc AS DECIMAL(38,0)))
+            |  > CAST(9223372036854775807 AS DECIMAL(38,0))
+            |THEN raise_error(concat('retrievalEval: per-query DCG ',
+            |  'sum overflows BIGINT for query ',
+            |  CAST(query_id AS STRING),
+            |  ' -- too many tied-rank rows at high grades'))
+            |ELSE CAST(sum(CAST(__gain * __disc AS DECIMAL(38,0)))
+            |  AS BIGINT) END""".stripMargin).as("dcg_micro"),
         sum(when(col("rel").isNotNull, 1L).otherwise(0L))
           .cast("long").as("n_rel_ret"),
         min(when(col("rel").isNotNull, col("rank")))

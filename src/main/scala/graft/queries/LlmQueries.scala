@@ -5536,12 +5536,14 @@ object LlmQueries {
          |${duckEvalSelect("h", "'hybrid' AS arm, ")}
          |UNION ALL
          |${duckEvalSelect("l", "'lex' AS arm, ")}),
+         |evd AS (
+         |  SELECT arm, query_id, max(ndcg_ppm) AS m
+         |  FROM ev WHERE ndcg_ppm IS NOT NULL GROUP BY 1, 2),
          |pj AS (
          |  SELECT a.arm AS sys_a, b.arm AS sys_b,
-         |    a.ndcg_ppm AS ma, b.ndcg_ppm AS mb
-         |  FROM ev a JOIN ev b ON a.query_id = b.query_id
-         |    AND a.arm < b.arm
-         |  WHERE a.ndcg_ppm IS NOT NULL AND b.ndcg_ppm IS NOT NULL),
+         |    a.m AS ma, b.m AS mb
+         |  FROM evd a JOIN evd b ON a.query_id = b.query_id
+         |    AND a.arm < b.arm),
          |ag AS (
          |  SELECT sys_a, sys_b, CAST(count(*) AS BIGINT) AS n_pairs,
          |    CAST(sum(CASE WHEN ma > mb THEN 1 ELSE 0 END) AS BIGINT)
@@ -6059,8 +6061,10 @@ object LlmQueries {
          |ORDER BY vec_id""".stripMargin,
     "ivf_assign" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
-         |         FROM v WHERE vec_id < 16),
+         |cent AS (SELECT cell, cvec FROM (
+         |           SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec,
+         |             row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM v) WHERE rn <= 16),
          |scored AS (
          |  SELECT v.vec_id, cent.cell,
          |    ${duckCos("v.vec", "cent.cvec")} AS sim
@@ -6125,8 +6129,10 @@ object LlmQueries {
     // over a centroid scaffold (empty cells 0)
     "ivf_balance" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
-         |         FROM v WHERE vec_id < 16),
+         |cent AS (SELECT cell, cvec FROM (
+         |           SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec,
+         |             row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM v) WHERE rn <= 16),
          |scored AS (
          |  SELECT v.vec_id, cent.cell,
          |    ${duckCos("v.vec", "cent.cvec")} AS sim
@@ -6282,8 +6288,10 @@ object LlmQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ivfpq_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |icent AS (SELECT CAST(vec_id AS BIGINT) AS icell, vec AS icv
-         |          FROM v WHERE vec_id < 16),
+         |icent AS (SELECT icell, icv FROM (
+         |           SELECT CAST(vec_id AS BIGINT) AS icell, vec AS icv,
+         |             row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM v) WHERE rn <= 16),
          |${duckPqChain()},
          |iassign AS (
          |  SELECT vec_id, icell
@@ -6362,8 +6370,10 @@ object LlmQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),
-         |cent AS (SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec
-         |         FROM v WHERE vec_id < 16),
+         |cent AS (SELECT cell, cvec FROM (
+         |           SELECT CAST(vec_id AS BIGINT) AS cell, vec AS cvec,
+         |             row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM v) WHERE rn <= 16),
          |${duckIvfTopkTail("cent")}""".stripMargin,
     "ivf_topk_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $duckVec AS vec FROM embeddings),

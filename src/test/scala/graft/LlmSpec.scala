@@ -2574,6 +2574,63 @@ class LlmSpec extends AnyFunSuite {
       "ndcg_ppm").collect()(0).getDouble(7) === 0.0)
   }
 
+  test("pairedSignTest round-20 contract: duplicated (system, unit) " +
+      "rows collapse to max (SET semantics); unit/system bounds " +
+      "raise loudly") {
+    import graft.llm.Retrieval
+    // the r19 ADVICE counterexample: a doubled score row must not
+    // inflate n_pairs/wins/z — the retrievalEval run/qrel discipline
+    val base = Seq(("A", 0L, 10L), ("A", 1L, 1L),
+      ("B", 0L, 3L), ("B", 1L, 8L))
+    val clean = base.toDF("arm", "query_id", "ndcg_ppm")
+    val dup = (base ++ Seq(("A", 0L, 10L), ("A", 0L, 7L)))
+      .toDF("arm", "query_id", "ndcg_ppm")
+    val a = Retrieval.pairedSignTest(clean, "arm", "query_id",
+      "ndcg_ppm").collect()(0)
+    val b = Retrieval.pairedSignTest(dup, "arm", "query_id",
+      "ndcg_ppm").collect()(0)
+    assert(a === b)
+    assert(a.getLong(2) === 2L) // n_pairs stays 2, not 4
+    // bound guards: a corpus-sized unit or system column raises
+    // in-plan instead of running a silent O(S^2·U) self-join
+    intercept[Exception] {
+      Retrieval.pairedSignTest(clean, "arm", "query_id", "ndcg_ppm",
+        maxUnits = 1L).collect()
+    }
+    val three = (base ++ Seq(("C", 0L, 5L), ("C", 1L, 5L)))
+      .toDF("arm", "query_id", "ndcg_ppm")
+    intercept[Exception] {
+      Retrieval.pairedSignTest(three, "arm", "query_id", "ndcg_ppm",
+        maxSystems = 2L).collect()
+    }
+  }
+
+  test("retrievalEval round-20 guard: tied-rank DCG sum past " +
+      "Long.Max raises loudly instead of wrapping; the in-range " +
+      "tied case stays exact") {
+    import graft.llm.Retrieval
+    // rel=40 at k=10 passes the static TERM require (gain·Σdisc
+    // fits), but 9 docs TIED at rank 1 push the per-query SUM to
+    // ~9.9e18 > Long.Max — the r19 ADVICE hole: run dedup is per
+    // (query, doc), not per rank
+    val gain = (1L << 40) - 1L
+    def mk(n: Long) = (
+      (1L to n).map(dd => (0L, dd, 1L))
+        .toDF("query_id", "doc_id", "rank"),
+      (1L to n).map(dd => (0L, dd, 40L))
+        .toDF("query_id", "doc_id", "rel"))
+    val (run9, qr9) = mk(9L)
+    intercept[Exception] {
+      Retrieval.retrievalEval(run9, qr9, k = 10, maxRel = 40)
+        .collect()
+    }
+    // 8 tied docs stay under Long.Max: exact integer sum, no drift
+    val (run8, qr8) = mk(8L)
+    val ok = Retrieval.retrievalEval(run8, qr8, k = 10, maxRel = 40)
+      .select("dcg_micro").collect()(0).getLong(0)
+    assert(ok === 8L * gain * 1000000L)
+  }
+
   test("bpeBytesApply: hex-byte seed symbols, merges fuse byte pairs, " +
       "ASCII corpus is isomorphic to the char grain") {
     import graft.llm.TextAnalysis
