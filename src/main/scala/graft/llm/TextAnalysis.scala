@@ -4240,6 +4240,116 @@ object TextAnalysis {
         col("n_sensitive") >= l && col("group_n") >= k)
   }
 
+  /** t-closeness audit over the [[kAnonymize]] ladder — the third
+    * member of the privacy triad: a published class can satisfy
+    * k-anonymity AND l-diversity (many distinct sensitive values)
+    * while its sensitive DISTRIBUTION still leaks — e.g. a class
+    * whose salaries are all in the global bottom decile is disclosive
+    * however many distinct values it holds (the skewness attack
+    * l-diversity cannot see). The check: per published class, the
+    * Earth-Mover's Distance between the class's distribution of an
+    * ORDERED sensitive attribute and the whole table's, must stay
+    * under `t`. For an ordered attribute with the standard
+    * unit-step ground distance, exact EMD is the mean of the
+    * absolute cumulative-probability gaps over the m global domain
+    * values: EMD = (1/(m−1)) · Σ_i |P_class(≤ v_i) − P_global(≤ v_i)|.
+    *
+    * Integer contract: cumulative probabilities are truncating ppm
+    * (`cum · 10^6 DIV n`), the gap sum is an exact long fold, and
+    * `emd_ppm` is the truncating mean — bit-identical cross-engine,
+    * and every intermediate stays ≤ 10^6 · m regardless of corpus
+    * size. m = 1 (a single global sensitive value) defines
+    * emd_ppm = 0. Contract errors, raised in-plan like the
+    * [[lDiversity]] guards: a duplicated id (m×m join inflation), a
+    * NULL sensitive value (an ordered EMD needs a total order — map
+    * or drop NULLs upstream), and a sensitive domain wider than
+    * `maxDomain` (the fold rides the plan as a bounded array; a
+    * quasi-continuous attribute should be bucketed upstream, which
+    * is also what makes t-closeness itself meaningful).
+    *
+    * Output: one row per published class — the generalized quasi
+    * columns, `group_n`, `emd_ppm`, `is_close` (emd_ppm ≤ tPpm).
+    *
+    * Scale shape: [[kAnonymize]]'s level passes, ONE
+    * (class, sensitive)-keyed aggregate, one class-keyed and one
+    * value-keyed reduction of it (all map-side combining), then a
+    * broadcast of the ONE-row global domain frame into a row-local
+    * fold over ≤ maxDomain entries. No windows, nothing
+    * driver-side, output bounded by published-class count.
+    */
+  def tCloseness(df: DataFrame, id: String, quasi: Seq[String],
+      sensitive: String, k: Int, tPpm: Long = 150000L,
+      maxDomain: Int = 4096): DataFrame = {
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      "need 0 <= tPpm <= 10^6 (emd_ppm is a ppm quantity)")
+    require(maxDomain >= 2, "need maxDomain >= 2")
+    require(!quasi.contains(sensitive),
+      "the sensitive attribute cannot be a quasi-identifier")
+    val anon = kAnonymize(df, id, quasi, k)
+    // one ORDERED sensitive value per id, loudly (the lDiversity
+    // duplicate-id guard, plus the NULL raise: max() would silently
+    // skip NULLs and under-count the class mass otherwise)
+    val sens = df
+      .groupBy(col(id).as("__tid"))
+      .agg(count(lit(1)).as("__tc"),
+        max(col(sensitive).cast("long")).as("__tv0"),
+        sum(when(col(sensitive).isNull, 1L).otherwise(0L))
+          .as("__tn"))
+      .select(col("__tid"), expr(
+        "CASE WHEN __tc > 1L THEN raise_error(concat(" +
+          "'tCloseness: duplicate id ', CAST(__tid AS STRING), " +
+          "' -- ids must be unique')) " +
+          "WHEN __tn > 0L THEN raise_error(concat(" +
+          "'tCloseness: NULL sensitive value for id ', " +
+          "CAST(__tid AS STRING), ' -- an ordered EMD needs a " +
+          "total order; map or drop NULLs upstream')) " +
+          "ELSE __tv0 END").as("__tv"))
+    val clsSv = anon.join(sens, col(id) === col("__tid"))
+      .groupBy(quasi.map(col) :+ col("__tv"): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    // the global distribution is the column-wise sum of the class
+    // distributions (the ladder publishes every id exactly once), so
+    // it reduces from the per-class counts — one extra map-side
+    // aggregate, no second scan of the input
+    val glob = clsSv.groupBy(col("__tv"))
+      .agg(sum(col("__c")).cast("long").as("__g"))
+      .agg(sort_array(collect_list(struct(col("__tv"), col("__g"))))
+          .as("__dom0"),
+        sum(col("__g")).cast("long").as("__nt"))
+      .select(expr(
+        s"""CASE WHEN size(__dom0) > $maxDomain THEN raise_error(
+           |  concat('tCloseness: ', CAST(size(__dom0) AS STRING),
+           |    ' distinct sensitive values exceed maxDomain=$maxDomain',
+           |    ' -- bucket the attribute upstream'))
+           |ELSE __dom0 END""".stripMargin).as("__dom"),
+        col("__nt"))
+    val cls = clsSv.groupBy(quasi.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("group_n"),
+        map_from_entries(collect_list(struct(col("__tv"),
+          col("__c")))).as("__cm"))
+    cls.crossJoin(broadcast(glob))
+      // the fold walks the global domain in value order carrying
+      // (cum_class, cum_global, gap_sum); the LAST entry's gap is 0
+      // by construction (both cum ppms hit exactly 10^6 — truncating
+      // division of an exact multiple is exact), so summing all m
+      // entries IS the (m−1)-prefix sum the EMD needs
+      .withColumn("emd_ppm", expr(
+        """CASE WHEN size(__dom) <= 1 THEN 0L ELSE
+          |aggregate(__dom,
+          |  named_struct('cc', 0L, 'cg', 0L, 'acc', 0L),
+          |  (a, x) -> named_struct(
+          |    'cc', a.cc + coalesce(element_at(__cm, x.__tv), 0L),
+          |    'cg', a.cg + x.__g,
+          |    'acc', a.acc + abs(
+          |      (a.cc + coalesce(element_at(__cm, x.__tv), 0L))
+          |        * 1000000L DIV group_n
+          |      - (a.cg + x.__g) * 1000000L DIV __nt)),
+          |  a -> a.acc) DIV (size(__dom) - 1L) END""".stripMargin))
+      .withColumn("is_close", col("emd_ppm") <= tPpm)
+      .select(quasi.map(col) ++
+        Seq(col("group_n"), col("emd_ppm"), col("is_close")): _*)
+  }
+
   /** Unicode text normalization — the canonical-form fold every
     * hash/equality-based operator (exact dedup, MinHash shingles,
     * decontamination joins, anchor grouping) needs upstream, since

@@ -2332,6 +2332,19 @@ object LlmQueries {
         k = 10, l = 3)
         .orderBy("c_mktsegment", "acct_band")
     }),
+    // t-closeness audit (round-20): the privacy triad's third check —
+    // a class can be k-anonymous AND l-diverse while its sensitive
+    // DISTRIBUTION still leaks (the skewness attack); per published
+    // class: exact ordered-attribute EMD vs the global nation
+    // distribution, truncating ppm cumulative gaps, gated at t=0.15
+    "t_closeness" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("acct_band", expr(
+        "CAST(CAST(floor(c_acctbal / 2000.0D) AS BIGINT) AS STRING)"))
+      TextAnalysis.tCloseness(cust, "c_custkey",
+        Seq("c_mktsegment", "acct_band"), "c_nationkey",
+        k = 10, tPpm = 150000L)
+        .orderBy("c_mktsegment", "acct_band")
+    }),
     // word-blocklist content-safety gate: occurrence + distinct-type
     // hits against a bounded plan-literal term list, density ppm, and
     // the one-incidental-term-is-not-a-pattern gate verdict
@@ -9201,6 +9214,71 @@ object LlmQueries {
          |    AS is_diverse
          |FROM pub GROUP BY g0, g1
          |ORDER BY c_mktsegment, acct_band""".stripMargin,
+    // t-closeness mirror: the same two-column sequential ladder, then
+    // per published class the ordered-EMD in truncating ppm — class
+    // and global cumulative counts over the full nation domain
+    // (window cums; the engine uses a bounded broadcast fold), gap
+    // sum / (m-1). All cum ppm operands are non-negative, so
+    // DuckDB's floor // equals Spark's truncating DIV
+    "t_closeness" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey AS id,
+         |    coalesce(CAST(c_mktsegment AS VARCHAR), '<null>') AS q0,
+         |    coalesce(CAST(CAST(floor(c_acctbal / 2000.0)
+         |      AS BIGINT) AS VARCHAR), '<null>') AS q1,
+         |    CAST(c_nationkey AS BIGINT) AS sv
+         |  FROM customer),
+         |c0 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n
+         |  FROM b GROUP BY 1, 2),
+         |t0 AS (SELECT b.id, b.q0, b.q1, b.sv, c0.n
+         |  FROM b JOIN c0 USING (q0, q1)),
+         |p0 AS (SELECT id, q0 AS g0, q1 AS g1, sv FROM t0
+         |  WHERE n >= 10),
+         |r0 AS (SELECT id, q0, q1, sv FROM t0 WHERE n < 10),
+         |c1 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n
+         |  FROM r0 GROUP BY 1),
+         |t1 AS (SELECT r0.id, r0.q0, r0.sv, c1.n
+         |  FROM r0 JOIN c1 USING (q0)),
+         |p1 AS (SELECT id, q0 AS g0, '*' AS g1, sv FROM t1
+         |  WHERE n >= 10),
+         |r1 AS (SELECT id, sv FROM t1 WHERE n < 10),
+         |p2 AS (SELECT id, '*' AS g0, '*' AS g1, sv FROM r1),
+         |pub AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+         |  UNION ALL SELECT * FROM p2),
+         |cls AS (SELECT g0, g1, sv, CAST(count(*) AS BIGINT) AS c
+         |  FROM pub GROUP BY 1, 2, 3),
+         |cn AS (SELECT g0, g1, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cls GROUP BY 1, 2),
+         |gl AS (SELECT sv, CAST(sum(c) AS BIGINT) AS g
+         |  FROM cls GROUP BY 1),
+         |ntm AS (SELECT CAST(sum(g) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM gl),
+         |grid AS (
+         |  SELECT cn.g0, cn.g1, cn.n, gl.sv, gl.g,
+         |    coalesce(cls.c, 0) AS c
+         |  FROM cn CROSS JOIN gl
+         |  LEFT JOIN cls ON cls.g0 = cn.g0 AND cls.g1 = cn.g1
+         |    AND cls.sv = gl.sv),
+         |cum AS (
+         |  SELECT g0, g1, n,
+         |    CAST(sum(c) OVER (PARTITION BY g0, g1 ORDER BY sv)
+         |      AS BIGINT) AS cc,
+         |    CAST(sum(g) OVER (PARTITION BY g0, g1 ORDER BY sv)
+         |      AS BIGINT) AS cg
+         |  FROM grid),
+         |emd AS (
+         |  SELECT c2.g0, c2.g1, max(c2.n) AS n, max(ntm.m) AS m,
+         |    CAST(sum(abs(c2.cc * 1000000 // c2.n
+         |      - c2.cg * 1000000 // ntm.tot)) AS BIGINT) AS acc
+         |  FROM cum c2 CROSS JOIN ntm GROUP BY 1, 2)
+         |SELECT g0 AS c_mktsegment, g1 AS acct_band,
+         |  CAST(n AS BIGINT) AS group_n,
+         |  CAST(CASE WHEN m <= 1 THEN 0 ELSE acc // (m - 1) END
+         |    AS BIGINT) AS emd_ppm,
+         |  (CASE WHEN m <= 1 THEN 0 ELSE acc // (m - 1) END)
+         |    <= 150000 AS is_close
+         |FROM emd ORDER BY c_mktsegment, acct_band""".stripMargin,
     "multimatch_counts" ->
       s"""WITH tm(i, term) AS (VALUES $acTermsValues),
          |ps AS (SELECT doc_id, text AS t,

@@ -2528,6 +2528,59 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("tCloseness: the skewed-but-diverse class l-diversity passes " +
+      "is flagged; exact hand-computed EMD ppm; contract guards") {
+    // class x: 10 rows, sensitive in {0,1,2} — 3 distinct values, so
+    // l=3-DIVERSE, but the whole class sits in the global bottom
+    // third (the skewness attack l-diversity cannot see). class y:
+    // 30 rows uniform over 0..9.
+    val x = Seq(4 -> 0L, 3 -> 1L, 3 -> 2L).flatMap {
+      case (n, v) => Seq.fill(n)(v) }
+    val y = (0L to 9L).flatMap(v => Seq.fill(3)(v))
+    val df = (x ++ y).zipWithIndex.map { case (v, i) =>
+      (i.toLong, if (i < 10) "x" else "y", v) }
+      .toDF("id", "qa", "sv")
+    // l-diversity PASSES class x (3 distinct >= l=3)
+    val ld = TextAnalysis.lDiversity(df, "id", Seq("qa"), "sv",
+        k = 10, l = 3)
+      .orderBy("qa").collect()
+    assert(ld(0).getBoolean(3) === true) // x is_diverse
+    // t-closeness flags it. Hand EMD over the 10-value domain
+    // (global cums /40, class-x cums /10, truncating ppm):
+    // gaps 225k,375k,525k,450k,375k,300k,225k,150k,75k,0
+    // -> 2700000/9 = 300000 > t=150000
+    val tc = TextAnalysis.tCloseness(df, "id", Seq("qa"), "sv",
+        k = 10, tPpm = 150000L)
+      .orderBy("qa").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(tc(0) === (("x", 10L, 300000L, false)))
+    // class y: gaps 75k,125k,175k,150k,125k,100k,75k,50k,25k,0
+    // -> 900000/9 = 100000 <= 150000
+    assert(tc(1) === (("y", 30L, 100000L, true)))
+    // guards: duplicate id, NULL sensitive, over-wide domain all
+    // raise loudly — a silently-wrong privacy audit is worse than
+    // no audit
+    intercept[Exception] {
+      TextAnalysis.tCloseness(df.union(Seq((0L, "x", 9L))
+        .toDF("id", "qa", "sv")), "id", Seq("qa"), "sv", 10).collect()
+    }
+    intercept[Exception] {
+      TextAnalysis.tCloseness(
+        Seq((1L, "x", Some(1L)), (2L, "x", None: Option[Long]))
+          .toDF("id", "qa", "sv"), "id", Seq("qa"), "sv", 1).collect()
+    }
+    intercept[Exception] {
+      TextAnalysis.tCloseness(df, "id", Seq("qa"), "sv", 10,
+        maxDomain = 2).collect()
+    }
+    // a single-value domain defines emd = 0 (nothing to move)
+    val one = Seq((1L, "x", 5L), (2L, "x", 5L))
+      .toDF("id", "qa", "sv")
+    assert(TextAnalysis.tCloseness(one, "id", Seq("qa"), "sv", 1)
+      .collect()(0).getLong(2) === 0L)
+  }
+
   test("pairedSignTest: wins/ties/z hand pins, NULL metrics drop " +
       "the unit, negative mean diff truncates toward zero") {
     import graft.llm.Retrieval
