@@ -97,6 +97,104 @@ object CurationJob {
                   ' chunk ', chunk_id)) AS BIGINT)
            ELSE $id * 1000000L + chunk_id END""")
 
+  /** Corpus release-readiness gate — the composed verdict a dataset
+    * RELEASE runs, chaining the four individually-oracled compliance
+    * gates into ONE declarative plan (the [[funnel]] discipline
+    * applied to release readiness): per document,
+    *
+    *   - license: [[TextAnalysis.licenseScan]]'s Aho–Corasick marker
+    *     verdict and its `copyleft_gate` ("needs legal review");
+    *   - PII: [[TextAnalysis.piiCountsExpr]] regex counts and
+    *     `pii_gate` (any email/IP/phone hit — a release ships the
+    *     REDACTED text or not at all);
+    *   - contamination: [[Dedup.decontaminate]]'s word-8-gram
+    *     overlap against the evaluation corpus (`contaminated`);
+    *   - metadata privacy: [[TextAnalysis.kAnonymize]] over the
+    *     document's quasi-identifier attributes (`is_anonymous` — a
+    *     doc whose published metadata tuple cannot reach k even at
+    *     the all-'*' level must not ship).
+    *
+    * `released` is the conjunction. Emits one row per document:
+    * (id, license, copyleft_gate, n_email, n_ip, n_phone, pii_gate,
+    * contaminated, is_anonymous, released).
+    *
+    * Scale shape: the license and PII gates are row-local codegen
+    * scans; decontamination is the gram semi-join pair; k-anonymity
+    * is the bounded level ladder; the verdict join is four
+    * equi-joins on the id key (one shuffle each, or zero with a
+    * bucketed id layout). Nothing pairwise, nothing driver-side.
+    */
+  def releaseGate(docs: DataFrame, text: String, id: String,
+      markers: Seq[(String, String)],
+      copyleft: Set[String] = Set("agpl", "gpl"),
+      evalSet: Option[DataFrame] = None,
+      quasi: Seq[String] = Nil, k: Int = 10): DataFrame = {
+    val lic = TextAnalysis.licenseScan(docs, text, id, markers,
+        copyleft)
+      .select(col(id), col("license"), col("copyleft_gate"))
+    val piiCols = TextAnalysis.piiCountsExpr(text)
+    val pii = piiCols.foldLeft(docs.select(col(id), col(text))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .withColumn("pii_gate",
+        piiCols.map { case (n, _) => col(n) }.reduce(_ + _) > 0)
+      .select(col(id) +: (piiCols.map { case (n, _) => col(n) } :+
+        col("pii_gate")): _*)
+    val clean = evalSet match {
+      case Some(ev) =>
+        val kept = Dedup.decontaminate(docs, ev, text, id)
+          .withColumn("__kept", lit(true))
+        docs.select(col(id)).join(kept, Seq(id), "left")
+          .select(col(id),
+            coalesce(!col("__kept"), lit(true)).as("contaminated"))
+      case None =>
+        docs.select(col(id), lit(false).as("contaminated"))
+    }
+    val anon =
+      if (quasi.nonEmpty)
+        TextAnalysis.kAnonymize(docs, id, quasi, k)
+          .select(col(id), col("is_anonymous"))
+      else docs.select(col(id), lit(true).as("is_anonymous"))
+    lic.join(pii, Seq(id)).join(clean, Seq(id)).join(anon, Seq(id))
+      .withColumn("released",
+        !col("copyleft_gate") && !col("pii_gate") &&
+          !col("contaminated") && col("is_anonymous"))
+  }
+
+  /** Per-gate attrition over [[releaseGate]]'s verdicts — the release
+    * audit's funnel report: docs and tokens surviving raw →
+    * license_ok → pii_clean → decontaminated → anonymous, the gates
+    * applied SEQUENTIALLY in that order so each gate's own cost is
+    * visible; stage 5's survivors are exactly the `released = true`
+    * rows (spec-pinned). Same audit shape as [[funnel]]: five
+    * aggregates over one progressively gated frame.
+    */
+  def releaseFunnel(docs: DataFrame, text: String, id: String,
+      markers: Seq[(String, String)],
+      copyleft: Set[String] = Set("agpl", "gpl"),
+      evalSet: Option[DataFrame] = None,
+      quasi: Seq[String] = Nil, k: Int = 10): DataFrame = {
+    val g = releaseGate(docs, text, id, markers, copyleft, evalSet,
+        quasi, k)
+      .join(docs.select(col(id),
+        TextAnalysis.tokenCountExpr(text).cast("long").as("__nt")),
+        Seq(id))
+    def stage(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("__nt")), lit(0L)).as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"),
+          lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val s2 = g.filter(!col("copyleft_gate"))
+    val s3 = s2.filter(!col("pii_gate"))
+    val s4 = s3.filter(!col("contaminated"))
+    val s5 = s4.filter(col("is_anonymous"))
+    stage(1, "raw", g)
+      .unionByName(stage(2, "license_ok", s2))
+      .unionByName(stage(3, "pii_clean", s3))
+      .unionByName(stage(4, "decontaminated", s4))
+      .unionByName(stage(5, "anonymous", s5))
+  }
+
   /** Raw docs → TRAINING-READY sequences: [[curate]], then a
     * deterministic doc-level hash split (a document's chunks never
     * straddle train/val — the leakage rule), then sequence-packing of

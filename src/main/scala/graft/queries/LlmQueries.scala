@@ -2345,6 +2345,29 @@ object LlmQueries {
         k = 10, tPpm = 150000L)
         .orderBy("c_mktsegment", "acct_band")
     }),
+    // composed release-readiness gate (round-20 flagship): license +
+    // PII + decontamination + k-anonymity verdicts in ONE plan over
+    // the planted release half (even docs; odd docs are the eval
+    // corpus) — per doc the four gate columns and the released
+    // conjunction, every part an individually-oracled operator
+    "release_gate" -> ((s, d) => {
+      val (rel, ev) = releaseFixture(s, d)
+      graft.CurationJob.releaseGate(rel, "rtext", "doc_id",
+        licenseMarkers, evalSet = Some(ev),
+        quasi = Seq("source", "lang", "band"), k = 10)
+        .orderBy("doc_id")
+    }),
+    // the release audit's attrition funnel: docs/tokens surviving
+    // raw -> license_ok -> pii_clean -> decontaminated -> anonymous
+    // applied sequentially; stage 5 IS the released set (spec-pinned
+    // against the per-doc verdicts)
+    "release_funnel" -> ((s, d) => {
+      val (rel, ev) = releaseFixture(s, d)
+      graft.CurationJob.releaseFunnel(rel, "rtext", "doc_id",
+        licenseMarkers, evalSet = Some(ev),
+        quasi = Seq("source", "lang", "band"), k = 10)
+        .orderBy("stage_ord")
+    }),
     // word-blocklist content-safety gate: occurrence + distinct-type
     // hits against a bounded plan-literal term list, density ppm, and
     // the one-incidental-term-is-not-a-pattern gate verdict
@@ -2999,6 +3022,117 @@ object LlmQueries {
        |  FROM ugx)""".stripMargin
   }
 
+  /** Shared release-gate CTE chain (round-20): the planted release
+    * half, then the license / PII / decontamination / k-anonymity
+    * mirrors, ending with the per-doc verdict CTE `rgv` both release
+    * queries read. Each fragment replays its standalone oracle's
+    * shape (license_scan's positional substring join, pii_redact's
+    * regexp counts, decontaminate's 8-gram poly-hash semi-join, the
+    * k_anonymity sequential ladder at 3 quasi columns).
+    */
+  private def duckReleaseChain: String = {
+    val tmValues = licenseMarkers
+      .map { case (tag, p) => s"('$tag', '$p')" }.mkString(", ")
+    s"""rel AS (
+       |  SELECT doc_id, $releasePlantSql AS rtext, source, lang,
+       |    CAST(n_chars // 32 AS VARCHAR) AS band
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |rtm(tag, term) AS (VALUES $tmValues),
+       |rlt AS (SELECT doc_id, lower(rtext) AS t FROM rel),
+       |rps AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS p
+       |  FROM rlt),
+       |rmm AS (SELECT doc_id, rtm.tag, count(*) AS c
+       |  FROM rps JOIN rtm
+       |    ON substring(rps.t, CAST(rps.p AS INT), len(rtm.term))
+       |      = rtm.term
+       |  GROUP BY 1, 2),
+       |rwin AS (SELECT doc_id,
+       |    list_sort(list(struct_pack(h := -c, t := tag))) AS sl
+       |  FROM rmm GROUP BY 1),
+       |rlic AS (SELECT r.doc_id,
+       |    coalesce(list_filter(w.sl, s -> s.h < 0)[1].t, 'unknown')
+       |      AS license
+       |  FROM rel r LEFT JOIN rwin w USING (doc_id)),
+       |rpii AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(rtext,
+       |      '${TextAnalysis.emailRe}')) AS BIGINT) AS n_email,
+       |    CAST(len(regexp_extract_all(rtext,
+       |      '${TextAnalysis.ipRe}')) AS BIGINT) AS n_ip,
+       |    CAST(len(regexp_extract_all(rtext,
+       |      '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phone
+       |  FROM rel),
+       |rtht AS (SELECT doc_id,
+       |    list_transform(list_filter(string_split(lower(rtext), ' '),
+       |      t -> t != ''), t -> ${duckPolyHash("t")}) AS th
+       |  FROM rel
+       |  WHERE len(list_filter(string_split(lower(rtext), ' '),
+       |      t -> t != '')) > 0),
+       |rthe AS (SELECT doc_id,
+       |    list_transform(list_filter(string_split(lower(text), ' '),
+       |      t -> t != ''), t -> ${duckPolyHash("t")}) AS th
+       |  FROM documents
+       |  WHERE doc_id % 2 = 1
+       |    AND len(list_filter(string_split(lower(text), ' '),
+       |      t -> t != '')) > 0),
+       |rgt AS (SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, greatest(len(th) - 7, 1)),
+       |      i -> list_reduce(
+       |             list_slice(th, i, i + least(8, len(th)) - 1),
+       |             (acc, h) -> (acc * 31 + h) % $P))) AS gram
+       |  FROM rtht),
+       |rge AS (SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, greatest(len(th) - 7, 1)),
+       |      i -> list_reduce(
+       |             list_slice(th, i, i + least(8, len(th)) - 1),
+       |             (acc, h) -> (acc * 31 + h) % $P))) AS gram
+       |  FROM rthe),
+       |rbad AS (SELECT DISTINCT tr.doc_id
+       |  FROM rgt tr JOIN rge ev ON tr.gram = ev.gram),
+       |rkb AS (SELECT doc_id AS id,
+       |    coalesce(CAST(source AS VARCHAR), '<null>') AS q0,
+       |    coalesce(CAST(lang AS VARCHAR), '<null>') AS q1,
+       |    coalesce(band, '<null>') AS q2
+       |  FROM rel),
+       |rkc0 AS (SELECT q0, q1, q2, CAST(count(*) AS BIGINT) AS n
+       |  FROM rkb GROUP BY 1, 2, 3),
+       |rkt0 AS (SELECT rkb.id, rkb.q0, rkb.q1, rkb.q2, rkc0.n
+       |  FROM rkb JOIN rkc0 USING (q0, q1, q2)),
+       |rkp0 AS (SELECT id, n FROM rkt0 WHERE n >= 10),
+       |rkr0 AS (SELECT id, q0, q1 FROM rkt0 WHERE n < 10),
+       |rkc1 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n
+       |  FROM rkr0 GROUP BY 1, 2),
+       |rkt1 AS (SELECT rkr0.id, rkr0.q0, rkc1.n
+       |  FROM rkr0 JOIN rkc1 USING (q0, q1)),
+       |rkp1 AS (SELECT id, n FROM rkt1 WHERE n >= 10),
+       |rkr1 AS (SELECT id, q0 FROM rkt1 WHERE n < 10),
+       |rkc2 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n
+       |  FROM rkr1 GROUP BY 1),
+       |rkt2 AS (SELECT rkr1.id, rkc2.n
+       |  FROM rkr1 JOIN rkc2 USING (q0)),
+       |rkp2 AS (SELECT id, n FROM rkt2 WHERE n >= 10),
+       |rkr2 AS (SELECT id FROM rkt2 WHERE n < 10),
+       |rkc3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rkr2),
+       |rkp3 AS (SELECT id, rkc3.n FROM rkr2, rkc3),
+       |rkan AS (SELECT id, n >= 10 AS is_anonymous FROM (
+       |  SELECT * FROM rkp0 UNION ALL SELECT * FROM rkp1
+       |  UNION ALL SELECT * FROM rkp2 UNION ALL SELECT * FROM rkp3)),
+       |rgv AS (
+       |  SELECT r.doc_id, l.license,
+       |    l.license IN ('agpl', 'gpl') AS copyleft_gate,
+       |    p.n_email, p.n_ip, p.n_phone,
+       |    (p.n_email + p.n_ip + p.n_phone) > 0 AS pii_gate,
+       |    r.doc_id IN (SELECT doc_id FROM rbad) AS contaminated,
+       |    ka.is_anonymous,
+       |    CAST(len(string_split_regex(trim(r.rtext), '\\s+'))
+       |      AS BIGINT) AS nt
+       |  FROM rel r JOIN rlic l USING (doc_id)
+       |  JOIN rpii p USING (doc_id)
+       |  JOIN rkan ka ON ka.id = r.doc_id)""".stripMargin
+  }
+
   private def duckPolyHash(s: String): String =
     s"""list_reduce(list_transform(generate_series(1, length($s)),
         i -> CAST(ascii(substring($s, i, 1)) AS BIGINT)),
@@ -3178,6 +3312,36 @@ object LlmQueries {
       |  WHEN 5 THEN concat(text,
       |    ' permission is hereby granted, free of charge under the gnu general public license')
       |  ELSE text END""".stripMargin.replace("\n", " ")
+
+  /** Planted release corpus for `release_gate`/`release_funnel`
+    * (round-20): the license_scan slices (copyleft markers land on
+    * doc_id%7 ∈ {3,5}) plus a PII suffix (email + phone) on the
+    * doc_id%5=2 slice — shared verbatim with the mirror so both
+    * engines gate the identical planted text.
+    */
+  private val releasePlantSql: String =
+    s"""CASE WHEN doc_id % 5 = 2 THEN concat($licensePlantSql,
+       |  ' contact user', doc_id, '@example', doc_id % 7,
+       |  '.com or 555-', 100 + doc_id % 900, '-',
+       |  1000 + doc_id % 9000)
+       |ELSE $licensePlantSql END""".stripMargin.replace("\n", " ")
+
+  /** The release-gate fixture frames: the planted release half (even
+    * docs with `rtext` + quasi metadata) and the eval corpus (odd
+    * docs, raw text). Shared by `release_gate`/`release_funnel`.
+    */
+  private def releaseFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val docs = t(s, d, "documents")
+    val rel = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), expr(releasePlantSql).as("rtext"),
+        col("source"), col("lang"),
+        expr("CAST(n_chars DIV 32 AS STRING)").as("band"))
+    val ev = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text").as("rtext"))
+    (rel, ev)
+  }
 
   /** Shared engine-side arm scoreboard (retrieval_eval_arms /
     * retrieval_sig): the planted graded qrels scored against the
@@ -9279,6 +9443,44 @@ object LlmQueries {
          |  (CASE WHEN m <= 1 THEN 0 ELSE acc // (m - 1) END)
          |    <= 150000 AS is_close
          |FROM emd ORDER BY c_mktsegment, acct_band""".stripMargin,
+    // composed release-gate mirror: the shared rgv verdict chain,
+    // projected per doc with the released conjunction
+    "release_gate" ->
+      s"""WITH $duckReleaseChain
+         |SELECT doc_id, license, copyleft_gate,
+         |  n_email, n_ip, n_phone, pii_gate, contaminated,
+         |  is_anonymous,
+         |  (NOT copyleft_gate AND NOT pii_gate AND NOT contaminated
+         |    AND is_anonymous) AS released
+         |FROM rgv ORDER BY doc_id""".stripMargin,
+    // funnel mirror: the same rgv chain aggregated per sequential
+    // gate — stage 5's predicate equals the released conjunction
+    "release_funnel" ->
+      s"""WITH $duckReleaseChain
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens
+         |  FROM rgv
+         |  UNION ALL
+         |  SELECT 2, 'license_ok', count(*),
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+         |  FROM rgv WHERE NOT copyleft_gate
+         |  UNION ALL
+         |  SELECT 3, 'pii_clean', count(*),
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+         |  FROM rgv WHERE NOT copyleft_gate AND NOT pii_gate
+         |  UNION ALL
+         |  SELECT 4, 'decontaminated', count(*),
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+         |  FROM rgv WHERE NOT copyleft_gate AND NOT pii_gate
+         |    AND NOT contaminated
+         |  UNION ALL
+         |  SELECT 5, 'anonymous', count(*),
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+         |  FROM rgv WHERE NOT copyleft_gate AND NOT pii_gate
+         |    AND NOT contaminated AND is_anonymous
+         |) ORDER BY stage_ord""".stripMargin,
     "multimatch_counts" ->
       s"""WITH tm(i, term) AS (VALUES $acTermsValues),
          |ps AS (SELECT doc_id, text AS t,

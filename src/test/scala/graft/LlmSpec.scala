@@ -269,6 +269,46 @@ class LlmSpec extends AnyFunSuite {
       ("decontaminated", 1L)))
   }
 
+  test("releaseGate/releaseFunnel: each compliance gate drops " +
+      "exactly its targeted doc; funnel rows pin to the per-doc " +
+      "verdicts") {
+    val good = "the cat and the dog is in the house of a king to see"
+    val decon =
+      "every brave knight must guard a tall tower of stone and gold for the queen"
+    val markers = Seq("gpl" -> "gnu general public license",
+      "mit" -> "permission is hereby granted")
+    val corpus = Seq(
+      (0L, good, "m"),                              // released
+      (1L, good + " gnu general public license", "m"), // copyleft
+      (2L, good + " mail a@b.com", "m"),            // pii
+      (3L, decon, "m"),                             // contaminated
+      (4L, good + " extra", "z"))                   // lone quasi: not k-anon
+      .toDF("doc_id", "text", "qa")
+    val ev = Seq((100L, decon)).toDF("doc_id", "text")
+    val g = graft.CurationJob.releaseGate(corpus, "text", "doc_id",
+        markers, copyleft = Set("gpl"), evalSet = Some(ev),
+        quasi = Seq("qa"), k = 2)
+      .orderBy("doc_id").collect()
+    // columns: doc_id, license, copyleft_gate, n_email, n_ip,
+    // n_phone, pii_gate, contaminated, is_anonymous, released
+    assert(g.map(_.getBoolean(9)).toSeq ===
+      Seq(true, false, false, false, false))
+    assert(g(1).getString(1) === "gpl" && g(1).getBoolean(2))
+    assert(g(2).getLong(3) === 1L && g(2).getBoolean(6))
+    assert(g(3).getBoolean(7))          // shares 8-gram run w/ eval
+    assert(!g(4).getBoolean(8))         // 1-row class at all-star
+    val f = graft.CurationJob.releaseFunnel(corpus, "text",
+        "doc_id", markers, copyleft = Set("gpl"),
+        evalSet = Some(ev), quasi = Seq("qa"), k = 2)
+      .orderBy("stage_ord").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(f === Array(("raw", 5L), ("license_ok", 4L),
+      ("pii_clean", 3L), ("decontaminated", 2L), ("anonymous", 1L)))
+    // the funnel's terminal stage IS the released verdict set — the
+    // pin the composition contract requires
+    assert(f.last._2 === g.count(_.getBoolean(9)).toLong)
+  }
+
   test("mixtureWeights: largest feasible corpus under the target mix") {
     val df = Seq((0L, "a", "x x x x"), (1L, "b", "y y"),
       (2L, "c", "untargeted domain ignored entirely"))
