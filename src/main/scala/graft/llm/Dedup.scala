@@ -198,21 +198,60 @@ object Dedup {
       PolyHashColumns.minhashSig(
         PolyHashColumns.shingleHashes(col(text))).as("sig"))
 
-  /** Banded LSH buckets: one row per (doc, band) with the band key =
-    * polynomial hash of that band's signature slice. groupBy-able;
-    * docs sharing a band key are near-dup candidates.
+  /** S-curve auto-parameterization of the banded LSH layout
+    * (round-20, the `semdedup_auto` k=√n move applied to the MinHash
+    * family): given a target Jaccard threshold, pick the (bands,
+    * rows) factorization of the K-hash signature whose S-curve
+    * inflection (1/b)^(1/r) — the similarity where the candidate
+    * probability 1−(1−s^r)^b crosses ~½ — lands closest to the
+    * target, so callers state the THRESHOLD they care about instead
+    * of hand-tuning band counts. Ties prefer the larger r (the
+    * steeper curve: fewer sub-threshold false candidates reach the
+    * verify stage). Driver-side integer selection over ≤ d(K)
+    * divisor pairs — deterministic, spec-pinned; at the committed
+    * K=16: 0.9→(2,8), 0.8→(4,4) (the hand-tuned default), 0.35→(8,2),
+    * 0.05→(16,1).
     */
-  def lshBuckets(signatures: DataFrame, id: String): DataFrame =
+  def lshAutoParams(targetJaccard: Double,
+      numHashes: Int = HashConstants.minhashA.size): (Int, Int) = {
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      "need 0 < targetJaccard < 1")
+    require(numHashes >= 2 && numHashes <= 1024,
+      "need 2 <= numHashes <= 1024")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) =>
+        (math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), -r)
+      }
+  }
+
+  /** Banded LSH buckets at an explicit (bands, rows) layout — the
+    * [[lshAutoParams]] consumer. One row per (doc, band) with the
+    * band key = polynomial hash of that band's signature slice.
+    * groupBy-able; docs sharing a band key are near-dup candidates.
+    */
+  def lshBucketsAt(signatures: DataFrame, id: String, bands: Int,
+      rows: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1 &&
+        bands * rows <= HashConstants.minhashA.size,
+      s"need bands*rows <= K=${HashConstants.minhashA.size}")
     signatures
       .select(col(id),
         explode(expr(
-          s"""transform(sequence(0, ${lshBands - 1}),
+          s"""transform(sequence(0, ${bands - 1}),
               b -> named_struct('band', b,
-                   'band_key', aggregate(slice(sig, b * $lshRows + 1, $lshRows),
+                   'band_key', aggregate(slice(sig, b * $rows + 1, $rows),
                                 0L, (acc, h) -> (acc * 31 + h) % $P)))"""))
           .as("bk"))
       .select(col(id), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
+  }
+
+  /** Banded LSH buckets at the committed near-dup default layout
+    * (4×4 — [[HashConstants.lshBands]]).
+    */
+  def lshBuckets(signatures: DataFrame, id: String): DataFrame =
+    lshBucketsAt(signatures, id, lshBands, lshRows)
 
   /** Candidate near-dup pairs: collect each (band, band_key) bucket's
     * member ids with ONE shuffle, emit all within-bucket pairs

@@ -226,6 +226,22 @@ object LlmQueries {
       val buckets = Dedup.lshBuckets(sigs, "doc_id")
       Dedup.candidatePairs(buckets, "doc_id").orderBy("id1", "id2")
     }),
+    // S-curve auto-parameterized LSH (round-20): the caller states a
+    // target Jaccard threshold (0.9 here) and the layout is DERIVED —
+    // (1/b)^(1/r) closest to the target over the divisor pairs of
+    // K=16, which picks the steeper 2x8 layout instead of the
+    // hand-tuned near-dup 4x4; the chosen layout rides as pinned
+    // literal columns
+    "lsh_auto" -> ((s, d) => {
+      val (b, r) = Dedup.lshAutoParams(0.9)
+      val sigs = Dedup.minhashSignatures(t(s, d, "documents"), "text",
+        "doc_id")
+      Dedup.lshBucketsAt(sigs, "doc_id", b, r)
+        .withColumn("band", col("band").cast("long"))
+        .withColumn("n_bands", lit(b.toLong))
+        .withColumn("n_rows", lit(r.toLong))
+        .orderBy("doc_id", "band")
+    }),
     "dedup_neardup_flow" -> ((s, d) => {
       Dedup.dedupNearDup(t(s, d, "documents"), "text", "doc_id", 0.8)
         .orderBy("doc_id")
@@ -5179,6 +5195,24 @@ object LlmQueries {
          |  ON a.band = b.band AND a.band_key = b.band_key
          | AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin,
+    // auto-parameterized LSH mirror: the same signature chain banded
+    // at the layout the SHARED Scala derivation picks for the 0.9
+    // target (the pinned-literal discipline — both engines stamp the
+    // identical (b, r))
+    "lsh_auto" -> {
+      val (ab, ar) = Dedup.lshAutoParams(0.9)
+      val bands = (0 until ab).map { bi =>
+        s"""SELECT doc_id, CAST($bi AS BIGINT) AS band,
+            list_reduce(list_slice(sig, ${bi * ar + 1}, ${(bi + 1) * ar}),
+              (acc, h) -> (acc * 31 + h) % $P) AS band_key FROM sigs"""
+      }
+      s"""WITH $sigCte,
+         |abuckets AS (${bands.mkString(" UNION ALL ")})
+         |SELECT doc_id, band, band_key,
+         |  CAST($ab AS BIGINT) AS n_bands,
+         |  CAST($ar AS BIGINT) AS n_rows
+         |FROM abuckets ORDER BY doc_id, band""".stripMargin
+    },
     "dedup_neardup_flow" ->
       s"""WITH $repsCte, ${sigCteFrom("reps")}, $bandCte, ${cappedCte()},
          |$verifiedCtes,

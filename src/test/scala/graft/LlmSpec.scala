@@ -28,6 +28,37 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("lshAutoParams: S-curve threshold picks the (bands, rows) " +
+      "layout; the auto layout buckets the planted near-dup pair") {
+    // (1/b)^(1/r) over the divisor pairs of K=16:
+    // (1,16)=1.0, (2,8)=.917, (4,4)=.707, (8,2)=.354, (16,1)=.0625
+    assert(Dedup.lshAutoParams(0.9) === ((2, 8)))
+    assert(Dedup.lshAutoParams(0.8) === ((4, 4))) // = the hand-tuned
+    assert(Dedup.lshAutoParams(0.35) === ((8, 2))) //   committed 4x4
+    assert(Dedup.lshAutoParams(0.05) === ((16, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.lshAutoParams(1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshBucketsAt(null, "doc_id", 4, 8) // 32 > K=16
+    }
+    // a one-edit near-dup pair under the auto 0.9 layout (2x8):
+    // deterministic hashes make this a stable pin, not a coin flip
+    val df = docs(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy dog again and again!",
+      "a completely different document about spark and data engines")
+    val sigs = Dedup.minhashSignatures(df, "text", "doc_id")
+    val (b, r) = Dedup.lshAutoParams(0.9)
+    val shared = Dedup.lshBucketsAt(sigs, "doc_id", b, r)
+      .groupBy("band", "band_key")
+      .agg(org.apache.spark.sql.functions.collect_set(
+        org.apache.spark.sql.functions.col("doc_id")).as("ids"))
+      .collect().map(_.getSeq[Long](2).toSet)
+    assert(shared.exists(s => s.contains(0L) && s.contains(1L)))
+    assert(!shared.exists(s => s.contains(0L) && s.contains(2L)))
+  }
+
   test("hashSplit: deterministic, exhaustive, and stable under corpus growth") {
     val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
     val split = TextAnalysis.hashSplit(ids, "doc_id", 7L)
