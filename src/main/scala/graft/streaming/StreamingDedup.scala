@@ -798,6 +798,76 @@ object StreamingDedup {
         })
   }
 
+  /** One paired per-unit comparison for the streaming sign test. */
+  case class SignEvent(sysA: String, sysB: String, ma: Long, mb: Long)
+
+  /** Live per-pair sign-test row — the exact column set of the batch
+    * [[graft.llm.Retrieval.pairedSignTest]].
+    */
+  case class SignTestRow(sys_a: String, sys_b: String, n_pairs: Long,
+      wins_a: Long, wins_b: Long, ties: Long, mean_diff_ppm: Long,
+      z_sign: Double)
+
+  /** Streaming PAIRED SIGN TEST (round-20): maintain, per system
+    * pair, the (wins_a, wins_b, ties, diff-sum) counters across
+    * micro-batches and emit the batch operator's exact row on every
+    * update — so a live A/B (an interleaving experiment emitting one
+    * paired metric row per query) can read its significance
+    * mid-rollout instead of after the batch audit. The
+    * [[positionBiasStage]] pattern: state is FOUR longs per pair
+    * (bounded by the system-pair count, never the stream), counter
+    * merges are exact integer adds in any arrival order, and the z
+    * tail replays the batch's fixed-order IEEE sequence from those
+    * integers — after the same comparisons, streaming and batch rows
+    * are bit-identical (spec-pinned).
+    *
+    * Contract (what the batch front half does that a stream cannot):
+    * the feed must carry ONE canonically-oriented (sys_a < sys_b)
+    * paired comparison per (pair, unit) — the batch operator's
+    * duplicate-collapse happens at fit/feed construction, because a
+    * counted comparison cannot be retracted; NULL-metric rows drop
+    * (the no-qrels-unit rule); at-least-once delivery overcounts,
+    * the same contract as every additive streaming aggregate here.
+    */
+  def signTestStage(pairs: DataFrame, sysA: String, sysB: String,
+      metricA: String, metricB: String): Dataset[SignTestRow] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .select(col(sysA).cast("string").as("sysA"),
+        col(sysB).cast("string").as("sysB"),
+        col(metricA).cast("long").as("ma"),
+        col(metricB).cast("long").as("mb"))
+      .filter(col("ma").isNotNull && col("mb").isNotNull)
+      .as[SignEvent]
+      .groupByKey(e => (e.sysA, e.sysB))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (key: (String, String), rows: Iterator[SignEvent],
+            state: GroupState[(Long, Long, Long, Long)]) => {
+          var (wa, wb, ts, dsum) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          rows.foreach { e =>
+            if (e.ma > e.mb) wa += 1L
+            else if (e.mb > e.ma) wb += 1L
+            else ts += 1L
+            dsum += e.ma - e.mb
+          }
+          state.update((wa, wb, ts, dsum))
+          val n = wa + wb + ts
+          def r6(x: Double): Double =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue
+          val z =
+            if (wa + wb == 0L) 0.0
+            else r6((wa.toDouble - wb.toDouble) /
+              math.sqrt((wa + wb).toDouble))
+          // Scala Long / truncates toward zero = the batch DIV
+          Iterator.single(SignTestRow(key._1, key._2, n, wa, wb, ts,
+            dsum / n, z))
+        })
+  }
+
   /** One run row for the streaming retrieval-eval audit. */
   case class RunEvent(query_id: Long, doc_id: Long, rank: Long)
 

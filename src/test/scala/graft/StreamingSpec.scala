@@ -2023,6 +2023,85 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming paired sign test accumulates across micro-batches " +
+      "and the final scoreboard equals the batch operator to the bit") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.Retrieval
+    val schema = StructType(Seq(
+      StructField("sa", StringType), StructField("sb", StringType),
+      StructField("ma", LongType), StructField("mb", LongType)))
+    // one canonically-oriented comparison per (pair, unit) — the
+    // LlmSpec pairedSignTest fixture re-expressed as the paired feed
+    // an interleaving experiment emits; one NULL-metric row rides
+    // along (a no-qrels unit: dropped, not a crash)
+    type E = (String, String, Option[Long], Option[Long])
+    val feed1: Seq[E] = Seq(
+      ("A", "B", Some(10L), Some(3L)),
+      ("A", "B", Some(10L), Some(3L)),
+      ("A", "B", Some(10L), Some(3L)),
+      ("A", "C", Some(10L), Some(2L)),
+      ("A", "C", Some(10L), Some(2L)),
+      ("B", "C", Some(3L), Some(2L)),
+      ("A", "C", None, Some(5L)))
+    val feed2: Seq[E] = Seq(
+      ("A", "B", Some(1L), Some(8L)),
+      ("A", "B", Some(5L), Some(5L)),
+      ("A", "C", Some(1L), Some(2L)),
+      ("A", "C", Some(5L), Some(2L)),
+      ("B", "C", Some(3L), Some(2L)),
+      ("B", "C", Some(8L), Some(2L)),
+      ("B", "C", Some(5L), Some(2L)))
+    val dir = java.nio.file.Files.createTempDirectory("st_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st_ck").toString
+    def write(
+        rows: Seq[(String, String, Option[Long], Option[Long])])
+        : Unit =
+      rows.toDF("sa", "sb", "ma", "mb").write.mode("append")
+        .parquet(dir)
+    write(feed1)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    @volatile var last = Map.empty[(String, String),
+      StreamingDedup.SignTestRow]
+    val q = StreamingDedup.signTestStage(stream, "sa", "sb",
+        "ma", "mb")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[
+           StreamingDedup.SignTestRow], _: Long) =>
+          df.collect().foreach(r =>
+            last = last.updated((r.sys_a, r.sys_b), r))
+      }.start()
+    q.processAllAvailable()
+    // mid-stream: counters reflect exactly the delivered prefix
+    assert(last(("A", "B")).n_pairs === 3L &&
+      last(("A", "B")).wins_a === 3L)
+    assert(last(("A", "C")).n_pairs === 2L) // NULL row dropped
+    write(feed2)
+    q.processAllAvailable()
+    q.stop()
+    // bit parity with the batch operator over the accumulated feed
+    val scores = Seq(
+      ("A", 0L, Some(10L)), ("A", 1L, Some(10L)),
+      ("A", 2L, Some(10L)), ("A", 3L, Some(1L)), ("A", 4L, Some(5L)),
+      ("B", 0L, Some(3L)), ("B", 1L, Some(3L)), ("B", 2L, Some(3L)),
+      ("B", 3L, Some(8L)), ("B", 4L, Some(5L)),
+      ("C", 0L, None: Option[Long]), ("C", 1L, Some(2L)),
+      ("C", 2L, Some(2L)), ("C", 3L, Some(2L)), ("C", 4L, Some(2L)))
+      .toDF("arm", "query_id", "ndcg_ppm")
+    val batch = Retrieval.pairedSignTest(scores, "arm", "query_id",
+        "ndcg_ppm")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    assert(batch.keySet === last.keySet)
+    batch.foreach { case (k, b) =>
+      val s = last(k)
+      assert(b === ((s.n_pairs, s.wins_a, s.wins_b, s.ties,
+        s.mean_diff_ppm, s.z_sign)), s"pair $k")
+    }
+  }
+
   test("streaming retrieval-eval converges across micro-batches to " +
       "the batch scoreboard row to the bit") {
     import graft.streaming.StreamingDedup
