@@ -3562,11 +3562,31 @@ object TextAnalysis {
     * [[rankedVocabCut]] — no window ever sees the full candidate
     * frame.
     */
+  /** Reversible byte→char fold for the BYTE-grain tokenizer fits:
+    * each UTF-8 byte of the word becomes the single char with that
+    * codepoint (ISO-8859-1 is the 1:1 byte↔U+00..U+FF charset), so
+    * the char-grain lattice/candidate machinery runs UNCHANGED over
+    * byte sequences — `length` counts bytes, single-char pieces ARE
+    * single bytes (the SentencePiece byte-fallback floor), and the
+    * char sort order equals the byte order. Rendered back to the
+    * lowercase-hex convention ([[bpeBytesApply]]'s token repr) at
+    * the output edge.
+    */
+  private def byteMapExpr(c: String): Column =
+    expr(s"decode(encode($c, 'UTF-8'), 'ISO-8859-1')")
+
+  private[llm] def hexOfMapped(piece: String): String =
+    piece.map(ch => f"${ch.toInt}%02x").mkString
+
   def unigramFit(df: DataFrame, text: String, vocabN: Int = 64,
-      maxPiece: Int = 4): DataFrame = {
+      maxPiece: Int = 4, byteGrain: Boolean = false): DataFrame = {
     require(maxPiece >= 1 && vocabN >= 1, "need maxPiece/vocabN >= 1")
     val wordsOf = expr(s"filter(split(lower($text), ' '), t -> t != '')")
-    val cands = df.select(explode(wordsOf).as("__w"))
+    val words0 = df.select(explode(wordsOf).as("__w"))
+    val words =
+      if (byteGrain) words0.select(byteMapExpr("__w").as("__w"))
+      else words0
+    val cands = words
       .select(explode(expr(
         s"""flatten(transform(sequence(1, length(__w)),
            |  p -> transform(
@@ -3616,7 +3636,8 @@ object TextAnalysis {
     */
   def unigramEmFit(df: DataFrame, text: String, vocabN: Int = 64,
       maxPiece: Int = 4, iters: Int = 2, keepPpm: Long = 750000L,
-      maxWordLen: Int = 16, seedN: Int = 0): DataFrame = {
+      maxWordLen: Int = 16, seedN: Int = 0,
+      byteGrain: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
     require(iters >= 1 && iters <= 16, "need 1 <= iters <= 16")
     require(keepPpm >= 1L && keepPpm <= 1000000L,
@@ -3635,9 +3656,16 @@ object TextAnalysis {
       "seedN must be 0 (seed from vocabN) or >= vocabN")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    val words0 = df
       .select(explode(expr(
         s"filter(split(lower($text), ' '), t -> t != '')")).as("__w"))
+    val words = (if (byteGrain)
+        // byte grain (round-20): fold every word to its 1-char-per-
+        // UTF-8-byte form BEFORE the length gate, so maxWordLen
+        // bounds the BYTE lattice and single-char pieces are single
+        // bytes — the SentencePiece --byte_fallback production form
+        words0.select(byteMapExpr("__w").as("__w"))
+      else words0)
       .filter(length(col("__w")) <= maxWordLen)
       .groupBy(col("__w"))
       .agg(count(lit(1)).cast("long").as("__c"))
@@ -3645,7 +3673,8 @@ object TextAnalysis {
       // not replay rounds 1..r-1's scans (the kmeansCentroids rule)
       .localCheckpoint()
     var entries: Array[(String, Long)] =
-      unigramFit(df, text, if (seedN > 0) seedN else vocabN, maxPiece)
+      unigramFit(df, text, if (seedN > 0) seedN else vocabN, maxPiece,
+          byteGrain)
         .select("piece", "cnt").collect()
         .map(r => (r.getString(0), r.getLong(1)))
     var keepN: Long = vocabN.toLong
@@ -3671,7 +3700,11 @@ object TextAnalysis {
         .map { case ((p, s), _) => (p, s + 1L) }
     }
     entries.sortBy { case (p, s) => (-s, p) }.zipWithIndex
-      .map { case ((p, s), i) => (p, s, (i + 1).toLong) }
+      // byte grain renders pieces in the lowercase-hex byte repr at
+      // the OUTPUT edge; rank is fixed before rendering (the mapped
+      // char order equals the byte order, so either order agrees)
+      .map { case ((p, s), i) =>
+        (if (byteGrain) hexOfMapped(p) else p, s, (i + 1).toLong) }
       .toSeq.toDF("piece", "em_score", "rank")
   }
 

@@ -78,6 +78,16 @@ object LlmQueries {
     s"""concat($unigramFitText,
        |  ' ', source, CAST(doc_id % 97 AS STRING))""".stripMargin
 
+  /** Byte-grain unigram-EM fit text (round-20): the unigram fit
+    * fixture with a Latin-accent slice planted (the fertility_bytes
+    * move) so the byte lattice genuinely crosses multi-byte
+    * codepoint boundaries instead of degenerating to the char grain.
+    */
+  private val unigramBytesFitText =
+    s"""CASE WHEN doc_id % 3 = 1 THEN
+       |  replace(replace($unigramFitText, 'a', 'ä'), 'e', 'é')
+       |ELSE $unigramFitText END""".stripMargin.replace("\n", " ")
+
   /** Entity-decode fixture: the high-frequency crawl references in
     * named, decimal, and hex spellings, plus a double-encoded
     * '&amp;amp;lt;' that must resolve exactly ONE layer (single-pass
@@ -1613,6 +1623,19 @@ object LlmQueries {
         seedN = 256)
         .orderBy("rank")
     }),
+    // byte-grain unigram-LM EM (round-20): the SentencePiece
+    // --byte_fallback production form — every word folds to its
+    // UTF-8 byte sequence (1 char per byte) before the SAME EM
+    // chain, so the single-char floor IS the 256-byte fallback
+    // alphabet and pieces can cross multi-byte codepoint boundaries
+    // (a planted accent slice makes them actually do it); pieces
+    // render in the bpe_bytes lowercase-hex convention
+    "unigram_em_bytes" -> ((s, d) => {
+      TextAnalysis.unigramEmFit(t(s, d, "documents")
+        .withColumn("ftext", expr(unigramBytesFitText)), "ftext",
+        byteGrain = true)
+        .orderBy("rank")
+    }),
     // tokenize WITH the EM-fitted vocabulary (round-18): the same
     // Viterbi DP over the smoothed-expectation scores — closes the
     // EM loop end to end (fit -> segment); the fit's pruned pieces
@@ -2795,11 +2818,47 @@ object LlmQueries {
     * counted/ranked vocabulary `ugv`): the DuckDB mirror of
     * [[graft.llm.TextAnalysis.unigramFit]].
     */
-  private def duckUnigramVocab(vocabN: Int = 64): String =
-    s"""ugw AS (
-       |  SELECT unnest(list_filter(string_split(
-       |    lower($unigramFitText), ' '), t -> t != '')) AS w
-       |  FROM documents),
+  /** DuckDB mirror of the engine's byte→char fold (decode(encode(w,
+    * UTF-8), ISO-8859-1)): UTF-8 bytes from codepoint arithmetic
+    * (the 1-3 byte forms cover every BMP fixture), each byte
+    * rendered as the chr(byte) single char.
+    */
+  private def duckByteMap(w: String): String = {
+    def u = s"unicode(substring($w, CAST(i AS INT), 1))"
+    s"""array_to_string(flatten(list_transform(
+        generate_series(1, length($w)),
+        i -> CASE
+          WHEN $u < 128 THEN [chr($u)]
+          WHEN $u < 2048 THEN [chr(192 + $u // 64), chr(128 + $u % 64)]
+          ELSE [chr(224 + $u // 4096), chr(128 + ($u // 64) % 64),
+                chr(128 + $u % 64)] END)), '')"""
+  }
+
+  /** Lowercase-hex render of a byte-mapped piece (the engine's
+    * hexOfMapped output edge).
+    */
+  private def duckHexPieces(p: String): String =
+    s"""array_to_string(list_transform(
+        generate_series(1, length($p)),
+        i -> printf('%02x', unicode(substring($p, CAST(i AS INT), 1)))), '')"""
+
+  private def duckUnigramVocab(vocabN: Int = 64,
+      textSql: String = unigramFitText,
+      byteMap: Boolean = false): String = {
+    val head =
+      if (byteMap)
+        s"""ugw0 AS (
+           |  SELECT unnest(list_filter(string_split(
+           |    lower($textSql), ' '), t -> t != '')) AS w0
+           |  FROM documents),
+           |ugw AS (SELECT ${duckByteMap("w0")} AS w FROM ugw0)"""
+          .stripMargin
+      else
+        s"""ugw AS (
+           |  SELECT unnest(list_filter(string_split(
+           |    lower($textSql), ' '), t -> t != '')) AS w
+           |  FROM documents)""".stripMargin
+    s"""$head,
        |ugp AS (SELECT w,
        |  unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS p
        |  FROM ugw),
@@ -2814,6 +2873,7 @@ object LlmQueries {
        |  FROM ugt),
        |ugv AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM ugr
        |  WHERE rank <= $vocabN OR len(piece) = 1)""".stripMargin
+  }
 
   /** Unigram-LM EM replay ([[graft.llm.TextAnalysis.unigramEmFit]]):
     * per EM round, a piece-probability CTE (one correctly-rounded
@@ -7416,6 +7476,21 @@ object LlmQueries {
       s"""WITH ${duckUnigramVocab(256)},
          |${duckUnigramEm()}
          |SELECT piece, CAST(cnt AS BIGINT) AS em_score,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+         |    AS BIGINT) AS rank
+         |FROM uv3
+         |ORDER BY rank""".stripMargin,
+    // byte-grain EM mirror: the identical chain over byte-mapped
+    // words (codepoint→UTF-8 arithmetic, chr(byte) chars — the
+    // engine's ISO-8859-1 fold), hex-rendered at the output edge;
+    // rank is fixed on the mapped pieces, whose char order equals
+    // the byte order, so both renders agree
+    "unigram_em_bytes" ->
+      s"""WITH ${duckUnigramVocab(64, unigramBytesFitText,
+             byteMap = true)},
+         |${duckUnigramEm()}
+         |SELECT ${duckHexPieces("piece")} AS piece,
+         |  CAST(cnt AS BIGINT) AS em_score,
          |  CAST(row_number() OVER (ORDER BY cnt DESC, piece)
          |    AS BIGINT) AS rank
          |FROM uv3

@@ -3905,6 +3905,34 @@ class LlmSpec extends AnyFunSuite {
     assert(llEm >= ll(em1.toMap) - 1e-9)
   }
 
+  test("unigramEmFit byte grain: ASCII corpora are isomorphic to " +
+      "the char grain under hex render; multibyte pieces learn " +
+      "across codepoint boundaries over the byte-fallback floor") {
+    import graft.llm.TextAnalysis
+    val ascii = Seq((1L, "banana bandana"), (2L, "banana cabana"))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.unigramEmFit(ascii, "text", vocabN = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val by = TextAnalysis.unigramEmFit(ascii, "text", vocabN = 16,
+        byteGrain = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hx(s: String): String =
+      s.map(c => f"${c.toInt}%02x").mkString
+    // on ASCII the byte lattice IS the char lattice: same scores,
+    // same ranks, pieces hex-rendered 1:1
+    assert(by.toSeq === ch.map { case (p, s, r) => (hx(p), s, r) }.toSeq)
+    // accented corpus: the 2-byte 'é' participates in learned
+    // multi-byte pieces while its raw bytes stay in the single-char
+    // floor — the SentencePiece byte-fallback production shape (an
+    // unseen codepoint still tokenizes through its bytes)
+    val acc = Seq((1L, "café café café")).toDF("doc_id", "text")
+    val bv = TextAnalysis.unigramEmFit(acc, "text", vocabN = 8,
+        byteGrain = true)
+      .collect().map(_.getString(0)).toSet
+    assert(bv.contains("c3") && bv.contains("a9"))
+    assert(bv.exists(p => p.length > 2 && p.contains("c3")))
+  }
+
   test("unigramEmFit seedN: the broadened candidate pool beats the " +
       "frequency-top seed's corpus likelihood at equal final vocabN") {
     // fixture where a mass-carrying piece sits OUTSIDE the frequency
