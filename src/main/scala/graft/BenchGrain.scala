@@ -193,5 +193,17 @@ object BenchGrain {
     // (mix_weights_bpe 0.89x, _batched 1.02x, token_budget_cut_bpe
     // 0.90x, _batched 0.94x — all stay full-grain). retrieval_sig
     // rejected at 1.07x (checkpointed-arm stage floor).
-    "bpe_bytes_apply" -> 0.4, "fertility_bytes" -> 0.4)
+    "bpe_bytes_apply" -> 0.4, "fertility_bytes" -> 0.4,
+    // round-20 wave (same-window full vs grained, n=2 each arm):
+    // unigram_em_bytes 0.48x (the EM-fit volume-bound profile of its
+    // _vocab/_broad siblings, 0.51/0.53x) and ppl_buckets 0.78x
+    // (under the bar this window after r19's marginal 0.83x) survive.
+    // Rejected with measured reasons: curation_v6 0.89x (second
+    // rejection, r19 0.93x), retrieval_sig 0.94x (third rejection —
+    // checkpointed-arm stage floor), release_gate 1.03x /
+    // release_funnel 0.98x / t_closeness 1.02x (gram-join machinery
+    // and ladder levels are fixed-stage cost, not row volume),
+    // fertility_bytes at 0.25 read 0.94x of its committed 0.4 (no
+    // further volume gain — stays 0.4)
+    "unigram_em_bytes" -> 0.25, "ppl_buckets" -> 0.4)
 }
