@@ -133,13 +133,29 @@ object CurationJob {
         copyleft)
       .select(col(id), col("license"), col("copyleft_gate"))
     val piiCols = TextAnalysis.piiCountsExpr(text)
+    // one row per id, loudly (the lDiversity duplicate-id guard): a
+    // doubled doc id would multiply 2^4 through the four id-keyed
+    // verdict joins and silently inflate every funnel count — ids
+    // are unique by contract, so the PII frame (which scans every
+    // doc anyway) enforces it with a guard folded into the always-
+    // consumed first PII column
     val pii = piiCols.foldLeft(docs.select(col(id), col(text))) {
         case (df, (name, c)) => df.withColumn(name, c)
       }
       .withColumn("pii_gate",
         piiCols.map { case (n, _) => col(n) }.reduce(_ + _) > 0)
-      .select(col(id) +: (piiCols.map { case (n, _) => col(n) } :+
-        col("pii_gate")): _*)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__rc"),
+        (piiCols.map { case (n, _) => max(col(n)).as(n) } :+
+          max(col("pii_gate")).as("pii_gate")): _*)
+      .select(col(id) +: (expr(
+        s"""CASE WHEN __rc > 1L THEN raise_error(concat(
+           |  'releaseGate: duplicate id ', CAST($id AS STRING),
+           |  ' -- ids must be unique (run exact dedup upstream)'))
+           |ELSE ${piiCols.head._1} END""".stripMargin)
+          .as(piiCols.head._1) +:
+        (piiCols.tail.map { case (n, _) => col(n) } :+
+          col("pii_gate"))): _*)
     val clean = evalSet match {
       case Some(ev) =>
         val kept = Dedup.decontaminate(docs, ev, text, id)
@@ -179,20 +195,32 @@ object CurationJob {
       .join(docs.select(col(id),
         TextAnalysis.tokenCountExpr(text).cast("long").as("__nt")),
         Seq(id))
-    def stage(ord: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).cast("long").as("n_docs"),
-          coalesce(sum(col("__nt")), lit(0L)).as("n_tokens"))
-        .select(lit(ord.toLong).as("stage_ord"),
-          lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    val s2 = g.filter(!col("copyleft_gate"))
-    val s3 = s2.filter(!col("pii_gate"))
-    val s4 = s3.filter(!col("contaminated"))
-    val s5 = s4.filter(col("is_anonymous"))
-    stage(1, "raw", g)
-      .unionByName(stage(2, "license_ok", s2))
-      .unionByName(stage(3, "pii_clean", s3))
-      .unionByName(stage(4, "decontaminated", s4))
-      .unionByName(stage(5, "anonymous", s5))
+    // ONE conditional-aggregate pass (round-20 self-review): unlike
+    // [[funnel]], whose stages genuinely reshape the frame, stages
+    // 2-5 here are pure predicate prefixes over g's OWN boolean
+    // columns — five separate aggregates would re-execute the whole
+    // gate DAG (AC scan, gram semi-join, ladder) five times. The
+    // five funnel rows unfold from the single aggregated row.
+    val gates = Seq(
+      (1, "raw", lit(true)),
+      (2, "license_ok", !col("copyleft_gate")),
+      (3, "pii_clean", !col("copyleft_gate") && !col("pii_gate")),
+      (4, "decontaminated", !col("copyleft_gate") &&
+        !col("pii_gate") && !col("contaminated")),
+      (5, "anonymous", !col("copyleft_gate") && !col("pii_gate") &&
+        !col("contaminated") && col("is_anonymous")))
+    val aggCols = gates.flatMap { case (i, _, p) => Seq(
+      coalesce(sum(when(p, 1L)), lit(0L)).as(s"__d$i"),
+      coalesce(sum(when(p, col("__nt"))), lit(0L)).as(s"__t$i")) }
+    val agg = g.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(expr(gates.map { case (i, name, _) =>
+        s"named_struct('stage_ord', ${i}L, 'stage', '$name', " +
+          s"'n_docs', __d$i, 'n_tokens', __t$i)"
+      }.mkString("array(", ", ", ")"))).as("__s"))
+      .select(col("__s.stage_ord").as("stage_ord"),
+        col("__s.stage").as("stage"),
+        col("__s.n_docs").as("n_docs"),
+        col("__s.n_tokens").as("n_tokens"))
   }
 
   /** Raw docs → TRAINING-READY sequences: [[curate]], then a

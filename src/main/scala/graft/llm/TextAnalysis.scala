@@ -4326,8 +4326,17 @@ object TextAnalysis {
       .groupBy(col(id).as("__tid"))
       .agg(count(lit(1)).as("__tc"),
         max(col(sensitive).cast("long")).as("__tv0"),
+        // __tn counts genuine NULLs; __tb counts values the long
+        // cast silently NULLed (non-ANSI: a string attribute like
+        // 'disease' casts to NULL without error) — without the
+        // second counter the documented raise never fires and the
+        // null key crashes map_from_entries downstream with a
+        // misleading message (round-20 self-review)
         sum(when(col(sensitive).isNull, 1L).otherwise(0L))
-          .as("__tn"))
+          .as("__tn"),
+        sum(when(col(sensitive).isNotNull &&
+            col(sensitive).cast("long").isNull, 1L).otherwise(0L))
+          .as("__tb"))
       .select(col("__tid"), expr(
         "CASE WHEN __tc > 1L THEN raise_error(concat(" +
           "'tCloseness: duplicate id ', CAST(__tid AS STRING), " +
@@ -4336,6 +4345,10 @@ object TextAnalysis {
           "'tCloseness: NULL sensitive value for id ', " +
           "CAST(__tid AS STRING), ' -- an ordered EMD needs a " +
           "total order; map or drop NULLs upstream')) " +
+          "WHEN __tb > 0L THEN raise_error(concat(" +
+          "'tCloseness: sensitive value for id ', " +
+          "CAST(__tid AS STRING), ' is not castable to an ordered " +
+          "integer -- rank or bucket the attribute upstream')) " +
           "ELSE __tv0 END").as("__tv"))
     val clsSv = anon.join(sens, col(id) === col("__tid"))
       .groupBy(quasi.map(col) :+ col("__tv"): _*)

@@ -2825,13 +2825,20 @@ object LlmQueries {
     */
   private def duckByteMap(w: String): String = {
     def u = s"unicode(substring($w, CAST(i AS INT), 1))"
+    // 1-3 byte UTF-8 arithmetic covers the BMP; a supplementary
+    // (astral) codepoint needs the 4-byte form this mirror does not
+    // implement — fail LOUDLY instead of emitting wrong bytes while
+    // the engine's real decode/encode fold stays correct
     s"""array_to_string(flatten(list_transform(
         generate_series(1, length($w)),
         i -> CASE
           WHEN $u < 128 THEN [chr($u)]
           WHEN $u < 2048 THEN [chr(192 + $u // 64), chr(128 + $u % 64)]
-          ELSE [chr(224 + $u // 4096), chr(128 + ($u // 64) % 64),
-                chr(128 + $u % 64)] END)), '')"""
+          WHEN $u < 65536 THEN [chr(224 + $u // 4096),
+                chr(128 + ($u // 64) % 64), chr(128 + $u % 64)]
+          ELSE [chr(CAST(error('duckByteMap: supplementary ' ||
+                'codepoint needs the 4-byte UTF-8 form') AS INT))]
+          END)), '')"""
   }
 
   /** Lowercase-hex render of a byte-mapped piece (the engine's

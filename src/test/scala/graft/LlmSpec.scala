@@ -338,6 +338,16 @@ class LlmSpec extends AnyFunSuite {
     // the funnel's terminal stage IS the released verdict set — the
     // pin the composition contract requires
     assert(f.last._2 === g.count(_.getBoolean(9)).toLong)
+    // a duplicated doc id would multiply 2^4 through the verdict
+    // joins and silently inflate every funnel count — raise loudly
+    // instead (round-20 self-review)
+    val dup = corpus.union(Seq((0L, good, "m")).toDF(
+      "doc_id", "text", "qa"))
+    intercept[Exception] {
+      graft.CurationJob.releaseGate(dup, "text", "doc_id",
+        markers, copyleft = Set("gpl"), evalSet = Some(ev),
+        quasi = Seq("qa"), k = 2).collect()
+    }
   }
 
   test("mixtureWeights: largest feasible corpus under the target mix") {
@@ -2644,6 +2654,14 @@ class LlmSpec extends AnyFunSuite {
     intercept[Exception] {
       TextAnalysis.tCloseness(df, "id", Seq("qa"), "sv", 10,
         maxDomain = 2).collect()
+    }
+    // a non-numeric sensitive attribute casts to NULL silently
+    // (non-ANSI) — the ordered-EMD contract must raise, not crash
+    // later on a null map key (round-20 self-review)
+    intercept[Exception] {
+      TextAnalysis.tCloseness(
+        Seq((1L, "x", "flu"), (2L, "x", "cold"))
+          .toDF("id", "qa", "sv"), "id", Seq("qa"), "sv", 1).collect()
     }
     // a single-value domain defines emd = 0 (nothing to move)
     val one = Seq((1L, "x", 5L), (2L, "x", 5L))
