@@ -4061,7 +4061,8 @@ object TextAnalysis {
     */
   def licenseScan(df: DataFrame, text: String, id: String,
       markers: Seq[(String, String)],
-      copyleft: Set[String] = Set("agpl", "gpl")): DataFrame = {
+      copyleft: Set[String] = Set("agpl", "gpl"),
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
     require(markers.nonEmpty && markers.size <= 10000,
       "markers must be non-empty and bounded (<= 10000 phrases)")
@@ -4125,9 +4126,14 @@ object TextAnalysis {
       .withColumn("copyleft_gate", expr(
         s"array_contains($copyleftArr, license)"))
       .drop("__lm", "__lw")
-      .select(col(id), col("license"), col("license_hits"),
-        col("total_hits"), col("distinct_markers"),
-        col("copyleft_gate"))
+      // `carry` (round-20): columns to retain alongside the verdict
+      // — the streaming release-gate stage chains the PII and
+      // contamination gates over the SAME frame (a join-back would
+      // be a stream-stream join); Nil = the original projection
+      .select((col(id) +: carry.map(col)) ++
+        Seq(col("license"), col("license_hits"),
+          col("total_hits"), col("distinct_markers"),
+          col("copyleft_gate")): _*)
   }
 
   /** k-anonymity suppression ladder over a quasi-identifier tuple —

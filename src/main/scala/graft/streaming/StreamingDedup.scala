@@ -687,6 +687,45 @@ object StreamingDedup {
       copyleft: Set[String] = Set("agpl", "gpl")): DataFrame =
     TextAnalysis.licenseScan(docs, text, id, markers, copyleft)
 
+  /** Streaming RELEASE-GATE stage (round-20): the row-local three of
+    * [[graft.CurationJob.releaseGate]]'s four compliance gates over a
+    * live document feed — the Aho–Corasick license verdict (marker
+    * dictionary as plan literals), PII regex counts, and bloom
+    * decontamination against the offline-fitted eval set
+    * ([[decontamStage]]'s artifact pattern) — chained over ONE frame
+    * (no join anywhere, so no stream-stream join), emitting the
+    * per-doc verdict columns plus `released_rowlocal` (the
+    * conjunction of the three). The fourth gate, metadata
+    * k-anonymity, is inherently BATCH — a published class's size is
+    * a global count no single row can know — so it gates at release
+    * assembly over the accumulated corpus; this stage's verdict is
+    * therefore an UPPER BOUND on releasability, the right direction
+    * for a live divert-before-sharding filter. Zero state, any
+    * output mode; the bloom's no-false-negative guarantee carries
+    * over (contamination may over-flag an fpp fraction, never
+    * under-flag), and the license/PII columns are bit-identical to
+    * the batch operator's (spec-pinned).
+    */
+  def releaseGateStage(docs: DataFrame, text: String, id: String,
+      markers: Seq[(String, String)],
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      copyleft: Set[String] = Set("agpl", "gpl"),
+      n: Int = 8): DataFrame = {
+    val lic = TextAnalysis.licenseScan(docs, text, id, markers,
+      copyleft, carry = Seq(text))
+    val piiCols = TextAnalysis.piiCountsExpr(text)
+    val withPii = piiCols.foldLeft(lic) {
+        case (df, (nm, c)) => df.withColumn(nm, c)
+      }
+      .withColumn("pii_gate",
+        piiCols.map { case (nm, _) => col(nm) }.reduce(_ + _) > 0)
+    graft.llm.Dedup.withContaminationFlag(withPii, text, bloom, n)
+      .withColumn("released_rowlocal",
+        !col("copyleft_gate") && !col("pii_gate") &&
+          !col("contaminated"))
+      .drop(text)
+  }
+
   /** One (group, bucket, rho) HLL observation from the stateless
     * front half of [[hllStage]]. */
   /** One Count-Min increment: a token occurrence mapped to one

@@ -951,6 +951,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming release gate: the three row-local verdicts match " +
+      "the batch operator; bloom contamination never under-flags") {
+    import graft.streaming.StreamingDedup
+    import graft.llm.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val good = "the cat and the dog is in the house of a king to see"
+    val decon =
+      "every brave knight must guard a tall tower of stone and gold for the queen"
+    val markers = Seq("gpl" -> "gnu general public license",
+      "mit" -> "permission is hereby granted")
+    val corpus = Seq(
+      (0L, good),                                   // clean
+      (1L, good + " gnu general public license"),   // copyleft
+      (2L, good + " mail a@b.com"),                 // pii
+      (3L, decon))                                  // contaminated
+    val ev = Seq((100L, decon)).toDF("doc_id", "text")
+    val bloom = Dedup.decontamBloom(ev, "text")
+    val dir = java.nio.file.Files.createTempDirectory("rg_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rg_ck").toString
+    corpus.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = StreamingDedup.releaseGateStage(stream, "text", "doc_id",
+        markers, bloom, copyleft = Set("gpl"))
+      .writeStream.format("memory").queryName("rg_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rg_out").collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r)
+      .toMap
+    // live verdicts: exactly one doc trips each row-local gate
+    assert(out(0L).getBoolean(out(0L).fieldIndex("released_rowlocal")))
+    assert(out(1L).getBoolean(out(1L).fieldIndex("copyleft_gate")))
+    assert(out(2L).getBoolean(out(2L).fieldIndex("pii_gate")))
+    assert(out(3L).getBoolean(out(3L).fieldIndex("contaminated")))
+    // batch parity on the shared columns: license/PII bit-identical;
+    // bloom contamination ⊇ the exact batch drop set (no false
+    // negatives — equality on this fixture, and the superset
+    // relation is the guarantee)
+    val batch = graft.CurationJob.releaseGate(
+        corpus.toDF("doc_id", "text"), "text", "doc_id",
+        markers, copyleft = Set("gpl"), evalSet = Some(ev))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    corpus.foreach { case (i, _) =>
+      val (s, b) = (out(i), batch(i))
+      Seq("license", "copyleft_gate", "n_email", "n_ip", "n_phone",
+        "pii_gate").foreach { c =>
+        assert(s.get(s.fieldIndex(c)) === b.get(b.fieldIndex(c)),
+          s"doc $i col $c")
+      }
+      // never under-flag: batch-contaminated implies stream-flagged
+      assert(!b.getBoolean(b.fieldIndex("contaminated")) ||
+        s.getBoolean(s.fieldIndex("contaminated")))
+      assert(s.getBoolean(s.fieldIndex("contaminated")) ===
+        b.getBoolean(b.fieldIndex("contaminated")))
+    }
+  }
+
   test("streaming byte-level tokenizer: batch parity and live byte " +
       "fallback on out-of-fit scripts") {
     import graft.streaming.StreamingDedup
