@@ -137,25 +137,24 @@ object CurationJob {
     // doubled doc id would multiply 2^4 through the four id-keyed
     // verdict joins and silently inflate every funnel count — ids
     // are unique by contract, so the PII frame (which scans every
-    // doc anyway) enforces it with a guard folded into the always-
-    // consumed first PII column
-    val pii = piiCols.foldLeft(docs.select(col(id), col(text))) {
-        case (df, (name, c)) => df.withColumn(name, c)
-      }
-      .withColumn("pii_gate",
-        piiCols.map { case (n, _) => col(n) }.reduce(_ + _) > 0)
+    // doc anyway) enforces it. The guard folds into PII_GATE — the
+    // column every downstream path genuinely consumes (`released`
+    // conjoins it; every releaseFunnel stage predicate references
+    // it), so Catalyst pruning cannot drop the raise (round-20
+    // second self-review: a guard on n_email was dead code in the
+    // funnel path, which never reads the count columns)
+    val pii = TextAnalysis
+      .withPiiGate(docs.select(col(id), col(text)), text)
       .groupBy(col(id))
       .agg(count(lit(1)).as("__rc"),
         (piiCols.map { case (n, _) => max(col(n)).as(n) } :+
-          max(col("pii_gate")).as("pii_gate")): _*)
-      .select(col(id) +: (expr(
-        s"""CASE WHEN __rc > 1L THEN raise_error(concat(
-           |  'releaseGate: duplicate id ', CAST($id AS STRING),
-           |  ' -- ids must be unique (run exact dedup upstream)'))
-           |ELSE ${piiCols.head._1} END""".stripMargin)
-          .as(piiCols.head._1) +:
-        (piiCols.tail.map { case (n, _) => col(n) } :+
-          col("pii_gate"))): _*)
+          max(col("pii_gate")).as("__pg")): _*)
+      .select(col(id) +: (piiCols.map { case (n, _) => col(n) } :+
+        expr(
+          s"""CASE WHEN __rc > 1L THEN raise_error(concat(
+             |  'releaseGate: duplicate id ', CAST($id AS STRING),
+             |  ' -- ids must be unique (run exact dedup upstream)'))
+             |ELSE __pg END""".stripMargin).as("pii_gate")): _*)
     val clean = evalSet match {
       case Some(ev) =>
         val kept = Dedup.decontaminate(docs, ev, text, id)

@@ -1242,6 +1242,18 @@ object TextAnalysis {
     "n_ip" -> expr(s"regexp_count($text, '$ipRe')").cast("long"),
     "n_phone" -> expr(s"regexp_count($text, '$phoneRe')").cast("long"))
 
+  /** PII count columns + the `pii_gate` verdict (any hit) — the ONE
+    * shared construction of the batch release gate and its streaming
+    * stage, so the two can never drift out of their spec-pinned
+    * bit-parity (round-20 self-review).
+    */
+  def withPiiGate(df: DataFrame, text: String): DataFrame = {
+    val cols = piiCountsExpr(text)
+    cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .withColumn("pii_gate",
+        cols.map { case (n, _) => col(n) }.reduce(_ + _) > 0)
+  }
+
   // ---- Gopher-style quality rules ---------------------------------
 
   /** Composite rule-based quality gate (the published Gopher/C4-style

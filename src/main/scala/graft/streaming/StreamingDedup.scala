@@ -713,12 +713,10 @@ object StreamingDedup {
       n: Int = 8): DataFrame = {
     val lic = TextAnalysis.licenseScan(docs, text, id, markers,
       copyleft, carry = Seq(text))
-    val piiCols = TextAnalysis.piiCountsExpr(text)
-    val withPii = piiCols.foldLeft(lic) {
-        case (df, (nm, c)) => df.withColumn(nm, c)
-      }
-      .withColumn("pii_gate",
-        piiCols.map { case (nm, _) => col(nm) }.reduce(_ + _) > 0)
+    // the SHARED PII construction (TextAnalysis.withPiiGate) — one
+    // definition for batch and stream, so the spec-pinned parity
+    // cannot drift
+    val withPii = TextAnalysis.withPiiGate(lic, text)
     graft.llm.Dedup.withContaminationFlag(withPii, text, bloom, n)
       .withColumn("released_rowlocal",
         !col("copyleft_gate") && !col("pii_gate") &&

@@ -348,6 +348,15 @@ class LlmSpec extends AnyFunSuite {
         markers, copyleft = Set("gpl"), evalSet = Some(ev),
         quasi = Seq("qa"), k = 2).collect()
     }
+    // the guard must survive column pruning in the FUNNEL path too —
+    // the second self-review found a guard on n_email was dead code
+    // here (the funnel never reads the count columns); folded into
+    // pii_gate, which every stage predicate consumes, it fires
+    intercept[Exception] {
+      graft.CurationJob.releaseFunnel(dup, "text", "doc_id",
+        markers, copyleft = Set("gpl"), evalSet = Some(ev),
+        quasi = Seq("qa"), k = 2).collect()
+    }
   }
 
   test("mixtureWeights: largest feasible corpus under the target mix") {
