@@ -4414,6 +4414,54 @@ object TextAnalysis {
         Seq(col("group_n"), col("emd_ppm"), col("is_close")): _*)
   }
 
+  /** k-anonymity utility report over the [[kAnonymize]] ladder — the
+    * metric sheet a release uses to CHOOSE k: anonymity is free at
+    * k=1 and useless at k=N, and the cost in between is exactly how
+    * coarse the published classes had to become. Per ladder level:
+    * `n_classes`, `n_rows`, `n_anon_rows` / `n_supp_rows` (rows the
+    * level published anonymous vs flagged unanonymizable),
+    * `min_class_n` / `max_class_n` (class spread), and `disc_sum` —
+    * the Bayardo–Agrawal discernibility penalty Σ group_n² over the
+    * anonymous classes (each published row is indistinguishable from
+    * its whole class, so it "costs" the class size; suppressed rows
+    * are reported as a count and left to the caller's weighting,
+    * the standard n·|T| convention being policy). Exact long
+    * arithmetic: Σ group_n² ≤ n_rows², so an in-plan guard raises
+    * past √Long.Max rows per level instead of wrapping.
+    *
+    * Scale shape: two map-side-combined aggregates over the ladder
+    * output (class collapse, then level collapse); output bounded by
+    * quasi+1 rows. No windows, nothing driver-side.
+    */
+  def kAnonUtility(df: DataFrame, id: String, quasi: Seq[String],
+      k: Int): DataFrame = {
+    val anon = kAnonymize(df, id, quasi, k)
+    val cls = anon
+      .groupBy(col("anon_level") +: quasi.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__cn"),
+        // bool min == AND: a class is anonymous iff every member is
+        min(col("is_anonymous")).as("__an"))
+    cls.groupBy(col("anon_level"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("__cn")).cast("long").as("n_rows"),
+        sum(when(col("__an"), col("__cn")).otherwise(0L))
+          .cast("long").as("n_anon_rows"),
+        sum(when(!col("__an"), col("__cn")).otherwise(0L))
+          .cast("long").as("n_supp_rows"),
+        min(col("__cn")).cast("long").as("min_class_n"),
+        max(col("__cn")).cast("long").as("max_class_n"),
+        // per-term and per-sum overflow share one bound: each
+        // __cn <= Σ __cn and Σ __cn² <= (Σ __cn)², so rows-per-level
+        // <= floor(sqrt(Long.Max)) keeps the whole tree exact
+        expr("""CASE WHEN sum(__cn) > 3037000499L THEN raise_error(
+          |  'kAnonUtility: level row count exceeds the exact long
+          | discernibility bound (sqrt(Long.Max)) -- compute disc_sum
+          | in decimal or shard the audit')
+          |ELSE CAST(sum(CASE WHEN __an THEN __cn * __cn
+          |  ELSE 0L END) AS BIGINT) END""".stripMargin
+          .replace("\n", " ")).as("disc_sum"))
+  }
+
   /** Unicode text normalization — the canonical-form fold every
     * hash/equality-based operator (exact dedup, MinHash shingles,
     * decontamination joins, anchor grouping) needs upstream, since

@@ -2384,6 +2384,17 @@ object LlmQueries {
         k = 10, tPpm = 150000L)
         .orderBy("c_mktsegment", "acct_band")
     }),
+    // k-anonymity utility report (round-20): the metric sheet for
+    // CHOOSING k — per ladder level: class counts/spread, anonymous
+    // vs flagged rows, and the Bayardo-Agrawal discernibility
+    // penalty sum(group_n^2) over anonymous classes, exact longs
+    "k_anon_utility" -> ((s, d) => {
+      val cust = t(s, d, "customer").withColumn("acct_band", expr(
+        "CAST(CAST(floor(c_acctbal / 2000.0D) AS BIGINT) AS STRING)"))
+      TextAnalysis.kAnonUtility(cust, "c_custkey",
+        Seq("c_mktsegment", "c_nationkey", "acct_band"), k = 10)
+        .orderBy("anon_level")
+    }),
     // composed release-readiness gate (round-20 flagship): license +
     // PII + decontamination + k-anonymity verdicts in ONE plan over
     // the planted release half (even docs; odd docs are the eval
@@ -9559,6 +9570,60 @@ object LlmQueries {
          |  (CASE WHEN m <= 1 THEN 0 ELSE acc // (m - 1) END)
          |    <= 150000 AS is_close
          |FROM emd ORDER BY c_mktsegment, acct_band""".stripMargin,
+    // k-anonymity utility mirror: the SAME sequential ladder chain
+    // as k_anonymity, then class collapse (bool_and = the engine's
+    // min-boolean) and per-level aggregates incl. the exact
+    // discernibility sum
+    "k_anon_utility" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey AS id,
+         |    coalesce(CAST(c_mktsegment AS VARCHAR), '<null>') AS q0,
+         |    coalesce(CAST(c_nationkey AS VARCHAR), '<null>') AS q1,
+         |    coalesce(CAST(CAST(floor(c_acctbal / 2000.0)
+         |      AS BIGINT) AS VARCHAR), '<null>') AS q2
+         |  FROM customer),
+         |c0 AS (SELECT q0, q1, q2, CAST(count(*) AS BIGINT) AS n
+         |  FROM b GROUP BY 1, 2, 3),
+         |t0 AS (SELECT b.id, b.q0, b.q1, b.q2, c0.n
+         |  FROM b JOIN c0 USING (q0, q1, q2)),
+         |p0 AS (SELECT id, q0 AS g0, q1 AS g1, q2 AS g2,
+         |    0 AS lev, n FROM t0 WHERE n >= 10),
+         |r0 AS (SELECT id, q0, q1, q2 FROM t0 WHERE n < 10),
+         |c1 AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS n
+         |  FROM r0 GROUP BY 1, 2),
+         |t1 AS (SELECT r0.id, r0.q0, r0.q1, c1.n
+         |  FROM r0 JOIN c1 USING (q0, q1)),
+         |p1 AS (SELECT id, q0 AS g0, q1 AS g1, '*' AS g2,
+         |    1 AS lev, n FROM t1 WHERE n >= 10),
+         |r1 AS (SELECT id, q0, q1 FROM t1 WHERE n < 10),
+         |c2 AS (SELECT q0, CAST(count(*) AS BIGINT) AS n
+         |  FROM r1 GROUP BY 1),
+         |t2 AS (SELECT r1.id, r1.q0, c2.n
+         |  FROM r1 JOIN c2 USING (q0)),
+         |p2 AS (SELECT id, q0 AS g0, '*' AS g1, '*' AS g2,
+         |    2 AS lev, n FROM t2 WHERE n >= 10),
+         |r2 AS (SELECT id FROM t2 WHERE n < 10),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r2),
+         |p3 AS (SELECT id, '*' AS g0, '*' AS g1, '*' AS g2,
+         |    3 AS lev, c3.n FROM r2, c3),
+         |pub AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+         |  UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+         |cls AS (SELECT lev, g0, g1, g2,
+         |    CAST(count(*) AS BIGINT) AS cn,
+         |    bool_and(n >= 10) AS an
+         |  FROM pub GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(lev AS BIGINT) AS anon_level,
+         |  CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(cn) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN an THEN cn ELSE 0 END) AS BIGINT)
+         |    AS n_anon_rows,
+         |  CAST(sum(CASE WHEN an THEN 0 ELSE cn END) AS BIGINT)
+         |    AS n_supp_rows,
+         |  CAST(min(cn) AS BIGINT) AS min_class_n,
+         |  CAST(max(cn) AS BIGINT) AS max_class_n,
+         |  CAST(sum(CASE WHEN an THEN cn * cn ELSE 0 END) AS BIGINT)
+         |    AS disc_sum
+         |FROM cls GROUP BY lev ORDER BY anon_level""".stripMargin,
     // composed release-gate mirror: the shared rgv verdict chain,
     // projected per doc with the released conjunction
     "release_gate" ->

@@ -2679,6 +2679,23 @@ class LlmSpec extends AnyFunSuite {
       .collect()(0).getLong(2) === 0L)
   }
 
+  test("kAnonUtility: per-level class counts, anonymous/suppressed " +
+      "split, exact discernibility sum") {
+    // qa classes: m x4 (publishes level 0), z x1 (falls to the
+    // all-star level under k and publishes flagged)
+    val df = (Seq.fill(4)("m") :+ "z").zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("id", "qa")
+    val u = TextAnalysis.kAnonUtility(df, "id", Seq("qa"), k = 2)
+      .orderBy("anon_level").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    // level 0: one class of 4, anonymous, disc = 4^2
+    assert(u(0) === ((0L, 1L, 4L, 4L, 0L, 4L, 4L, 16L)))
+    // level 1 (all-star): the lone leftover row, flagged, disc 0
+    assert(u(1) === ((1L, 1L, 1L, 0L, 1L, 1L, 1L, 0L)))
+  }
+
   test("pairedSignTest: wins/ties/z hand pins, NULL metrics drop " +
       "the unit, negative mean diff truncates toward zero") {
     import graft.llm.Retrieval
