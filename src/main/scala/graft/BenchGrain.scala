@@ -205,5 +205,15 @@ object BenchGrain {
     // and ladder levels are fixed-stage cost, not row volume),
     // fertility_bytes at 0.25 read 0.94x of its committed 0.4 (no
     // further volume gain — stays 0.4)
-    "unigram_em_bytes" -> 0.25, "ppl_buckets" -> 0.4)
+    "unigram_em_bytes" -> 0.25, "ppl_buckets" -> 0.4,
+    // round-21 wave (paired same-window full vs 0.4, n=2 each arm):
+    // bigram_lm_score 0.81x, curation_e2e 0.74x, curation_v4 0.80x
+    // survive — all three are corpus-volume-bound front halves.
+    // k_anon_utility rejected at 1.23x (the kAnonymize ladder is
+    // fixed-stage cost, matching the k_anonymity / t_closeness /
+    // release_gate rejections); an earlier stall-contaminated window
+    // had read 0.80x for it — the clean paired window is the
+    // evidence that counts.
+    "bigram_lm_score" -> 0.4, "curation_e2e" -> 0.4,
+    "curation_v4" -> 0.4)
 }

@@ -58,6 +58,47 @@ object Dist {
       ptots.agg(sum(col("__ptot")).as(s"${out}_total"))))
   }
 
+  /** Grouped distributed prefix-rank: `out` = `row_number()` within
+    * `group` under the TOTAL order `orderCols` (the caller must make
+    * it strict — include a unique tiebreaker), WITHOUT ever sorting a
+    * whole group in one task. `row_number().over(Window.partitionBy
+    * (group))` puts each group's entire frame through a single-task
+    * sort — fine for high-cardinality keys, a scale-killer when the
+    * group is a handful of corpus-sized sources (the round-20 verdict
+    * flag on interleaveSchedule). Same machinery as [[prefixSum]],
+    * generalized with the group key: range-partition on
+    * (group, orderCols) so each group spans contiguous partitions,
+    * count rows per (group, partition), broadcast each partition's
+    * per-group predecessor total back as an offset, and rank locally
+    * inside each (partition, group) slice. The offsets frame is
+    * ≤ #groups × numParts rows — broadcast-safe by construction; the
+    * subtotal prefix is the same predecessor-sum self-join shape as
+    * [[prefixSum]] (no unpartitioned window on the tiny frame).
+    */
+  def groupedRank(df: DataFrame, group: String, orderCols: Seq[Column],
+      out: String, numParts: Int = 32): DataFrame = {
+    val ranged = df
+      .repartitionByRange(numParts, (col(group) +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val ptots = ranged.groupBy(col(group), col("__pid"))
+      .agg(count(lit(1)).as("__ptot"))
+    val offsets = ptots
+      .join(broadcast(ptots.select(col(group).as("__qg"),
+        col("__pid").as("__qid"), col("__ptot").as("__qtot"))),
+        col(group) === col("__qg") && col("__qid") < col("__pid"),
+        "left")
+      .groupBy(col(group), col("__pid"))
+      .agg(coalesce(sum(col("__qtot")), lit(0L)).as("__offset"))
+    val local = Window.partitionBy(col("__pid"), col(group))
+      .orderBy(orderCols: _*)
+    ranged
+      .join(broadcast(offsets), Seq(group, "__pid"))
+      .withColumn(out,
+        col("__offset") + row_number().over(local).cast("long"))
+      .drop("__pid", "__offset")
+  }
+
   /** Broadcast 1-row aggregate cross: attaches `aggs(of)` to every
     * row of `onto`. The bounded substitute for `agg OVER ()` — which
     * Spark executes as an unpartitioned WindowExec (the optimizer

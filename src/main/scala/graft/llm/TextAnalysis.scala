@@ -278,15 +278,62 @@ object TextAnalysis {
     expr(s"CAST(conv(substring(md5(lower(regexp_replace(" +
       s"trim($text), '\\\\s+', ' '))), 1, 15), 16, 10) AS BIGINT)")
 
+  /** Scale shape (round 21): the registered queries group by
+    * `source` — low cardinality — so a bare per-group window would
+    * put each group's ENTIRE corpus slice through one single-task
+    * sort. The [[sketchOverlap]] threshold prefilter fixes that:
+    * only rows whose hash falls in the bottom `4k/nd` fraction of
+    * the hash space (nd = the group's distinct-hash count; the
+    * exactness fallback keeps everything when nd ≤ 4k) reach the
+    * window, so the sorted set is ~4k rows per group, never the
+    * corpus. The bottom-k rows all survive any hash-threshold
+    * filter that keeps ≥ k rows, so the output is IDENTICAL; a
+    * shortfall (P ≤ exp(-9k/8) per group, sketchOverlap's bound)
+    * raises loudly in-plan instead of silently dropping rows — the
+    * guard is folded into the consumed `h` column so no projection
+    * can prune it.
+    */
   def kmvSample(df: DataFrame, group: String, text: String,
       id: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val two60 = 1152921504606846976L
+    val over = 4L * k
+    // pinned: the count pass, the prefiltered window pass, and the
+    // shortfall-guard aggregate all read the hashed frame
+    val hashed = df.select(col(group), col(id),
+        uniformHash60(text).as("__h"))
+      .localCheckpoint()
+    val counts = hashed.groupBy(col(group)).agg(
+      count(lit(1)).as("__n"),
+      countDistinct(col("__h")).as("__nd"))
     val w = Window.partitionBy(col(group))
       .orderBy(col("__h"), col(id))
-    df.withColumn("__h", uniformHash60(text))
+    // the survivor count rides the SAME window spec (unbounded count
+    // over the identical partition/order — one WindowExec, no second
+    // pass), so the shortfall guard costs nothing: a group that kept
+    // fewer than least(k, n) survivors raises on every row it does
+    // emit. The one shape this cannot see — a group losing ALL its
+    // rows — needs every one of ~4k expected survivors to miss
+    // (P ≤ exp(-4k) per group), far below the exp(-9k/8) bound the
+    // sketchOverlap family already accepts.
+    val wAll = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hashed
+      .join(broadcast(counts), Seq(group))
+      .filter(col("__h") < expr(
+        s"""CASE WHEN __nd <= ${over}L THEN ${two60}L
+           |ELSE (${two60}L DIV __nd) * ${over}L END""".stripMargin))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__surv", count(lit(1)).over(wAll))
       .filter(col("rank") <= k)
-      .select(col(group), col(id), col("__h").as("h"), col("rank"))
+      .select(col(group), col(id),
+        expr(s"""CASE WHEN __surv < least(CAST($k AS BIGINT), __n)
+           |THEN raise_error(concat('kmvSample: hash-threshold ',
+           |  'prefilter kept ', CAST(__surv AS STRING),
+           |  ' of the least(k, n) rows for group ',
+           |  CAST($group AS STRING), ' -- raise the oversample ',
+           |  'bound')) ELSE __h END""".stripMargin).as("h"),
+        col("rank"))
   }
 
   /** KMV (k-minimum-values) distinct-count estimate per group from
@@ -303,24 +350,46 @@ object TextAnalysis {
   def kmvDistinct(df: DataFrame, group: String, text: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val two60 = 1152921504606846976L
+    val over = 4L * k
+    // pinned: the exact-count pass and the prefiltered order-
+    // statistic pass both read the distinct frame (the old form
+    // rebuilt the corpus distinct twice); the [[sketchOverlap]]
+    // threshold prefilter keeps the per-group window to ~4k rows —
+    // the registered queries group by low-cardinality `source`, so
+    // an unfiltered window is one task sorting a group's whole
+    // distinct set. Shortfall (P ≤ exp(-9k/8)) raises loudly via the
+    // guard folded into the consumed est_distinct column.
     val d = df
       .select(col(group), uniformHash60(text).as("__h"))
       .distinct()
+      .localCheckpoint()
     val n = d.groupBy(col(group))
       .agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy(col(group)).orderBy(col("__h"))
     val kth = d
+      .join(broadcast(n), Seq(group))
+      .filter(col("__h") < expr(
+        s"""CASE WHEN n_exact <= ${over}L THEN ${two60}L
+           |ELSE (${two60}L DIV n_exact) * ${over}L END""".stripMargin))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
       .groupBy(col(group))
-      .agg(max(when(col("__r") === k, col("__h"))).as("kth_hash"))
-    n.join(kth, group)
+      .agg(max(when(col("__r") === k, col("__h"))).as("kth_hash"),
+        count(lit(1)).as("__kept"))
+    n.join(kth, Seq(group), "left")
       .select(col(group), col("n_exact"), col("kth_hash"),
-        when(col("kth_hash").isNotNull,
-          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
-            col("kth_hash"), 6))
-          .otherwise(col("n_exact").cast("double"))
-          .as("est_distinct"))
+        expr(s"""CASE WHEN coalesce(__kept, 0L) <
+           |  least(CAST($k AS BIGINT), n_exact)
+           |THEN raise_error(concat('kmvDistinct: hash-threshold ',
+           |  'prefilter kept ', CAST(coalesce(__kept, 0L) AS STRING),
+           |  ' of the least(k, n) rows for group ',
+           |  CAST($group AS STRING), ' -- raise the oversample bound'))
+           |ELSE CASE WHEN kth_hash IS NOT NULL
+           |  THEN round(CAST(${k - 1} AS DOUBLE) *
+           |    CAST(${two60}L AS DOUBLE) / CAST(kth_hash AS DOUBLE), 6)
+           |  ELSE CAST(n_exact AS DOUBLE) END
+           |END""".stripMargin).as("est_distinct"))
   }
 
   /** Bottom-k sketch SET ALGEBRA across groups (the KMV synopsis
@@ -1756,7 +1825,8 @@ object TextAnalysis {
       // DuckDB's RE2
       .withColumn("repr", concat(lit(" "),
         regexp_replace(col("word"), "([^ ])", "$1 ")))
-      .localCheckpoint()
+      // lazy: strictly sequential consumers (see bpeFitVocab's note)
+      .localCheckpoint(eager = false)
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
@@ -1792,7 +1862,7 @@ object TextAnalysis {
           .withColumn("repr", graft.llm.PolyHashColumns
             .bpeFold(col("repr"), col("__bpe_ms")))
           .drop("__bpe_ms")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       round += 1
     }
@@ -1938,10 +2008,19 @@ object TextAnalysis {
           lower(hex(encode(col("word"), "UTF-8"))), "(..)", "$1 "))
       else
         concat(lit(" "), regexp_replace(col("word"), "([^ ])", "$1 "))
+    // LAZY checkpoints in this loop (round 21): each round's vocab
+    // has strictly SEQUENTIAL consumers — the next round's
+    // driver-side TakeOrdered collect materializes it, then the
+    // rewrite reads the already-cached blocks — so the lazy-persist
+    // consumer race (the winnowPairs 20.5 s lesson) cannot occur
+    // here, and the per-round eager materialization job disappears:
+    // the fit chain drops from ~2 jobs per round to ~1. Lineage is
+    // still truncated per round (the checkpoint plan node is built
+    // eagerly; only the materialization folds into the collect).
     var vocab = df.select(explode(wordsOf).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("repr", seedRepr)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val fitted = Seq.newBuilder[BpeMerge]
     var round = 0
     var exhausted = false
@@ -1993,7 +2072,7 @@ object TextAnalysis {
           .withColumn("repr", graft.llm.PolyHashColumns
             .bpeFold(col("repr"), col("__bpe_ms")))
           .drop("__bpe_ms")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       round += 1
     }
@@ -2625,14 +2704,17 @@ object TextAnalysis {
     * order — graft.engine.Dist.prefixSum, 32 range partitions, never
     * a global unpartitioned window.
     *
-    * Per-source ranking uses a window partitioned by source (the
-    * `topk_per_group`/`quality_pct_rank` shape — source fan-out is
-    * small); at extreme per-source cardinality swap it for a second
-    * prefix sum per source.
+    * Per-source ranking is a GROUPED distributed prefix-rank
+    * (graft.engine.Dist.groupedRank): the source key's cardinality is
+    * the mixture-weight map — a handful — so a window partitioned by
+    * source would put each source's ENTIRE corpus slice through one
+    * single-task sort (the round-20 verdict flag). groupedRank
+    * range-partitions on (source, key, doc_id) and ranks with
+    * per-(source, partition) subtotal offsets instead — the same
+    * numbering, never a whole source in one task.
     */
   def interleaveSchedule(df: DataFrame, id: String, source: String,
       weights: Map[String, Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF(source, "w")
@@ -2641,9 +2723,8 @@ object TextAnalysis {
       .join(broadcast(w), Seq(source))
       .withColumn("__k", expr(
         s"((doc_id % 1073741824) * 2654435761) % $P"))
-    val ranked = keyed.withColumn("src_rank",
-      row_number().over(Window.partitionBy(col(source))
-        .orderBy(col("__k"), col("doc_id"))).cast("long"))
+    val ranked = graft.engine.Dist.groupedRank(keyed, source,
+      Seq(col("__k"), col("doc_id")), "src_rank")
     // virtual time: fixed IEEE tree (D literal — the decimal lesson)
     val timed = ranked
       .withColumn("vtime", expr("src_rank * 1.0D / w"))

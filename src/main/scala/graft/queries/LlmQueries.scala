@@ -3444,18 +3444,22 @@ object LlmQueries {
     * checkpointed): the fusion reads the checkpointed frames and the
     * standalone arms are rank-prefix filters of the SAME frames — no
     * corpus pass runs twice (round-19, the rrfFuse split).
+    *
+    * Round-21 optimization, results pinned identical by spec: the
+    * two independent corpus passes (dense/lexical shortlists) pin
+    * CONCURRENTLY (graft.engine.Pin.parallel — they used to
+    * serialize on the driver), and the three arms are scored in ONE
+    * Retrieval.retrievalEvalArms plan instead of three unioned
+    * retrievalEval plans — the qrel dedup/guard and the ideal (IDCG)
+    * chain are arm-independent and now run once (the qrels frame no
+    * longer needs its own pin: the single consumer pins the deduped
+    * `rel` internally).
     */
   private def hybridArmEvals(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val emb = t(s, d, "embeddings")
     val qids = 0L until 8L
-    // checkpointed like the arms: three retrievalEval calls consume
-    // this frame, and without the checkpoint each would rebuild the
-    // documents-proportional explode + its qrel collapse. (Real
-    // qrels are a small labeled eval set — the corpus-proportional
-    // shape here is an artifact of the planted fixture, which is
-    // also why materializing it is safe.)
     val qrels = docs
       .select(explode(expr("sequence(0L, 7L)")).as("query_id"),
         col("doc_id"))
@@ -3465,9 +3469,9 @@ object LlmQueries {
           "WHEN (doc_id + query_id) % 5 = 0 THEN 1 " +
           "ELSE 0 END AS BIGINT)"))
       .filter("rel > 0 AND doc_id != query_id")
-      .localCheckpoint()
-    val dense50 = Retrieval.denseTopK(emb, qids).localCheckpoint()
-    val lex50 = Retrieval.lexicalTopK(docs, qids).localCheckpoint()
+    val Seq(dense50, lex50) = graft.engine.Pin.parallel(
+      Retrieval.denseTopK(emb, qids),
+      Retrieval.lexicalTopK(docs, qids))
     val hybrid = Retrieval.rrfFuse(dense50, lex50)
       .select("query_id", "doc_id", "rank")
     val lex = lex50.filter(col("lex_rank") <= 10)
@@ -3476,12 +3480,9 @@ object LlmQueries {
     val dense = dense50.filter(col("dense_rank") <= 10)
       .select(col("query_id"), col("doc_id"),
         col("dense_rank").as("rank"))
-    Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex)
-      .map { case (arm, run) =>
-        Retrieval.retrievalEval(run, qrels, k = 10)
-          .withColumn("arm", lit(arm))
-      }
-      .reduce(_.unionByName(_))
+    Retrieval.retrievalEvalArms(
+      Seq("dense" -> dense, "hybrid" -> hybrid, "lex" -> lex),
+      qrels, k = 10)
   }
 
   /** Shared qrel/ideal CTEs for the retrieval-eval mirrors: planted

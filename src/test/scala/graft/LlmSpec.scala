@@ -2032,6 +2032,51 @@ class LlmSpec extends AnyFunSuite {
     assert(again === out.map(_.getLong(1)).toSeq)
   }
 
+  test("kmv prefilter: outputs equal the unfiltered window form on a " +
+      "corpus where the hash threshold actually filters") {
+    // 3 groups x 300 unique texts: nd = 300 >> 4k = 40 at k = 10, so
+    // the bottom-k prefilter is ACTIVE (threshold ~13% of the hash
+    // space) — the naive per-group window over everything must agree
+    // exactly, and the shortfall guard must stay silent
+    val df = (1L to 900L).map(i =>
+        (i, s"corpus doc $i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val sample = TextAnalysis.kmvSample(df, "source", "text",
+        "doc_id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+    val naive = df
+      .withColumn("__h", TextAnalysis.uniformHash60("text"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("doc_id"), col("__h"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(sample === naive)
+    // kmvDistinct on the same corpus: kth hash + estimate must match
+    // the unfiltered order statistic
+    val est = TextAnalysis.kmvDistinct(df, "source", "text", k = 10)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val kthNaive = df
+      .select(col("source"), TextAnalysis.uniformHash60("text").as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("r") === 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("s0", "s1", "s2")) {
+      assert(est(s)._1 === 300L)
+      assert(est(s)._2 === kthNaive(s))
+      assert(est(s)._3 === BigDecimal(9.0 * math.pow(2, 60) /
+        kthNaive(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+  }
+
   test("kmvDistinct: exact path under k, estimate within 25% at k=64") {
     val df = (1L to 500L).map(i => (i, s"unique doc $i",
       if (i <= 30) "small" else "big")).toDF("doc_id", "text", "source")
@@ -2490,6 +2535,36 @@ class LlmSpec extends AnyFunSuite {
     // dcg = 1e6 + 3*630929 + 7*500000; idcg = 7e6 + 3*630929 + 5e5
     assert(nh === (1000000L + 3L * 630929L + 7L * 500000L) *
       1000000L / (7000000L + 3L * 630929L + 500000L))
+  }
+
+  test("retrievalEvalArms: row-for-row identical to the union of " +
+      "per-arm retrievalEval plans") {
+    import graft.llm.Retrieval
+    // three arms over a shared qrel set, exercising every edge the
+    // unified plan must preserve: a query with qrels but NO hits in
+    // one arm (full-outer ideal row), a query with hits but NO qrels
+    // (n_rel 0, NULL ndcg), duplicate run rows (min-rank collapse),
+    // duplicate qrel rows (max-grade collapse), out-of-range ranks
+    val qrels = Seq((0L, 1L, 3L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 5L, 1L), (2L, 9L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val runA = Seq((0L, 1L, 1L), (0L, 1L, 2L), (0L, 3L, 3L),
+      (3L, 7L, 1L), (0L, 4L, 0L))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq((0L, 2L, 1L), (1L, 5L, 2L), (1L, 6L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val runC = Seq((3L, 8L, 1L)).toDF("query_id", "doc_id", "rank")
+    val arms = Seq("a" -> runA, "b" -> runB, "c" -> runC)
+    val unified = Retrieval.retrievalEvalArms(arms, qrels, k = 4)
+    val unioned = arms.map { case (arm, run) =>
+      Retrieval.retrievalEval(run, qrels, k = 4)
+        .withColumn("arm", lit(arm))
+    }.reduce(_.unionByName(_))
+    assert(unified.schema === unioned.schema)
+    val mismatch = unified.except(unioned).count() +
+      unioned.except(unified).count()
+    assert(mismatch === 0L)
+    assert(unified.count() === unioned.count())
   }
 
   test("licenseScan: per-tag hit verdict, dual-license tie to the " +

@@ -40,4 +40,47 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned windows:\n${offenders.mkString("\n")}")
   }
+
+  /** Round-21 extension of the posture to LOW-CARDINALITY partition
+    * keys: interleave_schedule's per-source rank used to be a window
+    * partitioned by `source` — cardinality = the mixture-weight map,
+    * so ONE task sorted each source's entire corpus slice. After the
+    * Dist.groupedRank rewrite, every window the query plans must be
+    * partition-local (a `__pid` spark_partition_id attribute in its
+    * partition spec): no single task ever sorts a whole source.
+    * kmv_distinct / kmv_sample keep their per-source windows but
+    * feed them through the sketchOverlap hash-threshold prefilter —
+    * asserted here as a Filter on __h strictly below the window.
+    */
+  test("interleave_schedule plans no whole-source window; kmv windows " +
+      "sit above the hash-threshold prefilter") {
+    val sfDir = "/root/testdata/sf0.001"
+    val wins = SparkEntry.queries("interleave_schedule")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected partition-local rank windows")
+    wins.foreach { w =>
+      assert(w.partitionSpec.exists(
+        _.references.exists(_.name == "__pid")),
+        s"window not partition-local: ${w.partitionSpec}")
+    }
+    for (q <- Seq("kmv_distinct", "kmv_sample")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val winsQ = plan.collect { case w: Window => w }
+      assert(winsQ.nonEmpty, s"$q: expected a per-group window")
+      // every window's child subtree must contain the __h threshold
+      // predicate (as a Filter, or pushed into the counts join), so
+      // the sorted set is the ~4k-row survivor frame, never the corpus
+      winsQ.foreach { w =>
+        val conds = w.child.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.toString
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            j.condition.map(_.toString).getOrElse("")
+        }
+        assert(conds.exists(c => c.contains("__h") && c.contains("<")),
+          s"$q: window sorts an unfiltered per-group frame")
+      }
+    }
+  }
 }

@@ -51,6 +51,31 @@ class RetailSpec extends AnyFunSuite {
       (1L to 1000L).map(i => (i * 7919) % 101).sum)
   }
 
+  test("Dist.groupedRank equals the per-group row_number window") {
+    // 3 low-cardinality groups, order values colliding across
+    // range-partition boundaries; doc_id is the strict tiebreaker
+    val df = (1L to 900L).map(i =>
+        (i, s"g${i % 3}", (i * 7919) % 13))
+      .toDF("id", "grp", "k")
+    val dist = graft.engine.Dist.groupedRank(df, "grp",
+      Seq(col("k"), col("id")), "rank", numParts = 8)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("k"), col("id"))
+    val naive = df.withColumn("rank", row_number().over(w).cast("long"))
+    val mismatch = dist.select("grp", "id", "rank").except(
+      naive.select("grp", "id", "rank")).count() +
+      naive.select("grp", "id", "rank").except(
+        dist.select("grp", "id", "rank")).count()
+    assert(mismatch === 0L)
+    // single-group degenerate case (== ungrouped global rank)
+    val one = (1L to 50L).map(i => (i, "only", 50L - i))
+      .toDF("id", "grp", "k")
+    val oneDist = graft.engine.Dist.groupedRank(one, "grp",
+      Seq(col("k"), col("id")), "rank", numParts = 4)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(oneDist === (50L to 1L by -1L))
+  }
+
   test("abcClassify bands: monotone A->B->C down the revenue ranking") {
     val li = Seq(
       // one dominant item, a mid item, a tail of small ones
