@@ -76,7 +76,8 @@ object Dist {
     * [[prefixSum]] (no unpartitioned window on the tiny frame).
     */
   def groupedRank(df: DataFrame, group: String, orderCols: Seq[Column],
-      out: String, numParts: Int = 32): DataFrame = {
+      out: String, numParts: Int = 32,
+      withGroupTotal: Boolean = false): DataFrame = {
     val ranged = df
       .repartitionByRange(numParts, (col(group) +: orderCols): _*)
       .withColumn("__pid", spark_partition_id())
@@ -92,11 +93,18 @@ object Dist {
       .agg(coalesce(sum(col("__qtot")), lit(0L)).as("__offset"))
     val local = Window.partitionBy(col("__pid"), col(group))
       .orderBy(orderCols: _*)
-    ranged
+    val base = ranged
       .join(broadcast(offsets), Seq(group, "__pid"))
       .withColumn(out,
         col("__offset") + row_number().over(local).cast("long"))
       .drop("__pid", "__offset")
+    // `<out>_n` = the group's row count, from the SAME subtotal frame
+    // (no extra pass over the data) — the ntile / percent_rank closed
+    // forms need (rank, group total) together, and computing the
+    // total separately would re-run the whole upstream chain
+    if (!withGroupTotal) base
+    else base.join(broadcast(ptots.groupBy(col(group))
+      .agg(sum(col("__ptot")).as(s"${out}_n"))), Seq(group))
   }
 
   /** Broadcast 1-row aggregate cross: attaches `aggs(of)` to every

@@ -1311,8 +1311,19 @@ object Similarity {
           .select(col(leftId), col("__b.__hub").as("__hub"),
             col("__b.__hsim").as("__hsim"))
       }
-      (2 to k).foldLeft(pass(None)) { (acc, _) =>
-        acc.unionByName(pass(Some(acc.select(col(leftId), col("__hub")))))
+      // Pin each pass's output (round 21): without the pins the fold
+      // embeds pass i's whole subtree TWICE in pass i+1's plan (once
+      // as the union leg, once under the exclusion anti-join's
+      // broadcast), so pass 1's corpus×hubs scoring re-executed
+      // ~2^(k-1)-fold — explain showed 42 BroadcastNestedLoopJoin
+      // occurrences in one hnsw_topk plan, 0 reused. Each pinned
+      // frame is |left| rows of (id, hub, sim) — linear, the same
+      // slim-assignment class pagerankSim pins. Values are unchanged:
+      // the pins materialize exactly the pass outputs.
+      (2 to k).foldLeft(pass(None).localCheckpoint()) { (acc, _) =>
+        acc.unionByName(
+          pass(Some(acc.select(col(leftId), col("__hub"))))
+            .localCheckpoint())
       }
     }
     // hub links: node → its mHub nearest hubs (broadcast pass)
@@ -1334,6 +1345,10 @@ object Similarity {
       maxBucket = localMaxBucket)
       .select(col("id1").cast("long").as("__src"),
         col("id2").cast("long").as("__dst"), col("sim"))
+      // pinned (round 21): the symmetrization union reads this frame
+      // from BOTH legs — unpinned, the whole bucketed-cosine explode
+      // ran twice (the pagerankSim edges lesson; same slim pair frame)
+      .localCheckpoint()
     val sym = pairs.unionByName(pairs.select(
       col("__dst").as("__src"), col("__src").as("__dst"), col("sim")))
     val wLoc = Window.partitionBy(col("__src"))

@@ -1523,13 +1523,23 @@ object LlmQueries {
     // within source puts them on one [0,1] scale before any global
     // threshold; ONE shuffle on the source key
     "quality_pct_rank" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("quality").asc, col("doc_id").asc)
+      // percent_rank() OVER (PARTITION BY source ...) is a whole-
+      // source single-task sort (source cardinality = a handful) —
+      // replaced (round 21) by the exact closed form
+      // (rank - 1) / (n - 1) over Dist.groupedRank: the order
+      // (quality, doc_id) is strict, so rank == row_number, and the
+      // double division uses the identical IEEE operands Spark's
+      // PercentRank evaluates — bit-identical output, pinned by spec
       TextAnalysis.withStats(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("source"), col("quality"))
-        .withColumn("pct_rank",
-          round(percent_rank().over(w), 6))
+        .transform(df => graft.engine.Dist.groupedRank(df, "source",
+          Seq(col("quality").asc, col("doc_id").asc), "__r",
+          withGroupTotal = true))
+        .withColumn("pct_rank", round(expr(
+          """CASE WHEN __r_n <= 1L THEN 0.0D
+            |ELSE CAST(__r - 1L AS DOUBLE) /
+            |  CAST(__r_n - 1L AS DOUBLE) END""".stripMargin), 6))
+        .select("doc_id", "source", "quality", "pct_rank")
         .orderBy("doc_id")
     }),
     // ranked vocabulary with cumulative coverage: top-100 tokens and
@@ -1757,10 +1767,16 @@ object LlmQueries {
           "WHEN doc_id % 3 = 2 THEN 'homoglyph' " +
           "ELSE 'ascii' END").as("slice"))
       val fitSlice = planted.filter(col("doc_id") % 3 === 0)
-      val chM = TextAnalysis.bpeFitMerges(fitSlice, "text",
-        rounds = 10, batch = 8)
-      val byM = TextAnalysis.bpeBytesFitMerges(fitSlice, "text",
-        rounds = 10, batch = 8)
+      // the two 10-round fit loops are independent driver-blocking
+      // collect chains — run them concurrently (round 21, guide
+      // §2.6): each round's tail back-fills the other fit's freed
+      // executor slots; both fits are deterministic, so results are
+      // scheduling-independent
+      val (chM, byM) = graft.engine.Pin.concurrently(
+        TextAnalysis.bpeFitMerges(fitSlice, "text",
+          rounds = 10, batch = 8),
+        TextAnalysis.bpeBytesFitMerges(fitSlice, "text",
+          rounds = 10, batch = 8))
       val ch = TextAnalysis.bpeApplyWithMerges(planted, "text",
           "doc_id", chM)
         .select(col("doc_id"), col("n_bpe_tokens").as("__nc"))
@@ -2646,17 +2662,26 @@ object LlmQueries {
     // (count-based tertiles: no percentile interpolation to
     // diverge cross-engine), decimal-routed per-bucket means
     "ppl_buckets" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val scored = TextAnalysis.trigramLmScore(docs,
         docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
       val langed = TextAnalysis.withLangId(
         docs.select(col("doc_id"), col("text")), "text")
         .select("doc_id", "pred_lang")
-      val w = Window.partitionBy(col("pred_lang"))
-        .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+      // ntile(3) OVER (PARTITION BY pred_lang ...) puts each
+      // language's ENTIRE corpus slice through one single-task sort
+      // (pred_lang cardinality is a handful) — the round-21 grouped
+      // prefix-rank sweep replaces it with the exact closed form
+      // ntile(k) = (r - 1) * k DIV n + 1 over Dist.groupedRank's
+      // (rank, group count); identical buckets by the standard
+      // ntile identity (first n mod k buckets get ceil(n/k) rows),
+      // pinned by spec against the window form
       scored.join(langed, Seq("doc_id"))
-        .withColumn("__n", ntile(3).over(w))
+        .select("doc_id", "pred_lang", "avg_logprob")
+        .transform(j => graft.engine.Dist.groupedRank(j, "pred_lang",
+          Seq(col("avg_logprob").desc, col("doc_id").asc), "__r",
+          withGroupTotal = true))
+        .withColumn("__n", expr("(__r - 1L) * 3L DIV __r_n + 1L"))
         .withColumn("bucket", expr("CASE __n WHEN 1 THEN 'head' " +
           "WHEN 2 THEN 'middle' ELSE 'tail' END"))
         .groupBy("pred_lang", "bucket")

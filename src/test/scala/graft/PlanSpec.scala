@@ -63,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
         _.references.exists(_.name == "__pid")),
         s"window not partition-local: ${w.partitionSpec}")
     }
+    // round-21 wave 2: the grouped-rank sweep's other two
+    // low-cardinality windows — any window partitioned by the
+    // corpus-sized grouping key (pred_lang / source) must be
+    // partition-local (__pid alongside it); windows on other keys
+    // (bounded frames, high-cardinality ids) are exempt
+    for ((q, key) <- Seq("ppl_buckets" -> "pred_lang",
+        "quality_pct_rank" -> "source")) {
+      val wins = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect { case w: Window => w }
+      val offenders = wins.filter { w =>
+        w.partitionSpec.exists(_.references.exists(_.name == key)) &&
+          !w.partitionSpec.exists(
+            _.references.exists(_.name == "__pid"))
+      }
+      assert(offenders.isEmpty,
+        s"$q: whole-$key window: ${offenders.map(_.partitionSpec)}")
+    }
     for (q <- Seq("kmv_distinct", "kmv_sample")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.optimizedPlan

@@ -76,6 +76,49 @@ class RetailSpec extends AnyFunSuite {
     assert(oneDist === (50L to 1L by -1L))
   }
 
+  test("Dist.groupedRank closed forms: ntile and percent_rank match " +
+      "the window functions, including uneven and single-row groups") {
+    // group sizes 10 / 5 / 1: ntile(3) splits 4-3-3, 2-2-1, 1 — the
+    // uneven cases where a wrong closed form shows; percent_rank's
+    // single-row group must read 0.0 (the window's defined value)
+    val rows = (1L to 10L).map(i => (i, "a", (i * 31) % 17)) ++
+      (11L to 15L).map(i => (i, "b", (i * 31) % 17)) ++
+      Seq((16L, "c", 3L))
+    val df = rows.toDF("id", "grp", "q")
+    val ranked = graft.engine.Dist.groupedRank(df, "grp",
+      Seq(col("q"), col("id")), "r", numParts = 4,
+      withGroupTotal = true)
+      .withColumn("nt", expr("(r - 1L) * 3L DIV r_n + 1L"))
+      .withColumn("pr", expr(
+        """CASE WHEN r_n <= 1L THEN 0.0D
+          |ELSE CAST(r - 1L AS DOUBLE) /
+          |  CAST(r_n - 1L AS DOUBLE) END""".stripMargin))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("q"), col("id"))
+    val win = df.withColumn("nt", ntile(3).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+    val got = ranked.select("grp", "id", "nt", "pr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val want = win.select("grp", "id", "nt", "pr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(got === want)
+  }
+
+  test("Pin.concurrently: returns both results in order and " +
+      "propagates either failure") {
+    val (a, b) = graft.engine.Pin.concurrently(
+      { Thread.sleep(10); 41 }, "x" * 3)
+    assert(a === 41 && b === "xxx")
+    val e = intercept[RuntimeException] {
+      graft.engine.Pin.concurrently(
+        { Thread.sleep(5); 1 },
+        throw new RuntimeException("boom"))
+    }
+    assert(e.getMessage === "boom")
+  }
+
   test("abcClassify bands: monotone A->B->C down the revenue ranking") {
     val li = Seq(
       // one dominant item, a mid item, a tail of small ones
