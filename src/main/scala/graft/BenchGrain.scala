@@ -215,5 +215,15 @@ object BenchGrain {
     // had read 0.80x for it — the clean paired window is the
     // evidence that counts.
     "bigram_lm_score" -> 0.4, "curation_e2e" -> 0.4,
-    "curation_v4" -> 0.4)
+    "curation_v4" -> 0.4,
+    // round-21 second wave (paired same-window full vs 0.4, n=2 each
+    // arm, post-wave-2 code): pagerank_sim 0.68x (edge volume),
+    // token_budget_cut_bpe 0.74x (apply side is corpus-volume-bound
+    // now the fit's checkpoints are lazy), retrieval_sig 0.82x (the
+    // corpus shortlist passes) survive. Rejected: bitext_mine 0.83x
+    // (just over the bar), curation_v6 0.93x, kernel_full 1.09x and
+    // backtest_ma 1.12x (the typed-kernel fixed-stage class, matching
+    // the round-15 kernel rejections).
+    "pagerank_sim" -> 0.4, "token_budget_cut_bpe" -> 0.4,
+    "retrieval_sig" -> 0.4)
 }

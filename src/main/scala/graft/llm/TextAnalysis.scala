@@ -3644,17 +3644,6 @@ object TextAnalysis {
         coalesce(col("__seg1"), lit("")).as("seg_first"))
   }
 
-  /** UNIGRAM-family piece-frequency fit: candidate pieces are every
-    * word substring up to `maxPiece` chars (no positional marker —
-    * unlike WordPiece, the unigram lattice scores a piece the same at
-    * any offset); vocabulary = top `vocabN` by (count desc, piece
-    * asc) PLUS every single-char piece so Viterbi segmentation
-    * ([[UnigramViterbiExpr]]) is total. The piece count doubles as
-    * its integer score. Same scale shape as [[wordpieceFit]]: one
-    * scan, map-side combine, and the bounded two-branch
-    * [[rankedVocabCut]] — no window ever sees the full candidate
-    * frame.
-    */
   /** Reversible byte→char fold for the BYTE-grain tokenizer fits:
     * each UTF-8 byte of the word becomes the single char with that
     * codepoint (ISO-8859-1 is the 1:1 byte↔U+00..U+FF charset), so
@@ -3671,6 +3660,17 @@ object TextAnalysis {
   private[llm] def hexOfMapped(piece: String): String =
     piece.map(ch => f"${ch.toInt}%02x").mkString
 
+  /** UNIGRAM-family piece-frequency fit: candidate pieces are every
+    * word substring up to `maxPiece` chars (no positional marker —
+    * unlike WordPiece, the unigram lattice scores a piece the same at
+    * any offset); vocabulary = top `vocabN` by (count desc, piece
+    * asc) PLUS every single-char piece so Viterbi segmentation
+    * ([[UnigramViterbiExpr]]) is total. The piece count doubles as
+    * its integer score. Same scale shape as [[wordpieceFit]]: one
+    * scan, map-side combine, and the bounded two-branch
+    * [[rankedVocabCut]] — no window ever sees the full candidate
+    * frame.
+    */
   def unigramFit(df: DataFrame, text: String, vocabN: Int = 64,
       maxPiece: Int = 4, byteGrain: Boolean = false): DataFrame = {
     require(maxPiece >= 1 && vocabN >= 1, "need maxPiece/vocabN >= 1")
